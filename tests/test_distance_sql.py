@@ -1,0 +1,74 @@
+"""SQL distance expressions vs numpy ground truth; DTW pandas_udf plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import (
+    chebyshev,
+    cosine_distance,
+    dot,
+    dtw_udf,
+    euclidean,
+    manhattan,
+    make_dtw_udf,
+    sq_euclidean,
+)
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.dtw_kernel import (
+    dtw_pair,
+)
+
+
+@pytest.fixture(scope="module")
+def pairs_df(spark):
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=12)], [float(x) for x in rng.normal(size=12)])
+        for i in range(25)
+    ]
+    return spark.createDataFrame(rows, "id long, a array<double>, b array<double>"), rows
+
+
+def test_sql_distances_match_numpy(pairs_df):
+    df, rows = pairs_df
+    got = df.select(
+        "id",
+        euclidean(F.col("a"), F.col("b")).alias("euc"),
+        sq_euclidean(F.col("a"), F.col("b")).alias("sq"),
+        manhattan(F.col("a"), F.col("b")).alias("man"),
+        chebyshev(F.col("a"), F.col("b")).alias("che"),
+        dot(F.col("a"), F.col("b")).alias("dot"),
+        cosine_distance(F.col("a"), F.col("b")).alias("cos"),
+    ).collect()
+    by_id = {r["id"]: r for r in got}
+    for i, a, b in rows:
+        a, b = np.array(a), np.array(b)
+        r = by_id[i]
+        assert r["euc"] == pytest.approx(np.linalg.norm(a - b))
+        assert r["sq"] == pytest.approx(np.sum((a - b) ** 2))
+        assert r["man"] == pytest.approx(np.abs(a - b).sum())
+        assert r["che"] == pytest.approx(np.abs(a - b).max())
+        assert r["dot"] == pytest.approx(a @ b)
+        assert r["cos"] == pytest.approx(
+            1 - (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+
+
+def test_dtw_udf_matches_kernel(pairs_df):
+    df, rows = pairs_df
+    got = {r["id"]: r["d"] for r in df.select("id", dtw_udf(F.col("a"), F.col("b")).alias("d")).collect()}
+    for i, a, b in rows:
+        assert got[i] == pytest.approx(dtw_pair(a, b))
+
+
+def test_dtw_udf_banded_and_ragged(spark):
+    rows = [(0, [1.0, 2.0, 3.0, 4.0, 5.0], [1.0, 3.0, 5.0]), (1, [1.0, 1.0], [1.0, 1.0, 1.0])]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    got = {r["id"]: r["d"] for r in df.select("id", dtw_udf(F.col("a"), F.col("b")).alias("d")).collect()}
+    assert got[0] == pytest.approx(2.0)
+    assert got[1] == pytest.approx(0.0)
+    banded = make_dtw_udf(2)
+    got2 = {
+        r["id"]: r["d"] for r in df.select("id", banded(F.col("a"), F.col("b")).alias("d")).collect()
+    }
+    assert got2[0] >= got[0] - 1e-9

@@ -1,0 +1,82 @@
+"""Text ingest + series building (SURVEY.md §3.1 replacement pipeline)."""
+
+from pyspark.sql import functions as F
+
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import (
+    cast_all,
+    events_to_series,
+    parse_series_text,
+    split_train_test,
+    with_row_id,
+)
+
+
+def test_parse_series_text_handles_messy_spacing(spark):
+    rows = [
+        (" 0.5 -1.25  3.0 ",),
+        ("1 2   3",),
+        ("  7.5",),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    got = [r.features for r in parse_series_text(df).collect()]
+    assert got == [[0.5, -1.25, 3.0], [1.0, 2.0, 3.0], [7.5]]
+
+
+def test_parse_is_pure_sql_no_python(spark):
+    # the plan must not contain a BatchEvalPython node (reference used a UDF)
+    df = spark.createDataFrame([("1 2 3",)], "value string")
+    plan = parse_series_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_cast_all(spark):
+    df = spark.createDataFrame([("1", "2.5")], "a string, b string")
+    row = cast_all(df).collect()[0]
+    assert row.a == 1.0 and row.b == 2.5
+    assert dict(cast_all(df).dtypes) == {"a": "double", "b": "double"}
+
+
+def test_with_row_id_unique(spark):
+    df = spark.range(100).toDF("x")
+    ids = [r.row_id for r in with_row_id(df).collect()]
+    assert len(set(ids)) == 100
+    dense = [r.row_id for r in with_row_id(df, dense=True).collect()]
+    assert sorted(dense) == list(range(1, 101))
+
+
+def test_events_to_series_deterministic_order(spark):
+    rows = [
+        # key, ts(long ns), event_id, value, event_type — same ts on two rows:
+        # event_id tiebreak orders them
+        (1, 100, 1, 1.0, "a"),
+        (1, 100, 2, 2.0, "a"),
+        (1, 50, 0, 0.5, "b"),
+        (2, 10, 3, 9.0, "b"),
+        (2, 20, 4, 8.0, "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, value double, event_type string")
+    got = {r.series_id: (r.features, r.label) for r in events_to_series(df).collect()}
+    assert got[1] == ([0.5, 1.0, 2.0], "a")
+    assert got[2] == ([9.0, 8.0], "b")
+
+
+def test_events_to_series_label_mode_tiebreak(spark):
+    # tie between event types -> lexicographically smallest wins
+    rows = [(1, i, i, float(i), t) for i, t in enumerate(["z", "c", "z", "c"])]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, value double, event_type string")
+    assert events_to_series(df).collect()[0].label == "c"
+
+
+def test_events_to_series_length_filter(spark):
+    rows = [(1, i, i, float(i), "a") for i in range(5)] + [(2, 0, 9, 1.0, "a")]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, value double, event_type string")
+    got = events_to_series(df, length=3).collect()
+    assert len(got) == 1 and len(got[0].features) == 3
+
+
+def test_split_train_test_partition(spark):
+    df = spark.createDataFrame([(i, [1.0], "x") for i in range(20)], "series_id long, features array<double>, label string")
+    train, test = split_train_test(df)
+    assert train.count() + test.count() == 20
+    assert test.filter((F.col("series_id") % 4) != 0).count() == 0

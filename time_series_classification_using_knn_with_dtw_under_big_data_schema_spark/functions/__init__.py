@@ -1,0 +1,14 @@
+from .distance import (  # noqa: F401
+    euclidean,
+    sq_euclidean,
+    manhattan,
+    chebyshev,
+    dot,
+    cosine_similarity,
+    cosine_distance,
+    dtw_udf,
+    make_dtw_udf,
+    DISTANCES,
+)
+from .dtw_kernel import dtw_batch, dtw_pair, fastdtw_pair  # noqa: F401
+from .arrays import paa, znorm  # noqa: F401

@@ -1,0 +1,124 @@
+"""Distance functions over array<double> series columns.
+
+Reference semantics (SURVEY.md §2.7 F7, §2.10 U2):
+- Euclidean: ``np.linalg.norm(a - b)`` per pair (Team11-Project.py:173) —
+  here a pure Catalyst expression (zip_with + aggregate + sqrt), whole-stage
+  codegen'd, zero Python.
+- DTW: ``fastdtw.fastdtw(a, b)`` per pair (Team11-Project.py:339-341) — here
+  an Arrow-batched pandas_udf over the batched numpy kernel
+  (functions/dtw_kernel.py). The ONE Python boundary in the engine.
+
+All SQL distances are left-fold aggregates so a DuckDB ``list_reduce`` oracle
+reproduces them bit-for-bit (same IEEE op order).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dtw_kernel import dtw_batch
+
+__all__ = [
+    "euclidean",
+    "sq_euclidean",
+    "manhattan",
+    "chebyshev",
+    "dot",
+    "cosine_similarity",
+    "cosine_distance",
+    "dtw_udf",
+    "make_dtw_udf",
+    "DISTANCES",
+]
+
+
+def _fold(arr: Column, init: float = 0.0) -> Column:
+    return F.aggregate(arr, F.lit(init), lambda acc, v: acc + v)
+
+
+def sq_euclidean(a: Column, b: Column) -> Column:
+    """Sum of squared differences (the pre-sqrt form — monotone in euclidean,
+    so top-k ranking can skip the sqrt when distances aren't output)."""
+    return _fold(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+
+def euclidean(a: Column, b: Column) -> Column:
+    return F.sqrt(sq_euclidean(a, b))
+
+
+def manhattan(a: Column, b: Column) -> Column:
+    return _fold(F.zip_with(a, b, lambda x, y: F.abs(x - y)))
+
+
+def chebyshev(a: Column, b: Column) -> Column:
+    return F.array_max(F.zip_with(a, b, lambda x, y: F.abs(x - y)))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _fold(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_distance(a: Column, b: Column) -> Column:
+    return F.lit(1.0) - cosine_similarity(a, b)
+
+
+def make_dtw_udf(band: Optional[int] = None) -> Callable[[Column, Column], Column]:
+    """Build the DTW pandas_udf with a fixed Sakoe-Chiba band half-width.
+
+    band=None -> exact DTW. band=r approximates FastDTW(radius=r) semantics
+    with a hard diagonal band (for equal-length series the FastDTW refinement
+    window is a data-dependent band; a fixed band is the vectorizable stand-in
+    — parity between the two is covered in tests on separable data).
+
+    Batches arrive via Arrow as pd.Series of numpy arrays; equal-length pairs
+    are stacked into (batch, n) matrices for the vectorized DP, ragged pairs
+    fall back to a per-length-group sub-batching.
+    """
+
+    @F.pandas_udf(T.DoubleType())
+    def dtw(a: pd.Series, b: pd.Series) -> pd.Series:
+        n = len(a)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        la = a.map(len).to_numpy()
+        lb = b.map(len).to_numpy()
+        out = np.empty(n, dtype=np.float64)
+        # group rows by (len_a, len_b) so every sub-batch stacks rectangular
+        import collections
+
+        groups = collections.defaultdict(list)
+        for i in range(n):
+            groups[(la[i], lb[i])].append(i)
+        for (_, _), idx in groups.items():
+            idx = np.asarray(idx)
+            A = np.stack(a.iloc[idx].to_numpy())
+            B = np.stack(b.iloc[idx].to_numpy())
+            out[idx] = dtw_batch(A, B, band=band)
+        return pd.Series(out)
+
+    return dtw
+
+
+# default kernel: exact DTW (band=None); metric="fastdtw" in the KNN operators
+# uses a band sized like the reference's fastdtw radius=1 refinement window.
+dtw_udf = make_dtw_udf(None)
+
+
+DISTANCES: dict[str, Callable[[Column, Column], Column]] = {
+    "euclidean": euclidean,
+    "sq_euclidean": sq_euclidean,
+    "manhattan": manhattan,
+    "chebyshev": chebyshev,
+    "cosine": cosine_distance,
+    "dtw": dtw_udf,
+}

@@ -1,0 +1,202 @@
+"""KNN similarity join — the engine's core operator (SURVEY.md §2.9 M2).
+
+Reference semantics (Team11-Project.py):
+- Model 1 "shuffle": train_rdd.cartesian(test_rdd) + per-partition partial
+  heapq top-k + groupByKey + final top-k + Counter vote (:186-199, :368-381).
+- Model 2 "broadcast": driver collect + sc.broadcast + flatMap loop +
+  reduceByKey(min) for k=1 (:502-579).
+
+Spark-first re-expression — ONE declarative plan, no RDDs:
+
+    test.crossJoin([broadcast] train)
+        -> distance expression (codegen'd SQL for euclidean family;
+           Arrow-batched pandas_udf for DTW)
+        -> filter(distance != 0)          # reference self-match exclusion P7
+        -> window row_number <= k          # K1; WindowGroupLimit = map-side
+                                           # partial top-k (two-phase heap)
+        -> majority vote (A5) / min_by (A6)
+
+Scale notes (100 TB design):
+- ``broadcast`` strategy keeps the pair generation shuffle-free: each test
+  partition streams the broadcast train table (BroadcastNestedLoopJoin). The
+  only shuffle is the window's hash(test_id) exchange, and WindowGroupLimit
+  caps it at k rows per test id per map partition.
+- ``shuffle`` strategy (train too big to broadcast) is the cartesian
+  re-expression of Model 1; partition counts are AQE's problem, not manual
+  repartition() calls.
+- Euclidean ranking avoids the sqrt until after top-k (monotone transform).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.distance import DISTANCES, make_dtw_udf, sq_euclidean
+from .topk import topk_per_key
+from .vote import majority_vote
+
+MetricT = Union[str, Callable[[Column, Column], Column]]
+
+
+def _resolve_metric(metric: MetricT, band: Optional[int], fastdtw_radius: int):
+    """Returns (distance_fn, rank_is_squared)."""
+    if callable(metric):
+        return metric, False
+    if metric == "euclidean":
+        return None, True  # special-cased: rank on sq_euclidean, sqrt after
+    if metric == "dtw":
+        return make_dtw_udf(band), False
+    if metric == "fastdtw":
+        # Reference parity: fastdtw(radius=1) defaults (Team11-Project.py:340).
+        # The vectorizable stand-in for FastDTW's adaptive refinement window is
+        # a Sakoe-Chiba band of half-width radius+2 (cf. Salvador & Chan 2007:
+        # the refined window spans radius cells around the projected coarse
+        # path, which hugs the diagonal for equal-length series).
+        return make_dtw_udf(band if band is not None else fastdtw_radius + 2), False
+    if metric in DISTANCES:
+        return DISTANCES[metric], False
+    raise ValueError(f"unknown metric {metric!r}; have {sorted(DISTANCES)} + 'fastdtw'")
+
+
+def knn_join(
+    test: DataFrame,
+    train: DataFrame,
+    *,
+    metric: MetricT = "euclidean",
+    k: int = 5,
+    strategy: str = "broadcast",
+    id_col: str = "series_id",
+    features_col: str = "features",
+    label_col: Optional[str] = "label",
+    exclude_zero: bool = True,
+    band: Optional[int] = None,
+    fastdtw_radius: int = 1,
+    keep_features: bool = False,
+) -> DataFrame:
+    """k nearest train neighbors for every test row.
+
+    Output: (test_id, train_id, distance, rank[, train_label]) with
+    rank 1..k ordered by (distance ASC, train_label ASC, train_id ASC) —
+    the heapq.nsmallest-compatible tie order (SURVEY.md §2.5 K1) plus a
+    trailing train_id for total determinism.
+    """
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    t_cols = [F.col(id_col).alias("test_id"), F.col(features_col).alias("_tf")]
+    r_cols = [F.col(id_col).alias("train_id"), F.col(features_col).alias("_rf")]
+    if label_col is not None:
+        r_cols.append(F.col(label_col).alias("train_label"))
+    t = test.select(*t_cols)
+    r = train.select(*r_cols)
+
+    pairs = t.crossJoin(F.broadcast(r) if strategy == "broadcast" else r)
+
+    fn, rank_squared = _resolve_metric(metric, band, fastdtw_radius)
+    dist = sq_euclidean(F.col("_tf"), F.col("_rf")) if rank_squared else fn(
+        F.col("_tf"), F.col("_rf")
+    )
+    pairs = pairs.withColumn("_d", dist)
+    if exclude_zero:
+        # reference P7 quirk (Team11-Project.py:176-177): exact-zero distance
+        # pairs (self/duplicate series) never vote
+        pairs = pairs.filter(F.col("_d") != 0)
+
+    order = [F.asc("_d")]
+    if label_col is not None:
+        order.append(F.asc("train_label"))
+    order.append(F.asc("train_id"))
+    topk = topk_per_key(pairs, "test_id", order, k)
+
+    distance = F.sqrt(F.col("_d")) if rank_squared else F.col("_d")
+    out = [F.col("test_id"), F.col("train_id"), distance.alias("distance"), F.col("rank")]
+    if label_col is not None:
+        out.insert(2, F.col("train_label"))
+    if keep_features:
+        out.append(F.col("_tf").alias("test_features"))
+    return topk.select(*out)
+
+
+def knn_classify(
+    test: DataFrame,
+    train: DataFrame,
+    *,
+    metric: MetricT = "euclidean",
+    k: int = 5,
+    strategy: str = "broadcast",
+    id_col: str = "series_id",
+    features_col: str = "features",
+    label_col: str = "label",
+    exclude_zero: bool = True,
+    band: Optional[int] = None,
+) -> DataFrame:
+    """Full reference pipeline: similarity join -> top-k -> majority vote.
+
+    Output: (test_id, predicted_label).
+    """
+    neighbors = knn_join(
+        test,
+        train,
+        metric=metric,
+        k=k,
+        strategy=strategy,
+        id_col=id_col,
+        features_col=features_col,
+        label_col=label_col,
+        exclude_zero=exclude_zero,
+        band=band,
+    )
+    return majority_vote(neighbors, key="test_id", label="train_label", rank="rank")
+
+
+def knn_predict_1nn(
+    test: DataFrame,
+    train: DataFrame,
+    *,
+    metric: MetricT = "euclidean",
+    strategy: str = "broadcast",
+    id_col: str = "series_id",
+    features_col: str = "features",
+    label_col: str = "label",
+    exclude_zero: bool = True,
+    band: Optional[int] = None,
+) -> DataFrame:
+    """Model-2 fast path (SURVEY.md §2.4 A6): k=1 via min_by aggregate — a
+    partial/final aggregate (map-side combine), no window at all.
+
+    Reference: ``reduceByKey(lambda a, b: a if a[0] < b[0] else b)``
+    (Team11-Project.py:546), made deterministic by tie-breaking on
+    (distance, train_label, train_id).
+
+    Output: (test_id, predicted_label, distance).
+    """
+    fn, rank_squared = _resolve_metric(metric, band, 1)
+    t = test.select(F.col(id_col).alias("test_id"), F.col(features_col).alias("_tf"))
+    r = train.select(
+        F.col(id_col).alias("train_id"),
+        F.col(features_col).alias("_rf"),
+        F.col(label_col).alias("train_label"),
+    )
+    pairs = t.crossJoin(F.broadcast(r) if strategy == "broadcast" else r)
+    dist = sq_euclidean(F.col("_tf"), F.col("_rf")) if rank_squared else fn(
+        F.col("_tf"), F.col("_rf")
+    )
+    pairs = pairs.withColumn("_d", dist)
+    if exclude_zero:
+        pairs = pairs.filter(F.col("_d") != 0)
+    agg = pairs.groupBy("test_id").agg(
+        F.min_by(
+            F.struct("train_label", "_d"), F.struct("_d", "train_label", "train_id")
+        ).alias("_best")
+    )
+    distance = F.col("_best._d")
+    if rank_squared:
+        distance = F.sqrt(distance)
+    return agg.select(
+        "test_id",
+        F.col("_best.train_label").alias("predicted_label"),
+        distance.alias("distance"),
+    )

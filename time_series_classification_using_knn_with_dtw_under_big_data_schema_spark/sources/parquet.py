@@ -1,0 +1,44 @@
+"""Parquet sources / sinks (reference: SURVEY.md §2.1 S1-S3).
+
+The reference scans Hive-metastore tables (Team11-Project.py:43-46) and sinks
+predictions via ``df.write.format("parquet").saveAsTable`` (Team11-Project.py:199).
+Driver testdata is plain Parquet files, so the scan is ``spark.read.parquet``;
+Catalyst handles predicate pushdown / column pruning on these scans for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver parquet table (S1)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def save_table(df: DataFrame, path_or_name: str, *, mode: str = "overwrite") -> None:
+    """Parquet sink (S3). A path writes files; a bare name writes a managed table
+    (matching the reference's ``saveAsTable``, Team11-Project.py:199)."""
+    if os.sep in path_or_name or path_or_name.startswith("file:"):
+        df.write.mode(mode).parquet(path_or_name)
+    else:
+        df.write.mode(mode).format("parquet").saveAsTable(path_or_name)
