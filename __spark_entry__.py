@@ -1,38 +1,458 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship 1-NN/k-NN FastDTW classification on sf0.001.
+queries()     -> one callable per implemented operator (SURVEY.md §2).
+oracle_sql()  -> DuckDB twins for every SQL-expressible query.
+
+Determinism discipline (so order-insensitive value hashes match):
+- float sums use exact integer-cents arithmetic: sum(cast(round(x*100) as
+  bigint)) — identical in both engines regardless of summation order;
+- per-row float folds (distances) are left-associative elementwise folds in
+  BOTH engines (Spark ``aggregate``/``zip_with`` vs DuckDB ``list_reduce``/
+  ``list_transform``) — bit-identical IEEE op order;
+- every ranking carries a total-order tie-break (…, label, id);
+- events.ts is timestamp[ns]: Spark reads it as long via the runtime conf
+  ``spark.sql.legacy.parquet.nanosAsLong`` (set in each callable — the
+  driver's session doesn't pre-set it); only its ORDER is used, never its
+  value, so long-vs-timestamp never reaches the output.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+    accuracy,
+    knn_classify,
+    knn_join,
+    knn_predict_1nn,
+    majority_vote,
+)
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import (
+    events_to_series,
+    load_table,
+    parse_series_text,
+    split_train_test,
+)
+
+SERIES_LEN = 16
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _prep(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _series(spark: SparkSession, sf_dir: str):
+    events = _t(spark, sf_dir, "events")
+    series = events_to_series(events, length=SERIES_LEN)
+    return split_train_test(series)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: classify event-series by k-NN FastDTW (reference Model 1
+    semantics: crossJoin + distance + top-k + vote; Team11-Project.py:368-381)
+    on sf0.001."""
+    train, test = _series(spark, "/root/testdata/sf0.001")
+    return knn_classify(test, train, metric="fastdtw", k=3)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape (A1/A2 aggregates) with exact-cents arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(c * 100).cast("long")
+    e4 = lambda c: F.round(c * 10000).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(e4(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_e4"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q02_filter_project(spark, sf_dir):
+    """Predicate + projection pushed to the parquet scan (P1/P6)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", F.col("l_quantity").cast("long").alias("qty"))
+
+
+def _q03_join_enrich(spark, sf_dir):
+    """Equi-join chain (J1): orders -> customer -> nation, exact-cents rollup."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+        )
+    )
+
+
+def _q04_topk_per_group(spark, sf_dir):
+    """Window top-k (K1): top-3 orders per customer by price, total tie order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+def _q05_min_by(spark, sf_dir):
+    """min_by aggregate (A6): cheapest order per customer, deterministic ties."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min_by(F.col("o_orderkey"), F.struct("o_totalprice", "o_orderkey")).alias("cheapest_orderkey"),
+        F.round(F.min("o_totalprice") * 100).cast("long").alias("min_cents"),
+    )
+
+
+def _q06_mode_vote(spark, sf_dir):
+    """Majority vote (A5) through the engine operator: modal order priority per
+    customer; Counter-compatible tie-break via per-customer recency rank."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    neighbors = o.withColumn("rank", F.row_number().over(w))
+    return majority_vote(neighbors, key="o_custkey", label="o_orderpriority")
+
+
+def _q07_parse_series(spark, sf_dir):
+    """Text-series ingest (F1-F4/P8/U1 replacement) on messy literal rows."""
+    rows = [
+        (1, " 0.5 -1.25  3.0 "),
+        (2, "1 2   3"),
+        (3, "  7.5"),
+        (4, "10 20 30 40"),
+    ]
+    df = spark.createDataFrame(rows, "id int, value string")
+    parsed = parse_series_text(df)
+    return parsed.select(
+        "id",
+        F.size("features").alias("n_points"),
+        F.element_at("features", 1).alias("first_v"),
+        F.element_at("features", -1).alias("last_v"),
+        F.aggregate("features", F.lit(0.0), lambda a, v: a + v).alias("total"),
+    )
+
+
+def _q08_series_build(spark, sf_dir):
+    """events -> per-key ordered series (S-bridge; SURVEY §1.1) summary."""
+    events = _t(spark, sf_dir, "events")
+    s = events_to_series(events, length=SERIES_LEN)
+    return s.select(
+        "series_id",
+        F.size("features").alias("n_points"),
+        F.element_at("features", 1).alias("first_v"),
+        F.element_at("features", -1).alias("last_v"),
+        "label",
+    )
+
+
+def _q09_knn_pairs(spark, sf_dir):
+    """The core similarity join (J2/J3 + K1): euclidean top-5 neighbor ranks."""
+    train, test = _series(spark, sf_dir)
+    nn = knn_join(test, train, metric="euclidean", k=5, strategy="broadcast")
+    return nn.select("test_id", "train_id", "rank")
+
+
+def _q10_knn_classify(spark, sf_dir):
+    """Full reference pipeline (M2): crossJoin -> distance -> top-k -> vote."""
+    train, test = _series(spark, sf_dir)
+    return knn_classify(test, train, metric="euclidean", k=5)
+
+
+def _q11_knn_1nn(spark, sf_dir):
+    """Model-2 fast path (A6): 1-NN via min_by, no window."""
+    train, test = _series(spark, sf_dir)
+    p = knn_predict_1nn(test, train, metric="euclidean")
+    return p.select("test_id", "predicted_label", F.round("distance", 6).alias("distance"))
+
+
+def _q12_knn_accuracy(spark, sf_dir):
+    """Accuracy eval (A7, id-keyed J1 — not the reference's fragile
+    vector-equality join J4)."""
+    train, test = _series(spark, sf_dir)
+    pred = knn_classify(test, train, metric="euclidean", k=5)
+    return accuracy(pred, test.withColumnRenamed("series_id", "test_id"), key="test_id")
+
+
+def _q13_knn_dtw(spark, sf_dir):
+    """FastDTW classification (U2 pandas_udf path) — no SQL oracle exists for
+    DTW; driver records rows-only. Local golden/parity tests cover values."""
+    train, test = _series(spark, sf_dir)
+    return knn_classify(test, train, metric="fastdtw", k=5)
+
+
+def _q14_set_ops(spark, sf_dir):
+    """Set operations (§2.6): union / intersect / except on order keys."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 200000).select("o_orderkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return spark.createDataFrame(
+        [(0,)], "dummy int"
+    ).select(
+        F.lit(hi.union(urgent).distinct().count()).alias("n_union"),
+        F.lit(hi.intersect(urgent).count()).alias("n_intersect"),
+        F.lit(hi.subtract(urgent).count()).alias("n_except"),
+    )
+
+
+def _q15_conditional(spark, sf_dir):
+    """Conditional projection (P5 when/otherwise) + rollup counts."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return o.groupBy(bucket.alias("price_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": _q01_pricing_summary,
+        "q02_filter_project": _q02_filter_project,
+        "q03_join_enrich": _q03_join_enrich,
+        "q04_topk_per_group": _q04_topk_per_group,
+        "q05_min_by": _q05_min_by,
+        "q06_mode_vote": _q06_mode_vote,
+        "q07_parse_series": _q07_parse_series,
+        "q08_series_build": _q08_series_build,
+        "q09_knn_pairs": _q09_knn_pairs,
+        "q10_knn_classify": _q10_knn_classify,
+        "q11_knn_1nn": _q11_knn_1nn,
+        "q12_knn_accuracy": _q12_knn_accuracy,
+        "q13_knn_dtw": _q13_knn_dtw,
+        "q14_set_ops": _q14_set_ops,
+        "q15_conditional": _q15_conditional,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# Shared CTE: the event-series table + train/test split, mirroring
+# sources/series.py::events_to_series + split_train_test exactly.
+_SERIES_CTE = f"""
+pts AS (
+    SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+    FROM events GROUP BY user_id
+),
+sized AS (
+    SELECT user_id, vals[1:{SERIES_LEN}] AS features
+    FROM pts WHERE len(vals) >= {SERIES_LEN}
+),
+labels AS (
+    SELECT user_id, event_type AS label FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type ASC) AS rk
+        FROM events GROUP BY user_id, event_type
+    ) WHERE rk = 1
+),
+series AS (
+    SELECT s.user_id AS series_id, s.features, l.label
+    FROM sized s JOIN labels l USING (user_id)
+),
+train AS (SELECT * FROM series WHERE series_id % 4 != 0),
+test  AS (SELECT * FROM series WHERE series_id % 4 = 0)
+"""
+
+# left-fold squared-euclidean — same IEEE op order as Spark's
+# aggregate(zip_with(...)) (init 0.0 + left fold == DuckDB's no-init left fold
+# because 0.0 + x == x for the non-negative squared terms)
+_SQDIST = (
+    "list_reduce(list_transform(range(1, len(t.features)+1),"
+    " i -> (t.features[i]-r.features[i])*(t.features[i]-r.features[i])),"
+    " (x,y) -> x+y)"
+)
+
+_KNN_TOPK_CTE = f"""
+pairs AS (
+    SELECT t.series_id AS test_id, r.series_id AS train_id,
+           r.label AS train_label, {_SQDIST} AS d
+    FROM test t CROSS JOIN train r
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY test_id
+                                 ORDER BY d ASC, train_label ASC, train_id ASC) AS rank
+    FROM pairs WHERE d != 0
+),
+topk AS (SELECT * FROM ranked WHERE rank <= 5)
+"""
+
+_VOTE_SQL = """
+votes AS (
+    SELECT test_id, train_label, count(*) AS votes, min(rank) AS best_rank
+    FROM topk GROUP BY test_id, train_label
+),
+sel AS (
+    SELECT *, row_number() OVER (PARTITION BY test_id
+                                 ORDER BY votes DESC, best_rank ASC, train_label ASC) AS vrk
+    FROM votes
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(cast(round(l_quantity) AS bigint)) AS sum_qty,
+                   sum(cast(round(l_extendedprice * 100) AS bigint)) AS sum_base_cents,
+                   sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) AS bigint)) AS sum_disc_e4,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_filter_project": """
+            SELECT l_orderkey, l_linenumber, cast(round(l_quantity) AS bigint) AS qty
+            FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45
+        """,
+        "q03_join_enrich": """
+            SELECT n.n_name AS nation, count(*) AS n_orders,
+                   sum(cast(round(o.o_totalprice * 100) AS bigint)) AS sum_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "q04_topk_per_group": """
+            SELECT o_custkey, o_orderkey, rank FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "q05_min_by": """
+            SELECT o_custkey, cheapest_orderkey, min_cents FROM (
+                SELECT o_custkey, o_orderkey AS cheapest_orderkey,
+                       cast(round(min(o_totalprice) OVER (PARTITION BY o_custkey) * 100) AS bigint) AS min_cents,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice ASC, o_orderkey ASC) AS rk
+                FROM orders
+            ) WHERE rk = 1
+        """,
+        "q06_mode_vote": """
+            WITH neighbors AS (
+                SELECT o_custkey, o_orderpriority,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate ASC, o_orderkey ASC) AS rank
+                FROM orders
+            ),
+            votes AS (
+                SELECT o_custkey, o_orderpriority, count(*) AS votes, min(rank) AS best_rank
+                FROM neighbors GROUP BY o_custkey, o_orderpriority
+            ),
+            sel AS (
+                SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                             ORDER BY votes DESC, best_rank ASC, o_orderpriority ASC) AS vrk
+                FROM votes
+            )
+            SELECT o_custkey, o_orderpriority AS predicted_label FROM sel WHERE vrk = 1
+        """,
+        "q07_parse_series": """
+            WITH raw(id, value) AS (VALUES
+                (1, ' 0.5 -1.25  3.0 '),
+                (2, '1 2   3'),
+                (3, '  7.5'),
+                (4, '10 20 30 40')
+            ),
+            parsed AS (
+                SELECT id,
+                       list_transform(
+                           list_filter(string_split_regex(trim(value), '\\s+'),
+                                       x -> trim(x) != ''),
+                           x -> cast(x AS double)) AS features
+                FROM raw
+            )
+            SELECT cast(id AS int) AS id,
+                   cast(len(features) AS int) AS n_points,
+                   features[1] AS first_v,
+                   features[-1] AS last_v,
+                   list_reduce(list_prepend(cast(0.0 AS double), features), (a, v) -> a + v) AS total
+            FROM parsed
+        """,
+        "q08_series_build": f"""
+            WITH {_SERIES_CTE}
+            SELECT series_id, cast(len(features) AS int) AS n_points,
+                   features[1] AS first_v, features[-1] AS last_v, label
+            FROM series
+        """,
+        "q09_knn_pairs": f"""
+            WITH {_SERIES_CTE}, {_KNN_TOPK_CTE}
+            SELECT test_id, train_id, cast(rank AS int) AS rank FROM topk
+        """,
+        "q10_knn_classify": f"""
+            WITH {_SERIES_CTE}, {_KNN_TOPK_CTE}, {_VOTE_SQL}
+            SELECT test_id, train_label AS predicted_label FROM sel WHERE vrk = 1
+        """,
+        "q11_knn_1nn": f"""
+            WITH {_SERIES_CTE}, {_KNN_TOPK_CTE}
+            SELECT test_id, train_label AS predicted_label,
+                   round(sqrt(d), 6) AS distance
+            FROM topk WHERE rank = 1
+        """,
+        "q12_knn_accuracy": f"""
+            WITH {_SERIES_CTE}, {_KNN_TOPK_CTE}, {_VOTE_SQL},
+            pred AS (SELECT test_id, train_label AS predicted_label FROM sel WHERE vrk = 1),
+            joined AS (
+                SELECT p.predicted_label, t.label
+                FROM pred p JOIN test t ON p.test_id = t.series_id
+            )
+            SELECT count(*) AS n_rows,
+                   sum(cast(predicted_label = label AS bigint)) AS n_correct,
+                   avg(cast(predicted_label = label AS double)) AS accuracy
+            FROM joined
+        """,
+        # q13_knn_dtw: intentionally no oracle (DTW is not SQL-expressible;
+        # rows-only check per the driver contract)
+        "q14_set_ops": """
+            WITH hi AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000),
+                 urgent AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            SELECT
+                cast((SELECT count(*) FROM (SELECT * FROM hi UNION SELECT * FROM urgent)) AS int) AS n_union,
+                cast((SELECT count(*) FROM (SELECT * FROM hi INTERSECT SELECT * FROM urgent)) AS int) AS n_intersect,
+                cast((SELECT count(*) FROM (SELECT * FROM hi EXCEPT SELECT * FROM urgent)) AS int) AS n_except
+        """,
+        "q15_conditional": """
+            SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                        WHEN o_totalprice < 150000 THEN 'mid'
+                        ELSE 'high' END AS price_bucket,
+                   count(*) AS n,
+                   sum(cast(round(o_totalprice * 100) AS bigint)) AS sum_cents
+            FROM orders
+            GROUP BY 1
+        """,
+    }

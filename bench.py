@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Engine benchmark harness (driver contract: one JSON line on stdout).
+
+Workload mirrors the reference's shape at the driver's sf0.1 scale
+(BASELINE.md): an N_test x N_train series similarity join + top-k + vote with
+both the codegen'd Euclidean metric and the banded-DTW pandas_udf (the
+reference's FastDTW radius=1 semantics), plus the relational operator set
+(agg / join / window-top-k). The comparable baseline figure is DTW pairs/sec
+(reference: ~22.6K pairs/s on an unpublished-size Databricks cluster).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.session import get_spark
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import (
+    events_to_series,
+    load_table,
+    split_train_test,
+)
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+    accuracy,
+    knn_classify,
+    knn_predict_1nn,
+)
+import __spark_entry__ as entry_mod
+
+SERIES_LEN = 64  # longer series at bench scale to stress the DTW kernel
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+
+    def run(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # --- relational operators -------------------------------------------
+    run("rel_pricing_summary", lambda: entry_mod._q01_pricing_summary(spark, sf_dir).count())
+    run("rel_join_enrich", lambda: entry_mod._q03_join_enrich(spark, sf_dir).count())
+    run("rel_topk_window", lambda: entry_mod._q04_topk_per_group(spark, sf_dir).count())
+    run("rel_mode_vote", lambda: entry_mod._q06_mode_vote(spark, sf_dir).count())
+
+    # --- series workload -------------------------------------------------
+    events = load_table(spark, sf_dir, "events")
+    series = events_to_series(events, length=SERIES_LEN).cache()
+    n_series = run("series_build", lambda: series.count())
+    train, test = split_train_test(series)
+    n_train, n_test = train.count(), test.count()
+    n_pairs = n_train * n_test
+
+    run(
+        "knn_euclidean_k5",
+        lambda: knn_classify(test, train, metric="euclidean", k=5).count(),
+    )
+    run(
+        "knn_fastdtw_k5",
+        lambda: knn_classify(test, train, metric="fastdtw", k=5).count(),
+    )
+    run(
+        "knn_1nn_fastdtw",
+        lambda: knn_predict_1nn(test, train, metric="fastdtw").count(),
+    )
+    run(
+        "knn_accuracy",
+        lambda: accuracy(
+            knn_classify(test, train, metric="euclidean", k=5),
+            test.withColumnRenamed("series_id", "test_id"),
+            key="test_id",
+        ).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    dtw_pairs_per_sec = round(n_pairs / timings["knn_fastdtw_k5"]) if timings.get("knn_fastdtw_k5") else None
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end seconds (relational + series KNN workload)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_series": n_series,
+                "n_pairs": n_pairs,
+                "series_len": SERIES_LEN,
+                "dtw_pairs_per_sec": dtw_pairs_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Local twin of the driver's t2 gate: run every queries() entry on Spark and
+its oracle_sql() twin on DuckDB over the same parquet tables, compare
+row count + column names + order-insensitive values (sorted-rows equality,
+which is strictly stronger than the driver's value hash)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+import os
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _normalize(rows):
+    out = []
+    for row in rows:
+        norm = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    norm.append("NaN")
+                else:
+                    # driver-style float comparison tolerance: round to 9 sig
+                    norm.append(float(f"{v:.9g}"))
+            elif hasattr(v, "__float__") and type(v).__name__ == "Decimal":
+                norm.append(float(f"{float(v):.9g}"))
+            else:
+                norm.append(v)
+        out.append(tuple(norm))
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    sql = entry_mod.oracle_sql().get(name)
+    if sql is None:
+        assert len(spark_rows) >= 0  # rows-only check per contract
+        return
+    rel = duck.sql(sql)
+    duck_rows = rel.fetchall()
+    duck_cols = rel.columns
+
+    assert spark_cols == duck_cols, f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    assert _normalize(spark_rows) == _normalize(duck_rows), f"{name}: value mismatch"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"test_id", "predicted_label"}

@@ -106,7 +106,12 @@ def make_dtw_udf(band: Optional[int] = None) -> Callable[[Column, Column], Colum
             out[idx] = dtw_batch(A, B, band=band)
         return pd.Series(out)
 
-    return dtw
+    # asNondeterministic: stops Catalyst pushing filters THROUGH the
+    # projection that computes the distance — with a deterministic UDF the
+    # pushed predicate re-evaluates the whole DTW batch a second time
+    # (observed as two ArrowEvalPython nodes for one distance column). The
+    # kernel is pure; the flag only disables that (for us pessimal) rewrite.
+    return dtw.asNondeterministic()
 
 
 # default kernel: exact DTW (band=None); metric="fastdtw" in the KNN operators

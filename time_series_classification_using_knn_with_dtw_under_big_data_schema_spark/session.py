@@ -24,6 +24,9 @@ def get_spark(app_name: str = "tsknn-engine", *, shuffle_partitions: int | None 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches amortize the pandas_udf round-trip and feed the
+        # batched DTW kernel rectangular blocks worth vectorizing over
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # driver testdata stores events.ts as timestamp[ns]; Spark has no
         # nanosecond timestamp type — read as long (nanos since epoch), which
         # keeps ordering semantics and avoids tz ambiguity vs the DuckDB oracle
