@@ -25,12 +25,31 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.text import (
+    HASH_BASE,
+    HASH_P,
+    LANG_MARKERS,
+    MINHASH_A,
+    MINHASH_B,
+    STOPWORDS,
+    char_hash,
+    lang_id,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
     accuracy,
+    ann_brute_topk,
+    ann_lsh_topk,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_pairwise_jaccard,
     knn_classify,
     knn_join,
     knn_predict_1nn,
     majority_vote,
+    simhash,
 )
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import (
     events_to_series,
@@ -236,6 +255,79 @@ def _q15_conditional(spark, sf_dir):
     )
 
 
+def _q16_dedup_exact(spark, sf_dir):
+    """Exact dedup (hash-groupBy; keep min id per content group)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact(docs)
+
+
+def _q17_dedup_jaccard(spark, sf_dir):
+    """Exhaustive n-gram-Jaccard near-dup pairs (oracle-grade quadratic path;
+    restricted to doc_id < 150 to bound the O(N^2))."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return dedup_pairwise_jaccard(docs, threshold=0.5)
+
+
+def _q18_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (the scale path): shingle -> minhash ->
+    band buckets -> bucket join -> exact-jaccard verify."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_minhash_lsh(docs, threshold=0.5)
+
+
+def _q19_simhash(spark, sf_dir):
+    """Per-document SimHash signatures (token-hash bit voting)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+def _q20_text_stats(spark, sf_dir):
+    """Token counting + document fingerprint (rolling char hash)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_m"),
+        char_hash(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _q21_lang_id(spark, sf_dir):
+    """Marker-word language-ID heuristic + agreement with the labeled lang."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        (lang_id(F.col("text")) == F.col("lang")).cast("int").alias("agrees"),
+    )
+
+
+def _q22_quality(spark, sf_dir):
+    """Quality scoring (length/stopword/punct ratio blend)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+    )
+
+
+def _q23_ann_cosine(spark, sf_dir):
+    """Brute-force cosine top-k over the embedding column (similarity-search
+    baseline; generalized KNN core)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    return ann_brute_topk(q, emb, k=5)
+
+
+def _q24_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH approximate cosine top-k (the scale path; deterministic
+    hash-derived planes so even the approximation is oracle-checkable)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    return ann_lsh_topk(q, emb, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -253,6 +345,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_knn_dtw": _q13_knn_dtw,
         "q14_set_ops": _q14_set_ops,
         "q15_conditional": _q15_conditional,
+        "q16_dedup_exact": _q16_dedup_exact,
+        "q17_dedup_jaccard": _q17_dedup_jaccard,
+        "q18_dedup_minhash_lsh": _q18_dedup_minhash_lsh,
+        "q19_simhash": _q19_simhash,
+        "q20_text_stats": _q20_text_stats,
+        "q21_lang_id": _q21_lang_id,
+        "q22_quality": _q22_quality,
+        "q23_ann_cosine": _q23_ann_cosine,
+        "q24_ann_lsh": _q24_ann_lsh,
     }
 
 
@@ -321,6 +422,134 @@ sel AS (
     FROM votes
 )
 """
+
+
+# --- portable-hash SQL fragments (mirror functions/text.py bit-for-bit) ----
+
+
+def _sql_char_fold(expr: str) -> str:
+    """Polynomial char-fold hash of a string expression (= char_hash)."""
+    return (
+        f"list_reduce(list_prepend(cast(0 AS bigint),"
+        f" list_transform(range(1, len({expr})+1),"
+        f" i -> cast(ascii(substr({expr}, i, 1)) AS bigint))),"
+        f" (h, c) -> (h * {HASH_BASE} + c) % {HASH_P})"
+    )
+
+
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
+)
+
+# distinct char-5-gram shingles (= char_shingles(n=5))
+_SQL_SHINGLES = (
+    "CASE WHEN len(text) >= 5 THEN"
+    " list_distinct(list_transform(range(1, len(text)-3), i -> substr(text, i, 5)))"
+    " ELSE [] END"
+)
+
+_SQL_JACCARD = (
+    "cast(len(list_intersect(_sa, _sb)) AS double)"
+    " / cast(len(list_distinct(list_concat(_sa, _sb))) AS double)"
+)
+
+
+def _sql_minhash_sig(num_hashes: int = 16) -> str:
+    """array of minhash values from a 'hashes' bigint-list column."""
+    parts = [
+        f"list_min(list_transform(hashes, h -> ({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {HASH_P}))"
+        for j in range(num_hashes)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+_SQL_SHINGLE_TABLE = f"""
+sh AS (
+    SELECT doc_id, {_SQL_SHINGLES} AS shingles
+    FROM documents
+),
+shh AS (
+    SELECT doc_id, shingles,
+           list_transform(shingles, s -> {_sql_char_fold('s')}) AS hashes
+    FROM sh
+)
+"""
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Left-fold dot product (= functions/distance.py::dot, bit-identical)."""
+    return (
+        f"list_reduce(list_prepend(cast(0.0 AS double),"
+        f" list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i])),"
+        f" (x, y) -> x + y)"
+    )
+
+
+def _sql_ann_lsh(planes: int = 4, tables: int = 8, dim: int = 64, k: int = 5) -> str:
+    """Mirror of operators/similarity.py::ann_lsh_topk — the hyperplane
+    coefficients are hash-derived integers, so even the LSH approximation is
+    exactly reproducible in SQL."""
+
+    def coeff(plane: int, d: int) -> str:
+        v = f"(cast(1103515245 AS bigint) * ({plane} * 1009 + {d}) + 12345) % {HASH_P}"
+        return f"(cast({v} AS double) / {HASH_P} - 0.5)"
+
+    def bucket(t: int) -> str:
+        terms = []
+        for p in range(planes):
+            plane = t * 131 + p
+            prods = ", ".join(f"v[{d + 1}] * {coeff(plane, d)}" for d in range(dim))
+            proj = (
+                f"list_reduce(list_prepend(cast(0.0 AS double), [{prods}]),"
+                f" (x, y) -> x + y)"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {2**p} ELSE 0 END)")
+        return "cast(" + " + ".join(terms) + " AS bigint)"
+
+    buckets_cols = ", ".join(f"{bucket(t)} AS bucket_{t}" for t in range(tables))
+    unpivot = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, bucket_{t} AS bucket FROM vb"
+        for t in range(tables)
+    )
+    return f"""
+        WITH c AS (
+            SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+            FROM embeddings
+        ),
+        vb AS (SELECT vec_id, v, {buckets_cols} FROM c),
+        entries AS ({unpivot}),
+        qe AS (SELECT * FROM entries WHERE vec_id % 25 = 0),
+        cands AS (
+            SELECT DISTINCT q.vec_id AS query_id, q.v AS qv,
+                            e.vec_id AS neighbor_id, e.v AS cv
+            FROM qe q JOIN entries e ON q.tbl = e.tbl AND q.bucket = e.bucket
+            WHERE q.vec_id != e.vec_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   1.0 - {_sql_dot("qv", "cv")}
+                         / (sqrt({_sql_dot("qv", "qv")}) * sqrt({_sql_dot("cv", "cv")})) AS d
+            FROM cands
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY d ASC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cast(rank AS int) AS rank,
+               round(d, 6) AS cos_dist
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _sql_lang_counts() -> str:
+    cols = []
+    for code, markers in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        cols.append(
+            f"len(list_filter(toks, t -> list_contains([{lst}], t))) AS n_{code}"
+        )
+    return ", ".join(cols)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -455,4 +684,142 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY 1
         """,
+        "q16_dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "q17_dedup_jaccard": f"""
+            WITH sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS shingles
+                FROM documents WHERE doc_id < 150
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.shingles AS _sa, b.shingles AS _sb
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, round({_SQL_JACCARD}, 6) AS jac
+            FROM pairs WHERE {_SQL_JACCARD} >= 0.5
+        """,
+        "q18_dedup_minhash_lsh": f"""
+            WITH {_SQL_SHINGLE_TABLE},
+            sigs AS (
+                SELECT doc_id, {_sql_minhash_sig(16)} AS sig FROM shh
+            ),
+            bands AS (
+                {" UNION ALL ".join(
+                    "SELECT doc_id, " + str(b) + " AS band, concat_ws('-', "
+                    + ", ".join(f"sig[{b * 4 + r + 1}]" for r in range(4))
+                    + ") AS key FROM sigs"
+                    for b in range(4)
+                )}
+            ),
+            cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b USING (band, key)
+                WHERE a.doc_id < b.doc_id
+            ),
+            verified AS (
+                SELECT c.id_a, c.id_b, sa.shingles AS _sa, sb.shingles AS _sb
+                FROM cands c
+                JOIN shh sa ON c.id_a = sa.doc_id
+                JOIN shh sb ON c.id_b = sb.doc_id
+            )
+            SELECT id_a, id_b, round({_SQL_JACCARD}, 6) AS jac
+            FROM verified WHERE {_SQL_JACCARD} >= 0.5
+        """,
+        "q19_simhash": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+            ),
+            tokh AS (
+                SELECT doc_id, {_sql_char_fold('tok')} AS h FROM tok
+            ),
+            votes AS (
+                SELECT doc_id,
+                       {", ".join(f"sum(((h >> {i}) & 1) * 2 - 1) AS _b{i}" for i in range(32))}
+                FROM tokh GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   cast({" + ".join(f"(CASE WHEN _b{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(32))} AS bigint) AS simhash
+            FROM votes
+        """,
+        "q20_text_stats": f"""
+            SELECT doc_id,
+                   cast(len({_SQL_TOKENS}) AS int) AS n_tokens,
+                   cast(length(text) AS int) AS n_chars_m,
+                   {_sql_char_fold('text')} AS fingerprint
+            FROM documents
+        """,
+        "q21_lang_id": f"""
+            WITH t AS (
+                SELECT doc_id, lang, text, {_SQL_TOKENS} AS toks FROM documents
+            ),
+            counts AS (
+                SELECT doc_id, lang, text, {_sql_lang_counts()},
+                       len(list_filter(range(1, len(text)+1),
+                           i -> ascii(substr(text, i, 1)) >= {0x4E00})) > 0 AS cjk
+                FROM t
+            ),
+            pred AS (
+                SELECT doc_id, lang,
+                       CASE WHEN cjk THEN 'zh'
+                            WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+                            WHEN n_de = greatest(n_de, n_en, n_es, n_fr) THEN 'de'
+                            WHEN n_en = greatest(n_de, n_en, n_es, n_fr) THEN 'en'
+                            WHEN n_es = greatest(n_de, n_en, n_es, n_fr) THEN 'es'
+                            ELSE 'fr' END AS lang_pred
+                FROM counts
+            )
+            SELECT doc_id, lang_pred, cast(lang_pred = lang AS int) AS agrees
+            FROM pred
+        """,
+        "q22_quality": f"""
+            WITH t AS (
+                SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents
+            ),
+            m AS (
+                SELECT doc_id, text, toks,
+                       cast(len(toks) AS double) AS n_tok,
+                       cast(list_reduce(list_prepend(cast(0 AS bigint),
+                            list_transform(toks, x -> cast(length(x) AS bigint))),
+                            (a, v) -> a + v) AS double)
+                         / cast(greatest(len(toks), 1) AS double) AS wl,
+                       cast(len(list_filter(toks, x -> list_contains([{", ".join(f"'{w}'" for w in STOPWORDS)}], x))) AS double)
+                         / cast(greatest(len(toks), 1) AS double) AS stop_r,
+                       cast(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS double)
+                         / cast(greatest(length(text), 1) AS double) AS punct_r
+                FROM t
+            )
+            SELECT doc_id,
+                   round(least(n_tok / 20.0, 1.0) * 0.4
+                         + (CASE WHEN wl >= 2.0 AND wl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+                         + least(stop_r * 4.0, 1.0) * 0.2
+                         + (1.0 - least(punct_r * 5.0, 1.0)) * 0.2, 6) AS quality,
+                   round(stop_r, 6) AS stop_ratio
+            FROM m
+        """,
+        "q23_ann_cosine": f"""
+            WITH c AS (
+                SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+                FROM embeddings
+            ),
+            q AS (SELECT * FROM c WHERE vec_id % 25 = 0),
+            pairs AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       1.0 - {_sql_dot("q.v", "c.v")}
+                             / (sqrt({_sql_dot("q.v", "q.v")}) * sqrt({_sql_dot("c.v", "c.v")})) AS d
+                FROM q CROSS JOIN c
+                WHERE q.vec_id != c.vec_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY d ASC, neighbor_id ASC) AS rank
+                FROM pairs
+            )
+            SELECT query_id, neighbor_id, cast(rank AS int) AS rank,
+                   round(d, 6) AS cos_dist
+            FROM ranked WHERE rank <= 5
+        """,
+        "q24_ann_lsh": _sql_ann_lsh(),
     }

@@ -86,6 +86,14 @@ def main() -> None:
         ).count(),
     )
 
+    # --- training-data pipeline operators --------------------------------
+    run("dedup_exact", lambda: entry_mod._q16_dedup_exact(spark, sf_dir).count())
+    run("dedup_minhash_lsh", lambda: entry_mod._q18_dedup_minhash_lsh(spark, sf_dir).count())
+    run("simhash", lambda: entry_mod._q19_simhash(spark, sf_dir).count())
+    run("text_stats", lambda: entry_mod._q20_text_stats(spark, sf_dir).count())
+    run("ann_brute_cosine", lambda: entry_mod._q23_ann_cosine(spark, sf_dir).count())
+    run("ann_lsh_cosine", lambda: entry_mod._q24_ann_lsh(spark, sf_dir).count())
+
     total = round(sum(timings.values()), 3)
     dtw_pairs_per_sec = round(n_pairs / timings["knn_fastdtw_k5"]) if timings.get("knn_fastdtw_k5") else None
     print(

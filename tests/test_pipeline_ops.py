@@ -1,0 +1,157 @@
+"""Dedup / similarity / text / multimodal operator tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.text import (
+    char_hash,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+    ann_brute_topk,
+    ann_lsh_topk,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_pairwise_jaccard,
+    decode_image_features,
+    sample_frames,
+    simhash,
+    simhash_near_dups,
+    synthetic_media,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = [
+        (0, base, "en"),
+        (1, base, "en"),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy"), "en"),  # near dup of 0
+        (3, "completely different content about database engines and queries", "en"),
+        (4, "el rapido zorro marron salta sobre el perro perezoso de la casa", "es"),
+        (5, "der schnelle braune fuchs springt uber den faulen hund und das ist gut", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dedup_exact_groups(docs):
+    got = {r.doc_id: r.n_dups for r in dedup_exact(docs).collect()}
+    assert got[0] == 2  # doc 1 collapsed into 0 (min id kept)
+    assert 1 not in got
+    assert got[2] == 1
+
+
+def test_pairwise_jaccard_finds_near_dup(docs):
+    pairs = dedup_pairwise_jaccard(docs, threshold=0.5).collect()
+    keys = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in keys  # exact dup -> jaccard 1.0
+    assert (0, 2) in keys and (1, 2) in keys  # near dup
+    assert all(r.jac >= 0.5 for r in pairs)
+    exact = {r.id_a: r.jac for r in pairs if (r.id_a, r.id_b) == (0, 1)}
+    assert exact[0] == 1.0
+
+
+def test_minhash_lsh_matches_exhaustive(docs):
+    lsh = {(r.id_a, r.id_b) for r in dedup_minhash_lsh(docs, threshold=0.5).collect()}
+    ex = {(r.id_a, r.id_b) for r in dedup_pairwise_jaccard(docs, threshold=0.5).collect()}
+    # LSH may miss pairs (probabilistic) but must never invent them; on
+    # near-identical docs it should find everything
+    assert lsh <= ex
+    assert (0, 1) in lsh
+
+
+def test_simhash_identical_and_near(docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sh[0] == sh[1]  # identical text -> identical simhash
+    h02 = bin(sh[0] ^ sh[2]).count("1")
+    h03 = bin(sh[0] ^ sh[3]).count("1")
+    assert h02 < h03  # near-dup closer than unrelated
+    nd = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dups(docs, max_hamming=0).collect()}
+    assert nd == {(0, 1): 0}
+
+
+def test_ann_brute_topk_ranks(spark):
+    rng = np.random.default_rng(5)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)], 0) for i in range(30)]
+    # plant: vec 29 = vec 0 scaled (cosine distance ~0)
+    vecs[29] = (29, [2.0 * x for x in vecs[0][1]], 0)
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>, label int")
+    q = df.filter("vec_id = 0")
+    top = sorted(ann_brute_topk(q, df, k=3).collect(), key=lambda r: r.rank)
+    assert top[0].neighbor_id == 29 and top[0].cos_dist == pytest.approx(0.0, abs=1e-9)
+    assert [r.rank for r in top] == [1, 2, 3]
+    # numpy cross-check of full ranking
+    a = np.array(vecs[0][1])
+    sims = {
+        i: 1 - (a @ np.array(v)) / (np.linalg.norm(a) * np.linalg.norm(v))
+        for i, v, _ in vecs
+        if i != 0
+    }
+    expect = sorted(sims, key=lambda i: (sims[i], i))[:3]
+    assert [r.neighbor_id for r in top] == expect
+
+
+def test_ann_lsh_subset_of_brute_candidates(spark):
+    rng = np.random.default_rng(9)
+    vecs = [(i, [float(x) for x in rng.normal(size=16)], 0) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>, label int")
+    q = df.filter("vec_id < 5")
+    brute = ann_brute_topk(q, df, k=3)
+    lsh = ann_lsh_topk(q, df, k=3, dim=16)
+    got = lsh.collect()
+    assert all(r.rank <= 3 for r in got)
+    # recall is probabilistic; require nonzero overlap on random data
+    bk = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    lk = {(r.query_id, r.neighbor_id) for r in got}
+    assert len(bk & lk) > 0
+
+
+def test_text_functions(docs):
+    rows = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n"),
+        F.round(quality_score(F.col("text")), 4).alias("q"),
+        lang_id(F.col("text")).alias("lp"),
+        char_hash(F.col("text")).alias("fp"),
+    ).collect()
+    by = {r.doc_id: r for r in rows}
+    assert by[0].n == 13
+    assert by[0].fp == by[1].fp  # identical text -> identical fingerprint
+    assert by[0].fp != by[2].fp
+    assert by[0].lp == "en"
+    assert by[4].lp == "es"
+    assert by[5].lp == "de"
+    assert 0.0 <= by[3].q <= 1.0
+
+
+def test_lang_id_cjk(spark):
+    df = spark.createDataFrame([(1, "这是 中文 文本",)], "id int, text string")
+    assert df.select(lang_id(F.col("text"))).collect()[0][0] == "zh"
+
+
+def test_multimodal_decode_and_frames(spark):
+    media = synthetic_media(spark, n=12)
+    feats = decode_image_features(media).collect()
+    assert len(feats) == 12
+    assert all(len(r.feature) == 8 for r in feats)
+    assert all(0.0 <= r.mean_luma <= 1.0 for r in feats)
+    # determinism: same payload -> same features across runs
+    feats2 = decode_image_features(synthetic_media(spark, n=12)).collect()
+    assert {r.media_id: tuple(r.feature) for r in feats} == {
+        r.media_id: tuple(r.feature) for r in feats2
+    }
+    frames = sample_frames(media, every_n=7).collect()
+    assert all(r.frame_index % 7 == 0 for r in frames)
+    # only media with n_frames > 0 produce rows
+    vids = {r[0] for r in media.select("media_id").filter("meta.n_frames > 0").collect()}
+    assert {r.media_id for r in frames} == vids
+
+
+def test_multimodal_real_decode_raises(spark):
+    media = synthetic_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+        decode_image_features(media, fake=False).collect()

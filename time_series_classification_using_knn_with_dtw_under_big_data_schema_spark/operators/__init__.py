@@ -2,3 +2,12 @@ from .knn import knn_join, knn_classify, knn_predict_1nn  # noqa: F401
 from .topk import topk_per_key  # noqa: F401
 from .vote import majority_vote  # noqa: F401
 from .evaluate import accuracy  # noqa: F401
+from .dedup import (  # noqa: F401
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_pairwise_jaccard,
+    simhash,
+    simhash_near_dups,
+)
+from .similarity import ann_brute_topk, ann_lsh_topk  # noqa: F401
+from .multimodal import decode_image_features, sample_frames, synthetic_media  # noqa: F401

@@ -1,0 +1,224 @@
+"""Deduplication operators for training-data pipelines (engine extension;
+BASELINE.json north-star). All pure DataFrame ops on the portable hashing
+spec in functions/text.py, so exact DuckDB oracles exist for each.
+
+Scale design (100 TB):
+- exact dedup: one hash-partitioned groupBy on the content key (map-side
+  partial aggregation; no content ever collected).
+- minhash-LSH: signatures are a linear scan (codegen'd expressions); the
+  candidate join shuffles only (band_key -> doc_id) pairs, never documents;
+  verification re-joins shingle sets for candidates only. This is the classic
+  shingle->minhash->band->bucket-join pipeline.
+- pairwise jaccard (quadratic) is for oracles/small inputs only — the LSH
+  path IS the scale path; simhash offers hamming-ball near-dup at one 64-bit
+  key per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    HASH_BASE,
+    HASH_P,
+    MINHASH_A,
+    MINHASH_B,
+    char_hash,
+    char_shingles,
+    tokens,
+)
+
+
+def dedup_exact(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min id) per exact content group.
+
+    Output: (id_col, n_dups) for each kept row. Single shuffle keyed on the
+    content; at scale, key by char_hash(text)+length instead of raw text to
+    shrink the shuffle (collision-checked by the n_dups consumer).
+    """
+    return (
+        df.groupBy(F.col(text_col))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select(id_col, "n_dups")
+    )
+
+
+def shingle_sets(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """(id, shingles array<string>, hashes array<long>) per document."""
+    sh = char_shingles(F.col(text_col), n)
+    out = df.select(F.col(id_col), sh.alias("shingles"))
+    hashes = F.transform(
+        F.col("shingles"),
+        lambda s: F.aggregate(
+            F.split(s, ""),
+            F.lit(0).cast("long"),
+            lambda h, c: (h * HASH_BASE + F.ascii(c)) % HASH_P,
+        ),
+    )
+    return out.withColumn("hashes", hashes)
+
+
+def minhash_signature(hashes: Column, num_hashes: int = 16) -> Column:
+    """array<long> minhash signature from a shingle-hash array."""
+    def _mh(j: int) -> Column:
+        a, b = MINHASH_A[j], MINHASH_B[j]
+        # single-param lambda: PySpark feeds (element, index) to 2-param ones
+        return F.array_min(
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_P)
+        )
+
+    return F.array(*[_mh(j) for j in range(num_hashes)])
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays (int/int division —
+    engine-portable)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union.cast("double")
+
+
+def dedup_pairwise_jaccard(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exhaustive O(N^2) near-dup pairs with jaccard >= threshold.
+
+    Oracle-grade ground truth; use dedup_minhash_lsh at scale.
+    Output: (id_a, id_b, jac) with id_a < id_b.
+    """
+    sh = shingle_sets(df, text_col=text_col, id_col=id_col, n=n)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("jac", jaccard(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, verified by exact jaccard.
+
+    shingle -> minhash signature -> band buckets -> bucket self-join ->
+    exact-jaccard verification. Output: (id_a, id_b, jac), id_a < id_b.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sh = shingle_sets(df, text_col=text_col, id_col=id_col, n=n).cache()
+    sig = sh.select(
+        id_col, minhash_signature(F.col("hashes"), num_hashes).alias("sig")
+    )
+    band_entries = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+
+    left = band_entries.select(F.col(id_col).alias("id_a"), "band", "key")
+    right = band_entries.select(F.col(id_col).alias("id_b"), "band", "key")
+    candidates = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb"))
+    verified = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jac", jaccard(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+    )
+    return verified
+
+
+def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Per-document SimHash (token-hash bit voting). Output: (id, simhash).
+
+    Implemented explode->groupBy (scale-safe: partial aggregation of the
+    per-bit vote sums map-side; one shuffle on doc id).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.aggregate(
+        F.split(F.col("tok"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * HASH_BASE + F.ascii(c)) % HASH_P,
+    )
+    tok = tok.withColumn("_h", h)
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            ).alias(f"_b{i}")
+            for i in range(bits)
+        ]
+    )
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"_b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance <= max_hamming.
+
+    Pairwise comparison here (oracle-grade); at scale, block on byte chunks
+    (pigeonhole: hamming<=k implies an identical chunk among k+1 chunks).
+    Output: (id_a, id_b, hamming).
+    """
+    s = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"))
+    b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    xor = F.col("_ha").bitwiseXOR(F.col("_hb"))
+    ham = F.bit_count(xor)
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

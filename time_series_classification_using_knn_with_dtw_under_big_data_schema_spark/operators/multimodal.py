@@ -1,0 +1,131 @@
+"""Multimodal column plumbing (engine extension; BASELINE.json north-star).
+
+Convention: media are opaque ``binary`` columns + a typed metadata struct
+(media_type, width/height or sample_rate/duration, codec). The Spark-side
+plumbing — schemas, Arrow batch shapes, mapInPandas signatures, partitioning
+— is real and tested; the actual decoders are STUBBED (image/audio libs are
+not in this container): ``fake=True`` produces deterministic content-derived
+features, ``fake=False`` raises NotImplementedError at the decode site.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("media_type", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, mean_luma double, feature array<double>"
+)
+
+
+def _fake_decode(payload: bytes, n_features: int = 8) -> np.ndarray:
+    """Deterministic stand-in for a pixel decode: content-derived features
+    from a sha256 of the payload. Stable across runs/executors."""
+    digest = hashlib.sha256(payload).digest()
+    raw = np.frombuffer(digest[: n_features * 4], dtype="<u4").astype(np.float64)
+    return raw / np.float64(2**32)
+
+
+def decode_image_features(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    fake: bool = True,
+    n_features: int = 8,
+) -> DataFrame:
+    """binary payload -> per-image feature vector via mapInPandas.
+
+    Arrow-batched: each pandas batch decodes vectorized-per-row; at scale the
+    input should be repartitioned so one partition's payloads fit in executor
+    memory (payloads are the dominant bytes — keep maxPartitionBytes small
+    for binary-heavy tables).
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode requires an imaging library not present "
+                    "in this environment; run with fake=True for the "
+                    "deterministic content-derived stand-in"
+                )
+            feats = [
+                _fake_decode(bytes(p), n_features) if p is not None else np.zeros(n_features)
+                for p in pdf[payload_col]
+            ]
+            meta = pdf["meta"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [m["width"] if m is not None else None for m in meta],
+                    "height": [m["height"] if m is not None else None for m in meta],
+                    "mean_luma": [float(f.mean()) for f in feats],
+                    "feature": [list(f) for f in feats],
+                }
+            )
+
+    return df.mapInPandas(op, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    every_n: int = 10,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame index.
+
+    The frame index fan-out (explode over a sequence sized by metadata) is
+    real Spark; extracting actual frame bytes is the stubbed decode step.
+    Output: (media_id, frame_index, frame_payload=null placeholder).
+    """
+    n_frames = F.coalesce(F.col("meta.n_frames"), F.lit(0))
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    out = df.select(
+        "media_id",
+        F.explode(F.when(n_frames > 0, idx).otherwise(F.array().cast("array<int>"))).alias(
+            "frame_index"
+        ),
+    )
+    return out.withColumn("frame_payload", F.lit(None).cast("binary"))
+
+
+def synthetic_media(spark, n: int = 32, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests/demos (binary payloads)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        payload = bytes(rng.integers(0, 256, size=64, dtype=np.uint8))
+        rows.append(
+            (
+                i,
+                bytearray(payload),
+                ("image" if i % 3 else "video", 64 + i % 5, 48, (i % 3 == 0) * (20 + i)),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
