@@ -47,6 +47,7 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.o
     dedup_pairwise_jaccard,
     knn_classify,
     knn_join,
+    knn_join_pruned,
     knn_predict_1nn,
     majority_vote,
     simhash,
@@ -328,6 +329,23 @@ def _q24_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(q, emb, k=5)
 
 
+def _q25_knn_pruned(spark, sf_dir):
+    """Two-phase pruned KNN (PAA sketch candidates -> exact rerank): the
+    100 TB scale path for the similarity join. Euclidean metric so both
+    phases are SQL-expressible and the oracle mirrors them exactly."""
+    train, test = _series(spark, sf_dir)
+    nn = knn_join_pruned(
+        test,
+        train,
+        metric="euclidean",
+        k=5,
+        length=SERIES_LEN,
+        paa_segments=4,
+        candidates_per_test=20,
+    )
+    return nn.select("test_id", "train_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -354,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_quality": _q22_quality,
         "q23_ann_cosine": _q23_ann_cosine,
         "q24_ann_lsh": _q24_ann_lsh,
+        "q25_knn_pruned": _q25_knn_pruned,
     }
 
 
@@ -474,6 +493,26 @@ shh AS (
     FROM sh
 )
 """
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    """Left-fold squared euclidean between two named list columns."""
+    return (
+        f"list_reduce(list_prepend(cast(0.0 AS double),"
+        f" list_transform(range(1, len({a})+1),"
+        f" i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i]))), (x, y) -> x + y)"
+    )
+
+
+def _sql_paa(arr: str, segments: int, length: int) -> str:
+    """PAA sketch (= functions/arrays.py::paa, bit-identical fold order)."""
+    seg = length // segments
+    parts = [
+        f"list_reduce(list_prepend(cast(0.0 AS double),"
+        f" {arr}[{i * seg + 1}:{i * seg + seg}]), (a, v) -> a + v) / {float(seg)}"
+        for i in range(segments)
+    ]
+    return "[" + ", ".join(parts) + "]"
 
 
 def _sql_dot(a: str, b: str) -> str:
@@ -703,8 +742,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q18_dedup_minhash_lsh": f"""
             WITH {_SQL_SHINGLE_TABLE},
+            shd AS (
+                SELECT doc_id, list_distinct(hashes) AS hashes FROM shh
+            ),
             sigs AS (
-                SELECT doc_id, {_sql_minhash_sig(16)} AS sig FROM shh
+                SELECT doc_id, {_sql_minhash_sig(16)} AS sig FROM shd
             ),
             bands AS (
                 {" UNION ALL ".join(
@@ -719,11 +761,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM bands a JOIN bands b USING (band, key)
                 WHERE a.doc_id < b.doc_id
             ),
-            verified AS (
-                SELECT c.id_a, c.id_b, sa.shingles AS _sa, sb.shingles AS _sb
+            pre AS (
+                SELECT c.id_a, c.id_b
                 FROM cands c
-                JOIN shh sa ON c.id_a = sa.doc_id
-                JOIN shh sb ON c.id_b = sb.doc_id
+                JOIN sigs ga ON c.id_a = ga.doc_id
+                JOIN sigs gb ON c.id_b = gb.doc_id
+                WHERE cast(len(list_filter(
+                          list_transform(range(1, len(ga.sig)+1),
+                              i -> CASE WHEN ga.sig[i] = gb.sig[i] THEN 1 ELSE 0 END),
+                          v -> v = 1)) AS double) / 16.0 >= 0.25
+            ),
+            verified AS (
+                SELECT p.id_a, p.id_b, sa.hashes AS _sa, sb.hashes AS _sb
+                FROM pre p
+                JOIN shd sa ON p.id_a = sa.doc_id
+                JOIN shd sb ON p.id_b = sb.doc_id
             )
             SELECT id_a, id_b, round({_SQL_JACCARD}, 6) AS jac
             FROM verified WHERE {_SQL_JACCARD} >= 0.5
@@ -822,4 +874,41 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "q24_ann_lsh": _sql_ann_lsh(),
+        "q25_knn_pruned": f"""
+            WITH {_SERIES_CTE},
+            tp AS (
+                SELECT series_id, features, {_sql_paa("features", 4, SERIES_LEN)} AS p
+                FROM test
+            ),
+            rp AS (
+                SELECT series_id, features, label, {_sql_paa("features", 4, SERIES_LEN)} AS p
+                FROM train
+            ),
+            coarse AS (
+                SELECT t.series_id AS test_id, r.series_id AS train_id,
+                       {_sql_sqdist("t.p", "r.p")} AS cd
+                FROM tp t CROSS JOIN rp r
+            ),
+            cands AS (
+                SELECT test_id, train_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY test_id
+                                                 ORDER BY cd ASC, train_id ASC) AS crank
+                    FROM coarse
+                ) WHERE crank <= 20
+            ),
+            exact AS (
+                SELECT c.test_id, c.train_id, r.label AS train_label,
+                       {_sql_sqdist("t.features", "r.features")} AS d
+                FROM cands c
+                JOIN tp t ON c.test_id = t.series_id
+                JOIN rp r ON c.train_id = r.series_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY test_id
+                                             ORDER BY d ASC, train_label ASC, train_id ASC) AS rank
+                FROM exact WHERE d != 0
+            )
+            SELECT test_id, train_id, cast(rank AS int) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
     }

@@ -86,6 +86,22 @@ def main() -> None:
         ).count(),
     )
 
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        knn_join_pruned,
+        majority_vote,
+    )
+
+    run(
+        "knn_pruned_fastdtw_k5",
+        lambda: majority_vote(
+            knn_join_pruned(
+                test, train, metric="fastdtw", k=5, length=SERIES_LEN,
+                paa_segments=8, candidates_per_test=30,
+            ),
+            key="test_id", label="train_label", rank="rank",
+        ).count(),
+    )
+
     # --- training-data pipeline operators --------------------------------
     run("dedup_exact", lambda: entry_mod._q16_dedup_exact(spark, sf_dir).count())
     run("dedup_minhash_lsh", lambda: entry_mod._q18_dedup_minhash_lsh(spark, sf_dir).count())

@@ -1,0 +1,89 @@
+"""Estimator/Transformer wrapper + Structured Streaming scoring."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.ml import (
+    KnnDtwClassifier,
+)
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+    knn_classify,
+)
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import (
+    score_stream,
+)
+
+
+def test_estimator_transform_matches_operator(spark, har_dfs):
+    train_df, test_df = har_dfs
+    model = KnnDtwClassifier(k=3, metric="euclidean").fit(train_df)
+    out = model.transform(test_df)
+    assert "predicted_label" in out.columns
+    via_model = {r.series_id: r.predicted_label for r in out.collect()}
+    via_op = {
+        r.test_id: r.predicted_label
+        for r in knn_classify(test_df, train_df, metric="euclidean", k=3).collect()
+    }
+    assert via_model == via_op
+
+
+def test_estimator_k1_fast_path(spark, har_dfs):
+    train_df, test_df = har_dfs
+    model = KnnDtwClassifier(k=1, metric="euclidean").fit(train_df)
+    out = {r.series_id: r.predicted_label for r in model.transform(test_df).collect()}
+    via_op = {
+        r.test_id: r.predicted_label
+        for r in knn_classify(test_df, train_df, metric="euclidean", k=1).collect()
+    }
+    assert out == via_op
+
+
+def test_estimator_neighbors_surface(spark, har_dfs):
+    train_df, test_df = har_dfs
+    model = KnnDtwClassifier(k=4).fit(train_df)
+    nn = model.neighbors(test_df.limit(3))
+    rows = nn.collect()
+    assert set(nn.columns) == {"test_id", "train_id", "train_label", "distance", "rank"}
+    assert max(r.rank for r in rows) <= 4
+
+
+def test_estimator_in_pipeline(spark, har_dfs):
+    from pyspark.ml import Pipeline
+
+    train_df, test_df = har_dfs
+    pipe = Pipeline(stages=[KnnDtwClassifier(k=3, metric="fastdtw")])
+    model = pipe.fit(train_df)
+    out = model.transform(test_df.limit(5))
+    assert out.count() == 5
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_streaming_scores_match_batch(spark, har_dfs, tmp_path, k):
+    train_df, test_df = har_dfs
+    # write the "stream" as parquet files and read them back as a file stream
+    src = str(tmp_path / "stream_src")
+    test_small = test_df.limit(10)
+    test_small.write.parquet(src)
+
+    stream = spark.readStream.schema(test_small.schema).parquet(src)
+    scored = score_stream(stream, train_df, metric="euclidean", k=k)
+    q = (
+        scored.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(f"scored_k{k}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.test_id: r.predicted_label
+            for r in spark.sql(f"SELECT * FROM scored_k{k}").collect()
+        }
+    finally:
+        q.stop()
+
+    expect = {
+        r.test_id: r.predicted_label
+        for r in knn_classify(test_small, train_df, metric="euclidean", k=k).collect()
+    }
+    assert got == expect

@@ -1,0 +1,1 @@
+from .estimator import KnnDtwClassifier, KnnDtwClassifierModel  # noqa: F401

@@ -50,19 +50,35 @@ def dedup_exact(
 
 
 def shingle_sets(
-    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    hash_mode: str = "portable",
 ) -> DataFrame:
-    """(id, shingles array<string>, hashes array<long>) per document."""
+    """(id, shingles array<string>, hashes array<long>) per document.
+
+    hash_mode='portable': polynomial char fold (DuckDB-oracle-reproducible).
+    hash_mode='xxhash64': JVM-native xxhash64 reduced mod P — the production
+    default at scale (one native call per shingle instead of a per-char
+    lambda fold); same downstream semantics, not oracle-portable.
+    """
     sh = char_shingles(F.col(text_col), n)
     out = df.select(F.col(id_col), sh.alias("shingles"))
-    hashes = F.transform(
-        F.col("shingles"),
-        lambda s: F.aggregate(
-            F.split(s, ""),
-            F.lit(0).cast("long"),
-            lambda h, c: (h * HASH_BASE + F.ascii(c)) % HASH_P,
-        ),
-    )
+    if hash_mode == "xxhash64":
+        hashes = F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(HASH_P)))
+    elif hash_mode == "portable":
+        hashes = F.transform(
+            F.col("shingles"),
+            lambda s: F.aggregate(
+                F.split(s, ""),
+                F.lit(0).cast("long"),
+                lambda h, c: (h * HASH_BASE + F.ascii(c)) % HASH_P,
+            ),
+        )
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     return out.withColumn("hashes", hashes)
 
 
@@ -119,18 +135,37 @@ def dedup_minhash_lsh(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    sig_prefilter: float | None = None,
+    hash_mode: str = "portable",
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, verified by exact jaccard.
 
     shingle -> minhash signature -> band buckets -> bucket self-join ->
-    exact-jaccard verification. Output: (id_a, id_b, jac), id_a < id_b.
+    signature-agreement prefilter -> exact-jaccard verification.
+    Output: (id_a, id_b, jac), id_a < id_b.
+
+    Skew defense: a hot bucket (many docs sharing one band key — common on
+    corpora with heavy shared vocabulary) floods the candidate set; the
+    prefilter compares full signatures (num_hashes ints, ~50x cheaper than
+    the shingle-set intersect) and drops candidates whose estimated jaccard
+    < ``sig_prefilter`` (default threshold/2, generous against estimator
+    variance: P(est < t/2 | true j >= t) ~ 1% at 16 hashes). Verification
+    jaccard runs on the distinct HASH arrays (long compares, not strings) —
+    identical result up to mod-P shingle collisions (~1e-4/doc), and both
+    phases are deterministic, so the DuckDB oracle mirrors them exactly.
     """
     assert num_hashes % bands == 0
+    if sig_prefilter is None:
+        sig_prefilter = threshold / 2
     rows = num_hashes // bands
-    sh = shingle_sets(df, text_col=text_col, id_col=id_col, n=n).cache()
+    sh = (
+        shingle_sets(df, text_col=text_col, id_col=id_col, n=n, hash_mode=hash_mode)
+        .select(id_col, F.array_distinct("hashes").alias("hashes"))
+        .cache()
+    )
     sig = sh.select(
         id_col, minhash_signature(F.col("hashes"), num_hashes).alias("sig")
-    )
+    ).cache()
     band_entries = sig.select(
         id_col,
         F.explode(
@@ -157,10 +192,29 @@ def dedup_minhash_lsh(
         .distinct()
     )
 
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb"))
+    siga = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_siga"))
+    sigb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sigb"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("_siga"), F.col("_sigb"), lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    prefiltered = (
+        candidates.join(siga, "id_a")
+        .join(sigb, "id_b")
+        .withColumn("_est", est)
+        .filter(F.col("_est") >= sig_prefilter)
+        .select("id_a", "id_b")
+    )
+
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("hashes").alias("_sa"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("hashes").alias("_sb"))
     verified = (
-        candidates.join(sa, "id_a")
+        prefiltered.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("jac", jaccard(F.col("_sa"), F.col("_sb")))
         .filter(F.col("jac") >= threshold)

@@ -120,6 +120,88 @@ def knn_join(
     return topk.select(*out)
 
 
+def knn_join_pruned(
+    test: DataFrame,
+    train: DataFrame,
+    *,
+    metric: MetricT = "fastdtw",
+    k: int = 5,
+    length: int,
+    paa_segments: int = 8,
+    candidates_per_test: int | None = None,
+    strategy: str = "broadcast",
+    id_col: str = "series_id",
+    features_col: str = "features",
+    label_col: Optional[str] = "label",
+    exclude_zero: bool = True,
+    band: Optional[int] = None,
+) -> DataFrame:
+    """Two-phase pruned KNN (scale path; SURVEY.md §4 'worth adding').
+
+    Phase 1 ranks candidates by squared-euclidean distance on PAA sketches
+    (paa_segments means per series) — a pure codegen'd expression over arrays
+    ``paa_segments/length`` the size of the originals, so the cross product
+    moves ~length/paa_segments fewer bytes and the expensive metric (the DTW
+    pandas_udf) never sees non-candidates. Phase 2 computes the exact metric
+    on the top ``candidates_per_test`` (default 4*k) candidates only and
+    re-ranks.
+
+    For metric='euclidean' the PAA distance is a true lower bound (averaging
+    inequality), so with enough candidates this is exact in practice; for DTW
+    it is a (good) heuristic filter — recall measured in tests. Output schema
+    = knn_join's.
+    """
+    from ..functions.arrays import paa
+
+    C = candidates_per_test if candidates_per_test is not None else 4 * k
+
+    t = test.select(
+        F.col(id_col).alias("test_id"),
+        F.col(features_col).alias("_tf"),
+        paa(F.col(features_col), paa_segments, length).alias("_tp"),
+    )
+    r_cols = [
+        F.col(id_col).alias("train_id"),
+        F.col(features_col).alias("_rf"),
+        paa(F.col(features_col), paa_segments, length).alias("_rp"),
+    ]
+    if label_col is not None:
+        r_cols.append(F.col(label_col).alias("train_label"))
+    r = train.select(*r_cols)
+
+    # phase 1: sketch-space candidate generation (ids + sketches only)
+    t1 = t.select("test_id", "_tp")
+    r1 = r.select("train_id", "_rp")
+    coarse = t1.crossJoin(F.broadcast(r1) if strategy == "broadcast" else r1)
+    coarse = coarse.withColumn("_cd", sq_euclidean(F.col("_tp"), F.col("_rp")))
+    cands = topk_per_key(
+        coarse, "test_id", [F.asc("_cd"), F.asc("train_id")], C, rank_col="_crank"
+    ).select("test_id", "train_id")
+
+    # phase 2: exact metric on candidates only
+    pairs = (
+        cands.join(t.select("test_id", "_tf"), "test_id")
+        .join(r.drop("_rp"), "train_id")
+    )
+    fn, rank_squared = _resolve_metric(metric, band, 1)
+    dist = sq_euclidean(F.col("_tf"), F.col("_rf")) if rank_squared else fn(
+        F.col("_tf"), F.col("_rf")
+    )
+    pairs = pairs.withColumn("_d", dist)
+    if exclude_zero:
+        pairs = pairs.filter(F.col("_d") != 0)
+    order = [F.asc("_d")]
+    if label_col is not None:
+        order.append(F.asc("train_label"))
+    order.append(F.asc("train_id"))
+    topk = topk_per_key(pairs, "test_id", order, k)
+    distance = F.sqrt(F.col("_d")) if rank_squared else F.col("_d")
+    out = [F.col("test_id"), F.col("train_id"), distance.alias("distance"), F.col("rank")]
+    if label_col is not None:
+        out.insert(2, F.col("train_label"))
+    return topk.select(*out)
+
+
 def knn_classify(
     test: DataFrame,
     train: DataFrame,
