@@ -40,6 +40,7 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.f
 )
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
     accuracy,
+    k_sweep,
     ann_brute_topk,
     ann_lsh_topk,
     dedup_exact,
@@ -346,6 +347,55 @@ def _q25_knn_pruned(spark, sf_dir):
     return nn.select("test_id", "train_id", "rank")
 
 
+def _q26_vector_equality_join(spark, sf_dir):
+    """The reference's J4 accuracy join, faithfully: predictions keyed by the
+    whole feature VECTOR, joined back to the test set on array equality, with
+    the abs-diff==0 correctness predicate (Team11-Project.py:218-225). Kept
+    for parity; q12 is the id-keyed fix (SURVEY.md §2.3 J4 design note)."""
+    train, test = _series_numeric(spark, sf_dir)
+    nn = knn_join(test, train, metric="euclidean", k=1, keep_features=True)
+    preds = nn.select(
+        F.col("test_features").alias("Test_point"),
+        F.col("train_label").alias("Predicted_label"),
+    )
+    joined = preds.join(test, preds["Test_point"] == test["features"], "inner")
+    joined = joined.withColumn("abs_diff", F.abs(F.col("Predicted_label") - F.col("label")))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("abs_diff") == 0).cast("long")).alias("n_correct"),
+    )
+
+
+def _series_numeric(spark, sf_dir):
+    """Series with a numeric label (series_id % 6), for the reference's
+    float-label arithmetic paths (abs-diff accuracy, F5)."""
+    events = _t(spark, sf_dir, "events")
+    s = events_to_series(events, length=SERIES_LEN, label_from=None).withColumn(
+        "label", (F.col("series_id") % 6).cast("double")
+    )
+    return split_train_test(s)
+
+
+def _q27_dense_row_ids(spark, sf_dir):
+    """W1: dense row_number ids — the reference minted them over a
+    constant-key global window (single-partition hazard, Team11-Project.py:
+    93-97); here the window orders by a real key so the result is
+    deterministic AND the hazard is explicit in the plan."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.asc("c_custkey"))
+    return c.select("c_custkey").withColumn(
+        "row_id", F.row_number().over(w).cast("long")
+    )
+
+
+def _q28_k_sweep(spark, sf_dir):
+    """The reference's k-hyperparameter validation loop (five separate
+    full-cross-product cluster runs, Team11-Project.py:237-322) as ONE query
+    over a shared neighbor table."""
+    train, test = _series(spark, sf_dir)
+    return k_sweep(test, train, ks=[1, 3, 5], metric="euclidean")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -373,6 +423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_ann_cosine": _q23_ann_cosine,
         "q24_ann_lsh": _q24_ann_lsh,
         "q25_knn_pruned": _q25_knn_pruned,
+        "q26_vector_equality_join": _q26_vector_equality_join,
+        "q27_dense_row_ids": _q27_dense_row_ids,
+        "q28_k_sweep": _q28_k_sweep,
     }
 
 
@@ -579,6 +632,30 @@ def _sql_ann_lsh(planes: int = 4, tables: int = 8, dim: int = 64, k: int = 5) ->
                round(d, 6) AS cos_dist
         FROM ranked WHERE rank <= {k}
     """
+
+
+def _sql_k_sweep(ks=(1, 3, 5)) -> str:
+    """Mirror of operators/evaluate.py::k_sweep over the shared top-k table."""
+    branches = []
+    for k in ks:
+        branches.append(f"""
+        SELECT {k} AS k, count(*) AS n_rows,
+               sum(cast(predicted_label = label AS bigint)) AS n_correct,
+               avg(cast(predicted_label = label AS double)) AS accuracy
+        FROM (
+            SELECT p.test_id, p.predicted_label, t.label FROM (
+                SELECT test_id, train_label AS predicted_label FROM (
+                    SELECT test_id, train_label,
+                           row_number() OVER (PARTITION BY test_id
+                               ORDER BY votes DESC, best_rank ASC, train_label ASC) AS vrk
+                    FROM (SELECT test_id, train_label, count(*) AS votes,
+                                 min(rank) AS best_rank
+                          FROM topk WHERE rank <= {k}
+                          GROUP BY test_id, train_label)
+                ) WHERE vrk = 1
+            ) p JOIN test t ON p.test_id = t.series_id
+        )""")
+    return f"WITH {_SERIES_CTE}, {_KNN_TOPK_CTE} " + " UNION ALL ".join(branches)
 
 
 def _sql_lang_counts() -> str:
@@ -874,6 +951,47 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "q24_ann_lsh": _sql_ann_lsh(),
+        "q26_vector_equality_join": f"""
+            WITH pts AS (
+                SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+                FROM events GROUP BY user_id
+            ),
+            series2 AS (
+                SELECT user_id AS series_id, vals[1:{SERIES_LEN}] AS features,
+                       cast(user_id % 6 AS double) AS label
+                FROM pts WHERE len(vals) >= {SERIES_LEN}
+            ),
+            train AS (SELECT * FROM series2 WHERE series_id % 4 != 0),
+            test  AS (SELECT * FROM series2 WHERE series_id % 4 = 0),
+            nn AS (
+                SELECT test_id, train_label FROM (
+                    SELECT t.series_id AS test_id, r.label AS train_label,
+                           row_number() OVER (
+                               PARTITION BY t.series_id
+                               ORDER BY {_sql_sqdist("t.features", "r.features")} ASC,
+                                        r.label ASC, r.series_id ASC) AS rk
+                    FROM test t CROSS JOIN train r
+                    WHERE {_sql_sqdist("t.features", "r.features")} != 0
+                ) WHERE rk = 1
+            ),
+            preds AS (
+                SELECT t.features AS Test_point, n.train_label AS Predicted_label
+                FROM nn n JOIN test t ON n.test_id = t.series_id
+            ),
+            joined AS (
+                SELECT p.Predicted_label, s.label
+                FROM preds p JOIN test s ON p.Test_point = s.features
+            )
+            SELECT count(*) AS n_rows,
+                   sum(cast(abs(Predicted_label - label) = 0 AS bigint)) AS n_correct
+            FROM joined
+        """,
+        "q27_dense_row_ids": """
+            SELECT c_custkey,
+                   cast(row_number() OVER (ORDER BY c_custkey ASC) AS bigint) AS row_id
+            FROM customer
+        """,
+        "q28_k_sweep": _sql_k_sweep((1, 3, 5)),
         "q25_knn_pruned": f"""
             WITH {_SERIES_CTE},
             tp AS (

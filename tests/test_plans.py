@@ -1,0 +1,71 @@
+"""Plan-hygiene assertions: the scale contract is checkable.
+
+Each test pins a property the 100 TB design depends on: pushdown reaches the
+scan, hinted joins go broadcast, top-k gets map-side partial pruning, the
+euclidean path never leaves the JVM, the DTW path crosses to Python exactly
+once."""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+    knn_join,
+)
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    has_window_group_limit,
+    pushed_filters,
+    python_eval_nodes,
+    read_schema_columns,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_and_projection_pushdown(spark):
+    q = entry_mod._q02_filter_project(spark, SF)
+    pf = pushed_filters(q)
+    assert any("l_returnflag" in f for f in pf), pf
+    assert any("l_quantity" in f for f in pf), pf
+    cols = read_schema_columns(q)
+    # column pruning: only the 4 needed columns reach the scan
+    assert set(cols) == {"l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"}
+
+
+def test_join_goes_broadcast(spark):
+    q = entry_mod._q03_join_enrich(spark, SF)
+    assert has_broadcast_join(q)
+
+
+def test_knn_topk_has_partial_window_group_limit(spark, har_dfs):
+    train_df, test_df = har_dfs
+    nn = knn_join(test_df, train_df, metric="euclidean", k=5)
+    assert has_window_group_limit(nn, "Partial")
+    assert has_window_group_limit(nn, "Final")
+
+
+def test_euclidean_knn_is_pure_jvm(spark, har_dfs):
+    train_df, test_df = har_dfs
+    nn = knn_join(test_df, train_df, metric="euclidean", k=5)
+    assert python_eval_nodes(nn) == 0
+
+
+def test_dtw_knn_crosses_python_exactly_once(spark, har_dfs):
+    train_df, test_df = har_dfs
+    nn = knn_join(test_df, train_df, metric="fastdtw", k=5)
+    assert python_eval_nodes(nn) == 1
+
+
+def test_broadcast_knn_has_single_shuffle(spark, har_dfs):
+    """broadcast strategy: the only exchange is the window's hash(test_id)
+    (plus AQE bookkeeping) — the pair generation itself is shuffle-free."""
+    train_df, test_df = har_dfs
+    nn = knn_join(test_df, train_df, metric="euclidean", k=5, strategy="broadcast")
+    # one data exchange for the window; broadcast exchange is not 'Exchange '
+    assert count_exchanges(nn) <= 2
+
+
+def test_parse_path_has_no_python(spark):
+    q = entry_mod._q07_parse_series(spark, SF)
+    assert python_eval_nodes(q) == 0

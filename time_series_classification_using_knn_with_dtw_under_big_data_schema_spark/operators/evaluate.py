@@ -10,6 +10,8 @@ joins on the row id and computes the ratio in ONE aggregate job:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,3 +31,55 @@ def accuracy(
         F.sum((F.col(pred_col) == F.col(label_col)).cast("long")).alias("n_correct"),
         F.avg((F.col(pred_col) == F.col(label_col)).cast("double")).alias("accuracy"),
     )
+
+
+def k_sweep(
+    test: DataFrame,
+    train: DataFrame,
+    *,
+    ks: list[int],
+    metric: str = "euclidean",
+    strategy: str = "broadcast",
+    id_col: str = "series_id",
+    features_col: str = "features",
+    label_col: str = "label",
+) -> DataFrame:
+    """The reference's hyperparameter validation loop (Team11-Project.py:
+    237-476: 'A manual for-loop is used for hyper-parameter fine-tuning',
+    Report p.5 §IV.C) as ONE declarative query.
+
+    The similarity join + max(ks) ranking runs ONCE; every k reuses the same
+    neighbor table (the reference recomputed the full cross product per k —
+    five ~20-minute cluster runs for five k values).
+
+    Output: (k, n_rows, n_correct, accuracy), one row per k.
+    """
+    from .knn import knn_join
+    from .vote import majority_vote
+
+    neighbors = knn_join(
+        test,
+        train,
+        metric=metric,
+        k=max(ks),
+        strategy=strategy,
+        id_col=id_col,
+        features_col=features_col,
+        label_col=label_col,
+    ).cache()
+    truth = test.select(F.col(id_col).alias("test_id"), F.col(label_col))
+
+    per_k = []
+    for k in sorted(ks):
+        pred = majority_vote(
+            neighbors.filter(F.col("rank") <= k),
+            key="test_id",
+            label="train_label",
+            rank="rank",
+        )
+        per_k.append(
+            accuracy(pred, truth, key="test_id", label_col=label_col).select(
+                F.lit(k).alias("k"), "n_rows", "n_correct", "accuracy"
+            )
+        )
+    return reduce(DataFrame.unionByName, per_k)
