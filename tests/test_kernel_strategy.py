@@ -1,0 +1,58 @@
+"""strategy='kernel' (pair-free broadcast KNN) parity with the declarative
+plans, across metrics, plus its error surface."""
+
+import math
+
+import pytest
+
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+    knn_classify,
+    knn_join,
+)
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "manhattan", "chebyshev", "fastdtw"])
+def test_kernel_matches_declarative(spark, har_dfs, metric):
+    train_df, test_df = har_dfs
+    a = sorted(map(tuple, knn_join(test_df, train_df, metric=metric, k=4).collect()))
+    b = sorted(
+        map(tuple, knn_join(test_df, train_df, metric=metric, k=4, strategy="kernel").collect())
+    )
+    assert [x[:3] + (x[4],) for x in a] == [x[:3] + (x[4],) for x in b]
+    assert all(math.isclose(x[3], y[3], rel_tol=1e-9) for x, y in zip(a, b))
+
+
+def test_kernel_classify_end_to_end(spark, har_dfs):
+    train_df, test_df = har_dfs
+    via_kernel = {
+        r.test_id: r.predicted_label
+        for r in knn_classify(test_df, train_df, metric="euclidean", k=3, strategy="kernel").collect()
+    }
+    via_plan = {
+        r.test_id: r.predicted_label
+        for r in knn_classify(test_df, train_df, metric="euclidean", k=3).collect()
+    }
+    assert via_kernel == via_plan
+
+
+def test_kernel_rejects_ragged_train(spark):
+    train = spark.createDataFrame(
+        [(1, [1.0, 2.0], "a"), (2, [1.0, 2.0, 3.0], "b")],
+        "series_id long, features array<double>, label string",
+    )
+    test = spark.createDataFrame([(9, [1.0, 1.0], "a")], "series_id long, features array<double>, label string")
+    with pytest.raises(ValueError, match="fixed-length"):
+        knn_join(test, train, k=1, strategy="kernel")
+
+
+def test_kernel_rejects_unsupported_metric(spark, har_dfs):
+    train_df, test_df = har_dfs
+    with pytest.raises(ValueError, match="does not support metric"):
+        knn_join(test_df, train_df, metric="cosine", strategy="kernel")
+
+
+def test_kernel_no_label(spark, har_dfs):
+    train_df, test_df = har_dfs
+    nn = knn_join(test_df, train_df, k=2, strategy="kernel", label_col=None)
+    assert set(nn.columns) == {"test_id", "train_id", "distance", "rank"}
+    assert nn.count() == test_df.count() * 2

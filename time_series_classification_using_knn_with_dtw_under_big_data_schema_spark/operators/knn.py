@@ -83,6 +83,21 @@ def knn_join(
     the heapq.nsmallest-compatible tie order (SURVEY.md §2.5 K1) plus a
     trailing train_id for total determinism.
     """
+    if strategy == "kernel":
+        if keep_features:
+            raise ValueError("keep_features is not supported with strategy='kernel'")
+        return _knn_kernel_broadcast(
+            test,
+            train,
+            metric=metric,
+            k=k,
+            id_col=id_col,
+            features_col=features_col,
+            label_col=label_col,
+            exclude_zero=exclude_zero,
+            band=band,
+            fastdtw_radius=fastdtw_radius,
+        )
     if strategy not in ("broadcast", "shuffle"):
         raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -118,6 +133,122 @@ def knn_join(
     if keep_features:
         out.append(F.col("_tf").alias("test_features"))
     return topk.select(*out)
+
+
+def _knn_kernel_broadcast(
+    test: DataFrame,
+    train: DataFrame,
+    *,
+    metric: MetricT,
+    k: int,
+    id_col: str,
+    features_col: str,
+    label_col: Optional[str],
+    exclude_zero: bool,
+    band: Optional[int],
+    fastdtw_radius: int,
+) -> DataFrame:
+    """strategy='kernel': Model-2 broadcast semantics with pair-free Arrow
+    transfer.
+
+    The declarative broadcast plan ships BOTH feature arrays through Arrow
+    for every (test, train) pair — O(N_test * N_train * length) bytes across
+    the JVM->Python boundary, which dominates DTW wall-clock. Here the train
+    matrix is a numpy broadcast variable (unpacked once per worker) and each
+    Arrow batch carries only test rows; one vectorized dtw_batch call scores
+    a test row against the whole train side, and only the top-k rows are
+    emitted (no window, no pair shuffle — transfer drops by ~N_train/k).
+
+    Same constraint as any broadcast join: the train side must fit in
+    executor memory. Requires fixed-length train series (the batched kernel
+    stacks them rectangular); tie order and the dist!=0 exclusion match the
+    declarative path exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.dtw_kernel import dtw_batch
+
+    if callable(metric):
+        raise ValueError("strategy='kernel' supports named metrics only")
+    if metric == "fastdtw":
+        band = band if band is not None else fastdtw_radius + 2
+        kind = "dtw"
+    elif metric == "dtw":
+        kind = "dtw"
+    elif metric in ("euclidean", "sq_euclidean", "manhattan", "chebyshev"):
+        kind = metric
+    else:
+        raise ValueError(f"strategy='kernel' does not support metric {metric!r}")
+
+    sel = [id_col, features_col] + ([label_col] if label_col else [])
+    rows = train.select(*sel).collect()
+    if not rows:
+        raise ValueError("empty train side")
+    lengths = {len(r[1]) for r in rows}
+    if len(lengths) != 1:
+        raise ValueError(
+            f"strategy='kernel' needs fixed-length train series, got lengths {sorted(lengths)[:5]}"
+        )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    feats = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    labels = np.array([r[2] for r in rows]) if label_col else None
+    bvar = test.sparkSession.sparkContext.broadcast((ids, feats, labels))
+
+    label_type = dict(train.dtypes)[label_col] if label_col else None
+    schema = "test_id long, train_id long"
+    if label_col:
+        schema += f", train_label {label_type}"
+    schema += ", distance double, rank int"
+
+    kk = k
+    excl = exclude_zero
+    bnd = band
+
+    def op(batches):
+        b_ids, b_feats, b_labels = bvar.value
+        n_train = len(b_ids)
+        for pdf in batches:
+            out = {
+                "test_id": [], "train_id": [], "distance": [], "rank": [],
+            }
+            if b_labels is not None:
+                out["train_label"] = []
+            for tid, f in zip(pdf["test_id"], pdf["_tf"]):
+                a = np.asarray(f, dtype=np.float64)
+                A = np.broadcast_to(a, (n_train, len(a)))
+                if kind == "dtw":
+                    d = dtw_batch(A, b_feats, band=bnd)
+                elif kind == "euclidean":
+                    d = np.sqrt(((A - b_feats) ** 2).sum(axis=1))
+                elif kind == "sq_euclidean":
+                    d = ((A - b_feats) ** 2).sum(axis=1)
+                elif kind == "manhattan":
+                    d = np.abs(A - b_feats).sum(axis=1)
+                else:  # chebyshev
+                    d = np.abs(A - b_feats).max(axis=1)
+                mask = d != 0 if excl else np.ones(n_train, dtype=bool)
+                di, ii = d[mask], b_ids[mask]
+                li = b_labels[mask] if b_labels is not None else None
+                # tie order parity: (distance, label, id) ascending
+                order = (
+                    np.lexsort((ii, li, di)) if li is not None else np.lexsort((ii, di))
+                )[:kk]
+                m = len(order)
+                out["test_id"].extend([tid] * m)
+                out["train_id"].extend(ii[order])
+                out["distance"].extend(di[order])
+                out["rank"].extend(range(1, m + 1))
+                if li is not None:
+                    out["train_label"].extend(li[order])
+            cols = ["test_id", "train_id"]
+            if b_labels is not None:
+                cols.append("train_label")
+            cols += ["distance", "rank"]
+            yield pd.DataFrame({c: out[c] for c in cols})
+
+    t = test.select(F.col(id_col).alias("test_id"), F.col(features_col).alias("_tf"))
+    return t.mapInPandas(op, schema=schema)
 
 
 def knn_join_pruned(

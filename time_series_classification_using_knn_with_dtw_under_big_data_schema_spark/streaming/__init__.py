@@ -1,1 +1,2 @@
 from .scoring import score_stream  # noqa: F401
+from .windows import windowed_event_aggregate, sessionized_event_counts, nanos_to_ts  # noqa: F401
