@@ -12,6 +12,8 @@ time series to embedding vectors.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -54,14 +56,61 @@ def _hyperplane(plane: int, dim: int) -> float:
     return v / HASH_P - 0.5
 
 
+def _coeffs_expr(plane: int, dim: int) -> Column:
+    """The _hyperplane coefficient vector as ONE sequence expression instead
+    of `dim` literal nodes — identical values (same integer arithmetic the
+    DuckDB oracle runs), but the logical plan stays small: 2048 literals per
+    bucketing stage was dominating driver-side plan compilation."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            (F.lit(1103515245).cast("long") * (F.lit(plane * 1009) + d) + F.lit(12345))
+            % F.lit(HASH_P)
+        ).cast("double")
+        / F.lit(float(HASH_P))
+        - F.lit(0.5),
+    )
+
+
 def lsh_bucket(vec: Column, *, planes: int = 8, dim: int = 64, table: int = 0) -> Column:
     """Sign-bit bucket id of a vector under ``planes`` fixed hyperplanes."""
     bucket = F.lit(0).cast("long")
     for p in range(planes):
-        coeffs = F.array(*[F.lit(_hyperplane(table * 131 + p, d)) for d in range(dim)])
-        proj = dot(vec, coeffs)
+        proj = dot(vec, _coeffs_expr(table * 131 + p, dim))
         bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
+
+
+def make_lsh_buckets_udf(planes: int, tables: int, dim: int):
+    """All ``tables`` bucket ids per vector in ONE Arrow-batched call.
+
+    Expression-based bucketing evaluates tables*planes*dim nested-lambda
+    steps per row (interpreted, not codegen'd) — the dominant ANN-LSH cost.
+    This kernel accumulates the projections dim-by-dim in ASCENDING order
+    (``proj += V[:, d] * C[:, d]``), elementwise the exact IEEE op sequence
+    of the SQL left-fold dot — so bucket ids (sign bits) are bit-identical to
+    lsh_bucket()/the DuckDB oracle, batch-vectorized.
+    """
+    C = np.array(
+        [
+            [_hyperplane(t * 131 + p, d) for d in range(dim)]
+            for t in range(tables)
+            for p in range(planes)
+        ]
+    )  # (tables*planes, dim)
+    weights = (2 ** np.arange(planes)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in v.to_numpy()])
+        proj = np.zeros((V.shape[0], C.shape[0]))
+        for d in range(dim):
+            proj += V[:, d : d + 1] * C[None, :, d][0]
+        bits = (proj > 0).reshape(V.shape[0], tables, planes)
+        out = (bits * weights).sum(axis=2)  # (N, tables) int64
+        return pd.Series(list(out))
+
+    return buckets.asNondeterministic()
 
 
 def ann_lsh_topk(
@@ -83,25 +132,22 @@ def ann_lsh_topk(
     """
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv"))
+    bucket_udf = make_lsh_buckets_udf(planes, tables, dim)
 
-    def buckets(df, vc, idc, out):
-        entries = [
-            F.struct(F.lit(t).alias("table"), lsh_bucket(F.col(vc), planes=planes, dim=dim, table=t).alias("bucket"))
-            for t in range(tables)
-        ]
-        return df.select(idc, vc, F.explode(F.array(*entries)).alias("tb")).select(
-            idc, vc, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    def buckets(df, vc, idc):
+        return (
+            df.withColumn("_bk", bucket_udf(F.col(vc)))
+            .select(idc, F.posexplode("_bk").alias("table", "bucket"))
         )
 
-    qb = buckets(q, "_qv", "query_id", "qb")
-    cb = buckets(c, "_cv", "neighbor_id", "cb")
-    cand = (
-        qb.join(cb, ["table", "bucket"])
-        .select("query_id", "_qv", "neighbor_id", "_cv")
-        .distinct()
-    )
+    qb = buckets(q, "_qv", "query_id")
+    cb = buckets(c, "_cv", "neighbor_id")
+    # distinct on IDS only — deduping on the vectors themselves would shuffle
+    # 64-float arrays as keys (SURVEY.md §4 hazard 2); vectors re-join after
+    cand = qb.join(cb, ["table", "bucket"]).select("query_id", "neighbor_id").distinct()
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = cand.join(q, "query_id").join(c, "neighbor_id")
     cand = cand.withColumn("_d", cosine_distance(F.col("_qv"), F.col("_cv")))
     top = topk_per_key(cand, "query_id", [F.asc("_d"), F.asc("neighbor_id")], k)
     return top.select(
