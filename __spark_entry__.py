@@ -396,6 +396,87 @@ def _q28_k_sweep(spark, sf_dir):
     return k_sweep(test, train, ks=[1, 3, 5], metric="euclidean")
 
 
+def _q29_rollup(spark, sf_dir):
+    """Grouping sets / rollup (SURVEY §2.4 'absent' — free via Catalyst):
+    rollup over (returnflag, linestatus) with exact-cents sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_cents"),
+        )
+    )
+
+
+def _q30_pivot(spark, sf_dir):
+    """Pivot (absent category): order counts per priority pivoted by status."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields null for empty cells; the SQL mirror (count FILTER) yields 0
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+    )
+
+
+def _q31_semi_anti(spark, sf_dir):
+    """Semi/anti joins (absent category): customers with vs without orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    semi = c.join(o, "c_custkey", "left_semi").select("c_custkey")
+    anti = c.join(o, "c_custkey", "left_anti").select("c_custkey")
+    return semi.withColumn("has_orders", F.lit(1)).unionByName(
+        anti.withColumn("has_orders", F.lit(0))
+    )
+
+
+def _q32_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events table (batch twin of the
+    streaming session_window path) — expressed with lag + cumulative gap
+    count so the SQL oracle mirrors it exactly."""
+    e = _t(spark, sf_dir, "events")
+    # DuckDB's parquet reader truncates the ns timestamps to us — compare and
+    # output in microseconds on both sides
+    gap_us = 2 * 3600 * 1_000_000  # 2 hours
+    e = e.select("user_id", F.expr("ts DIV 1000").alias("ts_us"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.withColumn(
+        "_new",
+        (F.col("ts_us") - F.lag("ts_us").over(w) > gap_us).cast("int"),
+    )
+    flagged = flagged.withColumn(
+        "session_no",
+        F.sum(F.coalesce(F.col("_new"), F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return flagged.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+
+
+def _q33_tumbling_window(spark, sf_dir):
+    """Tumbling time-window aggregation (batch twin of streaming windows):
+    1-day buckets via integer epoch arithmetic on the nano timestamps —
+    engine-portable, no timezone surface."""
+    e = _t(spark, sf_dir, "events")
+    day_us = 86400 * 1_000_000
+    # microsecond precision (DuckDB truncates ns->us on read); floor
+    # explicitly: Spark's long cast truncates while DuckDB's rounds
+    bucket = F.floor(F.expr("ts DIV 1000") / day_us).cast("long")
+    return e.groupBy(bucket.alias("day_bucket"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2).alias("sum_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -426,6 +507,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_vector_equality_join": _q26_vector_equality_join,
         "q27_dense_row_ids": _q27_dense_row_ids,
         "q28_k_sweep": _q28_k_sweep,
+        "q29_rollup": _q29_rollup,
+        "q30_pivot": _q30_pivot,
+        "q31_semi_anti": _q31_semi_anti,
+        "q32_sessionize": _q32_sessionize,
+        "q33_tumbling_window": _q33_tumbling_window,
     }
 
 
@@ -951,6 +1037,54 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "q24_ann_lsh": _sql_ann_lsh(),
+        "q29_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   sum(cast(round(l_extendedprice * 100) AS bigint)) AS sum_cents
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q30_pivot": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q31_semi_anti": """
+            SELECT c_custkey, 1 AS has_orders FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            UNION ALL
+            SELECT c_custkey, 0 AS has_orders FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "q32_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                       CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 7200000000
+                            THEN 1
+                            WHEN lag(ts) OVER w IS NULL THEN 1
+                            ELSE 0 END AS _new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            numbered AS (
+                SELECT user_id, ts_us,
+                       sum(_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+                FROM flagged
+            )
+            SELECT user_id, session_no, count(*) AS n_events,
+                   min(ts_us) AS session_start_us,
+                   max(ts_us) AS session_end_us
+            FROM numbered GROUP BY user_id, session_no
+        """,
+        "q33_tumbling_window": """
+            SELECT cast(floor(epoch_us(ts) / 86400000000.0) AS bigint) AS day_bucket,
+                   event_type, count(*) AS n,
+                   round(sum(cast(round(value * 100) AS bigint)) / 100.0, 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
         "q26_vector_equality_join": f"""
             WITH pts AS (
                 SELECT user_id, list(value ORDER BY ts, event_id) AS vals
