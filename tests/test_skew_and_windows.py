@@ -63,3 +63,34 @@ def test_session_windows_batch(spark):
     assert len(rows) > 0
     assert all(r.n_events >= 1 for r in rows)
     assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import (
+        running_user_stats,
+    )
+
+    schema = "user_id long, value double"
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, 1.0), (1, 2.0), (2, 5.0)], schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        running_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rs")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch: state must carry over
+        spark.createDataFrame([(1, 10.0)], schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM rs WHERE user_id = 1 ORDER BY n_events DESC LIMIT 1"
+        ).collect()
+    finally:
+        q.stop()
+    assert rows[0].n_events == 3
+    assert rows[0].total_value == 13.0
+    assert rows[0].max_value == 10.0

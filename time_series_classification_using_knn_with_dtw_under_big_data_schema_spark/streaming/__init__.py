@@ -1,2 +1,3 @@
 from .scoring import score_stream  # noqa: F401
 from .windows import windowed_event_aggregate, sessionized_event_counts, nanos_to_ts  # noqa: F401
+from .stateful import running_user_stats  # noqa: F401
