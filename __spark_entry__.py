@@ -274,7 +274,7 @@ def _q18_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (the scale path): shingle -> minhash ->
     band buckets -> bucket join -> exact-jaccard verify."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup_minhash_lsh(docs, threshold=0.5)
+    return dedup_minhash_lsh(docs, threshold=0.5, max_bucket_size=64)
 
 
 def _q19_simhash(spark, sf_dir):
@@ -919,9 +919,15 @@ def oracle_sql() -> dict[str, str]:
                     for b in range(4)
                 )}
             ),
+            ok_buckets AS (
+                SELECT band, key FROM bands GROUP BY band, key HAVING count(*) <= 64
+            ),
+            capped AS (
+                SELECT b.* FROM bands b JOIN ok_buckets USING (band, key)
+            ),
             cands AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM bands a JOIN bands b USING (band, key)
+                FROM capped a JOIN capped b USING (band, key)
                 WHERE a.doc_id < b.doc_id
             ),
             pre AS (

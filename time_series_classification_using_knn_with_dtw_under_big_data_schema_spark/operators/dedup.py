@@ -137,6 +137,7 @@ def dedup_minhash_lsh(
     threshold: float = 0.5,
     sig_prefilter: float | None = None,
     hash_mode: str = "portable",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, verified by exact jaccard.
 
@@ -183,6 +184,19 @@ def dedup_minhash_lsh(
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
 
+    if max_bucket_size is not None:
+        # hot-bucket cap: a band key shared by B docs yields B^2/2 candidate
+        # pairs — on shared-vocabulary corpora one degenerate bucket dominates
+        # the whole join (observed: one 313-doc bucket = 49k of 143k
+        # candidates at 5k docs). True near-dups collide in nearly every
+        # band, so skipping oversized buckets costs ~no recall while bounding
+        # the worst case (essential at scale: bucket joins must never go
+        # quadratic in corpus size). Deterministic, so oracle-mirrorable.
+        sizes = band_entries.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bn"))
+        band_entries = band_entries.join(
+            sizes.filter(F.col("_bn") <= max_bucket_size).select("band", "key"),
+            ["band", "key"],
+        )
     left = band_entries.select(F.col(id_col).alias("id_a"), "band", "key")
     right = band_entries.select(F.col(id_col).alias("id_b"), "band", "key")
     candidates = (
