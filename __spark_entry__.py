@@ -42,6 +42,7 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.o
     accuracy,
     k_sweep,
     ann_brute_topk,
+    ann_ivf_topk,
     ann_lsh_topk,
     dedup_exact,
     dedup_minhash_lsh,
@@ -477,6 +478,16 @@ def _q33_tumbling_window(spark, sf_dir):
     )
 
 
+def _q34_ann_ivf(spark, sf_dir):
+    """IVF (inverted-file) approximate cosine top-k: deterministic seed
+    centroids -> corpus partitioned into lists (the one index-build shuffle)
+    -> n_probe lists searched per query -> exact rerank. The partition-and-
+    probe scale path alongside q24's LSH."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    return ann_ivf_topk(q, emb, k=5, n_lists=16, n_probe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -512,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_semi_anti": _q31_semi_anti,
         "q32_sessionize": _q32_sessionize,
         "q33_tumbling_window": _q33_tumbling_window,
+        "q34_ann_ivf": _q34_ann_ivf,
     }
 
 
@@ -707,6 +719,69 @@ def _sql_ann_lsh(planes: int = 4, tables: int = 8, dim: int = 64, k: int = 5) ->
             SELECT query_id, neighbor_id,
                    1.0 - {_sql_dot("qv", "cv")}
                          / (sqrt({_sql_dot("qv", "qv")}) * sqrt({_sql_dot("cv", "cv")})) AS d
+            FROM cands
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY d ASC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cast(rank AS int) AS rank,
+               round(d, 6) AS cos_dist
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _sql_ann_ivf(n_lists: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """Mirror of operators/similarity.py::ann_ivf_topk — seed centroids are
+    the n_lists lowest vec_ids, assignment/probe/rerank all use the same
+    left-fold cosine, (dist, id) total-order tie-breaks throughout."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"1.0 - {_sql_dot(a, b)}"
+            f" / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+        )
+
+    return f"""
+        WITH c AS (
+            SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT vec_id AS list_id, v AS lv FROM c ORDER BY vec_id LIMIT {n_lists}
+        ),
+        asn0 AS (
+            SELECT c.vec_id AS neighbor_id, cent.list_id, c.v AS cv,
+                   {cos("c.v", "cent.lv")} AS d
+            FROM c CROSS JOIN cent
+        ),
+        asn AS (
+            SELECT neighbor_id, list_id, cv FROM (
+                SELECT *, row_number() OVER (PARTITION BY neighbor_id
+                                             ORDER BY d ASC, list_id ASC) AS rn
+                FROM asn0
+            ) WHERE rn = 1
+        ),
+        probe0 AS (
+            SELECT q.vec_id AS query_id, cent.list_id, q.v AS qv,
+                   {cos("q.v", "cent.lv")} AS d
+            FROM (SELECT * FROM c WHERE vec_id % 25 = 0) q CROSS JOIN cent
+        ),
+        probes AS (
+            SELECT query_id, list_id, qv FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY d ASC, list_id ASC) AS rn
+                FROM probe0
+            ) WHERE rn <= {n_probe}
+        ),
+        cands AS (
+            SELECT p.query_id, p.qv, a.neighbor_id, a.cv
+            FROM probes p JOIN asn a USING (list_id)
+            WHERE p.query_id != a.neighbor_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id, {cos("qv", "cv")} AS d
             FROM cands
         ),
         ranked AS (
@@ -1043,6 +1118,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "q24_ann_lsh": _sql_ann_lsh(),
+        "q34_ann_ivf": _sql_ann_ivf(),
         "q29_rollup": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    sum(cast(round(l_extendedprice * 100) AS bigint)) AS sum_cents

@@ -12,6 +12,7 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.f
 )
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
     ann_brute_topk,
+    ann_ivf_topk,
     ann_lsh_topk,
     dedup_exact,
     dedup_minhash_lsh,
@@ -108,6 +109,31 @@ def test_ann_lsh_subset_of_brute_candidates(spark):
     bk = {(r.query_id, r.neighbor_id) for r in brute.collect()}
     lk = {(r.query_id, r.neighbor_id) for r in got}
     assert len(bk & lk) > 0
+
+
+def test_ann_ivf_recall_and_plan(spark):
+    rng = np.random.default_rng(13)
+    # clustered data: 6 centers x 15 members — the regime IVF is built for
+    centers = rng.normal(size=(6, 16)) * 4.0
+    vecs = [
+        (c * 15 + i, [float(x) for x in centers[c] + rng.normal(size=16) * 0.3], 0)
+        for c in range(6)
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>, label int")
+    q = df.filter("vec_id % 20 = 0")
+    brute = ann_brute_topk(q, df, k=3)
+    ivf = ann_ivf_topk(q, df, k=3, n_lists=8, n_probe=3)
+    bk = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    ik = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    # neighbors within a cluster share the probed lists -> high recall here
+    assert len(bk & ik) / len(bk) >= 0.8
+    assert ik == {(r.query_id, r.neighbor_id) for r in ivf.collect()}  # deterministic
+    # plan: centroid assignment + probes broadcast; no full cross join of
+    # corpus x corpus survives (BroadcastNestedLoopJoin only against the
+    # n_lists centroid side)
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
 
 
 def test_text_functions(docs):

@@ -8,6 +8,16 @@ time series to embedding vectors.
   hash-derived planes) -> candidate join -> exact rerank. The scale path:
   shuffles (bucket, id) pairs instead of the full cross product; recall<1
   by construction, measured against brute force in tests.
+- ``ann_ivf_topk``: inverted-file (IVF) partitioned search — assign every
+  corpus vector to its nearest of ``n_lists`` centroids (the index build:
+  ONE shuffle, which at scale you'd persist as a list_id-partitioned table),
+  probe the ``n_probe`` closest lists per query, exact rerank inside probed
+  lists. Centroids are deterministic seeds (lowest-id corpus vectors) rather
+  than k-means iterates: grouped float summation is partial-agg
+  order-dependent, which would break the DuckDB bit-parity oracle — the
+  partition/probe/rerank plan (the part that matters at 100 TB) is identical
+  either way, and a k-means centroid refit can be swapped in behind the same
+  ``centroids=`` hook.
 """
 
 from __future__ import annotations
@@ -44,6 +54,73 @@ def ann_brute_topk(
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     pairs = pairs.withColumn("_d", cosine_distance(F.col("_qv"), F.col("_cv")))
     top = topk_per_key(pairs, "query_id", [F.asc("_d"), F.asc("neighbor_id")], k)
+    return top.select(
+        "query_id", "neighbor_id", "rank", F.round("_d", 6).alias("cos_dist")
+    )
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF (inverted-file) search.
+
+    Plan shape (the point, at scale):
+    - centroid table is tiny -> broadcast into BOTH assignment cross joins;
+      per-row argmin is a map-side partial ``min_by`` (struct total-order
+      tie-break on (dist, list_id)), so the only corpus-wide shuffle is the
+      groupBy that materializes the (neighbor_id, list_id, vec) index — the
+      IVF "build" step you'd persist partitioned by list_id.
+    - query probes (n_queries x n_probe small rows + vector) broadcast into
+      the candidate join, so the search phase never reshuffles the corpus.
+    - rerank touches only candidates in probed lists: cost ~ corpus/n_lists
+      * n_probe per query vs the brute-force full scan.
+
+    ``centroids``: optional (list_id, vector) DataFrame to override the
+    deterministic lowest-id seeds (e.g. a k-means fit).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv"))
+    if centroids is None:
+        cent = (
+            c.orderBy("neighbor_id")
+            .limit(n_lists)
+            .select(F.col("neighbor_id").alias("list_id"), F.col("_cv").alias("_lv"))
+        )
+    else:
+        cent = centroids.select("list_id", _as_double(F.col("vector")).alias("_lv"))
+
+    # index build: nearest centroid per corpus vector
+    asn = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("_d", cosine_distance(F.col("_cv"), F.col("_lv")))
+        .groupBy("neighbor_id")
+        .agg(F.min_by(F.struct("list_id", "_cv"), F.struct("_d", "list_id")).alias("_m"))
+        .select("neighbor_id", F.col("_m.list_id").alias("list_id"), F.col("_m._cv").alias("_cv"))
+    )
+
+    # probe: n_probe closest lists per query (carry the query vector through
+    # so the candidate join needs no second pass over the queries side)
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_d", cosine_distance(F.col("_qv"), F.col("_lv")))
+    )
+    probes = topk_per_key(probes, "query_id", [F.asc("_d"), F.asc("list_id")], n_probe)
+    probes = probes.select("query_id", "list_id", "_qv")
+
+    cand = asn.join(F.broadcast(probes), "list_id")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = cand.withColumn("_d", cosine_distance(F.col("_qv"), F.col("_cv")))
+    top = topk_per_key(cand, "query_id", [F.asc("_d"), F.asc("neighbor_id")], k)
     return top.select(
         "query_id", "neighbor_id", "rank", F.round("_d", 6).alias("cos_dist")
     )
