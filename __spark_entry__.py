@@ -44,6 +44,7 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.o
     ann_brute_topk,
     ann_ivf_topk,
     ann_lsh_topk,
+    dedup_components,
     dedup_exact,
     dedup_minhash_lsh,
     dedup_pairwise_jaccard,
@@ -273,9 +274,12 @@ def _q17_dedup_jaccard(spark, sf_dir):
 
 def _q18_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (the scale path): shingle -> minhash ->
-    band buckets -> bucket join -> exact-jaccard verify."""
+    band buckets -> bucket join -> exact-jaccard verify. hash_mode='kernel'
+    is the Arrow-batched twin of the portable hash spec — bit-identical
+    values (test_pipeline_ops::test_kernel_matches_expression_lsh), so the
+    DuckDB oracle still mirrors it exactly."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup_minhash_lsh(docs, threshold=0.5, max_bucket_size=64)
+    return dedup_minhash_lsh(docs, threshold=0.5, max_bucket_size=64, hash_mode="kernel")
 
 
 def _q19_simhash(spark, sf_dir):
@@ -478,6 +482,15 @@ def _q33_tumbling_window(spark, sf_dir):
     )
 
 
+def _q35_dedup_components(spark, sf_dir):
+    """Near-dup pairs -> connected components -> keep/drop per document
+    (min-id canonical). Pregel-style min-label propagation over the LSH
+    pair set; DuckDB oracle is a recursive-CTE transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(docs, threshold=0.5, max_bucket_size=64, hash_mode="kernel")
+    return dedup_components(docs, pairs)
+
+
 def _q34_ann_ivf(spark, sf_dir):
     """IVF (inverted-file) approximate cosine top-k: deterministic seed
     centroids -> corpus partitioned into lists (the one index-build shuffle)
@@ -524,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_sessionize": _q32_sessionize,
         "q33_tumbling_window": _q33_tumbling_window,
         "q34_ann_ivf": _q34_ann_ivf,
+        "q35_dedup_components": _q35_dedup_components,
     }
 
 
@@ -829,6 +843,58 @@ def _sql_lang_counts() -> str:
     return ", ".join(cols)
 
 
+def _sql_lsh_pairs() -> str:
+    """q18 oracle body: the full shingle->minhash->capped-band->verify
+    pipeline; also embedded as the pair source of the q35 components
+    oracle."""
+    return f"""
+            WITH {_SQL_SHINGLE_TABLE},
+            shd AS (
+                SELECT doc_id, list_distinct(hashes) AS hashes FROM shh
+            ),
+            sigs AS (
+                SELECT doc_id, {_sql_minhash_sig(16)} AS sig FROM shd
+            ),
+            bands AS (
+                {" UNION ALL ".join(
+                    "SELECT doc_id, " + str(b) + " AS band, concat_ws('-', "
+                    + ", ".join(f"sig[{b * 4 + r + 1}]" for r in range(4))
+                    + ") AS key FROM sigs"
+                    for b in range(4)
+                )}
+            ),
+            ok_buckets AS (
+                SELECT band, key FROM bands GROUP BY band, key HAVING count(*) <= 64
+            ),
+            capped AS (
+                SELECT b.* FROM bands b JOIN ok_buckets USING (band, key)
+            ),
+            cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM capped a JOIN capped b USING (band, key)
+                WHERE a.doc_id < b.doc_id
+            ),
+            pre AS (
+                SELECT c.id_a, c.id_b
+                FROM cands c
+                JOIN sigs ga ON c.id_a = ga.doc_id
+                JOIN sigs gb ON c.id_b = gb.doc_id
+                WHERE cast(len(list_filter(
+                          list_transform(range(1, len(ga.sig)+1),
+                              i -> CASE WHEN ga.sig[i] = gb.sig[i] THEN 1 ELSE 0 END),
+                          v -> v = 1)) AS double) / 16.0 >= 0.25
+            ),
+            verified AS (
+                SELECT p.id_a, p.id_b, sa.hashes AS _sa, sb.hashes AS _sb
+                FROM pre p
+                JOIN shd sa ON p.id_a = sa.doc_id
+                JOIN shd sb ON p.id_b = sb.doc_id
+            )
+            SELECT id_a, id_b, round({_SQL_JACCARD}, 6) AS jac
+            FROM verified WHERE {_SQL_JACCARD} >= 0.5
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": """
@@ -978,51 +1044,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round({_SQL_JACCARD}, 6) AS jac
             FROM pairs WHERE {_SQL_JACCARD} >= 0.5
         """,
-        "q18_dedup_minhash_lsh": f"""
-            WITH {_SQL_SHINGLE_TABLE},
-            shd AS (
-                SELECT doc_id, list_distinct(hashes) AS hashes FROM shh
+        "q18_dedup_minhash_lsh": _sql_lsh_pairs(),
+        "q35_dedup_components": f"""
+            WITH RECURSIVE pairs AS ({_sql_lsh_pairs()}),
+            sym AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM pairs
             ),
-            sigs AS (
-                SELECT doc_id, {_sql_minhash_sig(16)} AS sig FROM shd
+            reach(v, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.v
             ),
-            bands AS (
-                {" UNION ALL ".join(
-                    "SELECT doc_id, " + str(b) + " AS band, concat_ws('-', "
-                    + ", ".join(f"sig[{b * 4 + r + 1}]" for r in range(4))
-                    + ") AS key FROM sigs"
-                    for b in range(4)
-                )}
-            ),
-            ok_buckets AS (
-                SELECT band, key FROM bands GROUP BY band, key HAVING count(*) <= 64
-            ),
-            capped AS (
-                SELECT b.* FROM bands b JOIN ok_buckets USING (band, key)
-            ),
-            cands AS (
-                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM capped a JOIN capped b USING (band, key)
-                WHERE a.doc_id < b.doc_id
-            ),
-            pre AS (
-                SELECT c.id_a, c.id_b
-                FROM cands c
-                JOIN sigs ga ON c.id_a = ga.doc_id
-                JOIN sigs gb ON c.id_b = gb.doc_id
-                WHERE cast(len(list_filter(
-                          list_transform(range(1, len(ga.sig)+1),
-                              i -> CASE WHEN ga.sig[i] = gb.sig[i] THEN 1 ELSE 0 END),
-                          v -> v = 1)) AS double) / 16.0 >= 0.25
-            ),
-            verified AS (
-                SELECT p.id_a, p.id_b, sa.hashes AS _sa, sb.hashes AS _sb
-                FROM pre p
-                JOIN shd sa ON p.id_a = sa.doc_id
-                JOIN shd sb ON p.id_b = sb.doc_id
-            )
-            SELECT id_a, id_b, round({_SQL_JACCARD}, 6) AS jac
-            FROM verified WHERE {_SQL_JACCARD} >= 0.5
+            comp AS (SELECT v AS doc_id, min(lab) AS component FROM reach GROUP BY v)
+            SELECT doc_id, component, doc_id = component AS keep FROM comp
         """,
         "q19_simhash": f"""
             WITH tok AS (

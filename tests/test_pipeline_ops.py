@@ -111,6 +111,50 @@ def test_ann_lsh_subset_of_brute_candidates(spark):
     assert len(bk & lk) > 0
 
 
+def test_portable_hashes_match_per_shingle_fold(spark, docs):
+    """The codes-array fast path must produce exactly the hash SET of the
+    spec the DuckDB oracle implements: fold h=(h*31+ascii)%P over each
+    distinct shingle string."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.dedup import shingle_sets
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.text import HASH_BASE, HASH_P
+
+    sh = shingle_sets(docs, n=5)
+    spec = F.transform(
+        F.col("shingles"),
+        lambda s: F.aggregate(
+            F.split(s, ""),
+            F.lit(0).cast("long"),
+            lambda h, c: (h * HASH_BASE + F.ascii(c)) % HASH_P,
+        ),
+    )
+    rows = sh.select("doc_id", "hashes", F.array_distinct(spec).alias("ref")).collect()
+    assert rows
+    for r in rows:
+        assert r.hashes == r.ref, r.doc_id
+
+
+def test_kernel_matches_expression_lsh(spark, docs):
+    """hash_mode='kernel' must reproduce the portable expression path
+    EXACTLY (pairs and jaccard values) — it is the same integer spec."""
+    expr = sorted(map(tuple, dedup_minhash_lsh(docs, threshold=0.3).collect()))
+    kern = sorted(map(tuple, dedup_minhash_lsh(docs, threshold=0.3, hash_mode="kernel").collect()))
+    assert expr == kern
+    assert expr  # non-vacuous: the near-dup fixture pair must surface
+
+
+def test_dedup_components_keep_decisions(spark, docs):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: (r.component, r.keep) for r in dedup_components(docs, pairs).collect()}
+    # every doc labeled; chain 0-1-2 collapses to component 0; isolated doc 3
+    assert out[0] == (0, True) and out[1] == (0, False) and out[2] == (0, False)
+    assert out[3] == (3, True)
+    assert out[4] == (4, True) and out[5] == (4, False)
+
+
 def test_ann_ivf_recall_and_plan(spark):
     rng = np.random.default_rng(13)
     # clustered data: 6 centers x 15 members — the regime IVF is built for

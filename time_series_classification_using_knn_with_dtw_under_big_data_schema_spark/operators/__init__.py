@@ -3,6 +3,7 @@ from .topk import topk_per_key  # noqa: F401
 from .vote import majority_vote  # noqa: F401
 from .evaluate import accuracy, k_sweep  # noqa: F401
 from .dedup import (  # noqa: F401
+    dedup_components,
     dedup_exact,
     dedup_minhash_lsh,
     dedup_pairwise_jaccard,

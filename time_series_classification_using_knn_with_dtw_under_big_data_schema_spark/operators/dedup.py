@@ -16,9 +16,12 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .skew import fan_out
 from ..functions.text import (
     HASH_BASE,
     HASH_P,
@@ -59,7 +62,20 @@ def shingle_sets(
 ) -> DataFrame:
     """(id, shingles array<string>, hashes array<long>) per document.
 
+    ``hashes`` is the shingle-hash SET (distinct values, first-occurrence
+    order) in portable mode; in xxhash64 mode it is parallel to ``shingles``.
+    All consumers treat it as a set (array_distinct / array_min /
+    intersect-union sizes).
+
     hash_mode='portable': polynomial char fold (DuckDB-oracle-reproducible).
+    Computed from ONE ascii-codes array per document (split+ascii once, then
+    an n-wide integer fold per position) instead of per-shingle
+    substr->split->ascii — identical values to folding each shingle string
+    (the spec the DuckDB oracle implements; proven in
+    test_pipeline_ops::test_portable_hashes_match_per_shingle_fold), no
+    per-shingle string allocation, and the ``shingles`` strings column
+    no longer feeds ``hashes``, so Catalyst prunes it wherever callers
+    select hashes only (the whole LSH path).
     hash_mode='xxhash64': JVM-native xxhash64 reduced mod P — the production
     default at scale (one native call per shingle instead of a per-char
     lambda fold); same downstream semantics, not oracle-portable.
@@ -69,17 +85,63 @@ def shingle_sets(
     if hash_mode == "xxhash64":
         hashes = F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(HASH_P)))
     elif hash_mode == "portable":
-        hashes = F.transform(
-            F.col("shingles"),
-            lambda s: F.aggregate(
-                F.split(s, ""),
+        txt = F.col(text_col)
+        codes = F.transform(F.split(txt, ""), F.ascii)
+        L = F.length(txt)
+        # per-position fold over a codes slice; duplicate positions hash to
+        # duplicate values, so distinct(hashes) == hashes of distinct shingles
+        per_pos = F.transform(
+            F.sequence(F.lit(1), L - (n - 1)),
+            lambda i: F.aggregate(
+                F.slice(codes, i, n),
                 F.lit(0).cast("long"),
-                lambda h, c: (h * HASH_BASE + F.ascii(c)) % HASH_P,
+                lambda h, c: (h * HASH_BASE + c) % HASH_P,
             ),
         )
+        hashes = F.when(L >= n, F.array_distinct(per_pos)).otherwise(
+            F.array().cast("array<long>")
+        )
+        return df.select(F.col(id_col), sh.alias("shingles"), hashes.alias("hashes"))
     else:
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
     return out.withColumn("hashes", hashes)
+
+
+def make_shingle_minhash_udf(n: int = 5, num_hashes: int = 16):
+    """Arrow-batched kernel computing (distinct shingle hashes, minhash sig)
+    per document — bit-identical to the portable expression spec (pure int64
+    arithmetic, every intermediate < 2^63), ~20x less interpreter overhead.
+
+    The expression path evaluates ~(len*n + num_hashes*len) interpreted
+    lambda steps per document (the dominant LSH cost at bench scale); here
+    the same integers come out of a handful of vectorized numpy passes:
+    rolling polynomial hash as n strided mod-mul-adds over the codepoint
+    array, minhash as one (n_shingles x num_hashes) broadcast min.
+    """
+    A = np.asarray(MINHASH_A[:num_hashes], dtype=np.int64)
+    B = np.asarray(MINHASH_B[:num_hashes], dtype=np.int64)
+    # expression path yields array_min(empty)=NULL per slot for short docs
+    empty_sig = [None] * num_hashes
+
+    @F.pandas_udf("struct<hashes: array<long>, sig: array<long>>")
+    def kernel(texts: pd.Series) -> pd.DataFrame:
+        out_h, out_s = [], []
+        for t in texts:
+            if t is None or len(t) < n:
+                out_h.append(np.empty(0, dtype=np.int64))
+                out_s.append(empty_sig)
+                continue
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            m = len(codes) - n + 1
+            h = np.zeros(m, dtype=np.int64)
+            for j in range(n):
+                h = (h * HASH_BASE + codes[j : j + m]) % HASH_P
+            hs = pd.unique(h)  # first-occurrence order, matches array_distinct
+            out_h.append(hs)
+            out_s.append(((hs[:, None] * A[None, :] + B[None, :]) % HASH_P).min(axis=0))
+        return pd.DataFrame({"hashes": out_h, "sig": out_s})
+
+    return kernel
 
 
 def minhash_signature(hashes: Column, num_hashes: int = 16) -> Column:
@@ -115,7 +177,7 @@ def dedup_pairwise_jaccard(
     Oracle-grade ground truth; use dedup_minhash_lsh at scale.
     Output: (id_a, id_b, jac) with id_a < id_b.
     """
-    sh = shingle_sets(df, text_col=text_col, id_col=id_col, n=n)
+    sh = shingle_sets(fan_out(df), text_col=text_col, id_col=id_col, n=n)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -159,14 +221,27 @@ def dedup_minhash_lsh(
     if sig_prefilter is None:
         sig_prefilter = threshold / 2
     rows = num_hashes // bands
-    sh = (
-        shingle_sets(df, text_col=text_col, id_col=id_col, n=n, hash_mode=hash_mode)
-        .select(id_col, F.array_distinct("hashes").alias("hashes"))
-        .cache()
-    )
-    sig = sh.select(
-        id_col, minhash_signature(F.col("hashes"), num_hashes).alias("sig")
-    ).cache()
+    if hash_mode == "kernel":
+        # Arrow-batched twin of the portable spec (bit-identical values; see
+        # make_shingle_minhash_udf) — one Python boundary, then pure JVM
+        kern = make_shingle_minhash_udf(n, num_hashes).asNondeterministic()
+        ks = (
+            fan_out(df)
+            .select(F.col(id_col), kern(F.col(text_col)).alias("_k"))
+            .select(id_col, F.col("_k.hashes").alias("hashes"), F.col("_k.sig").alias("sig"))
+            .cache()
+        )
+        sh = ks.select(id_col, "hashes")
+        sig = ks.select(id_col, "sig")
+    else:
+        sh = (
+            shingle_sets(fan_out(df), text_col=text_col, id_col=id_col, n=n, hash_mode=hash_mode)
+            .select(id_col, F.array_distinct("hashes").alias("hashes"))
+            .cache()
+        )
+        sig = sh.select(
+            id_col, minhash_signature(F.col("hashes"), num_hashes).alias("sig")
+        ).cache()
     band_entries = sig.select(
         id_col,
         F.explode(
@@ -237,13 +312,83 @@ def dedup_minhash_lsh(
     return verified
 
 
+def dedup_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-dup pairs into keep/drop decisions per document.
+
+    ``pairs`` (id_a, id_b) are undirected near-dup edges (e.g. from
+    dedup_minhash_lsh); connected components are labeled by their minimum
+    member id and exactly one document per component (the minimum) is kept.
+    Output: (id_col, component, keep) for EVERY document — isolated docs are
+    their own component.
+
+    Plan: Pregel-style min-label propagation — per iteration one join
+    (labels into edges) + one groupBy-min (partial agg map-side), both
+    keyed on ids, so each round is a bounded pair of shuffles on the EDGE
+    set only, never the corpus. Converges in diameter(component) rounds;
+    near-dup clusters are shallow (pairwise-similar docs interlink), so
+    3-4 rounds typical. The driver loop only checks a scalar convergence
+    count per round — data never leaves the executors. Deterministic, so
+    the DuckDB oracle (recursive-CTE transitive closure) matches exactly.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().cache()
+    labels = (
+        docs.select(F.col(id_col).alias("v"))
+        .distinct()
+        .withColumn("component", F.col("v"))
+        .cache()
+    )
+    for _ in range(max_iterations):
+        msgs = (
+            sym.join(labels, sym.src == labels.v)
+            .groupBy("dst")
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, labels.v == msgs.dst, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("component"), F.coalesce("_nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("v").alias(id_col),
+        "component",
+        (F.col("v") == F.col("component")).alias("keep"),
+    )
+
+
 def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """Per-document SimHash (token-hash bit voting). Output: (id, simhash).
 
     Implemented explode->groupBy (scale-safe: partial aggregation of the
     per-bit vote sums map-side; one shuffle on doc id).
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = fan_out(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     h = F.aggregate(
         F.split(F.col("tok"), ""),
         F.lit(0).cast("long"),

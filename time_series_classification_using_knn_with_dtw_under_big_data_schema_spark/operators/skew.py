@@ -15,6 +15,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than the
+    cluster has slots.
+
+    Expression-heavy per-row phases (shingling, hashing, per-char folds) are
+    CPU-bound map work: their parallelism is exactly the input partition
+    count. A small/compacted table often arrives as ONE file -> one
+    partition -> one core does everything (observed: 5x wall-clock on the
+    LSH dedup at sf0.1). At 100 TB inputs arrive pre-split, so this is a
+    no-op there (the guard keeps existing parallelism untouched); locally it
+    buys the full slot count for one narrow shuffle of the input rows.
+    Row-order independent consumers only (all dedup/text ops are key-based).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
