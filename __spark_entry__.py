@@ -283,9 +283,12 @@ def _q18_dedup_minhash_lsh(spark, sf_dir):
 
 
 def _q19_simhash(spark, sf_dir):
-    """Per-document SimHash signatures (token-hash bit voting)."""
+    """Per-document SimHash signatures (token-hash bit voting). Kernel mode:
+    doc-local Arrow kernel, zero shuffle, integers identical to the
+    explode->groupBy expression plan the oracle mirrors
+    (test_pipeline_ops::test_simhash_kernel_matches_expr)."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash(docs)
+    return simhash(docs, mode="kernel")
 
 
 def _q20_text_stats(spark, sf_dir):
@@ -324,7 +327,7 @@ def _q23_ann_cosine(spark, sf_dir):
     baseline; generalized KNN core)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 25 == 0)
-    return ann_brute_topk(q, emb, k=5)
+    return ann_brute_topk(q, emb, k=5, strategy="kernel")
 
 
 def _q24_ann_lsh(spark, sf_dir):

@@ -42,6 +42,9 @@ SERIES_LEN = 64  # longer series at bench scale to stress the DTW kernel
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # the bench workload holds several caches (series, 561-pt, LSH sigs) in
+    # one JVM; headroom keeps late queries out of GC pressure
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark("bench")
     timings: dict[str, float] = {}
 
@@ -149,11 +152,13 @@ def main() -> None:
 
     # --- training-data pipeline operators --------------------------------
     run("dedup_exact", lambda: entry_mod._q16_dedup_exact(spark, sf_dir).count())
-    run("dedup_minhash_lsh", lambda: entry_mod._q18_dedup_minhash_lsh(spark, sf_dir).count())
+    run("dedup_minhash_lsh", lambda: entry_mod._q18_dedup_minhash_lsh(spark, sf_dir).count(), repeats=2)
     run("simhash", lambda: entry_mod._q19_simhash(spark, sf_dir).count())
     run("text_stats", lambda: entry_mod._q20_text_stats(spark, sf_dir).count())
+    run("dedup_components", lambda: entry_mod._q35_dedup_components(spark, sf_dir).count(), repeats=2)
     run("ann_brute_cosine", lambda: entry_mod._q23_ann_cosine(spark, sf_dir).count())
-    run("ann_lsh_cosine", lambda: entry_mod._q24_ann_lsh(spark, sf_dir).count())
+    run("ann_lsh_cosine", lambda: entry_mod._q24_ann_lsh(spark, sf_dir).count(), repeats=2)
+    run("ann_ivf_cosine", lambda: entry_mod._q34_ann_ivf(spark, sf_dir).count(), repeats=2)
 
     total = round(sum(timings.values()), 3)
     dtw_pairs_per_sec = round(n_pairs / timings["knn_fastdtw_k5"]) if timings.get("knn_fastdtw_k5") else None

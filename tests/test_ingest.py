@@ -80,3 +80,27 @@ def test_split_train_test_partition(spark):
     train, test = split_train_test(df)
     assert train.count() + test.count() == 20
     assert test.filter((F.col("series_id") % 4) != 0).count() == 0
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Two tables bucketed on the join key with equal bucket counts must
+    SortMergeJoin with no Exchange on either side (the write-once-shuffle,
+    join-many-times contract save_table_bucketed exists for)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import save_table_bucketed
+
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(100)], "k long, av string")
+    b = spark.createDataFrame([(i % 50, f"b{i}") for i in range(100)], "k long, bv string")
+    save_table_bucketed(a, "bkt_a", bucket_cols="k", num_buckets=4, sort_cols="k")
+    save_table_bucketed(b, "bkt_b", bucket_cols="k", num_buckets=4, sort_cols="k")
+    try:
+        # bucketed reads ignore AQE-forced broadcast only if SMJ is preferred
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == 100  # 50 b-keys x 2 matches each
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")

@@ -133,6 +133,20 @@ def test_portable_hashes_match_per_shingle_fold(spark, docs):
         assert r.hashes == r.ref, r.doc_id
 
 
+def test_simhash_kernel_matches_expr(spark, docs):
+    expr = sorted(map(tuple, simhash(docs).collect()))
+    kern = sorted(map(tuple, simhash(docs, mode="kernel").collect()))
+    assert expr == kern and expr
+    # empty/whitespace-only docs must vanish in both paths
+    empt = docs.sparkSession.createDataFrame(
+        [(10, "   ", "en"), (11, "real words here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    assert sorted(map(tuple, simhash(empt).collect())) == sorted(
+        map(tuple, simhash(empt, mode="kernel").collect())
+    )
+
+
 def test_kernel_matches_expression_lsh(spark, docs):
     """hash_mode='kernel' must reproduce the portable expression path
     EXACTLY (pairs and jaccard values) — it is the same integer spec."""
@@ -153,6 +167,16 @@ def test_dedup_components_keep_decisions(spark, docs):
     assert out[0] == (0, True) and out[1] == (0, False) and out[2] == (0, False)
     assert out[3] == (3, True)
     assert out[4] == (4, True) and out[5] == (4, False)
+
+
+def test_ann_kernel_matches_declarative(spark):
+    rng = np.random.default_rng(21)
+    vecs = [(i, [float(x) for x in rng.normal(size=16)], 0) for i in range(80)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>, label int")
+    q = df.filter("vec_id % 10 = 0")
+    decl = sorted(map(tuple, ann_brute_topk(q, df, k=4).collect()))
+    kern = sorted(map(tuple, ann_brute_topk(q, df, k=4, strategy="kernel").collect()))
+    assert decl == kern and decl
 
 
 def test_ann_ivf_recall_and_plan(spark):

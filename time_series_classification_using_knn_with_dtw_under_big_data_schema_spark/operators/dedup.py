@@ -382,12 +382,73 @@ def dedup_components(
     )
 
 
-def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+def make_simhash_udf(bits: int = 32):
+    """Arrow-batched SimHash kernel — bit-identical to the expression spec
+    (same char fold mod P, same +/-1 bit votes), entirely doc-local: no
+    token explode, NO shuffle at all. Token hashes are memoized per batch
+    (Zipfian vocab: a few k unique tokens hash once each).
+
+    Tokenization mirrors ``functions.text.tokens`` exactly: Java's ASCII
+    ``\\s`` class, lowercase, empties dropped.
+    """
+    import re
+
+    ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+    shifts = np.arange(bits, dtype=np.int64)
+    weights = (np.int64(1) << shifts)
+
+    @F.pandas_udf("long")
+    def kernel(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def th(tok: str) -> int:
+            v = memo.get(tok)
+            if v is None:
+                v = 0
+                for ch in tok:
+                    v = (v * HASH_BASE + ord(ch)) % HASH_P
+                memo[tok] = v
+            return v
+
+        # None for token-less docs: the expression plan's explode emits no
+        # row for them, so the kernel path filters these out to match
+        out: list[int | None] = []
+        for t in texts:
+            toks = [w for w in ws.split(t.strip().lower()) if w] if t else []
+            if not toks:
+                out.append(None)
+                continue
+            hs = np.fromiter((th(w) for w in toks), dtype=np.int64, count=len(toks))
+            bitmat = (hs[:, None] >> shifts[None, :]) & 1
+            votes = (2 * bitmat - 1).sum(axis=0)
+            out.append(int(weights[votes > 0].sum()))
+        return pd.Series(out, dtype="Int64")
+
+    return kernel
+
+
+def simhash(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    mode: str = "expr",
+) -> DataFrame:
     """Per-document SimHash (token-hash bit voting). Output: (id, simhash).
 
-    Implemented explode->groupBy (scale-safe: partial aggregation of the
-    per-bit vote sums map-side; one shuffle on doc id).
+    mode='expr': explode->groupBy expression plan (scale-safe: partial
+    aggregation of the per-bit vote sums map-side; one shuffle on doc id).
+    mode='kernel': Arrow-batched doc-local kernel — same integers, zero
+    shuffle (test_pipeline_ops::test_simhash_kernel_matches_expr).
     """
+    if mode == "kernel":
+        k = make_simhash_udf(bits).asNondeterministic()
+        return (
+            fan_out(df)
+            .select(F.col(id_col), k(F.col(text_col)).alias("simhash"))
+            .filter(F.col("simhash").isNotNull())
+        )
     tok = fan_out(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     h = F.aggregate(
         F.split(F.col("tok"), ""),

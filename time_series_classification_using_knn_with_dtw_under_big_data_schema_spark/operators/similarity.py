@@ -44,11 +44,64 @@ def ann_brute_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    strategy: str = "declarative",
 ) -> DataFrame:
     """Exact top-k cosine neighbors. Output: (query_id, neighbor_id, rank,
-    cos_dist rounded to 6dp)."""
+    cos_dist rounded to 6dp).
+
+    strategy='declarative': crossJoin + codegen'd fold + WindowGroupLimit —
+    the pure-Catalyst expression of the plan (and the oracle's mirror).
+    strategy='kernel': corpus matrix as a numpy broadcast variable, one
+    vectorized scoring pass per query row in mapInPandas, only top-k rows
+    emitted (no pair materialization, no window shuffle). Dot products and
+    norms accumulate dim-ascending — elementwise the exact IEEE op order of
+    the SQL left-fold — and rounding stays JVM-side, so distances are
+    bit-identical to the declarative path (same DuckDB oracle applies;
+    test_pipeline_ops::test_ann_kernel_matches_declarative).
+    """
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv"))
+    if strategy == "kernel":
+        rows = c.collect()
+        if not rows:
+            raise ValueError("empty corpus side")
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        bvar = queries.sparkSession.sparkContext.broadcast((ids, M))
+        kk, excl = k, exclude_self
+        dim = M.shape[1]
+
+        def op(batches):
+            b_ids, B = bvar.value
+            # left-fold-exact: accumulate dim-by-dim in ascending order
+            cn = np.zeros(len(b_ids))
+            for d in range(dim):
+                cn += B[:, d] * B[:, d]
+            cn = np.sqrt(cn)
+            for pdf in batches:
+                out = {"query_id": [], "neighbor_id": [], "rank": [], "_d": []}
+                for qid, f in zip(pdf["query_id"], pdf["_qv"]):
+                    a = np.asarray(f, dtype=np.float64)
+                    dot = np.zeros(len(b_ids))
+                    qn = 0.0
+                    for d in range(dim):
+                        dot += a[d] * B[:, d]
+                        qn = qn + a[d] * a[d]
+                    dist = 1.0 - dot / (np.sqrt(qn) * cn)
+                    mask = b_ids != qid if excl else np.ones(len(b_ids), dtype=bool)
+                    di, ii = dist[mask], b_ids[mask]
+                    order = np.lexsort((ii, di))[:kk]
+                    m = len(order)
+                    out["query_id"].extend([qid] * m)
+                    out["neighbor_id"].extend(ii[order])
+                    out["rank"].extend(range(1, m + 1))
+                    out["_d"].extend(di[order])
+                yield pd.DataFrame(out)
+
+        top = q.mapInPandas(op, schema="query_id long, neighbor_id long, rank int, _d double")
+        return top.select(
+            "query_id", "neighbor_id", "rank", F.round("_d", 6).alias("cos_dist")
+        )
     pairs = q.crossJoin(F.broadcast(c))
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))

@@ -42,3 +42,30 @@ def save_table(df: DataFrame, path_or_name: str, *, mode: str = "overwrite") -> 
         df.write.mode(mode).parquet(path_or_name)
     else:
         df.write.mode(mode).format("parquet").saveAsTable(path_or_name)
+
+
+def save_table_bucketed(
+    df: DataFrame,
+    name: str,
+    *,
+    bucket_cols: str | list[str],
+    num_buckets: int = 32,
+    sort_cols: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink — the co-located-join path at 100 TB.
+
+    Two tables bucketed on the same key with the same bucket count join with
+    NO exchange on either side (SortMergeJoin reads bucket i against bucket
+    i directly); the shuffle is paid once at write time instead of on every
+    downstream join/aggregate. Sorting within buckets additionally drops the
+    sort phase. This is Spark's native equivalent of the "pre-partitioned
+    fact table" every large pipeline ends up needing; proven shuffle-free in
+    test_ingest::test_bucketed_join_is_shuffle_free.
+    """
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)
