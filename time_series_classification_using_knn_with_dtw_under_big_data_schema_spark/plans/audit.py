@@ -60,7 +60,12 @@ def python_eval_nodes(df: DataFrame) -> int:
     """Number of Python-evaluation operators in the plan (0 for pure-JVM
     plans; exactly 1 for a single pandas_udf distance)."""
     p = executed_plan(df)
-    return p.count("ArrowEvalPython") + p.count("BatchEvalPython")
+    return (
+        p.count("ArrowEvalPython")
+        + p.count("BatchEvalPython")
+        + p.count("MapInPandas")
+        + p.count("FlatMapGroupsInPandas")
+    )
 
 
 def codegen_stage_count(df: DataFrame) -> int:
