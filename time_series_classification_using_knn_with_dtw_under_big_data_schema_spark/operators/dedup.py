@@ -342,11 +342,15 @@ def dedup_components(
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().cache()
+    # localCheckpoint (eager) instead of cache: truncates lineage each round
+    # so the plan stays O(1) across iterations (cached-only loops nest the
+    # full prior lineage inside every InMemoryRelation — harmless to run,
+    # hostile to debugging and to any non-cached recompute path)
     labels = (
         docs.select(F.col(id_col).alias("v"))
         .distinct()
         .withColumn("component", F.col("v"))
-        .cache()
+        .localCheckpoint()
     )
     for _ in range(max_iterations):
         msgs = (
@@ -362,7 +366,7 @@ def dedup_components(
                     F.col("component"), F.coalesce("_nbr_min", F.col("component"))
                 ).alias("component"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -370,7 +374,6 @@ def dedup_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
