@@ -485,6 +485,30 @@ def _q33_tumbling_window(spark, sf_dir):
     )
 
 
+def _q36_percentiles(spark, sf_dir):
+    """Exact grouped percentiles over integer cents (the OLAP quantile
+    surface). Spark `percentile` and DuckDB `quantile_cont` share the
+    (n-1)*p linear-interpolation definition, so doubles match bit-for-bit
+    on integer inputs."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pcts = F.expr(
+        "percentile(_cents, array(0.25D, 0.5D, 0.9D, 0.99D))"
+    )
+    return (
+        li.select("l_returnflag", cents.alias("_cents"))
+        .groupBy("l_returnflag")
+        .agg(pcts.alias("_p"))
+        .select(
+            "l_returnflag",
+            F.element_at("_p", 1).alias("p25"),
+            F.element_at("_p", 2).alias("p50"),
+            F.element_at("_p", 3).alias("p90"),
+            F.element_at("_p", 4).alias("p99"),
+        )
+    )
+
+
 def _q35_dedup_components(spark, sf_dir):
     """Near-dup pairs -> connected components -> keep/drop per document
     (min-id canonical). Pregel-style min-label propagation over the LSH
@@ -541,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_tumbling_window": _q33_tumbling_window,
         "q34_ann_ivf": _q34_ann_ivf,
         "q35_dedup_components": _q35_dedup_components,
+        "q36_percentiles": _q36_percentiles,
     }
 
 
@@ -1158,6 +1183,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q24_ann_lsh": _sql_ann_lsh(),
         "q34_ann_ivf": _sql_ann_ivf(),
+        "q36_percentiles": """
+            WITH c AS (
+                SELECT l_returnflag,
+                       cast(round(l_extendedprice * 100) AS bigint) AS cents
+                FROM lineitem
+            ),
+            g AS (
+                SELECT l_returnflag,
+                       quantile_cont(cents, [0.25, 0.5, 0.9, 0.99]) AS p
+                FROM c GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, p[1] AS p25, p[2] AS p50, p[3] AS p90,
+                   p[4] AS p99
+            FROM g
+        """,
         "q29_rollup": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    sum(cast(round(l_extendedprice * 100) AS bigint)) AS sum_cents
