@@ -485,6 +485,65 @@ def _q33_tumbling_window(spark, sf_dir):
     )
 
 
+def _q37_running_windows(spark, sf_dir):
+    """Running/sliding window aggregates (cumulative sum, lag, 3-row moving
+    average) per customer in (o_orderdate, o_orderkey) total order — integer
+    cents keep every sum exact; the moving average divides two exact
+    integers so the double matches bit-wise cross-engine."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    w3 = w.rowsBetween(-2, 0)
+    d = o.select("o_custkey", "o_orderkey", "o_orderdate", cents.alias("_c"))
+    return d.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("_c").over(wc).alias("run_cents"),
+        F.lag("_c").over(w).alias("prev_cents"),
+        (
+            F.sum("_c").over(w3).cast("double") / F.count(F.lit(1)).over(w3)
+        ).alias("avg3"),
+    )
+
+
+def _q38_date_parts(spark, sf_dir):
+    """Date/time scalar functions (SURVEY §2.7 family): extract parts,
+    truncate to month, day-difference arithmetic — outputs as ints/longs so
+    cross-engine timestamp formatting never reaches the hash."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_end"),
+        F.unix_timestamp(F.date_trunc("month", "o_orderdate")).alias("month_start_epoch"),
+    )
+
+
+def _q39_json_extract(spark, sf_dir):
+    """JSON scalar functions on an embedded payload column (engine surface
+    for semi-structured ingest): path extraction, typed cast, array index."""
+    rows = [
+        (1, '{"user": {"id": 7, "name": "ada"}, "tags": ["x", "y"], "score": 3.5}'),
+        (2, '{"user": {"id": 9, "name": "bob"}, "tags": [], "score": 1.25}'),
+        (3, '{"user": {"id": 11}, "tags": ["z"]}'),
+        (4, "not json at all"),
+    ]
+    df = spark.createDataFrame(rows, "id int, payload string")
+    return df.select(
+        "id",
+        F.get_json_object("payload", "$.user.id").cast("long").alias("user_id"),
+        F.get_json_object("payload", "$.user.name").alias("user_name"),
+        F.get_json_object("payload", "$.tags[0]").alias("first_tag"),
+        F.get_json_object("payload", "$.score").cast("double").alias("score"),
+    )
+
+
 def _q36_percentiles(spark, sf_dir):
     """Exact grouped percentiles over integer cents (the OLAP quantile
     surface). Spark `percentile` and DuckDB `quantile_cont` share the
@@ -566,6 +625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_ann_ivf": _q34_ann_ivf,
         "q35_dedup_components": _q35_dedup_components,
         "q36_percentiles": _q36_percentiles,
+        "q37_running_windows": _q37_running_windows,
+        "q38_date_parts": _q38_date_parts,
+        "q39_json_extract": _q39_json_extract,
     }
 
 
@@ -1183,6 +1245,60 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q24_ann_lsh": _sql_ann_lsh(),
         "q34_ann_ivf": _sql_ann_ivf(),
+        "q38_date_parts": """
+            SELECT o_orderkey,
+                   cast(year(o_orderdate) AS int) AS yr,
+                   cast(month(o_orderdate) AS int) AS mo,
+                   cast(day(o_orderdate) AS int) AS dom,
+                   cast(quarter(o_orderdate) AS int) AS qtr,
+                   cast(date_diff('day', cast(o_orderdate AS date),
+                                  DATE '1998-12-31') AS int) AS days_to_end,
+                   cast(epoch(date_trunc('month', o_orderdate)) AS bigint)
+                       AS month_start_epoch
+            FROM orders
+        """,
+        "q39_json_extract": """
+            WITH j(id, payload) AS (VALUES
+                (1, '{"user": {"id": 7, "name": "ada"}, "tags": ["x", "y"], "score": 3.5}'),
+                (2, '{"user": {"id": 9, "name": "bob"}, "tags": [], "score": 1.25}'),
+                (3, '{"user": {"id": 11}, "tags": ["z"]}'),
+                (4, 'not json at all')
+            )
+            SELECT cast(id AS int) AS id,
+                   cast(CASE WHEN json_valid(payload)
+                             THEN json_extract_string(payload, '$.user.id')
+                        END AS bigint) AS user_id,
+                   CASE WHEN json_valid(payload)
+                        THEN json_extract_string(payload, '$.user.name')
+                   END AS user_name,
+                   CASE WHEN json_valid(payload)
+                        THEN json_extract_string(payload, '$.tags[0]')
+                   END AS first_tag,
+                   cast(CASE WHEN json_valid(payload)
+                             THEN json_extract_string(payload, '$.score')
+                        END AS double) AS score
+            FROM j
+        """,
+        "q37_running_windows": """
+            WITH d AS (
+                SELECT o_custkey, o_orderkey, o_orderdate,
+                       cast(round(o_totalprice * 100) AS bigint) AS c
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey,
+                   sum(c) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey
+                                ROWS UNBOUNDED PRECEDING) AS run_cents,
+                   lag(c) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev_cents,
+                   cast(sum(c) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS 2 PRECEDING) AS double)
+                   / count(*) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey
+                                    ROWS 2 PRECEDING) AS avg3
+            FROM d
+        """,
         "q36_percentiles": """
             WITH c AS (
                 SELECT l_returnflag,
