@@ -87,3 +87,67 @@ def test_streaming_scores_match_batch(spark, har_dfs, tmp_path, k):
         for r in knn_classify(test_small, train_df, metric="euclidean", k=k).collect()
     }
     assert got == expect
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import (
+        stream_dedup_exact,
+        stream_dedup_fingerprint,
+    )
+
+    rows = [
+        (1, "alpha beta"),
+        (2, "alpha beta"),   # exact dup of 1
+        (3, "gamma delta"),
+        (4, "alpha beta"),   # another dup
+        (5, "epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "dedup_src")
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    for name, op in [
+        ("dd_exact", lambda s: stream_dedup_exact(s, key_cols=["text"])),
+        ("dd_fp", lambda s: stream_dedup_fingerprint(s)),
+    ]:
+        q = (
+            op(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {r.text for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        finally:
+            q.stop()
+        assert got == {"alpha beta", "gamma delta", "epsilon"}
+        # exactly one survivor per content group
+        n = spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0].n
+        assert n == 3
+
+
+def test_streaming_dedup_watermarked(spark, tmp_path):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import stream_dedup_exact
+    from pyspark.sql import functions as F
+
+    rows = [(i, "same content", f"2024-01-01 00:0{i}:00") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts_s string").select(
+        "doc_id", "text", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    src = str(tmp_path / "dedup_wm_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = stream_dedup_exact(
+        stream, key_cols=["text"], event_time_col="ts", within="10 minutes"
+    )
+    q = out.writeStream.outputMode("append").format("memory").queryName("dd_wm").start()
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) AS n FROM dd_wm").collect()[0].n
+    finally:
+        q.stop()
+    # all three arrive inside one watermark window -> one survivor
+    assert n == 1
