@@ -352,13 +352,17 @@ def dedup_components(
         .withColumn("component", F.col("v"))
         .localCheckpoint()
     )
+    # convergence probe: labels only ever DECREASE (min-propagation), so the
+    # exact integer sum of components strictly decreases until fixpoint —
+    # one agg job per round instead of a labels-vs-labels join+count
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iterations):
         msgs = (
             sym.join(labels, sym.src == labels.v)
             .groupBy("dst")
             .agg(F.min("component").alias("_nbr_min"))
         )
-        new_labels = (
+        labels = (
             labels.join(msgs, labels.v == msgs.dst, "left")
             .select(
                 "v",
@@ -368,15 +372,10 @@ def dedup_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     sym.unpersist()
     return labels.select(
         F.col("v").alias(id_col),
