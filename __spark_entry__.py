@@ -544,6 +544,80 @@ def _q39_json_extract(spark, sf_dir):
     )
 
 
+def _media_rows() -> list[tuple[int, str, int, int]]:
+    """Deterministic printable-ASCII media payloads (no RNG: byte streams
+    must be reproducible as SQL literals for the oracle)."""
+    rows = []
+    for i in range(24):
+        s = "".join(chr(32 + (i * 7 + j * 3) % 95) for j in range(48))
+        rows.append((i, s, 64 + i % 5, 48))
+    return rows
+
+
+def _q40_multimodal_features(spark, sf_dir):
+    """Multimodal decode plumbing end-to-end: binary payload -> mapInPandas
+    feature extraction. The stubbed decode is sha256-derived (deterministic),
+    and DuckDB has the same sha256 — so even this Python-kernel path gets an
+    EXACT oracle (features are u4-LE words of the digest / 2^32; all doubles
+    exact, no rounding anywhere)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_features,
+    )
+
+    data = [
+        (i, bytearray(s, "ascii"), ("image", w, h, 0))
+        for i, s, w, h in _media_rows()
+    ]
+    df = spark.createDataFrame(data, MEDIA_SCHEMA)
+    feats = decode_image_features(df, n_features=8)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "mean_luma",
+        *[F.element_at("feature", k + 1).alias(f"f{k}") for k in range(8)],
+    )
+
+
+def _sql_multimodal() -> str:
+    """Oracle for q40: sha256 hex -> little-endian u4 words -> /2^32,
+    mirroring operators/multimodal.py::_fake_decode exactly."""
+
+    def dv(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+
+    def byte(j: int) -> str:
+        return f"(16 * {dv(2 * j + 1)} + {dv(2 * j + 2)})"
+
+    def u4(k: int) -> str:
+        return " + ".join(f"{byte(4 * k + j)} * {256 ** j}" for j in range(4))
+
+    feats = ", ".join(
+        f"cast({u4(k)} AS double) / 4294967296.0 AS f{k}" for k in range(8)
+    )
+    mean = "(" + " + ".join(f"f{k}" for k in range(8)) + ") / 8.0"
+    values = ",\n                ".join(
+        "({}, '{}', {}, {})".format(i, s.replace("'", "''"), w, h)
+        for i, s, w, h in _media_rows()
+    )
+    return f"""
+        WITH m(media_id, payload, width, height) AS (VALUES
+                {values}
+        ),
+        h AS (
+            SELECT media_id, width, height, sha256(payload) AS hx FROM m
+        ),
+        f AS (
+            SELECT media_id, width, height, {feats} FROM h
+        )
+        SELECT media_id, cast(width AS int) AS width,
+               cast(height AS int) AS height, {mean} AS mean_luma,
+               {", ".join(f"f{k}" for k in range(8))}
+        FROM f
+    """
+
+
 def _q36_percentiles(spark, sf_dir):
     """Exact grouped percentiles over integer cents (the OLAP quantile
     surface). Spark `percentile` and DuckDB `quantile_cont` share the
@@ -628,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_running_windows": _q37_running_windows,
         "q38_date_parts": _q38_date_parts,
         "q39_json_extract": _q39_json_extract,
+        "q40_multimodal_features": _q40_multimodal_features,
     }
 
 
@@ -1245,6 +1320,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q24_ann_lsh": _sql_ann_lsh(),
         "q34_ann_ivf": _sql_ann_ivf(),
+        "q40_multimodal_features": _sql_multimodal(),
         "q38_date_parts": """
             SELECT o_orderkey,
                    cast(year(o_orderdate) AS int) AS yr,
