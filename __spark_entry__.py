@@ -618,6 +618,23 @@ def _sql_multimodal() -> str:
     """
 
 
+def _q41_frame_sampling(spark, sf_dir):
+    """Video frame-sampling fan-out (every 10th frame index per media row
+    with frames) — the explode-over-metadata plumbing of the multimodal
+    pipeline, minus the stubbed byte extraction."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    data = [
+        (i, bytearray(s, "ascii"), ("video" if i % 3 == 0 else "image", w, h, (i % 3 == 0) * (20 + i)))
+        for i, s, w, h in _media_rows()
+    ]
+    df = spark.createDataFrame(data, MEDIA_SCHEMA)
+    return sample_frames(df, every_n=10).select("media_id", "frame_index")
+
+
 def _q36_percentiles(spark, sf_dir):
     """Exact grouped percentiles over integer cents (the OLAP quantile
     surface). Spark `percentile` and DuckDB `quantile_cont` share the
@@ -703,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_date_parts": _q38_date_parts,
         "q39_json_extract": _q39_json_extract,
         "q40_multimodal_features": _q40_multimodal_features,
+        "q41_frame_sampling": _q41_frame_sampling,
     }
 
 
@@ -1321,6 +1339,16 @@ def oracle_sql() -> dict[str, str]:
         "q24_ann_lsh": _sql_ann_lsh(),
         "q34_ann_ivf": _sql_ann_ivf(),
         "q40_multimodal_features": _sql_multimodal(),
+        "q41_frame_sampling": f"""
+            WITH m(media_id, n_frames) AS (VALUES
+                {", ".join(f"({i}, {20 + i})" for i, _, _, _ in _media_rows() if i % 3 == 0)}
+            )
+            SELECT media_id, cast(frame_index AS int) AS frame_index
+            FROM (
+                SELECT media_id, unnest(range(0, n_frames, 10)) AS frame_index
+                FROM m WHERE n_frames > 0
+            )
+        """,
         "q38_date_parts": """
             SELECT o_orderkey,
                    cast(year(o_orderdate) AS int) AS yr,
