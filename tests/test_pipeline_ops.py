@@ -167,6 +167,13 @@ def test_dedup_components_keep_decisions(spark, docs):
     assert out[0] == (0, True) and out[1] == (0, False) and out[2] == (0, False)
     assert out[3] == (3, True)
     assert out[4] == (4, True) and out[5] == (4, False)
+    # distributed Pregel path (local_threshold=0 forces it) must agree with
+    # the driver union-find path exactly
+    dist = {
+        r.doc_id: (r.component, r.keep)
+        for r in dedup_components(docs, pairs, local_threshold=0).collect()
+    }
+    assert dist == out
 
 
 def test_ann_kernel_matches_declarative(spark):

@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .skew import fan_out
 from ..functions.text import (
@@ -216,6 +217,13 @@ def dedup_minhash_lsh(
     jaccard runs on the distinct HASH arrays (long compares, not strings) —
     identical result up to mod-P shingle collisions (~1e-4/doc), and both
     phases are deterministic, so the DuckDB oracle mirrors them exactly.
+
+    Shuffle shape: ONE cached (id, hashes, sig) corpus table feeds both the
+    banding and a single candidates⋈ks_a⋈ks_b verification join — the
+    corpus is shuffled once per join side, not once per phase (the
+    sig-prefilter and hash-verify phases are fused; prefilter still
+    short-circuits the expensive set-intersect per row because the fused
+    conjunction evaluates left-to-right in codegen).
     """
     assert num_hashes % bands == 0
     if sig_prefilter is None:
@@ -231,18 +239,14 @@ def dedup_minhash_lsh(
             .select(id_col, F.col("_k.hashes").alias("hashes"), F.col("_k.sig").alias("sig"))
             .cache()
         )
-        sh = ks.select(id_col, "hashes")
-        sig = ks.select(id_col, "sig")
     else:
-        sh = (
+        ks = (
             shingle_sets(fan_out(df), text_col=text_col, id_col=id_col, n=n, hash_mode=hash_mode)
             .select(id_col, F.array_distinct("hashes").alias("hashes"))
+            .withColumn("sig", minhash_signature(F.col("hashes"), num_hashes))
             .cache()
         )
-        sig = sh.select(
-            id_col, minhash_signature(F.col("hashes"), num_hashes).alias("sig")
-        ).cache()
-    band_entries = sig.select(
+    band_entries = ks.select(
         id_col,
         F.explode(
             F.array(
@@ -281,8 +285,12 @@ def dedup_minhash_lsh(
         .distinct()
     )
 
-    siga = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_siga"))
-    sigb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sigb"))
+    ksa = ks.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("_siga"), F.col("hashes").alias("_sa")
+    )
+    ksb = ks.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("_sigb"), F.col("hashes").alias("_sb")
+    )
     est = (
         F.size(
             F.filter(
@@ -292,19 +300,11 @@ def dedup_minhash_lsh(
         ).cast("double")
         / F.lit(float(num_hashes))
     )
-    prefiltered = (
-        candidates.join(siga, "id_a")
-        .join(sigb, "id_b")
+    verified = (
+        candidates.join(ksa, "id_a")
+        .join(ksb, "id_b")
         .withColumn("_est", est)
         .filter(F.col("_est") >= sig_prefilter)
-        .select("id_a", "id_b")
-    )
-
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("hashes").alias("_sa"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("hashes").alias("_sb"))
-    verified = (
-        prefiltered.join(sa, "id_a")
-        .join(sb, "id_b")
         .withColumn("jac", jaccard(F.col("_sa"), F.col("_sb")))
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
@@ -318,6 +318,7 @@ def dedup_components(
     *,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Resolve near-dup pairs into keep/drop decisions per document.
 
@@ -327,14 +328,29 @@ def dedup_components(
     Output: (id_col, component, keep) for EVERY document — isolated docs are
     their own component.
 
-    Plan: Pregel-style min-label propagation — per iteration one join
-    (labels into edges) + one groupBy-min (partial agg map-side), both
-    keyed on ids, so each round is a bounded pair of shuffles on the EDGE
-    set only, never the corpus. Converges in diameter(component) rounds;
-    near-dup clusters are shallow (pairwise-similar docs interlink), so
-    3-4 rounds typical. The driver loop only checks a scalar convergence
-    count per round — data never leaves the executors. Deterministic, so
-    the DuckDB oracle (recursive-CTE transitive closure) matches exactly.
+    Plan: the edge set of a near-dup graph is tiny relative to the corpus
+    (it is the DUPLICATED fraction, already bucket-capped upstream), so the
+    component solve is hybrid, like Spark's own broadcast-join threshold:
+
+    - ``|edges| <= local_threshold``: collect the edge list (two longs per
+      edge — the threshold default bounds this at ~32 MB), run union-find
+      on the driver in O(E α(E)), and ship the (vertex → min-id component)
+      map back as a join table. One collect, zero iterative jobs.
+    - otherwise: Pregel-style min-label propagation — per iteration one
+      join (labels into edges) + one groupBy-min (partial agg map-side),
+      both keyed on ids, so each round is a bounded pair of shuffles on the
+      EDGE set only, never the corpus. Converges in diameter(component)
+      rounds; near-dup clusters are shallow (pairwise-similar docs
+      interlink), so 3-4 rounds typical. The driver loop only checks a
+      scalar convergence count per round.
+
+    In both paths the loop/solve state is restricted to EDGE ENDPOINTS
+    (isolated docs — the overwhelming majority of a lightly-duplicated
+    corpus — never enter; they are attached by one final left join), so at
+    scale the working set is O(near-dup docs), not O(corpus). Both paths
+    are deterministic with identical output (component = min member id),
+    so the DuckDB oracle (recursive-CTE transitive closure) matches
+    exactly.
     """
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -342,12 +358,48 @@ def dedup_components(
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().cache()
+    id_type = pairs.schema["id_a"].dataType
+    n_edges = sym.count() // 2
+    if n_edges <= local_threshold:
+        # collect the (cached) symmetric set — both directions is 2x the
+        # bytes but zero recompute; union-find is direction-insensitive
+        local = [(r[0], r[1]) for r in sym.collect()]
+        sym.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        verts = set()
+        for a, b in local:
+            verts.add(a)
+            verts.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for v in verts:
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        label_rows = [(v, comp_min[find(v)]) for v in sorted(verts)]
+        labels = pairs.sparkSession.createDataFrame(
+            label_rows,
+            T.StructType(
+                [T.StructField("v", id_type), T.StructField("component", id_type)]
+            ),
+        )
+        return _attach_isolated(docs, labels, id_col)
     # localCheckpoint (eager) instead of cache: truncates lineage each round
     # so the plan stays O(1) across iterations (cached-only loops nest the
     # full prior lineage inside every InMemoryRelation — harmless to run,
     # hostile to debugging and to any non-cached recompute path)
     labels = (
-        docs.select(F.col(id_col).alias("v"))
+        sym.select(F.col("src").alias("v"))  # sym is symmetric: src covers all endpoints
         .distinct()
         .withColumn("component", F.col("v"))
         .localCheckpoint()
@@ -377,10 +429,25 @@ def dedup_components(
             break
         prev_sum = cur_sum
     sym.unpersist()
-    return labels.select(
-        F.col("v").alias(id_col),
-        "component",
-        (F.col("v") == F.col("component")).alias("keep"),
+    return _attach_isolated(docs, labels, id_col)
+
+
+def _attach_isolated(docs: DataFrame, labels: DataFrame, id_col: str) -> DataFrame:
+    """(id, component, keep) for every doc: labeled endpoints from ``labels``
+    (v, component), isolated docs as their own component. The endpoint label
+    table is tiny relative to the corpus — AQE turns this into a broadcast
+    join at runtime (not forced: a pathologically duplicate-heavy corpus
+    could have a non-broadcastable endpoint set)."""
+    comp = F.coalesce("component", F.col(id_col))
+    return (
+        docs.select(id_col)
+        .distinct()
+        .join(labels.withColumnRenamed("v", id_col), id_col, "left")
+        .select(
+            id_col,
+            comp.alias("component"),
+            (F.col(id_col) == comp).alias("keep"),
+        )
     )
 
 
