@@ -54,6 +54,8 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.o
     knn_predict_1nn,
     majority_vote,
     simhash,
+    asof_join,
+    resample_ffill,
 )
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import (
     events_to_series,
@@ -635,6 +637,55 @@ def _q41_frame_sampling(spark, sf_dir):
     return sample_frames(df, every_n=10).select("media_id", "frame_index")
 
 
+def _q42_asof_join(spark, sf_dir):
+    """As-of join (backward, inclusive): each click event attaches the most
+    recent at-or-before purchase of the same user. Union-sort plan — ONE
+    shuffle on user_id, no join node at all (SURVEY §2.3 lists range/as-of
+    joins as absent from the reference; Spark's own planner would turn the
+    range predicate into a nested-loop join, so the engine rewrites it).
+    DuckDB mirrors with its native ASOF LEFT JOIN. The right side is
+    deduplicated per (user_id, ts) so both engines' duplicate-ts resolution
+    is vacuous; values are untouched parquet doubles — exact hash match."""
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id", F.expr("ts DIV 1000").alias("ts_us"), "event_id", "event_type", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "event_id"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts="ts_us",
+        value_cols=["purchase_value"],
+        suffix="_purchase",
+    )
+
+
+def _q43_gap_fill(spark, sf_dir):
+    """Gap-fill / resample: per-user daily grid (aligned to day boundaries
+    via integer-exact mn - mn%step), forward-filled with the most recent
+    observation at-or-before each grid point. Grid is sequence+explode
+    (executor-side); the fill reuses the as-of union-sort plan. DuckDB
+    oracle: generate_series + native ASOF LEFT JOIN."""
+    e = _t(spark, sf_dir, "events")
+    day_us = 86400 * 1_000_000
+    obs = (
+        e.select("user_id", F.expr("ts DIV 1000").alias("ts_us"), "value")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("value"))
+    )
+    return resample_ffill(
+        obs, key="user_id", ts="ts_us", step=day_us, value_cols=["value"]
+    )
+
+
 def _q36_percentiles(spark, sf_dir):
     """Exact grouped percentiles over integer cents (the OLAP quantile
     surface). Spark `percentile` and DuckDB `quantile_cont` share the
@@ -721,6 +772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_json_extract": _q39_json_extract,
         "q40_multimodal_features": _q40_multimodal_features,
         "q41_frame_sampling": _q41_frame_sampling,
+        "q42_asof_join": _q42_asof_join,
+        "q43_gap_fill": _q43_gap_fill,
     }
 
 
@@ -1348,6 +1401,44 @@ def oracle_sql() -> dict[str, str]:
                 SELECT media_id, unnest(range(0, n_frames, 10)) AS frame_index
                 FROM m WHERE n_frames > 0
             )
+        """,
+        "q42_asof_join": """
+            WITH ev AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+                FROM events
+            ),
+            clicks AS (
+                SELECT user_id, ts_us, event_id FROM ev WHERE event_type = 'click'
+            ),
+            purch AS (
+                SELECT user_id, ts_us, max(value) AS purchase_value
+                FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT c.user_id, c.ts_us, c.event_id,
+                   p.ts_us AS ts_us_purchase, p.purchase_value
+            FROM clicks c
+            ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+        """,
+        "q43_gap_fill": """
+            WITH obs AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS value
+                FROM events GROUP BY 1, 2
+            ),
+            b AS (
+                SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx
+                FROM obs GROUP BY 1
+            ),
+            g AS (
+                SELECT user_id,
+                       unnest(generate_series(mn - mn % 86400000000, mx,
+                                              86400000000)) AS ts_us
+                FROM b
+            )
+            SELECT g.user_id, g.ts_us, o.ts_us AS ts_us_obs, o.value
+            FROM g
+            ASOF LEFT JOIN obs o
+              ON g.user_id = o.user_id AND g.ts_us >= o.ts_us
         """,
         "q38_date_parts": """
             SELECT o_orderkey,

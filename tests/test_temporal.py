@@ -1,0 +1,144 @@
+"""As-of join + gap-fill resample (operators/temporal.py).
+
+The reference has no range/as-of/interval joins (SURVEY §2.3 'absent');
+these are the engine's time-axis extension. The tests pin:
+- backward/forward nearest-match semantics, inclusive at equal ts
+- tolerance nulling
+- deterministic duplicate-ts resolution (max payload)
+- no-match rows survive with null payload (left-join semantics)
+- plan shape: the union-sort rewrite produces NO join node and exactly
+  one exchange — never a nested-loop range join
+- resample grid alignment and forward fill
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+    asof_join,
+    resample_ffill,
+)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # key, ts, payload value
+    return spark.createDataFrame(
+        [
+            (1, 10, 1.0),
+            (1, 20, 2.0),
+            (1, 30, 3.0),
+            (2, 15, 5.0),
+        ],
+        "k long, ts long, px double",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, 5, 100),   # before any quote
+            (1, 20, 101),  # exactly on a quote (inclusive)
+            (1, 25, 102),  # between quotes
+            (1, 99, 103),  # after last quote
+            (2, 14, 104),  # just before key-2's only quote
+            (3, 50, 105),  # key with no quotes at all
+        ],
+        "k long, ts long, trade_id long",
+    )
+
+
+def _by_trade(rows):
+    return {r.trade_id: (r.ts_matched, r.px) for r in rows}
+
+
+def test_asof_backward(spark, quotes, trades):
+    out = _by_trade(
+        asof_join(trades, quotes, on="k", ts="ts", value_cols=["px"]).collect()
+    )
+    assert out[100] == (None, None)
+    assert out[101] == (20, 2.0)  # inclusive at equal ts
+    assert out[102] == (20, 2.0)
+    assert out[103] == (30, 3.0)
+    assert out[104] == (None, None)
+    assert out[105] == (None, None)  # key absent from right
+
+
+def test_asof_forward(spark, quotes, trades):
+    out = _by_trade(
+        asof_join(
+            trades, quotes, on="k", ts="ts", value_cols=["px"], direction="forward"
+        ).collect()
+    )
+    assert out[100] == (10, 1.0)
+    assert out[101] == (20, 2.0)  # inclusive in forward direction too
+    assert out[102] == (30, 3.0)
+    assert out[103] == (None, None)
+    assert out[104] == (15, 5.0)
+    assert out[105] == (None, None)
+
+
+def test_asof_tolerance(spark, quotes, trades):
+    out = _by_trade(
+        asof_join(
+            trades, quotes, on="k", ts="ts", value_cols=["px"], tolerance=5
+        ).collect()
+    )
+    assert out[101] == (20, 2.0)   # gap 0
+    assert out[102] == (20, 2.0)   # gap 5 == tolerance, kept
+    assert out[103] == (None, None)  # gap 69 > tolerance
+    assert out[105] == (None, None)
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    left = spark.createDataFrame([(1, 10, 7)], "k long, ts long, trade_id long")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 10, 9.0), (1, 10, 4.0)], "k long, ts long, px double"
+    )
+    rows = asof_join(left, right, on="k", ts="ts", value_cols=["px"]).collect()
+    # total order on the payload struct: max (ts, px) wins — stable across runs
+    assert _by_trade(rows)[7] == (10, 9.0)
+
+
+def test_asof_left_columns_and_count_preserved(spark, quotes, trades):
+    out = asof_join(trades, quotes, on="k", ts="ts", value_cols=["px"])
+    assert out.count() == trades.count()
+    assert set(out.columns) == {"k", "ts", "trade_id", "ts_matched", "px"}
+
+
+def test_asof_value_clash_raises(spark, quotes):
+    with pytest.raises(ValueError, match="clash"):
+        asof_join(quotes, quotes, on="k", ts="ts", value_cols=["px"])
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(quotes, quotes.select("k", "ts"), on="k", ts="ts", direction="nearest")
+
+
+def test_asof_plan_has_no_join_and_one_exchange(spark, quotes, trades):
+    plan = (
+        asof_join(trades, quotes, on="k", ts="ts", value_cols=["px"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Cartesian" not in plan
+    # one hash exchange (the window sort); union sides read with no shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_resample_ffill_grid_and_fill(spark):
+    obs = spark.createDataFrame(
+        [(1, 12, 1.0), (1, 27, 2.0), (2, 40, 9.0)],
+        "k long, ts long, v double",
+    )
+    rows = resample_ffill(obs, key="k", ts="ts", step=10, value_cols=["v"]).collect()
+    got = {(r.k, r.ts): (r.ts_obs, r.v) for r in rows}
+    # key 1: grid 10,20 (floor(12/10)*10 .. 27)
+    assert got[(1, 10)] == (None, None)  # grid point before first obs
+    assert got[(1, 20)] == (12, 1.0)
+    assert (1, 30) not in got  # grid stops at max ts (27)
+    # key 2: grid exactly one point, on the observation
+    assert got[(2, 40)] == (40, 9.0)
+    assert len(got) == 3
