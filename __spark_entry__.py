@@ -37,6 +37,7 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.f
     quality_score,
     stopword_ratio,
     token_count,
+    word_tokens,
 )
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
     accuracy,
@@ -56,6 +57,8 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.o
     simhash,
     asof_join,
     resample_ffill,
+    hash_sample,
+    kmv_distinct,
 )
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import (
     events_to_series,
@@ -686,6 +689,76 @@ def _q43_gap_fill(spark, sf_dir):
     )
 
 
+def _q44_kmv_distinct(spark, sf_dir):
+    """K-minimum-values approximate distinct count of lineitem part keys —
+    the deterministic (portable-hash) counterpart of approx_count_distinct,
+    so the sketch itself is oracle-checkable bit-for-bit. Plan: one scan,
+    per-partition top-k merge (TakeOrderedAndProject), O(k) memory."""
+    li = _t(spark, sf_dir, "lineitem")
+    return kmv_distinct(li, key="l_partkey", k=256)
+
+
+def _q45_hash_sample(spark, sf_dir):
+    """Deterministic 10% Bernoulli sample of lineitem keyed on l_orderkey:
+    no RNG, no shuffle — whole orders sample together (referential
+    integrity with an identically-keyed orders sample), and re-runs and
+    other engines draw the identical sample. Output aggregated per return
+    flag so the check pins both membership and the sampled values."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = hash_sample(li, key="l_orderkey", fraction=0.10)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return s.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(cents).alias("sum_cents"),
+    )
+
+
+def _q46_token_topk(spark, sf_dir):
+    """Corpus-wide token frequency top-k (text-analysis surface): explode
+    word tokens -> count -> global top 20 with a total-order tie-break
+    (count desc, token asc). Map-side partial aggregation carries the
+    heavy-hitter counts; only the grouped table is shuffled."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(word_tokens(F.col("text"))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # orderBy+limit -> TakeOrderedAndProject: per-partition top-20 then one
+    # tiny merge — the global rank window only ever sees 20 rows
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(20)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return top.select(
+        F.row_number().over(w).alias("rank"), "token", "n"
+    )
+
+
+def _q47_class_centroids(spark, sf_dir):
+    """Per-label embedding centroids in fixed-point arithmetic: float32
+    components scale exactly to int64 (round(x*1e6)), integer sums are
+    order-independent, and the final division is one double op — so the
+    centroid doubles hash-match across engines despite distributed
+    summation. Output long form (label, dim, n, centroid): no array
+    rebuild, map-side partial agg on (label, dim)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "_x")
+    )
+    fixed = F.round(F.col("_x") * 1_000_000).cast("long")
+    return (
+        e.select("label", "dim", fixed.alias("_f"))
+        .groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_f").alias("_s"))
+        .select(
+            "label",
+            "dim",
+            "n",
+            (
+                F.col("_s").cast("double")
+                / (F.col("n") * F.lit(1_000_000)).cast("double")
+            ).alias("centroid"),
+        )
+    )
+
+
 def _q36_percentiles(spark, sf_dir):
     """Exact grouped percentiles over integer cents (the OLAP quantile
     surface). Spark `percentile` and DuckDB `quantile_cont` share the
@@ -774,6 +847,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_frame_sampling": _q41_frame_sampling,
         "q42_asof_join": _q42_asof_join,
         "q43_gap_fill": _q43_gap_fill,
+        "q44_kmv_distinct": _q44_kmv_distinct,
+        "q45_hash_sample": _q45_hash_sample,
+        "q46_token_topk": _q46_token_topk,
+        "q47_class_centroids": _q47_class_centroids,
     }
 
 
@@ -1439,6 +1516,55 @@ def oracle_sql() -> dict[str, str]:
             FROM g
             ASOF LEFT JOIN obs o
               ON g.user_id = o.user_id AND g.ts_us >= o.ts_us
+        """,
+        "q44_kmv_distinct": """
+            WITH h AS (
+                SELECT DISTINCT
+                    ((l_partkey % 1000000007) * 654435747 + 40503) % 1000000007 AS hh
+                FROM lineitem WHERE l_partkey IS NOT NULL
+            ),
+            top AS (SELECT hh FROM h ORDER BY hh LIMIT 256)
+            SELECT count(*) AS k_used, max(hh) AS kth_min,
+                   CASE WHEN count(*) < 256 THEN cast(count(*) AS double)
+                        ELSE 255.0 * 1000000007.0 / cast(max(hh) AS double)
+                   END AS est_distinct
+            FROM top
+        """,
+        "q45_hash_sample": """
+            WITH s AS (
+                SELECT * FROM lineitem
+                WHERE (((l_orderkey % 1000000007) * 654435747 + 40503)
+                       % 1000000007) % 1000000 < 100000
+            )
+            SELECT l_returnflag, count(*) AS n_rows,
+                   count(DISTINCT l_orderkey) AS n_orders,
+                   cast(sum(cast(round(l_extendedprice * 100) AS bigint))
+                        AS bigint) AS sum_cents
+            FROM s GROUP BY 1
+        """,
+        "q46_token_topk": """
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+                FROM documents
+            ),
+            counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token)
+            SELECT cast(row_number() OVER (ORDER BY n DESC, token ASC) AS int) AS rank,
+                   token, n
+            FROM counts
+            QUALIFY rank <= 20
+        """,
+        "q47_class_centroids": """
+            WITH ex AS (
+                SELECT label,
+                       unnest(list_transform(range(1, len(embedding)+1),
+                              i -> {'d': i - 1, 'x': embedding[i]})) AS u
+                FROM embeddings
+            )
+            SELECT label, cast(u['d'] AS int) AS dim, count(*) AS n,
+                   cast(sum(cast(round(cast(u['x'] AS double) * 1000000)
+                                 AS bigint)) AS double)
+                     / cast(count(*) * 1000000 AS double) AS centroid
+            FROM ex GROUP BY 1, 2
         """,
         "q38_date_parts": """
             SELECT o_orderkey,

@@ -1,0 +1,75 @@
+"""KMV distinct sketch + deterministic hash sampling (operators/sketch.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+    hash_sample,
+    kmv_distinct,
+)
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(100).toDF("id")
+    row = kmv_distinct(df, key="id", k=256).collect()[0]
+    assert row.k_used == 100
+    assert row.est_distinct == 100.0  # exact when fewer than k distinct
+
+
+def test_kmv_estimate_within_error(spark):
+    n = 50_000
+    df = spark.range(n).toDF("id")
+    row = kmv_distinct(df, key="id", k=256).collect()[0]
+    assert row.k_used == 256
+    # SE ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    assert abs(row.est_distinct - n) / n < 0.25
+
+
+def test_kmv_duplicates_do_not_inflate(spark):
+    df = spark.range(1000).toDF("id").withColumn("id", F.col("id") % 50)
+    row = kmv_distinct(df, key="id", k=256).collect()[0]
+    assert row.k_used == 50 and row.est_distinct == 50.0
+
+
+def test_kmv_string_and_multi_key(spark):
+    df = spark.createDataFrame(
+        [(f"u{i % 20}", i % 7) for i in range(280)], "u string, g long"
+    )
+    assert kmv_distinct(df, key="u", k=64).collect()[0].est_distinct == 20.0
+    # 20 and 7 coprime -> 140 distinct (u, g) pairs by CRT
+    assert kmv_distinct(df, key=["u", "g"], k=256).collect()[0].k_used == 140
+
+
+def test_hash_sample_deterministic_and_consistent(spark):
+    df = spark.range(10_000).toDF("k")
+    a = {r.k for r in hash_sample(df, key="k", fraction=0.2).collect()}
+    b = {r.k for r in hash_sample(df, key="k", fraction=0.2).collect()}
+    assert a == b  # no RNG: identical across runs
+    # fraction is approximate per-key Bernoulli: binomial 4-sigma band
+    assert abs(len(a) - 2000) < 4 * (10_000 * 0.2 * 0.8) ** 0.5
+    # a "different table" sharing the key space samples the SAME keys
+    other = df.withColumn("payload", F.col("k") * 2)
+    c = {r.k for r in hash_sample(other, key="k", fraction=0.2).collect()}
+    assert c == a
+    # nested fractions: a 10% sample is a subset of the 20% sample
+    d = {r.k for r in hash_sample(df, key="k", fraction=0.1).collect()}
+    assert d <= a
+
+
+def test_hash_sample_validates_fraction(spark):
+    df = spark.range(10).toDF("k")
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(df, key="k", fraction=1.5)
+
+
+def test_hash_sample_plan_is_shuffle_free(spark):
+    df = spark.range(100).toDF("k")
+    plan = (
+        hash_sample(df, key="k", fraction=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -1,0 +1,108 @@
+"""Deterministic sketch / sampling operators (engine extension; the
+approximate-aggregate and sampling surface a training-data pipeline needs,
+listed in SURVEY.md §2.4 as absent from the reference).
+
+Spark ships approx_count_distinct (HLL++) and df.sample(), but both are
+irreproducible across engines (HLL internals) or across runs (RNG seeds per
+partition split). These operators instead build on the repo's portable hash
+spec (functions/text.py), so:
+- results are bit-reproducible on ANY engine — every query has an exact
+  DuckDB oracle, the same property the rest of the engine holds itself to;
+- sampling is CONSISTENT: the same key always samples the same way, so
+  sampling orders and lineitem by orderkey yields referentially-intact
+  subsets, and re-runs/backfills see the same sample.
+
+Scale design (100 TB):
+- kmv_distinct: one scan -> per-partition distinct+top-k merge
+  (TakeOrderedAndProject keeps only k values per partition, then one tiny
+  driver-side merge of k-length lists). No full distinct shuffle of the
+  key space; memory is O(k).
+- hash_sample: a pure filter — zero shuffle, pushed to the scan where the
+  format allows; the fraction is enforced exactly on the hash space, not
+  per-partition row counts.
+
+Hash note: keys are reduced mod P BEFORE the affine multiply, so the
+arithmetic stays inside int64 for arbitrarily large keys (P^2 ~ 1e18 <
+2^63); string keys go through the same char-fold as the text operators.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import HASH_BASE, HASH_P, char_hash
+
+__all__ = ["kmv_distinct", "hash_sample", "key_hash"]
+
+AFFINE_A = 2654435761 % HASH_P
+AFFINE_B = 40503
+
+
+def _one_hash(col: Column, dtype: T.DataType) -> Column:
+    if isinstance(dtype, T.StringType):
+        return char_hash(col)
+    return (F.pmod(col.cast("long"), F.lit(HASH_P)) * AFFINE_A + AFFINE_B) % HASH_P
+
+
+def key_hash(df: DataFrame, keys: Sequence[str]) -> Column:
+    """Portable [0, P) hash of one or more key columns (order-sensitive
+    fold, same base/modulus as the text-hash spec)."""
+    h = None
+    for kc in keys:
+        hk = _one_hash(F.col(kc), df.schema[kc].dataType)
+        h = hk if h is None else (h * HASH_BASE + hk) % HASH_P
+    return h
+
+
+def kmv_distinct(
+    df: DataFrame, *, key: Union[str, Sequence[str]], k: int = 256
+) -> DataFrame:
+    """K-minimum-values distinct-count estimate over the key column(s).
+
+    Returns ONE row: (k_used, kth_min, est_distinct). With the k smallest
+    distinct hash values in [0, P), the estimator is (k-1) * P / kth_min;
+    when fewer than k distinct hashes exist the count is exact. Standard
+    error ~ 1/sqrt(k-2) (Beyer et al., SIGMOD'07). Deterministic: same
+    input -> same sketch on any engine.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    hs = (
+        df.select(key_hash(df, keys).alias("_h"))
+        .filter(F.col("_h").isNotNull())
+        .distinct()
+        .orderBy("_h")
+        .limit(k)
+    )
+    est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * float(HASH_P) / F.col("kth_min").cast("double"))
+    return (
+        hs.agg(
+            F.count(F.lit(1)).alias("k_used"), F.max("_h").alias("kth_min")
+        ).select("k_used", "kth_min", est.alias("est_distinct"))
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    *,
+    key: Union[str, Sequence[str]],
+    fraction: float,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff
+    ``key_hash(key) % denom < round(fraction * denom)``.
+
+    No RNG, no shuffle — a pure filter with the sampling decision a
+    function of the key alone, so identical keys sample together across
+    tables, runs, and engines. ``denom`` sets the fraction granularity.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    keys = [key] if isinstance(key, str) else list(key)
+    thresh = int(round(fraction * denom))
+    return df.filter(F.pmod(key_hash(df, keys), F.lit(denom)) < thresh)
