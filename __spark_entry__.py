@@ -56,6 +56,7 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.o
     majority_vote,
     simhash,
     asof_join,
+    interval_join,
     resample_ffill,
     hash_sample,
     kmv_distinct,
@@ -759,6 +760,61 @@ def _q47_class_centroids(spark, sf_dir):
     )
 
 
+def _q48_interval_join(spark, sf_dir):
+    """Interval (range-containment) join via the bucketized equi-join
+    rewrite: purchase events joined into the gap-sessions (q32) of the
+    same user that contain them, then counted per session. Spark's native
+    plan for `ts BETWEEN start AND end` is BroadcastNestedLoopJoin; the
+    operator turns it into an equi-join on (user_id, time_bucket). The
+    oracle is the plain theta join DuckDB can afford at sf scale."""
+    sessions = _q32_sessionize(spark, sf_dir).select(
+        "user_id",
+        "session_no",
+        F.col("session_start_us").alias("start_us"),
+        F.col("session_end_us").alias("end_us"),
+    )
+    e = _t(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.expr("ts DIV 1000").alias("ts_us"), "event_id")
+    )
+    joined = interval_join(
+        purchases,
+        sessions,
+        on="user_id",
+        ts="ts_us",
+        start="start_us",
+        end="end_us",
+        bucket=2 * 3600 * 1_000_000,  # the q32 session gap: ~interval scale
+    )
+    return joined.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+
+
+def _q49_sql_api(spark, sf_dir):
+    """The engine's SQL surface (the reference has no SQL parser at all —
+    Spark's comes free): a literal spark.sql() query with a CTE, an
+    equi-join, and a scalar subquery — customers whose lifetime order
+    value exceeds 2x the all-customer average. Integer cents keep the
+    aggregate exact; the avg division is one double op on exact ints, so
+    the comparison is engine-portable."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        WITH cust_tot AS (
+            SELECT o_custkey,
+                   sum(cast(round(o_totalprice * 100) AS bigint)) AS cents
+            FROM v_orders GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_name, cents
+        FROM v_customer JOIN cust_tot ON c_custkey = o_custkey
+        WHERE cents > 2 * (SELECT avg(cents) FROM cust_tot)
+        """
+    )
+
+
 def _q36_percentiles(spark, sf_dir):
     """Exact grouped percentiles over integer cents (the OLAP quantile
     surface). Spark `percentile` and DuckDB `quantile_cont` share the
@@ -851,6 +907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_hash_sample": _q45_hash_sample,
         "q46_token_topk": _q46_token_topk,
         "q47_class_centroids": _q47_class_centroids,
+        "q48_interval_join": _q48_interval_join,
+        "q49_sql_api": _q49_sql_api,
     }
 
 
@@ -1565,6 +1623,49 @@ def oracle_sql() -> dict[str, str]:
                                  AS bigint)) AS double)
                      / cast(count(*) * 1000000 AS double) AS centroid
             FROM ex GROUP BY 1, 2
+        """,
+        "q48_interval_join": """
+            WITH flagged AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                       CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 7200000000
+                            THEN 1
+                            WHEN lag(ts) OVER w IS NULL THEN 1
+                            ELSE 0 END AS _new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            numbered AS (
+                SELECT user_id, ts_us,
+                       sum(_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+                FROM flagged
+            ),
+            sessions AS (
+                SELECT user_id, session_no,
+                       min(ts_us) AS start_us, max(ts_us) AS end_us
+                FROM numbered GROUP BY user_id, session_no
+            ),
+            purchases AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT s.user_id, s.session_no, count(*) AS n_purchases
+            FROM purchases p
+            JOIN sessions s
+              ON p.user_id = s.user_id
+             AND p.ts_us BETWEEN s.start_us AND s.end_us
+            GROUP BY 1, 2
+        """,
+        "q49_sql_api": """
+            WITH cust_tot AS (
+                SELECT o_custkey,
+                       cast(sum(cast(round(o_totalprice * 100) AS bigint))
+                            AS bigint) AS cents
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_name, cents
+            FROM customer JOIN cust_tot ON c_custkey = o_custkey
+            WHERE cents > 2 * (SELECT avg(cents) FROM cust_tot)
         """,
         "q38_date_parts": """
             SELECT o_orderkey,

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
     asof_join,
+    interval_join,
     resample_ffill,
 )
 
@@ -126,6 +127,47 @@ def test_asof_plan_has_no_join_and_one_exchange(spark, quotes, trades):
     assert "Join" not in plan and "Cartesian" not in plan
     # one hash exchange (the window sort); union sides read with no shuffle
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_interval_join_containment(spark):
+    pts = spark.createDataFrame(
+        [(1, 5, 100), (1, 10, 101), (1, 19, 102), (1, 25, 103), (2, 10, 104)],
+        "k long, ts long, pid long",
+    )
+    ivl = spark.createDataFrame(
+        [(1, 8, 19, "a"), (1, 15, 30, "b"), (2, 50, 60, "c"), (3, 0, 99, "d")],
+        "k long, start long, end long, tag string",
+    )
+    for bucket in (1, 5, 7, 100):  # result must be bucket-invariant
+        got = sorted(
+            (r.pid, r.tag)
+            for r in interval_join(
+                pts, ivl, on="k", ts="ts", start="start", end="end", bucket=bucket
+            ).collect()
+        )
+        # inclusive ends; overlapping intervals both match; no cross-key hits
+        assert got == [(101, "a"), (102, "a"), (102, "b"), (103, "b")], bucket
+
+
+def test_interval_join_degenerate_and_clash(spark):
+    pts = spark.createDataFrame([(1, 5, 100)], "k long, ts long, pid long")
+    bad = spark.createDataFrame([(1, 9, 3, "x")], "k long, start long, end long, tag string")
+    assert interval_join(pts, bad, on="k", ts="ts", bucket=10).count() == 0
+    clash = spark.createDataFrame([(1, 0, 9, 7)], "k long, start long, end long, pid long")
+    with pytest.raises(ValueError, match="clash"):
+        interval_join(pts, clash, on="k", ts="ts", bucket=10)
+
+
+def test_interval_join_plan_is_equi_not_nested_loop(spark):
+    pts = spark.createDataFrame([(1, 5, 100)], "k long, ts long, pid long")
+    ivl = spark.createDataFrame([(1, 0, 9, "x")], "k long, start long, end long, tag string")
+    plan = (
+        interval_join(pts, ivl, on="k", ts="ts", bucket=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
 def test_resample_ffill_grid_and_fill(spark):

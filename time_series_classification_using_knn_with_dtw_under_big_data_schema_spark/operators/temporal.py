@@ -35,7 +35,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "resample_ffill"]
+__all__ = ["asof_join", "interval_join", "resample_ffill"]
 
 
 def asof_join(
@@ -127,6 +127,56 @@ def asof_join(
         *left_rest,
         F.col(f"_m.{ts_matched}").alias(ts_matched),
         *[F.col(f"_m.{c}").alias(c) for c in vals],
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    on: Union[str, Sequence[str]],
+    ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    bucket: int,
+) -> DataFrame:
+    """Inner-join each point to every same-key interval containing it
+    (``start <= ts <= end``, inclusive both ends).
+
+    Scale plan: an equi-join on (key, time-bucket), never a theta join —
+    Spark can only plan the raw range predicate as BroadcastNestedLoopJoin
+    (O(|P| x |I|) comparisons per key). Each interval explodes into the
+    buckets it spans (``sequence`` — fan-out = length/bucket + 1), each
+    point maps to its single bucket, and the exact containment predicate
+    filters the equi-join output. Pick ``bucket`` near the typical interval
+    length: too small inflates the interval fan-out, too large inflates
+    candidate pairs per bucket. Output: all point columns + the intervals'
+    non-key columns.
+    """
+    on_cols = [on] if isinstance(on, str) else list(on)
+    ivl_rest = [c for c in intervals.columns if c not in on_cols]
+    clash = set(ivl_rest) & set(points.columns)
+    if clash:
+        raise ValueError(f"interval columns clash with points: {sorted(clash)}")
+    b = F.lit(bucket).cast("long")
+    p = points.withColumn("_bk", (F.col(ts) - F.pmod(F.col(ts), b)).cast("long"))
+    # degenerate (end < start) intervals match nothing; dropping them also
+    # keeps the bucket sequence ascending (Spark errors on start>stop)
+    intervals = intervals.filter(F.col(end) >= F.col(start))
+    i = intervals.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                (F.col(start) - F.pmod(F.col(start), b)).cast("long"),
+                F.col(end).cast("long"),
+                b,
+            )
+        ),
+    )
+    return (
+        p.join(i, on_cols + ["_bk"])
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
+        .drop("_bk")
     )
 
 
