@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .skew import fan_out
+from ..caching import register_cache
 from ..functions.text import (
     HASH_BASE,
     HASH_P,
@@ -239,6 +240,7 @@ def dedup_minhash_lsh(
             .select(id_col, F.col("_k.hashes").alias("hashes"), F.col("_k.sig").alias("sig"))
             .cache()
         )
+        register_cache(ks)
     else:
         ks = (
             shingle_sets(fan_out(df), text_col=text_col, id_col=id_col, n=n, hash_mode=hash_mode)
@@ -246,6 +248,7 @@ def dedup_minhash_lsh(
             .withColumn("sig", minhash_signature(F.col("hashes"), num_hashes))
             .cache()
         )
+        register_cache(ks)
     band_entries = ks.select(
         id_col,
         F.explode(
@@ -358,6 +361,7 @@ def dedup_components(
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().cache()
+    register_cache(sym)
     id_type = pairs.schema["id_a"].dataType
     n_edges = sym.count() // 2
     if n_edges <= local_threshold:

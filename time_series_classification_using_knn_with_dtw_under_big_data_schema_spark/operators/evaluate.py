@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+from ..caching import register_cache
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -67,6 +68,7 @@ def k_sweep(
         features_col=features_col,
         label_col=label_col,
     ).cache()
+    register_cache(neighbors)
     truth = test.select(F.col(id_col).alias("test_id"), F.col(label_col))
 
     per_k = []
