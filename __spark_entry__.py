@@ -39,6 +39,7 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.f
     token_count,
     word_tokens,
 )
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import znorm
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
     accuracy,
     k_sweep,
@@ -815,6 +816,21 @@ def _q49_sql_api(spark, sf_dir):
     )
 
 
+def _q50_znorm(spark, sf_dir):
+    """Per-series z-normalization (functions/arrays.py::znorm — the
+    standard preprocessing before DTW/Euclidean matching): mean and
+    variance via the same left-fold both engines evaluate, one transform
+    pass to normalize, so every normalized double matches bit-for-bit."""
+    events = _t(spark, sf_dir, "events")
+    s = events_to_series(events, length=SERIES_LEN)
+    z = znorm(F.col("features"))
+    return s.select(
+        "series_id",
+        F.element_at(z, 1).alias("z_first"),
+        F.element_at(z, -1).alias("z_last"),
+    )
+
+
 def _q36_percentiles(spark, sf_dir):
     """Exact grouped percentiles over integer cents (the OLAP quantile
     surface). Spark `percentile` and DuckDB `quantile_cont` share the
@@ -909,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_class_centroids": _q47_class_centroids,
         "q48_interval_join": _q48_interval_join,
         "q49_sql_api": _q49_sql_api,
+        "q50_znorm": _q50_znorm,
     }
 
 
@@ -1352,6 +1369,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT series_id, cast(len(features) AS int) AS n_points,
                    features[1] AS first_v, features[-1] AS last_v, label
             FROM series
+        """,
+        "q50_znorm": f"""
+            WITH {_SERIES_CTE},
+            stats AS (
+                SELECT series_id, features,
+                       list_reduce(list_prepend(cast(0.0 AS double), features),
+                                   (a, v) -> a + v) / cast(len(features) AS double) AS mu,
+                       list_reduce(list_prepend(cast(0.0 AS double), features),
+                                   (a, v) -> a + v * v) / cast(len(features) AS double) AS m2
+                FROM series
+            ),
+            zed AS (
+                SELECT series_id,
+                       sqrt(greatest(m2 - mu * mu, 1e-300)) AS sd, mu, features
+                FROM stats
+            )
+            SELECT series_id,
+                   (features[1] - mu) / sd AS z_first,
+                   (features[-1] - mu) / sd AS z_last
+            FROM zed
         """,
         "q09_knn_pairs": f"""
             WITH {_SERIES_CTE}, {_KNN_TOPK_CTE}

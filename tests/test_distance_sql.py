@@ -72,3 +72,23 @@ def test_dtw_udf_banded_and_ragged(spark):
         r["id"]: r["d"] for r in df.select("id", banded(F.col("a"), F.col("b")).alias("d")).collect()
     }
     assert got2[0] >= got[0] - 1e-9
+
+
+def test_znorm_properties(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import znorm
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [5.0, 5.0, 5.0, 5.0])],
+        "id long, features array<double>",
+    )
+    rows = {
+        r.id: r.z
+        for r in df.select("id", znorm(F.col("features")).alias("z")).collect()
+    }
+    z1 = rows[1]
+    assert abs(sum(z1)) < 1e-12  # mean 0
+    assert abs(sum(v * v for v in z1) / len(z1) - 1.0) < 1e-12  # unit variance
+    assert z1 == sorted(z1)  # monotone input stays monotone
+    # constant series: variance clamps, no div-by-zero/NaN; values are 0
+    assert all(v == 0.0 for v in rows[2])
