@@ -104,3 +104,31 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """A filter on the partition column must prune to matching directories
+    (PartitionFilters on the scan; non-matching dirs never opened) and the
+    full round-trip must preserve the data."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import (
+        save_table_partitioned,
+    )
+    import os
+
+    df = spark.createDataFrame(
+        [(i, ["en", "fr", "de"][i % 3], float(i)) for i in range(90)],
+        "id long, lang string, v double",
+    )
+    path = str(tmp_path / "parted")
+    save_table_partitioned(df, path, partition_cols="lang")
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("lang=")
+    ) == ["lang=de", "lang=en", "lang=fr"]
+
+    back = spark.read.parquet(path)
+    assert back.count() == 90
+    one = back.filter(F.col("lang") == "en")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    assert one.count() == 30
+    assert {r.id % 3 for r in one.collect()} == {0}

@@ -44,6 +44,36 @@ def save_table(df: DataFrame, path_or_name: str, *, mode: str = "overwrite") -> 
         df.write.mode(mode).format("parquet").saveAsTable(path_or_name)
 
 
+def save_table_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_cols: str | list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-style partitioned parquet sink — the partition-pruning path.
+
+    Writes ``path/col=value/part-*.parquet`` directories; any downstream
+    scan filtering on a partition column reads ONLY the matching
+    directories (PartitionFilters in the scan node — never a data-file
+    open for excluded partitions). The complement of the bucketed sink:
+    bucketing co-locates high-cardinality JOIN keys, partitioning prunes
+    low-cardinality FILTER keys (date, source, language...). Keep
+    partition cardinality bounded (thousands, not millions): each value is
+    a directory, and tiny-file explosion hurts more than pruning helps —
+    that is what max_records_per_file/repartition-before-write manage.
+    Pruning proven in test_ingest::test_partitioned_write_prunes.
+    """
+    partition_cols = (
+        [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    )
+    w = df.write.mode(mode).partitionBy(*partition_cols)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+
+
 def save_table_bucketed(
     df: DataFrame,
     name: str,
