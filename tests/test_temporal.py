@@ -184,3 +184,98 @@ def test_resample_ffill_grid_and_fill(spark):
     # key 2: grid exactly one point, on the observation
     assert got[(2, 40)] == (40, 9.0)
     assert len(got) == 3
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Random data vs pandas.merge_asof (independent reference), both
+    directions, with and without tolerance. Right ts deduped per key so
+    duplicate-ts tie policies can't differ."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "ts": rng.integers(0, 1000, 200),
+            "pid": np.arange(200),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 6, 150),
+                "ts": rng.integers(0, 1000, 150),
+                "val": rng.normal(size=150).round(6),
+            }
+        )
+        .drop_duplicates(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    for direction in ("backward", "forward"):
+        for tol in (None, 50):
+            got = (
+                asof_join(
+                    ldf, rdf, on="k", ts="ts", value_cols=["val"],
+                    direction=direction, tolerance=tol,
+                )
+                .toPandas()
+                .sort_values("pid")
+                .reset_index(drop=True)
+            )
+            exp = pd.merge_asof(
+                left.sort_values("ts"),
+                right.sort_values("ts"),
+                on="ts",
+                by="k",
+                direction=direction,
+                tolerance=tol,
+                suffixes=("", "_r"),
+            ).sort_values("pid").reset_index(drop=True)
+            assert len(got) == len(exp)
+            pd.testing.assert_series_equal(
+                got["val"], exp["val"], check_names=False
+            ), (direction, tol)
+
+
+def test_interval_join_matches_bruteforce(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    pts = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 120),
+            "ts": rng.integers(0, 500, 120),
+            "pid": np.arange(120),
+        }
+    )
+    starts = rng.integers(0, 450, 60)
+    ivl = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 60),
+            "start": starts,
+            "end": starts + rng.integers(0, 80, 60),
+            "iid": np.arange(60),
+        }
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(
+            spark.createDataFrame(pts),
+            spark.createDataFrame(ivl),
+            on="k", ts="ts", start="start", end="end", bucket=64,
+        ).collect()
+    )
+    merged = pts.merge(ivl, on="k")
+    exp = sorted(
+        map(
+            tuple,
+            merged[(merged.ts >= merged.start) & (merged.ts <= merged.end)][
+                ["pid", "iid"]
+            ].to_numpy(),
+        )
+    )
+    assert got == exp and len(exp) > 50
