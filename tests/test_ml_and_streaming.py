@@ -57,6 +57,29 @@ def test_estimator_in_pipeline(spark, har_dfs):
     assert out.count() == 5
 
 
+def test_crossvalidator_tunes_k(spark, har_dfs):
+    """Full MLlib interop: ParamGridBuilder + CrossValidator + a stock
+    Evaluator tune k over the lazy KNN estimator (the reference's manual
+    k-sweep loop, Team11-Project.py:237-322, as native MLlib tuning)."""
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    train_df, _ = har_dfs
+    est = KnnDtwClassifier(metric="euclidean")
+    grid = ParamGridBuilder().addGrid(est.k, [1, 3]).build()
+    ev = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="predicted_label", metricName="accuracy"
+    )
+    cv = CrossValidator(
+        estimator=est, estimatorParamMaps=grid, evaluator=ev,
+        numFolds=2, parallelism=1, seed=7,
+    )
+    cvm = cv.fit(train_df.limit(60))
+    assert len(cvm.avgMetrics) == 2
+    assert max(cvm.avgMetrics) > 0.5  # separable synthetic: KNN must work
+    assert cvm.bestModel.getOrDefault(cvm.bestModel.k) in (1, 3)
+
+
 @pytest.mark.parametrize("k", [1, 3])
 def test_streaming_scores_match_batch(spark, har_dfs, tmp_path, k):
     train_df, test_df = har_dfs
