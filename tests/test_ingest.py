@@ -132,3 +132,25 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
     assert one.count() == 30
     assert {r.id % 3 for r in one.collect()} == {0}
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import (
+        compact_parquet,
+    )
+    import os
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(10_000).selectExpr("id", "id * 2 AS v")
+    df.repartition(64).write.parquet(src)
+    n_small = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_small == 64
+
+    n_files = compact_parquet(spark, src, dst, target_file_bytes=10 * 1024 * 1024)
+    assert n_files == 1
+    n_out = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_out == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]

@@ -74,6 +74,39 @@ def save_table_partitioned(
     w.parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files. Returns the file count.
+
+    Streaming sinks and fine-grained partitioned writes accumulate tiny
+    files; at scale every scan then pays one task + one open per file
+    (and the NameNode/listing pays per object). Compaction is the standard
+    maintenance pass. The rewrite is a single narrow job: a round-robin
+    ``repartition(n)`` (no key, no skew) sized from the CURRENT on-disk
+    bytes, so output files land near the target regardless of input
+    fragmentation. Writes to ``out_path`` — never in place (a failed
+    in-place rewrite loses data; callers swap directories atomically).
+
+    Local-FS file sizing; on HDFS/S3 substitute the FileSystem status call.
+    """
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-total // target_file_bytes))
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(
+        out_path
+    )
+    return n_files
+
+
 def save_table_bucketed(
     df: DataFrame,
     name: str,
