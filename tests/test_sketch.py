@@ -73,3 +73,18 @@ def test_hash_sample_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_xxhash64_mode_same_properties(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(f"doc-{i}", i) for i in range(5000)], "u string, i long"
+    )
+    est = kmv_distinct(df, key="u", k=256, hash_mode="xxhash64").collect()[0]
+    assert abs(est.est_distinct - 5000) / 5000 < 0.25
+    a = {r.i for r in hash_sample(df, key="u", fraction=0.2, hash_mode="xxhash64").collect()}
+    b = {r.i for r in hash_sample(df, key="u", fraction=0.2, hash_mode="xxhash64").collect()}
+    assert a == b and abs(len(a) - 1000) < 4 * (5000 * 0.2 * 0.8) ** 0.5
+    with _pt.raises(ValueError, match="hash_mode"):
+        hash_sample(df, key="u", fraction=0.1, hash_mode="md5")

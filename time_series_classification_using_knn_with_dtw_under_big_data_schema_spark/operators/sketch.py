@@ -42,24 +42,39 @@ AFFINE_A = 2654435761 % HASH_P
 AFFINE_B = 40503
 
 
-def _one_hash(col: Column, dtype: T.DataType) -> Column:
+def _one_hash(col: Column, dtype: T.DataType, hash_mode: str) -> Column:
     if isinstance(dtype, T.StringType):
+        if hash_mode == "xxhash64":
+            # JVM-native, one call per row — the production path for string
+            # keys at scale (the portable char fold is an interpreted
+            # per-char lambda). Deterministic across runs/tables, just not
+            # DuckDB-mirrorable.
+            return F.pmod(F.xxhash64(col), F.lit(HASH_P))
         return char_hash(col)
     return (F.pmod(col.cast("long"), F.lit(HASH_P)) * AFFINE_A + AFFINE_B) % HASH_P
 
 
-def key_hash(df: DataFrame, keys: Sequence[str]) -> Column:
-    """Portable [0, P) hash of one or more key columns (order-sensitive
-    fold, same base/modulus as the text-hash spec)."""
+def key_hash(df: DataFrame, keys: Sequence[str], *, hash_mode: str = "portable") -> Column:
+    """[0, P) hash of one or more key columns (order-sensitive fold, same
+    base/modulus as the text-hash spec). hash_mode='portable' (default) is
+    DuckDB-oracle-reproducible; 'xxhash64' swaps the string-key char fold
+    for the native hash — same determinism and sampling properties, ~100x
+    cheaper on long strings, not cross-engine."""
+    if hash_mode not in ("portable", "xxhash64"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     h = None
     for kc in keys:
-        hk = _one_hash(F.col(kc), df.schema[kc].dataType)
+        hk = _one_hash(F.col(kc), df.schema[kc].dataType, hash_mode)
         h = hk if h is None else (h * HASH_BASE + hk) % HASH_P
     return h
 
 
 def kmv_distinct(
-    df: DataFrame, *, key: Union[str, Sequence[str]], k: int = 256
+    df: DataFrame,
+    *,
+    key: Union[str, Sequence[str]],
+    k: int = 256,
+    hash_mode: str = "portable",
 ) -> DataFrame:
     """K-minimum-values distinct-count estimate over the key column(s).
 
@@ -71,7 +86,7 @@ def kmv_distinct(
     """
     keys = [key] if isinstance(key, str) else list(key)
     hs = (
-        df.select(key_hash(df, keys).alias("_h"))
+        df.select(key_hash(df, keys, hash_mode=hash_mode).alias("_h"))
         .filter(F.col("_h").isNotNull())
         .distinct()
         .orderBy("_h")
@@ -93,6 +108,7 @@ def hash_sample(
     key: Union[str, Sequence[str]],
     fraction: float,
     denom: int = 1_000_000,
+    hash_mode: str = "portable",
 ) -> DataFrame:
     """Deterministic Bernoulli sample: keep a row iff
     ``key_hash(key) % denom < round(fraction * denom)``.
@@ -105,4 +121,6 @@ def hash_sample(
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     keys = [key] if isinstance(key, str) else list(key)
     thresh = int(round(fraction * denom))
-    return df.filter(F.pmod(key_hash(df, keys), F.lit(denom)) < thresh)
+    return df.filter(
+        F.pmod(key_hash(df, keys, hash_mode=hash_mode), F.lit(denom)) < thresh
+    )
