@@ -279,3 +279,28 @@ def test_interval_join_matches_bruteforce(spark):
         )
     )
     assert got == exp and len(exp) > 50
+
+
+def test_asof_and_resample_composite_key(spark):
+    pts = spark.createDataFrame(
+        [("a", 1, 10, 100), ("a", 2, 10, 101), ("b", 1, 10, 102)],
+        "region string, dev long, ts long, pid long",
+    )
+    obs = spark.createDataFrame(
+        [("a", 1, 5, 1.0), ("a", 2, 7, 2.0), ("b", 2, 3, 9.0)],
+        "region string, dev long, ts long, v double",
+    )
+    got = {
+        r.pid: (r.ts_matched, r.v)
+        for r in asof_join(
+            pts, obs, on=["region", "dev"], ts="ts", value_cols=["v"]
+        ).collect()
+    }
+    # matches respect BOTH key columns: (b,1) must not see (b,2)'s obs
+    assert got == {100: (5, 1.0), 101: (7, 2.0), 102: (None, None)}
+
+    grid = resample_ffill(obs, key=["region", "dev"], ts="ts", step=5, value_cols=["v"])
+    rows = {(r.region, r.dev, r.ts): r.v for r in grid.collect()}
+    assert rows[("a", 1, 5)] == 1.0
+    assert rows[("a", 2, 5)] is None and ("a", 2, 10) not in rows  # grid ends at max ts 7
+    assert rows[("b", 2, 0)] is None
