@@ -180,6 +180,13 @@ def dtw_batch(A: np.ndarray, B: np.ndarray, band: int | None = None) -> np.ndarr
     prev[:, 0] = 0.0  # acc[0, 0] = 0; acc[0, j>0] = unreachable
     cur = np.full((bs, m + 1), LARGE)
     minimum = np.minimum
+    # Banded rows only rewrite the band slice, so cells from two rows ago go
+    # stale in the double buffer. The next row reads at most `delta` cells
+    # past the previous row's band (the diagonal center shifts by <=
+    # ceil(slope)+1 per row, monotonically) — sentinel-filling that margin
+    # is O(band) per row instead of the O(m) full-row memset, which
+    # dominated the kernel (555 of 562 columns were sentinel writes).
+    delta = int(np.ceil((m - 1) / max(n - 1, 1))) + 2
 
     for i in range(1, n + 1):
         if use_band:
@@ -197,8 +204,8 @@ def dtw_batch(A: np.ndarray, B: np.ndarray, band: int | None = None) -> np.ndarr
         shifted = np.concatenate([np.zeros((bs, 1)), C[:, :-1]], axis=1)
         run = np.minimum.accumulate(mrow - shifted, axis=1)
         if use_band:
-            cur[:, 1 : lo + 1] = LARGE
-            cur[:, hi + 2 :] = LARGE
+            cur[:, max(1, lo + 1 - delta) : lo + 1] = LARGE
+            cur[:, hi + 2 : min(m + 1, hi + 2 + delta)] = LARGE
         cur[:, lo + 1 : hi + 2] = C + run
         cur[:, 0] = LARGE
         prev, cur = cur, prev
