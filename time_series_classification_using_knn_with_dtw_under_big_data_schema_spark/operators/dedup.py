@@ -202,6 +202,7 @@ def dedup_minhash_lsh(
     sig_prefilter: float | None = None,
     hash_mode: str = "portable",
     max_bucket_size: int | None = None,
+    cache_result: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, verified by exact jaccard.
 
@@ -312,6 +313,12 @@ def dedup_minhash_lsh(
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
     )
+    if cache_result:
+        # the pair set is the dedup RESULT — bounded by duplicate density,
+        # tiny next to the corpus, and consumed repeatedly downstream
+        # (components solve, stats, keep/drop join). Released by
+        # cache_scope; pass cache_result=False to stream it once.
+        verified = register_cache(verified.cache())
     return verified
 
 
