@@ -274,8 +274,8 @@ def _q16_dedup_exact(spark, sf_dir):
 
 def _q17_dedup_jaccard(spark, sf_dir):
     """Exhaustive n-gram-Jaccard near-dup pairs (oracle-grade quadratic path;
-    restricted to doc_id < 150 to bound the O(N^2))."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    restricted to doc_id < 300 to bound the O(N^2))."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return dedup_pairwise_jaccard(docs, threshold=0.5)
 
 
@@ -1442,7 +1442,7 @@ def oracle_sql() -> dict[str, str]:
         "q17_dedup_jaccard": f"""
             WITH sh AS (
                 SELECT doc_id, {_SQL_SHINGLES} AS shingles
-                FROM documents WHERE doc_id < 150
+                FROM documents WHERE doc_id < 300
             ),
             pairs AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -174,6 +174,24 @@ def test_dedup_components_keep_decisions(spark, docs):
         for r in dedup_components(docs, pairs, local_threshold=0).collect()
     }
     assert dist == out
+    # reliable-checkpoint cadence (belt-and-braces path for deep graphs on a
+    # real cluster): same answers with a checkpoint dir set and every round
+    # checkpointing reliably
+    import tempfile
+
+    sc = spark.sparkContext
+    with tempfile.TemporaryDirectory() as d:
+        sc.setCheckpointDir(d)
+        try:
+            ckpt = {
+                r.doc_id: (r.component, r.keep)
+                for r in dedup_components(
+                    docs, pairs, local_threshold=0, checkpoint_interval=1
+                ).collect()
+            }
+        finally:
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+    assert ckpt == out
 
 
 def test_ann_kernel_matches_declarative(spark):

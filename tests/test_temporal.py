@@ -138,7 +138,7 @@ def test_interval_join_containment(spark):
         [(1, 8, 19, "a"), (1, 15, 30, "b"), (2, 50, 60, "c"), (3, 0, 99, "d")],
         "k long, start long, end long, tag string",
     )
-    for bucket in (1, 5, 7, 100):  # result must be bucket-invariant
+    for bucket in (1, 5, 7, 100, "auto"):  # result must be bucket-invariant
         got = sorted(
             (r.pid, r.tag)
             for r in interval_join(
@@ -147,6 +147,8 @@ def test_interval_join_containment(spark):
         )
         # inclusive ends; overlapping intervals both match; no cross-key hits
         assert got == [(101, "a"), (102, "a"), (102, "b"), (103, "b")], bucket
+    with pytest.raises(ValueError, match="bucket"):
+        interval_join(pts, ivl, on="k", ts="ts", bucket="median")
 
 
 def test_interval_join_degenerate_and_clash(spark):

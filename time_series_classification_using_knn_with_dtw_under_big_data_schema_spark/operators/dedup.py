@@ -329,6 +329,7 @@ def dedup_components(
     id_col: str = "doc_id",
     max_iterations: int = 20,
     local_threshold: int = 2_000_000,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """Resolve near-dup pairs into keep/drop decisions per document.
 
@@ -352,7 +353,12 @@ def dedup_components(
       EDGE set only, never the corpus. Converges in diameter(component)
       rounds; near-dup clusters are shallow (pairwise-similar docs
       interlink), so 3-4 rounds typical. The driver loop only checks a
-      scalar convergence count per round.
+      scalar convergence count per round. Lineage is truncated with an
+      eager localCheckpoint every round; if the session has a RELIABLE
+      checkpoint dir configured (``sc.setCheckpointDir``), every
+      ``checkpoint_interval``-th round writes a reliable checkpoint
+      instead, so a very deep graph on a real cluster survives executor
+      loss (localCheckpoint blocks die with their executor).
 
     In both paths the loop/solve state is restricted to EDGE ENDPOINTS
     (isolated docs — the overwhelming majority of a lightly-duplicated
@@ -419,22 +425,23 @@ def dedup_components(
     # exact integer sum of components strictly decreases until fixpoint —
     # one agg job per round instead of a labels-vs-labels join+count
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    for _ in range(max_iterations):
+    reliable_dir = docs.sparkSession.sparkContext.getCheckpointDir()
+    for rnd in range(1, max_iterations + 1):
         msgs = (
             sym.join(labels, sym.src == labels.v)
             .groupBy("dst")
             .agg(F.min("component").alias("_nbr_min"))
         )
-        labels = (
-            labels.join(msgs, labels.v == msgs.dst, "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("component"), F.coalesce("_nbr_min", F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint()
+        labels = labels.join(msgs, labels.v == msgs.dst, "left").select(
+            "v",
+            F.least(
+                F.col("component"), F.coalesce("_nbr_min", F.col("component"))
+            ).alias("component"),
         )
+        if reliable_dir and checkpoint_interval and rnd % checkpoint_interval == 0:
+            labels = labels.checkpoint()
+        else:
+            labels = labels.localCheckpoint()
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
             break

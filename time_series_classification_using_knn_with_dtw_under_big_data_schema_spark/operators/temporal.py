@@ -138,7 +138,7 @@ def interval_join(
     ts: str = "ts",
     start: str = "start",
     end: str = "end",
-    bucket: int,
+    bucket: Union[int, str] = "auto",
 ) -> DataFrame:
     """Inner-join each point to every same-key interval containing it
     (``start <= ts <= end``, inclusive both ends).
@@ -150,10 +150,32 @@ def interval_join(
     point maps to its single bucket, and the exact containment predicate
     filters the equi-join output. Pick ``bucket`` near the typical interval
     length: too small inflates the interval fan-out, too large inflates
-    candidate pairs per bucket. Output: all point columns + the intervals'
-    non-key columns.
+    candidate pairs per bucket. ``bucket='auto'`` derives a width from one
+    small aggregate job over the intervals side: the median interval
+    length, CLAMPED from below by max_length/256 — the clamp is the
+    load-bearing part (a corpus of mostly degenerate intervals plus a few
+    hours-long ones would otherwise pick a tiny bucket and ``sequence``
+    a long interval into billions of rows). Worst-case per-interval
+    fan-out is thus <= 257 buckets. The estimate only shapes the PLAN;
+    the exact containment filter makes the result identical for any
+    bucket choice. Output: all point columns + the intervals' non-key
+    columns.
     """
     on_cols = [on] if isinstance(on, str) else list(on)
+    if bucket == "auto":
+        row = (
+            intervals.filter(F.col(end) >= F.col(start))
+            .select(((F.col(end) - F.col(start)).cast("long") + 1).alias("_len"))
+            .agg(
+                F.percentile_approx("_len", 0.5).alias("p50"),
+                F.max("_len").alias("mx"),
+            )
+            .collect()[0]
+        )
+        p50, mx = row["p50"] or 1, row["mx"] or 1
+        bucket = int(max(p50, -(-mx // 256), 1))
+    elif not isinstance(bucket, int):
+        raise ValueError(f"bucket must be an int or 'auto', got {bucket!r}")
     ivl_rest = [c for c in intervals.columns if c not in on_cols]
     clash = set(ivl_rest) & set(points.columns)
     if clash:
