@@ -61,6 +61,10 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.o
     resample_ffill,
     hash_sample,
     kmv_distinct,
+    random_project,
+    repetition_stats,
+    stratified_sample,
+    tfidf_topk,
 )
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import (
     events_to_series,
@@ -874,6 +878,44 @@ def _q34_ann_ivf(spark, sf_dir):
     return ann_ivf_topk(q, emb, k=5, n_lists=16, n_probe=4)
 
 
+def _q51_tfidf(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (operators/corpus.py::tfidf_topk).
+    idf = (N+1)/(df+1) — the no-logarithm raw-frequency variant, so the
+    score is two IEEE ops on exact integers and hash-matches any engine;
+    rank tie-break (score desc, term asc) is a total order."""
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_topk(docs, k=3)
+
+
+def _q52_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals per document
+    (operators/corpus.py::repetition_stats): distinct-token ratio and the
+    most-frequent-bigram fraction — the standard boilerplate/degenerate-
+    repetition filters in a pre-training pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+def _q53_stratified_sample(spark, sf_dir):
+    """Deterministic fixed-quota stratified sample: 20 documents per
+    language by portable-hash rank (operators/sketch.py::stratified_sample)
+    — the balanced-training-mix primitive; no RNG, so the SAMPLE ITSELF is
+    oracle-checked, not just its size."""
+    docs = _t(spark, sf_dir, "documents")
+    s = stratified_sample(docs, strata="lang", key="doc_id", n=20)
+    return s.select("lang", "doc_id", "sample_rank")
+
+
+def _q54_random_projection(spark, sf_dir):
+    """Random-projection (Johnson-Lindenstrauss) dim reduction 64 -> 8 over
+    the embedding column (operators/similarity.py::random_project): hash-
+    derived deterministic planes, left-fold dots — every projected double
+    hash-matches the SQL oracle. The cheap front-end for ANN/cluster at
+    scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return random_project(emb, out_dim=8, dim=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -926,6 +968,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_interval_join": _q48_interval_join,
         "q49_sql_api": _q49_sql_api,
         "q50_znorm": _q50_znorm,
+        "q51_tfidf": _q51_tfidf,
+        "q52_repetition": _q52_repetition,
+        "q53_stratified_sample": _q53_stratified_sample,
+        "q54_random_projection": _q54_random_projection,
     }
 
 
@@ -1075,6 +1121,33 @@ def _sql_dot(a: str, b: str) -> str:
         f" list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i])),"
         f" (x, y) -> x + y)"
     )
+
+
+def _sql_random_proj(out_dim: int = 8, dim: int = 64, plane_offset: int = 7001) -> str:
+    """Mirror of operators/similarity.py::random_project — same hash-derived
+    plane coefficients as the LSH oracle, left-fold dot per output dim."""
+
+    def coeff(plane: int, d: int) -> str:
+        v = f"(cast(1103515245 AS bigint) * ({plane} * 1009 + {d}) + 12345) % {HASH_P}"
+        return f"(cast({v} AS double) / {HASH_P} - 0.5)"
+
+    def proj(j: int) -> str:
+        prods = ", ".join(
+            f"v[{d + 1}] * {coeff(plane_offset + j, d)}" for d in range(dim)
+        )
+        return (
+            f"round(list_reduce(list_prepend(cast(0.0 AS double), [{prods}]),"
+            f" (x, y) -> x + y), 6) AS p{j}"
+        )
+
+    cols = ", ".join(proj(j) for j in range(out_dim))
+    return f"""
+        WITH c AS (
+            SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+            FROM embeddings
+        )
+        SELECT vec_id, {cols} FROM c
+    """
 
 
 def _sql_ann_lsh(planes: int = 4, tables: int = 8, dim: int = 64, k: int = 5) -> str:
@@ -1899,4 +1972,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT test_id, train_id, cast(rank AS int) AS rank
             FROM ranked WHERE rank <= 5
         """,
+        "q51_tfidf": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+            ),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+                SELECT t.doc_id, t.term, t.tf, d.df,
+                       cast(t.tf AS double)
+                       * (cast(n.n_docs + 1 AS double) / cast(d.df + 1 AS double)) AS score
+                FROM tf t JOIN dfq d USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY score DESC, term ASC) AS rank
+                FROM scored
+            )
+            SELECT doc_id, cast(rank AS int) AS rank, term, tf, df,
+                   round(score, 6) AS score
+            FROM ranked WHERE rank <= 3
+        """,
+        "q52_repetition": f"""
+            WITH t AS (
+                SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+            ),
+            base AS (
+                SELECT doc_id,
+                       cast(len(toks) AS int) AS n_tokens,
+                       cast(len(list_distinct(toks)) AS int) AS n_distinct,
+                       unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i+1])) AS bigram
+                FROM t WHERE len(toks) >= 2
+            ),
+            counts AS (
+                SELECT doc_id, n_tokens, n_distinct, bigram, count(*) AS c
+                FROM base GROUP BY doc_id, n_tokens, n_distinct, bigram
+            ),
+            agg AS (
+                SELECT doc_id, n_tokens, n_distinct, max(c) AS top
+                FROM counts GROUP BY doc_id, n_tokens, n_distinct
+            )
+            SELECT doc_id, n_tokens, n_distinct,
+                   cast(n_distinct AS double) / cast(n_tokens AS double) AS distinct_ratio,
+                   cast(top AS double) / cast(n_tokens - 1 AS double) AS top_bigram_frac
+            FROM agg
+        """,
+        "q53_stratified_sample": """
+            WITH ranked AS (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY ((doc_id % 1000000007) * 654435747 + 40503)
+                                    % 1000000007 ASC,
+                                    doc_id ASC) AS sample_rank
+                FROM documents
+            )
+            SELECT lang, doc_id, cast(sample_rank AS int) AS sample_rank
+            FROM ranked WHERE sample_rank <= 20
+        """,
+        "q54_random_projection": _sql_random_proj(out_dim=8, dim=64),
     }

@@ -1,0 +1,131 @@
+"""Corpus statistics (TF-IDF, repetition), stratified sampling, and
+random-projection operator tests — hand-computed expectations on tiny
+inputs; cross-engine parity is covered by test_oracle_parity (q51-q54)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.text import HASH_P
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+    random_project,
+    repetition_stats,
+    stratified_sample,
+    tfidf_topk,
+)
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sketch import (
+    AFFINE_A,
+    AFFINE_B,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "apple banana apple", "en"),
+        (1, "banana cherry", "en"),
+        (2, "apple apple apple apple", "fr"),
+        (3, "unique words only here", "fr"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_tfidf_scores_and_ranks(corpus):
+    out = {
+        (r.doc_id, r.term): (r.rank, r.tf, r.df, r.score)
+        for r in tfidf_topk(corpus, k=3).collect()
+    }
+    # N=4. apple: df=2, banana: df=2, cherry: df=1, unique/words/only/here: df=1
+    # doc 0: apple tf=2 score=2*(5/3); banana tf=1 score=5/3
+    assert out[(0, "apple")] == (1, 2, 2, round(2 * (5.0 / 3.0), 6))
+    assert out[(0, "banana")] == (2, 1, 2, round(5.0 / 3.0, 6))
+    # doc 1: cherry (tf=1, df=1, score=2.5) beats banana (5/3)
+    assert out[(1, "cherry")][0] == 1 and out[(1, "cherry")][3] == 2.5
+    assert out[(1, "banana")][0] == 2
+    # doc 3: three tied terms (tf=1, df=1) -> rank by term asc, k=3 cuts one
+    d3 = sorted((v[0], t) for (d, t), v in out.items() if d == 3)
+    assert d3 == [(1, "here"), (2, "only"), (3, "unique")]
+
+
+def test_tfidf_score_is_division_then_multiply(corpus):
+    # the portability contract: score == tf * ((N+1)/(df+1)) in THAT op order
+    r = [x for x in tfidf_topk(corpus, k=3).collect() if x.doc_id == 2][0]
+    assert r.term == "apple" and r.score == round(4 * (5.0 / 3.0), 6)
+
+
+def test_repetition_stats_values(corpus):
+    out = {r.doc_id: r for r in repetition_stats(corpus).collect()}
+    # doc 2: 4x "apple" -> 3 bigrams all "apple apple"
+    assert out[2].n_tokens == 4 and out[2].n_distinct == 1
+    assert out[2].distinct_ratio == 0.25 and out[2].top_bigram_frac == 1.0
+    # doc 0: bigrams {apple banana, banana apple} -> top 1 of 2
+    assert out[0].n_tokens == 3 and out[0].n_distinct == 2
+    assert out[0].top_bigram_frac == 0.5
+    # doc 3: all distinct
+    assert out[3].distinct_ratio == 1.0 and out[3].top_bigram_frac == pytest.approx(1 / 3)
+
+
+def test_repetition_excludes_sub_two_token_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "single"), (1, ""), (2, "two tokens")], "doc_id long, text string"
+    )
+    got = {r.doc_id for r in repetition_stats(df).collect()}
+    assert got == {2}
+
+
+def test_stratified_sample_quota_and_determinism(corpus):
+    s1 = stratified_sample(corpus, strata="lang", key="doc_id", n=1)
+    rows = s1.collect()
+    assert {r.lang for r in rows} == {"en", "fr"}
+    assert all(r.sample_rank == 1 for r in rows)
+    # the winner per stratum is the min affine hash, tie-broken by id
+    def h(x):
+        return ((x % HASH_P) * AFFINE_A + AFFINE_B) % HASH_P
+
+    want = {
+        lang: min(ids, key=lambda i: (h(i), i))
+        for lang, ids in {"en": [0, 1], "fr": [2, 3]}.items()
+    }
+    got = {r.lang: r.doc_id for r in rows}
+    assert got == want
+    # deterministic across invocations
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, stratified_sample(corpus, strata="lang", key="doc_id", n=1).collect())
+    )
+    # n larger than stratum: whole stratum kept, ranks dense
+    s9 = stratified_sample(corpus, strata="lang", key="doc_id", n=9)
+    assert s9.count() == 4
+    assert {r.sample_rank for r in s9.collect()} == {1, 2}
+
+
+def test_random_project_matches_numpy(spark):
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.similarity import (
+        _hyperplane,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(10)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r.vec_id: [r[f"p{j}"] for j in range(4)] for r in
+           random_project(df, out_dim=4, dim=16).collect()}
+    for i, v in vecs:
+        a = np.asarray(v)
+        for j in range(4):
+            c = np.array([_hyperplane(7001 + j, d) for d in range(16)])
+            # left-fold == sequential sum here (same op order as the SQL fold)
+            acc = 0.0
+            for d in range(16):
+                acc = acc + a[d] * c[d]
+            assert out[i][j] == round(acc, 6)
+
+
+def test_random_project_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([(0, [1.0] * 8)], "vec_id long, embedding array<double>")
+    plan = (
+        random_project(df, out_dim=2, dim=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

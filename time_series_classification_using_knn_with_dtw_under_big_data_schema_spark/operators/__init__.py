@@ -10,8 +10,9 @@ from .dedup import (  # noqa: F401
     simhash,
     simhash_near_dups,
 )
-from .similarity import ann_brute_topk, ann_ivf_topk, ann_lsh_topk  # noqa: F401
+from .similarity import ann_brute_topk, ann_ivf_topk, ann_lsh_topk, random_project  # noqa: F401
+from .corpus import repetition_stats, tfidf_topk  # noqa: F401
 from .multimodal import decode_image_features, sample_frames, synthetic_media  # noqa: F401
 from .skew import salted_join  # noqa: F401
 from .temporal import asof_join, interval_join, resample_ffill  # noqa: F401
-from .sketch import hash_sample, key_hash, kmv_distinct  # noqa: F401
+from .sketch import hash_sample, key_hash, kmv_distinct, stratified_sample  # noqa: F401

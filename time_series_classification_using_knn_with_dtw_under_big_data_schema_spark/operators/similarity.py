@@ -179,6 +179,39 @@ def ann_ivf_topk(
     )
 
 
+def random_project(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    dim: int = 64,
+    plane_offset: int = 7001,
+) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    each output component j is the left-fold dot of the input vector with a
+    deterministic hash-derived coefficient vector — the same portable plane
+    spec the hyperplane LSH uses, so the projection is reproducible on any
+    engine (exact SQL oracle) with no RNG state to ship.
+
+    Output: (id_col, p0..p{out_dim-1}) — wide scalar columns, each rounded
+    to 6dp. Zero shuffle: a pure per-row projection, pipelined into the
+    scan. Use it to cut ANN/cluster costs ~dim/out_dim before a downstream
+    brute/IVF pass (distances distort by the JL bound, ~sqrt(ln N / out_dim)).
+
+    ``plane_offset`` namespaces the coefficient planes away from the LSH
+    tables (which use plane ids 0..tables*131+planes).
+    """
+    v = _as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col),
+        *[
+            F.round(dot(v, _coeffs_expr(plane_offset + j, dim)), 6).alias(f"p{j}")
+            for j in range(out_dim)
+        ],
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> float:
     """Deterministic pseudo-random plane coefficient in [-0.5, 0.5) derived
     from (plane, dim) — portable integer arithmetic, no RNG state."""

@@ -36,7 +36,7 @@ from pyspark.sql import types as T
 
 from ..functions.text import HASH_BASE, HASH_P, char_hash
 
-__all__ = ["kmv_distinct", "hash_sample", "key_hash"]
+__all__ = ["kmv_distinct", "hash_sample", "key_hash", "stratified_sample"]
 
 AFFINE_A = 2654435761 % HASH_P
 AFFINE_B = 40503
@@ -123,4 +123,38 @@ def hash_sample(
     thresh = int(round(fraction * denom))
     return df.filter(
         F.pmod(key_hash(df, keys, hash_mode=hash_mode), F.lit(denom)) < thresh
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata: Union[str, Sequence[str]],
+    key: Union[str, Sequence[str]],
+    n: int,
+    hash_mode: str = "portable",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic fixed-quota sample: exactly min(n, |stratum|) rows per
+    stratum, chosen by hash rank — no RNG, reproducible across runs and
+    engines, and stable under corpus growth for the retained prefix (a row's
+    rank only changes when a smaller-hash row enters its stratum).
+
+    The balanced-downsampling primitive for training mixes (e.g. equal doc
+    counts per language/source). Rows rank within their stratum by
+    (key_hash asc, key asc — a total order); rows ranked > n are dropped.
+    Plan: one shuffle on the strata columns (window partition);
+    WindowGroupLimit prunes to n rows per stratum map-side before the
+    exchange, so the shuffle carries O(n * strata) rows, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    strata_cols = [strata] if isinstance(strata, str) else list(strata)
+    keys = [key] if isinstance(key, str) else list(key)
+    h = key_hash(df, keys, hash_mode=hash_mode)
+    w = Window.partitionBy(*strata_cols).orderBy(
+        h.asc(), *[F.col(kc).asc() for kc in keys]
+    )
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= n
     )
