@@ -68,10 +68,13 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     # --- relational operators -------------------------------------------
-    run("rel_pricing_summary", lambda: entry_mod._q01_pricing_summary(spark, sf_dir).count())
-    run("rel_join_enrich", lambda: entry_mod._q03_join_enrich(spark, sf_dir).count())
-    run("rel_topk_window", lambda: entry_mod._q04_topk_per_group(spark, sf_dir).count())
-    run("rel_mode_vote", lambda: entry_mod._q06_mode_vote(spark, sf_dir).count())
+    # repeats=2: first execution of each query shape pays one-time codegen
+    # compile (~2-3x steady state, measured); best-of-2 reports the
+    # steady-state cost like the hot series entries
+    run("rel_pricing_summary", lambda: entry_mod._q01_pricing_summary(spark, sf_dir).count(), repeats=2)
+    run("rel_join_enrich", lambda: entry_mod._q03_join_enrich(spark, sf_dir).count(), repeats=2)
+    run("rel_topk_window", lambda: entry_mod._q04_topk_per_group(spark, sf_dir).count(), repeats=2)
+    run("rel_mode_vote", lambda: entry_mod._q06_mode_vote(spark, sf_dir).count(), repeats=2)
 
     # --- series workload -------------------------------------------------
     events = load_table(spark, sf_dir, "events")
@@ -156,7 +159,7 @@ def main() -> None:
     # --- training-data pipeline operators --------------------------------
     run("dedup_exact", lambda: entry_mod._q16_dedup_exact(spark, sf_dir).count())
     run("dedup_minhash_lsh", lambda: entry_mod._q18_dedup_minhash_lsh(spark, sf_dir).count(), repeats=2)
-    run("simhash", lambda: entry_mod._q19_simhash(spark, sf_dir).count())
+    run("simhash", lambda: entry_mod._q19_simhash(spark, sf_dir).count(), repeats=2)
     run("text_stats", lambda: entry_mod._q20_text_stats(spark, sf_dir).count())
     run("dedup_components", lambda: entry_mod._q35_dedup_components(spark, sf_dir).count(), repeats=2)
     run("ann_brute_cosine", lambda: entry_mod._q23_ann_cosine(spark, sf_dir).count())
