@@ -65,6 +65,9 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.o
     repetition_stats,
     stratified_sample,
     tfidf_topk,
+    chunk_documents,
+    decontaminate,
+    pack_sequences,
 )
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import (
     events_to_series,
@@ -916,6 +919,34 @@ def _q54_random_projection(spark, sf_dir):
     return random_project(emb, out_dim=8, dim=64)
 
 
+def _q55_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/corpus.py::decontaminate):
+    flag train docs sharing any word 4-gram with the 'benchmark' subset
+    (doc_id % 17 == 0 stands in for an eval set on the synthetic corpus;
+    real pipelines use 8-13-grams a la GPT-3 Appendix C). Eval n-gram set
+    is broadcast — no corpus-sized shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    tr = docs.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate(tr, ev, n=4)
+
+
+def _q56_chunk_documents(spark, sf_dir):
+    """Fixed-size token-window chunking (operators/corpus.py::
+    chunk_documents): each doc split into consecutive 32-token training
+    chunks; shuffle-free fan-out plan."""
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32)
+
+
+def _q57_pack_sequences(spark, sf_dir):
+    """Streaming-concatenation sequence packing (operators/corpus.py::
+    pack_sequences): bucket-sharded greedy packing of the token stream into
+    capacity-256 context windows; one shuffle (window by bucket)."""
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, capacity=256, n_buckets=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -972,6 +1003,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_repetition": _q52_repetition,
         "q53_stratified_sample": _q53_stratified_sample,
         "q54_random_projection": _q54_random_projection,
+        "q55_decontaminate": _q55_decontaminate,
+        "q56_chunk_documents": _q56_chunk_documents,
+        "q57_pack_sequences": _q57_pack_sequences,
     }
 
 
@@ -2035,4 +2069,66 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE sample_rank <= 20
         """,
         "q54_random_projection": _sql_random_proj(out_dim=8, dim=64),
+        # word 4-grams; eval set = doc_id % 17 == 0; n_hits = distinct
+        # contaminated grams per train doc (mirrors operators/corpus.py::
+        # decontaminate: per-doc DISTINCT gram explode -> join -> count)
+        "q55_decontaminate": f"""
+            WITH tok AS (
+                SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+            ),
+            ng AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, len(toks) - 4 + 2),
+                           i -> array_to_string(toks[i:i+3], ' ')))) AS gram
+                FROM tok WHERE len(toks) >= 4
+            ),
+            ev AS (SELECT DISTINCT gram FROM ng WHERE doc_id % 17 = 0),
+            hits AS (
+                SELECT t.doc_id, count(*) AS n_hits
+                FROM ng t JOIN ev USING (gram)
+                WHERE t.doc_id % 17 != 0
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_hits, 0) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 17 != 0
+        """,
+        # 32-token chunks; slice bounds are 1-based inclusive in DuckDB
+        # (toks[a:b]) vs (start, length) in Spark slice()
+        "q56_chunk_documents": f"""
+            WITH tok AS (
+                SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+            ),
+            c AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, cast(ceil(len(toks) / 32.0) AS bigint))) AS chunk_id
+                FROM tok WHERE len(toks) >= 1
+            )
+            SELECT doc_id, cast(chunk_id AS int) AS chunk_id,
+                   cast(len(toks[chunk_id*32+1 : chunk_id*32+32]) AS int) AS n_tokens,
+                   array_to_string(toks[chunk_id*32+1 : chunk_id*32+32], ' ') AS chunk_text
+            FROM c
+        """,
+        # capacity-256 streaming packing over 8 id-mod buckets; pack_id =
+        # floor(exclusive-prefix-token-count / capacity)
+        "q57_pack_sequences": f"""
+            WITH t AS (
+                SELECT doc_id, doc_id % 8 AS bucket,
+                       cast(len({_SQL_TOKENS}) AS int) AS ntok
+                FROM documents
+            ),
+            p AS (
+                SELECT bucket, doc_id, ntok,
+                       cast(floor((sum(ntok) OVER (
+                               PARTITION BY bucket ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                           ) - ntok) / 256) AS bigint) AS pack_id
+                FROM t
+            )
+            SELECT bucket, pack_id, count(*) AS n_docs,
+                   cast(sum(ntok) AS bigint) AS total_tokens
+            FROM p GROUP BY bucket, pack_id
+        """,
     }

@@ -129,3 +129,83 @@ def test_random_project_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_decontaminate_flags_overlap(spark):
+    # eval doc has the 2-gram "b c"; train doc 1 contains it, doc 2 doesn't
+    train = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z w"), (3, "b")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, "q b c r")], "doc_id long, text string")
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import decontaminate
+
+    out = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate(train, ev, n=2).collect()}
+    assert out[1] == (1, True)      # "b c" hits
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)     # shorter than n -> no grams, kept with 0
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    # repeated contaminated gram in one train doc counts once (distinct set)
+    train = spark.createDataFrame([(1, "b c b c")], "doc_id long, text string")
+    ev = spark.createDataFrame([(9, "b c")], "doc_id long, text string")
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import decontaminate
+
+    [row] = decontaminate(train, ev, n=2).collect()
+    # distinct grams of train: {"b c", "c b"}; only "b c" is in eval
+    assert (row["n_hits"], row["contaminated"]) == (1, True)
+
+
+def test_chunk_documents_boundaries(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4"), (2, "a"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_tokens=2).collect()
+    )
+    assert rows == [
+        (1, 0, 2, "t0 t1"),
+        (1, 1, 2, "t2 t3"),
+        (1, 2, 1, "t4"),   # short tail chunk
+        (2, 0, 1, "a"),
+        # doc 3 empty -> no chunks
+    ]
+
+
+def test_pack_sequences_streaming_semantics(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import pack_sequences
+
+    # one bucket (n_buckets=1); token counts 3,3,3 with capacity 4:
+    # prefix starts at 0,3,6 -> packs 0,0,1
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f"), (2, "g h i")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["bucket"], r["pack_id"], r["n_docs"], r["total_tokens"])
+        for r in pack_sequences(docs, capacity=4, n_buckets=1).collect()
+    )
+    assert rows == [(0, 0, 2, 6), (0, 1, 1, 3)]
+
+
+def test_pack_sequences_buckets_are_independent(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 10) for i in range(20)], "doc_id long, text string"
+    )
+    out = pack_sequences(docs, capacity=25, n_buckets=4).collect()
+    # each bucket has 5 docs x 10 tokens = 50 tokens -> packs 0 and 1
+    per_bucket = {}
+    for r in out:
+        per_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(per_bucket) == {0, 1, 2, 3}
+    for b, rows in per_bucket.items():
+        assert sum(r["total_tokens"] for r in rows) == 50
+        assert sorted(r["pack_id"] for r in rows) == [0, 1]

@@ -11,7 +11,13 @@ from .dedup import (  # noqa: F401
     simhash_near_dups,
 )
 from .similarity import ann_brute_topk, ann_ivf_topk, ann_lsh_topk, random_project  # noqa: F401
-from .corpus import repetition_stats, tfidf_topk  # noqa: F401
+from .corpus import (  # noqa: F401
+    chunk_documents,
+    decontaminate,
+    pack_sequences,
+    repetition_stats,
+    tfidf_topk,
+)
 from .multimodal import decode_image_features, sample_frames, synthetic_media  # noqa: F401
 from .skew import salted_join  # noqa: F401
 from .temporal import asof_join, interval_join, resample_ffill  # noqa: F401

@@ -36,7 +36,13 @@ from ..functions.text import tokens
 from .skew import fan_out
 from .topk import topk_per_key
 
-__all__ = ["tfidf_topk", "repetition_stats"]
+__all__ = [
+    "tfidf_topk",
+    "repetition_stats",
+    "decontaminate",
+    "chunk_documents",
+    "pack_sequences",
+]
 
 
 def tfidf_topk(
@@ -125,4 +131,162 @@ def repetition_stats(
         (
             F.col("_top").cast("double") / (F.col("n_tokens") - F.lit(1)).cast("double")
         ).alias("top_bigram_frac"),
+    )
+
+
+def _token_ngrams(text: "F.Column", n: int) -> "F.Column":
+    """Distinct word n-grams of a text column (array<string>).
+
+    Caller must guarantee ``size(tokens) >= n`` (Spark's ``sequence`` would
+    otherwise produce a DESCENDING range for an empty window and emit bogus
+    grams).
+    """
+    toks = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    n-gram with an evaluation/benchmark set.
+
+    The standard pre-training hygiene pass (GPT-3 Appendix C / PaLM / Llama
+    use 8-13-gram overlap): any train document containing a verbatim n-gram
+    from the eval set is 'contaminated' and should be dropped or audited
+    before training. Output: one row per train document —
+    (id_col, n_hits, contaminated) where n_hits = number of DISTINCT train-doc
+    n-grams that appear anywhere in the eval set.
+
+    Scale design (100 TB train, eval sets are benchmark-sized i.e. tiny):
+    the eval n-gram SET is deduped (vocabulary of a few-MB benchmark) and
+    broadcast; the train side ``explode_outer``s distinct per-doc n-grams
+    (outer keeps sub-n-token docs as one null-gram row) and broadcast-LEFT-
+    joins, so n_hits is a conditional count in the SAME per-doc groupBy —
+    the ONLY corpus-sized shuffle is that map-side-partial doc_id groupBy.
+    No train-vs-hits re-join (an earlier draft sort-merge-joined the corpus
+    id list back against the hit table; explode_outer makes that node
+    disappear). If the eval set ever outgrows broadcast range, swap the
+    hint for a shuffle hash join on the gram — semantics unchanged.
+    """
+    ev = (
+        fan_out(eval_docs)
+        .filter(F.size(tokens(F.col(text_col))) >= n)
+        .select(F.explode(_token_ngrams(F.col(text_col), n)).alias("_gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    grams_or_null = F.when(
+        F.size(tokens(F.col(text_col))) >= n, _token_ngrams(F.col(text_col), n)
+    )  # null for short docs -> explode_outer emits one null-gram row
+    tr_grams = fan_out(train).select(
+        F.col(id_col), F.explode_outer(grams_or_null).alias("_gram")
+    )
+    return (
+        tr_grams.join(F.broadcast(ev), "_gram", "left")
+        .groupBy(id_col)
+        .agg(F.count("_hit").alias("n_hits"))
+        .select(
+            id_col,
+            "n_hits",
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into consecutive fixed-size token windows —
+    the training-example chunking step of a pre-training pipeline.
+
+    Output: (id_col, chunk_id int, n_tokens, chunk_text); the last chunk per
+    doc may be short. Zero-token documents produce no chunks.
+
+    Scale design: pure per-row fan-out (tokenize + sequence + explode) — NO
+    shuffle at all; chunking 100 TB is embarrassingly parallel and this plan
+    keeps it that way (one WholeStageCodegen span over the scan).
+    """
+    toks = tokens(F.col(text_col))
+    t = fan_out(docs).select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    ).filter(F.col("_n") >= 1)
+    n_chunks = F.ceil(F.col("_n") / F.lit(float(chunk_tokens))).cast("int")
+    exploded = t.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_id"),
+        F.col("_toks"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("chunk_id") * chunk_tokens + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    capacity: int = 256,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming-concatenation sequence packing: concatenate documents (in
+    deterministic id order) and cut the token stream at ``capacity``
+    boundaries; a document's pack is the capacity-window its FIRST token
+    lands in. This is the packing scheme GPT-style pre-training uses to fill
+    fixed-length context windows without padding.
+
+    A single global greedy pack is inherently sequential, so the distributed
+    form shards the corpus into ``n_buckets`` independent streams
+    (bucket = id mod n_buckets) and packs each independently — each bucket's
+    result is identical to running the sequential packer on that bucket.
+    Output: one row per pack — (bucket, pack_id, n_docs, total_tokens).
+
+    Scale design: ONE shuffle (window partitionBy bucket); each bucket's
+    running sum is a linear scan within its partition. n_buckets should be
+    >= cluster parallelism at scale — buckets are independent, so more
+    buckets = more parallelism with no cross-bucket coordination. The output
+    agg reuses the same (bucket) partitioning, so AQE plans it shuffle-free.
+    """
+    from pyspark.sql import Window
+
+    t = fan_out(docs).select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_buckets)).alias("bucket"),
+        F.size(tokens(F.col(text_col))).alias("_ntok"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = t.select(
+        "bucket",
+        id_col,
+        "_ntok",
+        F.floor((F.sum("_ntok").over(w) - F.col("_ntok")) / F.lit(capacity)).alias(
+            "pack_id"
+        ),
+    )
+    return packed.groupBy("bucket", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_ntok").alias("total_tokens"),
     )
