@@ -68,6 +68,8 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.o
     chunk_documents,
     decontaminate,
     pack_sequences,
+    profile_table,
+    salted_join,
 )
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import (
     events_to_series,
@@ -947,6 +949,49 @@ def _q57_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, capacity=256, n_buckets=8)
 
 
+def _q60_attribution_join(spark, sf_dir):
+    """Stream-stream attribution join, batch twin (streaming/joins.py::
+    attribution_join): every (view -> click) pair of the same user with the
+    click at most 4 hours after the view. Equi-join on user_id with the
+    time range as residual — in streaming it is a watermark-bounded
+    StreamingSymmetricHashJoin (live parity test in
+    tests/test_ml_and_streaming.py); in batch this exact plan, which the
+    DuckDB oracle hash-matches."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import attribution_join
+
+    e = _t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view")
+    clicks = e.filter(F.col("event_type") == "click")
+    return attribution_join(views, clicks, key="user_id", within="4 hours")
+
+
+def _q58_profile_table(spark, sf_dir):
+    """One-scan column profiling (operators/profile.py::profile_table):
+    nulls / exact distinct / numeric min-max per column of orders, single
+    agg row unpivoted via explode(array(struct)). distinct_mode='approx'
+    (HLL++, no Expand) is the 100 TB path; exact is the oracle-checkable
+    one used here."""
+    return profile_table(_t(spark, sf_dir, "orders"))
+
+
+def _q59_salted_join(spark, sf_dir):
+    """Skew-salted equi-join (operators/skew.py::salted_join): lineitem
+    (skewed side, salted) x orders replicated over 4 salts, then exact-cents
+    revenue per order priority. Result set is identical to the plain join —
+    which is exactly what the oracle asserts cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+        .select("l_orderkey", "o_orderpriority")
+    )
+    j = salted_join(li, orders, "l_orderkey", salts=4)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev_cents"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1006,6 +1051,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_decontaminate": _q55_decontaminate,
         "q56_chunk_documents": _q56_chunk_documents,
         "q57_pack_sequences": _q57_pack_sequences,
+        "q58_profile_table": _q58_profile_table,
+        "q59_salted_join": _q59_salted_join,
+        "q60_attribution_join": _q60_attribution_join,
     }
 
 
@@ -1388,6 +1436,23 @@ def _sql_lsh_pairs() -> str:
             SELECT id_a, id_b, round({_SQL_JACCARD}, 6) AS jac
             FROM verified WHERE {_SQL_JACCARD} >= 0.5
         """
+
+
+def _sql_profile(table: str, numeric: set[str], cols: list[str]) -> str:
+    """UNION ALL twin of profile_table: one SELECT of the same aggregates
+    per column (DuckDB has no 1-row-unpivot idiom worth mirroring)."""
+    parts = []
+    for c in cols:
+        mn = f"cast(min({c}) AS double)" if c in numeric else "cast(NULL AS double)"
+        mx = f"cast(max({c}) AS double)" if c in numeric else "cast(NULL AS double)"
+        parts.append(
+            f"SELECT '{c}' AS col_name, count(*) AS n_rows,"
+            f" cast(sum(cast({c} IS NULL AS int)) AS bigint) AS n_nulls,"
+            f" cast(sum(cast({c} IS NULL AS int)) AS double) / cast(count(*) AS double) AS null_frac,"
+            f" count(DISTINCT {c}) AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num FROM {table}"
+        )
+    return " UNION ALL ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2130,5 +2195,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, pack_id, count(*) AS n_docs,
                    cast(sum(ntok) AS bigint) AS total_tokens
             FROM p GROUP BY bucket, pack_id
+        """,
+        "q58_profile_table": _sql_profile(
+            "orders",
+            numeric={"o_orderkey", "o_custkey", "o_totalprice"},
+            cols=[
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            ],
+        ),
+        # epoch-ns -> micros by integer division on BOTH engines (a float
+        # divide would flip borderline pairs at the 4h boundary)
+        "q60_attribution_join": """
+            WITH i AS (
+                SELECT user_id, epoch_ns(ts) // 1000 AS imp_us
+                FROM events WHERE event_type = 'view'
+            ),
+            c AS (
+                SELECT user_id, epoch_ns(ts) // 1000 AS conv_us
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT i.user_id, i.imp_us, c.conv_us,
+                   (c.conv_us - i.imp_us) // 1000 AS delay_ms
+            FROM i JOIN c ON i.user_id = c.user_id
+            WHERE c.conv_us >= i.imp_us
+              AND c.conv_us <= i.imp_us + 14400000000
+        """,
+        # the salt is internal: salted result set == plain join result set
+        "q59_salted_join": """
+            SELECT o.o_orderpriority,
+                   count(*) AS n_items,
+                   cast(sum(cast(round(l.l_extendedprice * 100) AS bigint)) AS bigint) AS rev_cents
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
         """,
     }

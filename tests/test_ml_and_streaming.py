@@ -174,3 +174,57 @@ def test_streaming_dedup_watermarked(spark, tmp_path):
         q.stop()
     # all three arrive inside one watermark window -> one survivor
     assert n == 1
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import attribution_join
+
+    base = 1_700_000_000_000_000_000  # epoch ns
+    m = 60_000_000_000  # one minute in ns
+    imps = [(1, base), (1, base + 10 * m), (2, base), (3, base + 5 * m)]
+    convs = [
+        (1, base + 3 * m),    # joins imp@0 only
+        (1, base + 12 * m),   # joins imp@0? no (>5m); joins imp@10m
+        (2, base + 20 * m),   # outside window -> no pair
+        (3, base + 5 * m),    # delay 0 pair
+    ]
+    imp_df = spark.createDataFrame(imps, "user_id long, ts long")
+    conv_df = spark.createDataFrame(convs, "user_id long, ts long")
+
+    expected = sorted(
+        tuple(r)
+        for r in attribution_join(imp_df, conv_df, within="5 minutes").collect()
+    )
+    assert len(expected) == 3
+    delays = {(r[0], r[3]) for r in expected}
+    assert delays == {(1, 180_000), (1, 120_000), (3, 0)}
+
+    imp_src, conv_src = str(tmp_path / "imp"), str(tmp_path / "conv")
+    imp_df.write.parquet(imp_src)
+    conv_df.write.parquet(conv_src)
+    imp_s = spark.readStream.schema(imp_df.schema).parquet(imp_src)
+    conv_s = spark.readStream.schema(conv_df.schema).parquet(conv_src)
+    out = attribution_join(imp_s, conv_s, within="5 minutes", watermark="1 hour")
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in spark.sql("SELECT * FROM attrib").collect())
+    finally:
+        q.stop()
+    assert got == expected
+
+
+def test_attribution_join_rejects_bad_ts_type(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import attribution_join
+
+    df = spark.createDataFrame([(1, "x")], "user_id long, ts string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="long-nanos or timestamp"):
+        attribution_join(df, df)

@@ -274,3 +274,52 @@ def test_multimodal_real_decode_raises(spark):
     media = synthetic_media(spark, n=3)
     with pytest.raises(Exception, match="NotImplementedError|imaging library"):
         decode_image_features(media, fake=False).collect()
+
+
+def test_profile_table_values(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (2, "b", None)],
+        "k long, s string, v double",
+    )
+    out = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert out["k"]["n_rows"] == 3 and out["k"]["n_nulls"] == 0
+    assert out["k"]["n_distinct"] == 2
+    assert (out["k"]["min_num"], out["k"]["max_num"]) == (1.0, 2.0)
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    # string column: no numeric min/max
+    assert out["s"]["min_num"] is None and out["s"]["max_num"] is None
+    assert out["v"]["null_frac"] == pytest.approx(1 / 3)
+
+
+def test_profile_table_single_scan(spark):
+    # the whole profile is ONE aggregate over ONE scan: no join/union nodes
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import profile_table
+
+    df = spark.range(100).selectExpr("id", "cast(id % 7 as string) AS s")
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Union" not in plan
+    assert plan.count("Scan") <= 1
+
+
+def test_profile_table_approx_mode(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import profile_table
+
+    df = spark.range(1000).selectExpr("id", "id % 10 AS m")
+    out = {r["col_name"]: r for r in profile_table(df, distinct_mode="approx").collect()}
+    # HLL estimate within 10% on a small exact cardinality
+    assert abs(out["m"]["n_distinct"] - 10) <= 1
+    # approx mode must not plan an Expand (the multi-distinct blowup)
+    plan = profile_table(df, distinct_mode="approx")._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+
+def test_profile_table_rejects_bad_args(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import profile_table
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        profile_table(df, columns=["nope"])
+    with pytest.raises(ValueError, match="distinct_mode"):
+        profile_table(df, distinct_mode="bogus")

@@ -19,6 +19,7 @@ from .corpus import (  # noqa: F401
     tfidf_topk,
 )
 from .multimodal import decode_image_features, sample_frames, synthetic_media  # noqa: F401
+from .profile import profile_table  # noqa: F401
 from .skew import salted_join  # noqa: F401
 from .temporal import asof_join, interval_join, resample_ffill  # noqa: F401
 from .sketch import hash_sample, key_hash, kmv_distinct, stratified_sample  # noqa: F401
