@@ -34,11 +34,13 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.f
     STOPWORDS,
     char_hash,
     lang_id,
+    normalize_text,
     quality_score,
     stopword_ratio,
     token_count,
     word_tokens,
 )
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.text import tokens as tokens_fn
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import znorm
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
     accuracy,
@@ -71,6 +73,8 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.o
     profile_table,
     salted_join,
 )
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.dedup import dedup_incremental
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sketch import histogram
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import (
     events_to_series,
     load_table,
@@ -949,6 +953,74 @@ def _q57_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, capacity=256, n_buckets=8)
 
 
+def _q61_incremental_dedup(spark, sf_dir):
+    """Incremental ingestion dedup (operators/dedup.py::dedup_incremental):
+    the 'new batch' (doc_id >= 400) anti-joins its content fingerprints
+    against the existing corpus (doc_id < 400); only fingerprint-new,
+    batch-unique docs are admitted. Raw text never shuffles — fingerprints
+    do."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    return dedup_incremental(batch, corpus)
+
+
+def _q62_histogram(spark, sf_dir):
+    """Fixed-width histogram (operators/sketch.py::histogram) of order
+    totals: 20 buckets over [0, 600000); bucket expression is the same
+    IEEE op sequence on both engines so every count matches exactly."""
+    return histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", bins=20, lo=0.0, hi=600_000.0
+    )
+
+
+def _q63_multiway_join(spark, sf_dir):
+    """TPC-H Q5-shaped 6-table join: revenue per nation for one region and
+    a 2-year date window, exact-cents. Pure declarative plan — Catalyst
+    broadcast-joins the three dim tables (region/nation/supplier at this
+    SF), pushes r_name + date filters into the scans, and reorders the
+    join tree; the engine adds nothing by hand (SURVEY §4: join reordering
+    'free the moment the plan is DataFrame-native')."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+            ).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q64_normalize_text(spark, sf_dir):
+    """ASCII-level text normalization (functions/text.py::normalize_text):
+    lowercase, strip non-[a-z0-9 ], collapse whitespace — the canonical
+    form feeding dedup/fingerprints. Shuffle-free row-wise plan."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(tokens_fn(norm)).alias("n_tokens"),
+    )
+
+
 def _q60_attribution_join(spark, sf_dir):
     """Stream-stream attribution join, batch twin (streaming/joins.py::
     attribution_join): every (view -> click) pair of the same user with the
@@ -1054,6 +1126,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_profile_table": _q58_profile_table,
         "q59_salted_join": _q59_salted_join,
         "q60_attribution_join": _q60_attribution_join,
+        "q61_incremental_dedup": _q61_incremental_dedup,
+        "q62_histogram": _q62_histogram,
+        "q63_multiway_join": _q63_multiway_join,
+        "q64_normalize_text": _q64_normalize_text,
     }
 
 
@@ -2224,6 +2300,63 @@ def oracle_sql() -> dict[str, str]:
             FROM i JOIN c ON i.user_id = c.user_id
             WHERE c.conv_us >= i.imp_us
               AND c.conv_us <= i.imp_us + 14400000000
+        """,
+        "q61_incremental_dedup": f"""
+            WITH bfp AS (
+                SELECT doc_id, {_sql_char_fold('text')} AS fingerprint
+                FROM documents WHERE doc_id >= 400
+            ),
+            batch_best AS (
+                SELECT fingerprint, min(doc_id) AS doc_id
+                FROM bfp GROUP BY fingerprint
+            ),
+            corpus_fps AS (
+                SELECT DISTINCT {_sql_char_fold('text')} AS fingerprint
+                FROM documents WHERE doc_id < 400
+            )
+            SELECT b.doc_id, b.fingerprint
+            FROM batch_best b ANTI JOIN corpus_fps c USING (fingerprint)
+        """,
+        # bucket = floor(((x-lo)/(hi-lo))*bins), clamped — identical IEEE
+        # op order in both engines
+        "q62_histogram": """
+            WITH b AS (
+                SELECT cast(greatest(0, least(19,
+                           floor(((o_totalprice - 0.0) / 600000.0) * 20))) AS int) AS bucket
+                FROM orders WHERE o_totalprice IS NOT NULL
+            )
+            SELECT bucket,
+                   0.0 + bucket * 30000.0 AS lo_edge,
+                   0.0 + (bucket + 1) * 30000.0 AS hi_edge,
+                   count(*) AS n
+            FROM b GROUP BY bucket
+        """,
+        "q63_multiway_join": """
+            SELECT n.n_name,
+                   cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS bigint)) AS bigint) AS revenue_e4,
+                   count(*) AS n_items
+            FROM customer c
+            JOIN orders o   ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n.n_name
+        """,
+        "q64_normalize_text": """
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+                FROM documents
+            )
+            SELECT doc_id, norm_text,
+                   cast(len(list_filter(string_split_regex(lower(trim(norm_text)), '\\s+'),
+                        x -> x != '')) AS int) AS n_tokens
+            FROM n
         """,
         # the salt is internal: salted result set == plain join result set
         "q59_salted_join": """

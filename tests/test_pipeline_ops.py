@@ -323,3 +323,33 @@ def test_profile_table_rejects_bad_args(spark):
         profile_table(df, columns=["nope"])
     with pytest.raises(ValueError, match="distinct_mode"):
         profile_table(df, distinct_mode="bogus")
+
+
+def test_dedup_incremental(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.dedup import dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, "known text"), (2, "other text")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "known text"),    # already in corpus -> rejected
+            (11, "fresh one"),     # new -> admitted
+            (12, "fresh one"),     # batch-dup of 11 -> rejected (min id wins)
+            (13, "another new"),   # new -> admitted
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r["doc_id"] for r in dedup_incremental(batch, corpus).collect())
+    assert got == [11, 13]
+
+
+def test_normalize_text_canonical_form(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [("  Hello,   WORLD!! 42 ", ), ("«fancy» – punct", ), ("", )],
+        "text string",
+    )
+    got = [r["n"] for r in df.select(normalize_text(F.col("text")).alias("n")).collect()]
+    assert got == ["hello world 42", "fancy punct", ""]

@@ -69,3 +69,20 @@ def test_broadcast_knn_has_single_shuffle(spark, har_dfs):
 def test_parse_path_has_no_python(spark):
     q = entry_mod._q07_parse_series(spark, SF)
     assert python_eval_nodes(q) == 0
+
+
+def test_multiway_join_broadcasts_dims_and_pushes_filters(spark):
+    q = entry_mod._q63_multiway_join(spark, SF)
+    assert has_broadcast_join(q)
+    # region filter + date range reach the parquet scans
+    pf = pushed_filters(q)
+    assert any("r_name" in f for f in pf)
+    assert any("o_orderdate" in f for f in pf)
+
+
+def test_chunk_documents_plan_is_shuffle_free(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import chunk_documents
+
+    docs = spark.range(64).selectExpr("id AS doc_id", "repeat('w ', 40) AS text")
+    # already well-partitioned input: fan_out is a no-op, plan has no exchange
+    assert count_exchanges(chunk_documents(docs)) == 0

@@ -88,3 +88,34 @@ def test_xxhash64_mode_same_properties(spark):
     assert a == b and abs(len(a) - 1000) < 4 * (5000 * 0.2 * 0.8) ** 0.5
     with _pt.raises(ValueError, match="hash_mode"):
         hash_sample(df, key="u", fraction=0.1, hash_mode="md5")
+
+
+def test_histogram_edges_and_clamp(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sketch import histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.9,), (10.0,), (55.0,), (100.0,), (250.0,), (None,)],
+        "x double",
+    )
+    out = {r["bucket"]: r for r in histogram(df, "x", bins=10, lo=0.0, hi=100.0).collect()}
+    # -5 clamps into bucket 0; 0.0 and 9.9 in bucket 0
+    assert out[0]["n"] == 3
+    assert out[1]["n"] == 1          # 10.0 -> bucket 1 (left-closed)
+    assert out[5]["n"] == 1          # 55.0
+    # 100.0 (== hi) and 250 clamp into last bucket; None dropped
+    assert out[9]["n"] == 2
+    assert (out[0]["lo_edge"], out[0]["hi_edge"]) == (0.0, 10.0)
+    assert (out[9]["lo_edge"], out[9]["hi_edge"]) == (90.0, 100.0)
+    assert sum(r["n"] for r in out.values()) == 7
+
+
+def test_histogram_rejects_bad_args(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sketch import histogram
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bins"):
+        histogram(df, "x", bins=0, lo=0.0, hi=1.0)
+    with _pytest.raises(ValueError, match="hi > lo"):
+        histogram(df, "x", bins=5, lo=1.0, hi=1.0)

@@ -129,3 +129,17 @@ def lang_id(col: Column) -> Column:
         best = F.when(take, F.lit(code)).otherwise(best)
         best_n = F.when(take, n).otherwise(best_n)
     return F.when(has_cjk, F.lit("zh")).otherwise(best)
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical ASCII-level text normalization for dedup/fingerprint
+    pipelines: lowercase, strip everything but [a-z0-9 ] (punctuation,
+    digits-adjacent symbols, unicode), collapse whitespace runs to one
+    space, trim. Deliberately NOT locale/unicode-normalizing (NFC/NFKC
+    differs by ICU version — engine-portable behavior matters more here;
+    plug a pandas_udf in front when real unicode folding is required).
+    """
+    s = F.lower(col)
+    s = F.regexp_replace(s, "[^a-z0-9 ]", " ")
+    s = F.regexp_replace(s, " +", " ")
+    return F.trim(s)

@@ -583,3 +583,36 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_incremental(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingestion dedup: admit only new-batch documents whose
+    content fingerprint is absent from the existing corpus AND unique
+    within the batch (min-id survivor, as dedup_exact).
+
+    Output: (id_col, fingerprint) of admitted rows. The continuous-ingest
+    twin of ``dedup_exact`` — a pipeline appending to a 100 TB corpus never
+    re-deduplicates the whole corpus; it anti-joins the day's batch against
+    the corpus fingerprint index.
+
+    Scale design: the corpus side reduces to its DISTINCT fingerprint set
+    (a long per unique doc — in production a persisted/bucketed index, not
+    a rescan); the batch dedup is one shuffle on the fingerprint; the
+    anti join shuffles only fingerprints. Raw text never shuffles.
+    """
+    fp = char_hash(F.col(text_col))
+    batch_best = (
+        new_batch.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    corpus_fps = corpus.select(fp.alias("fingerprint")).distinct()
+    return batch_best.join(corpus_fps, "fingerprint", "left_anti").select(
+        id_col, "fingerprint"
+    )

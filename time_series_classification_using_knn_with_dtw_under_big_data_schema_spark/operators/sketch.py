@@ -36,7 +36,7 @@ from pyspark.sql import types as T
 
 from ..functions.text import HASH_BASE, HASH_P, char_hash
 
-__all__ = ["kmv_distinct", "hash_sample", "key_hash", "stratified_sample"]
+__all__ = ["kmv_distinct", "hash_sample", "key_hash", "stratified_sample", "histogram"]
 
 AFFINE_A = 2654435761 % HASH_P
 AFFINE_B = 40503
@@ -157,4 +157,45 @@ def stratified_sample(
     )
     return df.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= n
+    )
+
+
+def histogram(
+    df: "DataFrame",
+    col: str,
+    *,
+    bins: int = 20,
+    lo: float,
+    hi: float,
+) -> "DataFrame":
+    """Fixed-width histogram of a numeric column: bucket i covers
+    [lo + i*w, lo + (i+1)*w) with w = (hi-lo)/bins; values outside [lo, hi]
+    clamp into the edge buckets and x == hi lands in the last bucket.
+
+    Output: (bucket int, lo_edge double, hi_edge double, n long) — only
+    non-empty buckets (pad driver-side if a dense vector is wanted).
+    The bucket expression floor(((x-lo)/(hi-lo))*bins) is the same IEEE
+    op sequence on any engine, so counts are exactly reproducible.
+
+    Scale design: one scan + one tiny shuffle (≤ bins groups, map-side
+    partial) — the profile/distribution primitive at any scale.
+    """
+    if bins <= 0:
+        raise ValueError(f"bins must be positive, got {bins}")
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got lo={lo} hi={hi}")
+    x = F.col(col).cast("double")
+    raw = F.floor(((x - F.lit(float(lo))) / F.lit(float(hi - lo))) * F.lit(bins))
+    bucket = F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw)).cast("int")
+    w = (hi - lo) / bins
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.lit(float(lo)) + F.col("bucket") * F.lit(w)).alias("lo_edge"),
+            (F.lit(float(lo)) + (F.col("bucket") + 1) * F.lit(w)).alias("hi_edge"),
+            "n",
+        )
     )
