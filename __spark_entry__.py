@@ -41,7 +41,7 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.f
     word_tokens,
 )
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.text import tokens as tokens_fn
-from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import znorm
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import paa, series_features, znorm
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
     accuracy,
     k_sweep,
@@ -74,7 +74,7 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.o
     salted_join,
 )
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.dedup import dedup_incremental
-from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sketch import histogram
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sketch import bloom_semi_join, histogram
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import (
     events_to_series,
     load_table,
@@ -1021,6 +1021,97 @@ def _q64_normalize_text(spark, sf_dir):
     )
 
 
+def _q65_series_features(spark, sf_dir):
+    """Per-series summary featurization (functions/arrays.py::
+    series_features): n/mean/std/min/max/least-squares slope, every
+    statistic a left-fold or min/max over the features array — the cheap
+    6-number sketch of a 561-point series for blocking and first-pass
+    filtering before DTW KNN. Exact cross-engine (left-fold invariant)."""
+    events = _t(spark, sf_dir, "events")
+    s = events_to_series(events, length=SERIES_LEN)
+    return s.select("series_id", series_features(F.col("features")).alias("_f")).select(
+        "series_id", "_f.n", "_f.mean", "_f.std", "_f.vmin", "_f.vmax", "_f.slope"
+    )
+
+
+def _q66_paa(spark, sf_dir):
+    """Piecewise Aggregate Approximation (functions/arrays.py::paa): each
+    16-point series to 4 segment means — the codegen'd sketch that powers
+    knn_join_pruned's lower-bound prefilter (q25); exposed standalone so
+    the sketch itself is oracle-checked."""
+    events = _t(spark, sf_dir, "events")
+    s = events_to_series(events, length=SERIES_LEN)
+    p = paa(F.col("features"), 4, SERIES_LEN)
+    return s.select(
+        "series_id",
+        F.element_at(p, 1).alias("p1"),
+        F.element_at(p, 2).alias("p2"),
+        F.element_at(p, 3).alias("p3"),
+        F.element_at(p, 4).alias("p4"),
+    )
+
+
+def _q67_bloom_semi_join(spark, sf_dir):
+    """Bloom-prefiltered semi join (operators/sketch.py::bloom_semi_join):
+    lineitem rows whose supplier has acctbal > 9000 — the bitmap bit-tests
+    cut the fact-side shuffle before the exact semi join confirms. Result
+    set == the plain semi join, which is the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    out = bloom_semi_join(li, dim, "l_suppkey")
+    return out.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev_cents"),
+    )
+
+
+def _q68_knn_outliers(spark, sf_dir):
+    """Distance-based outlier scoring (kNN outlier — Ramaswamy et al. 2000
+    'Efficient algorithms for mining outliers'): each series scored by the
+    mean distance to its 4 nearest neighbors (self excluded) — reuses
+    knn_join wholesale. The per-rank pivot keeps the 4-term sum in a FIXED
+    left-assoc order so the double matches the oracle exactly (a plain
+    avg() aggregates in nondeterministic order)."""
+    events = _t(spark, sf_dir, "events")
+    s = events_to_series(events, length=SERIES_LEN)
+    nn = knn_join(s, s, metric="euclidean", k=4, strategy="broadcast")
+    piv = nn.groupBy("test_id").agg(
+        *[
+            F.max(F.when(F.col("rank") == i, F.col("distance"))).alias(f"d{i}")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+    return piv.select(
+        "test_id",
+        "d1",
+        ((F.col("d1") + F.col("d2") + F.col("d3") + F.col("d4")) / 4).alias(
+            "outlier_score"
+        ),
+    )
+
+
+def _q69_quality_filter(spark, sf_dir):
+    """Percentile-gated corpus curation: keep documents whose quality score
+    is at or above the corpus p75 — the 'top quartile' training-mix filter.
+    The threshold is computed over INTEGER micro-units (round(q*1e6)) so
+    the exact percentile interpolation is integer-fed and cross-engine
+    bit-stable (q36's trick); at 100 TB swap percentile for
+    approx_percentile — one pass, no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    qi = F.round(quality_score(F.col("text")) * 1_000_000).cast("long")
+    scored = docs.select("doc_id", qi.alias("q_micro"))
+    thresh = scored.agg(
+        F.expr("percentile(q_micro, 0.75D)").alias("_t")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thresh))
+        .filter(F.col("q_micro").cast("double") >= F.col("_t"))
+        .select("doc_id", "q_micro")
+    )
+
+
 def _q60_attribution_join(spark, sf_dir):
     """Stream-stream attribution join, batch twin (streaming/joins.py::
     attribution_join): every (view -> click) pair of the same user with the
@@ -1130,6 +1221,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_histogram": _q62_histogram,
         "q63_multiway_join": _q63_multiway_join,
         "q64_normalize_text": _q64_normalize_text,
+        "q65_series_features": _q65_series_features,
+        "q66_paa": _q66_paa,
+        "q67_bloom_semi_join": _q67_bloom_semi_join,
+        "q68_knn_outliers": _q68_knn_outliers,
+        "q69_quality_filter": _q69_quality_filter,
     }
 
 
@@ -2357,6 +2453,105 @@ def oracle_sql() -> dict[str, str]:
                    cast(len(list_filter(string_split_regex(lower(trim(norm_text)), '\\s+'),
                         x -> x != '')) AS int) AS n_tokens
             FROM n
+        """,
+        # left-fold stats: same IEEE op sequence as aggregate()/zip_with()
+        "q65_series_features": f"""
+            WITH {_SERIES_CTE},
+            st AS (
+                SELECT series_id,
+                       cast(len(features) AS double) AS nd,
+                       cast(len(features) AS int) AS n,
+                       list_reduce(list_prepend(0.0, features), (a, v) -> a + v) AS s1,
+                       list_reduce(list_prepend(0.0,
+                           list_transform(features, v -> v * v)), (a, v) -> a + v) AS s2,
+                       list_reduce(list_prepend(0.0,
+                           list_transform(range(0, len(features)),
+                                          i -> features[i + 1] * i)), (a, v) -> a + v) AS sxy,
+                       list_aggregate(features, 'min') AS vmin,
+                       list_aggregate(features, 'max') AS vmax
+                FROM series
+            )
+            SELECT series_id, n,
+                   s1 / nd AS mean,
+                   sqrt(greatest(s2 / nd - (s1 / nd) * (s1 / nd), 0.0)) AS std,
+                   vmin, vmax,
+                   (nd * sxy - (nd * (nd - 1) / 2.0) * s1)
+                   / (nd * (nd * (nd - 1) * (2 * nd - 1) / 6.0)
+                      - (nd * (nd - 1) / 2.0) * (nd * (nd - 1) / 2.0)) AS slope
+            FROM st
+        """,
+        "q66_paa": f"""
+            WITH {_SERIES_CTE}
+            SELECT series_id,
+                   list_reduce(list_prepend(0.0, features[1:4]),  (a, v) -> a + v) / 4.0 AS p1,
+                   list_reduce(list_prepend(0.0, features[5:8]),  (a, v) -> a + v) / 4.0 AS p2,
+                   list_reduce(list_prepend(0.0, features[9:12]), (a, v) -> a + v) / 4.0 AS p3,
+                   list_reduce(list_prepend(0.0, features[13:16]),(a, v) -> a + v) / 4.0 AS p4
+            FROM series
+        """,
+        # bloom false positives die in the exact semi join -> plain semi join
+        "q67_bloom_semi_join": """
+            SELECT l.l_suppkey,
+                   count(*) AS n_items,
+                   cast(sum(cast(round(l.l_extendedprice * 100) AS bigint)) AS bigint) AS rev_cents
+            FROM lineitem l
+            SEMI JOIN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000) s
+                 ON l.l_suppkey = s.s_suppkey
+            GROUP BY l.l_suppkey
+        """,
+        # all-vs-all kNN (self excluded), fixed left-assoc 4-term mean
+        "q68_knn_outliers": f"""
+            WITH {_SERIES_CTE},
+            pairs AS (
+                SELECT t.series_id AS test_id, r.series_id AS train_id,
+                       r.label AS train_label, sqrt({_SQDIST}) AS d
+                FROM series t CROSS JOIN series r
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY test_id
+                             ORDER BY d ASC, train_label ASC, train_id ASC) AS rank
+                FROM pairs WHERE d != 0
+            ),
+            piv AS (
+                SELECT test_id,
+                       max(CASE WHEN rank = 1 THEN d END) AS d1,
+                       max(CASE WHEN rank = 2 THEN d END) AS d2,
+                       max(CASE WHEN rank = 3 THEN d END) AS d3,
+                       max(CASE WHEN rank = 4 THEN d END) AS d4
+                FROM ranked WHERE rank <= 4 GROUP BY test_id
+            )
+            SELECT test_id, d1, (d1 + d2 + d3 + d4) / 4 AS outlier_score
+            FROM piv
+        """,
+        # integer-micro quality feeds the exact percentile (q36's trick)
+        "q69_quality_filter": f"""
+            WITH t AS (
+                SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       cast(len(toks) AS double) AS n_tok,
+                       cast(list_reduce(list_prepend(cast(0 AS bigint),
+                            list_transform(toks, x -> cast(length(x) AS bigint))),
+                            (a, v) -> a + v) AS double)
+                         / cast(greatest(len(toks), 1) AS double) AS wl,
+                       cast(len(list_filter(toks, x -> list_contains([{", ".join(f"'{w}'" for w in STOPWORDS)}], x))) AS double)
+                         / cast(greatest(len(toks), 1) AS double) AS stop_r,
+                       cast(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS double)
+                         / cast(greatest(length(text), 1) AS double) AS punct_r
+                FROM t
+            ),
+            s AS (
+                SELECT doc_id,
+                       cast(round((least(n_tok / 20.0, 1.0) * 0.4
+                             + (CASE WHEN wl >= 2.0 AND wl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+                             + least(stop_r * 4.0, 1.0) * 0.2
+                             + (1.0 - least(punct_r * 5.0, 1.0)) * 0.2) * 1000000) AS bigint) AS q_micro
+                FROM m
+            ),
+            th AS (SELECT quantile_cont(q_micro, 0.75) AS _t FROM s)
+            SELECT s.doc_id, s.q_micro
+            FROM s, th WHERE cast(s.q_micro AS double) >= th._t
         """,
         # the salt is internal: salted result set == plain join result set
         "q59_salted_join": """

@@ -92,3 +92,22 @@ def test_znorm_properties(spark):
     assert z1 == sorted(z1)  # monotone input stays monotone
     # constant series: variance clamps, no div-by-zero/NaN; values are 0
     assert all(v == 0.0 for v in rows[2])
+
+
+def test_series_features_values(spark):
+    import math
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import series_features
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0, 4.0])], "id long, a array<double>")
+    [r] = df.select(series_features(F.col("a")).alias("f")).select("f.*").collect()
+    assert r["n"] == 4
+    assert r["mean"] == 2.5
+    assert r["std"] == pytest.approx(math.sqrt(1.25))
+    assert (r["vmin"], r["vmax"]) == (1.0, 4.0)
+    assert r["slope"] == pytest.approx(1.0)  # perfectly linear
+
+    # constant series: slope 0, std 0
+    df2 = spark.createDataFrame([(1, [3.0, 3.0, 3.0])], "id long, a array<double>")
+    [r2] = df2.select(series_features(F.col("a")).alias("f")).select("f.*").collect()
+    assert r2["std"] == 0.0 and r2["slope"] == 0.0

@@ -228,3 +228,39 @@ def test_attribution_join_rejects_bad_ts_type(spark):
 
     with _pytest.raises(ValueError, match="long-nanos or timestamp"):
         attribution_join(df, df)
+
+
+def test_stream_to_parquet_sink(spark, tmp_path):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import stream_to_parquet
+
+    df = spark.range(100).selectExpr("id", "id % 3 AS part")
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_to_parquet(
+        stream, out, checkpoint=ckpt, partition_by=["part"], trigger_once=True
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert {r.part for r in back.select("part").distinct().collect()} == {0, 1, 2}
+    # restart with the same checkpoint: no new data -> no duplicates
+    q2 = stream_to_parquet(
+        spark.readStream.schema(df.schema).parquet(src),
+        out,
+        checkpoint=ckpt,
+        partition_by=["part"],
+        trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 100
+
+
+def test_stream_to_parquet_rejects_batch_df(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import stream_to_parquet
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="streaming"):
+        stream_to_parquet(spark.range(1), "/tmp/x", checkpoint="/tmp/c")

@@ -119,3 +119,31 @@ def test_histogram_rejects_bad_args(spark):
         histogram(df, "x", bins=0, lo=0.0, hi=1.0)
     with _pytest.raises(ValueError, match="hi > lo"):
         histogram(df, "x", bins=5, lo=1.0, hi=1.0)
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sketch import bloom_semi_join
+
+    fact = spark.range(0, 500).selectExpr("id AS k", "id * 2 AS payload")
+    dim = spark.range(0, 500, 7).selectExpr("id AS k")  # every 7th key
+    got = sorted(r["k"] for r in bloom_semi_join(fact, dim, "k").collect())
+    want = sorted(r["k"] for r in fact.join(dim, "k", "left_semi").collect())
+    assert got == want and len(got) == len(range(0, 500, 7))
+
+
+def test_bloom_semi_join_empty_dim(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sketch import bloom_semi_join
+
+    fact = spark.range(10).selectExpr("id AS k")
+    dim = spark.range(0).selectExpr("id AS k")
+    assert bloom_semi_join(fact, dim, "k").count() == 0
+
+
+def test_bloom_semi_join_rejects_bad_m(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sketch import bloom_semi_join
+
+    df = spark.range(1).selectExpr("id AS k")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        bloom_semi_join(df, df, "k", m_bits=100)

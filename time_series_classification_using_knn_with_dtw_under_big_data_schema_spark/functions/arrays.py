@@ -34,3 +34,39 @@ def znorm(arr: Column) -> Column:
     var = F.aggregate(arr, F.lit(0.0), lambda a, v: a + v * v) / n - mean * mean
     std = F.sqrt(F.greatest(var, F.lit(1e-300)))
     return F.transform(arr, lambda v: (v - mean) / std)
+
+
+def series_features(arr: Column) -> Column:
+    """Per-series summary features (struct): n, mean, std (population),
+    vmin, vmax, slope (least-squares trend over the positional index —
+    SURVEY §1.2: time is the array offset, so the index IS the regressor).
+
+    The classic cheap featurization preceding any TS classification: a
+    561-point series becomes 6 numbers usable for blocking, filtering, or
+    a first-pass classifier before the full DTW KNN.
+
+    Every statistic is a left-fold (aggregate) or min/max over the array —
+    the same IEEE op sequence DuckDB's list_reduce evaluates, so outputs
+    hash-match cross-engine (NOTES invariant: left-fold arithmetic only).
+    """
+    n = F.size(arr).cast("double")
+    s1 = F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)
+    s2 = F.aggregate(arr, F.lit(0.0), lambda a, v: a + v * v)
+    mean = s1 / n
+    std = F.sqrt(F.greatest(s2 / n - mean * mean, F.lit(0.0)))
+    sxy = F.aggregate(
+        F.zip_with(arr, F.sequence(F.lit(0), F.size(arr) - 1), lambda x, i: x * i),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    si = n * (n - 1) / F.lit(2.0)
+    sii = n * (n - 1) * (2 * n - 1) / F.lit(6.0)
+    slope = (n * sxy - si * s1) / (n * sii - si * si)
+    return F.struct(
+        F.size(arr).alias("n"),
+        mean.alias("mean"),
+        std.alias("std"),
+        F.array_min(arr).alias("vmin"),
+        F.array_max(arr).alias("vmax"),
+        slope.alias("slope"),
+    )

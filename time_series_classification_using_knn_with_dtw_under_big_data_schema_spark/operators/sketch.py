@@ -36,7 +36,14 @@ from pyspark.sql import types as T
 
 from ..functions.text import HASH_BASE, HASH_P, char_hash
 
-__all__ = ["kmv_distinct", "hash_sample", "key_hash", "stratified_sample", "histogram"]
+__all__ = [
+    "kmv_distinct",
+    "hash_sample",
+    "key_hash",
+    "stratified_sample",
+    "histogram",
+    "bloom_semi_join",
+]
 
 AFFINE_A = 2654435761 % HASH_P
 AFFINE_B = 40503
@@ -199,3 +206,72 @@ def histogram(
             "n",
         )
     )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Semi join with a Bloom-filter prefilter: build a bitmap over the dim
+    keys, pre-filter the fact side with bit tests BEFORE its shuffle, then
+    run the exact left-semi join on the survivors.
+
+    Result set == ``fact.join(dim, key, "left_semi")`` exactly: Bloom false
+    positives survive the prefilter but die in the exact join; negatives
+    are never false. The payoff is at 100 TB: the fact-side shuffle (the
+    scale bottleneck of any big semi/inner join) moves only rows whose key
+    *might* match — for a selective dim that is a 10-1000x shuffle-volume
+    cut, the same trick Spark's own runtime-filter rule
+    (spark.sql.optimizer.runtimeFilter.bloomFilter.enabled) applies to
+    equi-joins, here as an explicit composable operator.
+
+    The bitmap is SKETCH-sized (m_bits/64 longs — 8 KiB at the default),
+    never data-sized: building it aggregates bit-words distributed
+    (groupBy word index, bit_or partial+final), and only those <=1024
+    aggregated words are collected into a broadcast literal. k_hashes
+    xxhash64 seeds set k bits per key.
+    """
+    if m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    n_words = m_bits // 64
+    kc = F.col(key)
+
+    def positions(c):
+        return [F.pmod(F.xxhash64(c, F.lit(j)), F.lit(m_bits)) for j in range(k_hashes)]
+
+    # the python shiftleft/shiftrightunsigned wrappers take only literal bit
+    # counts; the SQL forms accept expressions, hence F.expr here
+    words = (
+        dim.select(F.explode(F.array(*positions(kc))).alias("_pos"))
+        .select(
+            F.expr("CAST(_pos DIV 64 AS INT)").alias("_w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(_pos, 64) AS INT))"
+            ).alias("_bit"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_bit").alias("_word"))
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in words:
+        bitmap[r["_w"]] = r["_word"]
+    bm = F.array(*[F.lit(w).cast("long") for w in bitmap])
+
+    might = fact
+    for j, pos in enumerate(positions(kc)):
+        might = (
+            might.withColumn("_bpos", pos)
+            .withColumn("_bword", F.element_at(bm, F.expr("CAST(_bpos DIV 64 AS INT)") + 1))
+            .filter(
+                F.expr(
+                    "(shiftrightunsigned(_bword, CAST(pmod(_bpos, 64) AS INT)) & 1) = 1"
+                )
+            )
+            .drop("_bpos", "_bword")
+        )
+    return might.join(dim.select(key).distinct(), key, "left_semi")
