@@ -75,6 +75,7 @@ def main() -> None:
     run("rel_join_enrich", lambda: entry_mod._q03_join_enrich(spark, sf_dir).count(), repeats=2)
     run("rel_topk_window", lambda: entry_mod._q04_topk_per_group(spark, sf_dir).count(), repeats=2)
     run("rel_mode_vote", lambda: entry_mod._q06_mode_vote(spark, sf_dir).count(), repeats=2)
+    run("rel_multiway_join", lambda: entry_mod._q63_multiway_join(spark, sf_dir).count(), repeats=2)
 
     # --- series workload -------------------------------------------------
     events = load_table(spark, sf_dir, "events")

@@ -154,3 +154,25 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 10_000
     assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+
+
+def test_upsert_partitions_refreshes_only_touched(spark, tmp_path):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import upsert_partitions
+
+    path = str(tmp_path / "t")
+    day1 = spark.createDataFrame([(1, "d1"), (2, "d1"), (3, "d2")], "id long, day string")
+    upsert_partitions(day1, path, partition_by="day")
+    assert spark.read.parquet(path).count() == 3
+
+    # rewrite ONLY d2 with new content; d1 must survive untouched
+    fix = spark.createDataFrame([(30, "d2"), (31, "d2")], "id long, day string")
+    upsert_partitions(fix, path, partition_by="day")
+    back = spark.read.parquet(path)
+    assert back.count() == 4
+    assert sorted(r.id for r in back.filter("day = 'd1'").collect()) == [1, 2]
+    assert sorted(r.id for r in back.filter("day = 'd2'").collect()) == [30, 31]
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
+        or spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+    )

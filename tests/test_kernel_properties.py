@@ -60,3 +60,33 @@ def test_simhash_kernel_matches_expression(spark, texts):
     expr = sorted(map(tuple, simhash(df, text_col="text").collect()))
     kern = sorted(map(tuple, simhash(df, text_col="text", mode="kernel").collect()))
     assert expr == kern
+
+
+def test_udtf_matches_declarative_twin(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.udtf_surface import (
+        SeriesSegmentStats,
+        series_segment_stats_declarative,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]), (2, [10.0, 20.0])],
+        "sid long, features array<double>",
+    )
+    spark.udtf.register("seg_stats", SeriesSegmentStats)
+    df.createOrReplaceTempView("ts_udtf_in")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT sid, s.* FROM ts_udtf_in, "
+            "LATERAL seg_stats(features, 3) s"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in series_segment_stats_declarative(df, seg_len=3)
+        .select("sid", "seg_idx", "seg_mean", "seg_min", "seg_max")
+        .collect()
+    )
+    assert got == want
+    # 7-long series -> 2 full segments; 2-long -> 0
+    assert len(got) == 2

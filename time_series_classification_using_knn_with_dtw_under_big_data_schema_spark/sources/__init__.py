@@ -5,6 +5,7 @@ from .parquet import (  # noqa: F401
     save_table_bucketed,
     save_table_partitioned,
     compact_parquet,
+    upsert_partitions,
 )
 from .text_ingest import parse_series_text, cast_all, with_row_id  # noqa: F401
 from .series import events_to_series, split_train_test  # noqa: F401

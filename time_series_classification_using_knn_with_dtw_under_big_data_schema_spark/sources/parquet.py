@@ -132,3 +132,32 @@ def save_table_bucketed(
         sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         w = w.sortBy(*sort_cols)
     w.saveAsTable(name)
+
+
+def upsert_partitions(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: str,
+) -> None:
+    """Incremental partition refresh: overwrite ONLY the hive-style
+    partitions present in ``df``, leaving every other partition untouched
+    (spark.sql.sources.partitionOverwriteMode=dynamic, scoped to this
+    write).
+
+    The daily-pipeline upsert for immutable-partition data (events by day,
+    documents by ingest batch): recompute one day, rewrite one directory —
+    no read-modify-write of a 100 TB table, no MERGE log needed. Combine
+    with ``compact_parquet`` on the rewritten partitions for file sizing.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(partition_by)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
