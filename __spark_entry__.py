@@ -245,8 +245,10 @@ def _q12_knn_accuracy(spark, sf_dir):
 
 
 def _q13_knn_dtw(spark, sf_dir):
-    """FastDTW classification (U2 pandas_udf path) — no SQL oracle exists for
-    DTW; driver records rows-only. Local golden/parity tests cover values."""
+    """FastDTW classification (U2 pandas_udf path) — the multi-resolution
+    FastDTW approximation is not SQL-expressible, so THIS query is rows-only
+    (local golden/parity tests cover values); the exact-DTW distance operator
+    itself IS oracle-checked via q70's recursive-CTE dynamic program."""
     train, test = _series(spark, sf_dir)
     return knn_classify(test, train, metric="fastdtw", k=5)
 
@@ -1128,6 +1130,24 @@ def _q60_attribution_join(spark, sf_dir):
     return attribution_join(views, clicks, key="user_id", within="4 hours")
 
 
+def _q70_knn_dtw_exact(spark, sf_dir):
+    """Exact (unbanded) DTW KNN with a REAL SQL oracle: the DuckDB twin
+    computes the full DTW dynamic program in a recursive CTE (one DP ROW
+    per recursion level, the row's sequential cur[j-1] dependency expressed
+    as a list_reduce building the row left-to-right). Distances rounded to
+    6 decimals on both sides: the Python kernel evaluates the recurrence in
+    prefix-scan form (functions/dtw_kernel.py), an fp-reassociation of the
+    naive DP the CTE runs, so the two agree to ~1e-13 relative but not to
+    the last ulp. This makes the DTW *distance operator itself*
+    oracle-checked — q13's FastDTW path (recursive coarsening, not
+    SQL-expressible) stays rows-only by design."""
+    train, test = _series(spark, sf_dir)
+    nn = knn_join(test, train, metric="dtw", band=None, k=3)
+    return nn.select(
+        "test_id", "train_id", "rank", F.round("distance", 6).alias("distance")
+    )
+
+
 def _q58_profile_table(spark, sf_dir):
     """One-scan column profiling (operators/profile.py::profile_table):
     nulls / exact distinct / numeric min-max per column of orders, single
@@ -1226,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_bloom_semi_join": _q67_bloom_semi_join,
         "q68_knn_outliers": _q68_knn_outliers,
         "q69_quality_filter": _q69_quality_filter,
+        "q70_knn_dtw_exact": _q70_knn_dtw_exact,
     }
 
 
@@ -2498,6 +2519,48 @@ def oracle_sql() -> dict[str, str]:
             SEMI JOIN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000) s
                  ON l.l_suppkey = s.s_suppkey
             GROUP BY l.l_suppkey
+        """,
+        # the full DTW dynamic program as a recursive CTE: one DP row per
+        # recursion level; the within-row cur[j-1] dependency is a
+        # list_reduce building the row left-to-right (elements are
+        # [cost, prev[j], prev[j-1]] triples so the fold stays list<double>
+        # -> list<double>). round(6) absorbs the kernel's prefix-scan fp
+        # reassociation (~1e-13 relative).
+        "q70_knn_dtw_exact": f"""
+            WITH RECURSIVE {_SERIES_CTE},
+            pairs AS (
+                SELECT t.series_id AS test_id, r.series_id AS train_id,
+                       r.label AS train_label, t.features AS fa, r.features AS fb
+                FROM test t CROSS JOIN train r
+            ),
+            dp AS (
+                SELECT test_id, train_id, train_label, fa, fb, 1 AS i,
+                       list_transform(range(1, len(fb)+1),
+                           j -> list_reduce(list_prepend(0.0,
+                                    list_transform(range(1, j+1), k -> abs(fa[1]-fb[k]))),
+                                (x, y) -> x + y)) AS row
+                FROM pairs
+                UNION ALL
+                SELECT test_id, train_id, train_label, fa, fb, i+1,
+                       list_reduce(
+                           list_prepend([row[1] + abs(fa[i+1]-fb[1])],
+                               list_transform(range(2, len(fb)+1),
+                                   j -> [abs(fa[i+1]-fb[j]), row[j], row[j-1]])),
+                           (acc, e) -> list_append(acc, e[1] + least(e[2], e[3], acc[-1]))) AS row
+                FROM dp WHERE i < len(fa)
+            ),
+            dd AS (
+                SELECT test_id, train_id, train_label, row[-1] AS dist
+                FROM dp WHERE i = len(fa)
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY test_id
+                            ORDER BY dist ASC, train_label ASC, train_id ASC) AS rank
+                FROM dd WHERE dist != 0
+            )
+            SELECT test_id, train_id, cast(rank AS int) AS rank,
+                   round(dist, 6) AS distance
+            FROM ranked WHERE rank <= 3
         """,
         # all-vs-all kNN (self excluded), fixed left-assoc 4-term mean
         "q68_knn_outliers": f"""
