@@ -42,6 +42,7 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.f
 )
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.text import tokens as tokens_fn
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import paa, series_features, znorm
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.arrays import resample_linear
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
     accuracy,
     k_sweep,
@@ -74,7 +75,11 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.o
     salted_join,
 )
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.dedup import dedup_incremental
-from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sketch import bloom_semi_join, histogram
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sketch import (
+    bloom_semi_join,
+    histogram,
+    mixture_sample,
+)
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import (
     events_to_series,
     load_table,
@@ -1148,6 +1153,37 @@ def _q70_knn_dtw_exact(spark, sf_dir):
     )
 
 
+def _q71_series_resample(spark, sf_dir):
+    """Linear-interpolation length normalization (functions/arrays.py::
+    resample_linear): 16-point series resampled to 8 points — the bridge
+    that lets ragged series enter fixed-length paths (batch DTW kernel,
+    PAA, broadcast KNN matrices). Endpoint-exact lerp, bit-mirrored by the
+    oracle."""
+    events = _t(spark, sf_dir, "events")
+    s = events_to_series(events, length=SERIES_LEN)
+    r = resample_linear(F.col("features"), 8)
+    return s.select(
+        "series_id", *[F.element_at(r, t + 1).alias(f"r{t + 1}") for t in range(8)]
+    )
+
+
+def _q72_mixture_sample(spark, sf_dir):
+    """Deterministic mixture sampling (operators/sketch.py::mixture_sample):
+    per-language keep probabilities (en .25 / de .5 / es .75 / fr 1.0,
+    default .1) as ONE pushdown-friendly filter on the portable key hash —
+    the pre-training data-mix reweighting primitive, RNG-free and
+    referentially consistent."""
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs,
+        strata_col="lang",
+        weights={"en": 0.25, "de": 0.5, "es": 0.75, "fr": 1.0},
+        default=0.1,
+        key="doc_id",
+    )
+    return out.select("doc_id", "lang")
+
+
 def _q58_profile_table(spark, sf_dir):
     """One-scan column profiling (operators/profile.py::profile_table):
     nulls / exact distinct / numeric min-max per column of orders, single
@@ -1247,6 +1283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_knn_outliers": _q68_knn_outliers,
         "q69_quality_filter": _q69_quality_filter,
         "q70_knn_dtw_exact": _q70_knn_dtw_exact,
+        "q71_series_resample": _q71_series_resample,
+        "q72_mixture_sample": _q72_mixture_sample,
     }
 
 
@@ -1629,6 +1667,20 @@ def _sql_lsh_pairs() -> str:
             SELECT id_a, id_b, round({_SQL_JACCARD}, 6) AS jac
             FROM verified WHERE {_SQL_JACCARD} >= 0.5
         """
+
+
+def _sql_lerp(t: int, out_len: int) -> str:
+    """One output point of resample_linear: same op order as the Spark expr
+    (t * (n-1) as double / (L-1), floor/frac, lo/hi lerp)."""
+    pos = (
+        f"(cast({t} AS double) * cast(len(features) - 1 AS double)"
+        f" / cast({out_len - 1} AS double))"
+    )
+    lo = f"cast(floor({pos}) AS int)"
+    frac = f"({pos} - floor({pos}))"
+    v_lo = f"features[{lo} + 1]"
+    v_hi = f"features[least({lo} + 2, len(features))]"
+    return f"({v_lo} * (1.0 - {frac}) + {v_hi} * {frac})"
 
 
 def _sql_profile(table: str, numeric: set[str], cols: list[str]) -> str:
@@ -2519,6 +2571,26 @@ def oracle_sql() -> dict[str, str]:
             SEMI JOIN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000) s
                  ON l.l_suppkey = s.s_suppkey
             GROUP BY l.l_suppkey
+        """,
+        # lerp mirrored per output index; Spark evaluates t*(n-1)/ (L-1)
+        # then floor/frac — identical op order here
+        "q71_series_resample": f"""
+            WITH {_SERIES_CTE}
+            SELECT series_id,
+                   {", ".join(_sql_lerp(t, 8) + f" AS r{t + 1}" for t in range(8))}
+            FROM series
+        """,
+        "q72_mixture_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE (((doc_id % 1000000007) * 654435747 + 40503) % 1000000007)
+                  % 1000000 <
+                  CASE lang
+                      WHEN 'en' THEN 250000
+                      WHEN 'de' THEN 500000
+                      WHEN 'es' THEN 750000
+                      WHEN 'fr' THEN 1000000
+                      ELSE 100000
+                  END
         """,
         # the full DTW dynamic program as a recursive CTE: one DP row per
         # recursion level; the within-row cur[j-1] dependency is a

@@ -111,3 +111,23 @@ def test_series_features_values(spark):
     df2 = spark.createDataFrame([(1, [3.0, 3.0, 3.0])], "id long, a array<double>")
     [r2] = df2.select(series_features(F.col("a")).alias("f")).select("f.*").collect()
     assert r2["std"] == 0.0 and r2["slope"] == 0.0
+
+
+def test_resample_linear_endpoints_and_midpoints(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.arrays import resample_linear
+
+    df = spark.createDataFrame([(1, [0.0, 10.0, 20.0, 30.0])], "id long, a array<double>")
+    [r] = df.select(resample_linear(F.col("a"), 4).alias("r")).collect()
+    assert r["r"] == [0.0, 10.0, 20.0, 30.0]  # same length -> identity
+    [r2] = df.select(resample_linear(F.col("a"), 7).alias("r")).collect()
+    assert r2["r"][0] == 0.0 and r2["r"][-1] == 30.0  # endpoint-exact
+    assert r2["r"][3] == pytest.approx(15.0)          # true midpoint
+    # singleton broadcasts
+    df1 = spark.createDataFrame([(1, [5.0])], "id long, a array<double>")
+    [r3] = df1.select(resample_linear(F.col("a"), 3).alias("r")).collect()
+    assert r3["r"] == [5.0, 5.0, 5.0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out_len"):
+        resample_linear(F.col("a"), 1)

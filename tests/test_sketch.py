@@ -147,3 +147,27 @@ def test_bloom_semi_join_rejects_bad_m(spark):
 
     with _pytest.raises(ValueError, match="multiple of 64"):
         bloom_semi_join(df, df, "k", m_bits=100)
+
+
+def test_mixture_sample_weights_and_consistency(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sketch import hash_sample, mixture_sample
+
+    df = spark.range(4000).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g"
+    )
+    out = mixture_sample(
+        df, strata_col="g", weights={"a": 1.0, "b": 0.0}, key="id", default=0.5
+    )
+    got = out.groupBy("g").count().collect()
+    counts = {r["g"]: r["count"] for r in got}
+    assert counts.get("a") == 2000 and "b" not in counts  # 1.0 keeps all, 0.0 none
+
+    # a stratum at weight w samples EXACTLY like hash_sample(fraction=w)
+    mix = mixture_sample(df, strata_col="g", weights={"a": 0.3}, key="id", default=0.0)
+    plain = hash_sample(df.filter("g = 'a'"), key="id", fraction=0.3)
+    assert sorted(r.id for r in mix.collect()) == sorted(r.id for r in plain.collect())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="weight"):
+        mixture_sample(df, strata_col="g", weights={"a": 1.5}, key="id")

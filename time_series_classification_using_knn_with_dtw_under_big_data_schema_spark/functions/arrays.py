@@ -70,3 +70,34 @@ def series_features(arr: Column) -> Column:
         F.array_max(arr).alias("vmax"),
         slope.alias("slope"),
     )
+
+
+def resample_linear(arr: Column, out_len: int) -> Column:
+    """Resample a series to ``out_len`` points by linear interpolation over
+    the positional index — the length-normalization step that lets ragged
+    series enter fixed-length pipelines (KNN strategies, PAA, the DTW batch
+    kernel's rectangular stacking all want equal lengths).
+
+    Output point t (0-based) samples source position t*(n-1)/(out_len-1):
+    exact lerp a[lo]*(1-frac) + a[lo+1]*frac, endpoint-exact at both ends.
+    Pure codegen expression; the op sequence is mirrored by the SQL oracle.
+    Requires out_len >= 2 and size(arr) >= 1 (singleton series broadcast
+    their value).
+    """
+    if out_len < 2:
+        raise ValueError(f"out_len must be >= 2, got {out_len}")
+    n = F.size(arr)
+
+    def at(t: int) -> Column:
+        pos = (
+            F.lit(float(t))
+            * (n - 1).cast("double")
+            / F.lit(float(out_len - 1))
+        )
+        lo = F.floor(pos).cast("int")
+        frac = pos - F.floor(pos)
+        v_lo = F.element_at(arr, lo + 1)
+        v_hi = F.element_at(arr, F.least(lo + 2, n))
+        return v_lo * (F.lit(1.0) - frac) + v_hi * frac
+
+    return F.array(*[at(t) for t in range(out_len)])

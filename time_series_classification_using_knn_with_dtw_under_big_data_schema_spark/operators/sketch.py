@@ -43,6 +43,7 @@ __all__ = [
     "stratified_sample",
     "histogram",
     "bloom_semi_join",
+    "mixture_sample",
 ]
 
 AFFINE_A = 2654435761 % HASH_P
@@ -275,3 +276,40 @@ def bloom_semi_join(
             .drop("_bpos", "_bword")
         )
     return might.join(dim.select(key).distinct(), key, "left_semi")
+
+
+def mixture_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    weights: dict,
+    key: Union[str, Sequence[str]],
+    default: float = 0.0,
+    denom: int = 1_000_000,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Deterministic mixture sampling: keep a row with per-stratum
+    probability ``weights[stratum]`` (``default`` for unlisted strata) —
+    the pre-training data-mix primitive (downweight one source/language,
+    keep all of another) with hash_sample's guarantees: no RNG, no shuffle,
+    the same key always samples the same way across tables/runs/engines.
+
+    Implemented as ONE pure filter: the stratum's threshold is a chained
+    conditional on ``strata_col`` compared against the key hash — pushdown-
+    friendly, zero shuffle at any scale.
+    """
+    for s, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight for {s!r} must be in [0, 1], got {w}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default must be in [0, 1], got {default}")
+    keys = [key] if isinstance(key, str) else list(key)
+    thresh = F.lit(int(round(default * denom)))
+    for s in sorted(weights):
+        thresh = (
+            F.when(F.col(strata_col) == s, F.lit(int(round(weights[s] * denom))))
+            .otherwise(thresh)
+        )
+    return df.filter(
+        F.pmod(key_hash(df, keys, hash_mode=hash_mode), F.lit(denom)) < thresh
+    )
