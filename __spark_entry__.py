@@ -1184,6 +1184,45 @@ def _q72_mixture_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def _q73_curation_pipeline(spark, sf_dir):
+    """END-TO-END corpus curation in ONE plan — the full pre-training
+    hygiene chain composed from this engine's operators:
+    normalize_text -> median quality gate (integer-micro percentile) ->
+    exact dedup on the normalized fingerprint (min-id survivor) ->
+    per-language mixture downweighting -> 32-token chunking.
+    Output: (doc_id, chunk_id, n_tokens). Every stage is individually
+    oracle-checked (q64/q69/q16/q72/q56); this query proves they COMPOSE:
+    one DuckDB CTE chain hash-matches the whole pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id", "lang", normalize_text(F.col("text")).alias("norm_text"),
+        F.round(quality_score(F.col("text")) * 1_000_000).cast("long").alias("q_micro"),
+    )
+    thresh = norm.agg(F.expr("percentile(q_micro, 0.5D)").alias("_t"))
+    gated = (
+        norm.crossJoin(F.broadcast(thresh))
+        .filter(F.col("q_micro").cast("double") >= F.col("_t"))
+        .drop("_t")
+    )
+    deduped = (
+        gated.withColumn("_fp", char_hash(F.col("norm_text")))
+        .groupBy("_fp")
+        .agg(
+            F.min_by(F.struct("doc_id", "lang", "norm_text"), F.col("doc_id")).alias("_s")
+        )
+        .select("_s.doc_id", "_s.lang", "_s.norm_text")
+    )
+    mixed = mixture_sample(
+        deduped,
+        strata_col="lang",
+        weights={"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0},
+        default=0.25,
+        key="doc_id",
+    )
+    chunks = chunk_documents(mixed, chunk_tokens=32, text_col="norm_text")
+    return chunks.select("doc_id", "chunk_id", "n_tokens")
+
+
 def _q58_profile_table(spark, sf_dir):
     """One-scan column profiling (operators/profile.py::profile_table):
     nulls / exact distinct / numeric min-max per column of orders, single
@@ -1285,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_knn_dtw_exact": _q70_knn_dtw_exact,
         "q71_series_resample": _q71_series_resample,
         "q72_mixture_sample": _q72_mixture_sample,
+        "q73_curation_pipeline": _q73_curation_pipeline,
     }
 
 
@@ -2571,6 +2611,75 @@ def oracle_sql() -> dict[str, str]:
             SEMI JOIN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000) s
                  ON l.l_suppkey = s.s_suppkey
             GROUP BY l.l_suppkey
+        """,
+        # the full curation chain as one CTE pipeline (stages are q64/q69/
+        # q16/q72/q56's oracles composed); arg_min picks the min-id
+        # survivor's payload like Spark's min_by(struct, doc_id)
+        "q73_curation_pipeline": f"""
+            WITH t AS (
+                SELECT doc_id, lang, text, {_SQL_TOKENS} AS toks FROM documents
+            ),
+            m AS (
+                SELECT doc_id, lang,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+                       cast(len(toks) AS double) AS n_tok,
+                       cast(list_reduce(list_prepend(cast(0 AS bigint),
+                            list_transform(toks, x -> cast(length(x) AS bigint))),
+                            (a, v) -> a + v) AS double)
+                         / cast(greatest(len(toks), 1) AS double) AS wl,
+                       cast(len(list_filter(toks, x -> list_contains([{", ".join(f"'{w}'" for w in STOPWORDS)}], x))) AS double)
+                         / cast(greatest(len(toks), 1) AS double) AS stop_r,
+                       cast(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS double)
+                         / cast(greatest(length(text), 1) AS double) AS punct_r
+                FROM t
+            ),
+            s AS (
+                SELECT doc_id, lang, norm_text,
+                       cast(round((least(n_tok / 20.0, 1.0) * 0.4
+                             + (CASE WHEN wl >= 2.0 AND wl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+                             + least(stop_r * 4.0, 1.0) * 0.2
+                             + (1.0 - least(punct_r * 5.0, 1.0)) * 0.2) * 1000000) AS bigint) AS q_micro
+                FROM m
+            ),
+            th AS (SELECT quantile_cont(q_micro, 0.5) AS _t FROM s),
+            gated AS (
+                SELECT s.doc_id, s.lang, s.norm_text
+                FROM s, th WHERE cast(s.q_micro AS double) >= th._t
+            ),
+            dedup AS (
+                SELECT min(doc_id) AS doc_id,
+                       arg_min(lang, doc_id) AS lang,
+                       arg_min(norm_text, doc_id) AS norm_text
+                FROM gated
+                GROUP BY {_sql_char_fold('norm_text')}
+            ),
+            mixed AS (
+                SELECT * FROM dedup
+                WHERE (((doc_id % 1000000007) * 654435747 + 40503) % 1000000007)
+                      % 1000000 <
+                      CASE lang
+                          WHEN 'en' THEN 500000
+                          WHEN 'de' THEN 1000000
+                          WHEN 'es' THEN 1000000
+                          WHEN 'fr' THEN 1000000
+                          ELSE 250000
+                      END
+            ),
+            tok2 AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(norm_text)), '\\s+'),
+                                   x -> x != '') AS toks
+                FROM mixed
+            ),
+            c AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, cast(ceil(len(toks) / 32.0) AS bigint))) AS chunk_id
+                FROM tok2 WHERE len(toks) >= 1
+            )
+            SELECT doc_id, cast(chunk_id AS int) AS chunk_id,
+                   cast(len(toks[chunk_id*32+1 : chunk_id*32+32]) AS int) AS n_tokens
+            FROM c
         """,
         # lerp mirrored per output index; Spark evaluates t*(n-1)/ (L-1)
         # then floor/frac — identical op order here
