@@ -123,7 +123,9 @@ def main() -> None:
             ),
             key="test_id", label="train_label", rank="rank",
         ).count(),
-        repeats=2
+        # repeats=3: run1 still pays PAA/candidate cache population on top
+        # of codegen (measured 11s -> 3s -> 2.3s at sf0.1)
+        repeats=3
     )
 
     # --- 561-point DTW throughput (direct BASELINE.md comparable) ---------
