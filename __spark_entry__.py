@@ -11,10 +11,11 @@ Determinism discipline (so order-insensitive value hashes match):
   BOTH engines (Spark ``aggregate``/``zip_with`` vs DuckDB ``list_reduce``/
   ``list_transform``) — bit-identical IEEE op order;
 - every ranking carries a total-order tie-break (…, label, id);
-- events.ts is timestamp[ns]: Spark reads it as long via the runtime conf
-  ``spark.sql.legacy.parquet.nanosAsLong`` (set in each callable — the
-  driver's session doesn't pre-set it); only its ORDER is used, never its
-  value, so long-vs-timestamp never reaches the output.
+- events.ts is timestamp[us] in the driver parquet (verified r2); temporal
+  queries normalize it to epoch-microsecond longs via ``_ts_us`` which
+  branches on the ACTUAL dtype (bigint nanos from a nanosAsLong read vs
+  timestamp/timestamp_ntz), matching DuckDB's ``epoch_us(ts)`` exactly
+  under the UTC session timezone.
 """
 
 from __future__ import annotations
@@ -98,6 +99,18 @@ def _prep(spark: SparkSession) -> None:
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _prep(spark)
     return load_table(spark, sf_dir, name)
+
+
+def _ts_us(df: DataFrame, col: str = "ts"):
+    """Epoch-microseconds (long) from an event-time column, whatever its
+    physical dtype: bigint (a timestamp[ns] parquet read under
+    ``nanosAsLong``) -> integer DIV 1000; timestamp / timestamp_ntz (the
+    driver testdata's timestamp[us]) -> unix_micros under the UTC session
+    timezone. Both match DuckDB's ``epoch_us(ts)`` exactly."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return F.expr(f"{col} DIV 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 def _series(spark: SparkSession, sf_dir: str):
@@ -478,7 +491,7 @@ def _q32_sessionize(spark, sf_dir):
     # DuckDB's parquet reader truncates the ns timestamps to us — compare and
     # output in microseconds on both sides
     gap_us = 2 * 3600 * 1_000_000  # 2 hours
-    e = e.select("user_id", F.expr("ts DIV 1000").alias("ts_us"), "event_id")
+    e = e.select("user_id", _ts_us(e).alias("ts_us"), "event_id")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     flagged = e.withColumn(
         "_new",
@@ -503,9 +516,8 @@ def _q33_tumbling_window(spark, sf_dir):
     engine-portable, no timezone surface."""
     e = _t(spark, sf_dir, "events")
     day_us = 86400 * 1_000_000
-    # microsecond precision (DuckDB truncates ns->us on read); floor
-    # explicitly: Spark's long cast truncates while DuckDB's rounds
-    bucket = F.floor(F.expr("ts DIV 1000") / day_us).cast("long")
+    # floor explicitly: Spark's long cast truncates while DuckDB's rounds
+    bucket = F.floor(_ts_us(e) / day_us).cast("long")
     return e.groupBy(bucket.alias("day_bucket"), "event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2).alias("sum_value"),
@@ -673,7 +685,7 @@ def _q42_asof_join(spark, sf_dir):
     is vacuous; values are untouched parquet doubles — exact hash match."""
     e = _t(spark, sf_dir, "events")
     ev = e.select(
-        "user_id", F.expr("ts DIV 1000").alias("ts_us"), "event_id", "event_type", "value"
+        "user_id", _ts_us(e).alias("ts_us"), "event_id", "event_type", "value"
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts_us", "event_id"
@@ -702,7 +714,7 @@ def _q43_gap_fill(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     day_us = 86400 * 1_000_000
     obs = (
-        e.select("user_id", F.expr("ts DIV 1000").alias("ts_us"), "value")
+        e.select("user_id", _ts_us(e).alias("ts_us"), "value")
         .groupBy("user_id", "ts_us")
         .agg(F.max("value").alias("value"))
     )
@@ -797,7 +809,7 @@ def _q48_interval_join(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     purchases = (
         e.filter(F.col("event_type") == "purchase")
-        .select("user_id", F.expr("ts DIV 1000").alias("ts_us"), "event_id")
+        .select("user_id", _ts_us(e).alias("ts_us"), "event_id")
     )
     joined = interval_join(
         purchases,
@@ -1629,7 +1641,7 @@ def _sql_k_sweep(ks=(1, 3, 5)) -> str:
     for k in ks:
         branches.append(f"""
         SELECT {k} AS k, count(*) AS n_rows,
-               sum(cast(predicted_label = label AS bigint)) AS n_correct,
+               cast(sum(cast(predicted_label = label AS bigint)) AS bigint) AS n_correct,
                avg(cast(predicted_label = label AS double)) AS accuracy
         FROM (
             SELECT p.test_id, p.predicted_label, t.label FROM (
@@ -1744,9 +1756,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(cast(round(l_quantity) AS bigint)) AS sum_qty,
-                   sum(cast(round(l_extendedprice * 100) AS bigint)) AS sum_base_cents,
-                   sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) AS bigint)) AS sum_disc_e4,
+                   cast(sum(cast(round(l_quantity) AS bigint)) AS bigint) AS sum_qty,
+                   cast(sum(cast(round(l_extendedprice * 100) AS bigint)) AS bigint) AS sum_base_cents,
+                   cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) AS bigint)) AS bigint) AS sum_disc_e4,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
@@ -1758,7 +1770,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q03_join_enrich": """
             SELECT n.n_name AS nation, count(*) AS n_orders,
-                   sum(cast(round(o.o_totalprice * 100) AS bigint)) AS sum_cents
+                   cast(sum(cast(round(o.o_totalprice * 100) AS bigint)) AS bigint) AS sum_cents
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1869,7 +1881,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM pred p JOIN test t ON p.test_id = t.series_id
             )
             SELECT count(*) AS n_rows,
-                   sum(cast(predicted_label = label AS bigint)) AS n_correct,
+                   cast(sum(cast(predicted_label = label AS bigint)) AS bigint) AS n_correct,
                    avg(cast(predicted_label = label AS double)) AS accuracy
             FROM joined
         """,
@@ -1888,7 +1900,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o_totalprice < 150000 THEN 'mid'
                         ELSE 'high' END AS price_bucket,
                    count(*) AS n,
-                   sum(cast(round(o_totalprice * 100) AS bigint)) AS sum_cents
+                   cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint) AS sum_cents
             FROM orders
             GROUP BY 1
         """,
@@ -2130,8 +2142,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             numbered AS (
                 SELECT user_id, ts_us,
-                       sum(_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+                       cast(sum(_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS bigint) AS session_no
                 FROM flagged
             ),
             sessions AS (
@@ -2202,9 +2215,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             )
             SELECT o_custkey, o_orderkey,
-                   sum(c) OVER (PARTITION BY o_custkey
-                                ORDER BY o_orderdate, o_orderkey
-                                ROWS UNBOUNDED PRECEDING) AS run_cents,
+                   cast(sum(c) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING) AS bigint) AS run_cents,
                    lag(c) OVER (PARTITION BY o_custkey
                                 ORDER BY o_orderdate, o_orderkey) AS prev_cents,
                    cast(sum(c) OVER (PARTITION BY o_custkey
@@ -2232,7 +2245,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q29_rollup": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
-                   sum(cast(round(l_extendedprice * 100) AS bigint)) AS sum_cents
+                   cast(sum(cast(round(l_extendedprice * 100) AS bigint)) AS bigint) AS sum_cents
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
@@ -2262,8 +2275,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             numbered AS (
                 SELECT user_id, ts_us,
-                       sum(_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+                       cast(sum(_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS bigint) AS session_no
                 FROM flagged
             )
             SELECT user_id, session_no, count(*) AS n_events,
@@ -2310,7 +2324,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM preds p JOIN test s ON p.Test_point = s.features
             )
             SELECT count(*) AS n_rows,
-                   sum(cast(abs(Predicted_label - label) = 0 AS bigint)) AS n_correct
+                   cast(sum(cast(abs(Predicted_label - label) = 0 AS bigint)) AS bigint) AS n_correct
             FROM joined
         """,
         "q27_dense_row_ids": """

@@ -51,6 +51,56 @@ def test_kernel_rejects_unsupported_metric(spark, har_dfs):
         knn_join(test_df, train_df, metric="cosine", strategy="kernel")
 
 
+def test_kernel_oversize_falls_back_without_collect(spark, har_dfs):
+    """A train side over max_broadcast_bytes must NOT be materialized on the
+    driver: the kernel strategy degrades to the declarative shuffle plan
+    (no MapInPandas node) with identical results."""
+    train_df, test_df = har_dfs
+    guarded = knn_join(
+        test_df, train_df, metric="euclidean", k=4, strategy="kernel",
+        max_broadcast_bytes=64,  # ~8 doubles: any real train side exceeds it
+    )
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan  # kernel path not taken
+    declarative = knn_join(test_df, train_df, metric="euclidean", k=4)
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, declarative.collect())
+    )
+
+
+def test_kernel_fastdtw_oversize_falls_back(spark, har_dfs):
+    """Same guard on the DTW path: results match the kernel answer, the plan
+    is the declarative pandas_udf one (ArrowEvalPython, not MapInPandas)."""
+    train_df, test_df = har_dfs
+    guarded = knn_join(
+        test_df, train_df, metric="fastdtw", k=3, strategy="kernel",
+        max_broadcast_bytes=64,
+    )
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    kernel = knn_join(test_df, train_df, metric="fastdtw", k=3, strategy="kernel")
+    a = sorted(map(tuple, guarded.collect()))
+    b = sorted(map(tuple, kernel.collect()))
+    assert [x[:3] + (x[4],) for x in a] == [x[:3] + (x[4],) for x in b]
+    assert all(math.isclose(x[3], y[3], rel_tol=1e-9) for x, y in zip(a, b))
+
+
+def test_ann_kernel_oversize_falls_back(spark):
+    """ann_brute_topk's kernel guard: oversize corpus stays distributed and
+    matches the declarative answer bit-for-bit."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import ann_brute_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    guarded = ann_brute_topk(emb.limit(10), emb, k=3, strategy="kernel",
+                             max_broadcast_bytes=64)
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    declarative = ann_brute_topk(emb.limit(10), emb, k=3)
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, declarative.collect())
+    )
+
+
 def test_kernel_no_label(spark, har_dfs):
     train_df, test_df = har_dfs
     nn = knn_join(test_df, train_df, k=2, strategy="kernel", label_col=None)

@@ -75,6 +75,7 @@ def knn_join(
     band: Optional[int] = None,
     fastdtw_radius: int = 1,
     keep_features: bool = False,
+    max_broadcast_bytes: int = 512 << 20,
 ) -> DataFrame:
     """k nearest train neighbors for every test row.
 
@@ -82,6 +83,11 @@ def knn_join(
     rank 1..k ordered by (distance ASC, train_label ASC, train_id ASC) —
     the heapq.nsmallest-compatible tie order (SURVEY.md §2.5 K1) plus a
     trailing train_id for total determinism.
+
+    ``max_broadcast_bytes`` bounds strategy='kernel''s driver collect: if the
+    estimated train matrix (rows x length x 8B) exceeds it, the call falls
+    back to the declarative shuffle plan (same results, no driver
+    materialization) — a train side that big shouldn't be broadcast either.
     """
     if strategy == "kernel":
         if keep_features:
@@ -97,6 +103,7 @@ def knn_join(
             exclude_zero=exclude_zero,
             band=band,
             fastdtw_radius=fastdtw_radius,
+            max_broadcast_bytes=max_broadcast_bytes,
         )
     if strategy not in ("broadcast", "shuffle"):
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -147,6 +154,7 @@ def _knn_kernel_broadcast(
     exclude_zero: bool,
     band: Optional[int],
     fastdtw_radius: int,
+    max_broadcast_bytes: int = 512 << 20,
 ) -> DataFrame:
     """strategy='kernel': Model-2 broadcast semantics with pair-free Arrow
     transfer.
@@ -160,9 +168,13 @@ def _knn_kernel_broadcast(
     emitted (no window, no pair shuffle — transfer drops by ~N_train/k).
 
     Same constraint as any broadcast join: the train side must fit in
-    executor memory. Requires fixed-length train series (the batched kernel
-    stacks them rectangular); tie order and the dist!=0 exclusion match the
-    declarative path exactly.
+    executor memory. The driver collect is GUARDED — a cheap count/size
+    aggregate estimates the matrix first, and anything over
+    ``max_broadcast_bytes`` routes to the declarative shuffle plan instead
+    (identical results; the reference's unguarded Model-2 collect at
+    Team11-Project.py:528 is the anti-pattern this avoids). Requires
+    fixed-length train series (the batched kernel stacks them rectangular);
+    tie order and the dist!=0 exclusion match the declarative path exactly.
     """
     import numpy as np
     import pandas as pd
@@ -181,10 +193,30 @@ def _knn_kernel_broadcast(
     else:
         raise ValueError(f"strategy='kernel' does not support metric {metric!r}")
 
+    n_rows, max_len = train.agg(
+        F.count(F.lit(1)), F.max(F.size(features_col))
+    ).first()
+    if not n_rows:
+        raise ValueError("empty train side")
+    est_bytes = n_rows * int(max_len or 0) * 8
+    if est_bytes > max_broadcast_bytes:
+        # too big to materialize on the driver (or to broadcast at all):
+        # same semantics, no collect — cartesian + window top-k
+        return knn_join(
+            test,
+            train,
+            metric="dtw" if kind == "dtw" else metric,
+            k=k,
+            strategy="shuffle",
+            id_col=id_col,
+            features_col=features_col,
+            label_col=label_col,
+            exclude_zero=exclude_zero,
+            band=band,
+        )
+
     sel = [id_col, features_col] + ([label_col] if label_col else [])
     rows = train.select(*sel).collect()
-    if not rows:
-        raise ValueError("empty train side")
     lengths = {len(r[1]) for r in rows}
     if len(lengths) != 1:
         raise ValueError(

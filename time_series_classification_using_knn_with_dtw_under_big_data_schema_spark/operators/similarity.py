@@ -45,6 +45,7 @@ def ann_brute_topk(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     strategy: str = "declarative",
+    max_broadcast_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Exact top-k cosine neighbors. Output: (query_id, neighbor_id, rank,
     cos_dist rounded to 6dp).
@@ -58,9 +59,23 @@ def ann_brute_topk(
     the SQL left-fold — and rounding stays JVM-side, so distances are
     bit-identical to the declarative path (same DuckDB oracle applies;
     test_pipeline_ops::test_ann_kernel_matches_declarative).
+
+    The kernel collect is guarded by ``max_broadcast_bytes``: a corpus whose
+    estimated matrix (rows x dim x 8B) exceeds it never touches the driver —
+    the call falls back to the declarative plan WITHOUT a broadcast hint
+    (AQE picks the join strategy; a corpus that big shouldn't be broadcast
+    anywhere).
     """
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv"))
+    hint_broadcast = True
+    if strategy == "kernel":
+        n_rows, dim0 = c.agg(F.count(F.lit(1)), F.max(F.size("_cv"))).first()
+        if not n_rows:
+            raise ValueError("empty corpus side")
+        if n_rows * int(dim0 or 0) * 8 > max_broadcast_bytes:
+            strategy = "declarative"
+            hint_broadcast = False
     if strategy == "kernel":
         rows = c.collect()
         if not rows:
@@ -102,7 +117,7 @@ def ann_brute_topk(
         return top.select(
             "query_id", "neighbor_id", "rank", F.round("_d", 6).alias("cos_dist")
         )
-    pairs = q.crossJoin(F.broadcast(c))
+    pairs = q.crossJoin(F.broadcast(c) if hint_broadcast else c)
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     pairs = pairs.withColumn("_d", cosine_distance(F.col("_qv"), F.col("_cv")))

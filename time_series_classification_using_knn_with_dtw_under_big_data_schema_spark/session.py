@@ -27,9 +27,11 @@ def get_spark(app_name: str = "tsknn-engine", *, shuffle_partitions: int | None 
         # bigger Arrow batches amortize the pandas_udf round-trip and feed the
         # batched DTW kernel rectangular blocks worth vectorizing over
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        # driver testdata stores events.ts as timestamp[ns]; Spark has no
-        # nanosecond timestamp type — read as long (nanos since epoch), which
-        # keeps ordering semantics and avoids tz ambiguity vs the DuckDB oracle
+        # Fallback for parquet files that store timestamp[ns] (Spark has no
+        # nanosecond type): read them as long nanos instead of erroring.
+        # Driver testdata stores events.ts as timestamp[us], so this conf is a
+        # no-op there — consumers must branch on the actual dtype (see
+        # __spark_entry__._ts_us / streaming.joins._event_time).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")

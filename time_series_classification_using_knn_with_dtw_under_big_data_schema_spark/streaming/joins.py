@@ -33,15 +33,17 @@ __all__ = ["attribution_join"]
 def _event_time(df: DataFrame, ts_col: str, alias: str) -> DataFrame:
     """Normalize the event-time column to (epoch-micros long, timestamp).
 
-    Driver testdata carries ts as long nanos (timestamp[ns] parquet read
-    under ``nanosAsLong``); real deployments carry TimestampType. Both are
-    truncated to exact microseconds.
+    Driver testdata carries ts as timestamp[us]; long nanos (a
+    timestamp[ns] parquet read under ``nanosAsLong``) is also accepted.
+    Both are truncated to exact microseconds. TIMESTAMP_NTZ is cast to
+    TimestampType first (unix_micros rejects NTZ); the session timezone is
+    UTC so the cast is value-preserving.
     """
     dtype = dict(df.dtypes).get(ts_col)
     if dtype == "bigint":
         us = F.expr(f"{ts_col} DIV 1000")
     elif dtype in ("timestamp", "timestamp_ntz"):
-        us = F.unix_micros(F.col(ts_col))
+        us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     else:
         raise ValueError(f"{ts_col} must be long-nanos or timestamp, got {dtype}")
     return df.withColumn(f"{alias}_us", us).withColumn(

@@ -3,8 +3,9 @@ the reference has no streaming surface — SURVEY.md §2.8).
 
 events(ts, event_type, value, user_id) -> tumbling/sliding window counts and
 sums with a watermark for late data, plus session windows per user. The
-driver testdata stores ts as timestamp[ns] (long nanos under the engine's
-reader conf); ``nanos_to_ts`` is the bridge.
+driver testdata stores ts as timestamp[us] (used directly); long-nanos
+inputs (a timestamp[ns] parquet read under ``nanosAsLong``) are bridged
+via ``nanos_to_ts``.
 """
 
 from __future__ import annotations
