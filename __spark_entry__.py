@@ -263,10 +263,16 @@ def _q12_knn_accuracy(spark, sf_dir):
 
 
 def _q13_knn_dtw(spark, sf_dir):
-    """FastDTW classification (U2 pandas_udf path) — the multi-resolution
-    FastDTW approximation is not SQL-expressible, so THIS query is rows-only
-    (local golden/parity tests cover values); the exact-DTW distance operator
-    itself IS oracle-checked via q70's recursive-CTE dynamic program."""
+    """FastDTW classification (U2 pandas_udf path) — FAITHFUL FastDTW
+    (Salvador & Chan 2007 recursive coarsening, fastdtw(radius=1) defaults,
+    Team11-Project.py:339-341) via the batched kernel
+    functions/dtw_kernel.py::fastdtw_batch; pinned to fastdtw_pair semantics
+    in tests/test_dtw_kernel.py::test_fastdtw_batch_matches_pair, and the
+    fixed-band stand-in's divergence from it is quantified in
+    test_banded_vs_faithful_divergence. The multi-resolution recursion is
+    not SQL-expressible, so THIS query is rows-only; the exact-DTW distance
+    operator itself IS oracle-checked via q70's recursive-CTE dynamic
+    program."""
     train, test = _series(spark, sf_dir)
     return knn_classify(test, train, metric="fastdtw", k=5)
 

@@ -3,10 +3,13 @@
 
 Workload mirrors the reference's shape at the driver's sf0.1 scale
 (BASELINE.md): an N_test x N_train series similarity join + top-k + vote with
-both the codegen'd Euclidean metric and the banded-DTW pandas_udf (the
-reference's FastDTW radius=1 semantics), plus the relational operator set
-(agg / join / window-top-k). The comparable baseline figure is DTW pairs/sec
-(reference: ~22.6K pairs/s on an unpublished-size Databricks cluster).
+the codegen'd Euclidean metric, FAITHFUL FastDTW (Salvador & Chan recursive
+coarsening — the reference's fastdtw(radius=1) semantics, bit-matched in
+tests), and exact banded DTW (the engine's fixed-cost scale metric), plus
+the relational operator set (agg / join / window-top-k). Baseline-comparable
+figures: fastdtw561_pairs_per_sec (same algorithm as the published ~22.6K
+pairs/s cluster figure) and dtw561_banded_pairs_per_sec (the engine's
+recommended mode on the same pairs).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32).
@@ -130,8 +133,13 @@ def main() -> None:
 
     # --- 561-point DTW throughput (direct BASELINE.md comparable) ---------
     # The reference's workload is 561-point series (UCI HAR); event series
-    # are shorter, so tile them to 561 points. Same kernel shape as the
-    # published ~22.6K FastDTW pairs/s cluster figure.
+    # are shorter, so tile them to 561 points. Two entries on the same pairs:
+    # - knn_dtw_561pt_banded: exact banded DTW (band=3) — the engine's
+    #   fixed-cost scale metric, the fast mode.
+    # - knn_fastdtw_561pt: FAITHFUL FastDTW(radius=1) — the reference's exact
+    #   algorithm (the published ~22.6K pairs/s figure ran this). Its warp
+    #   windows are data-dependent, so a reduced test side keeps the entry's
+    #   wall-time bounded; pairs/s is the honest apples-to-apples number.
     from pyspark.sql import functions as FF
 
     tiled = series.select(
@@ -148,15 +156,31 @@ def main() -> None:
     r561 = tiled.filter(FF.col("series_id") % 4 != 0).limit(700)
     n_pairs_561 = t561.count() * r561.count()
     run(
-        "knn_fastdtw_561pt",
-        lambda: knn_classify(t561, r561, metric="fastdtw", k=5, strategy="kernel").count(),
-        # best-of-3: this is THE baseline-comparable number and the shared
-        # box swings 2-4x with neighbor load; extra repeats buy a fairer shot
-        # at a quiet window (each repeat is ~1.5s at steady state)
+        "knn_dtw_561pt_banded",
+        lambda: knn_classify(
+            t561, r561, metric="dtw", band=3, k=5, strategy="kernel"
+        ).count(),
+        # best-of-3: headline number; the shared box swings 2-4x with
+        # neighbor load; extra repeats buy a fairer shot at a quiet window
         repeats=3
     )
-    dtw561_pairs_per_sec = (
-        round(n_pairs_561 / timings["knn_fastdtw_561pt"]) if timings.get("knn_fastdtw_561pt") else None
+    dtw561_banded_pairs_per_sec = (
+        round(n_pairs_561 / timings["knn_dtw_561pt_banded"])
+        if timings.get("knn_dtw_561pt_banded") else None
+    )
+    t561_small = t561.limit(128).repartition(cpus).cache()
+    n_t561_small = t561_small.count()
+    n_pairs_561f = n_t561_small * 700
+    run(
+        "knn_fastdtw_561pt",
+        lambda: knn_classify(
+            t561_small, r561, metric="fastdtw", k=5, strategy="kernel"
+        ).count(),
+        repeats=2
+    )
+    fastdtw561_pairs_per_sec = (
+        round(n_pairs_561f / timings["knn_fastdtw_561pt"])
+        if timings.get("knn_fastdtw_561pt") else None
     )
 
     # --- training-data pipeline operators --------------------------------
@@ -184,8 +208,10 @@ def main() -> None:
                 "series_len": SERIES_LEN,
                 "dtw_pairs_per_sec": dtw_pairs_per_sec,
                 "n_pairs_561": n_pairs_561,
-                "dtw561_pairs_per_sec": dtw561_pairs_per_sec,
-                "baseline_dtw561_pairs_per_sec": 22600,
+                "dtw561_banded_pairs_per_sec": dtw561_banded_pairs_per_sec,
+                "n_pairs_561_faithful": n_pairs_561f,
+                "fastdtw561_pairs_per_sec": fastdtw561_pairs_per_sec,
+                "baseline_fastdtw561_pairs_per_sec": 22600,
             }
         )
     )

@@ -8,6 +8,7 @@ from hypothesis import strategies as st
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.dtw_kernel import (
     dtw_batch,
     dtw_pair,
+    fastdtw_batch,
     fastdtw_pair,
 )
 
@@ -65,6 +66,71 @@ def test_fastdtw_upper_bounds_exact_and_converges():
 def test_ragged_lengths():
     assert dtw_pair([1, 2, 3, 4, 5], [1, 3, 5]) == pytest.approx(2.0)
     assert fastdtw_pair([1, 2, 3, 4, 5], [1, 3, 5]) == pytest.approx(2.0)
+
+
+def _walk_pairs(rng, bs, n, m=None):
+    A = np.cumsum(rng.standard_normal((bs, n)), axis=1)
+    B = np.cumsum(rng.standard_normal((bs, m or n)), axis=1)
+    return A, B
+
+
+@pytest.mark.parametrize("n,m", [(2, 2), (3, 3), (5, 5), (8, 8), (16, 16),
+                                 (17, 17), (33, 33), (64, 64), (16, 23), (31, 16)])
+def test_fastdtw_batch_matches_pair(n, m):
+    """The batched faithful kernel reproduces fastdtw_pair. Tolerance: the
+    prefix-scan DP reassociates floats, so an fp-NEAR-TIED coarse warp path
+    may resolve to the other equally-valid branch (verified: a 1-ulp input
+    perturbation flips fastdtw_pair itself); require exactness on >= 90% of
+    pairs and a small bounded deviation on the rest."""
+    rng = np.random.default_rng(n * 100 + m)
+    A, B = _walk_pairs(rng, 60, n, m)
+    got = fastdtw_batch(A, B, radius=1)
+    want = np.array([fastdtw_pair(a, b, radius=1) for a, b in zip(A, B)])
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-12)
+    assert (rel < 1e-9).mean() >= 0.90, f"exact fraction {(rel < 1e-9).mean()}"
+    assert rel.max() < 0.05, f"max deviation {rel.max()}"
+    # both are upper approximations of exact DTW
+    exact = np.array([dtw_pair(a, b) for a, b in zip(A, B)])
+    assert (got >= exact - 1e-9).all()
+
+
+def test_fastdtw_batch_invariant_to_batch_composition():
+    """A pair's distance must not depend on which other pairs share its
+    batch (width re-bucketing and padding are semantics-free)."""
+    rng = np.random.default_rng(5)
+    A, B = _walk_pairs(rng, 32, 40)
+    whole = fastdtw_batch(A, B)
+    singles = np.array([fastdtw_batch(A[i : i + 1], B[i : i + 1])[0] for i in range(32)])
+    assert np.array_equal(whole, singles)
+
+
+def test_fastdtw_batch_radius_2():
+    rng = np.random.default_rng(9)
+    A, B = _walk_pairs(rng, 30, 40)
+    got = fastdtw_batch(A, B, radius=2)
+    want = np.array([fastdtw_pair(a, b, radius=2) for a, b in zip(A, B)])
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-12)
+    assert (rel < 1e-9).mean() >= 0.90 and rel.max() < 0.05
+
+
+def test_banded_vs_faithful_divergence():
+    """Quantifies the r1-verdict gap: a fixed Sakoe-Chiba band of half-width
+    radius+2 is NOT FastDTW — on random-walk series the two diverge by tens
+    of percent on individual pairs. This is why metric='fastdtw' routes
+    through the faithful kernel and the band is a separate, explicitly
+    chosen metric ('dtw' + band). The assertions pin the measured divergence
+    envelope so a silent re-coupling of the two paths would fail here."""
+    rng = np.random.default_rng(0)
+    A, B = _walk_pairs(rng, 150, 16)
+    banded = dtw_batch(A, B, band=3)  # the old radius+2 stand-in
+    faithful = fastdtw_batch(A, B, radius=1)
+    rel = np.abs(banded - faithful) / np.maximum(faithful, 1e-12)
+    # they agree on most pairs ... but not within any honest tolerance
+    assert np.median(rel) < 0.05
+    assert rel.max() > 0.10, "band==faithful here would mean the test lost its teeth"
+    # and both upper-bound exact DTW
+    exact = dtw_batch(A, B)
+    assert (banded >= exact - 1e-9).all() and (faithful >= exact - 1e-9).all()
 
 
 @settings(max_examples=30, deadline=None)

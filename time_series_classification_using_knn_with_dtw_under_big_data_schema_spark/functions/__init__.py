@@ -10,5 +10,5 @@ from .distance import (  # noqa: F401
     make_dtw_udf,
     DISTANCES,
 )
-from .dtw_kernel import dtw_batch, dtw_pair, fastdtw_pair  # noqa: F401
-from .arrays import paa, series_features, znorm  # noqa: F401
+from .dtw_kernel import dtw_batch, dtw_pair, fastdtw_batch, fastdtw_pair  # noqa: F401
+from .arrays import paa, series_features, series_to_columns, znorm  # noqa: F401

@@ -101,3 +101,23 @@ def resample_linear(arr: Column, out_len: int) -> Column:
         return v_lo * (F.lit(1.0) - frac) + v_hi * frac
 
     return F.array(*[at(t) for t in range(out_len)])
+
+
+def series_to_columns(df, n: int, *, features_col: str = "features",
+                      prefix: str = "feature_", start: int = 1):
+    """Explode a fixed-length series column into ``n`` scalar columns
+    ``{prefix}{start}..{prefix}{start+n-1}`` (keeping every other column).
+
+    The reference's data model IS this wide layout — 561 scalar columns
+    re-assembled per query (Team11-Project.py:68-74). The engine keeps
+    series as native arrays (SURVEY.md §1.1: a 561-column schema defeats
+    column pruning and bloats codegen), but offers the wide projection on
+    explicit request for reference-schema interop/export. Each output column
+    is ``features[i]`` — a codegen'd GetArrayItem, no UDF, no shuffle.
+    """
+    others = [c for c in df.columns if c != features_col]
+    wide = [
+        F.col(features_col).getItem(i).alias(f"{prefix}{start + i}")
+        for i in range(n)
+    ]
+    return df.select(*others, *wide)

@@ -22,7 +22,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .dtw_kernel import dtw_batch
+from .dtw_kernel import dtw_batch, fastdtw_batch
 
 __all__ = [
     "euclidean",
@@ -34,6 +34,7 @@ __all__ = [
     "cosine_distance",
     "dtw_udf",
     "make_dtw_udf",
+    "make_fastdtw_udf",
     "DISTANCES",
 ]
 
@@ -72,28 +73,19 @@ def cosine_distance(a: Column, b: Column) -> Column:
     return F.lit(1.0) - cosine_similarity(a, b)
 
 
-def make_dtw_udf(band: Optional[int] = None) -> Callable[[Column, Column], Column]:
-    """Build the DTW pandas_udf with a fixed Sakoe-Chiba band half-width.
-
-    band=None -> exact DTW. band=r approximates FastDTW(radius=r) semantics
-    with a hard diagonal band (for equal-length series the FastDTW refinement
-    window is a data-dependent band; a fixed band is the vectorizable stand-in
-    — parity between the two is covered in tests on separable data).
-
-    Batches arrive via Arrow as pd.Series of numpy arrays; equal-length pairs
-    are stacked into (batch, n) matrices for the vectorized DP, ragged pairs
-    fall back to a per-length-group sub-batching.
-    """
+def _grouped_pairs_udf(batch_fn) -> Callable[[Column, Column], Column]:
+    """pandas_udf over a batched pair kernel: Arrow batches arrive as
+    pd.Series of numpy arrays; rows are grouped by (len_a, len_b) so every
+    sub-batch stacks rectangular for the vectorized kernel."""
 
     @F.pandas_udf(T.DoubleType())
-    def dtw(a: pd.Series, b: pd.Series) -> pd.Series:
+    def dist(a: pd.Series, b: pd.Series) -> pd.Series:
         n = len(a)
         if n == 0:
             return pd.Series(np.empty(0, dtype=np.float64))
         la = a.map(len).to_numpy()
         lb = b.map(len).to_numpy()
         out = np.empty(n, dtype=np.float64)
-        # group rows by (len_a, len_b) so every sub-batch stacks rectangular
         import collections
 
         groups = collections.defaultdict(list)
@@ -103,7 +95,7 @@ def make_dtw_udf(band: Optional[int] = None) -> Callable[[Column, Column], Colum
             idx = np.asarray(idx)
             A = np.stack(a.iloc[idx].to_numpy())
             B = np.stack(b.iloc[idx].to_numpy())
-            out[idx] = dtw_batch(A, B, band=band)
+            out[idx] = batch_fn(A, B)
         return pd.Series(out)
 
     # asNondeterministic: stops Catalyst pushing filters THROUGH the
@@ -111,11 +103,28 @@ def make_dtw_udf(band: Optional[int] = None) -> Callable[[Column, Column], Colum
     # pushed predicate re-evaluates the whole DTW batch a second time
     # (observed as two ArrowEvalPython nodes for one distance column). The
     # kernel is pure; the flag only disables that (for us pessimal) rewrite.
-    return dtw.asNondeterministic()
+    return dist.asNondeterministic()
+
+
+def make_dtw_udf(band: Optional[int] = None) -> Callable[[Column, Column], Column]:
+    """Exact DTW pandas_udf with a fixed Sakoe-Chiba band half-width
+    (band=None -> unconstrained exact DTW). The engine's recommended scale
+    metric: one vectorized DP level, fixed O(n*band) work per pair."""
+    return _grouped_pairs_udf(lambda A, B: dtw_batch(A, B, band=band))
+
+
+def make_fastdtw_udf(radius: int = 1) -> Callable[[Column, Column], Column]:
+    """Faithful FastDTW (Salvador & Chan 2007) pandas_udf — reference
+    semantic parity with `fastdtw.fastdtw(a, b, radius)` defaults
+    (Team11-Project.py:339-341) via the batched kernel
+    (dtw_kernel.fastdtw_batch). Data-dependent warp windows mean
+    data-dependent cost: near-diagonal warps run ~O(n*radius), adversarial
+    warps degrade toward O(n*m) — exactly like the original algorithm."""
+    return _grouped_pairs_udf(lambda A, B: fastdtw_batch(A, B, radius=radius))
 
 
 # default kernel: exact DTW (band=None); metric="fastdtw" in the KNN operators
-# uses a band sized like the reference's fastdtw radius=1 refinement window.
+# routes through make_fastdtw_udf (faithful recursive FastDTW).
 dtw_udf = make_dtw_udf(None)
 
 

@@ -12,6 +12,18 @@ radius=1 and default per-point distance = |a-b| (Team11-Project.py:339-341,
   half-resolution coarsening, project the low-res warp path, refine within
   ``radius``. Matches the `fastdtw` PyPI package's algorithm (which the
   reference uses) without depending on it.
+- ``fastdtw_batch``: the SAME faithful algorithm vectorized across a batch
+  of pairs — the production path behind ``metric="fastdtw"``. FastDTW
+  windows are contiguous per DP row and their lows are monotone, so every
+  stage batches: the windowed DP runs the prefix-scan recurrence over
+  per-pair [lo, hi] intervals, path backtracking advances all pairs
+  simultaneously (tie order identical to the per-pair code), and window
+  expansion is a sliding min/max. Pairs are re-bucketed per level by their
+  own max window width so one wide-warp pair (FastDTW's O(n*m) worst case)
+  cannot inflate the whole batch's cost. Distances equal fastdtw_pair's
+  except on fp near-ties of the coarse warp path, where the prefix-scan's
+  reassociated floats may pick the other (equally valid) path — bounded in
+  tests/test_dtw_kernel.py.
 - ``dtw_batch``: the production kernel — exact banded DTW vectorized BOTH
   along the DP row and ACROSS a batch of pairs. The classic DP recurrence
   cur[j] = c[j] + min(prev[j], prev[j-1], cur[j-1]) carries a sequential
@@ -28,7 +40,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["dtw_pair", "fastdtw_pair", "dtw_batch"]
+__all__ = ["dtw_pair", "fastdtw_pair", "dtw_batch", "fastdtw_batch"]
 
 _INF = np.inf
 
@@ -211,3 +223,214 @@ def dtw_batch(A: np.ndarray, B: np.ndarray, band: int | None = None) -> np.ndarr
         prev, cur = cur, prev
     out = prev[:, m].copy()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Batched faithful FastDTW (the production metric="fastdtw" kernel)
+# ---------------------------------------------------------------------------
+
+_LARGE = 1e18  # finite unreachable sentinel (inf breaks the cumsum scan)
+
+
+def _reduce_by_half_batch(X: np.ndarray) -> np.ndarray:
+    n = X.shape[1] - (X.shape[1] % 2)
+    return (X[:, 0:n:2] + X[:, 1:n:2]) / 2.0 if n else X
+
+
+def _windowed_dp_batch(A, B, lo, hi, need_path):
+    """Variable-interval banded DP, vectorized across the batch and along
+    each DP row via the prefix-scan identity (module docstring).
+
+    A: (bs, n), B: (bs, m); lo, hi: (bs, n) per-row window [lo, hi] (0-based
+    B columns, contiguous, lo monotone non-decreasing down the rows — a
+    FastDTW window invariant). Returns (dist (bs,), dp (n, bs, W) | None).
+    """
+    bs, n = A.shape
+    m = B.shape[1]
+    W = int((hi - lo).max()) + 1
+    warr = np.arange(W)[None, :]
+    # flat-gather bases: row p of B starts at p*m; of prev_pad at p*(W+1)
+    bbase = (np.arange(bs) * m)[:, None]
+    pbase = (np.arange(bs) * (W + 1))[:, None]
+
+    dp = np.empty((n, bs, W)) if need_path else None
+    # prev_pad holds DP row i-1 in cols [0, W); col W is a LARGE sentinel
+    prev_pad = np.full((bs, W + 1), _LARGE)
+    cur_pad = np.full((bs, W + 1), _LARGE)
+    idx = np.empty((bs, W), dtype=np.intp)
+    c = np.empty((bs, W))
+    pj = np.empty((bs, W))
+    mrow = np.empty((bs, W))
+
+    for i in range(1, n + 1):
+        lo_c = lo[:, i - 1 : i]
+        suffix = warr >= (hi[:, i - 1 : i] - lo_c + 1)
+        # cost row |a_i - b_j|, suffix-masked to 0 so the cumsum stays clean
+        np.add(lo_c, warr, out=idx)
+        np.minimum(idx, m - 1, out=idx)
+        idx += bbase
+        np.take(B, idx, out=c)
+        np.subtract(A[:, i - 1 : i], c, out=c)
+        np.abs(c, out=c)
+        c[suffix] = 0.0
+        if i == 1:
+            # virtual row -1: only cell (-1, -1) = 0 (diagonal predecessor
+            # of cell (0, 0)); every (-1, j>=0) is unreachable
+            pj.fill(_LARGE)
+            np.copyto(mrow, _LARGE)
+            mrow[(lo_c + warr) == 0] = 0.0
+        else:
+            # prev-row gathers at t = shift and t-1: t in [0, W-1] real;
+            # t >= W hits the sentinel col; t < 0 masked LARGE; shift >= 0
+            # always (monotone window lows)
+            shift = lo_c - lo[:, i - 2 : i - 1] + warr
+            np.minimum(shift, W, out=idx)
+            idx += pbase
+            np.take(prev_pad, idx, out=pj)
+            tm1 = shift - 1
+            np.clip(tm1, 0, W, out=idx)
+            idx += pbase
+            np.take(prev_pad, idx, out=mrow)
+            mrow[tm1 < 0] = _LARGE
+            np.minimum(mrow, pj, out=mrow)
+        # cur[w] = C[w] + min_{w'<=w}(mrow[w'] - C[w'-1]), C = cumsum(c)
+        C = np.cumsum(c, axis=1, out=c)
+        mrow[:, 1:] -= C[:, :-1]
+        np.minimum.accumulate(mrow, axis=1, out=mrow)
+        cur = cur_pad[:, :W]
+        np.add(C, mrow, out=cur)
+        cur[suffix] = _LARGE
+        np.clip(cur, None, _LARGE, out=cur)
+        if need_path:
+            dp[i - 1] = cur
+        prev_pad, cur_pad = cur_pad, prev_pad
+    dist = prev_pad[np.arange(bs), (m - 1) - lo[:, n - 1]]
+    return dist, dp
+
+
+def _backtrack_batch(dp, lo, hi, n, m):
+    """Warp-path backtracking for every pair simultaneously -> per-row
+    (pmin, pmax) path column spans. Tie order matches _dtw_with_path:
+    (i-1, j), then (i, j-1), then (i-1, j-1); first strict minimum wins."""
+    bs = lo.shape[0]
+    W = dp.shape[2]
+    pmin = np.full((bs, n), m - 1, dtype=np.int64)
+    pmax = np.zeros((bs, n), dtype=np.int64)
+    i = np.full(bs, n - 1, dtype=np.int64)
+    j = np.full(bs, m - 1, dtype=np.int64)
+    pmax[:, n - 1] = m - 1
+    p = np.arange(bs)
+
+    def val(r, c):
+        rc = np.clip(r, 0, n - 1)
+        w = c - lo[p, rc]
+        ok = (r >= 0) & (c >= 0) & (c <= hi[p, rc]) & (w >= 0) & (w < W)
+        out = np.where(ok, dp[rc, p, np.clip(w, 0, W - 1)], _LARGE)
+        return np.where((r == -1) & (c == -1), 0.0, out)
+
+    for _ in range(n + m + 2):
+        active = (i > 0) | (j > 0)
+        if not active.any():
+            break
+        v1 = val(i - 1, j)
+        v2 = val(i, j - 1)
+        v3 = val(i - 1, j - 1)
+        sel = np.zeros(bs, dtype=np.int64)
+        vbest = v1.copy()
+        hor = v2 < vbest
+        sel[hor] = 1
+        vbest[hor] = v2[hor]
+        sel[v3 < vbest] = 2
+        ni = np.where(sel == 1, i, i - 1)
+        nj = np.where(sel == 0, j, j - 1)
+        ni = np.where(active, ni, i)
+        nj = np.where(active, nj, j)
+        # path rows are entered once and left once (monotone moves), so the
+        # span updates are plain assignments: leaving row i pins its min,
+        # entering row ni pins its max
+        leaving = active & (ni != i)
+        pmin[p[leaving], i[leaving]] = j[leaving]
+        entering = leaving & (ni >= 0)
+        pmax[p[entering], ni[entering]] = nj[entering]
+        i, j = ni, nj
+    pmin[:, 0] = 0
+    return pmin, pmax
+
+
+def _expand_batch(pmin, pmax, n_f, m_f, radius):
+    """Coarse path spans -> fine-level windows: dilate the per-row span by
+    ``radius`` in both axes (sliding min/max over 2*radius+1 rows), then
+    upsample 2x — exactly the set-based _expand_window, interval form."""
+    bs, n_c = pmin.shape
+    n_e = n_c + radius
+    lo_ext = np.full((bs, n_e), np.iinfo(np.int64).max)
+    hi_ext = np.full((bs, n_e), np.iinfo(np.int64).min)
+    earr = np.arange(n_e)
+    for d in range(-radius, radius + 1):
+        src = earr + d
+        valid = (src >= 0) & (src <= n_c - 1)
+        sv = src[valid]
+        lo_ext[:, valid] = np.minimum(lo_ext[:, valid], pmin[:, sv])
+        hi_ext[:, valid] = np.maximum(hi_ext[:, valid], pmax[:, sv])
+    lo_ext -= radius
+    hi_ext += radius
+    e = np.minimum(np.arange(n_f) // 2, n_e - 1)
+    lo_f = np.clip(2 * lo_ext[:, e], 0, m_f - 1)
+    hi_f = np.clip(2 * hi_ext[:, e] + 1, 0, m_f - 1)
+    return lo_f, hi_f
+
+
+def fastdtw_batch(A: np.ndarray, B: np.ndarray, radius: int = 1) -> np.ndarray:
+    """Faithful FastDTW over a batch of pairs: (bs, n) x (bs, m) -> (bs,).
+
+    Distances match ``fastdtw_pair`` (and hence the reference's `fastdtw`
+    package) exactly except where the coarse warp path is fp-near-tied —
+    there the prefix-scan's reassociated floats may pick the other equally
+    valid path (bounded in tests). Per-level width re-bucketing keeps a
+    single wide-warp pair from inflating the vectorized cost of the rest.
+    """
+    A = np.ascontiguousarray(A, dtype=np.float64)
+    B = np.ascontiguousarray(B, dtype=np.float64)
+    bs, n = A.shape
+    m = B.shape[1]
+    if bs == 0:
+        return np.empty(0)
+    if n == 0 or m == 0:
+        raise ValueError("empty series")
+    min_size = radius + 2
+    levels = [(A, B)]
+    while levels[-1][0].shape[1] >= min_size and levels[-1][1].shape[1] >= min_size:
+        a, b = levels[-1]
+        levels.append((_reduce_by_half_batch(a), _reduce_by_half_batch(b)))
+
+    n_c, m_c = levels[-1][0].shape[1], levels[-1][1].shape[1]
+    lo = np.zeros((bs, n_c), dtype=np.int64)
+    hi = np.full((bs, n_c), m_c - 1, dtype=np.int64)
+    dist = np.empty(bs)
+    for li in range(len(levels) - 1, -1, -1):
+        a_l, b_l = levels[li]
+        n_l, m_l = a_l.shape[1], b_l.shape[1]
+        need_path = li > 0
+        if need_path:
+            n_f, m_f = levels[li - 1][0].shape[1], levels[li - 1][1].shape[1]
+            new_lo = np.empty((bs, n_f), dtype=np.int64)
+            new_hi = np.empty((bs, n_f), dtype=np.int64)
+        widths = (hi - lo).max(axis=1) + 1
+        order = np.argsort(widths, kind="stable")
+        start = 0
+        while start < bs:
+            wcap = max(8, 1 << int(widths[order[start]] - 1).bit_length())
+            stop = int(np.searchsorted(widths[order], wcap, side="right"))
+            sel = order[start:stop]
+            start = stop
+            d, dp = _windowed_dp_batch(a_l[sel], b_l[sel], lo[sel], hi[sel], need_path)
+            if need_path:
+                pmin, pmax = _backtrack_batch(dp, lo[sel], hi[sel], n_l, m_l)
+                l2, h2 = _expand_batch(pmin, pmax, n_f, m_f, radius)
+                new_lo[sel] = l2
+                new_hi[sel] = h2
+            else:
+                dist[sel] = d
+        if need_path:
+            lo, hi = new_lo, new_hi
+    return dist

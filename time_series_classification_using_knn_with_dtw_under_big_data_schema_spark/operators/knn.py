@@ -34,7 +34,7 @@ from typing import Callable, Optional, Union
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.distance import DISTANCES, make_dtw_udf, sq_euclidean
+from ..functions.distance import DISTANCES, make_dtw_udf, make_fastdtw_udf, sq_euclidean
 from .topk import topk_per_key
 from .vote import majority_vote
 
@@ -50,12 +50,16 @@ def _resolve_metric(metric: MetricT, band: Optional[int], fastdtw_radius: int):
     if metric == "dtw":
         return make_dtw_udf(band), False
     if metric == "fastdtw":
-        # Reference parity: fastdtw(radius=1) defaults (Team11-Project.py:340).
-        # The vectorizable stand-in for FastDTW's adaptive refinement window is
-        # a Sakoe-Chiba band of half-width radius+2 (cf. Salvador & Chan 2007:
-        # the refined window spans radius cells around the projected coarse
-        # path, which hugs the diagonal for equal-length series).
-        return make_dtw_udf(band if band is not None else fastdtw_radius + 2), False
+        # Faithful reference parity: fastdtw(radius=1) defaults
+        # (Team11-Project.py:340) via the batched faithful kernel
+        # (functions/dtw_kernel.py::fastdtw_batch) — recursive coarsening +
+        # data-dependent refinement windows, NOT a fixed-band stand-in.
+        # A caller-supplied band overrides to exact banded DTW (the fixed-cost
+        # scale path; divergence between the two is quantified in
+        # tests/test_dtw_kernel.py::test_banded_vs_faithful_divergence).
+        if band is not None:
+            return make_dtw_udf(band), False
+        return make_fastdtw_udf(fastdtw_radius), False
     if metric in DISTANCES:
         return DISTANCES[metric], False
     raise ValueError(f"unknown metric {metric!r}; have {sorted(DISTANCES)} + 'fastdtw'")
@@ -179,13 +183,14 @@ def _knn_kernel_broadcast(
     import numpy as np
     import pandas as pd
 
-    from ..functions.dtw_kernel import dtw_batch
+    from ..functions.dtw_kernel import dtw_batch, fastdtw_batch
 
     if callable(metric):
         raise ValueError("strategy='kernel' supports named metrics only")
     if metric == "fastdtw":
-        band = band if band is not None else fastdtw_radius + 2
-        kind = "dtw"
+        # faithful FastDTW unless the caller pins an explicit band (then it's
+        # exact banded DTW — same override rule as the declarative path)
+        kind = "dtw" if band is not None else "fastdtw"
     elif metric == "dtw":
         kind = "dtw"
     elif metric in ("euclidean", "sq_euclidean", "manhattan", "chebyshev"):
@@ -236,43 +241,65 @@ def _knn_kernel_broadcast(
     kk = k
     excl = exclude_zero
     bnd = band
+    rad = fastdtw_radius
 
     def op(batches):
         b_ids, b_feats, b_labels = bvar.value
         n_train = len(b_ids)
+        # chunk several test rows into ONE kernel call (pair count ~4096)
+        # so the vectorized DP amortizes its dispatch over a full batch
+        # instead of paying it once per test row
+        rows_per = max(1, 4096 // max(1, n_train))
         for pdf in batches:
             out = {
                 "test_id": [], "train_id": [], "distance": [], "rank": [],
             }
             if b_labels is not None:
                 out["train_label"] = []
-            for tid, f in zip(pdf["test_id"], pdf["_tf"]):
-                a = np.asarray(f, dtype=np.float64)
-                A = np.broadcast_to(a, (n_train, len(a)))
-                if kind == "dtw":
-                    d = dtw_batch(A, b_feats, band=bnd)
-                elif kind == "euclidean":
-                    d = np.sqrt(((A - b_feats) ** 2).sum(axis=1))
-                elif kind == "sq_euclidean":
-                    d = ((A - b_feats) ** 2).sum(axis=1)
-                elif kind == "manhattan":
-                    d = np.abs(A - b_feats).sum(axis=1)
-                else:  # chebyshev
-                    d = np.abs(A - b_feats).max(axis=1)
-                mask = d != 0 if excl else np.ones(n_train, dtype=bool)
-                di, ii = d[mask], b_ids[mask]
-                li = b_labels[mask] if b_labels is not None else None
-                # tie order parity: (distance, label, id) ascending
-                order = (
-                    np.lexsort((ii, li, di)) if li is not None else np.lexsort((ii, di))
-                )[:kk]
-                m = len(order)
-                out["test_id"].extend([tid] * m)
-                out["train_id"].extend(ii[order])
-                out["distance"].extend(di[order])
-                out["rank"].extend(range(1, m + 1))
-                if li is not None:
-                    out["train_label"].extend(li[order])
+            tids = pdf["test_id"].to_numpy()
+            fvals = pdf["_tf"].to_numpy()
+            # test rows may be ragged; each chunk stacks rectangular
+            by_len: dict[int, list[int]] = {}
+            for i, f in enumerate(fvals):
+                by_len.setdefault(len(f), []).append(i)
+            for L, idxs in by_len.items():
+                T = np.stack([np.asarray(fvals[i], dtype=np.float64) for i in idxs])
+                for c0 in range(0, len(idxs), rows_per):
+                    chunk = idxs[c0 : c0 + rows_per]
+                    Tc = T[c0 : c0 + rows_per]
+                    nc = len(chunk)
+                    A = np.repeat(Tc, n_train, axis=0)
+                    B = np.tile(b_feats, (nc, 1))
+                    if kind == "dtw":
+                        D = dtw_batch(A, B, band=bnd)
+                    elif kind == "fastdtw":
+                        D = fastdtw_batch(A, B, radius=rad)
+                    elif kind == "euclidean":
+                        D = np.sqrt(((A - B) ** 2).sum(axis=1))
+                    elif kind == "sq_euclidean":
+                        D = ((A - B) ** 2).sum(axis=1)
+                    elif kind == "manhattan":
+                        D = np.abs(A - B).sum(axis=1)
+                    else:  # chebyshev
+                        D = np.abs(A - B).max(axis=1)
+                    D = D.reshape(nc, n_train)
+                    for r, i in enumerate(chunk):
+                        d = D[r]
+                        mask = d != 0 if excl else np.ones(n_train, dtype=bool)
+                        di, ii = d[mask], b_ids[mask]
+                        li = b_labels[mask] if b_labels is not None else None
+                        # tie order parity: (distance, label, id) ascending
+                        order = (
+                            np.lexsort((ii, li, di)) if li is not None
+                            else np.lexsort((ii, di))
+                        )[:kk]
+                        m = len(order)
+                        out["test_id"].extend([tids[i]] * m)
+                        out["train_id"].extend(ii[order])
+                        out["distance"].extend(di[order])
+                        out["rank"].extend(range(1, m + 1))
+                        if li is not None:
+                            out["train_label"].extend(li[order])
             cols = ["test_id", "train_id"]
             if b_labels is not None:
                 cols.append("train_label")

@@ -22,7 +22,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.distance import DISTANCES, make_dtw_udf, sq_euclidean
+from ..functions.distance import DISTANCES, make_dtw_udf, make_fastdtw_udf, sq_euclidean
 
 
 def _metric_fn(metric: str, band: Optional[int]):
@@ -31,7 +31,9 @@ def _metric_fn(metric: str, band: Optional[int]):
     if metric == "dtw":
         return make_dtw_udf(band)
     if metric == "fastdtw":
-        return make_dtw_udf(band if band is not None else 3)
+        # same override rule as operators/knn.py: explicit band -> exact
+        # banded DTW, else the faithful recursive kernel
+        return make_dtw_udf(band) if band is not None else make_fastdtw_udf(1)
     return DISTANCES[metric]
 
 
