@@ -168,7 +168,11 @@ def main() -> None:
         round(n_pairs_561 / timings["knn_dtw_561pt_banded"])
         if timings.get("knn_dtw_561pt_banded") else None
     )
-    t561_small = t561.limit(128).repartition(cpus).cache()
+    # faithful FastDTW is memory-bandwidth-bound on wide-warp (random-walk)
+    # data, so aggregate pairs/s saturates well below 32x one core; a small
+    # test side keeps the entry's wall-time bounded without changing the
+    # steady-state rate it measures
+    t561_small = t561.limit(64).repartition(cpus).cache()
     n_t561_small = t561_small.count()
     n_pairs_561f = n_t561_small * 700
     run(
@@ -176,7 +180,6 @@ def main() -> None:
         lambda: knn_classify(
             t561_small, r561, metric="fastdtw", k=5, strategy="kernel"
         ).count(),
-        repeats=2
     )
     fastdtw561_pairs_per_sec = (
         round(n_pairs_561f / timings["knn_fastdtw_561pt"])

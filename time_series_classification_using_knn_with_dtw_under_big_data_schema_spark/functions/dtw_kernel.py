@@ -249,9 +249,13 @@ def _windowed_dp_batch(A, B, lo, hi, need_path):
     m = B.shape[1]
     W = int((hi - lo).max()) + 1
     warr = np.arange(W)[None, :]
-    # flat-gather bases: row p of B starts at p*m; of prev_pad at p*(W+1)
-    bbase = (np.arange(bs) * m)[:, None]
-    pbase = (np.arange(bs) * (W + 1))[:, None]
+    parr = np.arange(bs)
+    # B padded with W junk cols (their costs land in suffix positions and are
+    # zeroed) so the cost gather needs no per-row bounds clip; flat bases:
+    # row p of Bpad starts at p*(m+W), of prev_pad at p*(W+1)
+    Bpad = np.concatenate([B, np.empty((bs, W))], axis=1)
+    bbase = (parr * (m + W))[:, None]
+    pbase = (parr * (W + 1))[:, None]
 
     dp = np.empty((n, bs, W)) if need_path else None
     # prev_pad holds DP row i-1 in cols [0, W); col W is a LARGE sentinel
@@ -266,32 +270,32 @@ def _windowed_dp_batch(A, B, lo, hi, need_path):
         lo_c = lo[:, i - 1 : i]
         suffix = warr >= (hi[:, i - 1 : i] - lo_c + 1)
         # cost row |a_i - b_j|, suffix-masked to 0 so the cumsum stays clean
-        np.add(lo_c, warr, out=idx)
-        np.minimum(idx, m - 1, out=idx)
-        idx += bbase
-        np.take(B, idx, out=c)
+        np.add(lo_c + bbase, warr, out=idx)
+        np.take(Bpad, idx, out=c)
         np.subtract(A[:, i - 1 : i], c, out=c)
         np.abs(c, out=c)
         c[suffix] = 0.0
         if i == 1:
             # virtual row -1: only cell (-1, -1) = 0 (diagonal predecessor
             # of cell (0, 0)); every (-1, j>=0) is unreachable
-            pj.fill(_LARGE)
             np.copyto(mrow, _LARGE)
             mrow[(lo_c + warr) == 0] = 0.0
         else:
-            # prev-row gathers at t = shift and t-1: t in [0, W-1] real;
-            # t >= W hits the sentinel col; t < 0 masked LARGE; shift >= 0
-            # always (monotone window lows)
-            shift = lo_c - lo[:, i - 2 : i - 1] + warr
-            np.minimum(shift, W, out=idx)
-            idx += pbase
+            # prev-row values at t = shift(w) = (lo_c - lo_prev) + w: per
+            # pair a CONTIGUOUS slice of prev_pad (shift is affine in w), so
+            # one gather serves both predecessors — pjm1 is pj shifted one
+            # position right, with only column 0 needing its own lookup.
+            # t in [0, W-1] real; t >= W hits the sentinel col; t < 0 LARGE
+            # (shift >= 0 always: monotone window lows).
+            base = lo_c - lo[:, i - 2 : i - 1]  # (bs, 1) >= 0
+            np.add(np.minimum(base, W) + pbase, np.minimum(warr, W), out=idx)
+            np.minimum(idx, pbase + W, out=idx)
             np.take(prev_pad, idx, out=pj)
-            tm1 = shift - 1
-            np.clip(tm1, 0, W, out=idx)
-            idx += pbase
-            np.take(prev_pad, idx, out=mrow)
-            mrow[tm1 < 0] = _LARGE
+            bm1 = base[:, 0] - 1
+            first = prev_pad[parr, np.clip(bm1, 0, W)]
+            first[bm1 < 0] = _LARGE
+            mrow[:, 1:] = pj[:, :-1]
+            mrow[:, 0] = first
             np.minimum(mrow, pj, out=mrow)
         # cur[w] = C[w] + min_{w'<=w}(mrow[w'] - C[w'-1]), C = cumsum(c)
         C = np.cumsum(c, axis=1, out=c)
@@ -300,11 +304,10 @@ def _windowed_dp_batch(A, B, lo, hi, need_path):
         cur = cur_pad[:, :W]
         np.add(C, mrow, out=cur)
         cur[suffix] = _LARGE
-        np.clip(cur, None, _LARGE, out=cur)
         if need_path:
             dp[i - 1] = cur
         prev_pad, cur_pad = cur_pad, prev_pad
-    dist = prev_pad[np.arange(bs), (m - 1) - lo[:, n - 1]]
+    dist = prev_pad[parr, (m - 1) - lo[:, n - 1]]
     return dist, dp
 
 

@@ -246,10 +246,13 @@ def _knn_kernel_broadcast(
     def op(batches):
         b_ids, b_feats, b_labels = bvar.value
         n_train = len(b_ids)
-        # chunk several test rows into ONE kernel call (pair count ~4096)
-        # so the vectorized DP amortizes its dispatch over a full batch
-        # instead of paying it once per test row
-        rows_per = max(1, 4096 // max(1, n_train))
+        # fastdtw: chunk several test rows into ONE kernel call (pair count
+        # ~4096) so the recursive kernel amortizes its dispatch over a full
+        # batch. The cheap kernels (banded DTW / euclidean family) score one
+        # test row against the train matrix with ZERO-copy views
+        # (broadcast_to + b_feats directly) — for them the chunked path's
+        # np.repeat/np.tile copies cost more than they save.
+        rows_per = max(1, 4096 // max(1, n_train)) if kind == "fastdtw" else 1
         for pdf in batches:
             out = {
                 "test_id": [], "train_id": [], "distance": [], "rank": [],
@@ -268,8 +271,12 @@ def _knn_kernel_broadcast(
                     chunk = idxs[c0 : c0 + rows_per]
                     Tc = T[c0 : c0 + rows_per]
                     nc = len(chunk)
-                    A = np.repeat(Tc, n_train, axis=0)
-                    B = np.tile(b_feats, (nc, 1))
+                    if nc == 1:
+                        A = np.broadcast_to(Tc[0], (n_train, L))
+                        B = b_feats
+                    else:
+                        A = np.repeat(Tc, n_train, axis=0)
+                        B = np.tile(b_feats, (nc, 1))
                     if kind == "dtw":
                         D = dtw_batch(A, B, band=bnd)
                     elif kind == "fastdtw":

@@ -19,6 +19,17 @@ def nanos_to_ts(col: Column) -> Column:
     return F.timestamp_micros((col / 1000).cast("long"))
 
 
+def _event_ts(stream: DataFrame, ts_col: str) -> Column:
+    """Event-time column as TimestampType: long nanos are converted;
+    TIMESTAMP_NTZ (the driver parquet's type) is cast — streaming
+    watermarks reject NTZ, and the session timezone is UTC so the cast is
+    value-preserving."""
+    dtype = dict(stream.dtypes).get(ts_col)
+    if dtype == "bigint":
+        return nanos_to_ts(F.col(ts_col))
+    return F.col(ts_col).cast("timestamp")
+
+
 def windowed_event_aggregate(
     stream: DataFrame,
     *,
@@ -33,7 +44,7 @@ def windowed_event_aggregate(
     DataFrames (batch ignores the watermark) — tests exploit that for
     stream/batch parity.
     """
-    ts = nanos_to_ts(F.col(ts_col)) if dict(stream.dtypes).get(ts_col) == "bigint" else F.col(ts_col)
+    ts = _event_ts(stream, ts_col)
     df = stream.withColumn("_ts", ts).withWatermark("_ts", watermark)
     win = F.window("_ts", window, slide) if slide else F.window("_ts", window)
     return (
@@ -62,7 +73,7 @@ def sessionized_event_counts(
 ) -> DataFrame:
     """Session windows (dynamic gap-based) per key — the streaming
     sessionization pattern."""
-    ts = nanos_to_ts(F.col(ts_col)) if dict(stream.dtypes).get(ts_col) == "bigint" else F.col(ts_col)
+    ts = _event_ts(stream, ts_col)
     df = stream.withColumn("_ts", ts).withWatermark("_ts", watermark)
     return (
         df.groupBy(F.session_window("_ts", gap).alias("s"), F.col(key))
