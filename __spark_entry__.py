@@ -1268,6 +1268,18 @@ def _q59_salted_join(spark, sf_dir):
     )
 
 
+def _q74_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (operators/dedup.py::dedup_embedding):
+    hyperplane-LSH bucket candidates (same deterministic plane spec as q24)
+    verified by exact left-fold cosine <= 0.65 — the semantic-dedup member
+    of the dedup family. The oracle rebuilds the identical buckets in SQL,
+    so even the approximation's recall is hash-checked, not trusted."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import dedup_embedding
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup_embedding(emb, threshold=0.65, strategy="lsh")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1343,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_series_resample": _q71_series_resample,
         "q72_mixture_sample": _q72_mixture_sample,
         "q73_curation_pipeline": _q73_curation_pipeline,
+        "q74_dedup_embedding": _q74_dedup_embedding,
     }
 
 
@@ -1575,6 +1588,58 @@ def _sql_ann_lsh(planes: int = 4, tables: int = 8, dim: int = 64, k: int = 5) ->
         SELECT query_id, neighbor_id, cast(rank AS int) AS rank,
                round(d, 6) AS cos_dist
         FROM ranked WHERE rank <= {k}
+    """
+
+
+def _sql_dedup_embedding(planes: int = 4, tables: int = 8, dim: int = 64,
+                         threshold: float = 0.65) -> str:
+    """Mirror of operators/dedup.py::dedup_embedding (strategy='lsh') — the
+    same hash-derived hyperplane spec as _sql_ann_lsh, id_a < id_b pairs
+    sharing any bucket, exact left-fold cosine filter."""
+
+    def coeff(plane: int, d: int) -> str:
+        v = f"(cast(1103515245 AS bigint) * ({plane} * 1009 + {d}) + 12345) % {HASH_P}"
+        return f"(cast({v} AS double) / {HASH_P} - 0.5)"
+
+    def bucket(t: int) -> str:
+        terms = []
+        for p in range(planes):
+            plane = t * 131 + p
+            prods = ", ".join(f"v[{d + 1}] * {coeff(plane, d)}" for d in range(dim))
+            proj = (
+                f"list_reduce(list_prepend(cast(0.0 AS double), [{prods}]),"
+                f" (x, y) -> x + y)"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {2**p} ELSE 0 END)")
+        return "cast(" + " + ".join(terms) + " AS bigint)"
+
+    buckets_cols = ", ".join(f"{bucket(t)} AS bucket_{t}" for t in range(tables))
+    unpivot = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, bucket_{t} AS bucket FROM vb"
+        for t in range(tables)
+    )
+    return f"""
+        WITH c AS (
+            SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+            FROM embeddings
+        ),
+        vb AS (SELECT vec_id, v, {buckets_cols} FROM c),
+        entries AS ({unpivot}),
+        pairs AS (
+            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM entries x JOIN entries y
+              ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+        ),
+        scored AS (
+            SELECT p.id_a, p.id_b,
+                   1.0 - {_sql_dot("a.v", "b.v")}
+                         / (sqrt({_sql_dot("a.v", "a.v")}) * sqrt({_sql_dot("b.v", "b.v")})) AS d
+            FROM pairs p
+            JOIN c a ON p.id_a = a.vec_id
+            JOIN c b ON p.id_b = b.vec_id
+        )
+        SELECT id_a, id_b, round(d, 6) AS cos_dist
+        FROM scored WHERE d <= {threshold}
     """
 
 
@@ -2709,6 +2774,7 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(_sql_lerp(t, 8) + f" AS r{t + 1}" for t in range(8))}
             FROM series
         """,
+        "q74_dedup_embedding": _sql_dedup_embedding(4, 8, 64, 0.65),
         "q72_mixture_sample": """
             SELECT doc_id, lang FROM documents
             WHERE (((doc_id % 1000000007) * 654435747 + 40503) % 1000000007)

@@ -353,3 +353,53 @@ def test_normalize_text_canonical_form(spark):
     )
     got = [r["n"] for r in df.select(normalize_text(F.col("text")).alias("n")).collect()]
     assert got == ["hello world 42", "fancy punct", ""]
+
+
+def test_dedup_embedding_lsh_subset_of_brute(spark):
+    """LSH near-dup pairs are a subset of the brute-force pairs with
+    identical distances (candidates differ, verification doesn't), and
+    recall at this threshold/testdata is substantial."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import dedup_embedding
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {
+        (r.id_a, r.id_b): r.cos_dist
+        for r in dedup_embedding(emb, threshold=0.65, strategy="brute").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cos_dist
+        for r in dedup_embedding(emb, threshold=0.65, strategy="lsh").collect()
+    }
+    assert set(lsh) <= set(brute)
+    assert all(brute[k] == v for k, v in lsh.items())
+    assert len(brute) > 0
+    assert len(lsh) / len(brute) > 0.3  # multi-table recall floor on this data
+
+
+def test_dedup_embedding_feeds_components(spark):
+    """The pair output drops straight into dedup_components for survivor
+    resolution — the full semantic-dedup chain."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        dedup_components,
+        dedup_embedding,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = dedup_embedding(emb, threshold=0.65, strategy="lsh")
+    resolved = dedup_components(
+        emb.select(F.col("vec_id").alias("doc_id")), pairs
+    )
+    rows = resolved.collect()
+    assert len(rows) == emb.count()
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept <= len(rows)
+
+
+def test_dedup_embedding_rejects_bad_strategy(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import dedup_embedding
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        dedup_embedding(emb, strategy="nope")

@@ -6,6 +6,7 @@ from .dedup import (  # noqa: F401
     dedup_components,
     dedup_exact,
     dedup_minhash_lsh,
+    dedup_embedding,
     dedup_pairwise_jaccard,
     simhash,
     simhash_near_dups,

@@ -616,3 +616,66 @@ def dedup_incremental(
     return batch_best.join(corpus_fps, "fingerprint", "left_anti").select(
         id_col, "fingerprint"
     )
+
+
+def dedup_embedding(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.65,
+    planes: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+    strategy: str = "lsh",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_dist) with
+    cos_dist <= ``threshold`` and id_a < id_b — the semantic-dedup member of
+    the dedup family (exact / jaccard / minhash-LSH / simhash / embedding).
+
+    strategy='lsh' (scale path): candidates = pairs sharing a hyperplane-LSH
+    bucket in ANY of ``tables`` tables (same deterministic hash-derived
+    planes as ann_lsh_topk), exact cosine verification on candidates only —
+    shuffles (table, bucket, id) entries, never the N^2 cross product.
+    Feed the pairs to ``dedup_components`` for keep/drop survivor sets.
+    strategy='brute': all-pairs verification (oracle-grade, quadratic — the
+    recall yardstick, not a scale path).
+
+    Both engines fold the dot products left-to-right (distance.py ↔ the
+    DuckDB list_reduce oracle), so the threshold comparison is bit-portable.
+    """
+    from ..functions.distance import cosine_distance
+    from .similarity import _as_double, make_lsh_buckets_udf
+
+    v = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    if strategy == "brute":
+        cand = va.crossJoin(vb).filter(F.col("id_a") < F.col("id_b"))
+    elif strategy == "lsh":
+        bucket_udf = make_lsh_buckets_udf(planes, tables, dim)
+        entries = (
+            fan_out(v)
+            .withColumn("_bk", bucket_udf(F.col("_v")))
+            .select("_id", F.posexplode("_bk").alias("tbl", "bucket"))
+            .cache()
+        )
+        register_cache(entries)
+        x = entries.select(F.col("_id").alias("id_a"), "tbl", "bucket")
+        y = entries.select(F.col("_id").alias("id_b"), "tbl", "bucket")
+        # ids only through the bucket self-join + distinct; vectors re-join
+        # after (array shuffle keys are the §4 hazard)
+        pairs = (
+            x.join(y, ["tbl", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        cand = pairs.join(va, "id_a").join(vb, "id_b")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    scored = cand.withColumn("_d", cosine_distance(F.col("_va"), F.col("_vb")))
+    return (
+        scored.filter(F.col("_d") <= threshold)
+        .select("id_a", "id_b", F.round("_d", 6).alias("cos_dist"))
+    )
