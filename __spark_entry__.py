@@ -1280,6 +1280,19 @@ def _q74_dedup_embedding(spark, sf_dir):
     return dedup_embedding(emb, threshold=0.65, strategy="lsh")
 
 
+def _q75_token_rarity(spark, sf_dir):
+    """Corpus-frequency document scoring (operators/corpus.py::token_rarity):
+    per-doc sum/mean of each token occurrence's corpus-wide count — the
+    integer-exact stand-in for unigram log-probability (transcendental logs
+    can't hash-match cross-engine; exact integer sums + one final division
+    can). Complements repetition (q52) and heuristic quality (q22) in the
+    curation signal set."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import token_rarity
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_rarity(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1356,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_mixture_sample": _q72_mixture_sample,
         "q73_curation_pipeline": _q73_curation_pipeline,
         "q74_dedup_embedding": _q74_dedup_embedding,
+        "q75_token_rarity": _q75_token_rarity,
     }
 
 
@@ -2775,6 +2789,25 @@ def oracle_sql() -> dict[str, str]:
             FROM series
         """,
         "q74_dedup_embedding": _sql_dedup_embedding(4, 8, 64, 0.65),
+        "q75_token_rarity": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+            ),
+            vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+            per_doc AS (
+                SELECT doc_id, cast(count(*) AS int) AS n_tokens,
+                       cast(sum(cnt) AS bigint) AS freq_sum
+                FROM toks JOIN vocab USING (tok)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_tokens, 0) AS n_tokens,
+                   coalesce(p.freq_sum, 0) AS freq_sum,
+                   CASE WHEN p.n_tokens IS NOT NULL
+                        THEN cast(p.freq_sum AS double) / p.n_tokens
+                   END AS mean_token_freq
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
         "q72_mixture_sample": """
             SELECT doc_id, lang FROM documents
             WHERE (((doc_id % 1000000007) * 654435747 + 40503) % 1000000007)

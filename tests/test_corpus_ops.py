@@ -209,3 +209,21 @@ def test_pack_sequences_buckets_are_independent(spark):
     for b, rows in per_bucket.items():
         assert sum(r["total_tokens"] for r in rows) == 50
         assert sorted(r["pack_id"] for r in rows) == [0, 1]
+
+
+def test_token_rarity_values(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import token_rarity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b"),     # a appears 3x corpus-wide, b 2x -> 3+3+2
+            (2, "a b c"),     # 3+2+1
+            (3, ""),          # no tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.freq_sum, r.mean_token_freq)
+           for r in token_rarity(docs).collect()}
+    assert got[1] == (3, 8, 8 / 3)
+    assert got[2] == (3, 6, 2.0)
+    assert got[3] == (0, 0, None)

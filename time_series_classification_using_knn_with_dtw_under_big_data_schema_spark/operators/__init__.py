@@ -18,6 +18,7 @@ from .corpus import (  # noqa: F401
     pack_sequences,
     repetition_stats,
     tfidf_topk,
+    token_rarity,
 )
 from .multimodal import decode_image_features, sample_frames, synthetic_media  # noqa: F401
 from .profile import profile_table  # noqa: F401

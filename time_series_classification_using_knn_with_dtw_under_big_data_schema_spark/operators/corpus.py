@@ -290,3 +290,52 @@ def pack_sequences(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_ntok").alias("total_tokens"),
     )
+
+
+def token_rarity(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document corpus-frequency scoring — the integer-exact cousin of
+    unigram log-probability (logs are transcendental, so their bits differ
+    across engines; an exact integer frequency sum divided once at the end
+    hash-matches anywhere).
+
+    Output: (id, n_tokens, freq_sum, mean_token_freq) where freq_sum adds
+    the corpus-wide occurrence count of every token occurrence in the doc.
+    Low mean frequency = rare vocabulary (OOV-ish / gibberish candidates);
+    high = boilerplate-common text. Standard corpus-quality signal next to
+    repetition_stats and quality_score.
+
+    Scale shape: explode -> map-side-partial groupBy(token) count (vocab
+    table ~ distinct tokens, far smaller than the corpus) -> co-partitioned
+    re-join on token -> groupBy(doc) sum. Two inherent shuffles; nothing
+    quadratic, no driver materialization.
+    """
+    toks = fan_out(docs).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+    )
+    vocab = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    per_doc = (
+        toks.join(vocab, "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_cnt").alias("freq_sum"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("int").alias("n_tokens"),
+            F.coalesce(F.col("freq_sum"), F.lit(0)).cast("long").alias("freq_sum"),
+            F.when(
+                F.col("n_tokens").isNotNull(),
+                F.col("freq_sum").cast("double") / F.col("n_tokens"),
+            ).alias("mean_token_freq"),
+        )
+    )
