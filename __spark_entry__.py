@@ -1293,6 +1293,22 @@ def _q75_token_rarity(spark, sf_dir):
     return token_rarity(docs)
 
 
+def _q76_ml_estimator(spark, sf_dir):
+    """The pyspark.ml surface (SURVEY §2.9 M2: the reference's Estimator/
+    Transformer shape, Team11-Project.py:233-322): KnnDtwClassifier.fit ->
+    model.transform, euclidean k=5 — the SAME classification q10 runs
+    through the functional API, re-projected to (test_id, predicted_label)
+    so q10's oracle applies verbatim. Proves the ml wrapper end-to-end
+    (param plumbing, fit/copy semantics, transform join) under the driver
+    gate, not just local tests."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.ml import KnnDtwClassifier
+
+    train, test = _series(spark, sf_dir)
+    model = KnnDtwClassifier(k=5, metric="euclidean", idCol="series_id").fit(train)
+    out = model.transform(test)
+    return out.select(F.col("series_id").alias("test_id"), "predicted_label")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1370,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_curation_pipeline": _q73_curation_pipeline,
         "q74_dedup_embedding": _q74_dedup_embedding,
         "q75_token_rarity": _q75_token_rarity,
+        "q76_ml_estimator": _q76_ml_estimator,
     }
 
 
@@ -1949,6 +1966,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT test_id, train_id, cast(rank AS int) AS rank FROM topk
         """,
         "q10_knn_classify": f"""
+            WITH {_SERIES_CTE}, {_KNN_TOPK_CTE}, {_VOTE_SQL}
+            SELECT test_id, train_label AS predicted_label FROM sel WHERE vrk = 1
+        """,
+        # the ml Estimator runs the exact q10 computation through fit/transform
+        "q76_ml_estimator": f"""
             WITH {_SERIES_CTE}, {_KNN_TOPK_CTE}, {_VOTE_SQL}
             SELECT test_id, train_label AS predicted_label FROM sel WHERE vrk = 1
         """,

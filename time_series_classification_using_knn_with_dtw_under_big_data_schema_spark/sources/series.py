@@ -35,31 +35,54 @@ def events_to_series(
     Tie-break = lexicographically smallest among max-count values, so a SQL
     oracle can reproduce it exactly (same discipline as the vote operator,
     SURVEY.md §2.4 A5).
+
+    Scale shape: ONE scan of the fact table and ONE shuffle on the series
+    key. The label mode is folded out of the SAME collected array (sort the
+    labels, run-length-scan for the longest run — ascending sort + strict
+    "longer-wins" keeps the lexicographically-smallest max-count value,
+    bit-matching the old groupBy+window path). The previous implementation
+    aggregated events a second time for labels and window-joined — two full
+    passes over what is THE big table at 100 TB.
     """
+    pt_fields = [
+        F.col(ts).alias("t"),
+        F.col(tiebreak).alias("tb"),
+        F.col(value).alias("v"),
+    ]
+    if label_from is not None:
+        # 4th struct field never affects array_sort order: (t, tb) is unique
+        pt_fields.append(F.col(label_from).alias("l"))
     g = events.groupBy(key).agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(F.col(ts).alias("t"), F.col(tiebreak).alias("tb"), F.col(value).alias("v"))
-            )
-        ).alias("_pts")
+        F.array_sort(F.collect_list(F.struct(*pt_fields))).alias("_pts")
     )
     feats = F.transform(F.col("_pts"), lambda s: s["v"].cast("double"))
     if length is not None:
         g = g.filter(F.size("_pts") >= length)
         feats = F.slice(feats, 1, length)
-    out = g.select(F.col(key).cast("long").alias("series_id"), feats.alias("features"))
-
+    cols = [F.col(key).cast("long").alias("series_id"), feats.alias("features")]
     if label_from is not None:
-        counts = events.groupBy(key, label_from).agg(F.count(F.lit(1)).alias("_n"))
-        w = Window.partitionBy(key).orderBy(F.desc("_n"), F.asc(label_from))
-        labels = (
-            counts.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select(F.col(key).cast("long").alias("series_id"), F.col(label_from).alias("label"))
+        # mode with lex-smallest tie-break, computed from ALL of the key's
+        # events (the length slice applies to features only, as before)
+        lbls = F.array_sort(F.transform(F.col("_pts"), lambda s: s["l"]))
+        zero = F.struct(
+            F.lit(None).cast("string").alias("cur"),
+            F.lit(0).alias("clen"),
+            F.lit(None).cast("string").alias("best"),
+            F.lit(0).alias("blen"),
         )
-        # one row per key — broadcast-sized relative to the events fact table
-        out = out.join(labels, "series_id")
-    return out
+
+        def step(acc, x):
+            clen = F.when(x == acc["cur"], acc["clen"] + 1).otherwise(F.lit(1))
+            better = clen > acc["blen"]
+            return F.struct(
+                x.alias("cur"),
+                clen.alias("clen"),
+                F.when(better, x).otherwise(acc["best"]).alias("best"),
+                F.when(better, clen).otherwise(acc["blen"]).alias("blen"),
+            )
+
+        cols.append(F.aggregate(lbls, zero, step)["best"].alias("label"))
+    return g.select(*cols)
 
 
 def split_train_test(series: DataFrame, *, modulus: int = 4, test_residue: int = 0):
