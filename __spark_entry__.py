@@ -2656,8 +2656,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders WHERE o_totalprice IS NOT NULL
             )
             SELECT bucket,
-                   0.0 + bucket * 30000.0 AS lo_edge,
-                   0.0 + (bucket + 1) * 30000.0 AS hi_edge,
+                   cast(bucket * 30000.0 AS double) AS lo_edge,
+                   cast((bucket + 1) * 30000.0 AS double) AS hi_edge,
                    count(*) AS n
             FROM b GROUP BY bucket
         """,

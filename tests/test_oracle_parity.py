@@ -69,13 +69,19 @@ def test_query_matches_oracle(spark, duck, name):
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
 def test_oracle_has_no_hugeint(duck, name):
-    """DuckDB widens sum(BIGINT) to HUGEINT (int128), whose value repr breaks
-    the driver's cross-engine value hash even when the numbers are identical
-    (round-1 verdict: 8 hash-misses from exactly this). Every integer
-    aggregate in oracle_sql() must be CAST back to BIGINT."""
+    """DuckDB widens sum(BIGINT) to HUGEINT (int128) and float-literal
+    arithmetic to DECIMAL, whose value reprs break the driver's cross-engine
+    value hash even when the numbers are identical (round-1 verdict: 8
+    hash-misses from exactly the HUGEINT case). Every oracle output column
+    must be a type Spark produces too: integer -> CAST AS BIGINT/INT,
+    decimal arithmetic -> CAST AS DOUBLE."""
     rel = duck.sql(entry_mod.oracle_sql()[name])
-    huge = [c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t)]
-    assert not huge, f"{name}: HUGEINT columns {huge} — wrap with CAST(... AS BIGINT)"
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t) or str(t).startswith("DECIMAL")
+    ]
+    assert not bad, f"{name}: repr-hazard columns {bad} — CAST to BIGINT/DOUBLE"
 
 
 def test_entry_smoke(spark):
