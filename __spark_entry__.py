@@ -1309,6 +1309,22 @@ def _q76_ml_estimator(spark, sf_dir):
     return out.select(F.col("series_id").alias("test_id"), "predicted_label")
 
 
+def _q77_source_quota(spark, sf_dir):
+    """Quality-aware per-source curation quota: the top 50 documents of EVERY
+    source by (quality desc, doc_id asc) — the 'balance the training mix
+    across sources, keep each source's best' selection. Integer-micro
+    quality scores (q22's formula) keep the ranking cross-engine exact;
+    WindowGroupLimit makes the per-source top-k map-side partial, so the
+    shuffle carries <= 50 rows per source per partition."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.topk import topk_per_key
+
+    docs = _t(spark, sf_dir, "documents")
+    qi = F.round(quality_score(F.col("text")) * 1_000_000).cast("long")
+    scored = docs.select("source", "doc_id", qi.alias("q_micro"))
+    top = topk_per_key(scored, "source", [F.desc("q_micro"), F.asc("doc_id")], 50)
+    return top.select("source", "doc_id", "q_micro", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1387,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_dedup_embedding": _q74_dedup_embedding,
         "q75_token_rarity": _q75_token_rarity,
         "q76_ml_estimator": _q76_ml_estimator,
+        "q77_source_quota": _q77_source_quota,
     }
 
 
@@ -2937,6 +2954,40 @@ def oracle_sql() -> dict[str, str]:
             th AS (SELECT quantile_cont(q_micro, 0.75) AS _t FROM s)
             SELECT s.doc_id, s.q_micro
             FROM s, th WHERE cast(s.q_micro AS double) >= th._t
+        """,
+        "q77_source_quota": f"""
+            WITH t AS (
+                SELECT source, doc_id, text, {_SQL_TOKENS} AS toks FROM documents
+            ),
+            m AS (
+                SELECT source, doc_id,
+                       cast(len(toks) AS double) AS n_tok,
+                       cast(list_reduce(list_prepend(cast(0 AS bigint),
+                            list_transform(toks, x -> cast(length(x) AS bigint))),
+                            (a, v) -> a + v) AS double)
+                         / cast(greatest(len(toks), 1) AS double) AS wl,
+                       cast(len(list_filter(toks, x -> list_contains([{", ".join(f"'{w}'" for w in STOPWORDS)}], x))) AS double)
+                         / cast(greatest(len(toks), 1) AS double) AS stop_r,
+                       cast(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS double)
+                         / cast(greatest(length(text), 1) AS double) AS punct_r
+                FROM t
+            ),
+            s AS (
+                SELECT source, doc_id,
+                       cast(round((least(n_tok / 20.0, 1.0) * 0.4
+                             + (CASE WHEN wl >= 2.0 AND wl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+                             + least(stop_r * 4.0, 1.0) * 0.2
+                             + (1.0 - least(punct_r * 5.0, 1.0)) * 0.2) * 1000000) AS bigint) AS q_micro
+                FROM m
+            ),
+            ranked AS (
+                SELECT source, doc_id, q_micro,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY q_micro DESC, doc_id ASC) AS rank
+                FROM s
+            )
+            SELECT source, doc_id, q_micro, cast(rank AS int) AS rank
+            FROM ranked WHERE rank <= 50
         """,
         # the salt is internal: salted result set == plain join result set
         "q59_salted_join": """
