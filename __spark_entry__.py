@@ -1325,6 +1325,18 @@ def _q77_source_quota(spark, sf_dir):
     return top.select("source", "doc_id", "q_micro", "rank")
 
 
+def _q78_fingerprint(spark, sf_dir):
+    """Document fingerprinting (functions/text.py::char_hash): the
+    polynomial rolling hash per document plus duplicate-fingerprint counts —
+    the compact identity column an incremental dedup ledger stores instead
+    of full text (dedup_incremental's fingerprint column, q61). Pure
+    codegen'd fold; one scan + one map-side-partial count."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", char_hash(F.col("text")).alias("fingerprint"))
+    counts = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n_docs"))
+    return fp.join(counts, "fingerprint").select("doc_id", "fingerprint", "n_docs")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1404,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_token_rarity": _q75_token_rarity,
         "q76_ml_estimator": _q76_ml_estimator,
         "q77_source_quota": _q77_source_quota,
+        "q78_fingerprint": _q78_fingerprint,
     }
 
 
@@ -2988,6 +3001,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, q_micro, cast(rank AS int) AS rank
             FROM ranked WHERE rank <= 50
+        """,
+        "q78_fingerprint": f"""
+            WITH fp AS (
+                SELECT doc_id, {_sql_char_fold('text')} AS fingerprint
+                FROM documents
+            ),
+            c AS (SELECT fingerprint, count(*) AS n_docs FROM fp GROUP BY fingerprint)
+            SELECT fp.doc_id, fp.fingerprint, c.n_docs
+            FROM fp JOIN c USING (fingerprint)
         """,
         # the salt is internal: salted result set == plain join result set
         "q59_salted_join": """
