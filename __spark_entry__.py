@@ -1337,6 +1337,33 @@ def _q78_fingerprint(spark, sf_dir):
     return fp.join(counts, "fingerprint").select("doc_id", "fingerprint", "n_docs")
 
 
+def _q79_sink_roundtrip(spark, sf_dir):
+    """Partitioned parquet SINK under the driver gate (reference S3,
+    Team11-Project.py:199 saveAsTable): aggregate lineitem, write it
+    Hive-partitioned by l_returnflag (sources/parquet.py::
+    save_table_partitioned), read the directory back, return the read-back
+    rows — so the oracle checks the values actually survived the
+    write/read round-trip, partition-encoding included. Writes inside the
+    repo (.sink_roundtrip/, gitignored), mode=overwrite for rerun safety."""
+    import os as _os
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import save_table_partitioned
+
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_cents"),
+    )
+    out = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        ".sink_roundtrip",
+        _os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    save_table_partitioned(agg, out, partition_cols="l_returnflag")
+    back = spark.read.parquet(out)
+    return back.select("l_returnflag", "l_linestatus", "n", "sum_cents")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1417,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_ml_estimator": _q76_ml_estimator,
         "q77_source_quota": _q77_source_quota,
         "q78_fingerprint": _q78_fingerprint,
+        "q79_sink_roundtrip": _q79_sink_roundtrip,
     }
 
 
@@ -3001,6 +3029,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, q_micro, cast(rank AS int) AS rank
             FROM ranked WHERE rank <= 50
+        """,
+        "q79_sink_roundtrip": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   cast(sum(cast(round(l_extendedprice * 100) AS bigint)) AS bigint) AS sum_cents
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
         """,
         "q78_fingerprint": f"""
             WITH fp AS (
