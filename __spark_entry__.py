@@ -1364,6 +1364,23 @@ def _q79_sink_roundtrip(spark, sf_dir):
     return back.select("l_returnflag", "l_linestatus", "n", "sum_cents")
 
 
+def _q80_cube(spark, sf_dir):
+    """CUBE + grouping_id (completes the grouping-sets family next to q29's
+    ROLLUP): all four aggregation levels of (orderstatus, orderpriority)
+    in one pass, gid disambiguating which dims each row aggregates out —
+    Expand-based, single shuffle, exact-cents sums."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_cents")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1445,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_source_quota": _q77_source_quota,
         "q78_fingerprint": _q78_fingerprint,
         "q79_sink_roundtrip": _q79_sink_roundtrip,
+        "q80_cube": _q80_cube,
     }
 
 
@@ -3029,6 +3047,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, q_micro, cast(rank AS int) AS rank
             FROM ranked WHERE rank <= 50
+        """,
+        "q80_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                        AS bigint) AS gid,
+                   count(*) AS n,
+                   cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint) AS sum_cents
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "q79_sink_roundtrip": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
