@@ -403,3 +403,24 @@ def test_dedup_embedding_rejects_bad_strategy(spark):
 
     with _pytest.raises(ValueError, match="strategy"):
         dedup_embedding(emb, strategy="nope")
+
+
+def test_dedup_embedding_bucket_cap(spark):
+    """A synthetic hot cluster (many copies of one vector) must not explode
+    the candidate set when max_bucket_size caps it: pairs within the capped
+    bucket only involve the lowest-id members, and the uncapped run is a
+    superset."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import dedup_embedding
+
+    base = [0.5] * 8
+    rows = [(i, base) for i in range(40)] + [(100 + i, [float(i + 1)] * 8) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = dedup_embedding(df, threshold=0.1, dim=8, max_bucket_size=10, strategy="lsh")
+    uncapped = dedup_embedding(df, threshold=0.1, dim=8, strategy="lsh")
+    cp = {(r.id_a, r.id_b) for r in capped.collect()}
+    up = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert cp <= up
+    # uncapped sees the full 40-clone clique; capped only the low-id ones
+    assert len(up) >= 40 * 39 / 2
+    assert len(cp) <= 10 * 9 / 2 + 25
+    assert all(a < 10 and b < 10 for a, b in cp if a < 100 and b < 100)

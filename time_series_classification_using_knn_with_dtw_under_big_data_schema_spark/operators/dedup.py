@@ -628,6 +628,7 @@ def dedup_embedding(
     tables: int = 8,
     dim: int = 64,
     strategy: str = "lsh",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_dist) with
     cos_dist <= ``threshold`` and id_a < id_b — the semantic-dedup member of
@@ -640,6 +641,15 @@ def dedup_embedding(
     Feed the pairs to ``dedup_components`` for keep/drop survivor sets.
     strategy='brute': all-pairs verification (oracle-grade, quadratic — the
     recall yardstick, not a scale path).
+
+    ``max_bucket_size`` (same skew defense as dedup_minhash_lsh's): a hot
+    bucket — a big cluster of near-identical embeddings hashing together —
+    contributes O(bucket^2) candidate pairs; the cap keeps only the
+    ``max_bucket_size`` LOWEST ids per (table, bucket) before the
+    self-join, so a pathological cluster degrades recall inside itself
+    (its members still chain through dedup_components via the surviving
+    low-id hub) instead of exploding the shuffle. Deterministic, so an
+    oracle can mirror it.
 
     Both engines fold the dot products left-to-right (distance.py ↔ the
     DuckDB list_reduce oracle), so the threshold comparison is bit-portable.
@@ -658,8 +668,15 @@ def dedup_embedding(
             fan_out(v)
             .withColumn("_bk", bucket_udf(F.col("_v")))
             .select("_id", F.posexplode("_bk").alias("tbl", "bucket"))
-            .cache()
         )
+        if max_bucket_size is not None:
+            w = Window.partitionBy("tbl", "bucket").orderBy(F.asc("_id"))
+            entries = (
+                entries.withColumn("_bn", F.row_number().over(w))
+                .filter(F.col("_bn") <= max_bucket_size)
+                .drop("_bn")
+            )
+        entries = entries.cache()
         register_cache(entries)
         x = entries.select(F.col("_id").alias("id_a"), "tbl", "bucket")
         y = entries.select(F.col("_id").alias("id_b"), "tbl", "bucket")
