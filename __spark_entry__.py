@@ -1381,6 +1381,31 @@ def _q80_cube(spark, sf_dir):
     )
 
 
+def _q81_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hour AND day granularities of
+    the events stream in ONE scan via GROUPING SETS on two derived bucket
+    columns (the TimescaleDB rollup shape; one Expand, one shuffle — at
+    100 TB you materialize exactly this output as the serving table).
+    Buckets are integer epoch divisions of the microsecond timeline
+    (engine-portable, no timezone surface); sums are exact cents."""
+    e = _t(spark, sf_dir, "events")
+    hour_us = 3600 * 1_000_000
+    day_us = 24 * hour_us
+    e.select(
+        _ts_us(e).alias("ts_us"), "event_type", "value"
+    ).createOrReplaceTempView("v_events_rollup")
+    return spark.sql(f"""
+        SELECT CASE WHEN grouping(hb) = 0 THEN 'hour' ELSE 'day' END AS gran,
+               coalesce(hb, db) AS bucket, event_type,
+               count(*) AS n,
+               sum(cast(round(value * 100) AS bigint)) AS sum_cents
+        FROM (SELECT ts_us DIV {hour_us} AS hb, ts_us DIV {day_us} AS db,
+                     event_type, value
+              FROM v_events_rollup)
+        GROUP BY GROUPING SETS ((hb, event_type), (db, event_type))
+    """)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1463,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_fingerprint": _q78_fingerprint,
         "q79_sink_roundtrip": _q79_sink_roundtrip,
         "q80_cube": _q80_cube,
+        "q81_time_rollup": _q81_time_rollup,
     }
 
 
@@ -3047,6 +3073,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, q_micro, cast(rank AS int) AS rank
             FROM ranked WHERE rank <= 50
+        """,
+        "q81_time_rollup": """
+            SELECT CASE WHEN grouping(hb) = 0 THEN 'hour' ELSE 'day' END AS gran,
+                   coalesce(hb, db) AS bucket, event_type,
+                   count(*) AS n,
+                   cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS sum_cents
+            FROM (SELECT epoch_us(ts) // 3600000000 AS hb,
+                         epoch_us(ts) // 86400000000 AS db,
+                         event_type, value
+                  FROM events)
+            GROUP BY GROUPING SETS ((hb, event_type), (db, event_type))
         """,
         "q80_cube": """
             SELECT o_orderstatus, o_orderpriority,
