@@ -1406,6 +1406,26 @@ def _q81_time_rollup(spark, sf_dir):
     """)
 
 
+def _q82_zorder(spark, sf_dir):
+    """Z-order (Morton) curve values for multi-column data skipping
+    (sources/zorder.py::zvalue): the deterministic bit-interleave that
+    zorder_write range-partitions parquet files on. Computed over
+    (l_partkey, l_suppkey) clamped to 10 bits and aggregated per z-bucket
+    so the query output stays small while pinning every interleaved bit —
+    the layout machinery itself is oracle-checked, not trusted. The
+    footer-stats skipping effect is asserted from real parquet metadata in
+    tests/test_ingest.py::test_zorder_write_tightens_file_stats."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import zvalue
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = zvalue([F.col("l_partkey"), F.col("l_suppkey")], bits=10)
+    return (
+        li.select((z % 4096).alias("z_bucket"))
+        .groupBy("z_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1489,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_sink_roundtrip": _q79_sink_roundtrip,
         "q80_cube": _q80_cube,
         "q81_time_rollup": _q81_time_rollup,
+        "q82_zorder": _q82_zorder,
     }
 
 
@@ -3073,6 +3094,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, q_micro, cast(rank AS int) AS rank
             FROM ranked WHERE rank <= 50
+        """,
+        "q82_zorder": f"""
+            WITH z AS (
+                SELECT ({" + ".join(
+                    f"(((greatest(0, least(l_partkey, 1023)) >> {b}) & 1) << {2 * b})"
+                    for b in range(10)
+                )} + {" + ".join(
+                    f"(((greatest(0, least(l_suppkey, 1023)) >> {b}) & 1) << {2 * b + 1})"
+                    for b in range(10)
+                )}) % 4096 AS z_bucket
+                FROM lineitem
+            )
+            SELECT z_bucket, count(*) AS n FROM z GROUP BY z_bucket
         """,
         "q81_time_rollup": """
             SELECT CASE WHEN grouping(hb) = 0 THEN 'hour' ELSE 'day' END AS gran,
