@@ -1426,6 +1426,66 @@ def _q82_zorder(spark, sf_dir):
     )
 
 
+def _q83_image_resize(spark, sf_dir):
+    """Multimodal resize plumbing (operators/multimodal.py::resize_image):
+    REAL nearest-neighbor index math ((oi*h)//out_h, (oj*w)//out_w) over
+    the sha256-tiled stubbed decode — like q40, the deterministic stand-in
+    makes even this mapInPandas path exactly oracle-checkable (DuckDB
+    recomputes every sampled byte from the same digest)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_image,
+    )
+
+    data = [
+        (i, bytearray(s, "ascii"), ("image", w, h, 0))
+        for i, s, w, h in _media_rows()
+    ]
+    df = spark.createDataFrame(data, MEDIA_SCHEMA)
+    return resize_image(df, out_w=4, out_h=4).select(
+        "media_id", "out_w", "out_h", "pixels", "px_checksum", "mean_px"
+    )
+
+
+def _sql_image_resize(out_w: int = 4, out_h: int = 4) -> str:
+    """Oracle for q83: sample byte ((oi*h)//out_h * w + (oj*w)//out_w) % 32
+    of sha256(payload) for each output cell — dynamic hex-position byte
+    extraction, mirroring resize_image exactly."""
+
+    def byte_at(pos: str) -> str:
+        # pos: 0-based byte index expression into the 32-byte digest hex
+        d1 = f"(strpos('0123456789abcdef', substr(hx, 2 * ({pos}) + 1, 1)) - 1)"
+        d2 = f"(strpos('0123456789abcdef', substr(hx, 2 * ({pos}) + 2, 1)) - 1)"
+        return f"(16 * {d1} + {d2})"
+
+    cells = [
+        byte_at(
+            f"((({oi} * height) // {out_h}) * width + (({oj} * width) // {out_w})) % 32"
+        )
+        for oi in range(out_h)
+        for oj in range(out_w)
+    ]
+    px_list = ", ".join(f"cast({c} AS double)" for c in cells)
+    total = " + ".join(f"cast({c} AS bigint)" for c in cells)
+    values = ",\n                ".join(
+        "({}, '{}', {}, {})".format(i, s.replace("'", "''"), w, h)
+        for i, s, w, h in _media_rows()
+    )
+    return f"""
+        WITH m(media_id, payload, width, height) AS (VALUES
+                {values}
+        ),
+        h AS (SELECT media_id, width, height, sha256(payload) AS hx FROM m)
+        SELECT media_id,
+               cast({out_w} AS int) AS out_w,
+               cast({out_h} AS int) AS out_h,
+               [{px_list}] AS pixels,
+               cast({total} AS bigint) AS px_checksum,
+               cast({total} AS double) / {out_w * out_h}.0 AS mean_px
+        FROM h
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1510,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_cube": _q80_cube,
         "q81_time_rollup": _q81_time_rollup,
         "q82_zorder": _q82_zorder,
+        "q83_image_resize": _q83_image_resize,
     }
 
 
@@ -3095,6 +3156,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, q_micro, cast(rank AS int) AS rank
             FROM ranked WHERE rank <= 50
         """,
+        "q83_image_resize": _sql_image_resize(4, 4),
         "q82_zorder": f"""
             WITH z AS (
                 SELECT ({" + ".join(

@@ -424,3 +424,31 @@ def test_dedup_embedding_bucket_cap(spark):
     assert len(up) >= 40 * 39 / 2
     assert len(cp) <= 10 * 9 / 2 + 25
     assert all(a < 10 and b < 10 for a, b in cp if a < 100 and b < 100)
+
+
+def test_resize_image_nearest_neighbor_math(spark):
+    """The resize index map is the real nearest-neighbor formula: verify a
+    row against a hand-computed sample from the sha256 pixel model, and the
+    fake=False decode boundary raises."""
+    import hashlib
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import resize_image, synthetic_media
+
+    media = synthetic_media(spark, n=6).filter("meta.media_type = 'image'")
+    got = {r.media_id: r for r in resize_image(media, out_w=4, out_h=4).collect()}
+    src = {r.media_id: (bytes(r.payload), r.meta) for r in media.collect()}
+    for mid, (payload, meta) in src.items():
+        digest = hashlib.sha256(payload).digest()
+        w, h = meta["width"], meta["height"]
+        expect = [
+            float(digest[(((oi * h) // 4) * w + ((oj * w) // 4)) % 32])
+            for oi in range(4)
+            for oj in range(4)
+        ]
+        assert list(got[mid].pixels) == expect
+        assert got[mid].px_checksum == int(sum(expect))
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="imaging library"):
+        resize_image(media, fake=False).collect()

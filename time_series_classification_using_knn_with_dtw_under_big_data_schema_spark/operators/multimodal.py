@@ -129,3 +129,60 @@ def synthetic_media(spark, n: int = 32, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, out_w int, out_h int, pixels array<double>, "
+    "px_checksum long, mean_px double"
+)
+
+
+def resize_image(
+    df: DataFrame,
+    *,
+    out_w: int = 4,
+    out_h: int = 4,
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Nearest-neighbor image resize over the decode boundary.
+
+    The RESIZE math is real (source pixel of output (oi, oj) is
+    ((oi*h)//out_h, (oj*w)//out_w) — the standard nearest-neighbor index
+    map); only the pixel SOURCE is the stubbed decode (pixel (i, j) =
+    byte (i*w + j) mod 32 of the payload's sha256 — deterministic, so the
+    whole operator is oracle-checkable). ``fake=False`` raises at the
+    decode site like decode_image_features. Output: the resized pixel
+    array plus integer-exact checksum/mean.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode requires an imaging library not "
+                    "present in this environment; run with fake=True"
+                )
+            out = {
+                "media_id": [], "out_w": [], "out_h": [], "pixels": [],
+                "px_checksum": [], "mean_px": [],
+            }
+            for mid, p, meta in zip(pdf["media_id"], pdf[payload_col], pdf["meta"]):
+                w = int(meta["width"])
+                h = int(meta["height"])
+                digest = hashlib.sha256(bytes(p) if p is not None else b"").digest()
+                px = [
+                    float(digest[(((oi * h) // out_h) * w + ((oj * w) // out_w)) % 32])
+                    for oi in range(out_h)
+                    for oj in range(out_w)
+                ]
+                total = int(sum(px))
+                out["media_id"].append(mid)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["pixels"].append(px)
+                out["px_checksum"].append(total)
+                out["mean_px"].append(total / (out_w * out_h))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(op, schema=RESIZED_SCHEMA)
