@@ -94,6 +94,11 @@ SERIES_LEN = 16
 def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the driver's plain session defaults to 200 shuffle partitions — at
+    # sf0.01 that is 200 near-empty tasks per exchange; size to the box
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
