@@ -1491,6 +1491,50 @@ def _sql_image_resize(out_w: int = 4, out_h: int = 4) -> str:
     """
 
 
+def _q84_count_min(spark, sf_dir):
+    """Count-min-sketch heavy hitters (operators/sketch.py::count_min_topk):
+    exact top-20 token counts next to their CMS estimates from a 4x256
+    bounded-memory sketch — deterministic portable hashes make even the
+    sketch's collision pattern oracle-exact. cms_n >= n always (the CMS
+    overestimate guarantee; test-pinned)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sketch import count_min_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return count_min_topk(docs, k=20, depth=4, width=256)
+
+
+def _sql_count_min(k: int = 20, depth: int = 4, width: int = 256) -> str:
+    """Oracle for q84 — same token stream, same (h*A_r+B_r)%P%width bucket
+    spec, same min-over-depth estimate."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.text import MINHASH_A, MINHASH_B
+
+    fold = _sql_char_fold("token")
+    buckets_entries = " UNION ALL ".join(
+        f"SELECT token, {r} AS r, ((h * {MINHASH_A[r]} + {MINHASH_B[r]}) % {HASH_P}) % {width} AS bucket FROM th"
+        for r in range(depth)
+    )
+    top_buckets = ", ".join(
+        f"(({fold} * {MINHASH_A[r]} + {MINHASH_B[r]}) % {HASH_P}) % {width} AS _b{r}"
+        for r in range(depth)
+    )
+    joins = " ".join(
+        f"JOIN (SELECT bucket AS _b{r}, c AS _c{r} FROM counters WHERE r = {r}) j{r} USING (_b{r})"
+        for r in range(depth)
+    )
+    least = "least(" + ", ".join(f"_c{r}" for r in range(depth)) + ")"
+    return f"""
+        WITH toks AS (SELECT unnest({_SQL_TOKENS}) AS token FROM documents),
+        th AS (SELECT token, {fold} AS h FROM toks),
+        entries AS ({buckets_entries}),
+        counters AS (SELECT r, bucket, count(*) AS c FROM entries GROUP BY r, bucket),
+        exact AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+        top AS (SELECT token, n FROM exact ORDER BY n DESC, token ASC LIMIT {k}),
+        tb AS (SELECT token, n, {top_buckets} FROM top)
+        SELECT token, n, cast({least} AS bigint) AS cms_n
+        FROM tb {joins}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1576,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_time_rollup": _q81_time_rollup,
         "q82_zorder": _q82_zorder,
         "q83_image_resize": _q83_image_resize,
+        "q84_count_min": _q84_count_min,
     }
 
 
@@ -3162,6 +3207,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 50
         """,
         "q83_image_resize": _sql_image_resize(4, 4),
+        "q84_count_min": _sql_count_min(20, 4, 256),
         "q82_zorder": f"""
             WITH z AS (
                 SELECT ({" + ".join(

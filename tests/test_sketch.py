@@ -171,3 +171,14 @@ def test_mixture_sample_weights_and_consistency(spark):
 
     with _pytest.raises(ValueError, match="weight"):
         mixture_sample(df, strata_col="g", weights={"a": 1.5}, key="id")
+
+
+def test_count_min_never_underestimates(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sketch import count_min_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = count_min_topk(docs, k=20, depth=4, width=256).collect()
+    assert len(rows) == 20
+    assert all(r.cms_n >= r.n for r in rows)  # CMS overestimate guarantee
+    # with 4x256 counters on a small corpus, the top tokens are near-exact
+    assert sum(1 for r in rows if r.cms_n == r.n) >= 10

@@ -313,3 +313,61 @@ def mixture_sample(
     return df.filter(
         F.pmod(key_hash(df, keys, hash_mode=hash_mode), F.lit(denom)) < thresh
     )
+
+
+def count_min_topk(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 20,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min-sketch heavy-hitter estimation vs exact truth.
+
+    Builds a depth x width CMS over the corpus token stream (row r hashes a
+    token to bucket (char_hash * A_r + B_r) % P % width — the shared
+    portable hash spec, so the sketch is deterministic and oracle-exact),
+    then reports, for the EXACT top-``k`` tokens, the exact count next to
+    the CMS estimate (min over the token's depth counters). CMS never
+    underestimates: cms_n >= n always (test-pinned).
+
+    Scale shape: the sketch build is ONE map-side-partial groupBy over
+    (row, bucket) — depth*width counters total (a few KB) regardless of
+    corpus size; estimation broadcasts that tiny counter table. This is
+    the streaming-friendly bounded-memory answer to token frequency at
+    100 TB, next to the exact q46 top-k.
+    """
+    from ..functions.text import HASH_P, MINHASH_A, MINHASH_B, char_hash, tokens
+    from .skew import fan_out
+    from .topk import topk_per_key
+
+    toks = fan_out(docs).select(F.explode(tokens(F.col(text_col))).alias("token"))
+    h = char_hash(F.col("token"))
+    bucket_of = lambda r: ((h * MINHASH_A[r] + MINHASH_B[r]) % HASH_P) % width
+
+    entries = toks.select(
+        "token",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("r"), bucket_of(r).alias("bucket"))
+                for r in range(depth)
+            ])
+        ).alias("_rb"),
+    ).select("token", F.col("_rb.r").alias("r"), F.col("_rb.bucket").alias("bucket"))
+    counters = entries.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        exact.orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+        .select("token", "n", *[bucket_of(r).alias(f"_b{r}") for r in range(depth)])
+    )
+    est = top
+    for r in range(depth):
+        cr = counters.filter(F.col("r") == r).select(
+            F.col("bucket").alias(f"_b{r}"), F.col("c").alias(f"_c{r}")
+        )
+        est = est.join(F.broadcast(cr), f"_b{r}")
+    cms = F.least(*[F.col(f"_c{r}") for r in range(depth)])
+    return est.select("token", "n", cms.alias("cms_n"))
