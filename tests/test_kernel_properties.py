@@ -90,3 +90,61 @@ def test_udtf_matches_declarative_twin(spark):
     assert got == want
     # 7-long series -> 2 full segments; 2-long -> 0
     assert len(got) == 2
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(0, 2**20), min_size=1, max_size=12),
+    st.integers(0, 2**20),
+)
+def test_zvalue_bits_invertible(xs, y):
+    """The Morton interleave spec (sources/zorder.py::zvalue) is a bijection
+    on clamped inputs: decoding the z-value's bit lanes recovers every
+    clamped coordinate exactly. The pure-python mirror here IS the spec the
+    Column expression implements (pinned cross-engine via q82's oracle)."""
+    bits = 10
+    cols = xs[:4] + [y]  # 2..5 dims
+    ncols = len(cols)
+    if ncols * bits > 63:
+        return
+    clamped = [min(max(v, 0), (1 << bits) - 1) for v in cols]
+    z = 0
+    for i, v in enumerate(clamped):
+        for b in range(bits):
+            z += ((v >> b) & 1) << (b * ncols + i)
+    # decode
+    back = []
+    for i in range(ncols):
+        v = 0
+        for b in range(bits):
+            v |= ((z >> (b * ncols + i)) & 1) << b
+        back.append(v)
+    assert back == clamped
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(2, 40),
+    st.integers(2, 40),
+    st.integers(1, 2),
+    st.integers(0, 10_000),
+)
+def test_fastdtw_batch_pair_property(n, m, radius, seed):
+    """fastdtw_batch == fastdtw_pair across arbitrary (n, m, radius) —
+    hypothesis sweeps the ragged/edge shapes the fixed-size tests miss.
+    fp-near-tied warp paths may legitimately diverge (bounded)."""
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.dtw_kernel import (
+        fastdtw_batch,
+        fastdtw_pair,
+    )
+
+    rng = np.random.default_rng(seed)
+    A = np.cumsum(rng.standard_normal((6, n)), axis=1)
+    B = np.cumsum(rng.standard_normal((6, m)), axis=1)
+    got = fastdtw_batch(A, B, radius=radius)
+    want = np.array([fastdtw_pair(a, b, radius=radius) for a, b in zip(A, B)])
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-12)
+    assert (rel < 1e-9).mean() >= 0.5
+    assert rel.max() < 0.25
