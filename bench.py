@@ -195,6 +195,9 @@ def main() -> None:
     run("ann_brute_cosine", lambda: entry_mod._q23_ann_cosine(spark, sf_dir).count())
     run("ann_lsh_cosine", lambda: entry_mod._q24_ann_lsh(spark, sf_dir).count(), repeats=2)
     run("ann_ivf_cosine", lambda: entry_mod._q34_ann_ivf(spark, sf_dir).count(), repeats=2)
+    run("dedup_embedding", lambda: entry_mod._q74_dedup_embedding(spark, sf_dir).count(), repeats=2)
+    run("count_min_topk", lambda: entry_mod._q84_count_min(spark, sf_dir).count(), repeats=2)
+    run("time_rollup", lambda: entry_mod._q81_time_rollup(spark, sf_dir).count(), repeats=2)
 
     total = round(sum(timings.values()), 3)
     dtw_pairs_per_sec = round(n_pairs / timings["knn_fastdtw_k5"]) if timings.get("knn_fastdtw_k5") else None
