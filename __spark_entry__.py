@@ -1535,6 +1535,29 @@ def _sql_count_min(k: int = 20, depth: int = 4, width: int = 256) -> str:
     """
 
 
+def _q85_native_session_window(spark, sf_dir):
+    """Spark's NATIVE session_window operator in batch (q32 gates the
+    manual lag+cumsum twin; this gates the built-in): gap-merged sessions
+    per user with Spark's session semantics — session end = last event +
+    gap. Output in epoch micros so the DuckDB mirror (the same gap-split
+    scan plus an explicit +gap on the end) hash-matches exactly."""
+    e = _t(spark, sf_dir, "events")
+    gap_us = 2 * 3600 * 1_000_000
+    ev = e.select(
+        "user_id", F.timestamp_micros(_ts_us(e)).alias("_ts"), "event_id"
+    )
+    return (
+        ev.groupBy(F.session_window("_ts", "2 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1621,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_zorder": _q82_zorder,
         "q83_image_resize": _q83_image_resize,
         "q84_count_min": _q84_count_min,
+        "q85_native_session_window": _q85_native_session_window,
     }
 
 
@@ -3208,6 +3232,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q83_image_resize": _sql_image_resize(4, 4),
         "q84_count_min": _sql_count_min(20, 4, 256),
+        # Spark session semantics: window end = last event + gap
+        "q85_native_session_window": """
+            WITH flagged AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                       CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 7200000000
+                            THEN 1
+                            WHEN lag(ts) OVER w IS NULL THEN 1
+                            ELSE 0 END AS _new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            numbered AS (
+                SELECT user_id, ts_us,
+                       cast(sum(_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS bigint) AS session_no
+                FROM flagged
+            )
+            SELECT user_id,
+                   min(ts_us) AS session_start_us,
+                   max(ts_us) + 7200000000 AS session_end_us,
+                   count(*) AS n_events
+            FROM numbered GROUP BY user_id, session_no
+        """,
         "q82_zorder": f"""
             WITH z AS (
                 SELECT ({" + ".join(
