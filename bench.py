@@ -154,7 +154,8 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     t561 = tiled.filter(FF.col("series_id") % 4 == 0).repartition(cpus).cache()
     r561 = tiled.filter(FF.col("series_id") % 4 != 0).limit(700)
-    n_pairs_561 = t561.count() * r561.count()
+    n_t561, n_r561 = t561.count(), r561.count()
+    n_pairs_561 = n_t561 * n_r561
     run(
         "knn_dtw_561pt_banded",
         lambda: knn_classify(
@@ -174,7 +175,7 @@ def main() -> None:
     # steady-state rate it measures
     t561_small = t561.limit(64).repartition(cpus).cache()
     n_t561_small = t561_small.count()
-    n_pairs_561f = n_t561_small * 700
+    n_pairs_561f = n_t561_small * n_r561
     run(
         "knn_fastdtw_561pt",
         lambda: knn_classify(
@@ -216,6 +217,10 @@ def main() -> None:
                 "n_pairs_561": n_pairs_561,
                 "dtw561_banded_pairs_per_sec": dtw561_banded_pairs_per_sec,
                 "n_pairs_561_faithful": n_pairs_561f,
+                # the faithful entry runs a reduced test side to bound
+                # wall-time; these fields make the reduction machine-readable
+                "reduced_test_side": n_t561_small < n_t561,
+                "full_pairs_561": n_pairs_561,
                 "fastdtw561_pairs_per_sec": fastdtw561_pairs_per_sec,
                 "baseline_fastdtw561_pairs_per_sec": 22600,
             }

@@ -218,6 +218,7 @@ def _knn_kernel_broadcast(
             label_col=label_col,
             exclude_zero=exclude_zero,
             band=band,
+            fastdtw_radius=fastdtw_radius,
         )
 
     sel = [id_col, features_col] + ([label_col] if label_col else [])

@@ -340,7 +340,6 @@ def count_min_topk(
     """
     from ..functions.text import HASH_P, MINHASH_A, MINHASH_B, char_hash, tokens
     from .skew import fan_out
-    from .topk import topk_per_key
 
     toks = fan_out(docs).select(F.explode(tokens(F.col(text_col))).alias("token"))
     h = char_hash(F.col("token"))
