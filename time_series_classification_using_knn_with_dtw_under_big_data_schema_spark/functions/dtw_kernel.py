@@ -243,43 +243,72 @@ def _windowed_dp_batch(A, B, lo, hi, need_path):
 
     A: (bs, n), B: (bs, m); lo, hi: (bs, n) per-row window [lo, hi] (0-based
     B columns, contiguous, lo monotone non-decreasing down the rows — a
-    FastDTW window invariant). Returns (dist (bs,), dp (n, bs, W) | None).
+    FastDTW window invariant). Returns (dist (bs,), ch (n, bs, W) int8 |
+    None): ``ch`` stores each cell's predecessor choice (0 = vertical,
+    1 = horizontal, 2 = diagonal) instead of DP values — 1/8th the write
+    traffic of a float64 DP tensor (the profiled hot spot), and backtracking
+    becomes a pure chase of stored moves with no value comparisons.
     """
     bs, n = A.shape
     m = B.shape[1]
     W = int((hi - lo).max()) + 1
     warr = np.arange(W)[None, :]
     parr = np.arange(bs)
-    # B padded with W junk cols (their costs land in suffix positions and are
-    # zeroed) so the cost gather needs no per-row bounds clip; flat bases:
+    # B padded with W zero cols: suffix (out-of-window) cost cells read them
+    # and produce garbage, but both scans run left-to-right, so garbage never
+    # reaches the valid prefix [0, width); cur's suffix is re-sentineled each
+    # row. Zeros (not empty) keep the garbage finite — inf/nan would poison
+    # the scans inside the suffix and trip float warnings. Flat bases:
     # row p of Bpad starts at p*(m+W), of prev_pad at p*(W+1)
-    Bpad = np.concatenate([B, np.empty((bs, W))], axis=1)
+    Bpad = np.concatenate([B, np.zeros((bs, W))], axis=1)
     bbase = (parr * (m + W))[:, None]
     pbase = (parr * (W + 1))[:, None]
 
-    dp = np.empty((n, bs, W)) if need_path else None
+    ch = np.empty((n, bs, W), dtype=np.int8) if need_path else None
     # prev_pad holds DP row i-1 in cols [0, W); col W is a LARGE sentinel
     prev_pad = np.full((bs, W + 1), _LARGE)
     cur_pad = np.full((bs, W + 1), _LARGE)
-    idx = np.empty((bs, W), dtype=np.intp)
+    idx = np.empty((bs, W), dtype=np.intp)  # cost-gather indices, incremental
+    pidx = np.empty((bs, W), dtype=np.intp)  # prev-row gather indices
     c = np.empty((bs, W))
-    pj = np.empty((bs, W))
+    pj_buf = np.empty((bs, W))
     mrow = np.empty((bs, W))
+    fbuf = np.empty((bs, W))
+    first = np.empty(bs)
+    diagb = np.empty((bs, W), dtype=bool)
+    ndiag = np.empty((bs, W), dtype=bool)
+    i8buf = np.empty((bs, W), dtype=np.int8)
+    np.add(lo[:, 0:1] + bbase, warr, out=idx)
 
+    # NOTE on masked stores: `x[mask] = v` / np.copyto(..., where=) run
+    # element-at-a-time in numpy (~20x slower than a ufunc pass, measured),
+    # so every per-row mask below is expressed as arithmetic blends instead.
     for i in range(1, n + 1):
         lo_c = lo[:, i - 1 : i]
-        suffix = warr >= (hi[:, i - 1 : i] - lo_c + 1)
-        # cost row |a_i - b_j|, suffix-masked to 0 so the cumsum stays clean
-        np.add(lo_c + bbase, warr, out=idx)
+        # fbuf = LARGE on suffix (out-of-window) cells, 0.0 on valid cells;
+        # added onto cur at the end of the row (x + 0.0 is exact for the
+        # non-negative DP values, so valid cells are untouched)
+        np.greater_equal(warr, hi[:, i - 1 : i] - lo_c + 1, out=fbuf, casting="unsafe")
+        np.multiply(fbuf, _LARGE, out=fbuf)
+        if i > 1:
+            base = lo_c - lo[:, i - 2 : i - 1]  # (bs, 1) >= 0
+            bnz = bool(base.any())
+            if bnz:
+                np.add(idx, base, out=idx)  # windows slid: shift cost gather
+        # cost row |a_i - b_j| (suffix cells hold garbage; see Bpad note)
         np.take(Bpad, idx, out=c)
         np.subtract(A[:, i - 1 : i], c, out=c)
         np.abs(c, out=c)
-        c[suffix] = 0.0
         if i == 1:
             # virtual row -1: only cell (-1, -1) = 0 (diagonal predecessor
             # of cell (0, 0)); every (-1, j>=0) is unreachable
             np.copyto(mrow, _LARGE)
-            mrow[(lo_c + warr) == 0] = 0.0
+            origin = (lo_c + warr) == 0
+            mrow[origin] = 0.0
+            if need_path:
+                # row 0 backtracks horizontally; (0,0) exits diagonally to
+                # the virtual origin (never read — backtracking stops there)
+                np.add(np.int8(1), origin.view(np.int8), out=ch[0], casting="unsafe")
         else:
             # prev-row values at t = shift(w) = (lo_c - lo_prev) + w: per
             # pair a CONTIGUOUS slice of prev_pad (shift is affine in w), so
@@ -287,36 +316,65 @@ def _windowed_dp_batch(A, B, lo, hi, need_path):
             # position right, with only column 0 needing its own lookup.
             # t in [0, W-1] real; t >= W hits the sentinel col; t < 0 LARGE
             # (shift >= 0 always: monotone window lows).
-            base = lo_c - lo[:, i - 2 : i - 1]  # (bs, 1) >= 0
-            np.add(np.minimum(base, W) + pbase, np.minimum(warr, W), out=idx)
-            np.minimum(idx, pbase + W, out=idx)
-            np.take(prev_pad, idx, out=pj)
-            bm1 = base[:, 0] - 1
-            first = prev_pad[parr, np.clip(bm1, 0, W)]
-            first[bm1 < 0] = _LARGE
-            mrow[:, 1:] = pj[:, :-1]
-            mrow[:, 0] = first
-            np.minimum(mrow, pj, out=mrow)
+            if bnz:
+                np.add(np.minimum(base, W) + pbase, warr, out=pidx)
+                np.minimum(pidx, pbase + W, out=pidx)
+                pj = pj_buf
+                np.take(prev_pad, pidx, out=pj)
+                bm1 = base[:, 0] - 1
+                first[:] = prev_pad[parr, np.clip(bm1, 0, W)]
+                first[bm1 < 0] = _LARGE
+                np.minimum(pj[:, 0], first, out=mrow[:, 0])
+            else:
+                # zero shift for every pair (the common case on wide-window
+                # rows): prev values line up 1:1 — pure view, no gather; the
+                # diagonal predecessor of w=0 is out-of-window (LARGE)
+                pj = prev_pad[:, :W]
+                first.fill(_LARGE)
+                mrow[:, 0] = pj[:, 0]
+            # mrow = min(vertical pj, diagonal pjm1) in ONE strided pass
+            np.minimum(pj[:, 1:], pj[:, :-1], out=mrow[:, 1:])
         # cur[w] = C[w] + min_{w'<=w}(mrow[w'] - C[w'-1]), C = cumsum(c)
         C = np.cumsum(c, axis=1, out=c)
         mrow[:, 1:] -= C[:, :-1]
         np.minimum.accumulate(mrow, axis=1, out=mrow)
         cur = cur_pad[:, :W]
         np.add(C, mrow, out=cur)
-        cur[suffix] = _LARGE
-        if need_path:
-            dp[i - 1] = cur
+        # suffix cells become ~LARGE (plus bounded garbage — still >= 1e17,
+        # which any reachable cost is astronomically below, so they behave
+        # as unreachable in every later comparison)
+        np.add(cur, fbuf, out=cur)
+        if need_path and i > 1:
+            # predecessor choice per cell, tie order matching _dtw_with_path
+            # (vertical, then horizontal, then diagonal; strict < to switch):
+            #   horizontal iff cur[w-1] < pj[w];  diagonal iff
+            #   pjm1[w] < min(pj[w], cur[w-1]).  Comparisons use the same
+            #   scan-produced values backtracking would have re-read, so the
+            #   chosen predecessor is always reachable (finite beats LARGE).
+            chr_ = ch[i - 1]
+            hv = cur[:, :-1]  # cur[w-1] for w >= 1
+            np.less(hv, pj[:, 1:], out=chr_[:, 1:].view(bool))
+            np.minimum(pj[:, 1:], hv, out=mrow[:, 1:])
+            chr_[:, 0] = 0  # w=0: no horizontal predecessor in-window
+            np.less(pj[:, :-1], mrow[:, 1:], out=diagb[:, 1:])
+            np.less(first, pj[:, 0], out=diagb[:, 0])
+            # chr = (chr & ~diag) + 2*diag, all ufunc passes (no masked store)
+            np.logical_not(diagb, out=ndiag)
+            np.logical_and(chr_.view(bool), ndiag, out=chr_.view(bool))
+            np.multiply(diagb.view(np.int8), np.int8(2), out=i8buf)
+            np.add(chr_, i8buf, out=chr_)
         prev_pad, cur_pad = cur_pad, prev_pad
     dist = prev_pad[parr, (m - 1) - lo[:, n - 1]]
-    return dist, dp
+    return dist, ch
 
 
-def _backtrack_batch(dp, lo, hi, n, m):
+def _backtrack_batch(ch, lo, hi, n, m):
     """Warp-path backtracking for every pair simultaneously -> per-row
-    (pmin, pmax) path column spans. Tie order matches _dtw_with_path:
-    (i-1, j), then (i, j-1), then (i-1, j-1); first strict minimum wins."""
+    (pmin, pmax) path column spans. Follows the predecessor choices stored
+    by the forward DP (0 = vertical, 1 = horizontal, 2 = diagonal), whose
+    tie order matches _dtw_with_path: (i-1, j), (i, j-1), (i-1, j-1)."""
     bs = lo.shape[0]
-    W = dp.shape[2]
+    W = ch.shape[2]
     pmin = np.full((bs, n), m - 1, dtype=np.int64)
     pmax = np.zeros((bs, n), dtype=np.int64)
     i = np.full(bs, n - 1, dtype=np.int64)
@@ -324,26 +382,12 @@ def _backtrack_batch(dp, lo, hi, n, m):
     pmax[:, n - 1] = m - 1
     p = np.arange(bs)
 
-    def val(r, c):
-        rc = np.clip(r, 0, n - 1)
-        w = c - lo[p, rc]
-        ok = (r >= 0) & (c >= 0) & (c <= hi[p, rc]) & (w >= 0) & (w < W)
-        out = np.where(ok, dp[rc, p, np.clip(w, 0, W - 1)], _LARGE)
-        return np.where((r == -1) & (c == -1), 0.0, out)
-
     for _ in range(n + m + 2):
         active = (i > 0) | (j > 0)
         if not active.any():
             break
-        v1 = val(i - 1, j)
-        v2 = val(i, j - 1)
-        v3 = val(i - 1, j - 1)
-        sel = np.zeros(bs, dtype=np.int64)
-        vbest = v1.copy()
-        hor = v2 < vbest
-        sel[hor] = 1
-        vbest[hor] = v2[hor]
-        sel[v3 < vbest] = 2
+        w = np.clip(j - lo[p, i], 0, W - 1)
+        sel = ch[i, p, w]
         ni = np.where(sel == 1, i, i - 1)
         nj = np.where(sel == 0, j, j - 1)
         ni = np.where(active, ni, i)

@@ -247,13 +247,16 @@ def _knn_kernel_broadcast(
     def op(batches):
         b_ids, b_feats, b_labels = bvar.value
         n_train = len(b_ids)
-        # fastdtw: chunk several test rows into ONE kernel call (pair count
-        # ~4096) so the recursive kernel amortizes its dispatch over a full
-        # batch. The cheap kernels (banded DTW / euclidean family) score one
-        # test row against the train matrix with ZERO-copy views
-        # (broadcast_to + b_feats directly) — for them the chunked path's
-        # np.repeat/np.tile copies cost more than they save.
-        rows_per = max(1, 4096 // max(1, n_train)) if kind == "fastdtw" else 1
+        # fastdtw: chunk several test rows into ONE kernel call. Pair target
+        # ~1024 balances ufunc-dispatch amortization against cache footprint:
+        # the kernel's (pairs, window) work arrays must share L2/L3 with 31
+        # sibling workers, and measured aggregate throughput on 561-pt
+        # wide-warp pairs peaks near 1k pairs/call (4k-pair calls were ~20%
+        # slower under full contention). The cheap kernels (banded DTW /
+        # euclidean family) score one test row against the train matrix with
+        # ZERO-copy views (broadcast_to + b_feats directly) — for them the
+        # chunked path's np.repeat/np.tile copies cost more than they save.
+        rows_per = max(1, 1024 // max(1, n_train)) if kind == "fastdtw" else 1
         for pdf in batches:
             out = {
                 "test_id": [], "train_id": [], "distance": [], "rank": [],
