@@ -56,6 +56,7 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.o
     dedup_pairwise_jaccard,
     knn_classify,
     knn_join,
+    knn_join_lb,
     knn_join_pruned,
     knn_predict_1nn,
     majority_vote,
@@ -1558,6 +1559,23 @@ def _q85_native_session_window(spark, sf_dir):
     )
 
 
+def _q86_knn_pruned_admissible(spark, sf_dir):
+    """EXACT pruned DTW KNN (operators/knn.py::knn_join_lb): LB_Keogh-family
+    admissible lower bound + filter-and-verify, provably identical to brute
+    force — so its oracle IS q70's brute-force recursive-CTE DTW DP. A tiny
+    candidate budget (C=4) forces the phase-3 completeness path to do real
+    work, making the oracle a proof that the pruning is lossless, not just
+    that the bound is usually good. Distances rounded exactly as q70
+    (prefix-scan vs naive DP fp reassociation, ~1e-13 relative)."""
+    train, test = _series(spark, sf_dir)
+    nn = knn_join_lb(
+        test, train, metric="dtw", k=3, length=SERIES_LEN, candidates_per_test=4
+    )
+    return nn.select(
+        "test_id", "train_id", "rank", F.round("distance", 6).alias("distance")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1645,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_image_resize": _q83_image_resize,
         "q84_count_min": _q84_count_min,
         "q85_native_session_window": _q85_native_session_window,
+        "q86_knn_pruned_admissible": _q86_knn_pruned_admissible,
     }
 
 
@@ -2113,7 +2132,7 @@ def _sql_profile(table: str, numeric: set[str], cols: list[str]) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    cast(sum(cast(round(l_quantity) AS bigint)) AS bigint) AS sum_qty,
@@ -3313,3 +3332,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderpriority
         """,
     }
+    # q86 (exact PRUNED DTW KNN) must equal brute force by construction —
+    # its oracle is q70's brute-force recursive-CTE DP, verbatim
+    out["q86_knn_pruned_admissible"] = out["q70_knn_dtw_exact"]
+    return out

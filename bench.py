@@ -186,6 +186,24 @@ def main() -> None:
         round(n_pairs_561f / timings["knn_fastdtw_561pt"])
         if timings.get("knn_fastdtw_561pt") else None
     )
+    # pruned faithful on the SAME pairs: heuristic PAA prefilter (top-30
+    # candidates per test) so the faithful kernel scores ~4% of the pairs.
+    # The admissible (provably exact) prefilter knn_join_lb exists and is
+    # oracle-proven (q86), but on structureless random-walk series no
+    # admissible bound can prune (d_k/median ~ 0.8 vs bound tightness
+    # ~0.006 — measured in NOTES.md), so the bench pruned entry is the
+    # honest heuristic path a user would actually run at scale.
+    run(
+        "knn_pruned_faithful_561pt",
+        lambda: majority_vote(
+            knn_join_pruned(
+                t561_small, r561, metric="fastdtw", k=5, length=561,
+                paa_segments=8, candidates_per_test=30,
+            ),
+            key="test_id", label="train_label", rank="rank",
+        ).count(),
+        repeats=2,
+    )
 
     # --- training-data pipeline operators --------------------------------
     run("dedup_exact", lambda: entry_mod._q16_dedup_exact(spark, sf_dir).count())

@@ -139,3 +139,86 @@ def test_dtw_knn_matches_fastdtw_reference_semantics(spark, har_dfs):
         for r in knn_classify(test_small, train_small, metric="fastdtw", k=3).collect()
     }
     assert got == preds
+
+
+# ---------------------------------------------------------------------------
+# knn_join_lb: admissible lower-bound filter-and-verify (exact pruned KNN)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(metric="dtw"),
+        dict(metric="fastdtw"),
+        dict(metric="dtw", band=3),
+        dict(metric="fastdtw", band=2),  # band overrides to banded DTW
+        dict(metric="fastdtw", fastdtw_radius=2),
+    ],
+    ids=["dtw", "fastdtw", "dtw-banded", "fastdtw-band-override", "fastdtw-r2"],
+)
+def test_knn_join_lb_exact_vs_brute(spark, har_dfs, kw):
+    """The filter-and-verify plan must be bit-identical to brute force under
+    every metric mode — admissibility of the LB chain makes phase 3
+    complete, so no candidate budget can change the answer."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join_lb
+
+    train_df, test_df = har_dfs
+    length = 24
+    a = knn_join_lb(test_df, train_df, k=4, length=length, candidates_per_test=6, **kw)
+    b = knn_join(test_df, train_df, k=4, **kw)
+    key = lambda r: (r.test_id, r.rank)
+    ra = [(r.test_id, r.train_id, r.rank, round(r.distance, 9)) for r in sorted(a.collect(), key=key)]
+    rb = [(r.test_id, r.train_id, r.rank, round(r.distance, 9)) for r in sorted(b.collect(), key=key)]
+    assert ra == rb
+
+
+def test_knn_join_lb_k_exceeds_train(spark, har_dfs):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join_lb
+
+    train_df, test_df = har_dfs
+    small = train_df.limit(3)
+    a = knn_join_lb(test_df, small, k=10, length=24, metric="dtw")
+    b = knn_join(test_df, small, k=10, metric="dtw")
+    key = lambda r: (r.test_id, r.rank)
+    assert sorted(((r.test_id, r.train_id, r.rank) for r in a.collect())) == sorted(
+        ((r.test_id, r.train_id, r.rank) for r in b.collect())
+    )
+
+
+def test_knn_join_lb_rejects_unsupported_metric(spark, har_dfs):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join_lb
+
+    train_df, test_df = har_dfs
+    with pytest.raises(ValueError, match="dtw"):
+        knn_join_lb(test_df, train_df, k=3, length=24, metric="euclidean")
+
+
+def test_lb_envelope_admissible_numpy():
+    """Property check of the bound itself (numpy twin of the SQL expr):
+    LB_paa <= exact DTW for the unconstrained global envelope, and
+    LB_paa(banded) <= banded DTW — on random-walk pairs where warping is
+    adversarial."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.dtw_kernel import (
+        dtw_pair,
+    )
+
+    rng = np.random.default_rng(3)
+    length, nseg = 32, 8
+    seg_w = (length - 2) // nseg
+    for band in (None, 3):
+        r_env = band if band is not None else length
+        for _ in range(25):
+            q = np.cumsum(rng.standard_normal(length))
+            c = np.cumsum(rng.standard_normal(length))
+            lb = abs(q[0] - c[0]) + abs(q[-1] - c[-1])
+            for b in range(nseg):
+                s = 1 + b * seg_w  # 0-based middle start
+                blk = c[s : s + seg_w]
+                lo = max(0, s - r_env)
+                hi = min(length, s + seg_w + r_env)
+                u, l = q[lo:hi].max(), q[lo:hi].min()
+                mu = blk.mean()
+                lb += seg_w * max(0.0, mu - u, l - mu)
+            d = dtw_pair(q, c, band=band)
+            assert lb <= d + 1e-9, (band, lb, d)

@@ -403,6 +403,207 @@ def knn_join_pruned(
     return topk.select(*out)
 
 
+def knn_join_lb(
+    test: DataFrame,
+    train: DataFrame,
+    *,
+    metric: MetricT = "fastdtw",
+    k: int = 5,
+    length: int,
+    paa_segments: int = 8,
+    candidates_per_test: int | None = None,
+    strategy: str = "broadcast",
+    id_col: str = "series_id",
+    features_col: str = "features",
+    label_col: Optional[str] = "label",
+    exclude_zero: bool = True,
+    band: Optional[int] = None,
+    fastdtw_radius: int = 1,
+) -> DataFrame:
+    """EXACT pruned DTW/FastDTW KNN via an admissible lower bound
+    (filter-and-verify; SURVEY.md §4's "LB prefilter worth adding" row,
+    upgraded from knn_join_pruned's heuristic PAA filter to a provably
+    lossless one).
+
+    The bound (LB_Keogh family, |.| point cost): for any warp path, cell
+    (0,0) costs |q_0-c_0|, cell (n-1,n-1) costs |q_last-c_last|, and every
+    middle element c_j aligns to SOME q_i its band allows, costing at least
+    its hinge distance to the envelope of q over that band:
+
+        U_j = max(q[j-r .. j+r]),  L_j = min(q[j-r .. j+r])
+        cost_j >= max(0, c_j - U_j, L_j - c_j)
+
+    with r = the Sakoe-Chiba half-width for banded DTW, or r = length
+    (global envelope — LB_Yi/LB_Kim) when the warp is unconstrained.
+    Averaging c over PAA blocks and widening the envelope to the block's
+    extremes keeps the bound admissible (the hinge is convex in c — Jensen;
+    widening U/L only lowers it), so the filter runs over sketch-sized
+    data:
+
+        LB_paa(q, c) = |q_0-c_0| + |q_last-c_last|
+                       + seg_w * sum_b hinge(paa_b(c_mid), L_b, U_b)
+        LB_paa <= LB_Keogh(r) <= banded DTW(r)            [band=r]
+        LB_paa <= LB_envelope <= exact DTW <= FastDTW     [band=None;
+                                    the FastDTW path is a real warp path]
+
+    so the chain is admissible for metric='dtw' (banded or not) AND
+    metric='fastdtw' (any radius; a caller band overrides to banded DTW,
+    mirroring _resolve_metric). Three declarative phases:
+
+    1. candidates: sketch-space cross join -> LB_paa (pure codegen over
+       paa_segments-sized arrays) -> top-C per test by (LB, train_id).
+    2. verify: the expensive kernel scores ONLY those C pairs; the k-th
+       best scored distance tau upper-bounds the true k-th distance
+       (the scored set is a subset of all pairs).
+    3. completeness: every unscored pair with LB_paa <= tau is scored too
+       (anything with LB > tau provably cannot enter the top-k, ties
+       included since the tie order starts with distance). Union + re-rank.
+
+    Result is bit-identical to the brute-force knn_join under the same
+    metric and tie order (proven by q86's brute-force DuckDB oracle and
+    equality tests). Pruning POWER is data- and band-dependent: the banded
+    envelope is tight (most pairs die in phase 1), while the unconstrained
+    global envelope is information-theoretically weak on structureless
+    series (measured in tests; same caveat family as ann_lsh recall on
+    random embeddings — NOTES.md) though correctness never depends on it.
+    Scale shape: both cross joins move only ids + O(paa_segments) sketches;
+    full arrays are joined back by id for the scored subset only; the
+    per-test intermediates (candidates, scores, tau) are O(C) rows and
+    cached via register_cache, the pair-level LB table is recomputed
+    (codegen) rather than cached.
+    """
+    from ..caching import register_cache
+    from ..functions.arrays import paa
+
+    if callable(metric) or metric not in ("dtw", "fastdtw"):
+        raise ValueError("knn_join_lb requires metric='dtw' or 'fastdtw'")
+    C = max(candidates_per_test if candidates_per_test is not None else 4 * k, k)
+    fn, _ = _resolve_metric(metric, band, fastdtw_radius)
+    r_env = band if band is not None else length
+
+    mid_len = length - 2
+    nseg = min(paa_segments, mid_len) if mid_len > 0 else 0
+    seg_w = (mid_len // nseg) if nseg else 0
+
+    # test sketch: endpoints + per-block banded envelope extremes.
+    # Block b covers middle positions [s_b, s_b + seg_w - 1] (1-based);
+    # its envelope slice widens by r_env on both sides, clipped to the
+    # series — for r_env = length that degenerates to the global min/max.
+    env_cols = []
+    for b in range(nseg):
+        s_b = 2 + b * seg_w
+        lo_pos = max(1, s_b - r_env)
+        hi_pos = min(length, s_b + seg_w - 1 + r_env)
+        sl = F.slice(features_col, lo_pos, hi_pos - lo_pos + 1)
+        env_cols.append(F.array_max(sl).alias(f"_u{b}"))
+        env_cols.append(F.array_min(sl).alias(f"_l{b}"))
+    t_sk = test.select(
+        F.col(id_col).alias("test_id"),
+        F.element_at(features_col, 1).alias("_q0"),
+        F.element_at(features_col, length).alias("_ql"),
+        *env_cols,
+    )
+    r_sk_cols = [
+        F.col(id_col).alias("train_id"),
+        F.element_at(features_col, 1).alias("_r0"),
+        F.element_at(features_col, length).alias("_rl"),
+    ]
+    if nseg:
+        r_sk_cols.append(
+            paa(F.slice(features_col, 2, seg_w * nseg), nseg, seg_w * nseg).alias("_rp")
+        )
+    r_sk = train.select(*r_sk_cols)
+
+    lb = F.abs(F.col("_q0") - F.col("_r0")) + F.abs(F.col("_ql") - F.col("_rl"))
+    if nseg:
+        hinges = [
+            F.greatest(
+                F.lit(0.0),
+                F.element_at("_rp", b + 1) - F.col(f"_u{b}"),
+                F.col(f"_l{b}") - F.element_at("_rp", b + 1),
+            )
+            for b in range(nseg)
+        ]
+        hinge_sum = hinges[0]
+        for h in hinges[1:]:
+            hinge_sum = hinge_sum + h
+        lb = lb + F.lit(float(seg_w)) * hinge_sum
+    lbp = (
+        t_sk.crossJoin(F.broadcast(r_sk) if strategy == "broadcast" else r_sk)
+        .withColumn("_lb", lb)
+        .select("test_id", "train_id", "_lb")
+    )
+
+    t_feat = test.select(F.col(id_col).alias("test_id"), F.col(features_col).alias("_tf"))
+    r_feat_cols = [F.col(id_col).alias("train_id"), F.col(features_col).alias("_rf")]
+    if label_col is not None:
+        r_feat_cols.append(F.col(label_col).alias("train_label"))
+    r_feat = train.select(*r_feat_cols)
+
+    def score(pairs_ids: DataFrame) -> DataFrame:
+        scored = (
+            pairs_ids.join(t_feat, "test_id")
+            .join(r_feat, "train_id")
+            .withColumn("_d", fn(F.col("_tf"), F.col("_rf")))
+            .drop("_tf", "_rf")
+        )
+        if exclude_zero:
+            scored = scored.filter(F.col("_d") != 0)
+        return scored
+
+    # phase 1+2: score the C most-promising pairs. cands/scored1 are O(C)
+    # rows per test and feed two consumers each — cached (scope-managed)
+    # so the kernel scores each candidate exactly once.
+    cands = register_cache(
+        topk_per_key(
+            lbp, "test_id", [F.asc("_lb"), F.asc("train_id")], C, rank_col="_crank"
+        )
+        .select("test_id", "train_id")
+        .cache()
+    )
+    scored1 = register_cache(score(cands).cache())
+
+    # tau = k-th best scored distance per test (inf when fewer than k
+    # survivors: then nothing can be pruned and phase 3 degenerates to
+    # the remaining brute force — correctness never depends on C)
+    thresh = register_cache(
+        scored1.groupBy("test_id")
+        .agg(F.sort_array(F.collect_list("_d")).alias("_ds"))
+        .select(
+            "test_id",
+            F.when(F.size("_ds") >= k, F.element_at("_ds", k))
+            .otherwise(F.lit(float("inf")))
+            .alias("_tau"),
+        )
+        .cache()
+    )
+    # Eagerly land the three O(C)-row caches BEFORE the final job: left
+    # lazy, the phase-3 plan holds cands/scored1/thresh as uncached
+    # branches of ONE DAG and re-runs the expensive kernel per consumer
+    # (measured 5x the end-to-end cost at 44k pairs). One tiny action
+    # materializes all three transitively.
+    thresh.count()
+
+    # phase 3: any unscored pair the bound cannot rule out
+    rest = (
+        lbp.join(thresh, "test_id")
+        .filter(F.col("_lb") <= F.col("_tau"))
+        .join(cands, ["test_id", "train_id"], "left_anti")
+        .select("test_id", "train_id")
+    )
+    scored = scored1.unionByName(score(rest))
+
+    order = [F.asc("_d")]
+    if label_col is not None:
+        order.append(F.asc("train_label"))
+    order.append(F.asc("train_id"))
+    topk = topk_per_key(scored, "test_id", order, k)
+    out = [F.col("test_id"), F.col("train_id"), F.col("_d").alias("distance"), F.col("rank")]
+    if label_col is not None:
+        out.insert(2, F.col("train_label"))
+    return topk.select(*out)
+
+
 def knn_classify(
     test: DataFrame,
     train: DataFrame,
