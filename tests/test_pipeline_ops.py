@@ -452,3 +452,35 @@ def test_resize_image_nearest_neighbor_math(spark):
 
     with _pytest.raises(Exception, match="imaging library"):
         resize_image(media, fake=False).collect()
+
+
+def test_ann_lsh_multi_probe_lifts_recall(spark):
+    """Multi-probe LSH (flip lowest-|margin| bits) on WEAKLY clustered data:
+    the regime where single-probe hyperplane LSH starves (cluster spread ~
+    cluster separation) but neighbors still sit one hyperplane over. All
+    deterministic (fixed hash-derived planes + fixed rng), so the recall
+    numbers are exact, not flaky."""
+    rng = np.random.default_rng(21)
+    centers = rng.normal(size=(6, 16)) * 1.5
+    vecs = [
+        (c * 15 + i, [float(x) for x in centers[c] + rng.normal(size=16) * 1.0], 0)
+        for c in range(6)
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>, label int")
+    q = df.filter("vec_id % 20 = 0")
+    brute = {(r.query_id, r.neighbor_id) for r in ann_brute_topk(q, df, k=3).collect()}
+
+    def recall(probes):
+        got = ann_lsh_topk(
+            q, df, k=3, dim=16, planes=8, tables=2, probes=probes
+        ).collect()
+        hits = {(r.query_id, r.neighbor_id) for r in got}
+        return len(brute & hits) / len(brute)
+
+    single, multi = recall(0), recall(5)
+    assert single < 0.3, f"fixture lost its teeth: single-probe recall {single}"
+    assert multi >= 0.5, f"multi-probe recall {multi}"
+    # probed candidates are a superset of single-probe candidates, so
+    # multi-probe recall can never be worse
+    assert multi >= single

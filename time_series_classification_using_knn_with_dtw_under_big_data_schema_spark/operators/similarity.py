@@ -259,7 +259,7 @@ def lsh_bucket(vec: Column, *, planes: int = 8, dim: int = 64, table: int = 0) -
     return bucket
 
 
-def make_lsh_buckets_udf(planes: int, tables: int, dim: int):
+def make_lsh_buckets_udf(planes: int, tables: int, dim: int, probes: int = 0):
     """All ``tables`` bucket ids per vector in ONE Arrow-batched call.
 
     Expression-based bucketing evaluates tables*planes*dim nested-lambda
@@ -268,7 +268,18 @@ def make_lsh_buckets_udf(planes: int, tables: int, dim: int):
     (``proj += V[:, d] * C[:, d]``), elementwise the exact IEEE op sequence
     of the SQL left-fold dot — so bucket ids (sign bits) are bit-identical to
     lsh_bucket()/the DuckDB oracle, batch-vectorized.
+
+    ``probes`` > 0 appends, per table, the ``probes`` neighboring buckets
+    obtained by flipping the lowest-|margin| hyperplane bits one at a time
+    (classic multi-probe LSH: a point near a hyperplane is the likely
+    reason a true neighbor landed one bucket over). Output stays a flat
+    array<long> of length tables*(1+probes), ordered [table0 exact,
+    table0 probe1, ..., table1 exact, ...] — position // (1+probes)
+    recovers the table. Probing multiplies candidate-generation fan-out,
+    never the number of hash tables, so the corpus side can stay
+    single-bucket (no storage growth) while queries cast a wider net.
     """
+    probes = min(probes, planes)
     C = np.array(
         [
             [_hyperplane(t * 131 + p, d) for d in range(dim)]
@@ -284,9 +295,18 @@ def make_lsh_buckets_udf(planes: int, tables: int, dim: int):
         proj = np.zeros((V.shape[0], C.shape[0]))
         for d in range(dim):
             proj += V[:, d : d + 1] * C[None, :, d][0]
-        bits = (proj > 0).reshape(V.shape[0], tables, planes)
-        out = (bits * weights).sum(axis=2)  # (N, tables) int64
-        return pd.Series(list(out))
+        proj = proj.reshape(V.shape[0], tables, planes)
+        bits = proj > 0
+        exact = (bits * weights).sum(axis=2)  # (N, tables) int64
+        if not probes:
+            return pd.Series(list(exact))
+        # flip order = ascending |margin|: argsort per (row, table)
+        order = np.argsort(np.abs(proj), axis=2, kind="stable")
+        out = np.empty((V.shape[0], tables, 1 + probes), dtype=np.int64)
+        out[:, :, 0] = exact
+        for j in range(probes):
+            out[:, :, 1 + j] = exact ^ weights[order[:, :, j]]
+        return pd.Series(list(out.reshape(V.shape[0], -1)))
 
     return buckets.asNondeterministic()
 
@@ -302,23 +322,37 @@ def ann_lsh_topk(
     tables: int = 8,
     dim: int = 64,
     exclude_self: bool = True,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via multi-table hyperplane LSH.
 
     Candidates = pairs sharing a bucket in ANY of ``tables`` hash tables;
     exact cosine rerank on candidates. Same output schema as brute force.
+
+    ``probes``: multi-probe LSH — each QUERY additionally probes that many
+    neighboring buckets per table (lowest-|margin| bit flips), lifting
+    recall on weakly clustered data without more tables, more corpus
+    storage, or any new shuffle (the candidate join shape is unchanged;
+    only the query-side explode fans out (1+probes)x, and the query side
+    is the small side).
     """
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv"))
     bucket_udf = make_lsh_buckets_udf(planes, tables, dim)
+    probe_udf = (
+        make_lsh_buckets_udf(planes, tables, dim, probes=probes) if probes else bucket_udf
+    )
+    fan = 1 + min(probes, planes) if probes else 1
 
-    def buckets(df, vc, idc):
-        return (
-            df.withColumn("_bk", bucket_udf(F.col(vc)))
-            .select(idc, F.posexplode("_bk").alias("table", "bucket"))
+    def buckets(df, vc, idc, udf=bucket_udf, fan=1):
+        b = (
+            df.withColumn("_bk", udf(F.col(vc)))
+            .select(idc, F.posexplode("_bk").alias("_pos", "bucket"))
         )
+        table = (F.col("_pos") / fan).cast("int") if fan > 1 else F.col("_pos")
+        return b.select(idc, table.alias("table"), "bucket")
 
-    qb = buckets(q, "_qv", "query_id")
+    qb = buckets(q, "_qv", "query_id", udf=probe_udf, fan=fan)
     cb = buckets(c, "_cv", "neighbor_id")
     # distinct on IDS only — deduping on the vectors themselves would shuffle
     # 64-float arrays as keys (SURVEY.md §4 hazard 2); vectors re-join after
