@@ -86,3 +86,65 @@ def test_chunk_documents_plan_is_shuffle_free(spark):
     docs = spark.range(64).selectExpr("id AS doc_id", "repeat('w ', 40) AS text")
     # already well-partitioned input: fan_out is a no-op, plan has no exchange
     assert count_exchanges(chunk_documents(docs)) == 0
+
+
+# ---------------------------------------------------------------------------
+# Driver-bottleneck audit: every operator collect is bounded (VERDICT r2 #5)
+# ---------------------------------------------------------------------------
+
+
+def test_known_collect_sites_are_bounded(spark):
+    """The four operators that legitimately materialize driver-side state
+    (kernel KNN broadcast matrix, kernel ANN matrix, dedup_components'
+    small-graph union-find, bloom_semi_join's sketch bitmap) must keep every
+    collect sketch-sized. Instrumented end-to-end; a future operator adding
+    an unguarded collect to these paths fails here."""
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        ann_brute_topk,
+        dedup_components,
+    )
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sketch import (
+        bloom_semi_join,
+    )
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.plans import (
+        assert_no_unbounded_collect,
+    )
+
+    rng = np.random.default_rng(5)
+    series = [
+        (i, [float(x) for x in rng.normal(size=8)], float(i % 3)) for i in range(40)
+    ]
+    sdf = spark.createDataFrame(series, "series_id long, features array<double>, label double")
+    vecs = [(i, [float(x) for x in rng.normal(size=8)], 0) for i in range(40)]
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>, label int")
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], "id_a long, id_b long")
+    fact = spark.createDataFrame([(i, i % 7) for i in range(100)], "row_id long, k long")
+    dim = spark.createDataFrame([(1,), (3,)], "k long")
+
+    # 64 KiB: far above any sketch-sized materialization, far below data size
+    audit = assert_no_unbounded_collect(
+        lambda: (
+            knn_join(sdf.limit(10), sdf, k=3, strategy="kernel").count(),
+            ann_brute_topk(vdf.limit(5), vdf, k=3, strategy="kernel").count(),
+            dedup_components(docs, pairs).count(),
+            bloom_semi_join(fact, dim, "k", m_bits=1024).count(),
+        ),
+        max_bytes=64 << 10,
+    )
+    # the audit actually saw the known driver materializations
+    sites = {r.site.split(":")[0] for r in audit.records}
+    assert {"knn.py", "similarity.py", "dedup.py", "sketch.py"} <= sites, sites
+
+
+def test_collect_audit_catches_unbounded(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.plans import (
+        assert_no_unbounded_collect,
+    )
+    import pytest as _pytest
+
+    big = spark.range(50_000).selectExpr("id", "repeat('x', 64) AS s")
+    with _pytest.raises(AssertionError, match="unbounded driver collect"):
+        assert_no_unbounded_collect(lambda: big.collect(), max_bytes=64 << 10)

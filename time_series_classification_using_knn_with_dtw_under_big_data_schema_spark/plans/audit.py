@@ -70,3 +70,115 @@ def python_eval_nodes(df: DataFrame) -> int:
 
 def codegen_stage_count(df: DataFrame) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", executed_plan(df))))
+
+
+# ---------------------------------------------------------------------------
+# Driver-bottleneck audit: every DataFrame.collect an operator performs must
+# be bounded (sketch-sized, 1-row, or guarded by an explicit byte bound with
+# a no-collect fallback). This instrumentation turns that design rule into a
+# checkable assertion so a future operator cannot add an unguarded collect
+# without a test failing.
+# ---------------------------------------------------------------------------
+
+import contextlib
+import sys as _sys
+import traceback as _tb
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CollectRecord:
+    site: str  # "file.py:line" of the non-library frame that collected
+    rows: int
+    est_bytes: int
+
+
+@dataclass
+class CollectAudit:
+    max_bytes: int
+    records: list = field(default_factory=list)
+
+    @property
+    def violations(self):
+        return [r for r in self.records if r.est_bytes > self.max_bytes]
+
+
+def _est_row_bytes(row) -> int:
+    # cheap, conservative-enough estimate: repr length of the row tuple
+    # (numbers ~ their digit count, strings/arrays ~ their content)
+    try:
+        return len(repr(tuple(row)))
+    except Exception:
+        return 64
+
+
+def _caller_site() -> str:
+    for frame in reversed(_tb.extract_stack()):
+        fn = frame.filename
+        if "/pyspark/" in fn or "plans/audit.py" in fn:
+            continue
+        if fn.endswith(".py"):
+            return f"{fn.rsplit('/', 1)[-1]}:{frame.lineno}"
+    return "<unknown>"
+
+
+def _runtime_dataframe_cls():
+    # Spark 4: pyspark.sql.DataFrame is an ABC; the runtime instances are
+    # the classic (or connect) subclass which OVERRIDES collect/first —
+    # patch the class whose methods actually run
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+        return _DF
+    except ImportError:  # pragma: no cover - older pyspark
+        return DataFrame
+
+
+@contextlib.contextmanager
+def collect_audit(max_bytes: int = 1 << 20):
+    """Instrument DataFrame.collect/first during the block: record every
+    driver materialization's row count and estimated byte size. Exits
+    cleanly; callers inspect ``.records`` / ``.violations``."""
+    audit = CollectAudit(max_bytes=max_bytes)
+    DataFrame = _runtime_dataframe_cls()
+    orig_collect = DataFrame.collect
+    orig_first = DataFrame.first
+
+    def collect(self):
+        rows = orig_collect(self)
+        n = len(rows)
+        est = sum(_est_row_bytes(r) for r in rows[:100])
+        if n > 100:
+            est = int(est * n / 100)
+        audit.records.append(CollectRecord(_caller_site(), n, est))
+        return rows
+
+    def first(self):
+        row = orig_first(self)
+        audit.records.append(
+            CollectRecord(_caller_site(), 1, _est_row_bytes(row) if row else 0)
+        )
+        return row
+
+    DataFrame.collect = collect
+    DataFrame.first = first
+    try:
+        yield audit
+    finally:
+        DataFrame.collect = orig_collect
+        DataFrame.first = orig_first
+
+
+def assert_no_unbounded_collect(fn, max_bytes: int = 1 << 20):
+    """Run ``fn`` under collect_audit and raise AssertionError naming every
+    collect site whose materialized result exceeded ``max_bytes``. Returns
+    the audit (so tests can additionally assert which sites appeared)."""
+    with collect_audit(max_bytes=max_bytes) as audit:
+        fn()
+    if audit.violations:
+        lines = "\n".join(
+            f"  {v.site}: {v.rows} rows ~{v.est_bytes} bytes (> {max_bytes})"
+            for v in audit.violations
+        )
+        raise AssertionError(f"unbounded driver collect(s):\n{lines}")
+    return audit
