@@ -642,14 +642,17 @@ def dedup_embedding(
     strategy='brute': all-pairs verification (oracle-grade, quadratic — the
     recall yardstick, not a scale path).
 
-    ``max_bucket_size`` (same skew defense as dedup_minhash_lsh's): a hot
-    bucket — a big cluster of near-identical embeddings hashing together —
-    contributes O(bucket^2) candidate pairs; the cap keeps only the
-    ``max_bucket_size`` LOWEST ids per (table, bucket) before the
-    self-join, so a pathological cluster degrades recall inside itself
-    (its members still chain through dedup_components via the surviving
-    low-id hub) instead of exploding the shuffle. Deterministic, so an
-    oracle can mirror it.
+    ``max_bucket_size`` (skew defense, measured in tests/test_skew_stress):
+    a hot bucket — a big cluster of near-identical embeddings hashing
+    together — contributes O(bucket^2) candidate pairs. The cap keeps the
+    ``max_bucket_size`` LOWEST ids per (table, bucket) for the quadratic
+    self-join and additionally emits one STAR candidate (bucket_min_id,
+    member) for every truncated member — O(bucket) linear, so a B-doc
+    bucket costs C(cap,2) + B candidates instead of B^2/2, and every member
+    still verifies against the hub: a genuine near-dup mega-cluster stays
+    ONE connected component through dedup_components (pinned in tests;
+    plain truncation left truncated members edge-less and shattered the
+    cluster into ~90 pieces). Deterministic, so an oracle can mirror it.
 
     Both engines fold the dot products left-to-right (distance.py ↔ the
     DuckDB list_reduce oracle), so the threshold comparison is bit-portable.
@@ -669,13 +672,18 @@ def dedup_embedding(
             .withColumn("_bk", bucket_udf(F.col("_v")))
             .select("_id", F.posexplode("_bk").alias("tbl", "bucket"))
         )
+        star = None
         if max_bucket_size is not None:
             w = Window.partitionBy("tbl", "bucket").orderBy(F.asc("_id"))
-            entries = (
-                entries.withColumn("_bn", F.row_number().over(w))
-                .filter(F.col("_bn") <= max_bucket_size)
-                .drop("_bn")
+            ranked = entries.withColumn("_bn", F.row_number().over(w))
+            # linear star edges: every truncated member vs the bucket's hub
+            # (min id) — keeps mega-clusters connected at O(bucket) cost
+            star = (
+                ranked.withColumn("_hub", F.min("_id").over(Window.partitionBy("tbl", "bucket")))
+                .filter(F.col("_bn") > max_bucket_size)
+                .select(F.col("_hub").alias("id_a"), F.col("_id").alias("id_b"))
             )
+            entries = ranked.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
         entries = entries.cache()
         register_cache(entries)
         x = entries.select(F.col("_id").alias("id_a"), "tbl", "bucket")
@@ -686,8 +694,10 @@ def dedup_embedding(
             x.join(y, ["tbl", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
-            .distinct()
         )
+        if star is not None:
+            pairs = pairs.unionByName(star)
+        pairs = pairs.distinct()
         cand = pairs.join(va, "id_a").join(vb, "id_b")
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
