@@ -484,3 +484,50 @@ def test_ann_lsh_multi_probe_lifts_recall(spark):
     # probed candidates are a superset of single-probe candidates, so
     # multi-probe recall can never be worse
     assert multi >= single
+
+
+def test_real_pil_decode_same_mapinpandas_path(spark):
+    """When an imaging library IS installed, fake=False decodes real pixels
+    through the SAME mapInPandas plumbing the stub uses (schema, batching,
+    null handling). Skips in containers without PIL — the stub path and the
+    NotImplementedError boundary stay covered either way."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _try_pil,
+        decode_image_features,
+        resize_image,
+    )
+
+    Image = _try_pil()
+    if Image is None:
+        pytest.skip("PIL not installed in this container")
+    import io
+
+    def png(w, h, base):
+        img = Image.new("L", (w, h))
+        img.putdata([(base + x + y * w) % 256 for y in range(h) for x in range(w)])
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue(), img
+
+    rows, imgs = [], {}
+    for i, (w, h) in enumerate([(8, 6), (5, 7)]):
+        payload, img = png(w, h, base=i * 11)
+        rows.append((i, bytearray(payload), ("image", w, h, 0)))
+        imgs[i] = img
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r.media_id: r for r in decode_image_features(media, fake=False).collect()}
+    for i, img in imgs.items():
+        r = feats[i]
+        assert (r.width, r.height) == img.size
+        expect_luma = float(np.asarray(img, dtype=np.float64).mean() / 255.0)
+        assert abs(r.mean_luma - expect_luma) < 1e-9
+        assert len(r.feature) == 8
+
+    res = {r.media_id: r for r in resize_image(media, fake=False, out_w=4, out_h=4).collect()}
+    for i, img in imgs.items():
+        expect = np.asarray(img.resize((4, 4), Image.NEAREST), dtype=np.float64)
+        got = np.array(res[i].pixels).reshape(4, 4)
+        assert np.array_equal(got, expect)
+        assert res[i].px_checksum == int(expect.sum())

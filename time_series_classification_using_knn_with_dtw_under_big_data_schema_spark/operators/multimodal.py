@@ -51,6 +51,18 @@ def _fake_decode(payload: bytes, n_features: int = 8) -> np.ndarray:
     return raw / np.float64(2**32)
 
 
+def _try_pil():
+    """PIL.Image if an imaging library is installed, else None. Checked at
+    KERNEL BUILD time so fake=False fails fast on the driver with a clear
+    message instead of per-task on executors."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image_features(
     df: DataFrame,
     *,
@@ -64,27 +76,60 @@ def decode_image_features(
     input should be repartitioned so one partition's payloads fit in executor
     memory (payloads are the dominant bytes — keep maxPartitionBytes small
     for binary-heavy tables).
+
+    ``fake=False`` decodes REAL images when an imaging library (PIL) is
+    installed: grayscale decode, width/height from the actual image,
+    mean_luma = mean gray level / 255, feature = row means of an
+    (n_features x n_features) nearest-neighbor thumbnail / 255. Without
+    PIL it raises NotImplementedError at kernel build. The sha256 stub
+    stays the default so every oracle-checked query (q40/q41/q83) is
+    byte-stable regardless of what the container has installed.
     """
+    if not fake and _try_pil() is None:
+        raise NotImplementedError(
+            "real image decode requires an imaging library (PIL) not present "
+            "in this environment; run with fake=True for the deterministic "
+            "content-derived stand-in"
+        )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        Image = None if fake else _try_pil()
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires an imaging library not present "
-                    "in this environment; run with fake=True for the "
-                    "deterministic content-derived stand-in"
-                )
-            feats = [
-                _fake_decode(bytes(p), n_features) if p is not None else np.zeros(n_features)
-                for p in pdf[payload_col]
-            ]
             meta = pdf["meta"]
+            if fake:
+                feats = [
+                    _fake_decode(bytes(p), n_features) if p is not None else np.zeros(n_features)
+                    for p in pdf[payload_col]
+                ]
+                widths = [m["width"] if m is not None else None for m in meta]
+                heights = [m["height"] if m is not None else None for m in meta]
+                lumas = [float(f.mean()) for f in feats]
+            else:
+                feats, widths, heights, lumas = [], [], [], []
+                for p in pdf[payload_col]:
+                    if p is None:
+                        feats.append(np.zeros(n_features))
+                        widths.append(None)
+                        heights.append(None)
+                        lumas.append(0.0)
+                        continue
+                    img = Image.open(io.BytesIO(bytes(p))).convert("L")
+                    widths.append(img.width)
+                    heights.append(img.height)
+                    lumas.append(float(np.asarray(img, dtype=np.float64).mean() / 255.0))
+                    thumb = np.asarray(
+                        img.resize((n_features, n_features), Image.NEAREST),
+                        dtype=np.float64,
+                    )
+                    feats.append(thumb.mean(axis=1) / 255.0)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": [m["width"] if m is not None else None for m in meta],
-                    "height": [m["height"] if m is not None else None for m in meta],
-                    "mean_luma": [float(f.mean()) for f in feats],
+                    "width": widths,
+                    "height": heights,
+                    "mean_luma": lumas,
                     "feature": [list(f) for f in feats],
                 }
             )
@@ -151,31 +196,43 @@ def resize_image(
     ((oi*h)//out_h, (oj*w)//out_w) — the standard nearest-neighbor index
     map); only the pixel SOURCE is the stubbed decode (pixel (i, j) =
     byte (i*w + j) mod 32 of the payload's sha256 — deterministic, so the
-    whole operator is oracle-checkable). ``fake=False`` raises at the
-    decode site like decode_image_features. Output: the resized pixel
-    array plus integer-exact checksum/mean.
+    whole operator is oracle-checkable). ``fake=False`` decodes REAL
+    grayscale pixels when PIL is installed (same nearest-neighbor index
+    map, applied by PIL's NEAREST resize) and raises NotImplementedError
+    at kernel build otherwise. Output: the resized pixel array plus
+    integer-exact checksum/mean.
     """
+    if not fake and _try_pil() is None:
+        raise NotImplementedError(
+            "real image decode requires an imaging library (PIL) not present "
+            "in this environment; run with fake=True"
+        )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        Image = None if fake else _try_pil()
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires an imaging library not "
-                    "present in this environment; run with fake=True"
-                )
             out = {
                 "media_id": [], "out_w": [], "out_h": [], "pixels": [],
                 "px_checksum": [], "mean_px": [],
             }
             for mid, p, meta in zip(pdf["media_id"], pdf[payload_col], pdf["meta"]):
-                w = int(meta["width"])
-                h = int(meta["height"])
-                digest = hashlib.sha256(bytes(p) if p is not None else b"").digest()
-                px = [
-                    float(digest[(((oi * h) // out_h) * w + ((oj * w) // out_w)) % 32])
-                    for oi in range(out_h)
-                    for oj in range(out_w)
-                ]
+                if fake:
+                    w = int(meta["width"])
+                    h = int(meta["height"])
+                    digest = hashlib.sha256(bytes(p) if p is not None else b"").digest()
+                    px = [
+                        float(digest[(((oi * h) // out_h) * w + ((oj * w) // out_w)) % 32])
+                        for oi in range(out_h)
+                        for oj in range(out_w)
+                    ]
+                else:
+                    img = Image.open(io.BytesIO(bytes(p))).convert("L")
+                    arr = np.asarray(
+                        img.resize((out_w, out_h), Image.NEAREST), dtype=np.float64
+                    )
+                    px = [float(v) for v in arr.reshape(-1)]
                 total = int(sum(px))
                 out["media_id"].append(mid)
                 out["out_w"].append(out_w)
