@@ -1576,6 +1576,75 @@ def _q86_knn_pruned_admissible(spark, sf_dir):
     )
 
 
+def _q87_kmeans(spark, sf_dir):
+    """Distributed k-means over the embedding table (operators/cluster.py::
+    kmeans_assign): deterministic lowest-id seeds, 2 Lloyd assignment
+    passes, FIXED-POINT exact centroid refit (int64-micro sums are
+    order-independent under partial aggregation; one double division per
+    component) — which is what makes an ITERATIVE algorithm's result
+    hash-checkable by a DuckDB oracle. Fills the k-means hook
+    similarity.py's IVF docstring left open."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.cluster import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=8, iters=2)
+
+
+def _q88_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic near-dup pruning (operators/cluster.py::
+    semantic_dedup): k-means clusters (q87's exact iterates) as the
+    candidate generator, exact cosine <= 0.65 inside each cluster,
+    keep-lowest-id. The cluster-bucketed complement of q74's LSH-bucketed
+    dedup_embedding — candidates come from the data's own density
+    structure instead of random projections."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.cluster import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.65, k=8, iters=2)
+
+
+def _q89_span_dedup(spark, sf_dir):
+    """Boilerplate-span removal (operators/corpus.py::remove_common_spans):
+    the C4/RefinedWeb line-dedup shape in token form — 8-token spans
+    occurring in >= 3 distinct documents are removed from every document.
+    Rebuilt text + per-doc span counts are all hash-checked."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.corpus import remove_common_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_common_spans(docs, span_tokens=8, min_docs=3)
+
+
+def _q90_ann_quantized(spark, sf_dir):
+    """Int8-quantized cosine top-k (operators/similarity.py::
+    ann_quantized_topk): symmetric per-vector quantization, then ranking by
+    exact INT64 dot/norm arithmetic — 8x fewer candidate-join bytes than
+    the float pipeline and a fully deterministic ranking (integer sums are
+    order-free). Same query slice as q23, so recall vs the float brute
+    force is directly comparable."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.similarity import ann_quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    return ann_quantized_topk(q, emb, k=5)
+
+
+def _q91_corpus_shuffle(spark, sf_dir):
+    """Deterministic global training-data shuffle: shard by a portable
+    seeded hash of the doc id (the functions/text.py char-fold spec), order
+    within shards by (hash, id). The pre-training 'shuffle then shard'
+    step, with no RNG state to ship: any engine reproduces the exact
+    permutation. The within-shard row_number is a DISTRIBUTED window
+    (partitioned by shard) — never the single-partition global-window
+    hazard SURVEY §4 flags."""
+    docs = _t(spark, sf_dir, "documents")
+    h = char_hash(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
+    sharded = docs.select("doc_id", h.alias("_h"), (h % 8).cast("int").alias("shard"))
+    w = Window.partitionBy("shard").orderBy(F.asc("_h"), F.asc("doc_id"))
+    return sharded.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1664,6 +1733,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_count_min": _q84_count_min,
         "q85_native_session_window": _q85_native_session_window,
         "q86_knn_pruned_admissible": _q86_knn_pruned_admissible,
+        "q87_kmeans": _q87_kmeans,
+        "q88_semantic_dedup": _q88_semantic_dedup,
+        "q89_span_dedup": _q89_span_dedup,
+        "q90_ann_quantized": _q90_ann_quantized,
+        "q91_corpus_shuffle": _q91_corpus_shuffle,
     }
 
 
@@ -2129,6 +2203,142 @@ def _sql_profile(table: str, numeric: set[str], cols: list[str]) -> str:
             f" {mn} AS min_num, {mx} AS max_num FROM {table}"
         )
     return " UNION ALL ".join(parts)
+
+
+def _sql_sqd(a: str, b: str) -> str:
+    """Left-fold squared-euclidean (= functions/distance.py::sq_euclidean,
+    bit-identical: zip_with squares first, then the 0.0-seeded sum fold)."""
+    return (
+        f"list_reduce(list_prepend(cast(0.0 AS double),"
+        f" list_transform(range(1, len({a})+1),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))),"
+        f" (x, y) -> x + y)"
+    )
+
+
+def _sql_kmeans_ctes(k: int = 8, scale: int = 1_000_000, dim: int = 64) -> str:
+    """Mirror of operators/cluster.py::kmeans_assign(k, iters=2): seed =
+    lowest-k vec_ids, argmin assignment with (dist, cluster) tie-break,
+    fixed-point int64-micro centroid refit, reassign. Ends at CTE ``asn1``
+    (vec_id, cluster) with ``c`` (vec_id, v) still in scope."""
+
+    def assign(cent: str, out: str) -> str:
+        return f"""{out}0 AS (
+            SELECT c.vec_id, {cent}.cluster,
+                   row_number() OVER (PARTITION BY c.vec_id
+                                      ORDER BY {_sql_sqd('c.v', f'{cent}.cv')} ASC,
+                                               {cent}.cluster ASC) AS rn
+            FROM c CROSS JOIN {cent}
+        ), {out} AS (SELECT vec_id, cluster FROM {out}0 WHERE rn = 1)"""
+
+    return f"""c AS (
+            SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+            FROM embeddings
+        ),
+        cent0 AS (
+            SELECT vec_id AS cluster, v AS cv FROM c ORDER BY vec_id LIMIT {k}
+        ),
+        {assign('cent0', 'asn0')},
+        csums AS (
+            SELECT a.cluster, d.dim, count(*) AS n,
+                   sum(cast(round(c.v[d.dim + 1] * {scale}) AS bigint)) AS s
+            FROM asn0 a JOIN c USING (vec_id)
+            CROSS JOIN (SELECT unnest(range(0, {dim})) AS dim) d
+            GROUP BY a.cluster, d.dim
+        ),
+        cent1 AS (
+            SELECT cluster,
+                   list(cast(s AS double) / cast(n * {scale} AS double)
+                        ORDER BY dim) AS cv
+            FROM csums GROUP BY cluster
+        ),
+        {assign('cent1', 'asn1')}"""
+
+
+def _sql_quantized_ann(k: int = 5, every: int = 25) -> str:
+    """Mirror of operators/similarity.py::ann_quantized_topk: per-vector
+    symmetric int8 quantization, INT64 dot/norm ranking."""
+    idot = (
+        "list_reduce(list_prepend(cast(0 AS bigint),"
+        " list_transform(range(1, len({a})+1),"
+        " i -> cast({a}[i] * {b}[i] AS bigint))), (x, y) -> x + y)"
+    )
+
+    def d(a, b):
+        return idot.format(a=a, b=b)
+
+    return f"""
+        WITH c AS (
+            SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+            FROM embeddings
+        ),
+        qt AS (
+            SELECT vec_id,
+                   CASE WHEN amax > 0
+                        THEN list_transform(v, x -> cast(round(x * 127.0 / amax) AS int))
+                        ELSE list_transform(v, x -> 0) END AS qvec
+            FROM (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) AS amax
+                  FROM c)
+        ),
+        cand AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   q.qvec AS qa, e.qvec AS qb
+            FROM (SELECT * FROM qt WHERE vec_id % {every} = 0) q
+            CROSS JOIN qt e
+            WHERE q.vec_id != e.vec_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   CASE WHEN {d('qa', 'qa')} > 0 AND {d('qb', 'qb')} > 0
+                        THEN 1.0 - cast({d('qa', 'qb')} AS double)
+                             / (sqrt(cast({d('qa', 'qa')} AS double))
+                                * sqrt(cast({d('qb', 'qb')} AS double)))
+                        ELSE 1.0 END AS d
+            FROM cand
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY d ASC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cast(rank AS int) AS rank,
+               round(d, 6) AS q_cos_dist
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _sql_span_dedup(span: int = 8, min_docs: int = 3) -> str:
+    """Mirror of operators/corpus.py::remove_common_spans."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, pos,
+                   array_to_string(t[pos * {span} + 1 : pos * {span} + {span}], ' ') AS s
+            FROM (SELECT doc_id, t,
+                         unnest(range(0, cast(ceil(len(t) / {span}.0) AS bigint))) AS pos
+                  FROM base WHERE len(t) >= 1)
+        ),
+        common AS (
+            SELECT s FROM spans GROUP BY s
+            HAVING count(DISTINCT doc_id) >= {min_docs}
+        ),
+        kept AS (
+            SELECT * FROM spans WHERE s NOT IN (SELECT s FROM common)
+        ),
+        rebuilt AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(s, ' ' ORDER BY pos) AS cleaned
+            FROM kept GROUP BY doc_id
+        ),
+        totals AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+        SELECT t.doc_id, cast(t.n_spans AS int) AS n_spans,
+               cast(coalesce(r.n_kept, 0) AS int) AS n_kept,
+               coalesce(r.cleaned, '') AS cleaned_text
+        FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3330,6 +3540,42 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(round(l.l_extendedprice * 100) AS bigint)) AS bigint) AS rev_cents
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        "q87_kmeans": f"""
+            WITH {_sql_kmeans_ctes()}
+            SELECT vec_id, cluster FROM asn1
+        """,
+        "q88_semantic_dedup": f"""
+            WITH {_sql_kmeans_ctes()},
+            pairs AS (
+                SELECT a1.vec_id AS ida, a2.vec_id AS idb
+                FROM asn1 a1 JOIN asn1 a2
+                  ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+            ),
+            dropped AS (
+                SELECT DISTINCT p.idb AS vec_id
+                FROM pairs p
+                JOIN c va ON p.ida = va.vec_id
+                JOIN c vb ON p.idb = vb.vec_id
+                WHERE 1.0 - {_sql_dot('va.v', 'vb.v')}
+                      / (sqrt({_sql_dot('va.v', 'va.v')})
+                         * sqrt({_sql_dot('vb.v', 'vb.v')})) <= 0.65
+            )
+            SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+            FROM asn1 a LEFT JOIN dropped d USING (vec_id)
+        """,
+        "q89_span_dedup": _sql_span_dedup(),
+        "q90_ann_quantized": _sql_quantized_ann(),
+        "q91_corpus_shuffle": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       {_sql_char_fold("('shuf42:' || cast(doc_id AS varchar))")} AS _h
+                FROM documents
+            )
+            SELECT doc_id, cast(_h % 8 AS int) AS shard,
+                   cast(row_number() OVER (PARTITION BY _h % 8
+                                           ORDER BY _h ASC, doc_id ASC) AS int) AS pos
+            FROM h
         """,
     }
     # q86 (exact PRUNED DTW KNN) must equal brute force by construction —

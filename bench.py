@@ -234,6 +234,10 @@ def main() -> None:
     run("dedup_embedding", lambda: entry_mod._q74_dedup_embedding(spark, sf_dir).count(), repeats=2)
     run("count_min_topk", lambda: entry_mod._q84_count_min(spark, sf_dir).count(), repeats=2)
     run("time_rollup", lambda: entry_mod._q81_time_rollup(spark, sf_dir).count(), repeats=2)
+    run("kmeans_2iter", lambda: entry_mod._q87_kmeans(spark, sf_dir).count(), repeats=2)
+    run("semantic_dedup", lambda: entry_mod._q88_semantic_dedup(spark, sf_dir).count(), repeats=2)
+    run("span_dedup", lambda: entry_mod._q89_span_dedup(spark, sf_dir).count(), repeats=2)
+    run("ann_quantized", lambda: entry_mod._q90_ann_quantized(spark, sf_dir).count(), repeats=2)
 
     total = round(sum(timings.values()), 3)
     dtw_pairs_per_sec = round(n_pairs / timings["knn_fastdtw_k5"]) if timings.get("knn_fastdtw_k5") else None

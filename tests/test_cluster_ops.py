@@ -1,0 +1,127 @@
+"""Tests for operators/cluster.py (k-means + semantic dedup) and the
+quantized-ANN path in operators/similarity.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.cluster import (
+    kmeans_assign,
+    kmeans_centroids,
+    semantic_dedup,
+)
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.similarity import (
+    ann_brute_topk,
+    ann_quantized_topk,
+    quantize_embeddings,
+)
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """3 well-separated blobs of 20 vectors each, 8-dim. Seeds (lowest ids)
+    are spread one per blob so k=3 k-means must recover the blobs."""
+    rng = np.random.default_rng(7)
+    centers = np.array(
+        [[10.0] * 8, [-10.0] * 4 + [10.0] * 4, [0.0] * 4 + [-12.0] * 4]
+    )
+    rows = []
+    vid = 0
+    for rep in range(20):
+        for c in range(3):
+            v = centers[c] + rng.normal(0, 0.5, 8)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return _vec_df(spark, rows)
+
+
+def test_kmeans_recovers_separated_blobs(clustered):
+    asn = kmeans_assign(clustered, k=3, iters=3).collect()
+    assert len(asn) == 60
+    # blob membership is vec_id % 3 by construction; every blob must map to
+    # exactly one cluster id and vice versa
+    by_blob = {}
+    for r in asn:
+        by_blob.setdefault(r["vec_id"] % 3, set()).add(r["cluster"])
+    assert all(len(s) == 1 for s in by_blob.values())
+    assert len({s.pop() for s in by_blob.values()}) == 3
+
+
+def test_kmeans_iters1_is_seed_assignment(clustered):
+    """iters=1 must equal nearest-seed assignment (no refit)."""
+    asn1 = {r["vec_id"]: r["cluster"] for r in kmeans_assign(clustered, k=3, iters=1).collect()}
+    rows = clustered.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in rows}
+    seeds = {i: vecs[i] for i in sorted(vecs)[:3]}
+    for vid, v in vecs.items():
+        expected = min(
+            sorted(seeds), key=lambda s: (float(np.sum((v - seeds[s]) ** 2)), s)
+        )
+        assert asn1[vid] == expected, vid
+
+
+def test_kmeans_deterministic(clustered):
+    a = sorted(map(tuple, kmeans_assign(clustered, k=3, iters=2).collect()))
+    b = sorted(map(tuple, kmeans_assign(clustered, k=3, iters=2).collect()))
+    assert a == b
+
+
+def test_kmeans_centroids_are_fixed_point_means(clustered):
+    """After convergence on separated blobs, each centroid equals the
+    fixed-point (micro-int) mean of its blob members."""
+    cent = {r["cluster"]: np.array(r["vector"]) for r in kmeans_centroids(clustered, k=3, iters=3).collect()}
+    asn = {r["vec_id"]: r["cluster"] for r in kmeans_assign(clustered, k=3, iters=3).collect()}
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in clustered.collect()}
+    for c, cv in cent.items():
+        members = [vecs[v] for v in vecs if asn[v] == c]
+        micros = np.round(np.stack(members) * 1_000_000)
+        expected = micros.sum(axis=0) / (len(members) * 1_000_000)
+        assert np.allclose(cv, expected, rtol=0, atol=0)
+
+
+def test_semantic_dedup_drops_higher_id_near_dupes(spark):
+    base = np.array([5.0, 4.0, 3.0, 2.0, 1.0, 0.5, 0.25, 0.125])
+    far = -base
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base * 1.001]),  # near-dup of 0 (same direction)
+        (2, [float(x) for x in far]),
+        (3, [float(x) for x in far * 0.999]),  # near-dup of 2
+        (4, [5.0, -4.0, 3.0, -2.0, 1.0, -0.5, 0.25, -0.125]),
+    ]
+    df = _vec_df(spark, rows)
+    out = {r["vec_id"]: r["kept"] for r in semantic_dedup(df, threshold=0.1, k=2, iters=2).collect()}
+    assert len(out) == 5
+    assert out[0] and out[2] and out[4]
+    assert not out[1] and not out[3]
+
+
+def test_quantize_embeddings_bounds_and_zero(spark):
+    df = _vec_df(
+        spark,
+        [(0, [1.0, -2.0, 0.5, 4.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    q0 = rows[0]["qvec"]
+    assert q0 == [32, -64, 16, 127]  # round(x * 127 / 4)
+    assert rows[0]["scale"] == pytest.approx(4.0 / 127.0)
+    assert rows[1]["qvec"] == [0, 0, 0, 0]
+
+
+def test_quantized_ann_recall_vs_brute(spark):
+    """int8 quantization error is ~1/254 per component — top-5 recall vs
+    float brute force stays high on the sf0.001 embeddings."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    brute = ann_brute_topk(q, emb, k=5)
+    quant = ann_quantized_topk(q, emb, k=5)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    z = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
+    recall = len(b & z) / len(b)
+    assert recall >= 0.9, recall

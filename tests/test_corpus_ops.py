@@ -227,3 +227,40 @@ def test_token_rarity_values(spark):
     assert got[1] == (3, 8, 8 / 3)
     assert got[2] == (3, 6, 2.0)
     assert got[3] == (0, 0, None)
+
+
+def test_remove_common_spans(spark):
+    """Spans (4-token) appearing in >= 2 docs are removed from every doc;
+    unique spans survive in order; an all-boilerplate doc yields ''."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.corpus import remove_common_spans
+
+    boiler = "all rights reserved worldwide"
+    rows = [
+        (0, f"{boiler} alpha beta gamma delta"),
+        (1, f"{boiler} epsilon zeta eta theta"),
+        (2, boiler),
+        (3, "iota kappa lambda mu"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_common_spans(docs, span_tokens=4, min_docs=2).collect()}
+    assert len(out) == 4
+    assert (out[0].n_spans, out[0].n_kept, out[0].cleaned_text) == (2, 1, "alpha beta gamma delta")
+    assert (out[1].n_spans, out[1].n_kept, out[1].cleaned_text) == (2, 1, "epsilon zeta eta theta")
+    assert (out[2].n_spans, out[2].n_kept, out[2].cleaned_text) == (1, 0, "")
+    assert (out[3].n_spans, out[3].n_kept, out[3].cleaned_text) == (1, 1, "iota kappa lambda mu")
+
+
+def test_remove_common_spans_order_preserved(spark):
+    """Kept spans are rejoined in original span order even when a middle
+    span is boilerplate."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.corpus import remove_common_spans
+
+    rows = [
+        (0, "a1 a2 common common b1 b2"),
+        (1, "x1 x2 common common y1 y2"),
+        (2, "z1 z2 common common w1 w2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_common_spans(docs, span_tokens=2, min_docs=3).collect()}
+    assert out[0].cleaned_text == "a1 a2 b1 b2"
+    assert out[0].n_spans == 3 and out[0].n_kept == 2

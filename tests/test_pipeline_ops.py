@@ -420,10 +420,19 @@ def test_dedup_embedding_bucket_cap(spark):
     cp = {(r.id_a, r.id_b) for r in capped.collect()}
     up = {(r.id_a, r.id_b) for r in uncapped.collect()}
     assert cp <= up
-    # uncapped sees the full 40-clone clique; capped only the low-id ones
+    # uncapped sees the full 40-clone clique; the cap keeps the low-id
+    # quadratic core PLUS one linear star edge per truncated member (r3:
+    # hub -> member, so the capped mega-cluster stays ONE component)
     assert len(up) >= 40 * 39 / 2
-    assert len(cp) <= 10 * 9 / 2 + 25
-    assert all(a < 10 and b < 10 for a, b in cp if a < 100 and b < 100)
+    assert len(cp) <= 10 * 9 / 2 + (40 - 10) + 25
+    clone_pairs = {(a, b) for a, b in cp if a < 100 and b < 100}
+    core = {(a, b) for a, b in clone_pairs if a < 10 and b < 10}
+    star = clone_pairs - core
+    # star edges all emanate from the bucket hub (lowest id) to truncated
+    # members — never member-to-member (that would be quadratic again)
+    assert all(a == 0 and b >= 10 for a, b in star)
+    # every truncated clone stays connected to the cluster
+    assert {b for _, b in star} == set(range(10, 40))
 
 
 def test_resize_image_nearest_neighbor_math(spark):

@@ -11,10 +11,19 @@ from .dedup import (  # noqa: F401
     simhash,
     simhash_near_dups,
 )
-from .similarity import ann_brute_topk, ann_ivf_topk, ann_lsh_topk, random_project  # noqa: F401
+from .similarity import (  # noqa: F401
+    ann_brute_topk,
+    ann_ivf_topk,
+    ann_lsh_topk,
+    ann_quantized_topk,
+    quantize_embeddings,
+    random_project,
+)
+from .cluster import kmeans_assign, kmeans_centroids, semantic_dedup  # noqa: F401
 from .corpus import (  # noqa: F401
     chunk_documents,
     decontaminate,
+    remove_common_spans,
     pack_sequences,
     repetition_stats,
     tfidf_topk,

@@ -1,0 +1,206 @@
+"""Embedding clustering + cluster-bucketed semantic dedup (engine
+extension; BASELINE.json north-star "training-data pipeline" family).
+
+The reference has no clustering (Team11-Project.py is a KNN classifier);
+these operators generalize its broadcast-similarity core the same way
+operators/similarity.py does, adding the two pieces a 100 TB curation
+pipeline needs:
+
+- ``kmeans_assign``: Lloyd's k-means with a fixed iteration count,
+  deterministic lowest-id seeds, and a FIXED-POINT centroid refit —
+  float32 components scale exactly to int64 (round(x*1e6)), integer sums
+  are order-independent under distributed partial aggregation, and the
+  final division is one double op. That makes the iterates bit-identical
+  on any engine / any partitioning (the same trick as the q47 class
+  centroids), which is what lets a DuckDB oracle hash-check an
+  *iterative* algorithm. similarity.py's IVF left this hook open
+  ("a k-means centroid refit can be swapped in behind the same
+  ``centroids=`` hook") — this is that refit.
+- ``semantic_dedup``: SemDeDup-shaped near-duplicate pruning (Abbas et
+  al. 2023): cluster the embeddings, then look for near-duplicates ONLY
+  inside each cluster — the candidate generator is the cluster
+  assignment itself, so the quadratic term is bounded per cluster
+  instead of corpus-wide. Complements the hyperplane-LSH candidate
+  generator in operators/dedup.py::dedup_embedding: LSH buckets by
+  random projections (recall limited on weakly structured data),
+  clusters bucket by the data's own density structure.
+
+Scale shape: the centroid table is k rows — broadcast into every
+assignment pass (zero corpus shuffles per iteration beyond the (cluster,
+dim) partial-agg refit, whose width is k*dim rows, not data-sized). The
+dedup self-join repartitions by cluster once; its cost is
+sum_c |c|^2 — at 100 TB you raise k so clusters stay bounded (SemDeDup's
+own recipe), and the assignment cost stays linear in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import cosine_distance, sq_euclidean
+
+__all__ = ["kmeans_assign", "kmeans_centroids", "semantic_dedup"]
+
+_SCALE = 1_000_000
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _seed_centroids(c: DataFrame, k: int) -> DataFrame:
+    """Deterministic seeds: the k lowest-id vectors (the IVF convention —
+    similarity.py::ann_ivf_topk). Cluster ids are the seed vector ids, so
+    they stay stable across refits."""
+    return (
+        c.orderBy("_id")
+        .limit(k)
+        .select(F.col("_id").alias("cluster"), F.col("_v").alias("_cv"))
+    )
+
+
+def _assign(c: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k-row centroid table,
+    per-row argmin via min_by with a (dist, cluster) total-order tie-break
+    — a map-side partial aggregate, no corpus shuffle."""
+    return (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("_d", sq_euclidean(F.col("_v"), F.col("_cv")))
+        .groupBy("_id")
+        .agg(F.min_by(F.struct("cluster"), F.struct("_d", "cluster")).alias("_m"))
+        .select("_id", F.col("_m.cluster").alias("cluster"))
+    )
+
+
+def _refit(c: DataFrame, asn: DataFrame) -> DataFrame:
+    """Fixed-point exact centroid means: components -> int64 micros,
+    order-free integer sums per (cluster, dim), one double division, array
+    rebuilt dim-ascending. Empty clusters drop out (their seed attracted
+    no members), exactly as in Lloyd's algorithm."""
+    e = (
+        c.join(asn, "_id")
+        .select("cluster", F.posexplode("_v").alias("dim", "_x"))
+        .select(
+            "cluster",
+            "dim",
+            F.round(F.col("_x") * _SCALE).cast("long").alias("_f"),
+        )
+    )
+    comp = (
+        e.groupBy("cluster", "dim")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_f").alias("_s"))
+        .select(
+            "cluster",
+            "dim",
+            (
+                F.col("_s").cast("double")
+                / (F.col("_n") * F.lit(_SCALE)).cast("double")
+            ).alias("_c"),
+        )
+    )
+    return comp.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "_c"))), lambda s: s["_c"]
+        ).alias("_cv")
+    )
+
+
+def _norm_input(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroids after ``iters`` assignment passes (``iters - 1`` refits):
+    (cluster, vector array<double>). Feed into
+    ``ann_ivf_topk(centroids=...)`` (rename cluster -> list_id, vector
+    stays) for a k-means-quality IVF index."""
+    c = _norm_input(df, id_col, vec_col)
+    cent = _seed_centroids(c, k)
+    for _ in range(max(iters - 1, 0)):
+        cent = _refit(c, _assign(c, cent))
+    return cent.select("cluster", F.col("_cv").alias("vector"))
+
+
+def kmeans_assign(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster assignment after ``iters`` Lloyd assignment passes.
+
+    Output: (id_col, cluster) — cluster ids are the seed vector ids.
+    ``iters=1`` is pure seed assignment (IVF build); each further iter
+    refits centroids in exact fixed-point arithmetic then reassigns.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    c = _norm_input(df, id_col, vec_col)
+    cent = _seed_centroids(c, k)
+    asn = _assign(c, cent)
+    for _ in range(iters - 1):
+        cent = _refit(c, asn)
+        asn = _assign(c, cent)
+    return asn.select(F.col("_id").alias(id_col), "cluster")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    threshold: float = 0.65,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pruning.
+
+    Cluster embeddings (``kmeans_assign``), then inside each cluster drop
+    every vector that has a LOWER-id neighbor at exact cosine distance <=
+    ``threshold`` (keep-lowest-id, the dedup-family convention). Pairs are
+    generated by the cluster assignment only — never a corpus-wide cross
+    join; the per-cluster quadratic is the knob ``k`` controls.
+
+    Output: (id_col, cluster, kept boolean) — one row per input vector.
+    """
+    c = _norm_input(df, id_col, vec_col)
+    asn = kmeans_assign(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    asn = asn.select(F.col(id_col).alias("_id"), "cluster")
+    withv = asn.join(c, "_id").select("_id", "cluster", "_v")
+    # co-locate each cluster once, then self-join inside the partition
+    withv = withv.repartition("cluster")
+    a = withv.select(
+        F.col("cluster"), F.col("_id").alias("_ida"), F.col("_v").alias("_va")
+    )
+    b = withv.select(
+        F.col("cluster"), F.col("_id").alias("_idb"), F.col("_v").alias("_vb")
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn("_d", cosine_distance(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_d") <= F.lit(threshold))
+        .select(F.col("_idb").alias("_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        asn.join(dropped, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -42,6 +42,7 @@ __all__ = [
     "decontaminate",
     "chunk_documents",
     "pack_sequences",
+    "remove_common_spans",
 ]
 
 
@@ -337,5 +338,79 @@ def token_rarity(
                 F.col("n_tokens").isNotNull(),
                 F.col("freq_sum").cast("double") / F.col("n_tokens"),
             ).alias("mean_token_freq"),
+        )
+    )
+
+
+def remove_common_spans(
+    docs: DataFrame,
+    *,
+    span_tokens: int = 8,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate-span removal (the C4/RefinedWeb line-dedup shape, token
+    form): cut each document into consecutive ``span_tokens``-token spans;
+    a span whose exact text occurs in >= ``min_docs`` DISTINCT documents is
+    boilerplate (headers, navigation, license blurbs) and is removed from
+    every document that contains it. Web-corpus text has no reliable line
+    structure after extraction, so fixed-token spans stand in for C4's
+    "three-sentence" unit while keeping the semantics exact.
+
+    Output: one row per input document —
+    (id_col, n_spans, n_kept, cleaned_text) where cleaned_text is the
+    surviving spans joined in order (empty string when everything was
+    boilerplate).
+
+    Scale shape: span fan-out is shuffle-free (sequence + explode over the
+    scan, like chunk_documents); the only shuffles are the (span_text)
+    count aggregate — map-side partial, key cardinality ~= corpus token
+    count / span_tokens — and the per-doc rebuild groupBy. The common-span
+    table (frequency >= min_docs) is a tiny fraction of spans and joins
+    broadcast; at 100 TB swap the raw span_text key for its 64-bit hash to
+    shrink the aggregate payload (identical plan shape).
+    """
+    toks = tokens(F.col(text_col))
+    t = fan_out(docs).select(
+        F.col(id_col).alias("_doc"), toks.alias("_toks"), F.size(toks).alias("_n")
+    ).filter(F.col("_n") >= 1)
+    n_spans = F.ceil(F.col("_n") / F.lit(float(span_tokens))).cast("int")
+    spans = t.select(
+        "_doc",
+        F.explode(F.sequence(F.lit(0), n_spans - F.lit(1))).alias("_pos"),
+        F.col("_toks"),
+    ).select(
+        "_doc",
+        "_pos",
+        F.concat_ws(
+            " ", F.slice(F.col("_toks"), F.col("_pos") * span_tokens + 1, span_tokens)
+        ).alias("_span"),
+    )
+    common = (
+        spans.groupBy("_span")
+        .agg(F.countDistinct("_doc").alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_span")
+    )
+    kept = spans.join(F.broadcast(common), "_span", "left_anti")
+    rebuilt = kept.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_span"))),
+                lambda s: s["_span"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    totals = spans.groupBy("_doc").agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        totals.join(rebuilt, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            F.col("n_spans").cast("int").alias("n_spans"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
     )

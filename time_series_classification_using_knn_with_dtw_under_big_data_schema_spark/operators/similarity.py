@@ -365,3 +365,85 @@ def ann_lsh_topk(
     return top.select(
         "query_id", "neighbor_id", "rank", F.round("_d", 6).alias("cos_dist")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column.
+
+    Per vector: scale = max|x| / 127 (order-free exact reduction), each
+    component q_i = round(x_i / scale) in [-127, 127]. Output:
+    (id_col, qvec array<int>, scale double). On the wire / on disk the
+    components are one byte each (cast to tinyint at the sink) — an 8x cut
+    of the dominant shuffle/storage payload in every embedding pipeline,
+    which at 100 TB is the difference between a network-bound and a
+    compute-bound ANN stage. All arithmetic (abs-max, divide, round) is
+    deterministic IEEE double math, so quantized vectors are bit-identical
+    cross-engine and a DuckDB oracle hash-checks them.
+
+    Zero vectors: scale 0 -> quantized to all-zero (guarded division).
+    """
+    v = _as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    q = F.when(
+        amax > 0,
+        F.transform(v, lambda x: F.round(x * F.lit(127.0) / amax).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(F.col(id_col), q.alias("qvec"), scale)
+
+
+def ann_quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact-over-quantized cosine top-k: quantize both sides to int8, then
+    rank by the INTEGER dot product / integer norms — every accumulation is
+    exact int64 arithmetic (order-independent, overflow-free: 64 dims x
+    127^2 << 2^63), so the ranking is fully deterministic and
+    oracle-checkable while moving 8x fewer bytes through the cross join
+    than the float pipeline. Recall vs float cosine is bounded by the
+    quantization error (~1/254 per component); measured in tests.
+
+    Output: (query_id, neighbor_id, rank, q_cos_dist) — q_cos_dist is the
+    cosine distance in the quantized space, rounded to 6dp.
+    """
+    qq = quantize_embeddings(queries, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("_qa")
+    )
+    qc = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("_qb")
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    cand = qq.crossJoin(qc)
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    na = idot(F.col("_qa"), F.col("_qa"))
+    nb = idot(F.col("_qb"), F.col("_qb"))
+    d = F.when(
+        (na > 0) & (nb > 0),
+        F.lit(1.0)
+        - idot(F.col("_qa"), F.col("_qb")).cast("double")
+        / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+    ).otherwise(F.lit(1.0))
+    cand = cand.withColumn("_d", d)
+    top = topk_per_key(cand, "query_id", [F.asc("_d"), F.asc("neighbor_id")], k)
+    return top.select(
+        "query_id", "neighbor_id", "rank", F.round("_d", 6).alias("q_cos_dist")
+    )
