@@ -125,3 +125,22 @@ def test_quantized_ann_recall_vs_brute(spark):
     z = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
     recall = len(b & z) / len(b)
     assert recall >= 0.9, recall
+
+
+def test_quantized_ann_kernel_matches_declarative(spark):
+    """Integer math makes the two strategies exactly equal (not just close):
+    same ids, same ranks, same 6dp distances."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    a = sorted(map(tuple, ann_quantized_topk(q, emb, k=5, strategy="kernel").collect()))
+    b = sorted(map(tuple, ann_quantized_topk(q, emb, k=5, strategy="declarative").collect()))
+    assert a == b
+
+
+def test_dedup_embedding_kernel_verify_matches_expr(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import dedup_embedding
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, dedup_embedding(emb, threshold=0.65, verify="kernel").collect()))
+    b = sorted(map(tuple, dedup_embedding(emb, threshold=0.65, verify="expr").collect()))
+    assert a == b and len(a) > 0

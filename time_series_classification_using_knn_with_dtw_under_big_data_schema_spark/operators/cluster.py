@@ -164,8 +164,13 @@ def semantic_dedup(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    verify: str = "kernel",
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pruning.
+
+    ``verify``: 'kernel' (default) scores intra-cluster pairs through the
+    Arrow-batched cosine kernel (bit-identical to the SQL fold — same
+    oracle applies); 'expr' keeps the declarative fold.
 
     Cluster embeddings (``kmeans_assign``), then inside each cluster drop
     every vector that has a LOWER-id neighbor at exact cosine distance <=
@@ -187,10 +192,18 @@ def semantic_dedup(
     b = withv.select(
         F.col("cluster"), F.col("_id").alias("_idb"), F.col("_v").alias("_vb")
     )
+    if verify == "kernel":
+        from ..functions.distance import cosine_distance_kernel
+
+        dist_fn = cosine_distance_kernel()
+    elif verify == "expr":
+        dist_fn = cosine_distance
+    else:
+        raise ValueError(f"unknown verify {verify!r}")
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("_ida") < F.col("_idb"))
-        .withColumn("_d", cosine_distance(F.col("_va"), F.col("_vb")))
+        .withColumn("_d", dist_fn(F.col("_va"), F.col("_vb")))
         .filter(F.col("_d") <= F.lit(threshold))
         .select(F.col("_idb").alias("_id"))
         .distinct()

@@ -629,10 +629,18 @@ def dedup_embedding(
     dim: int = 64,
     strategy: str = "lsh",
     max_bucket_size: int | None = None,
+    verify: str = "kernel",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_dist) with
     cos_dist <= ``threshold`` and id_a < id_b — the semantic-dedup member of
     the dedup family (exact / jaccard / minhash-LSH / simhash / embedding).
+
+    ``verify``: 'kernel' (default) scores candidates through the
+    Arrow-batched cosine kernel (functions/distance.py::
+    cosine_distance_kernel — bit-identical to the SQL fold, ~10x faster on
+    the millions-of-candidates verification stage, which dominates this
+    operator's cost); 'expr' keeps the pure-declarative fold (the oracle's
+    literal mirror).
 
     strategy='lsh' (scale path): candidates = pairs sharing a hyperplane-LSH
     bucket in ANY of ``tables`` tables (same deterministic hash-derived
@@ -701,7 +709,15 @@ def dedup_embedding(
         cand = pairs.join(va, "id_a").join(vb, "id_b")
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
-    scored = cand.withColumn("_d", cosine_distance(F.col("_va"), F.col("_vb")))
+    if verify == "kernel":
+        from ..functions.distance import cosine_distance_kernel
+
+        dist_fn = cosine_distance_kernel()
+    elif verify == "expr":
+        dist_fn = cosine_distance
+    else:
+        raise ValueError(f"unknown verify {verify!r}")
+    scored = cand.withColumn("_d", dist_fn(F.col("_va"), F.col("_vb")))
     return (
         scored.filter(F.col("_d") <= threshold)
         .select("id_a", "id_b", F.round("_d", 6).alias("cos_dist"))

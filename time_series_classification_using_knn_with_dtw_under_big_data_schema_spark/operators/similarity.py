@@ -405,6 +405,8 @@ def ann_quantized_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    strategy: str = "kernel",
+    max_broadcast_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Exact-over-quantized cosine top-k: quantize both sides to int8, then
     rank by the INTEGER dot product / integer norms — every accumulation is
@@ -413,6 +415,18 @@ def ann_quantized_topk(
     oracle-checkable while moving 8x fewer bytes through the cross join
     than the float pipeline. Recall vs float cosine is bounded by the
     quantization error (~1/254 per component); measured in tests.
+
+    strategy='kernel' (default): quantization stays a Spark SQL expression
+    (per-row, bit-exact), and only the candidate scoring runs as a numpy
+    int64 matmul over the broadcast quantized corpus — no pair
+    materialization, no interpreted per-element fold over N*M pairs (the
+    declarative fold measured ~10x slower than even the FLOAT brute path).
+    Because every accumulated quantity is an exact small integer and the
+    final distance is two correctly-rounded IEEE ops, kernel and
+    declarative results are bit-identical (test-pinned) — the same DuckDB
+    oracle covers both. Corpus-too-big falls back to declarative without a
+    broadcast (same guard as ann_brute_topk).
+    strategy='declarative': crossJoin + integer fold — the oracle's mirror.
 
     Output: (query_id, neighbor_id, rank, q_cos_dist) — q_cos_dist is the
     cosine distance in the quantized space, rounded to 6dp.
@@ -423,6 +437,56 @@ def ann_quantized_topk(
     qc = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("_qb")
     )
+    hint_broadcast = True
+    if strategy == "kernel":
+        n_rows, dim0 = qc.agg(F.count(F.lit(1)), F.max(F.size("_qb"))).first()
+        if not n_rows:
+            raise ValueError("empty corpus side")
+        # int16 on the wire: 2 bytes per component
+        if n_rows * int(dim0 or 0) * 2 > max_broadcast_bytes:
+            strategy = "declarative"
+            hint_broadcast = False
+    if strategy == "kernel":
+        rows = qc.collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        M = np.stack([np.asarray(r[1], dtype=np.int16) for r in rows])
+        Ml = M.astype(np.int64)
+        bnorm = (Ml * Ml).sum(axis=1)  # exact int64
+        bvar = queries.sparkSession.sparkContext.broadcast((ids, Ml, bnorm))
+        kk, excl = k, exclude_self
+
+        def op(batches):
+            b_ids, B, bn = bvar.value
+            bsq = np.sqrt(bn.astype(np.float64))
+            for pdf in batches:
+                out = {"query_id": [], "neighbor_id": [], "rank": [], "_d": []}
+                for qid, f in zip(pdf["query_id"], pdf["_qa"]):
+                    a = np.asarray(f, dtype=np.int64)
+                    qn = int(a @ a)
+                    dot = B @ a  # exact int64
+                    if qn == 0:
+                        dist = np.ones(len(b_ids))
+                    else:
+                        dist = 1.0 - dot.astype(np.float64) / (
+                            np.sqrt(float(qn)) * bsq
+                        )
+                        dist[bn == 0] = 1.0
+                    mask = b_ids != qid if excl else np.ones(len(b_ids), dtype=bool)
+                    di, ii = dist[mask], b_ids[mask]
+                    order = np.lexsort((ii, di))[:kk]
+                    m = len(order)
+                    out["query_id"].extend([qid] * m)
+                    out["neighbor_id"].extend(ii[order])
+                    out["rank"].extend(range(1, m + 1))
+                    out["_d"].extend(di[order])
+                yield pd.DataFrame(out)
+
+        top = qq.mapInPandas(
+            op, schema="query_id long, neighbor_id long, rank int, _d double"
+        )
+        return top.select(
+            "query_id", "neighbor_id", "rank", F.round("_d", 6).alias("q_cos_dist")
+        )
 
     def idot(a, b):
         return F.aggregate(
@@ -431,7 +495,7 @@ def ann_quantized_topk(
             lambda acc, v: acc + v,
         )
 
-    cand = qq.crossJoin(qc)
+    cand = qq.crossJoin(F.broadcast(qc) if hint_broadcast else qc)
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     na = idot(F.col("_qa"), F.col("_qa"))
