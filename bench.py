@@ -100,7 +100,7 @@ def main() -> None:
     # --- series workload -------------------------------------------------
     events = _t_cached(spark, sf_dir, "events")
     series = events_to_series(events, length=SERIES_LEN).cache()
-    n_series = run("series_build", lambda: series.count())
+    n_series = run("series_build", lambda: series.count(), repeats=2)
     train, test = split_train_test(series)
     n_train, n_test = train.count(), test.count()
     n_pairs = n_train * n_test
@@ -127,6 +127,7 @@ def main() -> None:
             test.withColumnRenamed("series_id", "test_id"),
             key="test_id",
         ).count(),
+        repeats=2,
     )
 
     from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
@@ -198,6 +199,7 @@ def main() -> None:
         lambda: knn_classify(
             t561_small, r561, metric="fastdtw", k=5, strategy="kernel"
         ).count(),
+        repeats=2,
     )
     fastdtw561_pairs_per_sec = (
         round(n_pairs_561f / timings["knn_fastdtw_561pt"])
@@ -223,12 +225,12 @@ def main() -> None:
     )
 
     # --- training-data pipeline operators --------------------------------
-    run("dedup_exact", lambda: entry_mod._q16_dedup_exact(spark, sf_dir).count())
+    run("dedup_exact", lambda: entry_mod._q16_dedup_exact(spark, sf_dir).count(), repeats=2)
     run("dedup_minhash_lsh", lambda: entry_mod._q18_dedup_minhash_lsh(spark, sf_dir).count(), repeats=2)
     run("simhash", lambda: entry_mod._q19_simhash(spark, sf_dir).count(), repeats=2)
-    run("text_stats", lambda: entry_mod._q20_text_stats(spark, sf_dir).count())
+    run("text_stats", lambda: entry_mod._q20_text_stats(spark, sf_dir).count(), repeats=2)
     run("dedup_components", lambda: entry_mod._q35_dedup_components(spark, sf_dir).count(), repeats=2)
-    run("ann_brute_cosine", lambda: entry_mod._q23_ann_cosine(spark, sf_dir).count())
+    run("ann_brute_cosine", lambda: entry_mod._q23_ann_cosine(spark, sf_dir).count(), repeats=2)
     run("ann_lsh_cosine", lambda: entry_mod._q24_ann_lsh(spark, sf_dir).count(), repeats=2)
     run("ann_ivf_cosine", lambda: entry_mod._q34_ann_ivf(spark, sf_dir).count(), repeats=2)
     run("dedup_embedding", lambda: entry_mod._q74_dedup_embedding(spark, sf_dir).count(), repeats=2)

@@ -180,9 +180,16 @@ def semantic_dedup(
 
     Output: (id_col, cluster, kept boolean) — one row per input vector.
     """
+    from ..caching import register_cache
+
     c = _norm_input(df, id_col, vec_col)
     asn = kmeans_assign(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    asn = asn.select(F.col(id_col).alias("_id"), "cluster")
+    # the assignment feeds BOTH the pair generator and the output join —
+    # cache it so the k-means lineage (2 assignment passes + refit) executes
+    # once, not once per branch. (id, cluster) rows only: tiny vs the corpus
+    asn = register_cache(
+        asn.select(F.col(id_col).alias("_id"), "cluster").cache()
+    )
     withv = asn.join(c, "_id").select("_id", "cluster", "_v")
     # co-locate each cluster once, then self-join inside the partition
     withv = withv.repartition("cluster")
