@@ -1645,6 +1645,21 @@ def _q91_corpus_shuffle(spark, sf_dir):
     )
 
 
+def _q92_decontaminate_fuzzy(spark, sf_dir):
+    """FUZZY decontamination (operators/corpus.py::decontaminate_fuzzy):
+    train docs whose minhash signature agrees with some eval doc's on >= 8
+    of 16 components (estimated shingle-Jaccard >= 0.5) — the
+    near-verbatim-leak complement of q55's exact n-gram pass. Same eval
+    split convention as q55 (doc_id % 17 == 0); signatures are the portable
+    minhash spec q18 banks on, so the oracle mirrors them exactly."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import decontaminate_fuzzy
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    tr = docs.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate_fuzzy(tr, ev, min_agree=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1738,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_span_dedup": _q89_span_dedup,
         "q90_ann_quantized": _q90_ann_quantized,
         "q91_corpus_shuffle": _q91_corpus_shuffle,
+        "q92_decontaminate_fuzzy": _q92_decontaminate_fuzzy,
     }
 
 
@@ -3576,6 +3592,35 @@ def oracle_sql() -> dict[str, str]:
                    cast(row_number() OVER (PARTITION BY _h % 8
                                            ORDER BY _h ASC, doc_id ASC) AS int) AS pos
             FROM h
+        """,
+        "q92_decontaminate_fuzzy": f"""
+            WITH {_SQL_SHINGLE_TABLE},
+            shd AS (SELECT doc_id, list_distinct(hashes) AS hashes FROM shh),
+            sigs AS (
+                SELECT doc_id, {_sql_minhash_sig(16)} AS sig FROM shd
+                WHERE len(hashes) >= 1
+            ),
+            ev AS (
+                SELECT doc_id AS eval_id, j.j AS j, sig[j.j + 1] AS v
+                FROM sigs, (SELECT unnest(range(0, 16)) AS j) j(j)
+                WHERE doc_id % 17 = 0
+            ),
+            tr AS (
+                SELECT doc_id, j.j AS j, sig[j.j + 1] AS v
+                FROM sigs, (SELECT unnest(range(0, 16)) AS j) j(j)
+                WHERE doc_id % 17 != 0
+            ),
+            agr AS (
+                SELECT tr.doc_id, ev.eval_id, count(*) AS n
+                FROM tr JOIN ev USING (j, v)
+                GROUP BY tr.doc_id, ev.eval_id
+            ),
+            mx AS (SELECT doc_id, max(n) AS m FROM agr GROUP BY doc_id)
+            SELECT b.doc_id,
+                   cast(coalesce(m.m, 0) AS int) AS max_agree,
+                   (coalesce(m.m, 0) >= 8) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 17 != 0) b
+            LEFT JOIN mx m USING (doc_id)
         """,
     }
     # q86 (exact PRUNED DTW KNN) must equal brute force by construction —

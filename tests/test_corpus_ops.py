@@ -264,3 +264,24 @@ def test_remove_common_spans_order_preserved(spark):
     out = {r.doc_id: r for r in remove_common_spans(docs, span_tokens=2, min_docs=3).collect()}
     assert out[0].cleaned_text == "a1 a2 b1 b2"
     assert out[0].n_spans == 3 and out[0].n_kept == 2
+
+
+def test_decontaminate_fuzzy_flags_near_verbatim(spark):
+    """A lightly-edited copy of an eval doc is flagged; unrelated text is
+    not; exact copies agree on all 16 components."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import decontaminate_fuzzy
+
+    evd = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows_ev = [(100, evd)]
+    rows_tr = [
+        (0, evd),  # verbatim leak
+        (1, evd.replace("today", "tonight")),  # light edit
+        (2, "completely different material about spark query planning and shuffles"),
+    ]
+    ev = spark.createDataFrame(rows_ev, "doc_id long, text string")
+    tr = spark.createDataFrame(rows_tr, "doc_id long, text string")
+    out = {r.doc_id: r for r in decontaminate_fuzzy(tr, ev, min_agree=8).collect()}
+    assert out[0].max_agree == 16 and out[0].contaminated
+    assert out[1].contaminated and out[1].max_agree >= 8
+    assert not out[2].contaminated
+    assert len(out) == 3

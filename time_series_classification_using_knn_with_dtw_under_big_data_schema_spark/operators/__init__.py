@@ -23,6 +23,7 @@ from .cluster import kmeans_assign, kmeans_centroids, semantic_dedup  # noqa: F4
 from .corpus import (  # noqa: F401
     chunk_documents,
     decontaminate,
+    decontaminate_fuzzy,
     remove_common_spans,
     pack_sequences,
     repetition_stats,

@@ -40,6 +40,7 @@ __all__ = [
     "tfidf_topk",
     "repetition_stats",
     "decontaminate",
+    "decontaminate_fuzzy",
     "chunk_documents",
     "pack_sequences",
     "remove_common_spans",
@@ -413,4 +414,66 @@ def remove_common_spans(
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
             F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
+    )
+
+
+def decontaminate_fuzzy(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 5,
+    num_hashes: int = 16,
+    min_agree: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag training documents whose
+    minhash signature agrees with some eval/benchmark document's signature
+    on >= ``min_agree`` of ``num_hashes`` components — i.e. estimated
+    shingle-Jaccard >= min_agree/num_hashes. Catches the near-verbatim
+    leaks (reformatted, lightly edited, concatenated benchmark text) that
+    the exact n-gram pass (``decontaminate``) misses; run both, like the
+    Llama/PaLM contamination audits pair exact and fuzzy matching.
+
+    Reuses the engine's portable minhash spec (functions/text.py MINHASH_A/
+    B over char-``n``-gram shingle hashes — the same signatures
+    dedup_minhash_lsh banks on), so results are deterministic and
+    oracle-checkable.
+
+    Output: one row per train document —
+    (id_col, max_agree int, contaminated boolean).
+
+    Scale shape: the eval side is benchmark-sized, so its exploded
+    (component, value, eval_id) index broadcasts; the train side computes
+    signatures in one Arrow-batched pass and joins component-wise — the
+    only corpus-sized shuffles are the two map-side-partial groupBys
+    ((train, eval) agreement count, then per-train max). Agreement
+    counting touches only (train, eval) pairs that collide on at least one
+    component — the minhash index IS the candidate filter.
+    """
+    from ..operators.dedup import make_shingle_minhash_udf
+
+    kern = make_shingle_minhash_udf(n, num_hashes).asNondeterministic()
+
+    def sigs(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            fan_out(df)
+            .select(F.col(id_col).alias(out_id), kern(F.col(text_col)).alias("_k"))
+            .filter(F.size("_k.hashes") >= 1)
+            .select(out_id, F.posexplode("_k.sig").alias("_j", "_v"))
+        )
+
+    ev = sigs(eval_docs, "eval_id")
+    tr = sigs(train, "train_id")
+    agree = (
+        tr.join(F.broadcast(ev), ["_j", "_v"])
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    mx = agree.groupBy("train_id").agg(F.max("_n").alias("_m"))
+    base = train.select(F.col(id_col).alias("train_id"))
+    return base.join(mx, "train_id", "left").select(
+        F.col("train_id").alias(id_col),
+        F.coalesce(F.col("_m"), F.lit(0)).cast("int").alias("max_agree"),
+        (F.coalesce(F.col("_m"), F.lit(0)) >= min_agree).alias("contaminated"),
     )
