@@ -1660,6 +1660,25 @@ def _q92_decontaminate_fuzzy(spark, sf_dir):
     return decontaminate_fuzzy(tr, ev, min_agree=8)
 
 
+def _q93_ann_ivf_kmeans(spark, sf_dir):
+    """IVF search seeded by REFIT k-means centroids (the integration hook
+    q34's docstring promised): kmeans_centroids' fixed-point-exact iterates
+    (q87's machinery, k=16) feed ann_ivf_topk(centroids=...) — index
+    partitioning now follows the data's density structure instead of raw
+    lowest-id seeds, at identical plan shape (broadcast centroid table,
+    one index-build shuffle, n_probe lists per query). The whole composed
+    pipeline — 2 Lloyd passes AND the IVF assign/probe/rerank on top — is
+    hash-checked by one oracle."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.cluster import kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=16, iters=2).select(
+        F.col("cluster").alias("list_id"), "vector"
+    )
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    return ann_ivf_topk(q, emb, k=5, n_probe=4, centroids=cent)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1754,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_ann_quantized": _q90_ann_quantized,
         "q91_corpus_shuffle": _q91_corpus_shuffle,
         "q92_decontaminate_fuzzy": _q92_decontaminate_fuzzy,
+        "q93_ann_ivf_kmeans": _q93_ann_ivf_kmeans,
     }
 
 
@@ -2354,6 +2374,64 @@ def _sql_span_dedup(span: int = 8, min_docs: int = 3) -> str:
                cast(coalesce(r.n_kept, 0) AS int) AS n_kept,
                coalesce(r.cleaned, '') AS cleaned_text
         FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+
+def _sql_ann_ivf_kmeans(k: int = 5, n_probe: int = 4, n_lists: int = 16) -> str:
+    """Mirror of the q93 composition: _sql_kmeans_ctes(k=n_lists) produces
+    the refit centroid table cent1, then the IVF assign/probe/rerank CTEs
+    (same cosine folds and tie-breaks as _sql_ann_ivf) run against it."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"1.0 - {_sql_dot(a, b)}"
+            f" / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+        )
+
+    return f"""
+        WITH {_sql_kmeans_ctes(k=n_lists)},
+        cent AS (SELECT cluster AS list_id, cv AS lv FROM cent1),
+        iasn0 AS (
+            SELECT c.vec_id AS neighbor_id, cent.list_id, c.v AS cv,
+                   {cos("c.v", "cent.lv")} AS d
+            FROM c CROSS JOIN cent
+        ),
+        iasn AS (
+            SELECT neighbor_id, list_id, cv FROM (
+                SELECT *, row_number() OVER (PARTITION BY neighbor_id
+                                             ORDER BY d ASC, list_id ASC) AS rn
+                FROM iasn0
+            ) WHERE rn = 1
+        ),
+        probe0 AS (
+            SELECT q.vec_id AS query_id, cent.list_id, q.v AS qv,
+                   {cos("q.v", "cent.lv")} AS d
+            FROM (SELECT * FROM c WHERE vec_id % 25 = 0) q CROSS JOIN cent
+        ),
+        probes AS (
+            SELECT query_id, list_id, qv FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY d ASC, list_id ASC) AS rn
+                FROM probe0
+            ) WHERE rn <= {n_probe}
+        ),
+        cands AS (
+            SELECT p.query_id, p.qv, a.neighbor_id, a.cv
+            FROM probes p JOIN iasn a USING (list_id)
+            WHERE p.query_id != a.neighbor_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id, {cos("qv", "cv")} AS d
+            FROM cands
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY d ASC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cast(rank AS int) AS rank,
+               round(d, 6) AS cos_dist
+        FROM ranked WHERE rank <= {k}
     """
 
 
@@ -3622,6 +3700,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE doc_id % 17 != 0) b
             LEFT JOIN mx m USING (doc_id)
         """,
+    "q93_ann_ivf_kmeans": _sql_ann_ivf_kmeans(),
     }
     # q86 (exact PRUNED DTW KNN) must equal brute force by construction —
     # its oracle is q70's brute-force recursive-CTE DP, verbatim

@@ -144,3 +144,20 @@ def test_dedup_embedding_kernel_verify_matches_expr(spark):
     a = sorted(map(tuple, dedup_embedding(emb, threshold=0.65, verify="kernel").collect()))
     b = sorted(map(tuple, dedup_embedding(emb, threshold=0.65, verify="expr").collect()))
     assert a == b and len(a) > 0
+
+
+def test_kmeans_centroids_lift_ivf_recall(spark):
+    """IVF seeded by k-means refit centroids (q93's composition) must beat
+    lowest-id seed IVF on recall vs brute force — centroids that follow the
+    data's density partition the index better. Deterministic pipeline, so
+    the measured values are stable (0.60 vs 0.52 on sf0.001 at pin time)."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    brute = {(r.query_id, r.neighbor_id) for r in e._q23_ann_cosine(spark, sf).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in e._q34_ann_ivf(spark, sf).collect()}
+    km = {(r.query_id, r.neighbor_id) for r in e._q93_ann_ivf_kmeans(spark, sf).collect()}
+    seed_recall = len(brute & ivf) / len(brute)
+    km_recall = len(brute & km) / len(brute)
+    assert km_recall > seed_recall, (km_recall, seed_recall)
+    assert km_recall >= 0.55

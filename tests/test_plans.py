@@ -94,15 +94,17 @@ def test_chunk_documents_plan_is_shuffle_free(spark):
 
 
 def test_known_collect_sites_are_bounded(spark):
-    """The four operators that legitimately materialize driver-side state
-    (kernel KNN broadcast matrix, kernel ANN matrix, dedup_components'
-    small-graph union-find, bloom_semi_join's sketch bitmap) must keep every
-    collect sketch-sized. Instrumented end-to-end; a future operator adding
-    an unguarded collect to these paths fails here."""
+    """The operators that legitimately materialize driver-side state
+    (kernel KNN broadcast matrix, kernel ANN matrix, the quantized-ANN int8
+    matrix, dedup_components' small-graph union-find, bloom_semi_join's
+    sketch bitmap) must keep every collect sketch-sized. Instrumented
+    end-to-end; a future operator adding an unguarded collect to these
+    paths fails here."""
     import numpy as np
 
     from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
         ann_brute_topk,
+        ann_quantized_topk,
         dedup_components,
     )
     from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sketch import (
@@ -129,6 +131,7 @@ def test_known_collect_sites_are_bounded(spark):
         lambda: (
             knn_join(sdf.limit(10), sdf, k=3, strategy="kernel").count(),
             ann_brute_topk(vdf.limit(5), vdf, k=3, strategy="kernel").count(),
+            ann_quantized_topk(vdf.limit(5), vdf, k=3, strategy="kernel").count(),
             dedup_components(docs, pairs).count(),
             bloom_semi_join(fact, dim, "k", m_bits=1024).count(),
         ),
