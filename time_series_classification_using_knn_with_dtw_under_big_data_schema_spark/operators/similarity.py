@@ -36,6 +36,20 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _cos_fn(scoring: str):
+    """Cosine-distance column fn: 'kernel' = Arrow-batched numpy
+    (bit-identical to the fold — functions/distance.py::
+    cosine_distance_kernel; use when the pair volume is large), 'expr' =
+    the declarative fold (the oracle's literal mirror)."""
+    if scoring == "kernel":
+        from ..functions.distance import cosine_distance_kernel
+
+        return cosine_distance_kernel()
+    if scoring == "expr":
+        return cosine_distance
+    raise ValueError(f"unknown scoring {scoring!r}")
+
+
 def ann_brute_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -138,8 +152,14 @@ def ann_ivf_topk(
     n_probe: int = 4,
     exclude_self: bool = True,
     centroids: DataFrame | None = None,
+    scoring: str = "kernel",
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF (inverted-file) search.
+
+    ``scoring``: 'kernel' (default) runs the N x n_lists assignment folds
+    and the candidate rerank through the Arrow-batched cosine kernel
+    (bit-identical to the fold; the assignment volume dominates the index
+    build); 'expr' keeps the pure-declarative plan (the oracle's mirror).
 
     Plan shape (the point, at scale):
     - centroid table is tiny -> broadcast into BOTH assignment cross joins;
@@ -166,10 +186,11 @@ def ann_ivf_topk(
     else:
         cent = centroids.select("list_id", _as_double(F.col("vector")).alias("_lv"))
 
+    dist_fn = _cos_fn(scoring)
     # index build: nearest centroid per corpus vector
     asn = (
         c.crossJoin(F.broadcast(cent))
-        .withColumn("_d", cosine_distance(F.col("_cv"), F.col("_lv")))
+        .withColumn("_d", dist_fn(F.col("_cv"), F.col("_lv")))
         .groupBy("neighbor_id")
         .agg(F.min_by(F.struct("list_id", "_cv"), F.struct("_d", "list_id")).alias("_m"))
         .select("neighbor_id", F.col("_m.list_id").alias("list_id"), F.col("_m._cv").alias("_cv"))
@@ -179,7 +200,7 @@ def ann_ivf_topk(
     # so the candidate join needs no second pass over the queries side)
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("_d", cosine_distance(F.col("_qv"), F.col("_lv")))
+        .withColumn("_d", dist_fn(F.col("_qv"), F.col("_lv")))
     )
     probes = topk_per_key(probes, "query_id", [F.asc("_d"), F.asc("list_id")], n_probe)
     probes = probes.select("query_id", "list_id", "_qv")
@@ -187,7 +208,7 @@ def ann_ivf_topk(
     cand = asn.join(F.broadcast(probes), "list_id")
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
-    cand = cand.withColumn("_d", cosine_distance(F.col("_qv"), F.col("_cv")))
+    cand = cand.withColumn("_d", dist_fn(F.col("_qv"), F.col("_cv")))
     top = topk_per_key(cand, "query_id", [F.asc("_d"), F.asc("neighbor_id")], k)
     return top.select(
         "query_id", "neighbor_id", "rank", F.round("_d", 6).alias("cos_dist")
@@ -323,8 +344,14 @@ def ann_lsh_topk(
     dim: int = 64,
     exclude_self: bool = True,
     probes: int = 0,
+    scoring: str = "kernel",
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via multi-table hyperplane LSH.
+
+    ``scoring``: 'kernel' (default) reranks candidates through the
+    Arrow-batched cosine kernel (bit-identical to the fold; candidate
+    volume is tables x bucket-size per query, the dominant cost); 'expr'
+    keeps the declarative fold (the oracle's mirror).
 
     Candidates = pairs sharing a bucket in ANY of ``tables`` hash tables;
     exact cosine rerank on candidates. Same output schema as brute force.
@@ -360,7 +387,7 @@ def ann_lsh_topk(
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     cand = cand.join(q, "query_id").join(c, "neighbor_id")
-    cand = cand.withColumn("_d", cosine_distance(F.col("_qv"), F.col("_cv")))
+    cand = cand.withColumn("_d", _cos_fn(scoring)(F.col("_qv"), F.col("_cv")))
     top = topk_per_key(cand, "query_id", [F.asc("_d"), F.asc("neighbor_id")], k)
     return top.select(
         "query_id", "neighbor_id", "rank", F.round("_d", 6).alias("cos_dist")
