@@ -177,3 +177,20 @@ def test_ann_scoring_kernel_matches_expr(spark):
         a = sorted(map(tuple, fn(q, emb, k=5, scoring="kernel", **kw).collect()))
         b = sorted(map(tuple, fn(q, emb, k=5, scoring="expr", **kw).collect()))
         assert a == b and len(a) > 0, fn.__name__
+
+
+def test_semantic_dedup_cluster_cap(spark):
+    """With max_cluster_size, a near-dup mega-cluster stays fully deduped
+    through linear hub edges (every truncated clone still drops), while an
+    unrelated distinct vector in the same cluster is kept."""
+    base = [4.0, 3.0, 2.0, 1.0, 0.5, 0.25, 0.125, 0.0625]
+    rows = [(i, [x * (1 + i * 1e-4) for x in base]) for i in range(30)]  # 30 clones
+    rows += [(100, [-x for x in base]), (101, [-x * 1.001 for x in base])]
+    df = _vec_df(spark, rows)
+    out = {r["vec_id"]: r["kept"] for r in
+           semantic_dedup(df, threshold=0.1, k=2, iters=2, max_cluster_size=5).collect()}
+    assert len(out) == 32
+    assert out[0]  # cluster hub kept
+    # every clone beyond the cap still dropped via its hub edge
+    assert all(not out[i] for i in range(1, 30))
+    assert out[100] and not out[101]

@@ -165,6 +165,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     verify: str = "kernel",
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pruning.
 
@@ -177,6 +178,18 @@ def semantic_dedup(
     ``threshold`` (keep-lowest-id, the dedup-family convention). Pairs are
     generated by the cluster assignment only — never a corpus-wide cross
     join; the per-cluster quadratic is the knob ``k`` controls.
+
+    ``max_cluster_size`` (skew defense, same recipe as dedup_embedding's
+    bucket cap): a mega-cluster of B vectors contributes B^2/2 pairs; the
+    cap keeps the quadratic core over the ``max_cluster_size`` LOWEST ids
+    and adds one LINEAR hub edge (cluster_min_id, member) per truncated
+    member, so a B-vector cluster costs C(cap,2) + B comparisons. Every
+    truncated member still verifies against the hub (the cluster's most
+    representative survivor by the keep-lowest-id convention); recall is
+    only lost for member-member near-dups among truncated members that are
+    NOT near the hub — on a genuine near-dup mega-cluster (the case the
+    cap exists for) members are all hub-similar, so drops survive.
+    Deterministic, so an oracle can mirror it.
 
     Output: (id_col, cluster, kept boolean) — one row per input vector.
     """
@@ -193,6 +206,21 @@ def semantic_dedup(
     withv = asn.join(c, "_id").select("_id", "cluster", "_v")
     # co-locate each cluster once, then self-join inside the partition
     withv = withv.repartition("cluster")
+    star = None
+    if max_cluster_size is not None:
+        w = Window.partitionBy("cluster").orderBy(F.asc("_id"))
+        ranked = withv.withColumn("_rn", F.row_number().over(w))
+        hub = ranked.filter(F.col("_rn") == 1).select(
+            "cluster", F.col("_id").alias("_ida"), F.col("_v").alias("_va")
+        )
+        # linear hub edges for every truncated member
+        star = (
+            ranked.filter(F.col("_rn") > max_cluster_size)
+            .select("cluster", F.col("_id").alias("_idb"), F.col("_v").alias("_vb"))
+            .join(hub, "cluster")
+            .select("cluster", "_ida", "_va", "_idb", "_vb")
+        )
+        withv = ranked.filter(F.col("_rn") <= max_cluster_size).drop("_rn")
     a = withv.select(
         F.col("cluster"), F.col("_id").alias("_ida"), F.col("_v").alias("_va")
     )
@@ -207,9 +235,11 @@ def semantic_dedup(
         dist_fn = cosine_distance
     else:
         raise ValueError(f"unknown verify {verify!r}")
+    pairs = a.join(b, "cluster").filter(F.col("_ida") < F.col("_idb"))
+    if star is not None:
+        pairs = pairs.unionByName(star.filter(F.col("_ida") < F.col("_idb")))
     dropped = (
-        a.join(b, "cluster")
-        .filter(F.col("_ida") < F.col("_idb"))
+        pairs
         .withColumn("_d", dist_fn(F.col("_va"), F.col("_vb")))
         .filter(F.col("_d") <= F.lit(threshold))
         .select(F.col("_idb").alias("_id"))

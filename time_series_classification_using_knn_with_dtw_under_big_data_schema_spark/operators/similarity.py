@@ -12,12 +12,11 @@ time series to embedding vectors.
   corpus vector to its nearest of ``n_lists`` centroids (the index build:
   ONE shuffle, which at scale you'd persist as a list_id-partitioned table),
   probe the ``n_probe`` closest lists per query, exact rerank inside probed
-  lists. Centroids are deterministic seeds (lowest-id corpus vectors) rather
-  than k-means iterates: grouped float summation is partial-agg
-  order-dependent, which would break the DuckDB bit-parity oracle — the
-  partition/probe/rerank plan (the part that matters at 100 TB) is identical
-  either way, and a k-means centroid refit can be swapped in behind the same
-  ``centroids=`` hook.
+  lists. Default centroids are deterministic seeds (lowest-id corpus
+  vectors); pass ``centroids=operators.cluster.kmeans_centroids(...)`` for
+  density-following lists — the fixed-point-exact refit keeps even the
+  k-means iterates oracle-checkable (q93 composes and hash-checks the
+  whole pipeline; measured recall lift 0.44 -> 0.54 over seeds at sf0.01).
 """
 
 from __future__ import annotations
