@@ -1679,6 +1679,33 @@ def _q93_ann_ivf_kmeans(spark, sf_dir):
     return ann_ivf_topk(q, emb, k=5, n_probe=4, centroids=cent)
 
 
+def _q94_image_decode_real(spark, sf_dir):
+    """REAL image decoding under the oracle gate: payloads are genuine PNG
+    bytes (pure-stdlib encoder, functions/png.py) of closed-form gradient
+    images — pixel(i,j) = (i*7 + j*13 + 31*id) mod 256 — decoded by the
+    engine's builtin PNG codec (zlib inflate + scanline unfiltering, NO
+    imaging library) and nearest-neighbor resized. The oracle cannot parse
+    PNG, and doesn't need to: it recomputes the expected pixels from the
+    generative formula — so a hash match proves the DECODER itself is
+    correct, not merely stable. width/height come from the decoded IHDR;
+    checksums are integer-exact."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        decode_image_features,
+        resize_image,
+        synthetic_png_media,
+    )
+
+    _prep(spark)
+    media = synthetic_png_media(spark, n=24)
+    dims = decode_image_features(media, decoder="builtin").select(
+        "media_id", "width", "height"
+    )
+    rs = resize_image(media, decoder="builtin", out_w=4, out_h=4).select(
+        "media_id", "px_checksum", F.round("mean_px", 6).alias("mean_px")
+    )
+    return dims.join(rs, "media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1774,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_corpus_shuffle": _q91_corpus_shuffle,
         "q92_decontaminate_fuzzy": _q92_decontaminate_fuzzy,
         "q93_ann_ivf_kmeans": _q93_ann_ivf_kmeans,
+        "q94_image_decode_real": _q94_image_decode_real,
     }
 
 
@@ -3702,6 +3730,30 @@ def oracle_sql() -> dict[str, str]:
         """,
     "q93_ann_ivf_kmeans": _sql_ann_ivf_kmeans(),
     }
+    out["q94_image_decode_real"] = """
+        WITH m AS (
+            SELECT i.i AS media_id,
+                   cast(8 + i.i % 5 AS int) AS width,
+                   cast(6 + i.i % 4 AS int) AS height
+            FROM (SELECT unnest(range(0, 24)) AS i) i(i)
+        ),
+        px AS (
+            SELECT m.media_id,
+                   ((((oi.oi * m.height) // 4) * 7
+                     + ((oj.oj * m.width) // 4) * 13
+                     + 31 * m.media_id) % 256) AS v
+            FROM m,
+                 (SELECT unnest(range(0, 4)) AS oi) oi(oi),
+                 (SELECT unnest(range(0, 4)) AS oj) oj(oj)
+        ),
+        sums AS (
+            SELECT media_id, cast(sum(v) AS bigint) AS px_checksum FROM px
+            GROUP BY media_id
+        )
+        SELECT m.media_id, m.width, m.height, s.px_checksum,
+               round(cast(s.px_checksum AS double) / 16.0, 6) AS mean_px
+        FROM m JOIN sums s USING (media_id)
+    """
     # q86 (exact PRUNED DTW KNN) must equal brute force by construction —
     # its oracle is q70's brute-force recursive-CTE DP, verbatim
     out["q86_knn_pruned_admissible"] = out["q70_knn_dtw_exact"]

@@ -30,7 +30,13 @@ from .corpus import (  # noqa: F401
     tfidf_topk,
     token_rarity,
 )
-from .multimodal import decode_image_features, resize_image, sample_frames, synthetic_media  # noqa: F401
+from .multimodal import (  # noqa: F401
+    decode_image_features,
+    resize_image,
+    sample_frames,
+    synthetic_media,
+    synthetic_png_media,
+)
 from .profile import profile_table  # noqa: F401
 from .skew import salted_join  # noqa: F401
 from .temporal import asof_join, interval_join, resample_ffill  # noqa: F401

@@ -2,10 +2,21 @@
 
 Convention: media are opaque ``binary`` columns + a typed metadata struct
 (media_type, width/height or sample_rate/duration, codec). The Spark-side
-plumbing — schemas, Arrow batch shapes, mapInPandas signatures, partitioning
-— is real and tested; the actual decoders are STUBBED (image/audio libs are
-not in this container): ``fake=True`` produces deterministic content-derived
-features, ``fake=False`` raises NotImplementedError at the decode site.
+plumbing — schemas, Arrow batch shapes, mapInPandas signatures,
+partitioning — is real and tested. Decoder backends, selected per call:
+
+- ``stub``: deterministic sha256 content-derived pixels/features (no
+  decode; byte-stable everywhere — the oracle-gated q40/q41/q83 default).
+- ``builtin``: REAL PNG decode via the pure-stdlib codec
+  (functions/png.py) — real pixels with no imaging library installed;
+  grayscale + RGB(A) 8-bit, all five scanline filters. Deterministic
+  integer output, so generated test images make even real decoding
+  oracle-checkable (q94).
+- ``pil``: PIL decode (any format PIL reads, PIL's NEAREST resample);
+  raises NotImplementedError when PIL is absent.
+- ``auto``: pil if installed, else builtin.
+
+The legacy ``fake`` flag maps fake=True -> stub, fake=False -> auto.
 """
 
 from __future__ import annotations
@@ -53,8 +64,8 @@ def _fake_decode(payload: bytes, n_features: int = 8) -> np.ndarray:
 
 def _try_pil():
     """PIL.Image if an imaging library is installed, else None. Checked at
-    KERNEL BUILD time so fake=False fails fast on the driver with a clear
-    message instead of per-task on executors."""
+    KERNEL BUILD time so decoder='pil' fails fast on the driver with a
+    clear message instead of per-task on executors."""
     try:
         from PIL import Image
 
@@ -63,11 +74,41 @@ def _try_pil():
         return None
 
 
+def _resolve_decoder(decoder: str | None, fake: bool) -> str:
+    """-> one of 'stub' | 'pil' | 'builtin' (auto resolved at build time)."""
+    if decoder is None:
+        decoder = "stub" if fake else "auto"
+    if decoder == "auto":
+        return "pil" if _try_pil() is not None else "builtin"
+    if decoder == "pil" and _try_pil() is None:
+        raise NotImplementedError(
+            "decoder='pil' requires an imaging library (PIL) not present in "
+            "this environment; use decoder='builtin' (pure-stdlib PNG codec) "
+            "or the deterministic 'stub'"
+        )
+    if decoder not in ("stub", "pil", "builtin"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    return decoder
+
+
+def _nn_sample(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Corner-convention nearest-neighbor sample: output (oi, oj) reads
+    source ((oi*h)//out_h, (oj*w)//out_w) — the same index map the stub
+    pixel model and the q83/q94 oracles use (integer-exact, so real
+    decodes stay oracle-checkable). PIL's NEAREST uses the center
+    convention instead; the 'pil' backend keeps PIL semantics."""
+    h, w = arr.shape
+    ri = (np.arange(out_h) * h) // out_h
+    rj = (np.arange(out_w) * w) // out_w
+    return arr[np.ix_(ri, rj)]
+
+
 def decode_image_features(
     df: DataFrame,
     *,
     payload_col: str = "payload",
     fake: bool = True,
+    decoder: str | None = None,
     n_features: int = 8,
 ) -> DataFrame:
     """binary payload -> per-image feature vector via mapInPandas.
@@ -77,28 +118,25 @@ def decode_image_features(
     memory (payloads are the dominant bytes — keep maxPartitionBytes small
     for binary-heavy tables).
 
-    ``fake=False`` decodes REAL images when an imaging library (PIL) is
-    installed: grayscale decode, width/height from the actual image,
+    Real backends ('builtin' pure-stdlib PNG codec / 'pil', module
+    docstring): grayscale decode, width/height from the actual image,
     mean_luma = mean gray level / 255, feature = row means of an
-    (n_features x n_features) nearest-neighbor thumbnail / 255. Without
-    PIL it raises NotImplementedError at kernel build. The sha256 stub
-    stays the default so every oracle-checked query (q40/q41/q83) is
-    byte-stable regardless of what the container has installed.
+    (n_features x n_features) nearest-neighbor thumbnail / 255. The sha256
+    stub stays the default so every oracle-checked query (q40/q41/q83) is
+    byte-stable regardless of what the container has installed; q94
+    oracle-checks the REAL builtin decode on generated PNGs.
     """
-    if not fake and _try_pil() is None:
-        raise NotImplementedError(
-            "real image decode requires an imaging library (PIL) not present "
-            "in this environment; run with fake=True for the deterministic "
-            "content-derived stand-in"
-        )
+    mode = _resolve_decoder(decoder, fake)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        Image = None if fake else _try_pil()
+        Image = _try_pil() if mode == "pil" else None
+        if mode == "builtin":
+            from ..functions.png import decode_png_gray
         for pdf in batches:
             meta = pdf["meta"]
-            if fake:
+            if mode == "stub":
                 feats = [
                     _fake_decode(bytes(p), n_features) if p is not None else np.zeros(n_features)
                     for p in pdf[payload_col]
@@ -115,14 +153,20 @@ def decode_image_features(
                         heights.append(None)
                         lumas.append(0.0)
                         continue
-                    img = Image.open(io.BytesIO(bytes(p))).convert("L")
-                    widths.append(img.width)
-                    heights.append(img.height)
-                    lumas.append(float(np.asarray(img, dtype=np.float64).mean() / 255.0))
-                    thumb = np.asarray(
-                        img.resize((n_features, n_features), Image.NEAREST),
-                        dtype=np.float64,
-                    )
+                    if mode == "pil":
+                        img = Image.open(io.BytesIO(bytes(p))).convert("L")
+                        arr = np.asarray(img, dtype=np.float64)
+                        thumb = np.asarray(
+                            img.resize((n_features, n_features), Image.NEAREST),
+                            dtype=np.float64,
+                        )
+                    else:
+                        a8 = decode_png_gray(bytes(p))
+                        arr = a8.astype(np.float64)
+                        thumb = _nn_sample(a8, n_features, n_features).astype(np.float64)
+                    heights.append(int(arr.shape[0]))
+                    widths.append(int(arr.shape[1]))
+                    lumas.append(float(arr.mean() / 255.0))
                     feats.append(thumb.mean(axis=1) / 255.0)
             yield pd.DataFrame(
                 {
@@ -189,36 +233,36 @@ def resize_image(
     out_h: int = 4,
     payload_col: str = "payload",
     fake: bool = True,
+    decoder: str | None = None,
 ) -> DataFrame:
     """Nearest-neighbor image resize over the decode boundary.
 
     The RESIZE math is real (source pixel of output (oi, oj) is
-    ((oi*h)//out_h, (oj*w)//out_w) — the standard nearest-neighbor index
-    map); only the pixel SOURCE is the stubbed decode (pixel (i, j) =
-    byte (i*w + j) mod 32 of the payload's sha256 — deterministic, so the
-    whole operator is oracle-checkable). ``fake=False`` decodes REAL
-    grayscale pixels when PIL is installed (same nearest-neighbor index
-    map, applied by PIL's NEAREST resize) and raises NotImplementedError
-    at kernel build otherwise. Output: the resized pixel array plus
+    ((oi*h)//out_h, (oj*w)//out_w) — the corner-convention nearest-neighbor
+    index map). Pixel SOURCE per backend (module docstring): 'stub' =
+    pixel (i, j) is byte (i*w + j) mod 32 of the payload's sha256
+    (deterministic; q83's oracle), 'builtin' = REAL pixels from the
+    pure-stdlib PNG codec with the SAME index map (deterministic — q94
+    oracle-checks real decode + resize end-to-end), 'pil' = PIL decode +
+    PIL's NEAREST resample (center convention — PIL semantics, pinned by
+    the skipif-PIL test). Output: the resized pixel array plus
     integer-exact checksum/mean.
     """
-    if not fake and _try_pil() is None:
-        raise NotImplementedError(
-            "real image decode requires an imaging library (PIL) not present "
-            "in this environment; run with fake=True"
-        )
+    mode = _resolve_decoder(decoder, fake)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        Image = None if fake else _try_pil()
+        Image = _try_pil() if mode == "pil" else None
+        if mode == "builtin":
+            from ..functions.png import decode_png_gray
         for pdf in batches:
             out = {
                 "media_id": [], "out_w": [], "out_h": [], "pixels": [],
                 "px_checksum": [], "mean_px": [],
             }
             for mid, p, meta in zip(pdf["media_id"], pdf[payload_col], pdf["meta"]):
-                if fake:
+                if mode == "stub":
                     w = int(meta["width"])
                     h = int(meta["height"])
                     digest = hashlib.sha256(bytes(p) if p is not None else b"").digest()
@@ -227,12 +271,15 @@ def resize_image(
                         for oi in range(out_h)
                         for oj in range(out_w)
                     ]
-                else:
+                elif mode == "pil":
                     img = Image.open(io.BytesIO(bytes(p))).convert("L")
                     arr = np.asarray(
                         img.resize((out_w, out_h), Image.NEAREST), dtype=np.float64
                     )
                     px = [float(v) for v in arr.reshape(-1)]
+                else:
+                    a8 = decode_png_gray(bytes(p))
+                    px = [float(v) for v in _nn_sample(a8, out_h, out_w).reshape(-1)]
                 total = int(sum(px))
                 out["media_id"].append(mid)
                 out["out_w"].append(out_w)
@@ -243,3 +290,20 @@ def resize_image(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
+def synthetic_png_media(spark, n: int = 24) -> DataFrame:
+    """Media table whose payloads are REAL PNGs (pure-stdlib encoder) of
+    closed-form gradient images: pixel(i, j) = (i*7 + j*13 + 31*media_id)
+    mod 256, size (8 + id%5) x (6 + id%4). Because the pixels come from a
+    formula, a SQL oracle can verify the REAL decode+resize output without
+    being able to parse PNG itself (q94)."""
+    from ..functions.png import encode_png_gray
+
+    rows = []
+    for i in range(n):
+        w, h = 8 + i % 5, 6 + i % 4
+        grid = np.add.outer(np.arange(h) * 7, np.arange(w) * 13) + 31 * i
+        payload = encode_png_gray((grid % 256).astype(np.uint8))
+        rows.append((i, bytearray(payload), ("image", w, h, 0)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
