@@ -1706,6 +1706,25 @@ def _q94_image_decode_real(spark, sf_dir):
     return dims.join(rs, "media_id")
 
 
+def _q95_audio_decode_real(spark, sf_dir):
+    """REAL audio decoding under the oracle gate (the WAV twin of q94):
+    payloads are genuine RIFF/PCM16 bytes (pure-stdlib codec,
+    functions/wav.py) of closed-form integer waveforms —
+    s[t] = ((t*t*7 + t*13 + 31*id) mod 4096) - 2048 — decoded by the
+    engine's builtin parser (no audio library) into exact integer
+    statistics. The oracle recomputes peak / sum of squares / sign-flip
+    count from the formula, so the hash match proves the RIFF parser and
+    the statistics are correct end-to-end."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        decode_audio_features,
+        synthetic_wav_media,
+    )
+
+    _prep(spark)
+    media = synthetic_wav_media(spark, n=16, n_samples=256)
+    return decode_audio_features(media, decoder="builtin")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1802,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_decontaminate_fuzzy": _q92_decontaminate_fuzzy,
         "q93_ann_ivf_kmeans": _q93_ann_ivf_kmeans,
         "q94_image_decode_real": _q94_image_decode_real,
+        "q95_audio_decode_real": _q95_audio_decode_real,
     }
 
 
@@ -3753,6 +3773,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT m.media_id, m.width, m.height, s.px_checksum,
                round(cast(s.px_checksum AS double) / 16.0, 6) AS mean_px
         FROM m JOIN sums s USING (media_id)
+    """
+    out["q95_audio_decode_real"] = """
+        WITH m AS (
+            SELECT i.i AS media_id, cast(8000 + 100 * i.i AS int) AS sample_rate
+            FROM (SELECT unnest(range(0, 16)) AS i) i(i)
+        ),
+        s AS (
+            SELECT m.media_id, t.t AS t,
+                   ((t.t * t.t * 7 + t.t * 13 + 31 * m.media_id) % 4096) - 2048 AS v
+            FROM m, (SELECT unnest(range(0, 256)) AS t) t(t)
+        ),
+        flips AS (
+            SELECT media_id, t, v,
+                   CASE WHEN t > 0 AND ((v >= 0) !=
+                        (lag(v) OVER (PARTITION BY media_id ORDER BY t) >= 0))
+                        THEN 1 ELSE 0 END AS flip
+            FROM s
+        ),
+        agg AS (
+            SELECT media_id,
+                   cast(count(*) AS int) AS n_samples,
+                   cast(max(abs(v)) AS int) AS peak,
+                   cast(sum(v * v) AS bigint) AS sum_sq,
+                   cast(sum(flip) AS int) AS zero_crossings
+            FROM flips GROUP BY media_id
+        )
+        SELECT m.media_id, m.sample_rate, a.n_samples, a.peak, a.sum_sq,
+               a.zero_crossings
+        FROM m JOIN agg a USING (media_id)
     """
     # q86 (exact PRUNED DTW KNN) must equal brute force by construction —
     # its oracle is q70's brute-force recursive-CTE DP, verbatim

@@ -657,3 +657,41 @@ def test_real_pil_decode_same_mapinpandas_path(spark):
         got = np.array(res[i].pixels).reshape(4, 4)
         assert np.array_equal(got, expect)
         assert res[i].px_checksum == int(expect.sum())
+
+
+def test_wav_codec_and_audio_features(spark):
+    """Stdlib WAV codec roundtrip (mono + stereo channel-0) and the
+    decode_audio_features integer statistics on real PCM16 payloads."""
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.wav import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        decode_audio_features,
+        synthetic_wav_media,
+    )
+
+    rng = np.random.default_rng(2)
+    s = rng.integers(-32768, 32768, size=300, dtype=np.int16)
+    dec, rate = decode_wav_pcm16(encode_wav_pcm16(s, 44100))
+    assert (dec == s).all() and rate == 44100
+    with pytest.raises(ValueError, match="not a WAV"):
+        decode_wav_pcm16(b"JUNKJUNKJUNK")
+
+    media = synthetic_wav_media(spark, n=4, n_samples=128)
+    got = {r.media_id: r for r in decode_audio_features(media).collect()}
+    for i in range(4):
+        t = np.arange(128, dtype=np.int64)
+        v = ((t * t * 7 + t * 13 + 31 * i) % 4096) - 2048
+        r = got[i]
+        assert r.sample_rate == 8000 + 100 * i
+        assert r.n_samples == 128
+        assert r.peak == int(np.abs(v).max())
+        assert r.sum_sq == int((v * v).sum())
+        pos = v >= 0
+        assert r.zero_crossings == int((pos[1:] != pos[:-1]).sum())
+
+    with pytest.raises(ValueError, match="decoder"):
+        decode_audio_features(media, decoder="nope").collect()

@@ -36,6 +36,8 @@ from .multimodal import (  # noqa: F401
     sample_frames,
     synthetic_media,
     synthetic_png_media,
+    decode_audio_features,
+    synthetic_wav_media,
 )
 from .profile import profile_table  # noqa: F401
 from .skew import salted_join  # noqa: F401

@@ -307,3 +307,77 @@ def synthetic_png_media(spark, n: int = 24) -> DataFrame:
         payload = encode_png_gray((grid % 256).astype(np.uint8))
         rows.append((i, bytearray(payload), ("image", w, h, 0)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, n_samples int, peak int, "
+    "sum_sq long, zero_crossings int"
+)
+
+
+def decode_audio_features(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    decoder: str = "builtin",
+) -> DataFrame:
+    """binary WAV payload -> waveform statistics via mapInPandas.
+
+    decoder='builtin' (default) parses REAL RIFF/PCM16 bytes with the
+    pure-stdlib codec (functions/wav.py); 'stub' derives deterministic
+    sha256 pseudo-samples (16 int16 values) without decoding — the
+    byte-stable fallback for non-WAV payloads. All outputs are exact
+    integer statistics (peak = max |s|, sum_sq = sum of squared samples,
+    zero_crossings counts sign flips with sign(0) treated as +), so the
+    REAL decode is oracle-checkable on generated payloads (q95, same
+    closed-form-formula trick as q94's PNG decode).
+    """
+    if decoder not in ("builtin", "stub"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "builtin":
+            from ..functions.wav import decode_wav_pcm16
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "n_samples": [],
+                "peak": [], "sum_sq": [], "zero_crossings": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                if p is None:
+                    s = np.zeros(0, dtype=np.int64)
+                    rate = 0
+                elif decoder == "builtin":
+                    s16, rate = decode_wav_pcm16(bytes(p))
+                    s = s16.astype(np.int64)
+                else:
+                    digest = hashlib.sha256(bytes(p)).digest()
+                    s = np.frombuffer(digest, dtype="<i2").astype(np.int64)
+                    rate = 8000
+                n = len(s)
+                pos = s >= 0
+                out["media_id"].append(mid)
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(n)
+                out["peak"].append(int(np.abs(s).max()) if n else 0)
+                out["sum_sq"].append(int((s * s).sum()) if n else 0)
+                out["zero_crossings"].append(int((pos[1:] != pos[:-1]).sum()) if n else 0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(op, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def synthetic_wav_media(spark, n: int = 16, n_samples: int = 256) -> DataFrame:
+    """Media table whose payloads are REAL mono PCM16 WAVs of closed-form
+    integer waveforms: s[t] = ((t*t*7 + t*13 + 31*media_id) mod 4096) -
+    2048 — so a SQL oracle can verify the REAL decode without parsing RIFF
+    itself (q95)."""
+    from ..functions.wav import encode_wav_pcm16
+
+    rows = []
+    for i in range(n):
+        t = np.arange(n_samples, dtype=np.int64)
+        s = ((t * t * 7 + t * 13 + 31 * i) % 4096) - 2048
+        payload = encode_wav_pcm16(s.astype(np.int16), sample_rate=8000 + 100 * i)
+        rows.append((i, bytearray(payload), ("audio", 0, 0, 0)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
