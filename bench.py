@@ -155,9 +155,8 @@ def main() -> None:
     # - knn_dtw_561pt_banded: exact banded DTW (band=3) — the engine's
     #   fixed-cost scale metric, the fast mode.
     # - knn_fastdtw_561pt: FAITHFUL FastDTW(radius=1) — the reference's exact
-    #   algorithm (the published ~22.6K pairs/s figure ran this). Its warp
-    #   windows are data-dependent, so a reduced test side keeps the entry's
-    #   wall-time bounded; pairs/s is the honest apples-to-apples number.
+    #   algorithm (the published ~22.6K pairs/s figure ran this), on the
+    #   SAME full pair set as the banded entry (compiled-C kernel path).
     from pyspark.sql import functions as FF
 
     tiled = series.select(
@@ -187,12 +186,11 @@ def main() -> None:
         round(n_pairs_561 / timings["knn_dtw_561pt_banded"])
         if timings.get("knn_dtw_561pt_banded") else None
     )
-    # faithful FastDTW is memory-bandwidth-bound on wide-warp (random-walk)
-    # data, so aggregate pairs/s saturates well below 32x one core; a small
-    # test side keeps the entry's wall-time bounded without changing the
-    # steady-state rate it measures
-    t561_small = t561.limit(64).repartition(cpus).cache()
-    n_t561_small = t561_small.count()
+    # faithful FastDTW runs the FULL pair set (no reduced test side since
+    # the compiled-C kernel path, functions/dtw_c.py — the r2 reduction is
+    # gone; the reduced_test_side field below stays for machine readability)
+    t561_small = t561
+    n_t561_small = n_t561
     n_pairs_561f = n_t561_small * n_r561
     run(
         "knn_fastdtw_561pt",

@@ -146,3 +146,59 @@ def test_dtw_properties(a, b):
     # bounded above by aligning everything through the corner path
     ub = sum(abs(x - b[0]) for x in a) + sum(abs(a[-1] - y) for y in b)
     assert d <= ub + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Compiled-C fast path (functions/dtw_c.py): bit-parity with the per-pair
+# reference implementations, and numpy/C route agreement.
+# ---------------------------------------------------------------------------
+
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import dtw_c
+
+
+@pytest.mark.skipif(not dtw_c.available(), reason="no C compiler in container")
+def test_c_path_bit_identical_to_per_pair_reference():
+    """The compiled kernels run the NATURAL recurrence in the exact op order
+    of dtw_pair/_dtw_with_path, so equality is exact (==), not approx —
+    stricter than the numpy scan path's near-tie tolerance."""
+    rng = np.random.default_rng(11)
+    A = np.cumsum(rng.normal(size=(48, 73)), axis=1)
+    B = np.cumsum(rng.normal(size=(48, 73)), axis=1)
+    B_short = np.cumsum(rng.normal(size=(48, 41)), axis=1)
+    for band in (None, 3, 9):
+        got = dtw_batch(A, B, band=band)
+        ref = np.array([dtw_pair(a, b, band=band) for a, b in zip(A, B)])
+        assert np.array_equal(got, ref)
+    got = dtw_batch(A, B_short, band=5)
+    ref = np.array([dtw_pair(a, b, band=5) for a, b in zip(A, B_short)])
+    assert np.array_equal(got, ref)
+    for radius in (1, 2):
+        got = fastdtw_batch(A, B, radius=radius)
+        ref = np.array([fastdtw_pair(a, b, radius=radius) for a, b in zip(A, B)])
+        assert np.array_equal(got, ref)
+    got = fastdtw_batch(A, B_short, radius=1)
+    ref = np.array([fastdtw_pair(a, b, radius=1) for a, b in zip(A, B_short)])
+    assert np.array_equal(got, ref)
+
+
+@pytest.mark.skipif(not dtw_c.available(), reason="no C compiler in container")
+def test_numpy_and_c_routes_agree(monkeypatch):
+    """TSKNN_DTW_NO_CC=1 forces the numpy scan path; both routes must agree
+    (fastdtw within the documented fp near-tie envelope, exact DTW values
+    allclose since min-reassociation cannot change the exact DP optimum)."""
+    rng = np.random.default_rng(13)
+    A = np.cumsum(rng.normal(size=(64, 97)), axis=1)
+    B = np.cumsum(rng.normal(size=(64, 97)), axis=1)
+    c_fd = fastdtw_batch(A, B, radius=1)
+    c_dt = dtw_batch(A, B, band=4)
+    c_dtu = dtw_batch(A, B)
+    monkeypatch.setenv("TSKNN_DTW_NO_CC", "1")
+    assert not dtw_c.available()
+    np_fd = fastdtw_batch(A, B, radius=1)
+    np_dt = dtw_batch(A, B, band=4)
+    np_dtu = dtw_batch(A, B)
+    assert np.allclose(c_dt, np_dt) and np.allclose(c_dtu, np_dtu)
+    rel = np.abs(c_fd - np_fd) / np.maximum(np_fd, 1e-12)
+    # near-tie path flips affect a small minority of pairs, by a bounded amount
+    assert (rel > 1e-9).mean() < 0.1
+    assert rel.max() < 0.05

@@ -40,6 +40,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import dtw_c
+
 __all__ = ["dtw_pair", "fastdtw_pair", "dtw_batch", "fastdtw_batch"]
 
 _INF = np.inf
@@ -181,6 +183,10 @@ def dtw_batch(A: np.ndarray, B: np.ndarray, band: int | None = None) -> np.ndarr
     _, m = B.shape
     if bs == 0:
         return np.empty(0, dtype=np.float64)
+    if dtw_c.available():
+        # Compiled natural recurrence: same band geometry, op order
+        # bit-identical to dtw_pair (the numpy scan below reassociates)
+        return dtw_c.dtw_band_batch(A, B, band if band is not None and band < max(n, m) else None)
 
     use_band = band is not None and band < max(n, m)
     # Finite "unreachable" sentinel: inf would turn the cumsum scan into
@@ -462,6 +468,17 @@ def fastdtw_batch(A: np.ndarray, B: np.ndarray, radius: int = 1) -> np.ndarray:
             n_f, m_f = levels[li - 1][0].shape[1], levels[li - 1][1].shape[1]
             new_lo = np.empty((bs, n_f), dtype=np.int64)
             new_hi = np.empty((bs, n_f), dtype=np.int64)
+        if dtw_c.available():
+            # Compiled per-pair DP + backtrack: no width re-bucketing needed
+            # (vectorization across the batch is what made width matter)
+            d, pmin, pmax = dtw_c.fastdtw_level(a_l, b_l, lo, hi, need_path)
+            if need_path:
+                new_lo, new_hi = _expand_batch(pmin, pmax, n_f, m_f, radius)
+            else:
+                dist = d
+            if need_path:
+                lo, hi = new_lo, new_hi
+            continue
         widths = (hi - lo).max(axis=1) + 1
         order = np.argsort(widths, kind="stable")
         start = 0
