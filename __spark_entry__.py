@@ -1742,6 +1742,42 @@ def _q96_ann_lsh_multiprobe(spark, sf_dir):
     return ann_lsh_topk(q, emb, k=5, probes=2)
 
 
+def _q97_hash_embed(spark, sf_dir):
+    """Feature-hashing text embedder (operators/corpus.py::hash_embed):
+    word tokens -> signed hashed buckets (Weinberger et al. 2009 hashing
+    trick) -> L2-normalized array<double>[64]. Gives raw text corpora a
+    deterministic, model-free embedding column so the engine's entire
+    vector surface (ann_*, dedup_embedding, semantic_dedup, kmeans,
+    quantize) composes onto documents. Integer-exact bucket sums + the
+    engine-wide left-fold norm make the doubles bit-reproducible — the
+    oracle recomputes the embedding end-to-end in SQL."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import hash_embed
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return hash_embed(docs, dim=64)
+
+
+def _q98_text_knn(spark, sf_dir):
+    """Model-free text similarity search END-TO-END on raw documents:
+    hash_embed (q97) composed through exact cosine top-k (ann_brute_topk,
+    kernel strategy — bit-identical to the declarative fold). Zero-vector
+    docs are filtered on both sides (cosine is undefined there; NaN
+    ordering is engine-specific). The oracle recomputes the embedding AND
+    the ranking in one SQL pipeline — the q73 composed-oracle template."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import hash_embed
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    emb = hash_embed(docs, dim=64).filter(
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))) > 0
+    ).cache()
+    q = emb.filter(F.col("doc_id") % 50 == 0)
+    return ann_brute_topk(
+        q, emb, k=3, id_col="doc_id", vec_col="embedding", strategy="kernel"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1840,6 +1876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_image_decode_real": _q94_image_decode_real,
         "q95_audio_decode_real": _q95_audio_decode_real,
         "q96_ann_lsh_multiprobe": _q96_ann_lsh_multiprobe,
+        "q97_hash_embed": _q97_hash_embed,
+        "q98_text_knn": _q98_text_knn,
     }
 
 
@@ -2148,6 +2186,42 @@ def _sql_ann_lsh_multiprobe(
                round(d, 6) AS cos_dist
         FROM ranked WHERE rank <= {k}
     """
+
+
+def _sql_hash_embed_cte(dim: int = 64) -> str:
+    """CTE chain ending in he(doc_id, v) — the hash_embed mirror: char-fold
+    token hash, signed bucket sums (integer-exact), left-fold L2 norm."""
+    sums_cols = ", ".join(
+        f"cast(sum(CASE WHEN h % {dim} = {i} THEN s ELSE 0 END) AS bigint) AS c{i}"
+        for i in range(dim)
+    )
+    arr = ", ".join(f"cast(coalesce(s.c{i}, 0) AS double)" for i in range(dim))
+    return f"""
+        toks AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, {_sql_char_fold('tok')} AS h FROM toks
+        ),
+        signed AS (
+            SELECT doc_id, h,
+                   CASE WHEN h % {2 * dim} >= {dim} THEN -1 ELSE 1 END AS s
+            FROM hashed
+        ),
+        sums AS (SELECT doc_id, {sums_cols} FROM signed GROUP BY doc_id),
+        vecs AS (
+            SELECT d.doc_id, [{arr}] AS rawv
+            FROM documents d LEFT JOIN sums s USING (doc_id)
+        ),
+        he AS (
+            SELECT doc_id,
+                   CASE WHEN sqrt({_sql_dot("rawv", "rawv")}) > 0
+                        THEN list_transform(rawv,
+                             x -> x / sqrt({_sql_dot("rawv", "rawv")}))
+                        ELSE rawv END AS v
+            FROM vecs
+        )"""
 
 
 def _sql_dedup_embedding(planes: int = 4, tables: int = 8, dim: int = 64,
@@ -3897,6 +3971,31 @@ def oracle_sql() -> dict[str, str]:
         FROM m JOIN agg a USING (media_id)
     """
     out["q96_ann_lsh_multiprobe"] = _sql_ann_lsh_multiprobe()
+    out["q97_hash_embed"] = f"""
+        WITH {_sql_hash_embed_cte()}
+        SELECT doc_id, v AS embedding FROM he
+    """
+    out["q98_text_knn"] = f"""
+        WITH {_sql_hash_embed_cte()},
+        nz AS (SELECT * FROM he WHERE len(list_filter(v, x -> x != 0)) > 0),
+        q AS (SELECT * FROM nz WHERE doc_id % 50 = 0),
+        pairs AS (
+            SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+                   1.0 - {_sql_dot("q.v", "c.v")}
+                         / (sqrt({_sql_dot("q.v", "q.v")})
+                            * sqrt({_sql_dot("c.v", "c.v")})) AS d
+            FROM q CROSS JOIN nz c
+            WHERE q.doc_id != c.doc_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY d ASC, neighbor_id ASC) AS rank
+            FROM pairs
+        )
+        SELECT query_id, neighbor_id, cast(rank AS int) AS rank,
+               round(d, 6) AS cos_dist
+        FROM ranked WHERE rank <= 3
+    """
     # q86 (exact PRUNED DTW KNN) must equal brute force by construction —
     # its oracle is q70's brute-force recursive-CTE DP, verbatim
     out["q86_knn_pruned_admissible"] = out["q70_knn_dtw_exact"]

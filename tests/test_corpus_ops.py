@@ -285,3 +285,27 @@ def test_decontaminate_fuzzy_flags_near_verbatim(spark):
     assert out[1].contaminated and out[1].max_agree >= 8
     assert not out[2].contaminated
     assert len(out) == 3
+
+
+def test_hash_embed_contract(spark):
+    """hash_embed: fixed dim, unit L2 norm for non-empty docs, zero vector
+    (not NaN) for token-less docs, and content-determined values (same text
+    -> same embedding regardless of id)."""
+    import math
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import hash_embed
+
+    rows = [
+        (0, "spark shuffles partition data across executors"),
+        (1, "spark shuffles partition data across executors"),  # same text
+        (2, "!!! ??? ..."),  # no [a-z0-9] runs -> zero vector
+        (3, "completely different words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: list(r.embedding) for r in hash_embed(df, dim=16).collect()}
+    assert len(out) == 4 and all(len(v) == 16 for v in out.values())
+    assert out[0] == out[1]
+    assert out[2] == [0.0] * 16  # zero, not NaN
+    for did in (0, 3):
+        assert math.isclose(sum(x * x for x in out[did]), 1.0, rel_tol=1e-12)
+    assert out[0] != out[3]

@@ -24,6 +24,7 @@ from .corpus import (  # noqa: F401
     chunk_documents,
     decontaminate,
     decontaminate_fuzzy,
+    hash_embed,
     remove_common_spans,
     pack_sequences,
     repetition_stats,

@@ -44,6 +44,7 @@ __all__ = [
     "chunk_documents",
     "pack_sequences",
     "remove_common_spans",
+    "hash_embed",
 ]
 
 
@@ -477,3 +478,75 @@ def decontaminate_fuzzy(
         F.coalesce(F.col("_m"), F.lit(0)).cast("int").alias("max_agree"),
         (F.coalesce(F.col("_m"), F.lit(0)) >= min_agree).alias("contaminated"),
     )
+
+
+def hash_embed(
+    docs: DataFrame,
+    *,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") text embedder: word tokens ->
+    signed hashed buckets -> L2-normalized ``array<double>`` of fixed
+    ``dim``. Output: (id_col, embedding).
+
+    Gives every text corpus a deterministic, model-free embedding column,
+    so the engine's whole vector surface (ann_*_topk, dedup_embedding,
+    semantic_dedup, kmeans, quantize_embeddings) composes onto raw
+    documents with no external model. Spec (portable, oracle-checkable):
+
+    - token = runs of [a-z0-9] over lowercased text (functions/text.py::
+      word_tokens);
+    - h = polynomial char-fold hash of the token (char_hash, mod 1e9+7);
+    - bucket = h mod dim; sign = -1 if (h mod 2*dim) >= dim else +1
+      (the classic next-bit sign hash — Weinberger et al. 2009's signed
+      feature hashing keeps the estimator unbiased);
+    - v[bucket] += sign over all tokens (integer-exact), then v / ||v||_2
+      with the norm accumulated by the engine-wide left fold (zero vector
+      stays zero).
+
+    Scale (100 TB): ONE corpus-sized shuffle — explode tokens, then a
+    single groupBy(id) with ``dim`` conditional integer sums (map-side
+    partial agg); no vocabulary table, no model broadcast, output is
+    dim x 8 bytes per doc. Empty/no-token docs rejoin with the zero vector
+    (left join against the input ids).
+    """
+    from ..functions.text import char_hash, word_tokens
+
+    toks = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("_tok")
+    )
+    h = char_hash(F.col("_tok"))
+    signed = toks.select(
+        id_col,
+        (h % F.lit(dim)).alias("_b"),
+        F.when((h % F.lit(2 * dim)) >= F.lit(dim), F.lit(-1))
+        .otherwise(F.lit(1))
+        .alias("_s"),
+    )
+    sums = signed.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("_b") == i, F.col("_s")).otherwise(F.lit(0))).alias(
+                f"_c{i}"
+            )
+            for i in range(dim)
+        ]
+    )
+    arr = F.array(
+        *[F.coalesce(F.col(f"_c{i}"), F.lit(0)).cast("double") for i in range(dim)]
+    )
+    with_vec = (
+        docs.select(id_col).join(sums, id_col, "left").select(id_col, arr.alias("_v"))
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("_v"), F.col("_v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    emb = F.when(
+        norm > 0, F.transform(F.col("_v"), lambda x: x / norm)
+    ).otherwise(F.col("_v"))
+    return with_vec.select(id_col, emb.alias("embedding"))
