@@ -240,6 +240,7 @@ def main() -> None:
     run("ann_quantized", lambda: entry_mod._q90_ann_quantized(spark, sf_dir).count(), repeats=2)
     run("decontaminate_fuzzy", lambda: entry_mod._q92_decontaminate_fuzzy(spark, sf_dir).count(), repeats=2)
     run("ann_ivf_kmeans", lambda: entry_mod._q93_ann_ivf_kmeans(spark, sf_dir).count(), repeats=2)
+    run("text_knn_hash_embed", lambda: entry_mod._q98_text_knn(spark, sf_dir).count(), repeats=2)
 
     total = round(sum(timings.values()), 3)
     dtw_pairs_per_sec = round(n_pairs / timings["knn_fastdtw_k5"]) if timings.get("knn_fastdtw_k5") else None
