@@ -1778,6 +1778,26 @@ def _q98_text_knn(spark, sf_dir):
     )
 
 
+def _q99_video_decode_real(spark, sf_dir):
+    """REAL video-frame decoding under the oracle gate — the third member
+    of the real-decode modality triad (q94 PNG image, q95 WAV audio, this
+    = animated GIF video). Payloads are genuine multi-frame GIF89a bytes
+    (pure-stdlib codec with full variable-width LZW, functions/gif.py) of
+    closed-form frames px(f,x,y,id) = (x*7 + y*13 + f*29 + id*31) mod 256;
+    the engine samples every 2nd frame (sample_frames' stride semantics)
+    and emits exact integer pixel statistics. The oracle recomputes the
+    expected pixels from the formula, so the hash match proves the LZW
+    DECODER and frame extraction are correct end-to-end."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        decode_video_frames,
+        synthetic_gif_media,
+    )
+
+    _prep(spark)
+    media = synthetic_gif_media(spark, n=12, w=8, h=6, n_frames=5)
+    return decode_video_frames(media, decoder="builtin", every=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1878,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_ann_lsh_multiprobe": _q96_ann_lsh_multiprobe,
         "q97_hash_embed": _q97_hash_embed,
         "q98_text_knn": _q98_text_knn,
+        "q99_video_decode_real": _q99_video_decode_real,
     }
 
 
@@ -3971,6 +3992,31 @@ def oracle_sql() -> dict[str, str]:
         FROM m JOIN agg a USING (media_id)
     """
     out["q96_ann_lsh_multiprobe"] = _sql_ann_lsh_multiprobe()
+    out["q99_video_decode_real"] = """
+        WITH m AS (SELECT unnest(range(0, 12)) AS media_id),
+        f AS (
+            SELECT m.media_id, fi.fi AS frame_index
+            FROM m, (SELECT unnest(range(0, 5, 2)) AS fi) fi(fi)
+        ),
+        px AS (
+            SELECT f.media_id, f.frame_index,
+                   (x.x * 7 + y.y * 13 + f.frame_index * 29
+                    + f.media_id * 31) % 256 AS v
+            FROM f,
+                 (SELECT unnest(range(0, 8)) AS x) x(x),
+                 (SELECT unnest(range(0, 6)) AS y) y(y)
+        ),
+        agg AS (
+            SELECT media_id, frame_index,
+                   cast(sum(v) AS bigint) AS px_checksum
+            FROM px GROUP BY media_id, frame_index
+        )
+        SELECT media_id, cast(frame_index AS int) AS frame_index,
+               cast(8 AS int) AS width, cast(6 AS int) AS height,
+               px_checksum,
+               round(cast(px_checksum AS double) / 48.0, 6) AS mean_px
+        FROM agg
+    """
     out["q97_hash_embed"] = f"""
         WITH {_sql_hash_embed_cte()}
         SELECT doc_id, v AS embedding FROM he

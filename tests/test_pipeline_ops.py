@@ -695,3 +695,74 @@ def test_wav_codec_and_audio_features(spark):
 
     with pytest.raises(ValueError, match="decoder"):
         decode_audio_features(media, decoder="nope").collect()
+
+
+def test_gif_codec_roundtrip_and_lzw():
+    """Pure-stdlib GIF codec: exact multi-frame roundtrip (identity
+    grayscale palette -> luma == index), multi-sub-block payloads, and a
+    general-LZW decode of a stream with dictionary growth (the encoder's
+    clear-every-200 keeps width at 9 bits; the decoder must also survive
+    streams where codes reference just-created entries)."""
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.gif import (
+        _lzw_decode,
+        _lzw_encode_literals,
+        decode_gif_gray,
+        encode_gif_gray,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, size=(11, 17), dtype=np.uint8) for _ in range(4)]
+    back = decode_gif_gray(encode_gif_gray(frames))
+    assert len(back) == 4
+    assert all(np.array_equal(a, b) for a, b in zip(frames, back))
+    # big frame: >255-byte LZW payload forces multiple sub-blocks
+    big = [rng.integers(0, 256, size=(40, 50), dtype=np.uint8)]
+    assert np.array_equal(decode_gif_gray(encode_gif_gray(big))[0], big[0])
+    # literal-stream invariant: decode(encode(x)) == x at the LZW layer too
+    seq = rng.integers(0, 256, size=1000).astype(np.int64)
+    assert _lzw_decode(8, _lzw_encode_literals(8, seq)) == list(seq)
+    # KwKwK case (code == next_code): hand-built stream over a 2-symbol
+    # alphabet — min_code_size 2: clear=4, end=5; codes 0,6 where 6 is the
+    # entry being defined by that very code -> [0, 0, 0]
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.gif import _BitWriter
+
+    w = _BitWriter()
+    for code in (4, 0, 6, 5):
+        w.write(code, 3)
+    assert _lzw_decode(2, w.flush()) == [0, 0, 0]
+    # non-GIF payload rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_gif_gray(b"NOTAGIF0")
+
+
+def test_decode_video_frames_contract(spark):
+    """decode_video_frames: stride sampling matches sample_frames' range
+    semantics, stats are integer-exact, stub mode stays byte-stable, and
+    unknown decoders / bad strides fail fast."""
+    import pytest as _pytest
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        decode_video_frames,
+        synthetic_gif_media,
+    )
+
+    media = synthetic_gif_media(spark, n=3, w=4, h=3, n_frames=6)
+    out = decode_video_frames(media, decoder="builtin", every=2).collect()
+    # 3 media x frames {0, 2, 4}
+    assert len(out) == 9
+    by_key = {(r.media_id, r.frame_index): r for r in out}
+    assert set(fi for _, fi in by_key) == {0, 2, 4}
+    # checksum matches the closed-form formula
+    exp = sum((x * 7 + y * 13 + 2 * 29 + 1 * 31) % 256 for x in range(4) for y in range(3))
+    assert by_key[(1, 2)].px_checksum == exp
+    assert by_key[(1, 2)].width == 4 and by_key[(1, 2)].height == 3
+    stub = decode_video_frames(media, decoder="stub").collect()
+    assert len(stub) == 12  # 4 sha256 pseudo-frames per payload
+    with _pytest.raises(ValueError):
+        decode_video_frames(media, decoder="mp4")
+    with _pytest.raises(ValueError):
+        decode_video_frames(media, every=0)

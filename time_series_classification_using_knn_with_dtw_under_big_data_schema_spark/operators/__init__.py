@@ -39,6 +39,8 @@ from .multimodal import (  # noqa: F401
     synthetic_png_media,
     decode_audio_features,
     synthetic_wav_media,
+    decode_video_frames,
+    synthetic_gif_media,
 )
 from .profile import profile_table  # noqa: F401
 from .skew import salted_join  # noqa: F401
