@@ -1798,6 +1798,37 @@ def _q99_video_decode_real(spark, sf_dir):
     return decode_video_frames(media, decoder="builtin", every=2)
 
 
+def _q100_redact_pii(spark, sf_dir):
+    """PII scrubbing (operators/corpus.py::redact_pii): emails / URLs /
+    phone numbers replaced with typed placeholders + per-category counts,
+    patterns pinned to the Java-regex/RE2 common subset so Spark and
+    DuckDB match byte-for-byte. The synthetic documents contain no PII, so
+    the query first ENRICHES deterministically (doc_id-keyed contact
+    lines) — the oracle applies the identical enrichment, making the
+    redaction itself the thing under test. Pure per-row projection: no
+    shuffle, no UDF — scan-bound at 100 TB, as a corpus scrub should be."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import redact_pii
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" reach me at user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" see https://example.org/page/"), F.col("doc_id").cast("string"), F.lit(" now")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(enriched)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1899,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_hash_embed": _q97_hash_embed,
         "q98_text_knn": _q98_text_knn,
         "q99_video_decode_real": _q99_video_decode_real,
+        "q100_redact_pii": _q100_redact_pii,
     }
 
 
@@ -4016,6 +4048,37 @@ def oracle_sql() -> dict[str, str]:
                px_checksum,
                round(cast(px_checksum AS double) / 48.0, 6) AS mean_px
         FROM agg
+    """
+    out["q100_redact_pii"] = r"""
+        WITH enriched AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' reach me at user' || cast(doc_id AS varchar)
+                                || '@example.com' ELSE '' END
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN ' see https://example.org/page/'
+                                || cast(doc_id AS varchar) || ' now' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' call 555-867-5309' ELSE '' END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                     '<EMAIL>', 'g'),
+                   'https?://[^\s]+', '<URL>', 'g'),
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+               cast(len(regexp_extract_all(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS int)
+                 AS n_emails,
+               cast(len(regexp_extract_all(text, 'https?://[^\s]+')) AS int)
+                 AS n_urls,
+               cast(len(regexp_extract_all(text,
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS int) AS n_phones
+        FROM enriched
     """
     out["q97_hash_embed"] = f"""
         WITH {_sql_hash_embed_cte()}

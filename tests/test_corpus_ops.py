@@ -309,3 +309,23 @@ def test_hash_embed_contract(spark):
     for did in (0, 3):
         assert math.isclose(sum(x * x for x in out[did]), 1.0, rel_tol=1e-12)
     assert out[0] != out[3]
+
+
+def test_redact_pii_contract(spark):
+    """redact_pii: all three categories replaced with typed placeholders,
+    counts measured on the original text, PII-free text untouched."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import redact_pii
+
+    rows = [
+        (0, "mail a.b+c@x-mail.co.uk or visit https://a.io/p?q=1 or call 555-123-4567"),
+        (1, "two mails: a@b.org c@d.net"),
+        (2, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[0].redacted == "mail <EMAIL> or visit <URL> or call <PHONE>"
+    assert (out[0].n_emails, out[0].n_urls, out[0].n_phones) == (1, 1, 1)
+    assert out[1].redacted == "two mails: <EMAIL> <EMAIL>"
+    assert out[1].n_emails == 2
+    assert out[2].redacted == rows[2][1]
+    assert (out[2].n_emails, out[2].n_urls, out[2].n_phones) == (0, 0, 0)

