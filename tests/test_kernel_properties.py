@@ -148,3 +148,29 @@ def test_fastdtw_batch_pair_property(n, m, radius, seed):
     rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-12)
     assert (rel < 1e-9).mean() >= 0.5
     assert rel.max() < 0.25
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 30),
+    n_frames=st.integers(1, 6),
+    seed=st.integers(0, 2**31),
+)
+def test_gif_codec_roundtrip_property(w, h, n_frames, seed):
+    """encode -> decode is the identity for any frame geometry (identity
+    grayscale palette makes luma == index, so equality is exact)."""
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.gif import (
+        decode_gif_gray,
+        encode_gif_gray,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=(h, w), dtype=np.uint8) for _ in range(n_frames)
+    ]
+    back = decode_gif_gray(encode_gif_gray(frames))
+    assert len(back) == n_frames
+    assert all(np.array_equal(a, b) for a, b in zip(frames, back))
