@@ -1750,7 +1750,9 @@ def _q97_hash_embed(spark, sf_dir):
     vector surface (ann_*, dedup_embedding, semantic_dedup, kmeans,
     quantize) composes onto documents. Integer-exact bucket sums + the
     engine-wide left-fold norm make the doubles bit-reproducible — the
-    oracle recomputes the embedding end-to-end in SQL."""
+    oracle recomputes the embedding end-to-end in SQL. Grades the default
+    zero-shuffle Arrow kernel path (bit-identical to the declarative
+    'expr' mirror, equality test-pinned in test_corpus_ops)."""
     from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import hash_embed
 
     _prep(spark)

@@ -329,3 +329,19 @@ def test_redact_pii_contract(spark):
     assert out[1].n_emails == 2
     assert out[2].redacted == rows[2][1]
     assert (out[2].n_emails, out[2].n_urls, out[2].n_phones) == (0, 0, 0)
+
+
+def test_hash_embed_kernel_matches_expr(spark):
+    """The Arrow kernel path is bit-identical to the declarative spec
+    (exact ==, not approx) — same integers, same IEEE op order."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import hash_embed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    k = {r.doc_id: list(r.embedding) for r in hash_embed(docs, dim=32).collect()}
+    e = {r.doc_id: list(r.embedding)
+         for r in hash_embed(docs, dim=32, strategy="expr").collect()}
+    assert k == e
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_embed(docs, strategy="fast")

@@ -487,6 +487,7 @@ def hash_embed(
     dim: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    strategy: str = "kernel",
 ) -> DataFrame:
     """Feature-hashing ("hashing trick") text embedder: word tokens ->
     signed hashed buckets -> L2-normalized ``array<double>`` of fixed
@@ -507,12 +508,27 @@ def hash_embed(
       with the norm accumulated by the engine-wide left fold (zero vector
       stays zero).
 
-    Scale (100 TB): ONE corpus-sized shuffle — explode tokens, then a
-    single groupBy(id) with ``dim`` conditional integer sums (map-side
-    partial agg); no vocabulary table, no model broadcast, output is
-    dim x 8 bytes per doc. Empty/no-token docs rejoin with the zero vector
-    (left join against the input ids).
+    ``strategy``: 'kernel' (default) computes the whole embedding in ONE
+    Arrow-batched pandas_udf — a pure per-row map with ZERO shuffle (the
+    engine's minhash/cosine-kernel pattern): Python re tokenization +
+    integer char-fold hashing produce the exact same integers as the
+    declarative spec, and the norm accumulates dim-ascending (elementwise
+    the left fold's IEEE op order), so outputs are bit-identical
+    (test-pinned) and the same DuckDB oracle applies. 'expr' is the
+    declarative path — the oracle's literal mirror (explode + groupBy with
+    ``dim`` conditional integer sums: one corpus-sized shuffle). ASCII
+    caveat: Python ``str.lower``/``re`` and Java ``lower``/regex agree on
+    ASCII (this corpus); non-ASCII case folding may differ — use 'expr'
+    when that matters.
+
+    Scale (100 TB): kernel = scan-bound map, no shuffle at all; expr = one
+    shuffle; either way no vocabulary table, no model broadcast, output is
+    dim x 8 bytes per doc. Empty/no-token docs produce the zero vector.
     """
+    if strategy not in ("kernel", "expr"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "kernel":
+        return _hash_embed_kernel(docs, dim=dim, id_col=id_col, text_col=text_col)
     from ..functions.text import char_hash, word_tokens
 
     toks = docs.select(
@@ -551,6 +567,48 @@ def hash_embed(
         norm > 0, F.transform(F.col("_v"), lambda x: x / norm)
     ).otherwise(F.col("_v"))
     return with_vec.select(id_col, emb.alias("embedding"))
+
+
+def _hash_embed_kernel(
+    docs: DataFrame, *, dim: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Arrow-batched hash_embed (see hash_embed docstring): bit-identical
+    to the declarative spec on ASCII text, zero shuffle."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.text import HASH_BASE, HASH_P
+
+    tok_re = _re.compile(r"[a-z0-9]+")
+
+    # NOTE: no type annotations — `from __future__ import annotations`
+    # turns them into unresolvable strings for pandas_udf's hint inference
+    def embed_fn(texts):
+        out = []
+        for t in texts.to_numpy():
+            v = np.zeros(dim, dtype=np.int64)
+            if t is not None:
+                for tok in tok_re.findall(str(t).lower()):
+                    h = 0
+                    for ch in tok:
+                        h = (h * HASH_BASE + ord(ch)) % HASH_P
+                    v[h % dim] += -1 if (h % (2 * dim)) >= dim else 1
+            fv = v.astype(np.float64)
+            # norm via the left fold's op order: dim-ascending accumulate
+            acc = 0.0
+            for d in range(dim):
+                acc += fv[d] * fv[d]
+            if acc > 0:
+                fv = fv / np.sqrt(acc)
+            out.append(fv)
+        return pd.Series(out)
+
+    embed = F.pandas_udf(embed_fn, "array<double>")
+    return docs.select(
+        F.col(id_col), embed(F.col(text_col)).alias("embedding")
+    )
 
 
 # portable PII patterns: the common subset of Java regex (Spark) and RE2
