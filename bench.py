@@ -41,6 +41,12 @@ import __spark_entry__ as entry_mod
 SERIES_LEN = 64  # longer series at bench scale to stress the DTW kernel
 
 
+def _dtw_c_available() -> bool:
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import dtw_c
+
+    return dtw_c.available()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -265,6 +271,9 @@ def main() -> None:
                 "full_pairs_561": n_pairs_561,
                 "fastdtw561_pairs_per_sec": fastdtw561_pairs_per_sec,
                 "baseline_fastdtw561_pairs_per_sec": 22600,
+                # whether the compiled-C DTW hot loops (functions/dtw_c.py)
+                # were active — false means the numpy fallback ran
+                "dtw_c_kernel": _dtw_c_available(),
             }
         )
     )

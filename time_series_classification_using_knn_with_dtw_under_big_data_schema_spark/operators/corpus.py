@@ -605,7 +605,10 @@ def _hash_embed_kernel(
             out.append(fv)
         return pd.Series(out)
 
-    embed = F.pandas_udf(embed_fn, "array<double>")
+    # asNondeterministic: the kernel is pure, but the flag stops Catalyst
+    # inlining the UDF into downstream filters/projections and evaluating
+    # it multiple times per row (same rationale as distance.py's kernels)
+    embed = F.pandas_udf(embed_fn, "array<double>").asNondeterministic()
     return docs.select(
         F.col(id_col), embed(F.col(text_col)).alias("embedding")
     )
