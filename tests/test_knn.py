@@ -222,3 +222,47 @@ def test_lb_envelope_admissible_numpy():
                 lb += seg_w * max(0.0, mu - u, l - mu)
             d = dtw_pair(q, c, band=band)
             assert lb <= d + 1e-9, (band, lb, d)
+
+
+def test_wrappers_forward_fastdtw_radius(spark):
+    """knn_classify / knn_predict_1nn / knn_join_pruned accept and forward
+    fastdtw_radius (r3: previously only knn_join did — a non-default radius
+    silently degraded to radius=1 through the wrappers)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        knn_classify,
+        knn_join,
+        knn_join_pruned,
+        knn_predict_1nn,
+    )
+
+    rows_tr = [(i, [float((i * 7 + j * 3) % 11) for j in range(24)], "a" if i % 2 else "b")
+               for i in range(12)]
+    rows_te = [(100 + i, [float((i * 5 + j * 2) % 13) for j in range(24)], None)
+               for i in range(4)]
+    tr = spark.createDataFrame(rows_tr, "series_id long, features array<double>, label string")
+    te = spark.createDataFrame(rows_te, "series_id long, features array<double>, label string")
+    # radius must actually reach the kernel: classify via the wrapper must
+    # equal classify built from knn_join at the same radius, for a radius
+    # where join results differ from radius=1
+    for radius in (1, 3):
+        got = {r.test_id: r.predicted_label
+               for r in knn_classify(te, tr, metric="fastdtw", k=3,
+                                     fastdtw_radius=radius).collect()}
+        from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import majority_vote
+        exp = {r.test_id: r.predicted_label
+               for r in majority_vote(
+                   knn_join(te, tr, metric="fastdtw", k=3, fastdtw_radius=radius),
+                   key="test_id", label="train_label", rank="rank").collect()}
+        assert got == exp
+    # distances via 1nn differ between radius 1 and a big radius only if
+    # forwarding works; at minimum the call must not raise and must agree
+    # with knn_join's rank-1 row at the same radius
+    one = {r.test_id: r.distance
+           for r in knn_predict_1nn(te, tr, metric="fastdtw", fastdtw_radius=3).collect()}
+    j = knn_join(te, tr, metric="fastdtw", k=1, fastdtw_radius=3).collect()
+    exp = {r.test_id: r.distance for r in j}
+    assert {k: round(v, 9) for k, v in one.items()} == {k: round(v, 9) for k, v in exp.items()}
+    # pruned accepts it too
+    n = knn_join_pruned(te, tr, metric="fastdtw", k=2, length=24,
+                        candidates_per_test=6, fastdtw_radius=3).count()
+    assert n > 0

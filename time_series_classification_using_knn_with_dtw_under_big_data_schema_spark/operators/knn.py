@@ -336,6 +336,7 @@ def knn_join_pruned(
     label_col: Optional[str] = "label",
     exclude_zero: bool = True,
     band: Optional[int] = None,
+    fastdtw_radius: int = 1,
 ) -> DataFrame:
     """Two-phase pruned KNN (scale path; SURVEY.md §4 'worth adding').
 
@@ -384,7 +385,7 @@ def knn_join_pruned(
         cands.join(t.select("test_id", "_tf"), "test_id")
         .join(r.drop("_rp"), "train_id")
     )
-    fn, rank_squared = _resolve_metric(metric, band, 1)
+    fn, rank_squared = _resolve_metric(metric, band, fastdtw_radius)
     dist = sq_euclidean(F.col("_tf"), F.col("_rf")) if rank_squared else fn(
         F.col("_tf"), F.col("_rf")
     )
@@ -616,6 +617,7 @@ def knn_classify(
     label_col: str = "label",
     exclude_zero: bool = True,
     band: Optional[int] = None,
+    fastdtw_radius: int = 1,
 ) -> DataFrame:
     """Full reference pipeline: similarity join -> top-k -> majority vote.
 
@@ -632,6 +634,7 @@ def knn_classify(
         label_col=label_col,
         exclude_zero=exclude_zero,
         band=band,
+        fastdtw_radius=fastdtw_radius,
     )
     return majority_vote(neighbors, key="test_id", label="train_label", rank="rank")
 
@@ -647,6 +650,7 @@ def knn_predict_1nn(
     label_col: str = "label",
     exclude_zero: bool = True,
     band: Optional[int] = None,
+    fastdtw_radius: int = 1,
 ) -> DataFrame:
     """Model-2 fast path (SURVEY.md §2.4 A6): k=1 via min_by aggregate — a
     partial/final aggregate (map-side combine), no window at all.
@@ -657,7 +661,7 @@ def knn_predict_1nn(
 
     Output: (test_id, predicted_label, distance).
     """
-    fn, rank_squared = _resolve_metric(metric, band, 1)
+    fn, rank_squared = _resolve_metric(metric, band, fastdtw_radius)
     t = test.select(F.col(id_col).alias("test_id"), F.col(features_col).alias("_tf"))
     r = train.select(
         F.col(id_col).alias("train_id"),
