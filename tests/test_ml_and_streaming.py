@@ -264,3 +264,32 @@ def test_stream_to_parquet_rejects_batch_df(spark):
 
     with _pytest.raises(ValueError, match="streaming"):
         stream_to_parquet(spark.range(1), "/tmp/x", checkpoint="/tmp/c")
+
+
+def test_estimator_forwards_band_and_radius(spark):
+    """KnnDtwClassifier exposes band / fastdtwRadius and they reach the
+    kernel (predictions can differ between radius settings; band=-1 means
+    unconstrained)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.ml.estimator import KnnDtwClassifier
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join
+
+    rows_tr = [(i, [float((i * 7 + j * 3) % 11) for j in range(24)], "a" if i % 2 else "b")
+               for i in range(12)]
+    rows_te = [(100 + i, [float((i * 5 + j * 2) % 13) for j in range(24)], "a")
+               for i in range(4)]
+    tr = spark.createDataFrame(rows_tr, "series_id long, features array<double>, label string")
+    te = spark.createDataFrame(rows_te, "series_id long, features array<double>, label string")
+    m = KnnDtwClassifier(k=3, metric="fastdtw", fastdtwRadius=3).fit(tr)
+    nb = m.neighbors(te)
+    exp = knn_join(te, tr, metric="fastdtw", k=3, fastdtw_radius=3)
+    got = sorted((r.test_id, r.train_id, round(r.distance, 9)) for r in nb.collect())
+    want = sorted((r.test_id, r.train_id, round(r.distance, 9)) for r in exp.collect())
+    assert got == want
+    # banded dtw through the estimator == knn_join at the same band
+    m2 = KnnDtwClassifier(k=2, metric="dtw", band=2).fit(tr)
+    got2 = sorted((r.test_id, r.train_id, round(r.distance, 9))
+                  for r in m2.neighbors(te).collect())
+    want2 = sorted((r.test_id, r.train_id, round(r.distance, 9))
+                   for r in knn_join(te, tr, metric="dtw", band=2, k=2).collect())
+    assert got2 == want2
+    assert m.transform(te).count() == 4

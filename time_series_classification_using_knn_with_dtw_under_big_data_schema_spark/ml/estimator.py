@@ -29,6 +29,12 @@ class _KnnParams(Params):
     featuresCol = Param(Params._dummy(), "featuresCol", "series column", TypeConverters.toString)
     labelCol = Param(Params._dummy(), "labelCol", "label column", TypeConverters.toString)
     predictionCol = Param(Params._dummy(), "predictionCol", "output column", TypeConverters.toString)
+    band = Param(Params._dummy(), "band",
+                 "Sakoe-Chiba band half-width for metric='dtw' (-1 = unconstrained)",
+                 TypeConverters.toInt)
+    fastdtwRadius = Param(Params._dummy(), "fastdtwRadius",
+                          "FastDTW refinement radius for metric='fastdtw'",
+                          TypeConverters.toInt)
 
     def __init__(self):
         super().__init__()
@@ -40,6 +46,15 @@ class _KnnParams(Params):
             featuresCol="features",
             labelCol="label",
             predictionCol="predicted_label",
+            band=-1,
+            fastdtwRadius=1,
+        )
+
+    def _metric_kwargs(self):
+        band = self.getOrDefault(self.band)
+        return dict(
+            band=None if band < 0 else band,
+            fastdtw_radius=self.getOrDefault(self.fastdtwRadius),
         )
 
 
@@ -77,6 +92,7 @@ class KnnDtwClassifierModel(Transformer, _KnnParams):
             id_col=self.getOrDefault(self.idCol),
             features_col=self.getOrDefault(self.featuresCol),
             label_col=self.getOrDefault(self.labelCol),
+            **self._metric_kwargs(),
         )
         k = self.getOrDefault(self.k)
         if k == 1:
@@ -102,4 +118,5 @@ class KnnDtwClassifierModel(Transformer, _KnnParams):
             id_col=self.getOrDefault(self.idCol),
             features_col=self.getOrDefault(self.featuresCol),
             label_col=self.getOrDefault(self.labelCol),
+            **self._metric_kwargs(),
         )
