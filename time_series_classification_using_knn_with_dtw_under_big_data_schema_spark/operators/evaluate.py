@@ -44,6 +44,8 @@ def k_sweep(
     id_col: str = "series_id",
     features_col: str = "features",
     label_col: str = "label",
+    band: "int | None" = None,
+    fastdtw_radius: int = 1,
 ) -> DataFrame:
     """The reference's hyperparameter validation loop (Team11-Project.py:
     237-476: 'A manual for-loop is used for hyper-parameter fine-tuning',
@@ -67,6 +69,8 @@ def k_sweep(
         id_col=id_col,
         features_col=features_col,
         label_col=label_col,
+        band=band,
+        fastdtw_radius=fastdtw_radius,
     ).cache()
     register_cache(neighbors)
     truth = test.select(F.col(id_col).alias("test_id"), F.col(label_col))

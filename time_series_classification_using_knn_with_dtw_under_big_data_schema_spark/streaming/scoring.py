@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.distance import DISTANCES, make_dtw_udf, make_fastdtw_udf, sq_euclidean
 
 
-def _metric_fn(metric: str, band: Optional[int]):
+def _metric_fn(metric: str, band: Optional[int], fastdtw_radius: int = 1):
     if metric == "euclidean":
         return None
     if metric == "dtw":
@@ -33,7 +33,8 @@ def _metric_fn(metric: str, band: Optional[int]):
     if metric == "fastdtw":
         # same override rule as operators/knn.py: explicit band -> exact
         # banded DTW, else the faithful recursive kernel
-        return make_dtw_udf(band) if band is not None else make_fastdtw_udf(1)
+        return (make_dtw_udf(band) if band is not None
+                else make_fastdtw_udf(fastdtw_radius))
     return DISTANCES[metric]
 
 
@@ -47,6 +48,7 @@ def score_stream(
     features_col: str = "features",
     label_col: str = "label",
     band: Optional[int] = None,
+    fastdtw_radius: int = 1,
 ) -> DataFrame:
     """Score a stream of series against a static train set.
 
@@ -61,7 +63,7 @@ def score_stream(
         F.col(label_col).alias("train_label"),
     )
     pairs = t.join(F.broadcast(r))  # stream-static cross join
-    fn = _metric_fn(metric, band)
+    fn = _metric_fn(metric, band, fastdtw_radius)
     dist = sq_euclidean(F.col("_tf"), F.col("_rf")) if fn is None else fn(
         F.col("_tf"), F.col("_rf")
     )
