@@ -293,3 +293,34 @@ def test_estimator_forwards_band_and_radius(spark):
                    for r in knn_join(te, tr, metric="dtw", band=2, k=2).collect())
     assert got2 == want2
     assert m.transform(te).count() == 4
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    """save_model/load_model: the reloaded lazy learner predicts exactly
+    what the original does, params included (non-default k/metric/band)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.ml.estimator import (
+        KnnDtwClassifier,
+        load_model,
+        save_model,
+    )
+
+    rows_tr = [(i, [float((i * 3 + j) % 7) for j in range(12)], "a" if i % 3 else "b")
+               for i in range(9)]
+    rows_te = [(100 + i, [float((i + j * 2) % 5) for j in range(12)], "a") for i in range(3)]
+    tr = spark.createDataFrame(rows_tr, "series_id long, features array<double>, label string")
+    te = spark.createDataFrame(rows_te, "series_id long, features array<double>, label string")
+    m = KnnDtwClassifier(k=3, metric="dtw", band=2).fit(tr)
+    p = str(tmp_path / "knn_model")
+    save_model(m, p)
+    m2 = load_model(spark, p)
+    assert m2.getOrDefault(m2.k) == 3 and m2.getOrDefault(m2.metric) == "dtw"
+    assert m2.getOrDefault(m2.band) == 2
+    a = sorted((r.series_id, r.predicted_label) for r in m.transform(te).collect())
+    b = sorted((r.series_id, r.predicted_label) for r in m2.transform(te).collect())
+    assert a == b
+    # overwrite contract
+    save_model(m, p, overwrite=True)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        save_model(m, p)  # no overwrite -> parquet write fails

@@ -120,3 +120,46 @@ class KnnDtwClassifierModel(Transformer, _KnnParams):
             label_col=self.getOrDefault(self.labelCol),
             **self._metric_kwargs(),
         )
+
+
+# ---------------------------------------------------------------------------
+# Persistence — the lazy learner's "model" IS the train table + params
+# (Team11-Project.py:123-124), so save = params JSON + train parquet.
+# ---------------------------------------------------------------------------
+
+
+def save_model(model: KnnDtwClassifierModel, path: str, *, overwrite: bool = False) -> None:
+    """Persist a fitted model: <path>/params.json + <path>/train/ parquet.
+
+    Parquet goes through the normal DataFrameWriter (distributed write —
+    the train table never touches the driver); params are a small JSON
+    sidecar. Works on any Hadoop-compatible path.
+    """
+    import json
+    import os
+
+    params = {p.name: model.getOrDefault(p) for p in model.params}
+    writer = model.train.write
+    if overwrite:
+        writer = writer.mode("overwrite")
+    writer.parquet(os.path.join(path, "train"))
+    # params sidecar written AFTER the data so a readable sidecar implies a
+    # complete train directory (cheap crash-consistency ordering)
+    tmp = os.path.join(path, "params.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"class": "KnnDtwClassifierModel", "params": params}, f)
+    os.replace(tmp, os.path.join(path, "params.json"))
+
+
+def load_model(spark, path: str) -> KnnDtwClassifierModel:
+    """Load a model persisted by ``save_model``."""
+    import json
+    import os
+
+    with open(os.path.join(path, "params.json")) as f:
+        meta = json.load(f)
+    if meta.get("class") != "KnnDtwClassifierModel":
+        raise ValueError(f"not a KnnDtwClassifierModel checkpoint: {path}")
+    model = KnnDtwClassifierModel(train=spark.read.parquet(os.path.join(path, "train")))
+    model._set(**meta["params"])
+    return model
