@@ -81,7 +81,6 @@ def codegen_stage_count(df: DataFrame) -> int:
 # ---------------------------------------------------------------------------
 
 import contextlib
-import sys as _sys
 import traceback as _tb
 from dataclasses import dataclass, field
 

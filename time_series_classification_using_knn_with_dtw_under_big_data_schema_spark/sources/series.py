@@ -12,7 +12,7 @@ Engine-native series schema (FIXTURES.md F2):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
