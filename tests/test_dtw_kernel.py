@@ -223,3 +223,31 @@ def test_c_path_fallback_when_no_compiler(monkeypatch):
     monkeypatch.undo()
     dtw_c._tried = False
     dtw_c._lib = None
+
+
+def test_infeasible_band_returns_inf_like_dtw_pair():
+    """A band narrower than the diagonal slope on very unequal lengths has
+    no connected path: dtw_pair returns inf, and both batch kernels must
+    surface the same inf (regression: they leaked the 1e18 sentinel —
+    found by the r3 fuzz sweep)."""
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(4, 10))
+    B = rng.normal(size=(4, 56))
+    ref = np.array([dtw_pair(a, b, band=0) for a, b in zip(A, B)])
+    assert np.isinf(ref).all()
+    got = dtw_batch(A, B, band=0)  # C path when available
+    assert np.array_equal(got, ref)
+    # numpy route too
+    import os
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import dtw_c
+
+    os.environ["TSKNN_DTW_NO_CC"] = "1"
+    try:
+        assert not dtw_c.available()
+        got_np = dtw_batch(A, B, band=0)
+    finally:
+        del os.environ["TSKNN_DTW_NO_CC"]
+    assert np.array_equal(got_np, ref)
+    # a FEASIBLE band on the same shapes stays finite on every path
+    assert np.isfinite(dtw_batch(A, B, band=50)).all()

@@ -248,6 +248,10 @@ def dtw_band_batch(A: np.ndarray, B: np.ndarray, band: "int | None") -> np.ndarr
     m = B.shape[1]
     out = np.empty(bs, dtype=np.float64)
     _lib.dtw_band_batch(_dptr(A), _dptr(B), bs, n, m, -1 if band is None else band, _dptr(out))
+    # infeasible band (narrower than the diagonal slope on unequal
+    # lengths): the corner stays at the LARGE sentinel — surface it as inf,
+    # matching dtw_pair. Any real distance is astronomically below 1e17.
+    out[out >= 1e17] = np.inf
     return out
 
 

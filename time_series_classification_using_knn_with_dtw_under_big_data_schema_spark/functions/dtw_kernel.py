@@ -228,6 +228,9 @@ def dtw_batch(A: np.ndarray, B: np.ndarray, band: int | None = None) -> np.ndarr
         cur[:, 0] = LARGE
         prev, cur = cur, prev
     out = prev[:, m].copy()
+    # infeasible band: corner unreachable -> LARGE sentinel; surface as inf
+    # to match dtw_pair (any real distance is astronomically below 1e17)
+    out[out >= 1e17] = np.inf
     return out
 
 
