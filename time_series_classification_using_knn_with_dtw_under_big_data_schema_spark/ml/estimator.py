@@ -133,7 +133,10 @@ def save_model(model: KnnDtwClassifierModel, path: str, *, overwrite: bool = Fal
 
     Parquet goes through the normal DataFrameWriter (distributed write —
     the train table never touches the driver); params are a small JSON
-    sidecar. Works on any Hadoop-compatible path.
+    sidecar written with local file IO — so ``path`` must be a
+    driver-visible filesystem path (for object stores, point the sidecar
+    at a mounted/fuse path or swap this helper for one using the Hadoop
+    FileSystem API; the parquet half already works anywhere).
     """
     import json
     import os
