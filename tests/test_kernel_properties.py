@@ -174,3 +174,37 @@ def test_gif_codec_roundtrip_property(w, h, n_frames, seed):
     back = decode_gif_gray(encode_gif_gray(frames))
     assert len(back) == n_frames
     assert all(np.array_equal(a, b) for a, b in zip(frames, back))
+
+
+def test_dtw_batch_seeded_shape_sweep():
+    """Seeded mini-sweep over random (n, m, bs, band, radius) combinations
+    — the fast permanent version of the r3 fuzz that caught the
+    infeasible-band sentinel leak. Exact equality with the per-pair
+    references, including inf rows."""
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.dtw_kernel import (
+        dtw_batch,
+        dtw_pair,
+        fastdtw_batch,
+        fastdtw_pair,
+    )
+
+    rng = np.random.default_rng(1234)
+    for trial in range(12):
+        n = int(rng.integers(2, 60))
+        m = int(rng.integers(2, 60))
+        bs = int(rng.integers(1, 8))
+        A = np.cumsum(rng.normal(size=(bs, n)), axis=1)
+        B = np.cumsum(rng.normal(size=(bs, m)), axis=1)
+        band = [None, 0, 2, 9][trial % 4]
+        got = dtw_batch(A, B, band=band)
+        ref = np.array([dtw_pair(a, b, band=band) for a, b in zip(A, B)])
+        assert np.array_equal(got, ref), (trial, n, m, bs, band)
+        radius = [1, 2][trial % 2]
+        got = fastdtw_batch(A, B, radius=radius)
+        ref = np.array([fastdtw_pair(a, b, radius=radius) for a, b in zip(A, B)])
+        # exact on the C route; numpy route may flip fp near-ties — accept
+        # either exact equality or the documented tiny-divergence envelope
+        rel = np.abs(got - ref) / np.maximum(ref, 1e-12)
+        assert (rel < 0.05).all(), (trial, n, m, bs, radius)
