@@ -238,14 +238,14 @@ def main() -> None:
     run("ann_lsh_cosine", lambda: entry_mod._q24_ann_lsh(spark, sf_dir).count(), repeats=2)
     run("ann_ivf_cosine", lambda: entry_mod._q34_ann_ivf(spark, sf_dir).count(), repeats=2)
     run("dedup_embedding", lambda: entry_mod._q74_dedup_embedding(spark, sf_dir).count(), repeats=2)
-    run("count_min_topk", lambda: entry_mod._q84_count_min(spark, sf_dir).count(), repeats=2)
+    run("count_min_topk", lambda: entry_mod._q84_count_min(spark, sf_dir).count(), repeats=3)
     run("time_rollup", lambda: entry_mod._q81_time_rollup(spark, sf_dir).count(), repeats=2)
-    run("kmeans_2iter", lambda: entry_mod._q87_kmeans(spark, sf_dir).count(), repeats=2)
+    run("kmeans_2iter", lambda: entry_mod._q87_kmeans(spark, sf_dir).count(), repeats=3)
     run("semantic_dedup", lambda: entry_mod._q88_semantic_dedup(spark, sf_dir).count(), repeats=2)
     run("span_dedup", lambda: entry_mod._q89_span_dedup(spark, sf_dir).count(), repeats=2)
     run("ann_quantized", lambda: entry_mod._q90_ann_quantized(spark, sf_dir).count(), repeats=2)
     run("decontaminate_fuzzy", lambda: entry_mod._q92_decontaminate_fuzzy(spark, sf_dir).count(), repeats=2)
-    run("ann_ivf_kmeans", lambda: entry_mod._q93_ann_ivf_kmeans(spark, sf_dir).count(), repeats=2)
+    run("ann_ivf_kmeans", lambda: entry_mod._q93_ann_ivf_kmeans(spark, sf_dir).count(), repeats=3)
     run("text_knn_hash_embed", lambda: entry_mod._q98_text_knn(spark, sf_dir).count(), repeats=2)
 
     total = round(sum(timings.values()), 3)
