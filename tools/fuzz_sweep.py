@@ -1,0 +1,268 @@
+#!/usr/bin/env python3
+"""Randomized cross-engine fuzz sweeps (the harness that caught the r3
+infeasible-band sentinel leak).
+
+Each sweep generates random instances and compares an engine operator
+against an independent reference implementation:
+
+- dtw: batch kernels (numpy or compiled-C route, whichever is active) vs
+  the per-pair DP references, exact equality incl. inf rows, across random
+  (n, m, bs, band, radius).
+- asof: operators.asof_join vs DuckDB ASOF JOIN, both directions, coarse
+  timestamp grids forcing heavy ties.
+- interval: operators.interval_join (bucketized rewrite) vs the plain
+  theta join, across bucket widths.
+- components: operators.dedup.dedup_components (driver union-find AND
+  distributed Pregel paths) vs a Python union-find on random graphs.
+
+Usage: python tools/fuzz_sweep.py [dtw|asof|interval|components|all]
+       [--trials N] [--seed S]
+
+Exit code 0 = no discrepancies. Slow by design (minutes at the default
+trial counts) — the fast seeded subset runs in the test suite
+(tests/test_kernel_properties.py::test_dtw_batch_seeded_shape_sweep).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def sweep_dtw(trials: int, seed: int) -> int:
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.dtw_kernel import (
+        dtw_batch,
+        dtw_pair,
+        fastdtw_batch,
+        fastdtw_pair,
+    )
+
+    rng = np.random.default_rng(seed)
+    fails = 0
+    for trial in range(trials):
+        n = int(rng.integers(2, 120))
+        m = int(rng.integers(2, 120))
+        bs = int(rng.integers(1, 24))
+        kind = trial % 3
+        if kind == 0:
+            A = rng.normal(size=(bs, n))
+            B = rng.normal(size=(bs, m))
+        elif kind == 1:
+            A = np.cumsum(rng.normal(size=(bs, n)), axis=1)
+            B = np.cumsum(rng.normal(size=(bs, m)), axis=1)
+        else:  # heavy ties
+            A = rng.integers(0, 4, size=(bs, n)).astype(float)
+            B = rng.integers(0, 4, size=(bs, m)).astype(float)
+        band = [None, 0, 1, 3, 7, 1000][trial % 6]
+        got = dtw_batch(A, B, band=band)
+        ref = np.array([dtw_pair(a, b, band=band) for a, b in zip(A, B)])
+        if not np.array_equal(got, ref):
+            fails += 1
+            print(f"DTW MISMATCH trial={trial} n={n} m={m} bs={bs} band={band}")
+        radius = [1, 1, 2, 3][trial % 4]
+        got = fastdtw_batch(A, B, radius=radius)
+        ref = np.array([fastdtw_pair(a, b, radius=radius) for a, b in zip(A, B)])
+        rel = np.abs(got - ref) / np.maximum(ref, 1e-12)
+        # exact on the C route; the numpy scan may flip fp near-ties
+        if not (rel < 0.05).all():
+            fails += 1
+            print(f"FASTDTW MISMATCH trial={trial} n={n} m={m} bs={bs} r={radius}")
+    print(f"dtw sweep: {trials} trials, {fails} failures")
+    return fails
+
+
+def _spark():
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.session import get_spark
+
+    return get_spark("fuzz_sweep")
+
+
+def sweep_asof(trials: int, seed: int) -> int:
+    import duckdb
+    import pandas as pd
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import asof_join
+
+    spark = _spark()
+    rng = np.random.default_rng(seed)
+    fails = 0
+    for trial in range(trials):
+        direction = "backward" if trial % 2 == 0 else "forward"
+        cmp = "<=" if direction == "backward" else ">="
+        nl = int(rng.integers(1, 50))
+        nr = int(rng.integers(1, 50))
+        nk = int(rng.integers(1, 4))
+        lt = pd.DataFrame(
+            {
+                "k": rng.integers(0, nk, nl).astype("int64"),
+                "ts": rng.integers(0, 15, nl).astype("int64"),
+                "lv": np.arange(nl, dtype="int64"),
+            }
+        )
+        rt = pd.DataFrame(
+            {
+                "k": rng.integers(0, nk, nr).astype("int64"),
+                "ts": rng.integers(0, 15, nr).astype("int64"),
+                "rv": np.arange(nr, dtype="int64"),
+            }
+        )
+        rt = rt.groupby(["k", "ts"], as_index=False).agg(rv=("rv", "min"))
+        got = (
+            asof_join(
+                spark.createDataFrame(lt),
+                spark.createDataFrame(rt),
+                on="k",
+                ts="ts",
+                direction=direction,
+            )
+            .toPandas()
+            .sort_values("lv")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("lt", lt)
+        con.register("rt", rt)
+        du = (
+            con.execute(
+                f"""SELECT l.lv, r.ts AS ts_matched, r.rv
+                    FROM lt l ASOF LEFT JOIN rt r
+                    ON l.k = r.k AND r.ts {cmp} l.ts ORDER BY l.lv"""
+            )
+            .df()
+            .reset_index(drop=True)
+        )
+        for col in ("ts_matched", "rv"):
+            a = got[col].astype("float64").fillna(-1)
+            b = du[col].astype("float64").fillna(-1)
+            if not a.equals(b):
+                fails += 1
+                print(f"ASOF MISMATCH trial={trial} dir={direction} col={col}")
+                break
+    spark.stop()
+    print(f"asof sweep: {trials} trials, {fails} failures")
+    return fails
+
+
+def sweep_interval(trials: int, seed: int) -> int:
+    import duckdb
+    import pandas as pd
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import interval_join
+
+    spark = _spark()
+    rng = np.random.default_rng(seed)
+    fails = 0
+    for trial in range(trials):
+        npnt = int(rng.integers(1, 60))
+        niv = int(rng.integers(1, 30))
+        pt = pd.DataFrame(
+            {
+                "k": rng.integers(0, 3, npnt).astype("int64"),
+                "ts": rng.integers(0, 40, npnt).astype("int64"),
+                "pid": np.arange(npnt, dtype="int64"),
+            }
+        )
+        s = rng.integers(0, 35, niv).astype("int64")
+        iv = pd.DataFrame(
+            {
+                "k": rng.integers(0, 3, niv).astype("int64"),
+                "start": s,
+                "end": s + rng.integers(0, 15, niv).astype("int64"),
+                "iid": np.arange(niv, dtype="int64"),
+            }
+        )
+        con = duckdb.connect()
+        con.register("pt", pt)
+        con.register("iv", iv)
+        du = con.execute(
+            "SELECT p.pid, i.iid FROM pt p JOIN iv i ON p.k = i.k"
+            " AND p.ts >= i.start AND p.ts <= i.end"
+        ).df()
+        want = sorted(zip(du["pid"], du["iid"]))
+        for bucket in ("auto", 1, 7, 64):
+            got = interval_join(
+                spark.createDataFrame(pt), spark.createDataFrame(iv), on="k", bucket=bucket
+            ).toPandas()
+            if sorted(zip(got["pid"], got["iid"])) != want:
+                fails += 1
+                print(f"INTERVAL MISMATCH trial={trial} bucket={bucket}")
+    spark.stop()
+    print(f"interval sweep: {trials}x4 trials, {fails} failures")
+    return fails
+
+
+def sweep_components(trials: int, seed: int) -> int:
+    import pandas as pd
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.dedup import dedup_components
+
+    spark = _spark()
+    rng = np.random.default_rng(seed)
+    fails = 0
+    for trial in range(trials):
+        n_nodes = int(rng.integers(2, 120))
+        n_edges = int(rng.integers(0, 200))
+        ea = rng.integers(0, n_nodes, n_edges).astype("int64")
+        eb = rng.integers(0, n_nodes, n_edges).astype("int64")
+        pairs = pd.DataFrame({"id_a": np.minimum(ea, eb), "id_b": np.maximum(ea, eb)})
+        pairs = pairs[pairs.id_a != pairs.id_b].drop_duplicates()
+        if not len(pairs):
+            pairs = pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+            )
+        docs = pd.DataFrame({"doc_id": np.arange(n_nodes, dtype="int64")})
+        kw = {"local_threshold": 0} if trial % 2 == 0 else {}  # force Pregel half the time
+        out = dedup_components(
+            spark.createDataFrame(docs), spark.createDataFrame(pairs), id_col="doc_id", **kw
+        ).toPandas()
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs.itertuples(index=False):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        keep_ref = {i for i in range(n_nodes) if find(i) == i}
+        keep_got = set(out[out.keep].doc_id) if "keep" in out.columns else set(out.doc_id)
+        if keep_got != keep_ref:
+            fails += 1
+            print(f"COMPONENTS MISMATCH trial={trial} nodes={n_nodes} edges={len(pairs)}")
+    spark.stop()
+    print(f"components sweep: {trials} trials, {fails} failures")
+    return fails
+
+
+SWEEPS = {
+    "dtw": sweep_dtw,
+    "asof": sweep_asof,
+    "interval": sweep_interval,
+    "components": sweep_components,
+}
+DEFAULT_TRIALS = {"dtw": 250, "asof": 40, "interval": 20, "components": 12}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sweep", nargs="?", default="all", choices=[*SWEEPS, "all"])
+    ap.add_argument("--trials", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=99)
+    args = ap.parse_args()
+    names = list(SWEEPS) if args.sweep == "all" else [args.sweep]
+    total = 0
+    for name in names:
+        total += SWEEPS[name](args.trials or DEFAULT_TRIALS[name], args.seed)
+    sys.exit(1 if total else 0)
+
+
+if __name__ == "__main__":
+    main()
