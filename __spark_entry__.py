@@ -2245,7 +2245,9 @@ def _sql_ann_lsh_multiprobe(
 
 def _sql_hash_embed_cte(dim: int = 64) -> str:
     """CTE chain ending in he(doc_id, v) — the hash_embed mirror: char-fold
-    token hash, signed bucket sums (integer-exact), left-fold L2 norm."""
+    token hash, signed bucket sums (integer-exact), left-fold L2 norm.
+    Case folding is the 26-entry ASCII translate (ascii_word_tokens), not
+    lower(): engines' Unicode lower() mappings diverge off-ASCII."""
     sums_cols = ", ".join(
         f"cast(sum(CASE WHEN h % {dim} = {i} THEN s ELSE 0 END) AS bigint) AS c{i}"
         for i in range(dim)
@@ -2253,7 +2255,11 @@ def _sql_hash_embed_cte(dim: int = 64) -> str:
     arr = ", ".join(f"cast(coalesce(s.c{i}, 0) AS double)" for i in range(dim))
     return f"""
         toks AS (
-            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+            SELECT doc_id,
+                   unnest(regexp_extract_all(
+                       translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                 'abcdefghijklmnopqrstuvwxyz'),
+                       '[a-z0-9]+')) AS tok
             FROM documents
         ),
         hashed AS (

@@ -345,3 +345,66 @@ def test_hash_embed_kernel_matches_expr(spark):
 
     with _pytest.raises(ValueError):
         hash_embed(docs, strategy="fast")
+
+
+def test_hash_embed_unicode_cross_engine(spark, tmp_path):
+    """ASCII-translate case folding makes all three hash_embed paths agree
+    on NON-ASCII text: Spark kernel == Spark expr == DuckDB oracle CTE.
+    The fixture hits the known lower() divergence/edge cases (U+0130 Turkish
+    dotted I whose Unicode lower contains an ASCII 'i', U+212A Kelvin sign
+    whose lower IS ASCII 'k', sharp s, final sigma, CJK, emoji) — under the
+    old lower() spec the kernel and the JVM could tokenize these
+    differently; under translate they are separators everywhere."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import hash_embed
+
+    rows = [
+        (0, "İstanbul NAİVE stop"),          # U+0130: lower() -> 'i' + U+0307
+        (1, "Kelvin K 273"),                 # U+212A: lower() -> ASCII 'k'
+        (2, "straße STRASSE ẞharp"),         # sharp s / capital sharp s
+        (3, "ΣΙΣΥΦΟΣ σίσυφος"),              # final-sigma folding
+        (4, "MIXED ascii And 123 Numbers"),
+        (5, "漢字テキスト 🎉 plain"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = {r.doc_id: list(r.embedding)
+         for r in hash_embed(df, dim=16).collect()}
+    e = {r.doc_id: list(r.embedding)
+         for r in hash_embed(df, dim=16, strategy="expr").collect()}
+    assert k == e
+    # DuckDB oracle CTE on the same rows
+    pq = str(tmp_path / "docs.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+    sql = f"WITH {entry._sql_hash_embed_cte(dim=16)} SELECT doc_id, v FROM he"
+    o = {int(d): list(v) for d, v in con.execute(sql).fetchall()}
+    assert o == k
+
+
+def test_hash_embed_kernel_expr_parity_fuzz(spark):
+    """Hypothesis sweep: kernel and expr paths produce EXACTLY equal
+    embeddings for arbitrary Unicode text (one batched Spark round-trip
+    over all drawn examples — the property is per-row)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import hash_embed
+
+    corpus: list[str] = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(max_size=40))
+    def collect(s):
+        corpus.append(s)
+
+    collect()
+    rows = [(i, s) for i, s in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = {r.doc_id: list(r.embedding) for r in hash_embed(df, dim=8).collect()}
+    e = {r.doc_id: list(r.embedding)
+         for r in hash_embed(df, dim=8, strategy="expr").collect()}
+    assert k == e and len(k) == len(rows)

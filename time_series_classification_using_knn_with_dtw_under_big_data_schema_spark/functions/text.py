@@ -50,6 +50,25 @@ def word_tokens(col: Column) -> Column:
     return F.regexp_extract_all(F.lower(col), F.lit("[a-z0-9]+"), 0)
 
 
+# ASCII case fold: A-Z -> a-z via translate, NEVER the engine's Unicode
+# `lower` — Python str.lower, Java String.toLowerCase, and DuckDB lower
+# disagree on a handful of non-ASCII code points (U+0130, U+212A, final
+# sigma, ...) and drift across Unicode versions; translate is a fixed
+# 26-entry table all three engines implement identically, so operators
+# built on it are reproducible by construction on ARBITRARY input text.
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_word_tokens(col: Column) -> Column:
+    """word_tokens with ASCII-translate case folding (see ASCII_UPPER
+    note): runs of [a-z0-9] after A-Z -> a-z; non-ASCII characters are
+    never case-mapped, they act as token separators in every engine."""
+    return F.regexp_extract_all(
+        F.translate(col, ASCII_UPPER, ASCII_LOWER), F.lit("[a-z0-9]+"), 0
+    )
+
+
 def char_hash(col: Column) -> Column:
     """Polynomial rolling hash of a string (the document fingerprint)."""
     return F.aggregate(

@@ -498,8 +498,10 @@ def hash_embed(
     semantic_dedup, kmeans, quantize_embeddings) composes onto raw
     documents with no external model. Spec (portable, oracle-checkable):
 
-    - token = runs of [a-z0-9] over lowercased text (functions/text.py::
-      word_tokens);
+    - token = runs of [a-z0-9] over ASCII-case-folded text (functions/
+      text.py::ascii_word_tokens — A-Z folded via a 26-entry translate,
+      never the engine's Unicode ``lower``, so Spark / Python / DuckDB
+      tokenize identically on ARBITRARY input, not just ASCII corpora);
     - h = polynomial char-fold hash of the token (char_hash, mod 1e9+7);
     - bucket = h mod dim; sign = -1 if (h mod 2*dim) >= dim else +1
       (the classic next-bit sign hash — Weinberger et al. 2009's signed
@@ -514,12 +516,10 @@ def hash_embed(
     integer char-fold hashing produce the exact same integers as the
     declarative spec, and the norm accumulates dim-ascending (elementwise
     the left fold's IEEE op order), so outputs are bit-identical
-    (test-pinned) and the same DuckDB oracle applies. 'expr' is the
-    declarative path — the oracle's literal mirror (explode + groupBy with
-    ``dim`` conditional integer sums: one corpus-sized shuffle). ASCII
-    caveat: Python ``str.lower``/``re`` and Java ``lower``/regex agree on
-    ASCII (this corpus); non-ASCII case folding may differ — use 'expr'
-    when that matters.
+    (test-pinned, hypothesis-fuzzed over arbitrary Unicode) and the same
+    DuckDB oracle applies. 'expr' is the declarative path — the oracle's
+    literal mirror (explode + groupBy with ``dim`` conditional integer
+    sums: one corpus-sized shuffle).
 
     Scale (100 TB): kernel = scan-bound map, no shuffle at all; expr = one
     shuffle; either way no vocabulary table, no model broadcast, output is
@@ -529,10 +529,10 @@ def hash_embed(
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "kernel":
         return _hash_embed_kernel(docs, dim=dim, id_col=id_col, text_col=text_col)
-    from ..functions.text import char_hash, word_tokens
+    from ..functions.text import ascii_word_tokens, char_hash
 
     toks = docs.select(
-        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("_tok")
+        F.col(id_col), F.explode(ascii_word_tokens(F.col(text_col))).alias("_tok")
     )
     h = char_hash(F.col("_tok"))
     signed = toks.select(
@@ -573,15 +573,19 @@ def _hash_embed_kernel(
     docs: DataFrame, *, dim: int, id_col: str, text_col: str
 ) -> DataFrame:
     """Arrow-batched hash_embed (see hash_embed docstring): bit-identical
-    to the declarative spec on ASCII text, zero shuffle."""
+    to the declarative spec on arbitrary text, zero shuffle."""
     import re as _re
 
     import numpy as np
     import pandas as pd
 
-    from ..functions.text import HASH_BASE, HASH_P
+    from ..functions.text import ASCII_LOWER, ASCII_UPPER, HASH_BASE, HASH_P
 
     tok_re = _re.compile(r"[a-z0-9]+")
+    # the same 26-entry ASCII fold as ascii_word_tokens / the oracle's
+    # translate() — NOT str.lower(), whose Unicode mapping diverges from
+    # the JVM's on a handful of code points
+    fold = str.maketrans(ASCII_UPPER, ASCII_LOWER)
 
     # NOTE: no type annotations — `from __future__ import annotations`
     # turns them into unresolvable strings for pandas_udf's hint inference
@@ -590,7 +594,7 @@ def _hash_embed_kernel(
         for t in texts.to_numpy():
             v = np.zeros(dim, dtype=np.int64)
             if t is not None:
-                for tok in tok_re.findall(str(t).lower()):
+                for tok in tok_re.findall(str(t).translate(fold)):
                     h = 0
                     for ch in tok:
                         h = (h * HASH_BASE + ord(ch)) % HASH_P
