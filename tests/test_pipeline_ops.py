@@ -909,3 +909,37 @@ def test_png_codec_depths_palette_interlace():
         decode_png_gray(mk(3, 3, 2, 2, b""))
     with _pytest.raises(ValueError):
         decode_png_gray(mk(3, 3, 16, 3, b""))
+
+
+def test_simhash_kernel_expr_unicode_parity(spark):
+    """simhash kernel == expr on NON-ASCII text: the kernel receives
+    JVM-lowercased input, so Python's (different) Unicode lower() never
+    runs — parity holds on the lower()-divergence edge cases and on a
+    hypothesis sweep of arbitrary Unicode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import simhash
+
+    corpus = [
+        "İstanbul NAİVE stop",
+        "Kelvin K 273",
+        "straße STRASSE ẞharp",
+        "ΣΙΣΥΦΟΣ σίσυφος",
+        "漢字テキスト 🎉 plain",
+        "   leading and trailing   ",
+        "",
+    ]
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.text(max_size=30))
+    def collect(s):
+        corpus.append(s)
+
+    collect()
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(corpus)], "doc_id long, text string"
+    )
+    k = {r.doc_id: r.simhash for r in simhash(df, mode="kernel").collect()}
+    e = {r.doc_id: r.simhash for r in simhash(df, mode="expr").collect()}
+    assert k == e

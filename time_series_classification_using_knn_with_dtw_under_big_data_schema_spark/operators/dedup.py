@@ -476,7 +476,11 @@ def make_simhash_udf(bits: int = 32):
     (Zipfian vocab: a few k unique tokens hash once each).
 
     Tokenization mirrors ``functions.text.tokens`` exactly: Java's ASCII
-    ``\\s`` class, lowercase, empties dropped.
+    ``\\s`` class, empties dropped. The kernel takes ALREADY-LOWERCASED
+    text (the caller lowercases JVM-side with ``F.lower``) so no Python
+    case mapping ever runs — Python and Java Unicode lower() diverge on a
+    handful of code points, and routing the fold through the JVM makes
+    kernel and expression paths identical by construction on any input.
     """
     import re
 
@@ -501,7 +505,7 @@ def make_simhash_udf(bits: int = 32):
         # row for them, so the kernel path filters these out to match
         out: list[int | None] = []
         for t in texts:
-            toks = [w for w in ws.split(t.strip().lower()) if w] if t else []
+            toks = [w for w in ws.split(t) if w] if t else []
             if not toks:
                 out.append(None)
                 continue
@@ -531,9 +535,11 @@ def simhash(
     """
     if mode == "kernel":
         k = make_simhash_udf(bits).asNondeterministic()
+        # lowercase JVM-side: the kernel must see the same case fold as the
+        # expression plan's tokens() (Python lower() is not that fold)
         return (
             fan_out(df)
-            .select(F.col(id_col), k(F.col(text_col)).alias("simhash"))
+            .select(F.col(id_col), k(F.lower(F.col(text_col))).alias("simhash"))
             .filter(F.col("simhash").isNotNull())
         )
     tok = fan_out(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
