@@ -1831,6 +1831,70 @@ def _q100_redact_pii(spark, sf_dir):
     return redact_pii(enriched)
 
 
+def _q101_ngram_lm(spark, sf_dir):
+    """Bigram language-model fluency scoring (operators/corpus.py::
+    ngram_lm_score): add-one-smoothed bigram probabilities trained on the
+    corpus itself, per-doc mean bigram probability folded in position
+    order — the CCNet perplexity-filter shape with an integer-exact /
+    correctly-rounded-IEEE formulation so the DuckDB oracle hash-matches
+    bit-for-bit (no ln(); same reasoning as q51's raw-frequency idf)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import ngram_lm_score
+
+    _prep(spark)
+    return ngram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+def _q102_bpe_train(spark, sf_dir):
+    """Distributed BPE merge-table training (operators/bpe.py::train_bpe,
+    Sennrich et al. 2016) on the doc_id % 10 == 0 sub-corpus, 12 merges.
+    Iterative argmax with total-order tie-breaks; every step runs on the
+    VOCAB-sized weighted symbol table, driver traffic is 1 row per step.
+    The oracle reproduces the full training loop as a recursive CTE with
+    aggregation in the recursive term (the q70 DTW-DP technique), so an
+    ITERATIVE algorithm gets an exact hash-graded proof."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import train_bpe
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    merges = train_bpe(docs, num_merges=12)
+    return spark.createDataFrame(
+        [(s, a, b, c) for (s, a, b, c) in merges],
+        "step int, a string, b string, weight bigint",
+    )
+
+
+def _q103_bpe_encode(spark, sf_dir):
+    """BPE encoding of the FULL corpus (operators/bpe.py::bpe_encode) with
+    the q102-trained merge table: distinct words encoded once through the
+    codegen'd merge-fold chain, broadcast-joined back onto the pos-exploded
+    token stream, per-doc token counts + portable char-fold fingerprint of
+    the space-joined BPE stream. The oracle re-trains via the recursive
+    CTE, re-encodes with a second recursion over merge steps, and must
+    reproduce every per-doc fingerprint — end-to-end tokenizer parity."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs.filter(F.col("doc_id") % 10 == 0), num_merges=12)
+    return bpe_encode(docs, merges)
+
+
+def _q104_duplicate_spans(spark, sf_dir):
+    """Maximal cross-document duplicated token regions (operators/corpus.py
+    ::duplicate_spans — the Lee et al. 2021 ExactSubstr dedup shape):
+    stride-1 8-token windows hashed with the portable char-fold spec,
+    windows in >= 2 distinct docs are duplicated, per-doc islands merged
+    with the lag + running-sum trick. The shuffle key is the 8-byte hash,
+    never the window text."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import duplicate_spans
+
+    _prep(spark)
+    return duplicate_spans(_t(spark, sf_dir, "documents"), n=8, min_docs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1933,6 +1997,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_text_knn": _q98_text_knn,
         "q99_video_decode_real": _q99_video_decode_real,
         "q100_redact_pii": _q100_redact_pii,
+        "q101_ngram_lm": _q101_ngram_lm,
+        "q102_bpe_train": _q102_bpe_train,
+        "q103_bpe_encode": _q103_bpe_encode,
+        "q104_duplicate_spans": _q104_duplicate_spans,
     }
 
 
@@ -4116,4 +4184,166 @@ def oracle_sql() -> dict[str, str]:
     # q86 (exact PRUNED DTW KNN) must equal brute force by construction —
     # its oracle is q70's brute-force recursive-CTE DP, verbatim
     out["q86_knn_pruned_admissible"] = out["q70_knn_dtw_exact"]
+
+    out["q101_ngram_lm"] = f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+        b0 AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> {{'pos': i, 'w1': toks[i], 'w2': toks[i+1]}})) AS s
+            FROM t WHERE len(toks) >= 2
+        ),
+        b AS (SELECT doc_id, s.pos AS pos, s.w1 AS w1, s.w2 AS w2 FROM b0),
+        cb AS (SELECT w1, w2, cast(count(*) AS bigint) AS cb
+               FROM b GROUP BY w1, w2),
+        cu AS (SELECT w1, cast(sum(cb) AS bigint) AS cu FROM cb GROUP BY w1),
+        v AS (SELECT cast(count(DISTINCT w) AS bigint) AS v
+              FROM (SELECT unnest(toks) AS w FROM t)),
+        sc AS (
+            SELECT b.doc_id, b.pos,
+                   cast(cb.cb + 1 AS double) / cast(cu.cu + v.v AS double) AS p
+            FROM b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+        ),
+        pd AS (
+            SELECT doc_id, cast(count(*) AS int) AS n_bigrams,
+                   list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+                               (a, x) -> a + x) AS s
+            FROM sc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(pd.n_bigrams, 0) AS n_bigrams,
+               coalesce(pd.s / cast(pd.n_bigrams AS double), 0.0) AS avg_prob
+        FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
+    """
+
+    # BPE (q102/q103): greedy left-to-right merge application as a list
+    # fold; training as a recursive CTE whose recursive term aggregates
+    # over the working table (pair argmax) — the q70 technique extended
+    # with a second reference to the recursive table (rows + argmax).
+    def _sql_bpe_apply(syms: str, a: str, b: str) -> str:
+        return f"""list_reduce(
+               list_prepend(cast([] AS varchar[]),
+                            list_transform({syms}, s -> [s])),
+               (acc, v) -> CASE
+                   WHEN len(acc) > 0 AND acc[len(acc)] = {a} AND v[1] = {b}
+                   THEN list_append(acc[1:len(acc)-1], {a} || {b})
+                   ELSE list_append(acc, v[1]) END)"""
+
+    _bpe_train_ctes = f"""
+        words AS (
+            SELECT w AS word, cast(count(*) AS bigint) AS freq
+            FROM (SELECT unnest({_SQL_TOKENS}) AS w
+                  FROM documents WHERE doc_id % 10 = 0)
+            GROUP BY w
+        ),
+        r AS (
+            SELECT 0 AS step, '' AS ma, '' AS mb, cast(0 AS bigint) AS mc,
+                   word, freq, string_split(word, '') AS syms
+            FROM words
+            UNION ALL
+            SELECT a.step + 1, best.a, best.b, best.c, a.word, a.freq,
+                   {_sql_bpe_apply("a.syms", "best.a", "best.b")} AS syms
+            FROM r a,
+                 (SELECT p.a AS a, p.b AS b, cast(sum(freq) AS bigint) AS c
+                  FROM (SELECT freq,
+                               unnest(list_transform(range(1, len(syms)),
+                                      i -> {{'a': syms[i], 'b': syms[i+1]}})) AS p
+                        FROM r WHERE len(syms) >= 2) px(freq, p)
+                  GROUP BY p.a, p.b
+                  ORDER BY c DESC, a ASC, b ASC
+                  LIMIT 1) best
+            WHERE a.step < 12
+        )"""
+
+    out["q102_bpe_train"] = f"""
+        WITH RECURSIVE {_bpe_train_ctes}
+        SELECT DISTINCT cast(step AS int) AS step, ma AS a, mb AS b,
+               mc AS weight
+        FROM r WHERE step >= 1
+    """
+
+    out["q103_bpe_encode"] = f"""
+        WITH RECURSIVE {_bpe_train_ctes},
+        merges AS (SELECT DISTINCT step, ma AS a, mb AS b
+                   FROM r WHERE step >= 1),
+        n_merges AS (SELECT cast(count(*) AS int) AS nm FROM merges),
+        allwords AS (
+            SELECT DISTINCT unnest({_SQL_TOKENS}) AS word FROM documents
+        ),
+        e AS (
+            SELECT 0 AS step, word, string_split(word, '') AS syms
+            FROM allwords
+            UNION ALL
+            SELECT e.step + 1, e.word,
+                   CASE WHEN m.a IS NULL THEN e.syms
+                        ELSE {_sql_bpe_apply("e.syms", "m.a", "m.b")} END
+            FROM e
+            LEFT JOIN merges m ON m.step = e.step + 1
+            CROSS JOIN n_merges
+            WHERE e.step < n_merges.nm
+        ),
+        enc AS (SELECT word, syms FROM e, n_merges WHERE step = n_merges.nm),
+        seq AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) + 1),
+                          i -> {{'pos': i, 'w': toks[i]}})) AS s
+            FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)
+        ),
+        j AS (
+            SELECT seq.doc_id, s.pos AS pos, enc.syms
+            FROM seq JOIN enc ON enc.word = s.w
+        ),
+        g AS (
+            SELECT doc_id, cast(count(*) AS int) AS n_words,
+                   flatten(list(syms ORDER BY pos)) AS flat
+            FROM j GROUP BY doc_id
+        ),
+        fp AS (
+            SELECT d.doc_id,
+                   coalesce(array_to_string(g.flat, ' '), '') AS joined,
+                   coalesce(g.n_words, 0) AS n_words,
+                   coalesce(cast(len(g.flat) AS int), 0) AS n_bpe_tokens
+            FROM (SELECT doc_id FROM documents) d LEFT JOIN g USING (doc_id)
+        )
+        SELECT doc_id, n_words, n_bpe_tokens,
+               {_sql_char_fold("joined")} AS bpe_fingerprint
+        FROM fp
+    """
+
+    out["q104_duplicate_spans"] = f"""
+        WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+        g0 AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - 8 + 2),
+                          i -> {{'p': i,
+                                'gs': array_to_string(toks[i:i+7], ' ')}})) AS s
+            FROM t WHERE len(toks) >= 8
+        ),
+        g AS (SELECT doc_id, s.p AS p, {_sql_char_fold("s.gs")} AS h FROM g0),
+        common AS (
+            SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        ),
+        hits AS (SELECT doc_id, p FROM g JOIN common USING (h)),
+        flagged AS (
+            SELECT doc_id, p,
+                   CASE WHEN p - coalesce(
+                            lag(p) OVER (PARTITION BY doc_id ORDER BY p),
+                            -1000000000) <= 8
+                        THEN 0 ELSE 1 END AS new_isl
+            FROM hits
+        ),
+        isl AS (
+            SELECT doc_id, p,
+                   sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS island
+            FROM flagged
+        )
+        SELECT doc_id, cast(island AS int) AS island,
+               cast(min(p) AS int) AS span_start,
+               cast(max(p) + 7 AS int) AS span_end,
+               cast(max(p) + 7 - min(p) + 1 AS int) AS span_tokens,
+               cast(count(*) AS int) AS n_windows
+        FROM isl GROUP BY doc_id, island
+    """
     return out

@@ -20,11 +20,14 @@ from .similarity import (  # noqa: F401
     random_project,
 )
 from .cluster import kmeans_assign, kmeans_centroids, semantic_dedup  # noqa: F401
+from .bpe import apply_merge, bpe_encode, train_bpe  # noqa: F401
 from .corpus import (  # noqa: F401
     chunk_documents,
     decontaminate,
     decontaminate_fuzzy,
+    duplicate_spans,
     hash_embed,
+    ngram_lm_score,
     redact_pii,
     remove_common_spans,
     pack_sequences,

@@ -1,0 +1,207 @@
+"""Distributed byte-pair-encoding tokenizer training + application (engine
+extension beyond the reference surface — BASELINE.json north-star:
+"token counting (whitespace + a BPE-ish regex)" as a first-class
+training-data-pipeline operator; the reference ``Team11-Project.py`` has no
+text surface at all, its closest analogue is the split/clean ingest at
+Team11-Project.py:64-76 which q07 already covers).
+
+BPE (Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+Subword Units") learns a merge table by repeatedly fusing the most frequent
+adjacent symbol pair. The spec here is EXACT and engine-portable, so both
+training and encoding carry full DuckDB oracles (q102/q103 — the training
+oracle is a recursive CTE with aggregation in the recursive term, the same
+family as q70's DTW dynamic program):
+
+- words   = ``tokens(text)`` (whitespace tokenization, lowercased)
+- state 0 = each distinct word split into characters, weighted by corpus
+  frequency
+- step s  = count adjacent symbol pairs over the weighted vocabulary; the
+  winning pair maximizes (count, then a ASC, then b ASC as tie-breaks —
+  a total order, so every engine picks the same merge); fuse it into one
+  symbol everywhere via a greedy LEFT-TO-RIGHT single pass (``aaa`` under
+  merge (a,a) -> ``aa a``, like the published reference implementation)
+- stop    after ``num_merges`` steps or when no adjacent pair remains.
+
+Scale shape (100 TB): training never iterates over the corpus — one corpus
+pass builds the (word, freq) vocabulary (map-side partial count, vocabulary
+is ~sqrt of token count by Zipf), and every merge step runs on that
+VOCAB-sized table: pair fan-out explode, one map-side-partial groupBy, and
+a 1-ROW driver collect (the argmax — bounded by construction; the
+collect-audit in plans/audit.py sees exactly one row per step). Encoding is
+the same trick: encode the DISTINCT words once (vocab-sized, merge
+application is a chain of codegen'd fold expressions — no Python in the
+loop), then broadcast-join the encoded vocabulary back onto the corpus
+token stream. The only corpus-sized operations in the whole pipeline are
+the initial word count and the final per-doc regroup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_hash, tokens
+from .skew import fan_out
+
+__all__ = ["train_bpe", "bpe_encode", "apply_merge"]
+
+
+def apply_merge(syms: Column, a: str, b: str) -> Column:
+    """One greedy left-to-right merge pass: every non-overlapping adjacent
+    (a, b) in ``syms`` (array<string>) fuses into ``a || b``.
+
+    A fold whose accumulator is the output array: merge when the last
+    emitted symbol is ``a`` and the current one is ``b``. Overlap safety
+    falls out of the algebra — after fusing, the last element is ``a||b``
+    which can never equal ``a`` again (``b`` is non-empty), so ``aaa``
+    under (a,a) correctly yields [aa, a], matching the published BPE
+    reference behavior. Pure Catalyst expression: the merge loop stays
+    inside whole-stage codegen, no Python crossing.
+    """
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the (word, freq, syms) vocabulary."""
+    return (
+        vocab.select(
+            "_freq",
+            F.explode(
+                F.when(
+                    F.size("_syms") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("_syms", i).alias("a"),
+                            F.element_at("_syms", i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("_p"),
+        )
+        .groupBy("_p.a", "_p.b")
+        .agg(F.sum("_freq").alias("_c"))
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    *,
+    num_merges: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Learn a BPE merge table from a document corpus.
+
+    Returns ``[(step, a, b, weighted_count), ...]`` with step starting at 1;
+    may be shorter than ``num_merges`` when the vocabulary runs out of
+    adjacent pairs. Deterministic on any engine and any partitioning:
+    integer weighted counts (order-independent partial aggregation) and a
+    total-order argmax (count DESC, a ASC, b ASC).
+
+    Driver traffic: ONE row per merge step (the argmax), nothing else —
+    the lazy-learner analogue of the bounded kernel collects audited in
+    tests/test_plans.py.
+    """
+    toks = tokens(F.col(text_col))
+    words = (
+        fan_out(docs)
+        .select(F.explode(toks).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_freq"))
+    )
+    vocab = words.select("_w", "_freq", F.split("_w", "").alias("_syms")).cache()
+    vocab.count()  # materialize once; each step below reads the cached table
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for step in range(1, num_merges + 1):
+            best = (
+                _pair_counts(vocab)
+                .orderBy(F.desc("_c"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b, c = best[0]["a"], best[0]["b"], int(best[0]["_c"])
+            merges.append((step, a, b, c))
+            nxt = vocab.select(
+                "_w", "_freq", apply_merge(F.col("_syms"), a, b).alias("_syms")
+            ).cache()
+            nxt.count()
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]] | list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_fingerprint: bool = True,
+) -> DataFrame:
+    """Apply a trained merge table to every document.
+
+    Output: one row per input document —
+    ``(id_col, n_words, n_bpe_tokens, bpe_fingerprint)`` where
+    ``bpe_fingerprint`` is the portable char-fold hash (functions/text.py
+    spec) of the space-joined BPE token stream — the compact exact witness
+    that two engines produced the same tokenization (the full token arrays
+    would be corpus-sized output).
+
+    Plan: the merge chain runs over DISTINCT words only (vocab-sized), one
+    codegen'd fold per merge; the encoded vocabulary broadcast-joins back
+    onto the corpus (pos-exploded token stream), and one per-doc regroup
+    restores order. Token order is made total with the per-doc position,
+    so the flatten is deterministic.
+    """
+    pairs = [(m[-3], m[-2]) if len(m) == 4 else (m[0], m[1]) for m in merges]
+    toks = tokens(F.col(text_col))
+    t = fan_out(docs).select(F.col(id_col).alias("_doc"), toks.alias("_toks"))
+    enc = t.select(F.explode("_toks").alias("_w")).distinct()
+    syms = F.split("_w", "")
+    enc = enc.select("_w", syms.alias("_syms"))
+    for a, b in pairs:
+        enc = enc.select("_w", apply_merge(F.col("_syms"), a, b).alias("_syms"))
+    seq = t.select("_doc", F.posexplode("_toks").alias("_pos", "_w"))
+    joined = seq.join(F.broadcast(enc), "_w")
+    grouped = joined.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("_nw"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_syms"))),
+                lambda s: s["_syms"],
+            )
+        ).alias("_flat"),
+    )
+    out = (
+        docs.select(F.col(id_col).alias("_doc"))
+        .join(grouped, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            F.coalesce(F.col("_nw"), F.lit(0)).cast("int").alias("n_words"),
+            F.coalesce(F.size("_flat"), F.lit(0)).cast("int").alias("n_bpe_tokens"),
+            F.coalesce(F.col("_flat"), F.array().cast("array<string>")).alias("_flat"),
+        )
+    )
+    if not with_fingerprint:
+        return out.select(id_col, "n_words", "n_bpe_tokens", F.col("_flat").alias("bpe_tokens"))
+    return out.select(
+        id_col,
+        "n_words",
+        "n_bpe_tokens",
+        char_hash(F.concat_ws(" ", F.col("_flat"))).alias("bpe_fingerprint"),
+    )
