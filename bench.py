@@ -247,6 +247,11 @@ def main() -> None:
     run("decontaminate_fuzzy", lambda: entry_mod._q92_decontaminate_fuzzy(spark, sf_dir).count(), repeats=2)
     run("ann_ivf_kmeans", lambda: entry_mod._q93_ann_ivf_kmeans(spark, sf_dir).count(), repeats=3)
     run("text_knn_hash_embed", lambda: entry_mod._q98_text_knn(spark, sf_dir).count(), repeats=2)
+    run("ngram_lm_score", lambda: entry_mod._q101_ngram_lm(spark, sf_dir).count(), repeats=2)
+    # trains 12 merges (vocab-sized loop, 1-row collect per step) + encodes
+    # the full corpus — the end-to-end tokenizer cost, not just the apply
+    run("bpe_train_encode", lambda: entry_mod._q103_bpe_encode(spark, sf_dir).count(), repeats=2)
+    run("duplicate_spans", lambda: entry_mod._q104_duplicate_spans(spark, sf_dir).count(), repeats=2)
 
     total = round(sum(timings.values()), 3)
     dtw_pairs_per_sec = round(n_pairs / timings["knn_fastdtw_k5"]) if timings.get("knn_fastdtw_k5") else None

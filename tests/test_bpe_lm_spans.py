@@ -73,6 +73,20 @@ def test_train_bpe_matches_golden(bpe_corpus):
     assert merges == golden
 
 
+def test_train_strategies_agree(bpe_corpus):
+    d = train_bpe(bpe_corpus, num_merges=10, strategy="driver")
+    x = train_bpe(bpe_corpus, num_merges=10, strategy="distributed")
+    assert d == x
+
+
+def test_train_driver_bound_enforced(bpe_corpus):
+    with pytest.raises(ValueError, match="max_driver_vocab_bytes"):
+        train_bpe(bpe_corpus, num_merges=2, strategy="driver", max_driver_vocab_bytes=1)
+    # auto with a tiny bound silently falls back to the distributed loop
+    out = train_bpe(bpe_corpus, num_merges=2, strategy="auto", max_driver_vocab_bytes=1)
+    assert out == train_bpe(bpe_corpus, num_merges=2, strategy="driver")
+
+
 def test_train_bpe_stops_when_pairs_exhausted(spark):
     docs = spark.createDataFrame([(0, "ab ab ab")], "doc_id long, text string")
     merges = train_bpe(docs, num_merges=50)

@@ -93,12 +93,45 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _train_local(
+    freq: dict[str, int], num_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side merge loop over an already-aggregated (word -> freq)
+    vocabulary. Bit-identical semantics to the distributed loop (same
+    greedy left-to-right pass, same (count DESC, a ASC, b ASC) argmax) —
+    pinned by tests/test_bpe_lm_spans.py::test_train_strategies_agree."""
+    vocab = {w: list(w) for w in freq}
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            fw = freq[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + fw
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, c))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
+
+
 def train_bpe(
     docs: DataFrame,
     *,
     num_merges: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    strategy: str = "auto",
+    max_driver_vocab_bytes: int = 16 << 20,
 ) -> list[tuple[int, str, str, int]]:
     """Learn a BPE merge table from a document corpus.
 
@@ -108,9 +141,18 @@ def train_bpe(
     integer weighted counts (order-independent partial aggregation) and a
     total-order argmax (count DESC, a ASC, b ASC).
 
-    Driver traffic: ONE row per merge step (the argmax), nothing else —
-    the lazy-learner analogue of the bounded kernel collects audited in
-    tests/test_plans.py.
+    ``strategy``: the corpus-sized word count is always distributed; the
+    merge loop itself runs either
+    - ``"driver"`` — collect the AGGREGATED vocabulary (never the corpus)
+      and loop in-process: one Spark job total. Guarded by
+      ``max_driver_vocab_bytes`` against an estimate from the word-count
+      table (the knn.py / similarity.py bounded-kernel pattern); or
+    - ``"distributed"`` — per step: vocab-sized pair-count groupBy + a
+      1-ROW argmax collect (25 jobs for 12 merges; the path for
+      vocabularies that exceed the driver bound — a 100 TB web corpus
+      vocabulary runs here); or
+    - ``"auto"`` (default) — driver when the estimate fits, else
+      distributed. Both paths are merge-for-merge identical (test-pinned).
     """
     toks = tokens(F.col(text_col))
     words = (
@@ -119,6 +161,22 @@ def train_bpe(
         .groupBy("_w")
         .agg(F.count(F.lit(1)).alias("_freq"))
     )
+    if strategy not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy != "distributed":
+        est = words.agg(
+            (F.sum(F.length("_w")) * 8 + F.count(F.lit(1)) * 64).alias("_est")
+        ).first()["_est"]
+        if est is None:
+            return []
+        if est <= max_driver_vocab_bytes:
+            freq = {r["_w"]: r["_freq"] for r in words.collect()}
+            return _train_local(freq, num_merges)
+        if strategy == "driver":
+            raise ValueError(
+                f"vocabulary ~{est} bytes exceeds max_driver_vocab_bytes="
+                f"{max_driver_vocab_bytes}; use strategy='distributed'"
+            )
     vocab = words.select("_w", "_freq", F.split("_w", "").alias("_syms")).cache()
     vocab.count()  # materialize once; each step below reads the cached table
     merges: list[tuple[int, str, str, int]] = []
