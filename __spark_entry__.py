@@ -1882,6 +1882,34 @@ def _q103_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, merges)
 
 
+def _q105_jpeg_decode_real(spark, sf_dir):
+    """REAL baseline-JPEG decoding under the oracle gate (the JPEG leg of
+    the q94/q95/q99 modality suite): payloads are genuine JPEG bytes built
+    at the COEFFICIENT level (functions/jpeg.py::encode_jpeg_coeffs,
+    DC-only blocks, quant step 8), decoded by the engine's pure-stdlib
+    baseline decoder (marker parse + canonical Huffman + dequant + IDCT,
+    NO imaging library) through the same mapInPandas operators as PNG
+    (payload sniffing in decode_builtin_gray). A DC-only block with q=8
+    decodes to the exact flat value DC+128, so the oracle recomputes every
+    expected pixel from the closed form — a hash match proves the real
+    entropy-decode + IDCT path, not merely stability."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        decode_image_features,
+        resize_image,
+        synthetic_jpeg_media,
+    )
+
+    _prep(spark)
+    media = synthetic_jpeg_media(spark, n=24)
+    dims = decode_image_features(media, decoder="builtin").select(
+        "media_id", "width", "height"
+    )
+    rs = resize_image(media, decoder="builtin", out_w=4, out_h=4).select(
+        "media_id", "px_checksum", F.round("mean_px", 6).alias("mean_px")
+    )
+    return dims.join(rs, "media_id")
+
+
 def _q104_duplicate_spans(spark, sf_dir):
     """Maximal cross-document duplicated token regions (operators/corpus.py
     ::duplicate_spans — the Lee et al. 2021 ExactSubstr dedup shape):
@@ -2001,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_bpe_train": _q102_bpe_train,
         "q103_bpe_encode": _q103_bpe_encode,
         "q104_duplicate_spans": _q104_duplicate_spans,
+        "q105_jpeg_decode_real": _q105_jpeg_decode_real,
     }
 
 
@@ -4308,6 +4337,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_words, n_bpe_tokens,
                {_sql_char_fold("joined")} AS bpe_fingerprint
         FROM fp
+    """
+
+    # JPEG DC-only closed form: block (by, bx) of image i is the flat
+    # value ((31*i + 13*bx + 7*by) % 200) + 28; resize reads source pixel
+    # ((oi*h)//4, (oj*w)//4) — block index = that // 8
+    out["q105_jpeg_decode_real"] = """
+        WITH m AS (
+            SELECT i.i AS media_id,
+                   cast(8 * (2 + i.i % 3) AS int) AS width,
+                   cast(8 * (1 + i.i % 2) AS int) AS height
+            FROM (SELECT unnest(range(0, 24)) AS i) i(i)
+        ),
+        px AS (
+            SELECT m.media_id,
+                   ((31 * m.media_id
+                     + 13 * (((oj.oj * m.width) // 4) // 8)
+                     + 7 * (((oi.oi * m.height) // 4) // 8)) % 200) + 28 AS v
+            FROM m,
+                 (SELECT unnest(range(0, 4)) AS oi) oi(oi),
+                 (SELECT unnest(range(0, 4)) AS oj) oj(oj)
+        ),
+        sums AS (
+            SELECT media_id, cast(sum(v) AS bigint) AS px_checksum FROM px
+            GROUP BY media_id
+        )
+        SELECT m.media_id, m.width, m.height, s.px_checksum,
+               round(cast(s.px_checksum AS double) / 16.0, 6) AS mean_px
+        FROM m JOIN sums s USING (media_id)
     """
 
     out["q104_duplicate_spans"] = f"""

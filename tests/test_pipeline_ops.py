@@ -273,9 +273,10 @@ def test_multimodal_decode_and_frames(spark):
 def test_multimodal_real_decode_boundaries(spark):
     media = synthetic_media(spark, n=3)
     # fake=False now resolves to the builtin PNG codec when PIL is absent:
-    # random-byte payloads are NOT PNGs and fail with a clear decode error
+    # random-byte payloads are neither PNG nor JPEG and fail with a clear
+    # sniffing error
     # (PIL-present containers fail similarly inside PIL)
-    with pytest.raises(Exception, match="not a PNG|cannot identify"):
+    with pytest.raises(Exception, match="unrecognized image payload|cannot identify"):
         decode_image_features(media, fake=False).collect()
     # decoder='pil' demands PIL explicitly
     from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.multimodal import _try_pil
@@ -576,7 +577,7 @@ def test_resize_image_nearest_neighbor_math(spark):
 
     # fake=False resolves to a REAL decoder (builtin PNG without PIL);
     # these payloads are not PNGs, so the decode itself rejects them
-    with _pytest.raises(Exception, match="not a PNG|cannot identify"):
+    with _pytest.raises(Exception, match="unrecognized image payload|cannot identify"):
         resize_image(media, fake=False).collect()
 
 

@@ -7,11 +7,13 @@ partitioning — is real and tested. Decoder backends, selected per call:
 
 - ``stub``: deterministic sha256 content-derived pixels/features (no
   decode; byte-stable everywhere — the oracle-gated q40/q41/q83 default).
-- ``builtin``: REAL PNG decode via the pure-stdlib codec
-  (functions/png.py) — real pixels with no imaging library installed;
-  grayscale + RGB(A) 8-bit, all five scanline filters. Deterministic
-  integer output, so generated test images make even real decoding
-  oracle-checkable (q94).
+- ``builtin``: REAL decode via the pure-stdlib codecs with payload
+  sniffing — PNG (functions/png.py: every static-image IHDR combo,
+  all five scanline filters, Adam7) and baseline JPEG
+  (functions/jpeg.py: SOF0, 4:4:4/grayscale, restart markers) — real
+  pixels with no imaging library installed. Deterministic integer
+  output, so generated test images make even real decoding
+  oracle-checkable (q94 PNG, q105 JPEG).
 - ``pil``: PIL decode (any format PIL reads, PIL's NEAREST resample);
   raises NotImplementedError when PIL is absent.
 - ``auto``: pil if installed, else builtin.
@@ -132,8 +134,6 @@ def decode_image_features(
         import io
 
         Image = _try_pil() if mode == "pil" else None
-        if mode == "builtin":
-            from ..functions.png import decode_png_gray
         for pdf in batches:
             meta = pdf["meta"]
             if mode == "stub":
@@ -161,7 +161,7 @@ def decode_image_features(
                             dtype=np.float64,
                         )
                     else:
-                        a8 = decode_png_gray(bytes(p))
+                        a8 = decode_builtin_gray(bytes(p))
                         arr = a8.astype(np.float64)
                         thumb = _nn_sample(a8, n_features, n_features).astype(np.float64)
                     heights.append(int(arr.shape[0]))
@@ -226,6 +226,22 @@ RESIZED_SCHEMA = (
 )
 
 
+def decode_builtin_gray(data: bytes) -> np.ndarray:
+    """Pure-stdlib grayscale decode with payload sniffing: PNG magic ->
+    functions/png.py, JPEG SOI -> functions/jpeg.py (baseline, 4:4:4 /
+    grayscale). One entry point so the builtin operators accept mixed
+    image corpora without a format column."""
+    if data[:4] == b"\x89PNG":
+        from ..functions.png import decode_png_gray
+
+        return decode_png_gray(data)
+    if data[:2] == b"\xff\xd8":
+        from ..functions.jpeg import decode_jpeg_gray
+
+        return decode_jpeg_gray(data)
+    raise ValueError("unrecognized image payload (builtin: PNG or JPEG)")
+
+
 def resize_image(
     df: DataFrame,
     *,
@@ -254,8 +270,6 @@ def resize_image(
         import io
 
         Image = _try_pil() if mode == "pil" else None
-        if mode == "builtin":
-            from ..functions.png import decode_png_gray
         for pdf in batches:
             out = {
                 "media_id": [], "out_w": [], "out_h": [], "pixels": [],
@@ -278,7 +292,7 @@ def resize_image(
                     )
                     px = [float(v) for v in arr.reshape(-1)]
                 else:
-                    a8 = decode_png_gray(bytes(p))
+                    a8 = decode_builtin_gray(bytes(p))
                     px = [float(v) for v in _nn_sample(a8, out_h, out_w).reshape(-1)]
                 total = int(sum(px))
                 out["media_id"].append(mid)
@@ -306,6 +320,33 @@ def synthetic_png_media(spark, n: int = 24) -> DataFrame:
         grid = np.add.outer(np.arange(h) * 7, np.arange(w) * 13) + 31 * i
         payload = encode_png_gray((grid % 256).astype(np.uint8))
         rows.append((i, bytearray(payload), ("image", w, h, 0)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_jpeg_media(spark, n: int = 24) -> DataFrame:
+    """Media table whose payloads are REAL baseline JPEGs (pure-stdlib
+    encoder, functions/jpeg.py) built at the COEFFICIENT level: every 8x8
+    block is DC-only with quant step 8, so block (by, bx) of image ``i``
+    decodes to the exact flat value
+
+        ((31*i + 13*bx + 7*by) % 200) - 100 + 128
+
+    (IDCT of a DC-only block is uniform; with q=8 the value is integer —
+    no float rounding ambiguity). Sizes: (2 + i%3) x (1 + i%2) blocks.
+    The closed form makes the REAL Huffman+IDCT decode path SQL-oracle
+    checkable (q105, the q94 technique at coefficient level)."""
+    from ..functions.jpeg import encode_jpeg_coeffs
+
+    rows = []
+    qtab = np.full(64, 8, dtype=np.int64)
+    for i in range(n):
+        bw, bh = 2 + i % 3, 1 + i % 2
+        coeffs = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                coeffs[by, bx, 0] = ((31 * i + 13 * bx + 7 * by) % 200) - 100
+        payload = encode_jpeg_coeffs(coeffs, qtab, bh * 8, bw * 8)
+        rows.append((i, bytearray(payload), ("image", bw * 8, bh * 8, 0)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
