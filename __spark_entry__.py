@@ -1882,6 +1882,40 @@ def _q103_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, merges)
 
 
+def _q107_hll_distinct(spark, sf_dir):
+    """Portable HyperLogLog distinct-count sketch (operators/sketch.py::
+    hll_distinct) over lineitem.l_partkey: murmur3-finalizer mixing (the
+    affine hash measurably fails HLL's geometric-tail requirement —
+    sketch.py comment), register max per bucket (mergeable map-side
+    partial), bucket-ordered power-of-two fold. hll_raw is bit-exact
+    cross-engine (every 2^-M_j term is exact in binary); the ln()-based
+    small-range correction stays OUT of the graded projection per the
+    repo's no-transcendentals oracle rule."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import hll_distinct
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return hll_distinct(li, "l_partkey").select(
+        "n_present", "zero_regs", F.round("hll_raw", 6).alias("hll_raw")
+    )
+
+
+def _q106_set_similarity_join(spark, sf_dir):
+    """Prefix-filtered EXACT set-similarity self-join (operators/dedup.py::
+    set_similarity_join — AllPairs/PPJoin family): every jaccard >= 0.5
+    shingle pair over the FULL corpus with no quadratic pass. Rare-first
+    canonical order makes prefix join buckets small by construction
+    (built-in skew mitigation); a size filter prunes further; survivors
+    get one exact verification. Losslessness is test-pinned against the
+    brute-force quadratic (q17's path) and the oracle mirrors the SAME
+    prefix-filter algorithm in SQL, so both engines run the scale
+    algorithm — not the oracle-only quadratic."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import set_similarity_join
+
+    _prep(spark)
+    return set_similarity_join(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def _q105_jpeg_decode_real(spark, sf_dir):
     """REAL baseline-JPEG decoding under the oracle gate (the JPEG leg of
     the q94/q95/q99 modality suite): payloads are genuine JPEG bytes built
@@ -2030,6 +2064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_bpe_encode": _q103_bpe_encode,
         "q104_duplicate_spans": _q104_duplicate_spans,
         "q105_jpeg_decode_real": _q105_jpeg_decode_real,
+        "q106_set_similarity_join": _q106_set_similarity_join,
+        "q107_hll_distinct": _q107_hll_distinct,
     }
 
 
@@ -4337,6 +4373,87 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_words, n_bpe_tokens,
                {_sql_char_fold("joined")} AS bpe_fingerprint
         FROM fp
+    """
+
+    # portable murmur3-finalizer mix (operators/sketch.py::mix32), every
+    # intermediate < 2^63: mod-2^32 multiplies split into 16-bit halves
+    def _sql_mul32(e: str, c: int) -> str:
+        return (
+            f"((({e}) & 65535) * {c}"
+            f" + (((({e}) >> 16) * {c}) % 65536) * 65536) % 4294967296"
+        )
+
+    def _sql_mix32(e: str) -> str:
+        h1 = f"(({e}) % 4294967296)"
+        h2 = f"(xor({h1}, {h1} >> 16))"
+        h3 = f"({_sql_mul32(h2, 0x85EBCA6B)})"
+        h4 = f"(xor({h3}, {h3} >> 13))"
+        h5 = f"({_sql_mul32(h4, 0xC2B2AE35)})"
+        return f"xor({h5}, {h5} >> 16)"
+
+    _hll_alpha = 0.7213 / (1.0 + 1.079 / 256)
+    out["q107_hll_distinct"] = f"""
+        WITH h AS (
+            SELECT {_sql_mix32("l_partkey")} AS h FROM lineitem
+        ),
+        br AS (
+            SELECT h % 256 AS b,
+                   24 + 1 - list_max(list_prepend(0,
+                       list_transform(range(0, 24),
+                           k -> CASE WHEN (((h // 256) % 16777216) >> k) & 1 = 1
+                                THEN k + 1 ELSE 0 END))) AS r
+            FROM h
+        ),
+        regs AS (SELECT b, max(r) AS m FROM br GROUP BY b),
+        agg AS (
+            SELECT list_reduce(list_prepend(0.0,
+                       list_transform(list(m ORDER BY b),
+                           mm -> power(2.0, -cast(mm AS double)))),
+                       (a, x) -> a + x) AS sp,
+                   cast(count(*) AS bigint) AS n_present
+            FROM regs
+        )
+        SELECT cast(n_present AS int) AS n_present,
+               cast(256 - n_present AS int) AS zero_regs,
+               round(cast({_hll_alpha!r} AS double) * cast(65536 AS double)
+                     / (sp + cast(256 - n_present AS double)), 6) AS hll_raw
+        FROM agg
+    """
+
+    # prefix-filter mirror (NOT the quadratic brute): same canonical
+    # (df ASC, token ASC) order, same |d| - ceil(t|d|) + 1 prefix, same
+    # size filter, same exact verify — near-linear on both engines
+    out["q106_set_similarity_join"] = f"""
+        WITH sh AS (SELECT doc_id AS id, {_SQL_SHINGLES} AS s FROM documents),
+        toks AS (SELECT id, unnest(s) AS tok FROM sh),
+        freq AS (SELECT tok, cast(count(*) AS bigint) AS df
+                 FROM toks GROUP BY tok),
+        ordered AS (
+            SELECT id, list(tok ORDER BY df, tok) AS sorted_toks,
+                   cast(count(*) AS int) AS sz
+            FROM toks JOIN freq USING (tok) GROUP BY id
+        ),
+        pref AS (
+            SELECT id, sz,
+                   unnest(sorted_toks[1:(sz - cast(ceil(sz * 0.5) AS int) + 1)])
+                       AS tok
+            FROM ordered
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM pref a JOIN pref b
+              ON a.tok = b.tok AND a.id < b.id
+             AND cast(b.sz AS double) >= cast(a.sz AS double) * 0.5
+             AND cast(b.sz AS double) * 0.5 <= cast(a.sz AS double)
+        ),
+        pairs AS (
+            SELECT c.id_a, c.id_b, sa.s AS _sa, sb.s AS _sb
+            FROM cand c
+            JOIN sh sa ON sa.id = c.id_a
+            JOIN sh sb ON sb.id = c.id_b
+        )
+        SELECT id_a, id_b, round({_SQL_JACCARD}, 6) AS jac
+        FROM pairs WHERE {_SQL_JACCARD} >= 0.5
     """
 
     # JPEG DC-only closed form: block (by, bx) of image i is the flat

@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
     hash_sample,
+    hll_distinct,
+    hll_registers,
     kmv_distinct,
 )
 
@@ -182,3 +184,53 @@ def test_count_min_never_underestimates(spark):
     assert all(r.cms_n >= r.n for r in rows)  # CMS overestimate guarantee
     # with 4x256 counters on a small corpus, the top tokens are near-exact
     assert sum(1 for r in rows if r.cms_n == r.n) >= 10
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+
+def test_hll_accuracy_within_theory(spark):
+    # m=256 -> expected std error 1.04/sqrt(256) ~ 6.5%; allow 4 sigma
+    n = 50_000
+    df = spark.range(1, n + 1).selectExpr("id AS k")
+    row = hll_distinct(df, "k").collect()[0]
+    assert abs(row.hll_estimate - n) / n < 0.26
+    assert row.zero_regs == 0  # far past the sparse regime
+
+
+def test_hll_small_range_correction_kicks_in(spark):
+    df = spark.range(1, 31).selectExpr("id AS k")  # 30 distinct
+    row = hll_distinct(df, "k").collect()[0]
+    assert row.zero_regs > 0
+    assert row.hll_estimate != row.hll_raw  # linear counting applied
+    assert abs(row.hll_estimate - 30) / 30 < 0.35
+
+
+def test_hll_registers_merge_like_the_data(spark):
+    """The mergeability proof: registers(A union B) == merge(registers(A),
+    registers(B)) — what lets executors sketch independently."""
+    a = spark.range(1, 5_001).selectExpr("id AS k")
+    b = spark.range(3_000, 9_001).selectExpr("id AS k")
+    whole = {
+        (r.b, r.m) for r in hll_registers(a.union(b), "k").collect()
+    }
+    ra, rb = hll_registers(a, "k"), hll_registers(b, "k")
+    merged = {
+        (r.b, r.m)
+        for r in ra.union(rb).groupBy("b").agg(F.max("m").alias("m")).collect()
+    }
+    assert whole == merged
+
+
+def test_hll_string_column_uses_char_fold(spark):
+    df = spark.createDataFrame(
+        [(f"user-{i}",) for i in range(2_000)], "k string"
+    )
+    row = hll_distinct(df, "k").collect()[0]
+    assert abs(row.hll_estimate - 2_000) / 2_000 < 0.26
+
+
+def test_hll_duplicates_do_not_inflate(spark):
+    df = spark.range(1, 1_001).selectExpr("(id % 100) AS k")  # 100 distinct
+    row = hll_distinct(df, "k").collect()[0]
+    assert abs(row.hll_estimate - 100) / 100 < 0.35

@@ -1,0 +1,110 @@
+"""Prefix-filtered set-similarity join (operators/dedup.py::
+set_similarity_join): the losslessness proof in executable form — equality
+with the brute-force quadratic at several thresholds, plus edge geometry.
+Cross-engine parity (SQL mirror of the same algorithm) is q106."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+    dedup_pairwise_jaccard,
+    set_similarity_join,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_lossless_vs_brute_force(spark, docs, threshold):
+    fast = sorted(
+        tuple(r) for r in set_similarity_join(docs, threshold=threshold).collect()
+    )
+    brute = sorted(
+        tuple(r)
+        for r in dedup_pairwise_jaccard(docs, threshold=threshold).collect()
+    )
+    assert fast == brute
+    assert len(fast) > 0 or threshold > 0.5  # corpus has known 0.5-dups
+
+
+def test_identical_and_disjoint_docs(spark):
+    rows = [
+        (0, "abcdefghij" * 4),
+        (1, "abcdefghij" * 4),      # identical to 0 -> jac 1.0
+        (2, "zzzzyyyyxxxxwwww"),    # disjoint shingles
+        (3, "hi"),                  # < 5 chars: empty shingle set
+        (4, ""),                    # empty text
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.jac for r in set_similarity_join(d, threshold=0.5).collect()}
+    assert out == {(0, 1): 1.0}
+    brute = {
+        (r.id_a, r.id_b): r.jac
+        for r in dedup_pairwise_jaccard(d, threshold=0.5).collect()
+    }
+    assert brute == out
+
+
+def test_prefix_filter_prunes_on_structured_corpus(spark):
+    """The scale claim, measured where the data HAS rare-token structure:
+    docs with mostly-unique shingles (a Zipf tail, like real web text).
+    On such a corpus the prefix join generates a tiny fraction of the
+    quadratic pairs. (On the synthetic word-soup testdata the shingle
+    vocabulary is so small that even each doc's rarest tokens are common
+    — measured candidate ratio ~0.67 at t=0.5 — the same
+    information-theoretic limit recorded for LB_Keogh and ann_lsh in
+    NOTES.md; exactness holds regardless, per the tests above.)"""
+    import random
+
+    rng = random.Random(11)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    rows = []
+    for i in range(120):
+        rows.append((i, "".join(rng.choice(alphabet) for _ in range(60))))
+    for j in range(5):  # five near-dup pairs: copy + small suffix change
+        base = rows[j][1]
+        rows.append((1000 + j, base[:-3] + "zzz"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.dedup import (
+        shingle_sets,
+    )
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.skew import fan_out
+
+    sh = shingle_sets(fan_out(d)).select(
+        F.col("doc_id").alias("_id"), F.col("shingles").alias("_set")
+    )
+    toks = sh.select("_id", F.explode("_set").alias("_tok"))
+    freq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        toks.join(freq, "_tok")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_df", "_tok"))),
+                lambda s: s["_tok"],
+            ).alias("_sorted")
+        )
+    )
+    sz = F.size("_sorted")
+    plen = sz - F.ceil(sz.cast("double") * F.lit(0.5)).cast("int") + 1
+    pref = ordered.select("_id", F.explode(F.slice("_sorted", 1, plen)).alias("_tok"))
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), (F.col("a._tok") == F.col("b._tok")) & (F.col("a._id") < F.col("b._id")))
+        .select("a._id", "b._id")
+        .distinct()
+        .count()
+    )
+    n = 125
+    quadratic = n * (n - 1) // 2
+    assert cand < quadratic * 0.05, (cand, quadratic)
+    # and the dup pairs are all found, exactly as brute force finds them
+    fast = sorted(tuple(r) for r in set_similarity_join(d, threshold=0.5).collect())
+    brute = sorted(tuple(r) for r in dedup_pairwise_jaccard(d, threshold=0.5).collect())
+    assert fast == brute and len(fast) >= 5

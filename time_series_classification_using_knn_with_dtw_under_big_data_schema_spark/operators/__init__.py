@@ -8,6 +8,7 @@ from .dedup import (  # noqa: F401
     dedup_minhash_lsh,
     dedup_embedding,
     dedup_pairwise_jaccard,
+    set_similarity_join,
     simhash,
     simhash_near_dups,
 )
@@ -50,4 +51,12 @@ from .multimodal import (  # noqa: F401
 from .profile import profile_table  # noqa: F401
 from .skew import salted_join  # noqa: F401
 from .temporal import asof_join, interval_join, resample_ffill  # noqa: F401
-from .sketch import hash_sample, key_hash, kmv_distinct, stratified_sample  # noqa: F401
+from .sketch import (  # noqa: F401
+    hash_sample,
+    hll_distinct,
+    hll_registers,
+    key_hash,
+    kmv_distinct,
+    mix32,
+    stratified_sample,
+)

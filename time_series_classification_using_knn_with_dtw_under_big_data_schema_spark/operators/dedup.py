@@ -160,10 +160,12 @@ def minhash_signature(hashes: Column, num_hashes: int = 16) -> Column:
 
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard of two distinct-element arrays (int/int division —
-    engine-portable)."""
+    engine-portable). Two EMPTY sets yield NULL (undefined), matching
+    DuckDB's 0.0/0.0 — under Spark's ANSI default a bare division would
+    error instead (found by the ssjoin empty-doc edge test)."""
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
-    return inter.cast("double") / union.cast("double")
+    return F.when(union > 0, inter.cast("double") / union.cast("double"))
 
 
 def dedup_pairwise_jaccard(
@@ -727,4 +729,89 @@ def dedup_embedding(
     return (
         scored.filter(F.col("_d") <= threshold)
         .select("id_a", "id_b", F.round("_d", 6).alias("cos_dist"))
+    )
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT-threshold set-similarity self-join via prefix filtering — the
+    AllPairs / PPJoin family (Bayardo et al. 2007 "Scaling Up All Pairs
+    Similarity Search"; Xiao et al. 2008). Finds every pair with
+    ``jaccard(shingles_a, shingles_b) >= threshold`` — the SAME output
+    contract as ``dedup_pairwise_jaccard`` (q17's quadratic oracle path)
+    and a LOSSLESS complement to ``dedup_minhash_lsh`` (which is
+    probabilistic): prefix filtering has a proof, not a recall curve.
+
+    Why it prunes: order every set by a global canonical order (document
+    frequency ASC, token ASC — rarest first) and keep only the first
+    ``|d| - ceil(t*|d|) + 1`` tokens as the PREFIX. Two sets with
+    jaccard >= t must overlap in >= ceil(t*max(|a|,|b|)) tokens, so they
+    must share at least one PREFIX token — candidates are exactly the
+    pairs sharing a prefix token, plus the standard size filter
+    (t*|a| <= |b| <= |a|/t); everything else is pruned with zero loss.
+    Survivors get one exact-jaccard verification.
+
+    Output: (id_a, id_b, jac) with id_a < id_b, jac rounded to 6 — equal
+    row-for-row to the brute-force quadratic (test-pinned at several
+    thresholds, and q106's SQL oracle mirrors the same algorithm).
+
+    Scale shape (100 TB): the quadratic pass is GONE — shuffles are the
+    token-frequency groupBy (map-side partial), one per-doc regroup to
+    sort, and the candidate self-join keyed on PREFIX tokens only. The
+    rare-first canonical order is the skew mitigation: each doc's prefix
+    holds its RAREST tokens, so join buckets are small by construction
+    (a token of corpus frequency f contributes at most C(f,2) candidate
+    pairs, and high-f tokens sort out of most prefixes). Lowering the
+    threshold widens prefixes — cost degrades smoothly toward quadratic
+    as t -> 0, which is inherent to the exactness guarantee.
+    """
+    sh = shingle_sets(fan_out(docs), text_col=text_col, id_col=id_col, n=n)
+    sh = sh.select(F.col(id_col).alias("_id"), F.col("shingles").alias("_set"))
+    toks = sh.select("_id", F.explode("_set").alias("_tok"))
+    freq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        toks.join(freq, "_tok")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_df", "_tok"))),
+                lambda s: s["_tok"],
+            ).alias("_sorted")
+        )
+    )
+    sz = F.size("_sorted")
+    plen = sz - F.ceil(sz.cast("double") * F.lit(float(threshold))).cast("int") + 1
+    pref = ordered.select(
+        "_id",
+        sz.alias("_sz"),
+        F.explode(F.slice("_sorted", 1, plen)).alias("_tok"),
+    )
+    t = float(threshold)
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a._tok") == F.col("b._tok"))
+            & (F.col("a._id") < F.col("b._id"))
+            # size filter: jac >= t forces t*|a| <= |b| <= |a|/t
+            & (F.col("b._sz").cast("double") >= F.col("a._sz").cast("double") * t)
+            & (F.col("b._sz").cast("double") * t <= F.col("a._sz").cast("double")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa"))
+    sb = sh.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jac", jaccard(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
     )

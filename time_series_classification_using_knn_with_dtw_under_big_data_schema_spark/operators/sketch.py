@@ -44,6 +44,9 @@ __all__ = [
     "histogram",
     "bloom_semi_join",
     "mixture_sample",
+    "mix32",
+    "hll_registers",
+    "hll_distinct",
 ]
 
 AFFINE_A = 2654435761 % HASH_P
@@ -370,3 +373,117 @@ def count_min_topk(
         est = est.join(F.broadcast(cr), f"_b{r}")
     cms = F.least(*[F.col(f"_c{r}") for r in range(depth)])
     return est.select("token", "n", cms.alias("cms_n"))
+
+
+# --- HyperLogLog (portable) -------------------------------------------------
+# The affine/char-fold hashes above are fine for sampling and KMV (which
+# use LOW-bit/order statistics), but HLL reads the GEOMETRIC distribution
+# of leading zeros in the HIGH bits — affine maps on dense key ranges fail
+# that badly (measured: 55% error at m=256 where theory says 6.5%). mix32
+# is the murmur3 finalizer (public domain avalanche constants), expressed
+# with every intermediate < 2^63 so Spark's ANSI bigint arithmetic never
+# overflows: the mod-2^32 multiplies are split into 16-bit halves.
+
+_MIX_C1 = 0x85EBCA6B
+_MIX_C2 = 0xC2B2AE35
+_M32 = 1 << 32
+
+
+def _mul32(col: Column, c: int) -> Column:
+    hi = F.floor(col / F.lit(65536)).cast("long")
+    lo = col.bitwiseAND(F.lit(65535))
+    return (lo * c + ((hi * c) % 65536) * 65536) % _M32
+
+
+def mix32(col: Column) -> Column:
+    """Portable murmur3 finalizer over a non-negative long (mod 2^32)."""
+    h = F.pmod(col.cast("long"), F.lit(_M32))
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    h = _mul32(h, _MIX_C1)
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    h = _mul32(h, _MIX_C2)
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    return h
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    *,
+    p_bits: int = 8,
+    w_bits: int = 24,
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007): (b, m) with
+    b = low p_bits of the mixed hash, m = max over values of
+    (w_bits + 1 - bit_length(next w_bits)). MERGEABLE by construction —
+    union of register tables + groupBy(b).max(m) equals the registers of
+    the unioned data (test-pinned) — the property that lets 1000
+    executors sketch 100 TB with one tiny final merge. One map-side
+    partial groupBy; output is <= 2^p_bits rows."""
+    c = F.col(col)
+    dtype = df.schema[col].dataType
+    base = char_hash(c) if isinstance(dtype, T.StringType) else c
+    h = mix32(base)
+    m = 1 << p_bits
+    bucket = F.pmod(h, F.lit(m))
+    w = F.pmod(F.floor(h / F.lit(m)).cast("long"), F.lit(1 << w_bits))
+    bitlen = F.when(w > 0, F.length(F.conv(w.cast("string"), 10, 2))).otherwise(
+        F.lit(0)
+    )
+    rho = F.lit(w_bits) + 1 - bitlen
+    return (
+        df.select(bucket.alias("b"), rho.alias("r"))
+        .groupBy("b")
+        .agg(F.max("r").alias("m"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    *,
+    p_bits: int = 8,
+    w_bits: int = 24,
+) -> DataFrame:
+    """Approximate distinct count with a DETERMINISTIC, engine-portable
+    HyperLogLog (vs Spark's approx_count_distinct whose HLL++ internals
+    are not reproducible outside the JVM — the same portability argument
+    as kmv_distinct, for the sketch every warehouse actually uses).
+
+    Output: ONE row — (n_present, zero_regs, hll_raw, hll_estimate).
+    hll_raw = alpha_m * m^2 / sum_j 2^-M_j folded in bucket order: every
+    term is a power of two (exact in binary), the fold order is total, so
+    hll_raw is bit-identical cross-engine and q107 grades it directly.
+    hll_estimate applies the standard small-range linear-counting
+    correction (m * ln(m/V) when raw <= 2.5m and V > 0) — it uses ln(),
+    so it is NOT in the graded projection (the tfidf/ngram_lm ln rule);
+    accuracy is asserted in tests against the exact count (expected
+    relative error 1.04/sqrt(m) ~ 6.5% at the default m=256).
+
+    Scale shape: one corpus scan -> map-side-partial register groupBy
+    (<= m rows out), one single-row final fold. Nothing else."""
+    m = 1 << p_bits
+    regs = hll_registers(df, col, p_bits=p_bits, w_bits=w_bits)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = regs.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("b", "m"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.pow(F.lit(2.0), -s["m"].cast("double")),
+        ).alias("_sp"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    zero = (F.lit(m) - F.col("n_present")).cast("int")
+    raw = F.lit(alpha) * F.lit(float(m * m)) / (
+        F.col("_sp") + (F.lit(m) - F.col("n_present")).cast("double")
+    )
+    corrected = F.when(
+        (raw <= 2.5 * m) & (zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zero.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("n_present").cast("int").alias("n_present"),
+        zero.alias("zero_regs"),
+        raw.alias("hll_raw"),
+        corrected.alias("hll_estimate"),
+    )
