@@ -225,3 +225,40 @@ def test_duplicate_spans_islands_split_on_gap(spark):
 def test_duplicate_spans_none_when_unique(spark):
     docs = _mkdocs(spark, ["a b c d e f", "g h i j k l"])
     assert duplicate_spans(docs, n=3, min_docs=2).count() == 0
+
+
+def test_bpe_seeded_random_corpus_sweep(spark):
+    """Seeded randomized parity sweep (the DTW shape-sweep pattern): random
+    tiny corpora with skewed token distributions through BOTH training
+    strategies and the encoder, against the pure-Python golden. Covers
+    repeated chars (overlap greedy), single-char words, high-frequency
+    ties, and empty docs."""
+    import random
+
+    for seed in range(8):
+        rng = random.Random(seed * 7919)
+        alphabet = "abcde"
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 10))
+        ]
+        texts = []
+        for _ in range(rng.randint(2, 6)):
+            k = rng.randint(0, 12)
+            texts.append(" ".join(rng.choice(words) for _ in range(k)))
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        n_merges = rng.randint(1, 6)
+        golden_merges, golden_vocab = _golden_train(texts, n_merges)
+        got_driver = train_bpe(docs, num_merges=n_merges, strategy="driver")
+        got_dist = train_bpe(docs, num_merges=n_merges, strategy="distributed")
+        assert got_driver == golden_merges, f"seed {seed} (driver)"
+        assert got_dist == golden_merges, f"seed {seed} (distributed)"
+        enc = {
+            r.doc_id: list(r.bpe_tokens)
+            for r in bpe_encode(docs, golden_merges, with_fingerprint=False).collect()
+        }
+        for i, t in enumerate(texts):
+            expected = [s for w in t.lower().split() for s in golden_vocab.get(w, list(w))]
+            assert enc[i] == expected, f"seed {seed} doc {i}"

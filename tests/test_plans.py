@@ -151,3 +151,55 @@ def test_collect_audit_catches_unbounded(spark):
     big = spark.range(50_000).selectExpr("id", "repeat('x', 64) AS s")
     with _pytest.raises(AssertionError, match="unbounded driver collect"):
         assert_no_unbounded_collect(lambda: big.collect(), max_bytes=64 << 10)
+
+
+def test_new_text_ops_stay_jvm_side(spark):
+    """q101/q104/q106/q107 are pure-Catalyst plans: zero Python nodes, no
+    cartesian product anywhere (every join is keyed), and the q104 shuffle
+    key is the long hash, never window text."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.plans import (
+        executed_plan,
+    )
+
+    for q in (
+        "_q101_ngram_lm",
+        "_q104_duplicate_spans",
+        "_q106_set_similarity_join",
+        "_q107_hll_distinct",
+    ):
+        df = getattr(entry_mod, q)(spark, SF)
+        assert python_eval_nodes(df) == 0, q
+        assert "CartesianProduct" not in executed_plan(df), q
+
+
+def test_hll_register_agg_is_map_side_partial(spark):
+    """The HLL registers groupBy compiles to partial_max before the
+    exchange — the mergeability property in the physical plan."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        hll_registers,
+    )
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.plans import (
+        executed_plan,
+    )
+
+    df = spark.range(1, 10_000).selectExpr("id AS k")
+    plan = executed_plan(hll_registers(df, "k"))
+    assert "partial_max" in plan or "partial max" in plan.lower()
+    # one exchange: the 256-bucket final merge
+    assert count_exchanges(hll_registers(df, "k")) == 1
+
+
+def test_bpe_encode_broadcasts_vocab(spark):
+    """bpe_encode joins the encoded vocabulary back by BROADCAST — the
+    corpus-sized side never shuffles for the join."""
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest new newer") for i in range(20)],
+        "doc_id long, text string",
+    )
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    merges = train_bpe(docs, num_merges=3)
+    assert has_broadcast_join(bpe_encode(docs, merges))
