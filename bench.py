@@ -252,6 +252,7 @@ def main() -> None:
     # the full corpus — the end-to-end tokenizer cost, not just the apply
     run("bpe_train_encode", lambda: entry_mod._q103_bpe_encode(spark, sf_dir).count(), repeats=2)
     run("duplicate_spans", lambda: entry_mod._q104_duplicate_spans(spark, sf_dir).count(), repeats=2)
+    run("hll_distinct", lambda: entry_mod._q107_hll_distinct(spark, sf_dir).count(), repeats=2)
 
     total = round(sum(timings.values()), 3)
     dtw_pairs_per_sec = round(n_pairs / timings["knn_fastdtw_k5"]) if timings.get("knn_fastdtw_k5") else None

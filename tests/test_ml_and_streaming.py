@@ -324,3 +324,37 @@ def test_model_save_load_roundtrip(spark, tmp_path):
 
     with _pytest.raises(Exception):
         save_model(m, p)  # no overwrite -> parquet write fails
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """The streaming HLL drain equals the batch registers bit-for-bit —
+    the monotone-max state contract (streaming/sketch.py)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        hll_registers,
+    )
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import (
+        stream_hll_registers,
+    )
+
+    df = spark.range(1, 3_001).selectExpr("id AS k")
+    src = str(tmp_path / "hll_src")
+    # several files so the stream processes multiple input splits
+    df.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_hll_registers(stream, "k")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_regs")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r.b, r.m) for r in spark.sql("SELECT * FROM hll_regs").collect()
+        }
+    finally:
+        q.stop()
+    batch = {(r.b, r.m) for r in hll_registers(df, "k").collect()}
+    assert streamed == batch
