@@ -4451,9 +4451,10 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c
             JOIN sh sa ON sa.id = c.id_a
             JOIN sh sb ON sb.id = c.id_b
-        )
-        SELECT id_a, id_b, round({_SQL_JACCARD}, 6) AS jac
-        FROM pairs WHERE {_SQL_JACCARD} >= 0.5
+        ),
+        scored AS (SELECT id_a, id_b, {_SQL_JACCARD} AS j FROM pairs)
+        SELECT id_a, id_b, round(j, 6) AS jac
+        FROM scored WHERE j >= 0.5
     """
 
     # JPEG DC-only closed form: block (by, bx) of image i is the flat
