@@ -1882,6 +1882,26 @@ def _q103_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, merges)
 
 
+def _q108_leakage_safe_split(spark, sf_dir):
+    """Group-hash train/val/test assignment (operators/sketch.py::
+    leakage_safe_split): every document of the same SOURCE lands in the
+    same split — the structural guard against the near-duplicate-leakage
+    contamination bug (correlated examples from one unit spanning train
+    and eval). Pure per-row projection on the portable hash, no RNG, no
+    shuffle before the small per-(source, split) count aggregate that
+    exhibits the invariant: each source appears under exactly ONE split."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import leakage_safe_split
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = leakage_safe_split(
+        docs, group="source", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
 def _q107_hll_distinct(spark, sf_dir):
     """Portable HyperLogLog distinct-count sketch (operators/sketch.py::
     hll_distinct) over lineitem.l_partkey: murmur3-finalizer mixing (the
@@ -2066,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_jpeg_decode_real": _q105_jpeg_decode_real,
         "q106_set_similarity_join": _q106_set_similarity_join,
         "q107_hll_distinct": _q107_hll_distinct,
+        "q108_leakage_safe_split": _q108_leakage_safe_split,
     }
 
 
@@ -4373,6 +4394,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_words, n_bpe_tokens,
                {_sql_char_fold("joined")} AS bpe_fingerprint
         FROM fp
+    """
+
+    # group hash = char fold of source; intervals [0, .8), [.8, .9),
+    # [.9, 1.0) of denom=1e6 in dict order (train, val, test)
+    out["q108_leakage_safe_split"] = f"""
+        WITH h AS (
+            SELECT source,
+                   (({_sql_char_fold("source")} * 654435747 + 40503)
+                    % 1000000007) % 1000000 AS hv
+            FROM documents
+        )
+        SELECT source,
+               CASE WHEN hv < 800000 THEN 'train'
+                    WHEN hv < 900000 THEN 'val'
+                    ELSE 'test' END AS split,
+               cast(count(*) AS bigint) AS n_docs
+        FROM h GROUP BY source, split
     """
 
     # portable murmur3-finalizer mix (operators/sketch.py::mix32), every

@@ -10,6 +10,7 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.o
     hll_distinct,
     hll_registers,
     kmv_distinct,
+    leakage_safe_split,
 )
 
 
@@ -234,3 +235,41 @@ def test_hll_duplicates_do_not_inflate(spark):
     df = spark.range(1, 1_001).selectExpr("(id % 100) AS k")  # 100 distinct
     row = hll_distinct(df, "k").collect()[0]
     assert abs(row.hll_estimate - 100) / 100 < 0.35
+
+
+# --- leakage-safe split -----------------------------------------------------
+
+
+def test_leakage_safe_split_no_group_spans_splits(spark):
+    df = spark.range(0, 5_000).selectExpr("id", "cast(id % 137 AS string) AS grp")
+    out = leakage_safe_split(
+        df, group="grp", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    spans = (
+        out.groupBy("grp")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter("n > 1")
+        .count()
+    )
+    assert spans == 0
+    # all three splits materialize and fractions are roughly respected
+    sizes = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == {"train", "val", "test"}
+    assert sizes["train"] > sizes["val"] and sizes["train"] > sizes["test"]
+
+
+def test_leakage_safe_split_is_stable_across_tables(spark):
+    """The same group key assigns identically in any table — labels and
+    features split consistently."""
+    a = spark.createDataFrame([(f"u{i}", i) for i in range(300)], "user string, x int")
+    b = spark.createDataFrame([(f"u{i}", -i) for i in range(300)], "user string, y int")
+    fr = {"train": 0.5, "test": 0.5}
+    sa = {r.user: r.split for r in leakage_safe_split(a, group="user", fractions=fr).collect()}
+    sb = {r.user: r.split for r in leakage_safe_split(b, group="user", fractions=fr).collect()}
+    assert sa == sb
+
+
+def test_leakage_safe_split_validates_fractions(spark):
+    df = spark.range(3).selectExpr("id AS g")
+    with pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(df, group="g", fractions={"a": 0.5})

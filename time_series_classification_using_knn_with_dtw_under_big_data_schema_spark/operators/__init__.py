@@ -52,6 +52,7 @@ from .profile import profile_table  # noqa: F401
 from .skew import salted_join  # noqa: F401
 from .temporal import asof_join, interval_join, resample_ffill  # noqa: F401
 from .sketch import (  # noqa: F401
+    leakage_safe_split,
     hash_sample,
     hll_distinct,
     hll_registers,

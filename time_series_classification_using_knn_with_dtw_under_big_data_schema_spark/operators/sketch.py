@@ -47,6 +47,7 @@ __all__ = [
     "mix32",
     "hll_registers",
     "hll_distinct",
+    "leakage_safe_split",
 ]
 
 AFFINE_A = 2654435761 % HASH_P
@@ -487,3 +488,52 @@ def hll_distinct(
         raw.alias("hll_raw"),
         corrected.alias("hll_estimate"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    *,
+    group: Union[str, Sequence[str]],
+    fractions: dict[str, float],
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment with a GROUP-level leakage
+    guard: every row of the same group (user, document source, session —
+    whatever unit correlates examples) lands in the SAME split, because
+    the assignment is a pure function of the group key's portable hash.
+    Splitting i.i.d. by row leaks near-duplicate/correlated examples from
+    one unit across train and eval — the classic contamination bug this
+    operator makes structurally impossible (Kapoor & Narayanan 2023
+    survey leakage as the dominant ML-pipeline failure).
+
+    ``fractions``: split name -> fraction, summing to 1.0. Assignment:
+    the hash maps to [0, denom); consecutive half-open intervals sized by
+    the fractions (in the given dict order) pick the split. Deterministic
+    across runs, engines, and tables sharing the group key — events and
+    labels join-split CONSISTENTLY.
+
+    Output: the input plus a ``split`` column. Scale: a pure per-row
+    projection, no shuffle, no RNG; at 100 TB this costs one scan.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    keys = [group] if isinstance(group, str) else list(group)
+    # affine-spread BEFORE the interval map: the raw char fold of short
+    # string keys is numerically small (< 31^len), which would pile every
+    # group into the first interval — the short-key cousin of the HLL
+    # geometric-tail failure above
+    spread = (key_hash(df, keys) * AFFINE_A + AFFINE_B) % HASH_P
+    h = F.pmod(spread, F.lit(denom))
+    expr = None
+    edge = 0
+    names = list(fractions)
+    for name in names[:-1]:
+        edge += int(round(fractions[name] * denom))
+        cond = h < edge
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
