@@ -262,3 +262,39 @@ def test_bpe_seeded_random_corpus_sweep(spark):
         for i, t in enumerate(texts):
             expected = [s for w in t.lower().split() for s in golden_vocab.get(w, list(w))]
             assert enc[i] == expected, f"seed {seed} doc {i}"
+
+
+def test_bpe_encode_kernel_matches_expr(bpe_corpus):
+    """The Arrow-kernel encoder is bit-identical to the fold-expression
+    chain — the scale path (constant plan size for 30k-merge tables) must
+    not change a single token."""
+    merges = train_bpe(bpe_corpus, num_merges=10)
+    e = sorted(map(tuple, bpe_encode(bpe_corpus, merges, mode="expr").collect()))
+    k = sorted(map(tuple, bpe_encode(bpe_corpus, merges, mode="kernel").collect()))
+    assert e == k
+
+
+def test_bpe_encode_kernel_handles_many_merges(spark):
+    """A merge table far past any sane expression-chain depth runs through
+    the kernel (mode='auto' switches over) and matches the golden."""
+    import random
+
+    rng = random.Random(5)
+    alphabet = "abcdefgh"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 10)))
+        for _ in range(60)
+    ]
+    texts = [" ".join(rng.choice(words) for _ in range(30)) for _ in range(10)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    golden_merges, golden_vocab = _golden_train(texts, 120)
+    assert len(golden_merges) > 24  # deep enough to force the kernel
+    enc = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in bpe_encode(docs, golden_merges, with_fingerprint=False).collect()
+    }
+    for i, t in enumerate(texts):
+        expected = [s for w in t.lower().split() for s in golden_vocab[w]]
+        assert enc[i] == expected, f"doc {i}"

@@ -124,6 +124,42 @@ def _train_local(
     return merges
 
 
+def _encode_words_kernel(words: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Arrow-kernel word encoder: (_w) -> (_w, _syms) applying the merge
+    list step-by-step per word. Semantics identical to the apply_merge
+    fold chain (each merge is one greedy left-to-right pass in LIST
+    order) — equivalence with the expr path is test-pinned. Runs over the
+    vocab-sized distinct-words table, so the Python crossing is tiny
+    relative to the corpus."""
+
+    def op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for w in pdf["_w"]:
+                syms = list(w)
+                joined = w
+                for a, b in pairs:
+                    # adjacency of (a, b) in syms implies a+b is a
+                    # substring of the joined word — O(len) skip that
+                    # makes a 30k-merge table tractable (most merges
+                    # never touch a given word)
+                    if a + b not in joined:
+                        continue
+                    nxt: list[str] = []
+                    for s in syms:
+                        if nxt and nxt[-1] == a and s == b:
+                            nxt[-1] = a + b
+                        else:
+                            nxt.append(s)
+                    syms = nxt
+                out.append(syms)
+            yield pd.DataFrame({"_w": pdf["_w"], "_syms": out})
+
+    return words.mapInPandas(op, schema="_w string, _syms array<string>")
+
+
 def train_bpe(
     docs: DataFrame,
     *,
@@ -210,6 +246,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     with_fingerprint: bool = True,
+    mode: str = "auto",
 ) -> DataFrame:
     """Apply a trained merge table to every document.
 
@@ -220,20 +257,38 @@ def bpe_encode(
     that two engines produced the same tokenization (the full token arrays
     would be corpus-sized output).
 
-    Plan: the merge chain runs over DISTINCT words only (vocab-sized), one
-    codegen'd fold per merge; the encoded vocabulary broadcast-joins back
-    onto the corpus (pos-exploded token stream), and one per-doc regroup
-    restores order. Token order is made total with the per-doc position,
-    so the flatten is deterministic.
+    Plan: the merge chain runs over DISTINCT words only (vocab-sized);
+    the encoded vocabulary broadcast-joins back onto the corpus
+    (pos-exploded token stream), and one per-doc regroup restores order.
+    Token order is made total with the per-doc position, so the flatten
+    is deterministic.
+
+    ``mode``: how the per-word merge chain executes —
+    - ``"expr"``: one codegen'd fold expression per merge. Exact and
+      oracle-mirrorable, but the plan grows linearly with the merge
+      count — fine for dozens of merges, impossible for a production
+      32k-merge vocabulary.
+    - ``"kernel"``: ONE Arrow-batched mapInPandas over the distinct
+      words applying all merges in-process (rank-priority dict lookup,
+      same greedy left-to-right pass per step) — constant plan size for
+      any merge count. Equivalence with "expr" is test-pinned.
+    - ``"auto"`` (default): expr up to 24 merges, kernel beyond.
     """
     pairs = [(m[-3], m[-2]) if len(m) == 4 else (m[0], m[1]) for m in merges]
+    if mode not in ("auto", "expr", "kernel"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "auto":
+        mode = "expr" if len(pairs) <= 24 else "kernel"
     toks = tokens(F.col(text_col))
     t = fan_out(docs).select(F.col(id_col).alias("_doc"), toks.alias("_toks"))
     enc = t.select(F.explode("_toks").alias("_w")).distinct()
-    syms = F.split("_w", "")
-    enc = enc.select("_w", syms.alias("_syms"))
-    for a, b in pairs:
-        enc = enc.select("_w", apply_merge(F.col("_syms"), a, b).alias("_syms"))
+    if mode == "kernel":
+        enc = _encode_words_kernel(enc, pairs)
+    else:
+        syms = F.split("_w", "")
+        enc = enc.select("_w", syms.alias("_syms"))
+        for a, b in pairs:
+            enc = enc.select("_w", apply_merge(F.col("_syms"), a, b).alias("_syms"))
     seq = t.select("_doc", F.posexplode("_toks").alias("_pos", "_w"))
     joined = seq.join(F.broadcast(enc), "_w")
     grouped = joined.groupBy("_doc").agg(
