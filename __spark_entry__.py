@@ -1882,6 +1882,54 @@ def _q103_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, merges)
 
 
+def _q109_tokenizer_pipeline(spark, sf_dir):
+    """END-TO-END tokenizer-era curation in ONE plan — the round-3 third
+    session's operators composed: bigram-LM fluency gate (median
+    integer-micro threshold over q101's bit-exact avg_prob) ->
+    leakage-safe source-hash split (q108) -> BPE encode with the
+    q102-trained merge table -> per-split token accounting. Output: one
+    row per split — (split, n_docs, total_bpe_tokens, fp_checksum), where
+    fp_checksum is the sum of per-doc char-fold fingerprints of the BPE
+    stream (order-insensitive, integer-exact), so the hash match is
+    sensitive to every stage including each document's exact
+    tokenization. Each stage is individually oracle-checked
+    (q101/q108/q102/q103); this query proves they COMPOSE."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        bpe_encode,
+        leakage_safe_split,
+        ngram_lm_score,
+        train_bpe,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    lm = ngram_lm_score(docs).select(
+        "doc_id",
+        F.round(F.col("avg_prob") * 1_000_000).cast("long").alias("p_micro"),
+    )
+    thresh = lm.agg(F.expr("percentile(p_micro, 0.5D)").alias("_t"))
+    surv = (
+        docs.join(lm, "doc_id")
+        .crossJoin(F.broadcast(thresh))
+        .filter(F.col("p_micro").cast("double") >= F.col("_t"))
+        .select("doc_id", "source", "text")
+    )
+    split = leakage_safe_split(
+        surv, group="source", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+    merges = train_bpe(docs.filter(F.col("doc_id") % 10 == 0), num_merges=12)
+    enc = bpe_encode(surv, merges)
+    return (
+        enc.join(split, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+            F.sum("bpe_fingerprint").cast("bigint").alias("fp_checksum"),
+        )
+    )
+
+
 def _q108_leakage_safe_split(spark, sf_dir):
     """Group-hash train/val/test assignment (operators/sketch.py::
     leakage_safe_split): every document of the same SOURCE lands in the
@@ -2087,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_set_similarity_join": _q106_set_similarity_join,
         "q107_hll_distinct": _q107_hll_distinct,
         "q108_leakage_safe_split": _q108_leakage_safe_split,
+        "q109_tokenizer_pipeline": _q109_tokenizer_pipeline,
     }
 
 
@@ -4521,6 +4570,108 @@ def oracle_sql() -> dict[str, str]:
         SELECT m.media_id, m.width, m.height, s.px_checksum,
                round(cast(s.px_checksum AS double) / 16.0, 6) AS mean_px
         FROM m JOIN sums s USING (media_id)
+    """
+
+    # q109: the composed pipeline — q101's LM chain + median gate + q108's
+    # split + q102/q103's BPE recursions, restricted to the survivor set
+    out["q109_tokenizer_pipeline"] = f"""
+        WITH RECURSIVE {_bpe_train_ctes},
+        merges AS (SELECT DISTINCT step, ma AS a, mb AS b
+                   FROM r WHERE step >= 1),
+        n_merges AS (SELECT cast(count(*) AS int) AS nm FROM merges),
+        t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+        b0 AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> {{'pos': i, 'w1': toks[i], 'w2': toks[i+1]}})) AS s
+            FROM t WHERE len(toks) >= 2
+        ),
+        b AS (SELECT doc_id, s.pos AS pos, s.w1 AS w1, s.w2 AS w2 FROM b0),
+        cb AS (SELECT w1, w2, cast(count(*) AS bigint) AS cb
+               FROM b GROUP BY w1, w2),
+        cu AS (SELECT w1, cast(sum(cb) AS bigint) AS cu FROM cb GROUP BY w1),
+        v AS (SELECT cast(count(DISTINCT w) AS bigint) AS v
+              FROM (SELECT unnest(toks) AS w FROM t)),
+        sc AS (
+            SELECT b.doc_id, b.pos,
+                   cast(cb.cb + 1 AS double) / cast(cu.cu + v.v AS double) AS p
+            FROM b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+        ),
+        pd AS (
+            SELECT doc_id, cast(count(*) AS int) AS n_bigrams,
+                   list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+                               (a, x) -> a + x) AS s
+            FROM sc GROUP BY doc_id
+        ),
+        lmsc AS (
+            SELECT d.doc_id,
+                   cast(round(coalesce(pd.s / cast(pd.n_bigrams AS double),
+                                       0.0) * 1000000) AS bigint) AS p_micro
+            FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
+        ),
+        med AS (SELECT quantile_cont(p_micro, 0.5) AS tt FROM lmsc),
+        surv AS (
+            SELECT doc_id, source, text
+            FROM documents JOIN lmsc USING (doc_id), med
+            WHERE cast(p_micro AS double) >= med.tt
+        ),
+        spl AS (
+            SELECT doc_id,
+                   CASE WHEN hv < 800000 THEN 'train'
+                        WHEN hv < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         (({_sql_char_fold("source")} * 654435747 + 40503)
+                          % 1000000007) % 1000000 AS hv
+                  FROM surv) hh
+        ),
+        allwords AS (
+            SELECT DISTINCT unnest({_SQL_TOKENS}) AS word FROM surv
+        ),
+        e AS (
+            SELECT 0 AS step, word, string_split(word, '') AS syms
+            FROM allwords
+            UNION ALL
+            SELECT e.step + 1, e.word,
+                   CASE WHEN m.a IS NULL THEN e.syms
+                        ELSE {_sql_bpe_apply("e.syms", "m.a", "m.b")} END
+            FROM e
+            LEFT JOIN merges m ON m.step = e.step + 1
+            CROSS JOIN n_merges
+            WHERE e.step < n_merges.nm
+        ),
+        enc AS (SELECT word, syms FROM e, n_merges WHERE step = n_merges.nm),
+        seq AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) + 1),
+                          i -> {{'pos': i, 'w': toks[i]}})) AS s
+            FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM surv) st
+        ),
+        j AS (
+            SELECT seq.doc_id, s.pos AS pos, enc.syms
+            FROM seq JOIN enc ON enc.word = s.w
+        ),
+        g AS (
+            SELECT doc_id, flatten(list(syms ORDER BY pos)) AS flat
+            FROM j GROUP BY doc_id
+        ),
+        fp AS (
+            SELECT d.doc_id,
+                   coalesce(array_to_string(g.flat, ' '), '') AS joined,
+                   coalesce(cast(len(g.flat) AS int), 0) AS n_bpe_tokens
+            FROM (SELECT doc_id FROM surv) d LEFT JOIN g USING (doc_id)
+        ),
+        perdoc AS (
+            SELECT doc_id, n_bpe_tokens,
+                   {_sql_char_fold("joined")} AS bfp
+            FROM fp
+        )
+        SELECT s.split,
+               cast(count(*) AS bigint) AS n_docs,
+               cast(sum(perdoc.n_bpe_tokens) AS bigint) AS total_bpe_tokens,
+               cast(sum(perdoc.bfp) AS bigint) AS fp_checksum
+        FROM perdoc JOIN spl s USING (doc_id)
+        GROUP BY s.split
     """
 
     out["q104_duplicate_spans"] = f"""
