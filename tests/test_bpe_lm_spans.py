@@ -298,3 +298,15 @@ def test_bpe_encode_kernel_handles_many_merges(spark):
     for i, t in enumerate(texts):
         expected = [s for w in t.lower().split() for s in golden_vocab[w]]
         assert enc[i] == expected, f"doc {i}"
+
+
+def test_bpe_kernel_illformed_table_keeps_list_order_semantics(spark):
+    """An ill-formed merge list (rank 0 consumes rank 1's OUTPUT) must
+    take the sequential path: list-order semantics say rank 0 no-ops on
+    raw text; rank-priority would wrongly fuse the full word."""
+    docs = spark.createDataFrame([(0, "abc abc")], "doc_id long, text string")
+    merges = [("ab", "c"), ("a", "b")]
+    out = bpe_encode(docs, merges, mode="kernel", with_fingerprint=False).collect()[0]
+    assert list(out.bpe_tokens) == ["ab", "c", "ab", "c"]
+    expr = bpe_encode(docs, merges, mode="expr", with_fingerprint=False).collect()[0]
+    assert list(out.bpe_tokens) == list(expr.bpe_tokens)

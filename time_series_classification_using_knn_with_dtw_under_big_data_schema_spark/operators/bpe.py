@@ -132,30 +132,74 @@ def _encode_words_kernel(words: DataFrame, pairs: list[tuple[str, str]]) -> Data
     vocab-sized distinct-words table, so the Python crossing is tiny
     relative to the corpus."""
 
+    rank = {p: i for i, p in enumerate(pairs)}
+    # rank-priority is equivalent to the sequential fold chain ONLY for
+    # WELL-FORMED tables — every pair's parts are single characters or
+    # outputs of EARLIER merges (true for any trained table). Then a merge
+    # pass can only create adjacencies involving its new symbol, every
+    # ranked pair containing that symbol is ranked later, so no
+    # lower-rank opportunity appears after its turn and both orders reach
+    # the same fixed point (test-pinned, incl. the 120-merge golden
+    # sweep). An ill-formed list — e.g. [("ab","c"), ("a","b")], where
+    # rank 0 consumes rank 1's OUTPUT — breaks that argument (priority
+    # would fuse "abc"; the sequential contract must no-op rank 0), so
+    # such lists take the sequential path.
+    produced: set[str] = set()
+    well_formed = True
+    for a, b in pairs:
+        if (len(a) > 1 and a not in produced) or (len(b) > 1 and b not in produced):
+            well_formed = False
+            break
+        produced.add(a + b)
+
     def op(batches):
         import pandas as pd
 
+        def encode_priority(w: str) -> list[str]:
+            # the standard published BPE encoder shape: repeatedly fuse
+            # ALL occurrences of the present pair with the lowest merge
+            # rank, leftmost-greedy per pass — O(passes * len) per word,
+            # INDEPENDENT of the merge-table size
+            syms = list(w)
+            while len(syms) > 1:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = rank.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                a, b = pairs[best]
+                nxt: list[str] = []
+                for s in syms:
+                    if nxt and nxt[-1] == a and s == b:
+                        nxt[-1] = a + b
+                    else:
+                        nxt.append(s)
+                syms = nxt
+            return syms
+
+        def encode_sequential(w: str) -> list[str]:
+            syms = list(w)
+            for a, b in pairs:
+                # every symbol is a contiguous substring of w, so (a, b)
+                # adjacency implies a+b is a substring of w — O(len) skip
+                if a + b not in w:
+                    continue
+                nxt: list[str] = []
+                for s in syms:
+                    if nxt and nxt[-1] == a and s == b:
+                        nxt[-1] = a + b
+                    else:
+                        nxt.append(s)
+                syms = nxt
+            return syms
+
+        encode = encode_priority if well_formed else encode_sequential
         for pdf in batches:
-            out = []
-            for w in pdf["_w"]:
-                syms = list(w)
-                joined = w
-                for a, b in pairs:
-                    # adjacency of (a, b) in syms implies a+b is a
-                    # substring of the joined word — O(len) skip that
-                    # makes a 30k-merge table tractable (most merges
-                    # never touch a given word)
-                    if a + b not in joined:
-                        continue
-                    nxt: list[str] = []
-                    for s in syms:
-                        if nxt and nxt[-1] == a and s == b:
-                            nxt[-1] = a + b
-                        else:
-                            nxt.append(s)
-                    syms = nxt
-                out.append(syms)
-            yield pd.DataFrame({"_w": pdf["_w"], "_syms": out})
+            yield pd.DataFrame(
+                {"_w": pdf["_w"], "_syms": [encode(w) for w in pdf["_w"]]}
+            )
 
     return words.mapInPandas(op, schema="_w string, _syms array<string>")
 
