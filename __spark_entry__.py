@@ -1882,6 +1882,30 @@ def _q103_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, merges)
 
 
+def _q110_sax_words(spark, sf_dir):
+    """SAX symbolization (functions/arrays.py::sax_word — Lin et al. 2003):
+    znorm -> 4-segment PAA -> Gaussian-breakpoint letters, giving each
+    16-point event series a 4-letter word plus its block size (series
+    sharing a word = iSAX-style candidate block for DTW KNN). Pure
+    codegen'd folds + literal comparisons — cross-engine exact."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import sax_word
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    s = events_to_series(events, length=SERIES_LEN)
+    w = s.select(
+        "series_id",
+        sax_word(F.col("features"), 4, SERIES_LEN, alphabet=4).alias("word"),
+    )
+    from pyspark.sql import Window as _W
+
+    return w.select(
+        "series_id",
+        "word",
+        F.count(F.lit(1)).over(_W.partitionBy("word")).cast("int").alias("block_size"),
+    )
+
+
 def _q109_tokenizer_pipeline(spark, sf_dir):
     """END-TO-END tokenizer-era curation in ONE plan — the round-3 third
     session's operators composed: bigram-LM fluency gate (median
@@ -2136,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_hll_distinct": _q107_hll_distinct,
         "q108_leakage_safe_split": _q108_leakage_safe_split,
         "q109_tokenizer_pipeline": _q109_tokenizer_pipeline,
+        "q110_sax_words": _q110_sax_words,
     }
 
 
@@ -4570,6 +4595,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT m.media_id, m.width, m.height, s.px_checksum,
                round(cast(s.px_checksum AS double) / 16.0, 6) AS mean_px
         FROM m JOIN sums s USING (media_id)
+    """
+
+    # SAX: q50's znorm folds + q66's PAA folds + CASE at the published
+    # breakpoint literals (-0.67 / 0.0 / 0.67 for alphabet 4)
+    _sax_seg = (
+        "list_reduce(list_prepend(0.0, z[{lo}:{hi}]), (a, v) -> a + v) / 4.0"
+    )
+    _sax_letter = (
+        "CASE WHEN {p} < -0.67 THEN 'a' WHEN {p} < 0.0 THEN 'b'"
+        " WHEN {p} < 0.67 THEN 'c' ELSE 'd' END"
+    )
+    _sax_segs = [
+        _sax_seg.format(lo=1 + 4 * i, hi=4 + 4 * i) for i in range(4)
+    ]
+    out["q110_sax_words"] = f"""
+        WITH {_SERIES_CTE},
+        stats AS (
+            SELECT series_id, features,
+                   list_reduce(list_prepend(cast(0.0 AS double), features),
+                               (a, v) -> a + v) / cast(len(features) AS double) AS mu,
+                   list_reduce(list_prepend(cast(0.0 AS double), features),
+                               (a, v) -> a + v * v) / cast(len(features) AS double) AS m2
+            FROM series
+        ),
+        zed AS (
+            SELECT series_id,
+                   list_transform(features,
+                       v -> (v - mu) / sqrt(greatest(m2 - mu * mu, 1e-300))) AS z
+            FROM stats
+        ),
+        pa AS (
+            SELECT series_id,
+                   {_sax_segs[0]} AS p1, {_sax_segs[1]} AS p2,
+                   {_sax_segs[2]} AS p3, {_sax_segs[3]} AS p4
+            FROM zed
+        ),
+        w AS (
+            SELECT series_id,
+                   {_sax_letter.format(p="p1")} || {_sax_letter.format(p="p2")}
+                   || {_sax_letter.format(p="p3")} || {_sax_letter.format(p="p4")}
+                       AS word
+            FROM pa
+        )
+        SELECT series_id, word,
+               cast(count(*) OVER (PARTITION BY word) AS int) AS block_size
+        FROM w
     """
 
     # q109: the composed pipeline — q101's LM chain + median gate + q108's

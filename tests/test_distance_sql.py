@@ -131,3 +131,28 @@ def test_resample_linear_endpoints_and_midpoints(spark):
 
     with _pytest.raises(ValueError, match="out_len"):
         resample_linear(F.col("a"), 1)
+
+
+def test_sax_word_hand_computed(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import sax_word
+
+    # 16 points: first half very low, second half very high -> znorm makes
+    # halves symmetric around 0 -> segments: a a d d
+    vals = [0.0] * 8 + [10.0] * 8
+    df = spark.createDataFrame([(1, vals)], "id long, features array<double>")
+    row = df.select(sax_word(F.col("features"), 4, 16, alphabet=4).alias("w")).collect()[0]
+    assert row.w == "aadd"
+    # constant series: znorm guard (std -> 1e-150) keeps zeros -> all in
+    # the 'b' band (0 < 0.67, not < 0.0 is false... 0.0 < 0.0 False -> 'c'?)
+    df2 = spark.createDataFrame([(1, [5.0] * 16)], "id long, features array<double>")
+    w2 = df2.select(sax_word(F.col("features"), 4, 16).alias("w")).collect()[0].w
+    assert w2 == "cccc"  # 0.0 is not < 0.0 -> letter c band [0, 0.67)
+
+
+def test_sax_word_validates_alphabet(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import sax_word
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alphabet"):
+        sax_word(F.col("features"), 4, 16, alphabet=99)

@@ -11,4 +11,4 @@ from .distance import (  # noqa: F401
     DISTANCES,
 )
 from .dtw_kernel import dtw_batch, dtw_pair, fastdtw_batch, fastdtw_pair  # noqa: F401
-from .arrays import paa, series_features, series_to_columns, znorm  # noqa: F401
+from .arrays import paa, sax_word, series_features, series_to_columns, znorm  # noqa: F401

@@ -121,3 +121,51 @@ def series_to_columns(df, n: int, *, features_col: str = "features",
         for i in range(n)
     ]
     return df.select(*others, *wide)
+
+
+# published SAX breakpoint tables (Lin, Keogh, Lonardi & Chiu 2003 — the
+# equiprobable standard-normal cut points as the paper rounds them);
+# deterministic literals, so both engines compare against identical doubles
+SAX_BREAKPOINTS: dict[int, list[float]] = {
+    2: [0.0],
+    3: [-0.43, 0.43],
+    4: [-0.67, 0.0, 0.67],
+    5: [-0.84, -0.25, 0.25, 0.84],
+    6: [-0.97, -0.43, 0.0, 0.43, 0.97],
+    7: [-1.07, -0.57, -0.18, 0.18, 0.57, 1.07],
+    8: [-1.15, -0.67, -0.32, 0.0, 0.32, 0.67, 1.15],
+}
+
+_SAX_LETTERS = "abcdefgh"
+
+
+def sax_word(
+    arr: Column, n_segments: int, length: int, alphabet: int = 4
+) -> Column:
+    """SAX symbolization (Lin et al. 2003): z-normalize, PAA to
+    ``n_segments`` means, quantize each mean into ``alphabet`` letters at
+    the published Gaussian breakpoints — a 16-point series becomes e.g.
+    'dacb'. The classic symbolic index for series: equal words are a
+    blocking key (iSAX-style candidate generation for DTW KNN — compose
+    with knn_join_pruned the way PAA already is), and the word table is
+    GROUP-BY-able like any text column. Pure codegen'd expression: fold
+    znorm + fold PAA + a when-chain per segment; breakpoint comparisons
+    are against identical double literals on every engine, and the inputs
+    are bit-exact folds, so the word is cross-engine exact."""
+    if alphabet not in SAX_BREAKPOINTS:
+        raise ValueError(
+            f"alphabet must be in {sorted(SAX_BREAKPOINTS)}, got {alphabet}"
+        )
+    bps = SAX_BREAKPOINTS[alphabet]
+
+    def letter(v: Column) -> Column:
+        expr = None
+        for i, bp in enumerate(bps):
+            c = v < F.lit(bp)
+            expr = F.when(c, F.lit(_SAX_LETTERS[i])) if expr is None else expr.when(
+                c, F.lit(_SAX_LETTERS[i])
+            )
+        return expr.otherwise(F.lit(_SAX_LETTERS[len(bps)]))
+
+    p = paa(znorm(arr), n_segments, length)
+    return F.concat_ws("", F.transform(p, letter))
