@@ -273,3 +273,13 @@ def test_leakage_safe_split_validates_fractions(spark):
     df = spark.range(3).selectExpr("id AS g")
     with pytest.raises(ValueError, match="sum to 1"):
         leakage_safe_split(df, group="g", fractions={"a": 0.5})
+
+
+def test_hash_sample_unbiased_on_short_string_keys(spark):
+    """The raw char fold of short strings is tiny; without the affine
+    spread hash_sample would keep EVERY 2-char key at fraction 0.1."""
+    df = spark.createDataFrame(
+        [(f"{a}{b}",) for a in "abcdefghij" for b in "abcdefghij"], "k string"
+    )  # 100 distinct 2-char keys
+    kept = hash_sample(df, key="k", fraction=0.1).count()
+    assert 2 <= kept <= 30  # ~10 expected; anything but "all 100"

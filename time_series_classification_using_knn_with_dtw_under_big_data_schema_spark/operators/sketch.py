@@ -62,7 +62,12 @@ def _one_hash(col: Column, dtype: T.DataType, hash_mode: str) -> Column:
             # per-char lambda). Deterministic across runs/tables, just not
             # DuckDB-mirrorable.
             return F.pmod(F.xxhash64(col), F.lit(HASH_P))
-        return char_hash(col)
+        # affine-spread the char fold: a SHORT string's raw fold is
+        # numerically small (< 31^len), which would bias every
+        # threshold/interval consumer (hash_sample would keep ALL 2-char
+        # keys at any fraction above ~1e-3) — the same failure caught by
+        # the leakage_safe_split interval test
+        return (char_hash(col) * AFFINE_A + AFFINE_B) % HASH_P
     return (F.pmod(col.cast("long"), F.lit(HASH_P)) * AFFINE_A + AFFINE_B) % HASH_P
 
 
@@ -521,12 +526,9 @@ def leakage_safe_split(
     if any(f < 0 for f in fractions.values()):
         raise ValueError("fractions must be non-negative")
     keys = [group] if isinstance(group, str) else list(group)
-    # affine-spread BEFORE the interval map: the raw char fold of short
-    # string keys is numerically small (< 31^len), which would pile every
-    # group into the first interval — the short-key cousin of the HLL
-    # geometric-tail failure above
-    spread = (key_hash(df, keys) * AFFINE_A + AFFINE_B) % HASH_P
-    h = F.pmod(spread, F.lit(denom))
+    # key_hash affine-spreads string keys (see _one_hash), so the raw
+    # value is uniform enough for the interval map directly
+    h = F.pmod(key_hash(df, keys), F.lit(denom))
     expr = None
     edge = 0
     names = list(fractions)
