@@ -131,12 +131,12 @@ def test_error_paths():
     data[i + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="baseline"):
         decode_jpeg_gray(bytes(data))
-    # subsampling out of scope: patch the SOF sampling byte (0x11 -> 0x22)
+    # sampling factors past the spec ceiling are rejected outright
     data = bytearray(encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8)))
     i = bytes(data).find(b"\xff\xc0")
     assert data[i + 11] == 0x11
-    data[i + 11] = 0x22
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    data[i + 11] = 0x55
+    with pytest.raises(ValueError, match="sampling"):
         decode_jpeg_gray(bytes(data))
 
 
@@ -169,3 +169,45 @@ def test_mixed_png_jpeg_corpus_through_operator(spark):
     assert (rows[1].width, rows[1].height) == (8, 8)
     assert rows[0].mean_luma == pytest.approx(100 / 255)
     assert rows[1].mean_luma == pytest.approx(100 / 255)
+
+
+def test_420_subsampled_y_plane_exact():
+    """4:2:0 (the dominant real-web layout): the interleaved-MCU walk
+    must place all 4 Y blocks per MCU correctly; chroma is decoded (to
+    keep bitstream sync) and dropped."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.jpeg import (
+        encode_jpeg_coeffs_420,
+    )
+
+    rng = np.random.default_rng(9)
+    y = np.zeros((4, 4, 64), dtype=np.int64)
+    y[:, :, 0] = rng.integers(-90, 90, size=(4, 4))
+    cb = np.zeros((2, 2, 64), dtype=np.int64)
+    cb[:, :, 0] = 11
+    cr = np.zeros((2, 2, 64), dtype=np.int64)
+    cr[:, :, 0] = -13
+    img = decode_jpeg_gray(encode_jpeg_coeffs_420(y, cb, cr, QTAB, 32, 32))
+    exp = np.repeat(np.repeat(y[:, :, 0] + 128, 8, 0), 8, 1)
+    assert (img == exp).all()
+    # odd crop: MCU padding trimmed to the declared frame size
+    img2 = decode_jpeg_gray(encode_jpeg_coeffs_420(y, cb, cr, QTAB, 20, 28))
+    assert img2.shape == (20, 28) and (img2 == exp[:20, :28]).all()
+
+
+def test_subsampled_luma_rejected():
+    # luma below full resolution stays out of scope with a clear message
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.jpeg import (
+        encode_jpeg_coeffs_420,
+    )
+
+    y = np.zeros((2, 2, 64), dtype=np.int64)
+    cb = np.zeros((1, 1, 64), dtype=np.int64)
+    cr = np.zeros((1, 1, 64), dtype=np.int64)
+    data = bytearray(encode_jpeg_coeffs_420(y, cb, cr, QTAB, 16, 16))
+    i = bytes(data).find(b"\xff\xc0")
+    # swap sampling: make chroma 2x2 and luma 1x1
+    assert data[i + 11] == 0x22 and data[i + 14] == 0x11
+    data[i + 11] = 0x11
+    data[i + 14] = 0x22
+    with pytest.raises(NotImplementedError, match="full-resolution"):
+        decode_jpeg_gray(bytes(data))

@@ -7,12 +7,14 @@ without PIL/cv2.
 Scope (deliberate):
 
 - decode: baseline sequential DCT (SOF0), 8-bit precision, 1 or 3
-  components with NO chroma subsampling (all sampling factors 1x1 — the
-  4:4:4 / grayscale core; subsampled files raise with a clear message,
-  the PIL backend covers them), arbitrary DQT/DHT tables read from the
-  stream, restart markers (DRI), FF00 byte-stuffing. 3-component scans
-  return the Y (luma) plane — the feature extractors want luminance, and
-  baseline JPEG's Y IS the ITU-601 luma. Output: uint8 (H, W).
+  components with ARBITRARY sampling factors as long as luma is the
+  full-resolution component (grayscale, 4:4:4, 4:2:2, 4:2:0 — the
+  real-web layouts; the general interleaved-MCU walk of T.81 A.2.3),
+  arbitrary DQT/DHT tables read from the stream, restart markers (DRI),
+  FF00 byte-stuffing. Multi-component scans return the Y (luma) plane —
+  the feature extractors want luminance, baseline JPEG's Y IS the
+  ITU-601 luma, and dropping chroma means NO upsampling stage is needed
+  even for subsampled files. Output: uint8 (H, W).
 - encode: 8-bit grayscale fixtures. Two entry points:
   ``encode_jpeg_gray`` runs the full forward path (float DCT + quantize);
   ``encode_jpeg_coeffs`` writes CHOSEN quantized coefficient blocks
@@ -41,6 +43,7 @@ __all__ = [
     "decode_jpeg_gray",
     "encode_jpeg_gray",
     "encode_jpeg_coeffs",
+    "encode_jpeg_coeffs_420",
 ]
 
 # zigzag scan order: ZIGZAG[k] = (row, col) of the k-th coefficient
@@ -206,13 +209,17 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling not supported by the builtin "
-                        "codec (4:4:4 / grayscale only); use decoder='pil'"
-                    )
-                comps.append((cid, tq))
-            frame = (h, w, comps)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if (comps[0][1], comps[0][2]) != (hmax, vmax):
+                raise NotImplementedError(
+                    "luma must be the full-resolution component "
+                    "(subsampled-luma files: use decoder='pil')"
+                )
+            if hmax > 4 or vmax > 4:
+                raise ValueError("sampling factors out of spec range")
+            frame = (h, w, comps, hmax, vmax)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential DCT (SOF0)")
         elif marker == 0xDD:  # DRI
@@ -225,47 +232,62 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan[cs] = (tt >> 4, tt & 15)
-            h, w, comps = frame
-            bh, bw = (h + 7) // 8, (w + 7) // 8
-            planes = {cid: np.zeros((bh * 8, bw * 8)) for cid, _ in comps}
+            h, w, comps, hmax, vmax = frame
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            planes = {
+                cid: np.zeros((mcuy * vi * 8, mcux * hi * 8))
+                for cid, hi, vi, _ in comps
+            }
             r = _BitReader(data, pos + seglen)
-            pred = {cid: 0 for cid, _ in comps}
+            pred = {cid: 0 for cid, _, _, _ in comps}
             mcu = 0
-            for by in range(bh):
-                for bx in range(bw):
+
+            def read_block(tdc: int, tac: int, cid: int) -> np.ndarray:
+                zz = np.zeros(64, dtype=np.int32)
+                t = _huff_decode(r, htabs[(0, tdc)])
+                diff = _extend(r.receive(t), t)
+                pred[cid] += diff
+                zz[0] = pred[cid]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(r, htabs[(1, tac)])
+                    rr, ss = rs >> 4, rs & 15
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rr
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    zz[k] = _extend(r.receive(ss), ss)
+                    k += 1
+                return zz
+
+            for my in range(mcuy):
+                for mx in range(mcux):
                     if restart and mcu and mcu % restart == 0:
                         r.align()
                         m = r.at_marker()
                         if m is not None and 0xD0 <= m <= 0xD7:
                             r.pos += 2
-                            pred = {cid: 0 for cid, _ in comps}
-                    for cid, tq in comps:
+                            pred = {cid: 0 for cid, _, _, _ in comps}
+                    # interleaved MCU: each component contributes its
+                    # hi x vi block grid, row-major (T.81 A.2.3)
+                    for cid, hi, vi, tq in comps:
                         tdc, tac = scan[cid]
-                        zz = np.zeros(64, dtype=np.int32)
-                        t = _huff_decode(r, htabs[(0, tdc)])
-                        diff = _extend(r.receive(t), t)
-                        pred[cid] += diff
-                        zz[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(r, htabs[(1, tac)])
-                            rr, ss = rs >> 4, rs & 15
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rr
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zz[k] = _extend(r.receive(ss), ss)
-                            k += 1
-                        block = np.zeros((8, 8))
                         q = qtabs[tq]
-                        for i, (row, col) in enumerate(_ZZ):
-                            block[row, col] = zz[i] * q[i]
-                        px = _idct2(block) + 128.0
-                        planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+                        for v in range(vi):
+                            for hh in range(hi):
+                                zz = read_block(tdc, tac, cid)
+                                block = np.zeros((8, 8))
+                                for i, (row, col) in enumerate(_ZZ):
+                                    block[row, col] = zz[i] * q[i]
+                                px = _idct2(block) + 128.0
+                                py0 = (my * vi + v) * 8
+                                px0 = (mx * hi + hh) * 8
+                                planes[cid][py0 : py0 + 8, px0 : px0 + 8] = px
                     mcu += 1
             y = planes[comps[0][0]][:h, :w]
             return np.clip(np.round(y), 0, 255).astype(np.uint8)
@@ -428,3 +450,83 @@ def encode_jpeg_gray(img: np.ndarray, qtab: np.ndarray | None = None) -> bytes:
             for i, (row, col) in enumerate(_ZZ):
                 coeffs[by, bx, i] = int(np.round(s[row, col] / qtab[i]))
     return encode_jpeg_coeffs(coeffs, np.asarray(qtab, dtype=np.int64), h, w)
+
+
+def encode_jpeg_coeffs_420(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    qtab: np.ndarray,
+    h: int,
+    w: int,
+) -> bytes:
+    """4:2:0 baseline JPEG from chosen quantized coefficients (the
+    real-web sampling layout): Y at 2x2 sampling — shape (by, bx, 64)
+    with by, bx even — chroma at (by//2, bx//2, 64); interleaved MCUs of
+    4 Y + 1 Cb + 1 Cr blocks (T.81 A.2.3). Shares tables with the 4:4:4
+    encoder; exists to prove the decoder's general-sampling MCU walk."""
+    by, bx = y.shape[0], y.shape[1]
+    if by % 2 or bx % 2:
+        raise ValueError("Y block grid must be even-sized for 4:2:0")
+    if cb.shape[:2] != (by // 2, bx // 2) or cr.shape[:2] != (by // 2, bx // 2):
+        raise ValueError("chroma grids must be half the Y grid")
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    wtr = _BitWriter()
+    pred = [0, 0, 0]
+
+    def put_block(zz: np.ndarray, ci: int) -> None:
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        t = _category(diff)
+        code, ln = dc_codes[t]
+        wtr.write(code, ln)
+        if t:
+            wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = ac_codes[(run << 4) | s]
+            wtr.write(code, ln)
+            wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            code, ln = ac_codes[0x00]
+            wtr.write(code, ln)
+
+    for my in range(by // 2):
+        for mx in range(bx // 2):
+            for v in range(2):
+                for hh in range(2):
+                    put_block(y[2 * my + v, 2 * mx + hh], 0)
+            put_block(cb[my, mx], 1)
+            put_block(cr[my, mx], 2)
+    entropy = wtr.flush()
+
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(int(q) for q in qtab))
+    sof = _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0])
+        + bytes([2, 0x11, 0])
+        + bytes([3, 0x11, 0]),
+    )
+    dht = _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS),
+    )
+    sos = _seg(
+        0xDA,
+        bytes([3]) + bytes([1, 0x00]) + bytes([2, 0x00]) + bytes([3, 0x00])
+        + bytes([0, 63, 0]),
+    )
+    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
