@@ -29,8 +29,13 @@ Scope (deliberate):
 
 Spec: the public JPEG standard (ITU-T T.81 / ISO 10918-1) baseline
 process. Everything after entropy decode is deterministic arithmetic; the
-only float stage is the IDCT, and DC-only blocks round to exact integers
-(error ~2^-50, never near a rounding boundary).
+only float stage is the IDCT. DC-only blocks with quant step 8 round to
+exact integers (error ~2^-50, never near a boundary) — that is what the
+q105 oracle fixtures use. General coefficients whose TRUE pixel value is
+an exact half-integer (e.g. dequantized DC 492 -> 61.5) may round either
+way depending on IDCT float noise; T.81's accuracy annex tolerates this
+and the fuzz sweep (tools/fuzz_sweep.py jpeg) only accepts +-1 at such
+verified boundaries.
 """
 
 from __future__ import annotations

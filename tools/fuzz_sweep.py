@@ -242,13 +242,169 @@ def sweep_components(trials: int, seed: int) -> int:
     return fails
 
 
+def sweep_jpeg(trials: int, seed: int) -> int:
+    """Random quantized-coefficient JPEGs (4:4:4 and 4:2:0 layouts, random
+    quant tables, random restart intervals) decoded and compared
+    block-for-block against an independent textbook IDCT."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.jpeg import (
+        _ZZ,
+        decode_jpeg_gray,
+        encode_jpeg_coeffs,
+        encode_jpeg_coeffs_420,
+    )
+
+    rng = np.random.default_rng(seed)
+
+    def golden(zz, q):
+        S = np.zeros((8, 8))
+        for i, (r_, c_) in enumerate(_ZZ):
+            S[r_, c_] = zz[i] * q[i]
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                acc = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        acc += (cu * cv * S[u, v]
+                                * np.cos((2 * x + 1) * u * np.pi / 16)
+                                * np.cos((2 * y + 1) * v * np.pi / 16))
+                out[x, y] = acc / 4
+        raw = out + 128
+        return raw, np.clip(np.round(raw), 0, 255).astype(np.uint8)
+
+    fails = 0
+    for trial in range(trials):
+        q = rng.integers(1, 32, size=64).astype(np.int64)
+        layout_420 = trial % 2 == 1
+        if layout_420:
+            by, bx = 2 * int(rng.integers(1, 3)), 2 * int(rng.integers(1, 3))
+        else:
+            by, bx = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        coeffs = np.zeros((by, bx, 64), dtype=np.int64)
+        # sparse AC + dense DC keeps category ranges legal
+        coeffs[:, :, 0] = rng.integers(-120, 121, size=(by, bx))
+        nz = rng.integers(0, 8)
+        for _ in range(nz):
+            coeffs[rng.integers(0, by), rng.integers(0, bx),
+                   rng.integers(1, 64)] = rng.integers(-40, 41)
+        h, w = by * 8, bx * 8
+        if layout_420:
+            cb = np.zeros((by // 2, bx // 2, 64), dtype=np.int64)
+            cr = np.zeros((by // 2, bx // 2, 64), dtype=np.int64)
+            cb[:, :, 0] = rng.integers(-50, 51, size=(by // 2, bx // 2))
+            cr[:, :, 0] = rng.integers(-50, 51, size=(by // 2, bx // 2))
+            data = encode_jpeg_coeffs_420(coeffs, cb, cr, q, h, w)
+        else:
+            ri = int(rng.integers(0, 4))
+            data = encode_jpeg_coeffs(coeffs, q, h, w, restart_interval=ri)
+        img = decode_jpeg_gray(data)
+        for yy in range(by):
+            for xx in range(bx):
+                raw, exp = golden(coeffs[yy, xx], q)
+                got = img[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8]
+                d = np.abs(exp.astype(int) - got.astype(int))
+                if d.max() == 0:
+                    continue
+                # a +-1 disagreement is legal ONLY where the true value is
+                # an exact half-integer (e.g. DC*q = 492 -> 61.5): the two
+                # float IDCTs land on either side of the boundary — T.81's
+                # own accuracy annex tolerates this; anything else fails
+                bad = (d > 1) | ((d == 1) & (np.abs(raw - np.floor(raw) - 0.5) > 1e-6))
+                if bad.any():
+                    fails += 1
+                    print(f"JPEG MISMATCH trial={trial} block=({yy},{xx}) 420={layout_420}")
+    print(f"jpeg sweep: {trials} trials, {fails} failures")
+    return fails
+
+
+def sweep_bpe(trials: int, seed: int) -> int:
+    """Random skewed corpora through distributed training + kernel AND
+    expr encoding vs the pure-Python golden implementation."""
+    import random
+
+    from pyspark.sql import SparkSession
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    fails = 0
+    for trial in range(trials):
+        rng = random.Random(seed * 100003 + trial)
+        alphabet = "abcdef"
+        words = ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+                 for _ in range(rng.randint(4, 14))]
+        texts = [" ".join(rng.choice(words) for _ in range(rng.randint(0, 20)))
+                 for _ in range(rng.randint(2, 8))]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        n_merges = rng.randint(1, 8)
+
+        # golden
+        from collections import Counter
+
+        freq = Counter(w for t in texts for w in t.lower().split())
+        vocab = {w: list(w) for w in freq}
+        gm = []
+        for step in range(1, n_merges + 1):
+            counts = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] += freq[w]
+            if not counts:
+                break
+            (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            gm.append((step, a, b, c))
+            nv = {}
+            for w, syms in vocab.items():
+                out = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                nv[w] = out
+            vocab = nv
+
+        got = train_bpe(docs, num_merges=n_merges)
+        ok = got == gm
+        if ok and gm:
+            for mode in ("expr", "kernel"):
+                enc = {r.doc_id: list(r.bpe_tokens)
+                       for r in bpe_encode(docs, gm, mode=mode,
+                                           with_fingerprint=False).collect()}
+                for i, t in enumerate(texts):
+                    exp = [s for w in t.lower().split()
+                           for s in vocab.get(w, list(w))]
+                    if enc[i] != exp:
+                        ok = False
+        if not ok:
+            fails += 1
+            print(f"BPE MISMATCH trial={trial} merges={n_merges}")
+    spark.stop()
+    print(f"bpe sweep: {trials} trials, {fails} failures")
+    return fails
+
+
 SWEEPS = {
     "dtw": sweep_dtw,
     "asof": sweep_asof,
     "interval": sweep_interval,
     "components": sweep_components,
+    "jpeg": sweep_jpeg,
+    "bpe": sweep_bpe,
 }
-DEFAULT_TRIALS = {"dtw": 250, "asof": 40, "interval": 20, "components": 12}
+DEFAULT_TRIALS = {"dtw": 250, "asof": 40, "interval": 20, "components": 12, "jpeg": 30, "bpe": 12}
 
 
 def main() -> None:
