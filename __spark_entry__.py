@@ -4555,8 +4555,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM pref a JOIN pref b
               ON a.tok = b.tok AND a.id < b.id
-             AND cast(b.sz AS double) >= cast(a.sz AS double) * 0.5
-             AND cast(b.sz AS double) * 0.5 <= cast(a.sz AS double)
+             AND cast(b.sz AS double) >= cast(a.sz AS double) * 0.5 - 1e-9
+             AND cast(b.sz AS double) * 0.5 <= cast(a.sz AS double) + 1e-9
         ),
         pairs AS (
             SELECT c.id_a, c.id_b, sa.s AS _sa, sb.s AS _sb

@@ -799,9 +799,18 @@ def set_similarity_join(
             pref.alias("b"),
             (F.col("a._tok") == F.col("b._tok"))
             & (F.col("a._id") < F.col("b._id"))
-            # size filter: jac >= t forces t*|a| <= |b| <= |a|/t
-            & (F.col("b._sz").cast("double") >= F.col("a._sz").cast("double") * t)
-            & (F.col("b._sz").cast("double") * t <= F.col("a._sz").cast("double")),
+            # size filter: jac >= t forces t*|a| <= |b| <= |a|/t. The 1e-9
+            # slack keeps the filter ADMISSIBLE under float rounding of
+            # t*|size| at integer boundaries — candidates only widen, the
+            # exact verify still decides membership
+            & (
+                F.col("b._sz").cast("double")
+                >= F.col("a._sz").cast("double") * t - F.lit(1e-9)
+            )
+            & (
+                F.col("b._sz").cast("double") * t
+                <= F.col("a._sz").cast("double") + F.lit(1e-9)
+            ),
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
