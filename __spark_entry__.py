@@ -4547,8 +4547,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         pref AS (
             SELECT id, sz,
-                   unnest(sorted_toks[1:(sz - cast(ceil(sz * 0.5) AS int) + 1)])
-                       AS tok
+                   unnest(sorted_toks[1:(sz - cast(ceil(sz * 0.5 - 1e-9) AS int)
+                                         + 1)]) AS tok
             FROM ordered
         ),
         cand AS (

@@ -211,3 +211,40 @@ def test_subsampled_luma_rejected():
     data[i + 14] = 0x22
     with pytest.raises(NotImplementedError, match="full-resolution"):
         decode_jpeg_gray(bytes(data))
+
+
+def test_grayscale_with_declared_sampling_walks_raster():
+    """Review finding: a single-component frame declaring 2x2 sampling is
+    non-interleaved by definition (T.81 A.2.2) — the decoder must walk the
+    plain block raster, not a 2x2-interleaved grid."""
+    coeffs = np.zeros((2, 3, 64), dtype=np.int64)
+    coeffs[:, :, 0] = [[10, 20, 30], [40, 50, 60]]
+    data = bytearray(encode_jpeg_coeffs(coeffs, QTAB, 16, 24))
+    i = bytes(data).find(b"\xff\xc0")
+    assert data[i + 11] == 0x11
+    data[i + 11] = 0x22  # declare 2x2 sampling on the only component
+    img = decode_jpeg_gray(bytes(data))
+    exp = np.repeat(np.repeat(coeffs[:, :, 0] + 128, 8, 0), 8, 1)
+    assert img.shape == (16, 24) and (img == exp).all()
+
+
+def test_multiscan_baseline_rejected_cleanly():
+    c3 = np.zeros((1, 1, 3, 64), dtype=np.int64)
+    data = encode_jpeg_coeffs(c3, QTAB, 8, 8)
+    # rebuild with an SOS listing only component 1 (ns=1 < nc=3)
+    i = data.find(b"\xff\xda")
+    seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+    import struct as _s
+
+    new_sos = _s.pack(">BBH", 0xFF, 0xDA, 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    patched = data[:i] + new_sos + data[i + 2 + seglen :]
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg_gray(patched)
+
+
+def test_truncated_stream_raises_value_error():
+    coeffs = np.zeros((2, 2, 64), dtype=np.int64)
+    coeffs[:, :, 0] = 50
+    data = encode_jpeg_coeffs(coeffs, QTAB, 16, 16)
+    with pytest.raises((ValueError, EOFError)):
+        decode_jpeg_gray(data[: len(data) - 8])

@@ -283,3 +283,16 @@ def test_hash_sample_unbiased_on_short_string_keys(spark):
     )  # 100 distinct 2-char keys
     kept = hash_sample(df, key="k", fraction=0.1).count()
     assert 2 <= kept <= 30  # ~10 expected; anything but "all 100"
+
+
+def test_leakage_safe_split_null_group_is_visible(spark):
+    """Review finding: NULL group keys must NOT silently land in the last
+    split — they surface as a NULL split (still all together)."""
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), (None, 3)], "g string, x int"
+    )
+    rows = {r.x: r.split for r in leakage_safe_split(
+        df, group="g", fractions={"train": 0.5, "test": 0.5}
+    ).collect()}
+    assert rows[2] is None and rows[3] is None
+    assert rows[1] in ("train", "test")

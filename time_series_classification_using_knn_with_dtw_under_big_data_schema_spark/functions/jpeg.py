@@ -110,6 +110,8 @@ class _BitReader:
 
     def _next_byte(self) -> int:
         d = self.data
+        if self.pos + 1 >= len(d):
+            raise ValueError("truncated JPEG: entropy data ends mid-scan")
         b = d[self.pos]
         if b == 0xFF:
             nxt = d[self.pos + 1]
@@ -139,6 +141,8 @@ class _BitReader:
     def at_marker(self) -> int | None:
         """When byte-aligned and positioned at FFxx (xx != 0), the marker."""
         d = self.data
+        if self.pos + 1 >= len(d):
+            raise ValueError("truncated JPEG: entropy data ends mid-scan")
         if self.bit == 0 and d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
             return d[self.pos + 1]
         return None
@@ -238,6 +242,22 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan[cs] = (tt >> 4, tt & 15)
             h, w, comps, hmax, vmax = frame
+            if ns < len(comps):
+                # T.81 A.2.2 non-interleaved multi-scan files need plane
+                # state across scans — out of scope with a clear message
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline not supported; "
+                    "use decoder='pil'"
+                )
+            if len(comps) == 1:
+                # a single-component scan is NON-interleaved by definition
+                # (T.81 A.2.2): one block per MCU over the full-plane
+                # raster — declared sampling factors only matter relative
+                # to other components, so a grayscale SOF declaring 2x2
+                # must NOT be walked as a 2x2-interleaved grid
+                cid0, _, _, tq0 = comps[0]
+                comps = [(cid0, 1, 1, tq0)]
+                hmax = vmax = 1
             mcux = (w + 8 * hmax - 1) // (8 * hmax)
             mcuy = (h + 8 * vmax - 1) // (8 * vmax)
             planes = {

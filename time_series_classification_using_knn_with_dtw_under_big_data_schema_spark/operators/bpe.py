@@ -240,19 +240,25 @@ def train_bpe(
         .select(F.explode(toks).alias("_w"))
         .groupBy("_w")
         .agg(F.count(F.lit(1)).alias("_freq"))
-    )
+    ).cache()  # ONE corpus pass: the size estimate, the driver collect and
+    # the distributed loop's vocab all read this materialized table
+    # (review finding: uncached, the corpus explode+groupBy ran twice)
     if strategy not in ("auto", "driver", "distributed"):
+        words.unpersist()
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy != "distributed":
         est = words.agg(
             (F.sum(F.length("_w")) * 8 + F.count(F.lit(1)) * 64).alias("_est")
         ).first()["_est"]
         if est is None:
+            words.unpersist()
             return []
         if est <= max_driver_vocab_bytes:
             freq = {r["_w"]: r["_freq"] for r in words.collect()}
+            words.unpersist()
             return _train_local(freq, num_merges)
         if strategy == "driver":
+            words.unpersist()
             raise ValueError(
                 f"vocabulary ~{est} bytes exceeds max_driver_vocab_bytes="
                 f"{max_driver_vocab_bytes}; use strategy='distributed'"
@@ -280,6 +286,7 @@ def train_bpe(
             vocab = nxt
     finally:
         vocab.unpersist()
+        words.unpersist()
     return merges
 
 

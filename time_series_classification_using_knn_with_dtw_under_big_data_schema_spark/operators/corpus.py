@@ -731,8 +731,13 @@ def ngram_lm_score(
         F.countDistinct("_w").alias("_v")
     )
     scored = (
+        # no broadcast hints on the model tables: cb AND cu are
+        # vocabulary-sized and can be multi-GB on a web corpus — AQE
+        # decides broadcast-vs-shuffle from measured sizes (review
+        # finding: a forced hint bypasses the size check and dies on the
+        # broadcast limit exactly when the docstring promises scale)
         b.join(cb, ["_w1", "_w2"])
-        .join(F.broadcast(cu), "_w1")
+        .join(cu, "_w1")
         .crossJoin(F.broadcast(v))
         .withColumn(
             "_p",

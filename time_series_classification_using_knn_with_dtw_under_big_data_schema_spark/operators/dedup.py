@@ -786,7 +786,17 @@ def set_similarity_join(
         )
     )
     sz = F.size("_sorted")
-    plen = sz - F.ceil(sz.cast("double") * F.lit(float(threshold))).cast("int") + 1
+    # prefix length |d| - ceil(t*|d|) + 1. The 1e-9 slack inside the ceil
+    # keeps the filter ADMISSIBLE under float rounding: sz*t computed in
+    # doubles can land just ABOVE the exact integer (e.g. 100*0.07 ->
+    # 7.000000000000001, ceil -> 8), shortening the prefix and silently
+    # dropping a true boundary pair — longer prefixes only widen the
+    # candidate set, the exact verify still decides membership
+    plen = (
+        sz
+        - F.ceil(sz.cast("double") * F.lit(float(threshold)) - F.lit(1e-9)).cast("int")
+        + 1
+    )
     pref = ordered.select(
         "_id",
         sz.alias("_sz"),

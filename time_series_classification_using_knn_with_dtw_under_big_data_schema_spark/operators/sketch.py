@@ -468,9 +468,14 @@ def hll_distinct(
 
     Scale shape: one corpus scan -> map-side-partial register groupBy
     (<= m rows out), one single-row final fold. Nothing else."""
+    if not 4 <= p_bits <= 16:
+        raise ValueError(f"p_bits must be in [4, 16], got {p_bits}")
     m = 1 << p_bits
     regs = hll_registers(df, col, p_bits=p_bits, w_bits=w_bits)
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # the paper's alpha_m: fixed constants below m=128, the asymptotic
+    # formula above (Flajolet et al. 2007 §4; review finding — the
+    # asymptotic formula alone biases small-m estimates by ~0.4%)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
     agg = regs.agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("b", "m"))),
@@ -538,4 +543,9 @@ def leakage_safe_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
-    return df.withColumn("split", expr)
+    # a NULL group key must NOT silently land in the LAST split (the
+    # when-chain's otherwise; review finding): surface it as a NULL split
+    # so downstream either filters it or fails loudly on the unexpected
+    # value — all NULL-keyed rows still travel together, so the leakage
+    # guarantee is preserved whichever way the caller resolves them
+    return df.withColumn("split", F.when(h.isNotNull(), expr))
