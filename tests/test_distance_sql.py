@@ -156,3 +156,56 @@ def test_sax_word_validates_alphabet(spark):
 
     with _pytest.raises(ValueError, match="alphabet"):
         sax_word(F.col("features"), 4, 16, alphabet=99)
+
+
+def test_sax_blocking_recall_on_clustered_series(spark, har_dfs):
+    """The composition claim in sax_word's docstring, measured: on
+    clustered series (the HAR-like fixture, length 24), SAX-word equality
+    is a candidate generator for 1-NN — block pairs cover the true
+    nearest neighbor for most probes at a small fraction of the full
+    cross product. (On structureless random walks this degrades — the
+    same data-dependence as every blocking scheme; NOTES.md.)"""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import sax_word
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.distance import (
+        sq_euclidean,
+    )
+
+    train, test = har_dfs
+    wtr = train.select(
+        F.col("series_id").alias("train_id"),
+        F.col("features").alias("tf"),
+        sax_word(F.col("features"), 4, 24, alphabet=4).alias("w"),
+    )
+    wte = test.select(
+        F.col("series_id").alias("test_id"),
+        F.col("features").alias("qf"),
+        sax_word(F.col("features"), 4, 24, alphabet=4).alias("w"),
+    )
+    # brute-force true 1-NN
+    brute = (
+        wte.crossJoin(wtr.select("train_id", "tf"))
+        .withColumn("d", sq_euclidean(F.col("qf"), F.col("tf")))
+        .groupBy("test_id")
+        .agg(F.min_by("train_id", F.struct("d", "train_id")).alias("nn"))
+    )
+    truth = {r.test_id: r.nn for r in brute.collect()}
+    # SAX-blocked candidates: same word only
+    blocked = (
+        wte.join(wtr, "w")
+        .withColumn("d", sq_euclidean(F.col("qf"), F.col("tf")))
+        .groupBy("test_id")
+        .agg(
+            F.min_by("train_id", F.struct("d", "train_id")).alias("nn"),
+            F.count(F.lit(1)).alias("n_cand"),
+        )
+    )
+    got = {r.test_id: (r.nn, r.n_cand) for r in blocked.collect()}
+    n_test, n_train = len(truth), wtr.count()
+    hits = sum(1 for tid, nn in truth.items() if tid in got and got[tid][0] == nn)
+    covered = len(got)
+    total_cand = sum(c for _, c in got.values())
+    # the fixture's 4 classes separate cleanly: expect high recall at a
+    # fraction of the quadratic candidate count
+    assert hits / n_test >= 0.8, (hits, n_test)
+    assert covered >= n_test * 0.9
+    assert total_cand < n_test * n_train * 0.6, (total_cand, n_test * n_train)
