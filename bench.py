@@ -11,6 +11,20 @@ figures: fastdtw561_pairs_per_sec (same algorithm as the published ~22.6K
 pairs/s cluster figure) and dtw561_banded_pairs_per_sec (the engine's
 recommended mode on the same pairs).
 
+Methodology (r4): every timed query materializes through the `noop` sink
+(`df.write.format("noop")`) instead of `.count()` — count lets Spark prune
+deterministic projections out of the measurement, noop forces every output
+column to be computed and serialized to InternalRow. Entries whose r3
+number moved >20% under the new action are listed in NOTES.md.
+
+r4 adds a FALLBACK TIER (`fb_*` entries): the guarded scale paths that a
+100 TB input would actually take — `knn_join(strategy='shuffle')` (the
+Team11-Project.py:190 cartesian analog), the kernel->shuffle broadcast-guard
+reroute, `train_bpe(strategy='distributed')`, distributed Pregel
+`dedup_components`, and the ANN declarative-no-hint fallback — each timed on
+the SAME inputs as its fast-path twin; `fallback_ratios` in the JSON is
+fallback_time / fast_time per operator.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32).
 """
@@ -34,6 +48,7 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.s
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
     accuracy,
     knn_classify,
+    knn_join,
     knn_predict_1nn,
 )
 import __spark_entry__ as entry_mod
@@ -45,6 +60,12 @@ def _dtw_c_available() -> bool:
     from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import dtw_c
 
     return dtw_c.available()
+
+
+def _mat(df) -> None:
+    """Materializing action: noop sink computes + serializes EVERY output
+    column (count would let Catalyst prune deterministic projections)."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -69,7 +90,7 @@ def main() -> None:
         return out
 
     # --- shared scan: every benched query loads tables through
-    # entry_mod._t; memoize + cache per (sf_dir, table) so the ~20 entries
+    # entry_mod._t; memoize + cache per (sf_dir, table) so the ~40 entries
     # read each parquet file ONCE into one InMemoryRelation instead of
     # re-scanning per entry (~0.2-0.7s fixed cost each on the rel_* tail).
     # Bench-local (the driver gate is untouched); per-entry numbers keep
@@ -97,42 +118,43 @@ def main() -> None:
     # repeats=2: first execution of each query shape pays one-time codegen
     # compile (~2-3x steady state, measured); best-of-2 reports the
     # steady-state cost like the hot series entries
-    run("rel_pricing_summary", lambda: entry_mod._q01_pricing_summary(spark, sf_dir).count(), repeats=2)
-    run("rel_join_enrich", lambda: entry_mod._q03_join_enrich(spark, sf_dir).count(), repeats=2)
-    run("rel_topk_window", lambda: entry_mod._q04_topk_per_group(spark, sf_dir).count(), repeats=2)
-    run("rel_mode_vote", lambda: entry_mod._q06_mode_vote(spark, sf_dir).count(), repeats=2)
-    run("rel_multiway_join", lambda: entry_mod._q63_multiway_join(spark, sf_dir).count(), repeats=2)
+    run("rel_pricing_summary", lambda: _mat(entry_mod._q01_pricing_summary(spark, sf_dir)), repeats=2)
+    run("rel_join_enrich", lambda: _mat(entry_mod._q03_join_enrich(spark, sf_dir)), repeats=2)
+    run("rel_topk_window", lambda: _mat(entry_mod._q04_topk_per_group(spark, sf_dir)), repeats=2)
+    run("rel_mode_vote", lambda: _mat(entry_mod._q06_mode_vote(spark, sf_dir)), repeats=2)
+    run("rel_multiway_join", lambda: _mat(entry_mod._q63_multiway_join(spark, sf_dir)), repeats=2)
 
     # --- series workload -------------------------------------------------
     events = _t_cached(spark, sf_dir, "events")
     series = events_to_series(events, length=SERIES_LEN).cache()
-    n_series = run("series_build", lambda: series.count(), repeats=2)
+    run("series_build", lambda: _mat(series), repeats=2)
+    n_series = series.count()
     train, test = split_train_test(series)
     n_train, n_test = train.count(), test.count()
     n_pairs = n_train * n_test
 
     run(
         "knn_euclidean_k5",
-        lambda: knn_classify(test, train, metric="euclidean", k=5).count(),
+        lambda: _mat(knn_classify(test, train, metric="euclidean", k=5)),
         repeats=2
     )
     run(
         "knn_fastdtw_k5",
-        lambda: knn_classify(test, train, metric="fastdtw", k=5).count(),
+        lambda: _mat(knn_classify(test, train, metric="fastdtw", k=5)),
         repeats=2
     )
     run(
         "knn_1nn_fastdtw",
-        lambda: knn_predict_1nn(test, train, metric="fastdtw").count(),
+        lambda: _mat(knn_predict_1nn(test, train, metric="fastdtw")),
         repeats=2
     )
     run(
         "knn_accuracy",
-        lambda: accuracy(
+        lambda: _mat(accuracy(
             knn_classify(test, train, metric="euclidean", k=5),
             test.withColumnRenamed("series_id", "test_id"),
             key="test_id",
-        ).count(),
+        )),
         repeats=2,
     )
 
@@ -143,13 +165,13 @@ def main() -> None:
 
     run(
         "knn_pruned_fastdtw_k5",
-        lambda: majority_vote(
+        lambda: _mat(majority_vote(
             knn_join_pruned(
                 test, train, metric="fastdtw", k=5, length=SERIES_LEN,
                 paa_segments=8, candidates_per_test=30,
             ),
             key="test_id", label="train_label", rank="rank",
-        ).count(),
+        )),
         # repeats=3: run1 still pays PAA/candidate cache population on top
         # of codegen (measured 11s -> 3s -> 2.3s at sf0.1)
         repeats=3
@@ -181,9 +203,9 @@ def main() -> None:
     n_pairs_561 = n_t561 * n_r561
     run(
         "knn_dtw_561pt_banded",
-        lambda: knn_classify(
+        lambda: _mat(knn_classify(
             t561, r561, metric="dtw", band=3, k=5, strategy="kernel"
-        ).count(),
+        )),
         # best-of-3: headline number; the shared box swings 2-4x with
         # neighbor load; extra repeats buy a fairer shot at a quiet window
         repeats=3
@@ -200,9 +222,9 @@ def main() -> None:
     n_pairs_561f = n_t561_small * n_r561
     run(
         "knn_fastdtw_561pt",
-        lambda: knn_classify(
+        lambda: _mat(knn_classify(
             t561_small, r561, metric="fastdtw", k=5, strategy="kernel"
-        ).count(),
+        )),
         repeats=2,
     )
     fastdtw561_pairs_per_sec = (
@@ -218,41 +240,138 @@ def main() -> None:
     # honest heuristic path a user would actually run at scale.
     run(
         "knn_pruned_faithful_561pt",
-        lambda: majority_vote(
+        lambda: _mat(majority_vote(
             knn_join_pruned(
                 t561_small, r561, metric="fastdtw", k=5, length=561,
                 paa_segments=8, candidates_per_test=30,
             ),
             key="test_id", label="train_label", rank="rank",
-        ).count(),
+        )),
         repeats=2,
     )
 
     # --- training-data pipeline operators --------------------------------
-    run("dedup_exact", lambda: entry_mod._q16_dedup_exact(spark, sf_dir).count(), repeats=2)
-    run("dedup_minhash_lsh", lambda: entry_mod._q18_dedup_minhash_lsh(spark, sf_dir).count(), repeats=2)
-    run("simhash", lambda: entry_mod._q19_simhash(spark, sf_dir).count(), repeats=2)
-    run("text_stats", lambda: entry_mod._q20_text_stats(spark, sf_dir).count(), repeats=2)
-    run("dedup_components", lambda: entry_mod._q35_dedup_components(spark, sf_dir).count(), repeats=2)
-    run("ann_brute_cosine", lambda: entry_mod._q23_ann_cosine(spark, sf_dir).count(), repeats=2)
-    run("ann_lsh_cosine", lambda: entry_mod._q24_ann_lsh(spark, sf_dir).count(), repeats=2)
-    run("ann_ivf_cosine", lambda: entry_mod._q34_ann_ivf(spark, sf_dir).count(), repeats=2)
-    run("dedup_embedding", lambda: entry_mod._q74_dedup_embedding(spark, sf_dir).count(), repeats=2)
-    run("count_min_topk", lambda: entry_mod._q84_count_min(spark, sf_dir).count(), repeats=3)
-    run("time_rollup", lambda: entry_mod._q81_time_rollup(spark, sf_dir).count(), repeats=2)
-    run("kmeans_2iter", lambda: entry_mod._q87_kmeans(spark, sf_dir).count(), repeats=3)
-    run("semantic_dedup", lambda: entry_mod._q88_semantic_dedup(spark, sf_dir).count(), repeats=2)
-    run("span_dedup", lambda: entry_mod._q89_span_dedup(spark, sf_dir).count(), repeats=2)
-    run("ann_quantized", lambda: entry_mod._q90_ann_quantized(spark, sf_dir).count(), repeats=2)
-    run("decontaminate_fuzzy", lambda: entry_mod._q92_decontaminate_fuzzy(spark, sf_dir).count(), repeats=2)
-    run("ann_ivf_kmeans", lambda: entry_mod._q93_ann_ivf_kmeans(spark, sf_dir).count(), repeats=3)
-    run("text_knn_hash_embed", lambda: entry_mod._q98_text_knn(spark, sf_dir).count(), repeats=2)
-    run("ngram_lm_score", lambda: entry_mod._q101_ngram_lm(spark, sf_dir).count(), repeats=2)
+    run("dedup_exact", lambda: _mat(entry_mod._q16_dedup_exact(spark, sf_dir)), repeats=2)
+    run("dedup_minhash_lsh", lambda: _mat(entry_mod._q18_dedup_minhash_lsh(spark, sf_dir)), repeats=2)
+    run("simhash", lambda: _mat(entry_mod._q19_simhash(spark, sf_dir)), repeats=2)
+    run("text_stats", lambda: _mat(entry_mod._q20_text_stats(spark, sf_dir)), repeats=2)
+    run("dedup_components", lambda: _mat(entry_mod._q35_dedup_components(spark, sf_dir)), repeats=2)
+    run("ann_brute_cosine", lambda: _mat(entry_mod._q23_ann_cosine(spark, sf_dir)), repeats=2)
+    run("ann_lsh_cosine", lambda: _mat(entry_mod._q24_ann_lsh(spark, sf_dir)), repeats=2)
+    run("ann_ivf_cosine", lambda: _mat(entry_mod._q34_ann_ivf(spark, sf_dir)), repeats=2)
+    run("dedup_embedding", lambda: _mat(entry_mod._q74_dedup_embedding(spark, sf_dir)), repeats=2)
+    run("count_min_topk", lambda: _mat(entry_mod._q84_count_min(spark, sf_dir)), repeats=3)
+    run("time_rollup", lambda: _mat(entry_mod._q81_time_rollup(spark, sf_dir)), repeats=2)
+    run("kmeans_2iter", lambda: _mat(entry_mod._q87_kmeans(spark, sf_dir)), repeats=3)
+    run("semantic_dedup", lambda: _mat(entry_mod._q88_semantic_dedup(spark, sf_dir)), repeats=2)
+    run("span_dedup", lambda: _mat(entry_mod._q89_span_dedup(spark, sf_dir)), repeats=2)
+    run("ann_quantized", lambda: _mat(entry_mod._q90_ann_quantized(spark, sf_dir)), repeats=2)
+    run("decontaminate_fuzzy", lambda: _mat(entry_mod._q92_decontaminate_fuzzy(spark, sf_dir)), repeats=2)
+    run("ann_ivf_kmeans", lambda: _mat(entry_mod._q93_ann_ivf_kmeans(spark, sf_dir)), repeats=3)
+    run("text_knn_hash_embed", lambda: _mat(entry_mod._q98_text_knn(spark, sf_dir)), repeats=2)
+    run("ngram_lm_score", lambda: _mat(entry_mod._q101_ngram_lm(spark, sf_dir)), repeats=2)
     # trains 12 merges (vocab-sized loop, 1-row collect per step) + encodes
     # the full corpus — the end-to-end tokenizer cost, not just the apply
-    run("bpe_train_encode", lambda: entry_mod._q103_bpe_encode(spark, sf_dir).count(), repeats=2)
-    run("duplicate_spans", lambda: entry_mod._q104_duplicate_spans(spark, sf_dir).count(), repeats=2)
-    run("hll_distinct", lambda: entry_mod._q107_hll_distinct(spark, sf_dir).count(), repeats=2)
+    run("bpe_train_encode", lambda: _mat(entry_mod._q103_bpe_encode(spark, sf_dir)), repeats=2)
+    run("duplicate_spans", lambda: _mat(entry_mod._q104_duplicate_spans(spark, sf_dir)), repeats=2)
+    run("hll_distinct", lambda: _mat(entry_mod._q107_hll_distinct(spark, sf_dir)), repeats=2)
+
+    # --- fallback tier: the guarded 100 TB paths --------------------------
+    # Each fb_* entry runs the SAME input as its fast-path twin but forces
+    # the size guard (threshold=0/1) or the explicit scale strategy, so the
+    # plan a too-big-to-broadcast / too-big-to-collect input would take gets
+    # a measured envelope. fallback_ratios below = fb_time / fast_time.
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        ann_brute_topk,
+        dedup_components,
+        dedup_minhash_lsh,
+        train_bpe,
+    )
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.similarity import (
+        ann_quantized_topk,
+    )
+
+    # Model-1 cartesian (Team11-Project.py:190): the path when train exceeds
+    # the broadcast threshold — shuffle cross join, no broadcast hint.
+    run(
+        "fb_knn_shuffle_euclid_k5",
+        lambda: _mat(knn_classify(test, train, metric="euclidean", k=5, strategy="shuffle")),
+        repeats=2,
+    )
+    run(
+        "fb_knn_shuffle_fastdtw_k5",
+        lambda: _mat(knn_classify(test, train, metric="fastdtw", k=5, strategy="shuffle")),
+        repeats=2,
+    )
+    # kernel->shuffle guard reroute (knn.py max_broadcast_bytes): the exact
+    # code path a too-big train side triggers, on the 561-pt banded pairs.
+    run(
+        "fb_knn_dtw561_banded_shuffle",
+        lambda: _mat(majority_vote(
+            knn_join(
+                t561, r561, metric="dtw", band=3, k=5,
+                strategy="kernel", max_broadcast_bytes=1,
+            ),
+            key="test_id", label="train_label", rank="rank",
+        )),
+        repeats=2,
+    )
+    fb_dtw561_pairs_per_sec = (
+        round(n_pairs_561 / timings["fb_knn_dtw561_banded_shuffle"])
+        if timings.get("fb_knn_dtw561_banded_shuffle") else None
+    )
+    # ANN declarative-no-hint (similarity.py guard): corpus "too big" for the
+    # kernel broadcast — crossJoin without a broadcast hint, AQE decides.
+    emb = _t_cached(spark, sf_dir, "embeddings")
+    annq = emb.filter(F.col("vec_id") % 25 == 0)
+    run(
+        "fb_ann_brute_declarative",
+        lambda: _mat(ann_brute_topk(annq, emb, k=5, strategy="kernel", max_broadcast_bytes=1)),
+        repeats=2,
+    )
+    run(
+        "fb_ann_quantized_declarative",
+        lambda: _mat(ann_quantized_topk(annq, emb, k=5, strategy="kernel", max_broadcast_bytes=1)),
+        repeats=2,
+    )
+    # BPE: driver-loop vs distributed merge loop on the same sampled corpus
+    # (bpe.py strategy switch; the distributed loop is what a 100 TB web
+    # corpus vocabulary runs).
+    docs = _t_cached(spark, sf_dir, "documents")
+    bpe_sample = docs.filter(F.col("doc_id") % 10 == 0)
+    run("bpe_train_driver", lambda: train_bpe(bpe_sample, num_merges=12, strategy="driver"))
+    run(
+        "fb_bpe_train_distributed",
+        lambda: train_bpe(bpe_sample, num_merges=12, strategy="distributed"),
+    )
+    # Components: driver union-find vs distributed Pregel min-label loop on
+    # the SAME precomputed pair set (dedup_components local_threshold guard).
+    cc_pairs = dedup_minhash_lsh(
+        docs, threshold=0.5, max_bucket_size=64, hash_mode="kernel"
+    ).cache()
+    cc_pairs.count()  # untimed: both solves read the cached pair set
+    run("components_solve_local", lambda: _mat(dedup_components(docs, cc_pairs)), repeats=2)
+    run(
+        "fb_components_distributed",
+        lambda: _mat(dedup_components(docs, cc_pairs, local_threshold=0)),
+        repeats=2,
+    )
+    cc_pairs.unpersist()
+
+    fallback_pairs = {
+        "knn_shuffle_euclid_k5": ("fb_knn_shuffle_euclid_k5", "knn_euclidean_k5"),
+        "knn_shuffle_fastdtw_k5": ("fb_knn_shuffle_fastdtw_k5", "knn_fastdtw_k5"),
+        "knn_dtw561_banded_shuffle": ("fb_knn_dtw561_banded_shuffle", "knn_dtw_561pt_banded"),
+        "ann_brute_declarative": ("fb_ann_brute_declarative", "ann_brute_cosine"),
+        "ann_quantized_declarative": ("fb_ann_quantized_declarative", "ann_quantized"),
+        "bpe_train_distributed": ("fb_bpe_train_distributed", "bpe_train_driver"),
+        "components_distributed": ("fb_components_distributed", "components_solve_local"),
+    }
+    fallback_ratios = {
+        name: round(timings[fb] / timings[fast], 2)
+        for name, (fb, fast) in fallback_pairs.items()
+        if timings.get(fb) and timings.get(fast)
+    }
 
     total = round(sum(timings.values()), 3)
     dtw_pairs_per_sec = round(n_pairs / timings["knn_fastdtw_k5"]) if timings.get("knn_fastdtw_k5") else None
@@ -280,6 +399,13 @@ def main() -> None:
                 # whether the compiled-C DTW hot loops (functions/dtw_c.py)
                 # were active — false means the numpy fallback ran
                 "dtw_c_kernel": _dtw_c_available(),
+                # r4 methodology: noop-sink materialization (full projection
+                # computed; count-based runs could prune deterministic
+                # projections) + measured envelopes for the guarded scale
+                # fallbacks (ratio = fallback_time / fast_path_time)
+                "materialization": "noop",
+                "fb_dtw561_banded_shuffle_pairs_per_sec": fb_dtw561_pairs_per_sec,
+                "fallback_ratios": fallback_ratios,
             }
         )
     )

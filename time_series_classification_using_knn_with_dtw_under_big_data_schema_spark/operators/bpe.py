@@ -263,8 +263,17 @@ def train_bpe(
                 f"vocabulary ~{est} bytes exceeds max_driver_vocab_bytes="
                 f"{max_driver_vocab_bytes}; use strategy='distributed'"
             )
+    # ONE Spark job per merge step: the step-s argmax scans the (cached,
+    # not-yet-materialized) step-(s-1) vocabulary, which Spark computes from
+    # the PREVIOUS generation's in-memory blocks and persists as a side
+    # effect of the scan — so the merge application never needs its own
+    # eager count() job (r3 ran 2 jobs/step; at 32 shuffle partitions the
+    # per-job scheduling latency, not the vocab-sized data, dominated the
+    # loop). The previous generation stays cached exactly one step longer
+    # than it is current, so every materialization is a single apply_merge
+    # layer over in-memory blocks, never a recompute chain.
     vocab = words.select("_w", "_freq", F.split("_w", "").alias("_syms")).cache()
-    vocab.count()  # materialize once; each step below reads the cached table
+    prev: DataFrame | None = None
     merges: list[tuple[int, str, str, int]] = []
     try:
         for step in range(1, num_merges + 1):
@@ -274,6 +283,9 @@ def train_bpe(
                 .limit(1)
                 .collect()
             )
+            if prev is not None:  # materialized by the collect above
+                prev.unpersist()
+                prev = None
             if not best:
                 break
             a, b, c = best[0]["a"], best[0]["b"], int(best[0]["_c"])
@@ -281,11 +293,11 @@ def train_bpe(
             nxt = vocab.select(
                 "_w", "_freq", apply_merge(F.col("_syms"), a, b).alias("_syms")
             ).cache()
-            nxt.count()
-            vocab.unpersist()
-            vocab = nxt
+            prev, vocab = vocab, nxt
     finally:
         vocab.unpersist()
+        if prev is not None:
+            prev.unpersist()
         words.unpersist()
     return merges
 
