@@ -1667,16 +1667,20 @@ def _q93_ann_ivf_kmeans(spark, sf_dir):
     partitioning now follows the data's density structure instead of raw
     lowest-id seeds, at identical plan shape (broadcast centroid table,
     one index-build shuffle, n_probe lists per query). The whole composed
-    pipeline — 2 Lloyd passes AND the IVF assign/probe/rerank on top — is
-    hash-checked by one oracle."""
+    pipeline — 4 Lloyd passes AND the IVF assign/probe/rerank on top — is
+    hash-checked by one oracle. iters=4 / n_probe=8 are the r4 retune
+    (VERDICT r3 #3): on the weakly-clustered synthetic embeddings recall
+    vs brute went 0.54 -> ~0.87 at sf0.01; on genuinely clustered data the
+    recall-vs-probes fixture (tests/test_cluster_ops.py) pins >= 0.85 at
+    n_probe=2 already."""
     from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.cluster import kmeans_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
-    cent = kmeans_centroids(emb, k=16, iters=2).select(
+    cent = kmeans_centroids(emb, k=16, iters=4).select(
         F.col("cluster").alias("list_id"), "vector"
     )
     q = emb.filter(F.col("vec_id") % 25 == 0)
-    return ann_ivf_topk(q, emb, k=5, n_probe=4, centroids=cent)
+    return ann_ivf_topk(q, emb, k=5, n_probe=8, centroids=cent)
 
 
 def _q94_image_decode_real(spark, sf_dir):
@@ -2778,11 +2782,15 @@ def _sql_sqd(a: str, b: str) -> str:
     )
 
 
-def _sql_kmeans_ctes(k: int = 8, scale: int = 1_000_000, dim: int = 64) -> str:
-    """Mirror of operators/cluster.py::kmeans_assign(k, iters=2): seed =
+def _sql_kmeans_ctes(
+    k: int = 8, scale: int = 1_000_000, dim: int = 64, iters: int = 2
+) -> str:
+    """Mirror of operators/cluster.py::kmeans_assign(k, iters): seed =
     lowest-k vec_ids, argmin assignment with (dist, cluster) tie-break,
-    fixed-point int64-micro centroid refit, reassign. Ends at CTE ``asn1``
-    (vec_id, cluster) with ``c`` (vec_id, v) still in scope."""
+    fixed-point int64-micro centroid refit, reassign — ``iters``
+    assignment passes (``iters - 1`` refits). Ends at CTEs
+    ``asn{iters-1}`` (vec_id, cluster) and ``cent{iters-1}`` (cluster,
+    cv) with ``c`` (vec_id, v) still in scope."""
 
     def assign(cent: str, out: str) -> str:
         return f"""{out}0 AS (
@@ -2793,28 +2801,35 @@ def _sql_kmeans_ctes(k: int = 8, scale: int = 1_000_000, dim: int = 64) -> str:
             FROM c CROSS JOIN {cent}
         ), {out} AS (SELECT vec_id, cluster FROM {out}0 WHERE rn = 1)"""
 
-    return f"""c AS (
+    def refit(asn: str, csums: str, cent: str) -> str:
+        return f"""{csums} AS (
+            SELECT a.cluster, d.dim, count(*) AS n,
+                   sum(cast(round(c.v[d.dim + 1] * {scale}) AS bigint)) AS s
+            FROM {asn} a JOIN c USING (vec_id)
+            CROSS JOIN (SELECT unnest(range(0, {dim})) AS dim) d
+            GROUP BY a.cluster, d.dim
+        ),
+        {cent} AS (
+            SELECT cluster,
+                   list(cast(s AS double) / cast(n * {scale} AS double)
+                        ORDER BY dim) AS cv
+            FROM {csums} GROUP BY cluster
+        )"""
+
+    parts = [
+        f"""c AS (
             SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
             FROM embeddings
         ),
         cent0 AS (
             SELECT vec_id AS cluster, v AS cv FROM c ORDER BY vec_id LIMIT {k}
         ),
-        {assign('cent0', 'asn0')},
-        csums AS (
-            SELECT a.cluster, d.dim, count(*) AS n,
-                   sum(cast(round(c.v[d.dim + 1] * {scale}) AS bigint)) AS s
-            FROM asn0 a JOIN c USING (vec_id)
-            CROSS JOIN (SELECT unnest(range(0, {dim})) AS dim) d
-            GROUP BY a.cluster, d.dim
-        ),
-        cent1 AS (
-            SELECT cluster,
-                   list(cast(s AS double) / cast(n * {scale} AS double)
-                        ORDER BY dim) AS cv
-            FROM csums GROUP BY cluster
-        ),
-        {assign('cent1', 'asn1')}"""
+        {assign('cent0', 'asn0')}"""
+    ]
+    for i in range(1, max(iters, 1)):
+        parts.append(refit(f"asn{i - 1}", f"csums{i}", f"cent{i}"))
+        parts.append(assign(f"cent{i}", f"asn{i}"))
+    return ",\n        ".join(parts)
 
 
 def _sql_quantized_ann(k: int = 5, every: int = 25) -> str:
@@ -2903,10 +2918,13 @@ def _sql_span_dedup(span: int = 8, min_docs: int = 3) -> str:
     """
 
 
-def _sql_ann_ivf_kmeans(k: int = 5, n_probe: int = 4, n_lists: int = 16) -> str:
-    """Mirror of the q93 composition: _sql_kmeans_ctes(k=n_lists) produces
-    the refit centroid table cent1, then the IVF assign/probe/rerank CTEs
-    (same cosine folds and tie-breaks as _sql_ann_ivf) run against it."""
+def _sql_ann_ivf_kmeans(
+    k: int = 5, n_probe: int = 8, n_lists: int = 16, iters: int = 4
+) -> str:
+    """Mirror of the q93 composition: _sql_kmeans_ctes(k=n_lists, iters)
+    produces the refit centroid table cent{iters-1}, then the IVF
+    assign/probe/rerank CTEs (same cosine folds and tie-breaks as
+    _sql_ann_ivf) run against it."""
 
     def cos(a: str, b: str) -> str:
         return (
@@ -2915,8 +2933,8 @@ def _sql_ann_ivf_kmeans(k: int = 5, n_probe: int = 4, n_lists: int = 16) -> str:
         )
 
     return f"""
-        WITH {_sql_kmeans_ctes(k=n_lists)},
-        cent AS (SELECT cluster AS list_id, cv AS lv FROM cent1),
+        WITH {_sql_kmeans_ctes(k=n_lists, iters=iters)},
+        cent AS (SELECT cluster AS list_id, cv AS lv FROM cent{iters - 1}),
         iasn0 AS (
             SELECT c.vec_id AS neighbor_id, cent.list_id, c.v AS cv,
                    {cos("c.v", "cent.lv")} AS d

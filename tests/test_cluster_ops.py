@@ -150,7 +150,8 @@ def test_kmeans_centroids_lift_ivf_recall(spark):
     """IVF seeded by k-means refit centroids (q93's composition) must beat
     lowest-id seed IVF on recall vs brute force — centroids that follow the
     data's density partition the index better. Deterministic pipeline, so
-    the measured values are stable (0.60 vs 0.52 on sf0.001 at pin time)."""
+    the measured values are stable (q93's r4 retune to iters=4/n_probe=8
+    measured 0.54 -> ~0.87 recall at sf0.01)."""
     import __spark_entry__ as e
 
     sf = "/root/testdata/sf0.001"
@@ -160,7 +161,44 @@ def test_kmeans_centroids_lift_ivf_recall(spark):
     seed_recall = len(brute & ivf) / len(brute)
     km_recall = len(brute & km) / len(brute)
     assert km_recall > seed_recall, (km_recall, seed_recall)
-    assert km_recall >= 0.55
+    assert km_recall >= 0.8, km_recall
+
+
+def test_kmeans_ivf_recall_vs_probes_clustered(spark):
+    """Recall-vs-probes curve on CLUSTERED embeddings — IVF's design regime
+    (the multi-probe-LSH fixture's sibling, VERDICT r3 #3). k-means-seeded
+    IVF (k=16 lists, iters=2) over 12 blobs: recall vs brute force must be
+    monotone non-decreasing in n_probe and already >= 0.85 at n_probe=2
+    (measured 0.97 at pin time; 1-probe leakage across adjacent blobs is
+    the approximation being paid for). Everything is deterministic (fixed
+    rng, total-order tie-breaks), so the curve is exactly reproducible."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.similarity import ann_ivf_topk
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(12, 32)) * 4.0
+    rows = [
+        (c * 60 + i, [float(x) for x in centers[c] + rng.normal(size=32) * 0.35])
+        for c in range(12)
+        for i in range(60)
+    ]
+    df = _vec_df(spark, rows).cache()
+    q = df.filter("vec_id % 15 = 0")
+    brute = {(r.query_id, r.neighbor_id) for r in ann_brute_topk(q, df, k=5).collect()}
+    cent = kmeans_centroids(df, k=16, iters=2).select(
+        F.col("cluster").alias("list_id"), "vector"
+    )
+
+    def recall(n_probe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_ivf_topk(q, df, k=5, n_probe=n_probe, centroids=cent).collect()
+        }
+        return len(brute & got) / len(brute)
+
+    curve = [recall(p) for p in (1, 2, 4)]
+    assert all(b >= a - 1e-9 for a, b in zip(curve, curve[1:])), curve
+    assert curve[1] >= 0.85, curve
+    df.unpersist()
 
 
 def test_ann_scoring_kernel_matches_expr(spark):
