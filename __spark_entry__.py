@@ -2061,6 +2061,36 @@ def _q105_jpeg_decode_real(spark, sf_dir):
     return dims.join(rs, "media_id")
 
 
+def _q112_jpeg_progressive_real(spark, sf_dir):
+    """REAL PROGRESSIVE-JPEG decoding under the oracle gate (VERDICT r3 #4
+    — real crawled corpora are heavily progressive): payloads are genuine
+    SOF2 streams (functions/jpeg.py::encode_jpeg_coeffs_progressive — DC
+    successive approximation + refinement, two AC spectral bands with EOB
+    runs and correction-bit refinement scans) with NONZERO AC coefficients,
+    decoded by the engine's pure-stdlib Annex-G decoder through the same
+    mapInPandas operators as q105. Every pixel has the closed form
+    128 + dc + sum c_k*8*B(u_k,x)*B(v_k,y) over the fixed zigzag pattern
+    (orthonormal DCT basis), all > 1e-3 from rounding boundaries, so the
+    oracle recomputes the expected pixels with cos() directly — a hash
+    match proves the full progressive entropy decode (DC+AC first and
+    refinement scans) AND the IDCT, not merely stability."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        decode_image_features,
+        resize_image,
+        synthetic_progressive_jpeg_media,
+    )
+
+    _prep(spark)
+    media = synthetic_progressive_jpeg_media(spark, n=24)
+    dims = decode_image_features(media, decoder="builtin").select(
+        "media_id", "width", "height"
+    )
+    rs = resize_image(media, decoder="builtin", out_w=16, out_h=16).select(
+        "media_id", "px_checksum", F.round("mean_px", 6).alias("mean_px")
+    )
+    return dims.join(rs, "media_id")
+
+
 def _q104_duplicate_spans(spark, sf_dir):
     """Maximal cross-document duplicated token regions (operators/corpus.py
     ::duplicate_spans — the Lee et al. 2021 ExactSubstr dedup shape):
@@ -2187,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_tokenizer_pipeline": _q109_tokenizer_pipeline,
         "q110_sax_words": _q110_sax_words,
         "q111_bpe_ids": _q111_bpe_ids,
+        "q112_jpeg_progressive_real": _q112_jpeg_progressive_real,
     }
 
 
@@ -4612,6 +4643,52 @@ def oracle_sql() -> dict[str, str]:
     # JPEG DC-only closed form: block (by, bx) of image i is the flat
     # value ((31*i + 13*bx + 7*by) % 200) + 28; resize reads source pixel
     # ((oi*h)//4, (oj*w)//4) — block index = that // 8
+    # q112: progressive-JPEG decode with nonzero AC — the oracle recomputes
+    # every pixel from the closed IDCT form (orthonormal basis B(0,t) =
+    # sqrt(1/8), B(u,t) = cos((2t+1) u pi/16)/2; fixture margins > 1e-3 from
+    # every rounding boundary, so cos()-based doubles round identically on
+    # any engine). x = pixel row (vertical / DCT u), y = column (v).
+    out["q112_jpeg_progressive_real"] = """
+        WITH g AS (
+            SELECT m.i AS media_id, x.x AS x, y.y AS y
+            FROM (SELECT unnest(range(0, 24)) AS i) m(i),
+                 (SELECT unnest(range(0, 16)) AS x) x(x),
+                 (SELECT unnest(range(0, 16)) AS y) y(y)
+        ),
+        px AS (
+            SELECT media_id,
+                   128.0
+                   + (((31 * media_id + 13 * (y // 8) + 7 * (x // 8)) % 200) - 100)
+                   + CASE WHEN x < 8 AND y < 8 THEN
+                         ((5 * media_id + 1) % 7 - 3) * 8
+                           * sqrt(0.125) * 0.5 * cos((2 * (y % 8) + 1) * pi() / 16)
+                       + ((3 * media_id + 2) % 5 - 2) * 8
+                           * 0.5 * cos((2 * (x % 8) + 1) * 2 * pi() / 16) * sqrt(0.125)
+                       + ((media_id % 3) - 1) * 8
+                           * 0.5 * cos((2 * (x % 8) + 1) * pi() / 16)
+                           * 0.5 * cos((2 * (y % 8) + 1) * 2 * pi() / 16)
+                     ELSE 0 END
+                   + CASE WHEN x < 8 AND y >= 8 THEN
+                         ((media_id + 2) % 5 - 2) * 8
+                           * 0.5 * cos((2 * (x % 8) + 1) * pi() / 16) * sqrt(0.125)
+                     ELSE 0 END
+                   + CASE WHEN x >= 8 AND y < 8 THEN
+                         ((media_id + 1) % 5 - 2) * 8
+                           * 0.5 * cos((2 * (x % 8) + 1) * pi() / 16) * sqrt(0.125)
+                     ELSE 0 END
+                   AS v
+            FROM g
+        ),
+        sums AS (
+            SELECT media_id, cast(sum(round(v)) AS bigint) AS px_checksum
+            FROM px GROUP BY media_id
+        )
+        SELECT media_id, cast(16 AS int) AS width, cast(16 AS int) AS height,
+               px_checksum,
+               round(cast(px_checksum AS double) / 256.0, 6) AS mean_px
+        FROM sums
+    """
+
     out["q105_jpeg_decode_real"] = """
         WITH m AS (
             SELECT i.i AS media_id,

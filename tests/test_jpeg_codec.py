@@ -125,11 +125,20 @@ def test_non_multiple_of_8_size_crops():
 def test_error_paths():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_gray(b"\x00\x01\x02")
-    # progressive (SOF2) is out of scope with a clear message
+    # a baseline-structured SOS (Ss=0, Se=63) under an SOF2 header is a
+    # MALFORMED progressive stream (DC scans must have Se == 0) — the
+    # progressive path rejects it with a clear error rather than
+    # misdecoding (SOF2 itself is supported since r4)
     data = bytearray(encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8)))
     i = bytes(data).find(b"\xff\xc0")
     data[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="DC scan"):
+        decode_jpeg_gray(bytes(data))
+    # lossless (SOF3) stays out of scope with a clear message
+    data = bytearray(encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8)))
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="progressive"):
         decode_jpeg_gray(bytes(data))
     # sampling factors past the spec ceiling are rejected outright
     data = bytearray(encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8)))
@@ -248,3 +257,136 @@ def test_truncated_stream_raises_value_error():
     data = encode_jpeg_coeffs(coeffs, QTAB, 16, 16)
     with pytest.raises((ValueError, EOFError)):
         decode_jpeg_gray(data[: len(data) - 8])
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2, T.81 Annex G)
+# ---------------------------------------------------------------------------
+
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.jpeg import (  # noqa: E402
+    encode_jpeg_coeffs_progressive,
+)
+
+
+def _rand_coeffs(rng, bh, bw, nc=1, dc_span=100, ac_span=7, ac_nnz=8):
+    shape = (bh, bw, 64) if nc == 1 else (bh, bw, nc, 64)
+    coeffs = np.zeros(shape, dtype=np.int64)
+    view = coeffs if nc > 1 else coeffs[:, :, None, :]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(view.shape[2]):
+                view[by, bx, ci, 0] = int(rng.integers(-dc_span, dc_span + 1))
+                for _ in range(int(rng.integers(0, ac_nnz))):
+                    k = int(rng.integers(1, 64))
+                    view[by, bx, ci, k] = int(rng.integers(-ac_span, ac_span + 1))
+    return coeffs
+
+
+def test_progressive_equals_baseline_across_scan_scripts():
+    """The SAME coefficients through the progressive scan pipeline (DC
+    successive approximation, spectral bands, AC refinement with EOB runs)
+    must decode to the SAME pixels as the baseline encoding — two entirely
+    different entropy structures over one content, so a self-consistent
+    encoder/decoder bug pair in either path breaks the equality."""
+    rng = np.random.default_rng(42)
+    for trial in range(12):
+        bh, bw = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        coeffs = _rand_coeffs(rng, bh, bw)
+        h = bh * 8 - int(rng.integers(0, 3))
+        w = bw * 8 - int(rng.integers(0, 3))
+        base = decode_jpeg_gray(encode_jpeg_coeffs(coeffs, QTAB, h, w))
+        for al_dc, bands, al_ac in [
+            (1, ((1, 5), (6, 63)), 1),   # the web-typical script
+            (0, ((1, 63),), 0),          # no successive approximation
+            (2, ((1, 2), (3, 20), (21, 63)), 2),  # deep refinement, 3 bands
+            (3, ((1, 63),), 1),          # DC bits dominate
+        ]:
+            data = encode_jpeg_coeffs_progressive(
+                coeffs, QTAB, h, w, al_dc=al_dc, ac_bands=bands, al_ac=al_ac
+            )
+            prog = decode_jpeg_gray(data)
+            assert np.array_equal(prog, base), (trial, al_dc, bands, al_ac)
+
+
+def test_progressive_matches_independent_idct_golden():
+    """Progressive decode against the textbook O(64^2) IDCT golden (shared
+    with the baseline golden test — independent of BOTH entropy paths)."""
+    rng = np.random.default_rng(5)
+    coeffs = _rand_coeffs(rng, 2, 2)
+    data = encode_jpeg_coeffs_progressive(coeffs, QTAB, 16, 16)
+    img = decode_jpeg_gray(data)
+    for by in range(2):
+        for bx in range(2):
+            exp = golden_idct_block(coeffs[by, bx], QTAB)
+            got = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert np.array_equal(got, exp), (by, bx)
+
+
+def test_progressive_eob_runs_span_blocks():
+    """A mostly-empty large grid forces multi-block EOB runs in every AC
+    scan (first AND refinement: EOBn symbols with extension bits, folded
+    correction bits) — plus ZRL-in-refinement via a sparse tail block."""
+    rng = np.random.default_rng(9)
+    bh, bw = 10, 12
+    coeffs = np.zeros((bh, bw, 64), dtype=np.int64)
+    coeffs[:, :, 0] = rng.integers(-90, 91, size=(bh, bw))
+    coeffs[3, 7, 1] = 3
+    coeffs[3, 7, 40] = -3  # >16 zero-history coeffs before it: ZRL path
+    coeffs[9, 11, 63] = 1  # newly-significant at the band edge
+    base = decode_jpeg_gray(encode_jpeg_coeffs(coeffs, QTAB, bh * 8, bw * 8))
+    prog = decode_jpeg_gray(
+        encode_jpeg_coeffs_progressive(coeffs, QTAB, bh * 8, bw * 8, al_dc=2, al_ac=1)
+    )
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_three_component_returns_y_plane():
+    """3-component 4:4:4 progressive: interleaved DC scan + six per-
+    component AC scans; the decoder returns the luma plane only."""
+    rng = np.random.default_rng(11)
+    coeffs = _rand_coeffs(rng, 2, 2, nc=3)
+    base = decode_jpeg_gray(encode_jpeg_coeffs(coeffs, QTAB, 16, 16))
+    prog = decode_jpeg_gray(encode_jpeg_coeffs_progressive(coeffs, QTAB, 16, 16))
+    assert prog.shape == (16, 16)
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_dc_only_exact_flats():
+    """DC-only progressive blocks decode to the exact flat DC + 128 (the
+    q112 fixture family's closed form at its simplest)."""
+    coeffs = np.zeros((1, 3, 64), dtype=np.int64)
+    coeffs[0, :, 0] = [-100, 0, 99]
+    img = decode_jpeg_gray(encode_jpeg_coeffs_progressive(coeffs, QTAB, 8, 24))
+    exp = np.repeat(np.array([[28, 128, 227]], dtype=np.uint8), 8, 0)
+    exp = np.repeat(exp, 8, 1)
+    assert np.array_equal(img, exp)
+
+
+def test_progressive_truncated_raises():
+    coeffs = np.zeros((2, 2, 64), dtype=np.int64)
+    coeffs[:, :, 0] = 50
+    data = encode_jpeg_coeffs_progressive(coeffs, QTAB, 16, 16)
+    with pytest.raises((ValueError, EOFError)):
+        decode_jpeg_gray(data[: len(data) - 10])
+
+
+def test_progressive_through_builtin_operator(spark):
+    """synthetic_progressive_jpeg_media payloads decode through the SAME
+    mapInPandas operator path as baseline JPEG/PNG (payload sniffing) —
+    the q112 integration, asserted against the direct decode."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        decode_image_features,
+        synthetic_progressive_jpeg_media,
+    )
+
+    media = synthetic_progressive_jpeg_media(spark, n=6)
+    rows = {
+        r["media_id"]: r
+        for r in decode_image_features(media, decoder="builtin").collect()
+    }
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert len(rows) == 6
+    for mid, r in rows.items():
+        img = decode_jpeg_gray(payloads[mid])
+        assert (r["width"], r["height"]) == (16, 16)
+        assert abs(r["mean_luma"] - img.mean() / 255.0) < 1e-12

@@ -6,22 +6,29 @@ without PIL/cv2.
 
 Scope (deliberate):
 
-- decode: baseline sequential DCT (SOF0), 8-bit precision, 1 or 3
-  components with ARBITRARY sampling factors as long as luma is the
-  full-resolution component (grayscale, 4:4:4, 4:2:2, 4:2:0 — the
-  real-web layouts; the general interleaved-MCU walk of T.81 A.2.3),
-  arbitrary DQT/DHT tables read from the stream, restart markers (DRI),
-  FF00 byte-stuffing. Multi-component scans return the Y (luma) plane —
-  the feature extractors want luminance, baseline JPEG's Y IS the
-  ITU-601 luma, and dropping chroma means NO upsampling stage is needed
-  even for subsampled files. Output: uint8 (H, W).
-- encode: 8-bit grayscale fixtures. Two entry points:
+- decode: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 —
+  T.81 Annex G: spectral selection + successive approximation, DC
+  first/refinement scans, per-component AC band scans with EOB runs and
+  correction bits; real crawled corpora are heavily progressive), 8-bit
+  precision, 1 or 3 components with ARBITRARY sampling factors as long
+  as luma is the full-resolution component (grayscale, 4:4:4, 4:2:2,
+  4:2:0 — the real-web layouts; the general interleaved-MCU walk of
+  T.81 A.2.3), arbitrary DQT/DHT tables read from the stream, restart
+  markers (DRI), FF00 byte-stuffing. Multi-component scans return the Y
+  (luma) plane — the feature extractors want luminance, baseline JPEG's
+  Y IS the ITU-601 luma, and dropping chroma means NO upsampling stage
+  is needed even for subsampled files. Output: uint8 (H, W).
+- encode: 8-bit grayscale fixtures. Three entry points:
   ``encode_jpeg_gray`` runs the full forward path (float DCT + quantize);
   ``encode_jpeg_coeffs`` writes CHOSEN quantized coefficient blocks
   directly — coefficient-exact fixtures whose decode is closed-form
   predictable (a DC-only block with quant step 8 decodes to the flat
   value DC + 128 exactly), which is what lets a SQL oracle hash-check the
-  real entropy-decode + IDCT path (q105, the q94-PNG technique).
+  real entropy-decode + IDCT path (q105, the q94-PNG technique);
+  ``encode_jpeg_coeffs_progressive`` emits the same coefficient contract
+  as an SOF2 scan script (DC successive approximation + refinement, AC
+  spectral bands with EOB runs + correction-bit refinement) — the q112
+  fixtures and the progressive leg of the fuzz sweep.
   The encoder emits its own canonical Huffman tables in DHT (all DC
   categories at 4 bits, all 162 AC run/size symbols at 8 bits — legal,
   just not size-optimal), so no spec-annex table data is embedded; the
@@ -49,6 +56,7 @@ __all__ = [
     "encode_jpeg_gray",
     "encode_jpeg_coeffs",
     "encode_jpeg_coeffs_420",
+    "encode_jpeg_coeffs_progressive",
 ]
 
 # zigzag scan order: ZIGZAG[k] = (row, col) of the k-th coefficient
@@ -170,7 +178,8 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg_gray(data: bytes) -> np.ndarray:
-    """Baseline JPEG -> uint8 (H, W) luma plane. See module docstring."""
+    """Baseline or progressive JPEG -> uint8 (H, W) luma plane. See module
+    docstring."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -178,6 +187,8 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (H, W, comps: [(cid, tq)])
     restart = 0
+    progressive = False
+    coefs: dict[int, np.ndarray] = {}  # progressive: cid -> (bh, bw, 64) zigzag
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -187,7 +198,11 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG: marker segment header cut off")
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if pos + seglen > len(data):
+            raise ValueError("truncated JPEG: marker segment body cut off")
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -211,7 +226,7 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 codes = _canonical_codes(bits, vals)
                 htabs[(tc, th)] = {(ln, c): s for s, (c, ln) in codes.items()}
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential) / SOF2 (prog)
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -228,9 +243,18 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 )
             if hmax > 4 or vmax > 4:
                 raise ValueError("sampling factors out of spec range")
+            if nc == 1:
+                # sampling factors are only meaningful RELATIVE to other
+                # components; a single-component frame is always walked as
+                # its own full-plane block raster (T.81 A.2.2)
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
+                hmax = vmax = 1
             frame = (h, w, comps, hmax, vmax)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential DCT (SOF0)")
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline (SOF0/1) and progressive (SOF2) DCT"
+            )
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS
@@ -241,6 +265,15 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan[cs] = (tt >> 4, tt & 15)
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                pos = _progressive_scan(
+                    data, pos + seglen, frame, htabs, restart, coefs,
+                    [cs for i in range(ns) for cs in (seg[1 + 2 * i],)],
+                    scan, ss, se, ahal >> 4, ahal & 15,
+                )
+                continue
             h, w, comps, hmax, vmax = frame
             if ns < len(comps):
                 # T.81 A.2.2 non-interleaved multi-scan files need plane
@@ -317,7 +350,211 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
             y = planes[comps[0][0]][:h, :w]
             return np.clip(np.round(y), 0, 255).astype(np.uint8)
         pos += seglen
+    if progressive and frame is not None and coefs:
+        return _reconstruct_progressive(frame, qtabs, coefs)
     raise ValueError("no scan data found")
+
+
+def _comp_grids(frame):
+    """Per-component block-grid geometry: interleaved (MCU-padded) array
+    dims and the non-interleaved (true plane) dims T.81 A.2.2 scans walk."""
+    h, w, comps, hmax, vmax = frame
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    out = {}
+    for cid, hi, vi, tq in comps:
+        cw = (-(-w * hi // hmax) + 7) // 8  # ceil(ceil(w*hi/hmax)/8)
+        ch = (-(-h * vi // vmax) + 7) // 8
+        out[cid] = (mcuy * vi, mcux * hi, ch, cw)
+    return mcux, mcuy, out
+
+
+def _progressive_scan(
+    data: bytes,
+    pos: int,
+    frame,
+    htabs,
+    restart: int,
+    coefs: dict[int, np.ndarray],
+    scan_cids: list[int],
+    scan_tabs: dict[int, tuple[int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """One progressive scan (T.81 Annex G.2): updates ``coefs`` in place,
+    returns the stream position of the next marker. DC scans (ss == 0) may
+    interleave several components; AC scans carry exactly one. First scans
+    (ah == 0) entropy-decode new coefficient bits at magnitude 2^al;
+    refinement scans (ah > 0) append one correction bit per coefficient."""
+    h, w, comps, hmax, vmax = frame
+    mcux, mcuy, grids = _comp_grids(frame)
+    by_cid = {cid: (hi, vi) for cid, hi, vi, _ in comps}
+    for cid in scan_cids:
+        if cid not in by_cid:
+            raise ValueError(f"scan references unknown component {cid}")
+        if cid not in coefs:
+            bh, bw, _, _ = grids[cid]
+            coefs[cid] = np.zeros((bh, bw, 64), dtype=np.int32)
+    r = _BitReader(data, pos)
+    p1, m1 = 1 << al, -1 << al
+
+    def expect_rst(pred, state):
+        r.align()
+        m = r.at_marker()
+        if m is not None and 0xD0 <= m <= 0xD7:
+            r.pos += 2
+            for k in pred:
+                pred[k] = 0
+            state["eobrun"] = 0
+
+    state = {"eobrun": 0}
+    pred = {cid: 0 for cid in scan_cids}
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("DC scan must have Se == 0")
+
+        def dc_block(cid: int, by: int, bx: int) -> None:
+            c = coefs[cid]
+            if ah == 0:
+                t = _huff_decode(r, htabs[(0, scan_tabs[cid][0])])
+                diff = _extend(r.receive(t), t)
+                pred[cid] += diff
+                c[by, bx, 0] = pred[cid] << al
+            else:
+                if r.read_bit():
+                    c[by, bx, 0] |= p1
+
+        mcu = 0
+        if len(scan_cids) > 1:  # interleaved MCU walk over the scan comps
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and mcu and mcu % restart == 0:
+                        expect_rst(pred, state)
+                    for cid in scan_cids:
+                        hi, vi = by_cid[cid]
+                        for v in range(vi):
+                            for hh in range(hi):
+                                dc_block(cid, my * vi + v, mx * hi + hh)
+                    mcu += 1
+        else:  # single-component: non-interleaved full-plane raster
+            cid = scan_cids[0]
+            _, _, ch, cw = grids[cid]
+            for by in range(ch):
+                for bx in range(cw):
+                    if restart and mcu and mcu % restart == 0:
+                        expect_rst(pred, state)
+                    dc_block(cid, by, bx)
+                    mcu += 1
+    else:  # AC scan: exactly one component (T.81 G.1.1.1)
+        if len(scan_cids) != 1:
+            raise ValueError("progressive AC scan must carry one component")
+        cid = scan_cids[0]
+        c = coefs[cid]
+        actab = htabs[(1, scan_tabs[cid][1])]
+        _, _, ch, cw = grids[cid]
+
+        def ac_first(zz: np.ndarray) -> None:
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _huff_decode(r, actab)
+                rr, s = rs >> 4, rs & 15
+                if s == 0:
+                    if rr != 15:  # EOBn: run of 2^rr + extra empty blocks
+                        state["eobrun"] = (1 << rr) - 1
+                        if rr:
+                            state["eobrun"] += r.receive(rr)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += rr
+                if k > se:
+                    raise ValueError("AC index overflow")
+                zz[k] = _extend(r.receive(s), s) << al
+                k += 1
+
+        def ac_refine(zz: np.ndarray) -> None:
+            k = ss
+            if state["eobrun"] == 0:
+                while k <= se:
+                    rs = _huff_decode(r, actab)
+                    rr, s = rs >> 4, rs & 15
+                    val = 0
+                    if s == 0:
+                        if rr != 15:
+                            state["eobrun"] = (1 << rr)
+                            if rr:
+                                state["eobrun"] += r.receive(rr)
+                            break
+                        # ZRL: skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError("refinement scan size must be 1")
+                        val = p1 if r.read_bit() else m1
+                    while k <= se:
+                        if zz[k] != 0:
+                            if r.read_bit() and (zz[k] & p1) == 0:
+                                zz[k] += p1 if zz[k] > 0 else m1
+                        else:
+                            if rr == 0:
+                                break
+                            rr -= 1
+                        k += 1
+                    if val and k <= se:
+                        zz[k] = val
+                    k += 1
+            if state["eobrun"] > 0:
+                while k <= se:
+                    if zz[k] != 0:
+                        if r.read_bit() and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] > 0 else m1
+                    k += 1
+                state["eobrun"] -= 1
+
+        mcu = 0
+        for by in range(ch):
+            for bx in range(cw):
+                if restart and mcu and mcu % restart == 0:
+                    expect_rst(pred, state)
+                if ah == 0:
+                    ac_first(c[by, bx])
+                else:
+                    ac_refine(c[by, bx])
+                mcu += 1
+    # advance to the next marker (consume any pad bits / trailing stuffing)
+    p = r.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            return p
+        p += 1
+    raise ValueError("truncated JPEG: no marker after scan")
+
+
+def _reconstruct_progressive(frame, qtabs, coefs) -> np.ndarray:
+    """Dequantize + IDCT the accumulated progressive coefficients; return
+    the luma plane (same output contract as the baseline path)."""
+    h, w, comps, hmax, vmax = frame
+    cid0, hi0, vi0, tq0 = comps[0]
+    if cid0 not in coefs:
+        raise ValueError("progressive stream had no scan for the luma plane")
+    q = qtabs[tq0]
+    c = coefs[cid0]
+    bh, bw = c.shape[0], c.shape[1]
+    plane = np.zeros((bh * 8, bw * 8))
+    for by in range(bh):
+        for bx in range(bw):
+            block = np.zeros((8, 8))
+            zz = c[by, bx]
+            for i, (row, col) in enumerate(_ZZ):
+                block[row, col] = int(zz[i]) * int(q[i])
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct2(block) + 128.0
+    # luma is full-resolution (enforced at SOF), so its plane is 1:1
+    y = plane[:h, :w]
+    return np.clip(np.round(y), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -332,6 +569,13 @@ _AC_VALS = [0x00, 0xF0] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
 ]
 _AC_BITS = [0] * 7 + [len(_AC_VALS)] + [0] * 8
+# progressive scans additionally need the EOBn run-length symbols
+# (r << 4 | 0 for r = 1..14, T.81 G.1.2.2) — 176 symbols still fit one
+# 8-bit-codes-only canonical table (176/256 <= 1)
+_AC_VALS_PROG = [0x00, 0xF0] + [r << 4 for r in range(1, 15)] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_BITS_PROG = [0] * 7 + [len(_AC_VALS_PROG)] + [0] * 8
 
 
 class _BitWriter:
@@ -453,6 +697,213 @@ def encode_jpeg_coeffs(
         + bytes([0, 63, 0]),
     )
     return b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy + b"\xff\xd9"
+
+
+def encode_jpeg_coeffs_progressive(
+    coeffs: np.ndarray,
+    qtab: np.ndarray,
+    h: int,
+    w: int,
+    *,
+    al_dc: int = 1,
+    ac_bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    al_ac: int = 1,
+) -> bytes:
+    """Progressive JPEG (SOF2) from CHOSEN quantized coefficients — the
+    fixture twin of ``encode_jpeg_coeffs`` for the progressive decode path
+    (T.81 Annex G). Same coefficient contract: coeffs is (bh, bw, 64) for
+    grayscale or (bh, bw, nc, 64) for a 4:4:4 multi-component frame,
+    ZIGZAG order; decode of the emitted bytes is exactly coeffs * qtab ->
+    de-zigzag -> IDCT -> +128 -> round/clamp of component 1.
+
+    Scan script (covers every Annex-G decode branch):
+    - DC first scan at Al=``al_dc`` (interleaved when nc > 1), then one DC
+      refinement scan per bit down to 0;
+    - per component, one AC first scan per ``ac_bands`` spectral band at
+      Al=``al_ac`` (EOB runs span empty blocks), then refinement scans per
+      bit down to 0 (correction bits, newly-significant coefficients, ZRL
+      in refinement, EOB-run folded correction bits).
+    """
+    if coeffs.ndim == 3:
+        coeffs = coeffs[:, :, None, :]
+    bh, bw, nc = coeffs.shape[0], coeffs.shape[1], coeffs.shape[2]
+    if (bh * 8 < h) or (bw * 8 < w):
+        raise ValueError("coefficient grid smaller than image")
+    for ss, se in ac_bands:
+        if not (1 <= ss <= se <= 63):
+            raise ValueError(f"bad spectral band ({ss}, {se})")
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS_PROG, _AC_VALS_PROG)
+    comp_ids = list(range(1, nc + 1))
+
+    def sos(cids: list[int], ss: int, se: int, ah: int, al: int, entropy: bytes) -> bytes:
+        return (
+            _seg(
+                0xDA,
+                bytes([len(cids)])
+                + b"".join(bytes([cid, 0x00]) for cid in cids)
+                + bytes([ss, se, (ah << 4) | al]),
+            )
+            + entropy
+        )
+
+    scans: list[bytes] = []
+
+    # --- DC first scan (interleaved over all components when nc > 1) ------
+    wtr = _BitWriter()
+    pred = [0] * nc
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nc):
+                v = int(coeffs[by, bx, ci, 0]) >> al_dc  # arithmetic shift
+                diff = v - pred[ci]
+                pred[ci] = v
+                t = _category(diff)
+                code, ln = dc_codes[t]
+                wtr.write(code, ln)
+                if t:
+                    wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    scans.append(sos(comp_ids, 0, 0, 0, al_dc, wtr.flush()))
+
+    # --- DC refinement scans ----------------------------------------------
+    for al in range(al_dc - 1, -1, -1):
+        wtr = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(nc):
+                    wtr.write((int(coeffs[by, bx, ci, 0]) >> al) & 1, 1)
+        scans.append(sos(comp_ids, 0, 0, al + 1, al, wtr.flush()))
+
+    # --- AC scans: per component, per band ---------------------------------
+    def pt(v: int, al: int) -> int:
+        """AC point transform: magnitude shift toward zero (T.81 G.1.2.2)."""
+        return -((-v) >> al) if v < 0 else v >> al
+
+    for ci in range(nc):
+        cid = comp_ids[ci]
+        for ss, se in ac_bands:
+            # first scan at al_ac
+            wtr = _BitWriter()
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun > 0:
+                    nbits = eobrun.bit_length() - 1
+                    code, ln = ac_codes[nbits << 4]
+                    wtr.write(code, ln)
+                    if nbits:
+                        wtr.write(eobrun - (1 << nbits), nbits)
+                    eobrun = 0
+
+            for by in range(bh):
+                for bx in range(bw):
+                    zz = coeffs[by, bx, ci]
+                    run = 0
+                    wrote = False
+                    for k in range(ss, se + 1):
+                        v = pt(int(zz[k]), al_ac)
+                        if v == 0:
+                            run += 1
+                            continue
+                        flush_eob()
+                        while run > 15:
+                            code, ln = ac_codes[0xF0]
+                            wtr.write(code, ln)
+                            run -= 16
+                        s = _category(v)
+                        code, ln = ac_codes[(run << 4) | s]
+                        wtr.write(code, ln)
+                        wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                        run = 0
+                        wrote = True
+                    if run > 0 or not wrote:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+            flush_eob()
+            scans.append(sos([cid], ss, se, 0, al_ac, wtr.flush()))
+
+        for al in range(al_ac - 1, -1, -1):
+            for ss, se in ac_bands:
+                # refinement scan at al (libjpeg jcphuff encode_mcu_AC_refine
+                # structure: correction bits buffer across EOB-run blocks)
+                wtr = _BitWriter()
+                eobrun = 0
+                pending: list[int] = []  # correction bits folded in eobrun
+
+                def flush_eob_r():
+                    nonlocal eobrun
+                    if eobrun > 0:
+                        nbits = eobrun.bit_length() - 1
+                        code, ln = ac_codes[nbits << 4]
+                        wtr.write(code, ln)
+                        if nbits:
+                            wtr.write(eobrun - (1 << nbits), nbits)
+                        eobrun = 0
+                    for b in pending:
+                        wtr.write(b, 1)
+                    pending.clear()
+
+                for by in range(bh):
+                    for bx in range(bw):
+                        zz = coeffs[by, bx, ci]
+                        absv = [abs(int(zz[k])) >> al for k in range(64)]
+                        eob = 0  # index after the last newly-significant coef
+                        for k in range(ss, se + 1):
+                            if absv[k] == 1:
+                                eob = k
+                        run = 0
+                        cur: list[int] = []  # this block's buffered bits
+                        for k in range(ss, se + 1):
+                            t = absv[k]
+                            if t == 0:
+                                run += 1
+                                continue
+                            # ZRLs that can't fold into an EOB run must go
+                            # out BEFORE this coefficient's bits — checked at
+                            # EVERY nonzero (correction bits buffered so far
+                            # are consumed by the decoder's ZRL advance)
+                            while run > 15 and k <= eob:
+                                flush_eob_r()
+                                code, ln = ac_codes[0xF0]
+                                wtr.write(code, ln)
+                                run -= 16
+                                for b in cur:
+                                    wtr.write(b, 1)
+                                cur = []
+                            if t > 1:
+                                cur.append(t & 1)
+                                continue
+                            # newly significant at this bit level
+                            flush_eob_r()
+                            code, ln = ac_codes[(run << 4) | 1]
+                            wtr.write(code, ln)
+                            wtr.write(1 if int(zz[k]) > 0 else 0, 1)
+                            for b in cur:
+                                wtr.write(b, 1)
+                            cur = []
+                            run = 0
+                        if run > 0 or cur:
+                            eobrun += 1
+                            pending.extend(cur)
+                            if eobrun == 0x7FFF:
+                                flush_eob_r()
+                flush_eob_r()
+                scans.append(sos([cid], ss, se, al + 1, al, wtr.flush()))
+
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(int(q) for q in qtab))
+    sof = _seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, nc)
+        + b"".join(bytes([cid, 0x11, 0]) for cid in comp_ids),
+    )
+    dht = _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS_PROG) + bytes(_AC_VALS_PROG),
+    )
+    return b"\xff\xd8" + dqt + sof + dht + b"".join(scans) + b"\xff\xd9"
 
 
 def encode_jpeg_gray(img: np.ndarray, qtab: np.ndarray | None = None) -> bytes:

@@ -43,6 +43,7 @@ from .multimodal import (  # noqa: F401
     synthetic_media,
     synthetic_png_media,
     synthetic_jpeg_media,
+    synthetic_progressive_jpeg_media,
     decode_audio_features,
     synthetic_wav_media,
     decode_video_frames,

@@ -350,6 +350,47 @@ def synthetic_jpeg_media(spark, n: int = 24) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_progressive_jpeg_media(spark, n: int = 24) -> DataFrame:
+    """Media table whose payloads are REAL PROGRESSIVE JPEGs (SOF2,
+    functions/jpeg.py::encode_jpeg_coeffs_progressive — DC successive
+    approximation at Al=1 + refinement, two AC spectral bands (1-5, 6-63)
+    at Al=1 + refinements, EOB runs across blocks) built at the
+    COEFFICIENT level so every pixel has a CLOSED FORM an SQL oracle can
+    recompute (q112, the q105 technique extended to nonzero AC):
+
+    every image is 16x16 (2x2 blocks), quant step 8 everywhere; block
+    (by, bx) of image ``i`` has DC = ((31*i + 13*bx + 7*by) % 200) - 100
+    and the AC pattern: block (0,0) carries zigzag 1/3/7 =
+    ((5i+1)%7)-3 / ((3i+2)%5)-2 / (i%3)-1; blocks (0,1)/(1,0) carry
+    zigzag 2 = ((i+2)%5)-2 / ((i+1)%5)-2; block (1,1) is DC-only (its AC
+    scans are pure EOB-run members). Pixel (x, y) of block (by, bx):
+
+        128 + dc + sum_k c_k * 8 * B(u_k, x) * B(v_k, y)
+
+    with B(0, t) = sqrt(1/8), B(u, t) = cos((2t+1) u pi / 16) / 2 (the
+    orthonormal DCT basis; zigzag 1 -> (u,v)=(0,1), 2 -> (1,0),
+    3 -> (2,0), 7 -> (1,2)). Coefficient values are chosen so every true
+    pixel is > 1e-3 away from a rounding boundary and inside (1, 254)
+    (verified in tests), so numpy and any SQL engine round identically."""
+    from ..functions.jpeg import encode_jpeg_coeffs_progressive
+
+    rows = []
+    qtab = np.full(64, 8, dtype=np.int64)
+    for i in range(n):
+        coeffs = np.zeros((2, 2, 64), dtype=np.int64)
+        for by in range(2):
+            for bx in range(2):
+                coeffs[by, bx, 0] = ((31 * i + 13 * bx + 7 * by) % 200) - 100
+        coeffs[0, 0, 1] = ((5 * i + 1) % 7) - 3
+        coeffs[0, 0, 3] = ((3 * i + 2) % 5) - 2
+        coeffs[0, 0, 7] = (i % 3) - 1
+        coeffs[0, 1, 2] = ((i + 2) % 5) - 2
+        coeffs[1, 0, 2] = ((i + 1) % 5) - 2
+        payload = encode_jpeg_coeffs_progressive(coeffs, qtab, 16, 16)
+        rows.append((i, bytearray(payload), ("image", 16, 16, 0)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = (
     "media_id long, sample_rate int, n_samples int, peak int, "
     "sum_sq long, zero_crossings int"

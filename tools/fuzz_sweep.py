@@ -296,6 +296,20 @@ def sweep_jpeg(trials: int, seed: int) -> int:
             cb[:, :, 0] = rng.integers(-50, 51, size=(by // 2, bx // 2))
             cr[:, :, 0] = rng.integers(-50, 51, size=(by // 2, bx // 2))
             data = encode_jpeg_coeffs_420(coeffs, cb, cr, q, h, w)
+        elif trial % 3 == 0:
+            # progressive (SOF2): random scan script — successive
+            # approximation depths and a random spectral-band split
+            from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.jpeg import (
+                encode_jpeg_coeffs_progressive,
+            )
+
+            split = int(rng.integers(2, 62))
+            data = encode_jpeg_coeffs_progressive(
+                coeffs, q, h, w,
+                al_dc=int(rng.integers(0, 3)),
+                ac_bands=((1, split), (split + 1, 63)),
+                al_ac=int(rng.integers(0, 3)),
+            )
         else:
             ri = int(rng.integers(0, 4))
             data = encode_jpeg_coeffs(coeffs, q, h, w, restart_interval=ri)
