@@ -2091,6 +2091,27 @@ def _q112_jpeg_progressive_real(spark, sf_dir):
     return dims.join(rs, "media_id")
 
 
+def _q113_knn_dtw_multichannel(spark, sf_dir):
+    """MULTICHANNEL exact-DTW KNN (VERDICT r3 #5): series are one vector
+    per timestep (array<array<double>> — channel 0 = event value, channel 1
+    = length(event_type)), scored by dependent DTW (one shared warp path,
+    per-channel SUMMED |a-b| cost — the fastdtw package's own vector-point
+    semantics). The kernels (functions/dtw_kernel.py dtw_pair/dtw_batch/
+    fastdtw_batch) all take the (batch, length, channels) path, golden-
+    tested against an independent O(n*m) multivariate DP. The oracle
+    extends q70's recursive-CTE dynamic program with the 2-channel cost —
+    the multivariate DTW *distance operator itself* is hash-checked."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ch2", F.length("event_type").cast("double")
+    )
+    series = events_to_series(events, value=["value", "ch2"], length=SERIES_LEN)
+    train, test = split_train_test(series)
+    nn = knn_join(test, train, metric="dtw", band=None, k=3)
+    return nn.select(
+        "test_id", "train_id", "rank", F.round("distance", 6).alias("distance")
+    )
+
+
 def _q104_duplicate_spans(spark, sf_dir):
     """Maximal cross-document duplicated token regions (operators/corpus.py
     ::duplicate_spans — the Lee et al. 2021 ExactSubstr dedup shape):
@@ -2218,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_sax_words": _q110_sax_words,
         "q111_bpe_ids": _q111_bpe_ids,
         "q112_jpeg_progressive_real": _q112_jpeg_progressive_real,
+        "q113_knn_dtw_multichannel": _q113_knn_dtw_multichannel,
     }
 
 
@@ -4643,6 +4665,73 @@ def oracle_sql() -> dict[str, str]:
     # JPEG DC-only closed form: block (by, bx) of image i is the flat
     # value ((31*i + 13*bx + 7*by) % 200) + 28; resize reads source pixel
     # ((oi*h)//4, (oj*w)//4) — block index = that // 8
+    # q113: q70's recursive-CTE DTW dynamic program with the 2-channel
+    # summed point cost (dependent multivariate DTW); same round(6)
+    # discipline absorbing the kernel's prefix-scan fp reassociation
+    _mvcost_first = "(abs(fa[1][1]-fb[k][1]) + abs(fa[1][2]-fb[k][2]))"
+    _mvcost_row1 = "(abs(fa[i+1][1]-fb[1][1]) + abs(fa[i+1][2]-fb[1][2]))"
+    _mvcost_j = "(abs(fa[i+1][1]-fb[j][1]) + abs(fa[i+1][2]-fb[j][2]))"
+    out["q113_knn_dtw_multichannel"] = f"""
+        WITH RECURSIVE ptsm AS (
+            SELECT user_id,
+                   list([value, cast(length(event_type) AS double)]
+                        ORDER BY ts, event_id) AS vals
+            FROM events GROUP BY user_id
+        ),
+        sizedm AS (
+            SELECT user_id, vals[1:{SERIES_LEN}] AS features
+            FROM ptsm WHERE len(vals) >= {SERIES_LEN}
+        ),
+        labels AS (
+            SELECT user_id, event_type AS label FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC, event_type ASC) AS rk
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rk = 1
+        ),
+        series AS (
+            SELECT s.user_id AS series_id, s.features, l.label
+            FROM sizedm s JOIN labels l USING (user_id)
+        ),
+        train AS (SELECT * FROM series WHERE series_id % 4 != 0),
+        test  AS (SELECT * FROM series WHERE series_id % 4 = 0),
+        pairs AS (
+            SELECT t.series_id AS test_id, r.series_id AS train_id,
+                   r.label AS train_label, t.features AS fa, r.features AS fb
+            FROM test t CROSS JOIN train r
+        ),
+        dp AS (
+            SELECT test_id, train_id, train_label, fa, fb, 1 AS i,
+                   list_transform(range(1, len(fb)+1),
+                       j -> list_reduce(list_prepend(0.0,
+                                list_transform(range(1, j+1),
+                                    k -> {_mvcost_first})),
+                            (x, y) -> x + y)) AS row
+            FROM pairs
+            UNION ALL
+            SELECT test_id, train_id, train_label, fa, fb, i+1,
+                   list_reduce(
+                       list_prepend([row[1] + {_mvcost_row1}],
+                           list_transform(range(2, len(fb)+1),
+                               j -> [{_mvcost_j}, row[j], row[j-1]])),
+                       (acc, e) -> list_append(acc, e[1] + least(e[2], e[3], acc[-1]))) AS row
+            FROM dp WHERE i < len(fa)
+        ),
+        dd AS (
+            SELECT test_id, train_id, train_label, row[-1] AS dist
+            FROM dp WHERE i = len(fa)
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                        ORDER BY dist ASC, train_label ASC, train_id ASC) AS rank
+            FROM dd WHERE dist != 0
+        )
+        SELECT test_id, train_id, cast(rank AS int) AS rank,
+               round(dist, 6) AS distance
+        FROM ranked WHERE rank <= 3
+    """
+
     # q112: progressive-JPEG decode with nonzero AC — the oracle recomputes
     # every pixel from the closed IDCT form (orthonormal basis B(0,t) =
     # sqrt(1/8), B(u,t) = cos((2t+1) u pi/16)/2; fixture margins > 1e-3 from

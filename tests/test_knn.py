@@ -266,3 +266,41 @@ def test_wrappers_forward_fastdtw_radius(spark):
     n = knn_join_pruned(te, tr, metric="fastdtw", k=2, length=24,
                         candidates_per_test=6, fastdtw_radius=3).count()
     assert n > 0
+
+
+def test_multichannel_knn_strategies_agree(spark):
+    """Multichannel series (array<array<double>>) through knn_join: the
+    broadcast, shuffle and kernel strategies must produce identical
+    neighbor sets (the kernel path stacks (batch, length, channels) and
+    runs the multivariate DP — golden-tested in test_dtw_kernel; here the
+    three PLANS are pinned equal on the operator surface)."""
+    rng = np.random.default_rng(17)
+    rows = [
+        (
+            i,
+            [[float(x) for x in rng.normal(size=2)] for _ in range(10)],
+            "ab"[i % 2],
+        )
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id long, features array<array<double>>, label string"
+    )
+    test, train = df.filter("series_id < 6"), df.filter("series_id >= 6")
+    outs = []
+    for strategy in ("broadcast", "shuffle", "kernel"):
+        nn = knn_join(
+            test, train, metric="dtw", band=2, k=3, strategy=strategy
+        ).select("test_id", "train_id", "rank", F.round("distance", 9).alias("d"))
+        outs.append(sorted(map(tuple, nn.collect())))
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 6 * 3
+
+
+def test_multichannel_kernel_rejects_non_dtw_metric(spark):
+    rows = [(i, [[1.0, 2.0]] * 4, "a") for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "series_id long, features array<array<double>>, label string"
+    )
+    with pytest.raises(ValueError, match="multichannel"):
+        knn_join(df, df, metric="euclidean", k=2, strategy="kernel").collect()

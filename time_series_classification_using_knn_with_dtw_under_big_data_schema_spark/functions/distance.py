@@ -73,10 +73,28 @@ def cosine_distance(a: Column, b: Column) -> Column:
     return F.lit(1.0) - cosine_similarity(a, b)
 
 
+def _stack_series(elems: np.ndarray) -> np.ndarray:
+    """Stack a batch of Arrow-delivered series into one float64 ndarray:
+    (batch, length) for scalar series (array<double>) or
+    (batch, length, channels) for multichannel series (array<array<double>>
+    — Arrow hands the inner lists as object elements, so a plain np.stack
+    would produce an object-dtype array the kernels can't vectorize).
+    Channel counts must agree within a batch (enforced by the stack)."""
+    probe = elems[0]
+    if len(probe) and np.ndim(probe[0]) >= 1:  # timesteps are vectors
+        return np.stack(
+            [np.stack([np.asarray(t, dtype=np.float64) for t in e]) for e in elems]
+        )
+    return np.stack(elems)
+
+
 def _grouped_pairs_udf(batch_fn) -> Callable[[Column, Column], Column]:
     """pandas_udf over a batched pair kernel: Arrow batches arrive as
     pd.Series of numpy arrays; rows are grouped by (len_a, len_b) so every
-    sub-batch stacks rectangular for the vectorized kernel."""
+    sub-batch stacks rectangular for the vectorized kernel. Multichannel
+    series (array<array<double>>, one vector per timestep) stack to
+    (batch, length, channels) and route to the kernels' multivariate
+    per-channel-summed-cost path."""
 
     @F.pandas_udf(T.DoubleType())
     def dist(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -93,8 +111,8 @@ def _grouped_pairs_udf(batch_fn) -> Callable[[Column, Column], Column]:
             groups[(la[i], lb[i])].append(i)
         for (_, _), idx in groups.items():
             idx = np.asarray(idx)
-            A = np.stack(a.iloc[idx].to_numpy())
-            B = np.stack(b.iloc[idx].to_numpy())
+            A = _stack_series(a.iloc[idx].to_numpy())
+            B = _stack_series(b.iloc[idx].to_numpy())
             out[idx] = batch_fn(A, B)
         return pd.Series(out)
 

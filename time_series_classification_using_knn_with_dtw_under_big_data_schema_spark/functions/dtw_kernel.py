@@ -48,7 +48,12 @@ _INF = np.inf
 
 
 def _point_cost(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    # fastdtw's default for 1-D points: absolute difference
+    # fastdtw's default for 1-D points: absolute difference; multivariate
+    # series ((length, channels) rows) use the per-channel SUMMED |a-b|
+    # (dependent DTW — one shared warp path across channels, the fastdtw
+    # package's own semantics for vector points under dist=1)
+    if a.ndim == 2:
+        return np.abs(a[:, None, :] - b[None, :, :]).sum(axis=2)
     return np.abs(a[:, None] - b[None, :])
 
 
@@ -91,7 +96,7 @@ def _dtw_with_path(a, b, window=None):
         window = [(i, j) for i in range(n) for j in range(m)]
     D = {(-1, -1): (0.0, None)}
     for i, j in window:
-        c = abs(a[i] - b[j])
+        c = float(np.sum(np.abs(a[i] - b[j])))  # scalar |a-b| / summed channels
         best = None
         for pi, pj in ((i - 1, j), (i, j - 1), (i - 1, j - 1)):
             prev = D.get((pi, pj))
@@ -179,11 +184,12 @@ def dtw_batch(A: np.ndarray, B: np.ndarray, band: int | None = None) -> np.ndarr
     """
     A = np.ascontiguousarray(A, dtype=np.float64)
     B = np.ascontiguousarray(B, dtype=np.float64)
-    bs, n = A.shape
-    _, m = B.shape
+    bs, n = A.shape[0], A.shape[1]
+    m = B.shape[1]
+    mv = A.ndim == 3  # multivariate: (batch, length, channels)
     if bs == 0:
         return np.empty(0, dtype=np.float64)
-    if dtw_c.available():
+    if dtw_c.available() and not mv:
         # Compiled natural recurrence: same band geometry, op order
         # bit-identical to dtw_pair (the numpy scan below reassociates)
         return dtw_c.dtw_band_batch(A, B, band if band is not None and band < max(n, m) else None)
@@ -214,7 +220,11 @@ def dtw_batch(A: np.ndarray, B: np.ndarray, band: int | None = None) -> np.ndarr
         else:
             lo, hi = 0, m - 1
         # cost slice: |a_i - b_j| for j in [lo, hi], all pairs at once
-        c = np.abs(A[:, i - 1 : i] - B[:, lo : hi + 1])
+        # (multivariate: per-channel summed)
+        if mv:
+            c = np.abs(A[:, i - 1 : i, :] - B[:, lo : hi + 1, :]).sum(axis=2)
+        else:
+            c = np.abs(A[:, i - 1 : i] - B[:, lo : hi + 1])
         # m[j] = min(acc[i-1, j], acc[i-1, j-1]) over the band slice
         mrow = minimum(prev[:, lo + 1 : hi + 2], prev[:, lo : hi + 1])
         # cur[j] = C[j] + min_{i<=j}(m[i] - C[i-1]);  C = cumsum of cost slice
@@ -258,8 +268,9 @@ def _windowed_dp_batch(A, B, lo, hi, need_path):
     traffic of a float64 DP tensor (the profiled hot spot), and backtracking
     becomes a pure chase of stored moves with no value comparisons.
     """
-    bs, n = A.shape
+    bs, n = A.shape[0], A.shape[1]
     m = B.shape[1]
+    mv = A.ndim == 3  # multivariate: (batch, length, channels)
     W = int((hi - lo).max()) + 1
     warr = np.arange(W)[None, :]
     parr = np.arange(bs)
@@ -269,7 +280,14 @@ def _windowed_dp_batch(A, B, lo, hi, need_path):
     # row. Zeros (not empty) keep the garbage finite — inf/nan would poison
     # the scans inside the suffix and trip float warnings. Flat bases:
     # row p of Bpad starts at p*(m+W), of prev_pad at p*(W+1)
-    Bpad = np.concatenate([B, np.zeros((bs, W))], axis=1)
+    if mv:
+        Bpad3 = np.concatenate([B, np.zeros((bs, W, B.shape[2]))], axis=1)
+        # flat (bs*(m+W), ch) view: the same flat row indices the scalar
+        # path gathers with serve the vector rows
+        Bflat = Bpad3.reshape(-1, B.shape[2])
+        Bpad = None
+    else:
+        Bpad = np.concatenate([B, np.zeros((bs, W))], axis=1)
     bbase = (parr * (m + W))[:, None]
     pbase = (parr * (W + 1))[:, None]
 
@@ -304,10 +322,14 @@ def _windowed_dp_batch(A, B, lo, hi, need_path):
             bnz = bool(base.any())
             if bnz:
                 np.add(idx, base, out=idx)  # windows slid: shift cost gather
-        # cost row |a_i - b_j| (suffix cells hold garbage; see Bpad note)
-        np.take(Bpad, idx, out=c)
-        np.subtract(A[:, i - 1 : i], c, out=c)
-        np.abs(c, out=c)
+        # cost row |a_i - b_j| (suffix cells hold garbage; see Bpad note);
+        # multivariate: gather vector rows, per-channel summed |a-b|
+        if mv:
+            np.sum(np.abs(Bflat[idx] - A[:, i - 1 : i, :]), axis=2, out=c)
+        else:
+            np.take(Bpad, idx, out=c)
+            np.subtract(A[:, i - 1 : i], c, out=c)
+            np.abs(c, out=c)
         if i == 1:
             # virtual row -1: only cell (-1, -1) = 0 (diagonal predecessor
             # of cell (0, 0)); every (-1, j>=0) is unreachable
@@ -447,8 +469,9 @@ def fastdtw_batch(A: np.ndarray, B: np.ndarray, radius: int = 1) -> np.ndarray:
     """
     A = np.ascontiguousarray(A, dtype=np.float64)
     B = np.ascontiguousarray(B, dtype=np.float64)
-    bs, n = A.shape
+    bs, n = A.shape[0], A.shape[1]
     m = B.shape[1]
+    mv = A.ndim == 3  # multivariate: (batch, length, channels)
     if bs == 0:
         return np.empty(0)
     if n == 0 or m == 0:
@@ -471,7 +494,7 @@ def fastdtw_batch(A: np.ndarray, B: np.ndarray, radius: int = 1) -> np.ndarray:
             n_f, m_f = levels[li - 1][0].shape[1], levels[li - 1][1].shape[1]
             new_lo = np.empty((bs, n_f), dtype=np.int64)
             new_hi = np.empty((bs, n_f), dtype=np.int64)
-        if dtw_c.available():
+        if dtw_c.available() and not mv:
             # Compiled per-pair DP + backtrack: no width re-bucketing needed
             # (vectorization across the batch is what made width matter)
             d, pmin, pmax = dtw_c.fastdtw_level(a_l, b_l, lo, hi, need_path)

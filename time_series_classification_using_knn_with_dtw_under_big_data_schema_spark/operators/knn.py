@@ -198,12 +198,27 @@ def _knn_kernel_broadcast(
     else:
         raise ValueError(f"strategy='kernel' does not support metric {metric!r}")
 
-    n_rows, max_len = train.agg(
-        F.count(F.lit(1)), F.max(F.size(features_col))
-    ).first()
+    from pyspark.sql.types import ArrayType
+
+    nested = isinstance(train.schema[features_col].dataType.elementType, ArrayType)
+    if nested and kind not in ("dtw", "fastdtw"):
+        raise ValueError(
+            f"multichannel series support metric='dtw'/'fastdtw' only, got {metric!r}"
+        )
+    if nested:
+        n_rows, max_len, max_ch = train.agg(
+            F.count(F.lit(1)),
+            F.max(F.size(features_col)),
+            F.max(F.size(F.element_at(features_col, 1))),
+        ).first()
+    else:
+        n_rows, max_len = train.agg(
+            F.count(F.lit(1)), F.max(F.size(features_col))
+        ).first()
+        max_ch = 1
     if not n_rows:
         raise ValueError("empty train side")
-    est_bytes = n_rows * int(max_len or 0) * 8
+    est_bytes = n_rows * int(max_len or 0) * int(max_ch or 1) * 8
     if est_bytes > max_broadcast_bytes:
         # too big to materialize on the driver (or to broadcast at all):
         # same semantics, no collect — cartesian + window top-k
@@ -270,17 +285,19 @@ def _knn_kernel_broadcast(
             for i, f in enumerate(fvals):
                 by_len.setdefault(len(f), []).append(i)
             for L, idxs in by_len.items():
-                T = np.stack([np.asarray(fvals[i], dtype=np.float64) for i in idxs])
+                from ..functions.distance import _stack_series
+
+                T = _stack_series([fvals[i] for i in idxs])
                 for c0 in range(0, len(idxs), rows_per):
                     chunk = idxs[c0 : c0 + rows_per]
                     Tc = T[c0 : c0 + rows_per]
                     nc = len(chunk)
                     if nc == 1:
-                        A = np.broadcast_to(Tc[0], (n_train, L))
+                        A = np.broadcast_to(Tc[0], (n_train,) + Tc[0].shape)
                         B = b_feats
                     else:
                         A = np.repeat(Tc, n_train, axis=0)
-                        B = np.tile(b_feats, (nc, 1))
+                        B = np.tile(b_feats, (nc,) + (1,) * (b_feats.ndim - 1))
                     if kind == "dtw":
                         D = dtw_batch(A, B, band=bnd)
                     elif kind == "fastdtw":

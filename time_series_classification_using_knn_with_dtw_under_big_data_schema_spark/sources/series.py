@@ -22,11 +22,17 @@ def events_to_series(
     key: str = "user_id",
     ts: str = "ts",
     tiebreak: str = "event_id",
-    value: str = "value",
+    value: str | list[str] = "value",
     length: int | None = None,
     label_from: str | None = "event_type",
 ) -> DataFrame:
     """events(key, ts, value[, label_from]) -> (series_id, features[, label]).
+
+    ``value`` may be a LIST of numeric columns — then each timestep is the
+    vector of those channels and ``features`` is array<array<double>>
+    (multichannel series; the DTW kernels score them with the per-channel
+    summed cost — one shared warp path across channels). Same single-scan /
+    single-shuffle plan either way.
 
     ``length``: keep only series with >= length points, truncated to exactly
     ``length`` (gives the fixed-width model the KNN operators assume; DTW
@@ -44,18 +50,26 @@ def events_to_series(
     aggregated events a second time for labels and window-joined — two full
     passes over what is THE big table at 100 TB.
     """
+    multichannel = not isinstance(value, str)
+    if multichannel:
+        vexpr = F.array(*[F.col(c).cast("double") for c in value]).alias("v")
+    else:
+        vexpr = F.col(value).alias("v")
     pt_fields = [
         F.col(ts).alias("t"),
         F.col(tiebreak).alias("tb"),
-        F.col(value).alias("v"),
+        vexpr,
     ]
     if label_from is not None:
-        # 4th struct field never affects array_sort order: (t, tb) is unique
+        # extra struct fields never affect array_sort order: (t, tb) is unique
         pt_fields.append(F.col(label_from).alias("l"))
     g = events.groupBy(key).agg(
         F.array_sort(F.collect_list(F.struct(*pt_fields))).alias("_pts")
     )
-    feats = F.transform(F.col("_pts"), lambda s: s["v"].cast("double"))
+    if multichannel:
+        feats = F.transform(F.col("_pts"), lambda s: s["v"])
+    else:
+        feats = F.transform(F.col("_pts"), lambda s: s["v"].cast("double"))
     if length is not None:
         g = g.filter(F.size("_pts") >= length)
         feats = F.slice(feats, 1, length)
