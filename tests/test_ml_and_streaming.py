@@ -358,3 +358,172 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
         q.stop()
     batch = {(r.b, r.m) for r in hll_registers(df, "k").collect()}
     assert streamed == batch
+
+
+def test_stateless_scoring_matches_batch(spark, har_dfs):
+    """score_stream_stateless (append-mode, zero state) must predict exactly
+    what knn_classify / score_stream predict — the packed-broadcast top-k +
+    vote expressions are the same ranking and tie orders."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import score_stream_stateless
+
+    train_df, test_df = har_dfs
+    for k in (1, 5):
+        # batch DataFrames run through the same code path (no stream needed
+        # for the semantics check; streaming legs below cover the sink)
+        got = {
+            r.test_id: r.predicted_label
+            for r in score_stream_stateless(test_df, train_df, k=k).collect()
+        }
+        expect = {
+            r.test_id: r.predicted_label
+            for r in knn_classify(test_df, train_df, metric="euclidean", k=k).collect()
+        }
+        assert got == expect
+
+
+def test_stateless_scoring_rejects_dtw(spark, har_dfs):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import score_stream_stateless
+
+    train_df, test_df = har_dfs
+    with pytest.raises(ValueError, match="expression metrics"):
+        score_stream_stateless(test_df, train_df, metric="fastdtw")
+
+
+def _wait_for_rows(spark, path, minimum, timeout=90.0):
+    import time as _time
+
+    t0 = _time.monotonic()
+    while _time.monotonic() - t0 < timeout:
+        try:
+            if spark.read.parquet(path).count() >= minimum:
+                return True
+        except Exception:
+            pass  # sink dir not created yet
+        _time.sleep(0.2)
+    return False
+
+
+def test_streaming_kill_resume_exactly_once_dedup(spark, tmp_path):
+    """The r4 restart soak (VERDICT r3 #7), dedup leg: a LIVE dedup->parquet
+    query is killed mid-stream (source still growing), then resumed from
+    the checkpoint. Exactly-once must hold end-to-end: the sink's commit
+    log never duplicates a committed micro-batch, and the dropDuplicates
+    STATE is restored — a duplicate arriving after the restart of content
+    seen before the kill must still be dropped."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import (
+        stream_dedup_fingerprint,
+        stream_to_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def add_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    # phase 1: four files, one duplicate INSIDE the phase
+    add_file([(0, "alpha"), (1, "beta")])
+    add_file([(2, "gamma")])
+    add_file([(3, "alpha")])  # in-phase dup: dropped by live state
+    add_file([(4, "delta")])
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_to_parquet(
+        stream_dedup_fingerprint(stream), out, checkpoint=ckpt,
+        query_name="soak_dedup_1",
+    )
+    try:
+        assert _wait_for_rows(spark, out, 1), "no batch committed before the kill"
+    finally:
+        q.stop()  # kill mid-stream: phase-2 files don't exist yet
+    committed_before = spark.read.parquet(out).count()
+    assert committed_before >= 1
+
+    # phase 2: more files — a CROSS-KILL duplicate ("alpha" again) and a
+    # phase-2-internal duplicate
+    add_file([(5, "epsilon"), (6, "alpha")])  # alpha seen before the kill
+    add_file([(7, "zeta"), (8, "epsilon")])   # in-phase dup
+
+    q2 = stream_to_parquet(
+        stream_dedup_fingerprint(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        ),
+        out,
+        checkpoint=ckpt,
+        trigger_once=True,  # drain everything outstanding, then stop
+        query_name="soak_dedup_2",
+    )
+    q2.awaitTermination(180)
+
+    back = spark.read.parquet(out)
+    texts = [r.text for r in back.collect()]
+    # exactly-once: one row per distinct content, nothing duplicated by the
+    # restart, nothing lost
+    assert sorted(texts) == ["alpha", "beta", "delta", "epsilon", "gamma", "zeta"]
+
+
+def test_streaming_kill_resume_exactly_once_scoring(spark, har_dfs, tmp_path):
+    """Restart soak, scoring leg: stateless append-mode scoring through the
+    exactly-once file sink, killed while the source is still growing and
+    resumed from the checkpoint. Every test row is scored EXACTLY once and
+    predictions equal the batch classifier's."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import (
+        score_stream_stateless,
+        stream_to_parquet,
+    )
+
+    train_df, test_df = har_dfs
+    rows = test_df.limit(10).collect()
+    schema = test_df.schema
+    src = str(tmp_path / "ssrc")
+    out = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+
+    def add_file(batch):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode("append").parquet(src)
+
+    for i in range(0, 6, 2):  # phase 1: rows 0..5 in three files
+        add_file(rows[i : i + 2])
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_to_parquet(
+        score_stream_stateless(stream, train_df, k=3), out, checkpoint=ckpt,
+        query_name="soak_score_1",
+    )
+    try:
+        assert _wait_for_rows(spark, out, 1), "no batch committed before the kill"
+    finally:
+        q.stop()
+
+    for i in range(6, 10, 2):  # phase 2: rows 6..9
+        add_file(rows[i : i + 2])
+
+    q2 = stream_to_parquet(
+        score_stream_stateless(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+            train_df,
+            k=3,
+        ),
+        out,
+        checkpoint=ckpt,
+        trigger_once=True,
+        query_name="soak_score_2",
+    )
+    q2.awaitTermination(180)
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 10  # exactly once per test row — no dupes, no losses
+    got_map = {r.test_id: r.predicted_label for r in got}
+    expect = {
+        r.test_id: r.predicted_label
+        for r in knn_classify(
+            spark.createDataFrame(rows, schema), train_df, metric="euclidean", k=3
+        ).collect()
+    }
+    assert got_map == expect

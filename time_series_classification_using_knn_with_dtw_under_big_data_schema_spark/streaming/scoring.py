@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.distance import DISTANCES, make_dtw_udf, make_fastdtw_udf, sq_euclidean
@@ -87,14 +87,20 @@ def score_stream(
             k,
         ).alias("_topk")
     )
-    # votes: for each distinct label among the k, (count, first-rank); pick
-    # max votes, then min first-rank, then label asc
-    labels = F.transform(F.col("_topk"), lambda s: s["train_label"])
+    return gathered.select(
+        "test_id", _vote_expr(F.col("_topk")).alias("predicted_label")
+    )
+
+
+def _vote_expr(topk: Column) -> Column:
+    """Majority vote over a (dist, train_label, train_id)-sorted top-k array
+    column: max votes, then min first-rank, then label asc — the
+    Counter.most_common insertion-order semantics (operators/vote.py).
+    (votes DESC, first-position ASC) is a total order here: distinct labels
+    can't share a first position, so no further label tie-break is needed —
+    max of (votes, size - first_position) structs picks the winner."""
+    labels = F.transform(topk, lambda s: s["train_label"])
     distinct_labels = F.array_distinct(labels)
-    # (votes DESC, first-position ASC) is a total order here: distinct labels
-    # can't share a first position, so no further label tie-break is needed —
-    # max of (votes, size - first_position) structs picks the winner, matching
-    # the Counter.most_common insertion-order semantics (operators/vote.py).
     scored = F.transform(
         distinct_labels,
         lambda lab: F.struct(
@@ -103,5 +109,66 @@ def score_stream(
             lab.alias("lab"),
         ),
     )
-    best = F.array_max(scored)
-    return gathered.select("test_id", best["lab"].alias("predicted_label"))
+    return F.array_max(scored)["lab"]
+
+
+def score_stream_stateless(
+    stream: DataFrame,
+    train: DataFrame,
+    *,
+    metric: str = "euclidean",
+    k: int = 1,
+    id_col: str = "series_id",
+    features_col: str = "features",
+    label_col: str = "label",
+    exclude_zero: bool = True,
+) -> DataFrame:
+    """APPEND-MODE scoring: zero streaming state, so the output feeds the
+    exactly-once file sink (sinks.py::stream_to_parquet) and a checkpointed
+    restart never duplicates a committed micro-batch — the recoverable
+    production shape for stream scoring (score_stream's groupBy form needs
+    update/complete sinks).
+
+    The train table is packed into ONE sorted array row (a groupBy().agg
+    on the STATIC side only — computed once, broadcast), and each stream
+    row evaluates its own top-k + vote as pure codegen expressions:
+    sort_array over (dist, train_label, train_id) candidate structs, slice
+    k, the same vote expression score_stream's k>1 path uses — predictions
+    are identical to knn_classify / score_stream (test-pinned).
+
+    Expression metrics only (euclidean family / cosine): Python UDFs can't
+    run inside higher-order-function lambdas, so DTW scoring stays on
+    score_stream. Train side must fit in a broadcast row, same bound as
+    any broadcast join.
+    """
+    if metric in ("dtw", "fastdtw"):
+        raise ValueError(
+            "score_stream_stateless supports expression metrics only "
+            "(euclidean family / cosine); use score_stream for DTW"
+        )
+    fn = _metric_fn(metric, None, 1)
+    if fn is None:
+        fn = sq_euclidean  # monotone rank stand-in, same order as euclidean
+    t = stream.select(F.col(id_col).alias("test_id"), F.col(features_col).alias("_tf"))
+    packed = train.groupBy().agg(
+        F.collect_list(
+            F.struct(
+                F.col(features_col).alias("_rf"),
+                F.col(label_col).alias("train_label"),
+                F.col(id_col).alias("train_id"),
+            )
+        ).alias("_train")
+    )
+    j = t.join(F.broadcast(packed))  # stream-static; static side is 1 row
+    cands = F.transform(
+        F.col("_train"),
+        lambda s: F.struct(
+            fn(s["_rf"], F.col("_tf")).alias("_d"),
+            s["train_label"].alias("train_label"),
+            s["train_id"].alias("train_id"),
+        ),
+    )
+    if exclude_zero:
+        cands = F.filter(cands, lambda s: s["_d"] != 0)
+    topk = F.slice(F.array_sort(cands), 1, k)
+    return j.select("test_id", _vote_expr(topk).alias("predicted_label"))
