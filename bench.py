@@ -250,6 +250,28 @@ def main() -> None:
         repeats=2,
     )
 
+    # --- multichannel DTW (r4): 2-channel series, dependent DTW ----------
+    # the multivariate kernels run the numpy prefix-scan (the compiled-C
+    # hot loop is univariate-only) — this entry is their perf envelope
+    mv_events = events.withColumn("ch2", F.length("event_type").cast("double"))
+    mv_series = events_to_series(
+        mv_events, value=["value", "ch2"], length=SERIES_LEN
+    ).cache()
+    mv_series.count()
+    mv_train, mv_test = split_train_test(mv_series)
+    n_mv_pairs = mv_train.count() * mv_test.count()
+    run(
+        "knn_dtw_mv_2ch_k5",
+        lambda: _mat(knn_classify(
+            mv_test, mv_train, metric="dtw", band=3, k=5, strategy="kernel"
+        )),
+        repeats=2,
+    )
+    mv_pairs_per_sec = (
+        round(n_mv_pairs / timings["knn_dtw_mv_2ch_k5"])
+        if timings.get("knn_dtw_mv_2ch_k5") else None
+    )
+
     # --- training-data pipeline operators --------------------------------
     run("dedup_exact", lambda: _mat(entry_mod._q16_dedup_exact(spark, sf_dir)), repeats=2)
     run("dedup_minhash_lsh", lambda: _mat(entry_mod._q18_dedup_minhash_lsh(spark, sf_dir)), repeats=2)
@@ -404,6 +426,7 @@ def main() -> None:
                 # projections) + measured envelopes for the guarded scale
                 # fallbacks (ratio = fallback_time / fast_path_time)
                 "materialization": "noop",
+                "mv_dtw_2ch_pairs_per_sec": mv_pairs_per_sec,
                 "fb_dtw561_banded_shuffle_pairs_per_sec": fb_dtw561_pairs_per_sec,
                 "fallback_ratios": fallback_ratios,
             }

@@ -58,10 +58,21 @@ def sweep_dtw(trials: int, seed: int) -> int:
         else:  # heavy ties
             A = rng.integers(0, 4, size=(bs, n)).astype(float)
             B = rng.integers(0, 4, size=(bs, m)).astype(float)
+        if trial % 5 == 4:  # multivariate leg: (length, channels) points
+            ch = int(rng.integers(2, 5))
+            A = np.stack([A] + [A * 0.5 + rng.normal(size=A.shape) for _ in range(ch - 1)], axis=2)
+            B = np.stack([B] + [B * 0.5 + rng.normal(size=B.shape) for _ in range(ch - 1)], axis=2)
         band = [None, 0, 1, 3, 7, 1000][trial % 6]
         got = dtw_batch(A, B, band=band)
         ref = np.array([dtw_pair(a, b, band=band) for a, b in zip(A, B)])
-        if not np.array_equal(got, ref):
+        if A.ndim == 3:
+            # multivariate runs the numpy prefix-scan (no C route): the scan
+            # reassociates floats, so near-equality, not bit-equality
+            with np.errstate(invalid="ignore"):
+                ok = np.allclose(got, ref, rtol=1e-9, atol=1e-9, equal_nan=True)
+        else:
+            ok = np.array_equal(got, ref)
+        if not ok:
             fails += 1
             print(f"DTW MISMATCH trial={trial} n={n} m={m} bs={bs} band={band}")
         radius = [1, 1, 2, 3][trial % 4]
