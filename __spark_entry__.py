@@ -2124,6 +2124,21 @@ def _q113_knn_dtw_multichannel(spark, sf_dir):
     )
 
 
+def _q114_source_cap(spark, sf_dir):
+    """Domain-frequency capping (operators/corpus.py::cap_per_source — the
+    RefinedWeb/C4 per-domain cap): keep at most 20 docs per source,
+    preferring highest token count (total order: n_tokens DESC, doc_id
+    ASC). One rank window on the group key; WindowGroupLimit makes the
+    per-map-partition limit partial, which is what tames the mega-domain
+    skew case this operator exists for."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import cap_per_source
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = cap_per_source(docs, cap=20)
+    return out.select("doc_id", "source", "n_tokens", F.col("rank").cast("int").alias("rank"))
+
+
 def _q104_duplicate_spans(spark, sf_dir):
     """Maximal cross-document duplicated token regions (operators/corpus.py
     ::duplicate_spans — the Lee et al. 2021 ExactSubstr dedup shape):
@@ -2252,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_bpe_ids": _q111_bpe_ids,
         "q112_jpeg_progressive_real": _q112_jpeg_progressive_real,
         "q113_knn_dtw_multichannel": _q113_knn_dtw_multichannel,
+        "q114_source_cap": _q114_source_cap,
     }
 
 
@@ -4742,6 +4758,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT test_id, train_id, cast(rank AS int) AS rank,
                round(dist, 6) AS distance
         FROM ranked WHERE rank <= 3
+    """
+
+    # q114: per-source cap — same window total order as the Spark plan
+    out["q114_source_cap"] = f"""
+        WITH t AS (
+            SELECT doc_id, source, cast(len({_SQL_TOKENS}) AS int) AS n_tokens
+            FROM documents
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY source
+                        ORDER BY n_tokens DESC, doc_id ASC) AS rank
+            FROM t
+        )
+        SELECT doc_id, source, n_tokens, cast(rank AS int) AS rank
+        FROM ranked WHERE rank <= 20
     """
 
     # q112: progressive-JPEG decode with nonzero AC — the oracle recomputes

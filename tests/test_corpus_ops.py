@@ -408,3 +408,34 @@ def test_hash_embed_kernel_expr_parity_fuzz(spark):
     e = {r.doc_id: list(r.embedding)
          for r in hash_embed(df, dim=8, strategy="expr").collect()}
     assert k == e and len(k) == len(rows)
+
+
+def test_cap_per_source_caps_and_prefers_long_docs(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import cap_per_source
+
+    rows = (
+        [(i, "mega.com", "w " * (i + 1)) for i in range(30)]   # 30-doc domain
+        + [(100, "tiny.org", "a b c"), (101, "tiny.org", "a")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = cap_per_source(df, cap=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src["mega.com"]) == 5  # capped
+    # longest docs kept: ids 25..29 (token counts 26..30)
+    assert sorted(r.doc_id for r in by_src["mega.com"]) == [25, 26, 27, 28, 29]
+    assert len(by_src["tiny.org"]) == 2  # under the cap: all kept
+    # deterministic rank: n_tokens DESC then id ASC
+    mega = sorted(by_src["mega.com"], key=lambda r: r.rank)
+    assert [r.doc_id for r in mega] == [29, 28, 27, 26, 25]
+
+
+def test_cap_per_source_plan_has_partial_window_limit(spark):
+    """The mega-domain defense: WindowGroupLimit must appear in the plan so
+    a giant source ships at most cap rows per map partition."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import cap_per_source
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = cap_per_source(docs, cap=3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -304,3 +304,19 @@ def test_multichannel_kernel_rejects_non_dtw_metric(spark):
     )
     with pytest.raises(ValueError, match="multichannel"):
         knn_join(df, df, metric="euclidean", k=2, strategy="kernel").collect()
+
+
+def test_multichannel_pruned_paths_reject_cleanly(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        knn_join_lb,
+        knn_join_pruned,
+    )
+
+    rows = [(i, [[1.0, 2.0]] * 8, "a") for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "series_id long, features array<array<double>>, label string"
+    )
+    with pytest.raises(ValueError, match="flat series"):
+        knn_join_pruned(df, df, metric="fastdtw", k=2, length=8)
+    with pytest.raises(ValueError, match="flat series"):
+        knn_join_lb(df, df, metric="dtw", k=2, length=8, band=2)

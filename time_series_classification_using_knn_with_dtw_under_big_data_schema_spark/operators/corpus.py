@@ -855,3 +855,38 @@ def duplicate_spans(
             F.col("_nw").cast("int").alias("n_windows"),
         )
     )
+
+
+def cap_per_source(
+    docs: DataFrame,
+    *,
+    cap: int = 20,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-frequency capping (the RefinedWeb / C4 per-domain cap): keep
+    at most ``cap`` documents per ``group_col``, preferring the
+    highest-token-count documents (total order: n_tokens DESC, id ASC — a
+    deterministic quality proxy any engine reproduces exactly).
+
+    A single rank window partitioned by the group: Catalyst's
+    WindowGroupLimit inserts the PARTIAL limit before the shuffle, so a
+    mega-domain (the skew case this operator exists for — one host
+    contributing millions of pages) ships at most ``cap`` rows per map
+    partition instead of its whole slice; state after the shuffle is
+    ``cap`` rows per domain. No collect, one shuffle on the group key.
+
+    Output: (id_col, group_col, n_tokens, rank) for KEPT documents only.
+    """
+    from ..functions.text import token_count
+    from .topk import topk_per_key
+
+    t = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    return topk_per_key(
+        t, group_col, [F.desc("n_tokens"), F.asc(id_col)], cap
+    ).select(id_col, group_col, "n_tokens", "rank")

@@ -370,8 +370,16 @@ def knn_join_pruned(
     it is a (good) heuristic filter — recall measured in tests. Output schema
     = knn_join's.
     """
+    from pyspark.sql.types import ArrayType
+
     from ..functions.arrays import paa
 
+    if isinstance(test.schema[features_col].dataType.elementType, ArrayType):
+        raise ValueError(
+            "knn_join_pruned expects flat series (array<double>); for "
+            "multichannel series use knn_join (any strategy) — the PAA "
+            "sketch prefilter is univariate"
+        )
     C = candidates_per_test if candidates_per_test is not None else 4 * k
 
     t = test.select(
@@ -490,11 +498,19 @@ def knn_join_lb(
     cached via register_cache, the pair-level LB table is recomputed
     (codegen) rather than cached.
     """
+    from pyspark.sql.types import ArrayType
+
     from ..caching import register_cache
     from ..functions.arrays import paa
 
     if callable(metric) or metric not in ("dtw", "fastdtw"):
         raise ValueError("knn_join_lb requires metric='dtw' or 'fastdtw'")
+    if isinstance(test.schema[features_col].dataType.elementType, ArrayType):
+        raise ValueError(
+            "knn_join_lb expects flat series (array<double>); for "
+            "multichannel series use knn_join — the envelope bound is "
+            "univariate"
+        )
     C = max(candidates_per_test if candidates_per_test is not None else 4 * k, k)
     fn, _ = _resolve_metric(metric, band, fastdtw_radius)
     r_env = band if band is not None else length
