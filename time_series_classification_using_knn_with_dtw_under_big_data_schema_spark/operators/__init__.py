@@ -16,7 +16,10 @@ from .similarity import (  # noqa: F401
     ann_brute_topk,
     ann_ivf_topk,
     ann_lsh_topk,
+    ann_pq_topk,
     ann_quantized_topk,
+    pq_encode,
+    pq_train,
     quantize_embeddings,
     random_project,
 )

@@ -23,10 +23,10 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.distance import cosine_distance, dot
+from ..functions.distance import cosine_distance, dot, sq_euclidean
 from ..functions.text import HASH_P
 from .topk import topk_per_key
 
@@ -536,4 +536,260 @@ def ann_quantized_topk(
     top = topk_per_key(cand, "query_id", [F.asc("_d"), F.asc("neighbor_id")], k)
     return top.select(
         "query_id", "neighbor_id", "rank", F.round("_d", 6).alias("q_cos_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) search — the
+# FAISS-style IVF-PQ compression leg of the ANN stack (r4)
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train a product-quantization codebook (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each vector into
+    ``n_subspaces`` contiguous subvectors and run an independent k-means
+    (``n_codes`` centroids) per subspace. Fully deterministic — seeds are
+    the subvectors of the first vector of each of ``n_codes`` id-ordered
+    ntile tiles (strided across the id space; code = tile index),
+    the refit is the fixed-point int64-micro mean (cluster.py's trick), and
+    every argmin tie-breaks on (distance, code) — so a SQL oracle replays
+    training exactly.
+
+    Output: (subspace, code, centroid array<double>) — n_subspaces *
+    n_codes rows (minus clusters that attracted no members, exactly like
+    Lloyd's algorithm). ALL subspaces train in ONE plan: the subvector
+    fan-out is an explode over the scan, each Lloyd pass is one
+    broadcast-join + map-side-partial min_by, each refit one
+    (subspace, code, dim)-keyed partial aggregate — 100 TB cost is
+    O(iters) corpus passes, never per-subspace jobs.
+    """
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    d = dim // n_subspaces
+    scale = 1_000_000
+    c = corpus.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    sub = c.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("subspace"),
+                        F.slice("_v", m * d + 1, d).alias("_sv"),
+                    )
+                    for m in range(n_subspaces)
+                ]
+            )
+        ).alias("_s"),
+    ).select("_id", F.col("_s.subspace").alias("subspace"), F.col("_s._sv").alias("_sv"))
+
+    # STRIDED seeds: the first vector of each of n_codes equal id-ordered
+    # tiles (ntile) — deterministic and spread across the id space, unlike
+    # lowest-id seeds which all land in one region when ids correlate with
+    # content (measured: clustered-blob recall 0.59 -> 0.95 at rerank=30)
+    w = Window.partitionBy("subspace").orderBy("_id")
+    wt = Window.partitionBy("subspace", "_tile").orderBy("_id")
+    cent = (
+        sub.withColumn("_tile", F.ntile(n_codes).over(w))
+        .withColumn("_rn", F.row_number().over(wt))
+        .filter(F.col("_rn") == 1)
+        .select("subspace", (F.col("_tile") - 1).alias("code"), F.col("_sv").alias("_cv"))
+    )
+
+    def assign(cent_df):
+        return (
+            sub.join(F.broadcast(cent_df), "subspace")
+            .withColumn("_d", sq_euclidean(F.col("_sv"), F.col("_cv")))
+            .groupBy("_id", "subspace")
+            .agg(F.min_by(F.struct("code", "_sv"), F.struct("_d", "code")).alias("_m"))
+            .select("_id", "subspace", F.col("_m.code").alias("code"), F.col("_m._sv").alias("_sv"))
+        )
+
+    for _ in range(max(iters - 1, 0)):
+        asn = assign(cent)
+        e = asn.select(
+            "subspace", "code", F.posexplode("_sv").alias("dim", "_x")
+        ).select(
+            "subspace", "code", "dim",
+            F.round(F.col("_x") * scale).cast("long").alias("_f"),
+        )
+        cent = (
+            e.groupBy("subspace", "code", "dim")
+            .agg(F.count(F.lit(1)).alias("_n"), F.sum("_f").alias("_s"))
+            .select(
+                "subspace", "code", "dim",
+                (F.col("_s").cast("double") / (F.col("_n") * F.lit(scale)).cast("double")).alias("_c"),
+            )
+            .groupBy("subspace", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "_c"))), lambda s: s["_c"]
+                ).alias("_cv")
+            )
+        )
+    return cent.select("subspace", "code", F.col("_cv").alias("centroid"))
+
+
+def _pq_subvectors(df: DataFrame, n_subspaces: int, d: int, id_col: str, vec_col: str) -> DataFrame:
+    c = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    return c.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("subspace"), F.slice("_v", m * d + 1, d).alias("_sv"))
+                    for m in range(n_subspaces)
+                ]
+            )
+        ).alias("_s"),
+    ).select("_id", F.col("_s.subspace").alias("subspace"), F.col("_s._sv").alias("_sv"))
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    *,
+    n_subspaces: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against a trained codebook: per subspace the nearest
+    centroid's code ((distance, code) tie order). Output: (id_col, codes
+    array<int>, subspace-ascending) — dim * 8 bytes of float64 become
+    n_subspaces small ints (the whole point: the candidate join at scale
+    moves CODES, not vectors)."""
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    d = dim // n_subspaces
+    sub = _pq_subvectors(df, n_subspaces, d, id_col, vec_col)
+    cb = codebook.select("subspace", "code", F.col("centroid").alias("_cv"))
+    best = (
+        sub.join(F.broadcast(cb), "subspace")
+        .withColumn("_d", sq_euclidean(F.col("_sv"), F.col("_cv")))
+        .groupBy("_id", "subspace")
+        .agg(F.min_by(F.col("code"), F.struct("_d", "code")).alias("code"))
+    )
+    return best.groupBy("_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    ).select(F.col("_id").alias(id_col), "codes")
+
+
+def ann_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    codebook: DataFrame | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance (ADC): corpus vectors are
+    quantized to ``n_subspaces`` codes; each query precomputes its
+    (subspace, code) -> squared-subdistance table ONCE, and every candidate
+    scores as a sum of ``n_subspaces`` table lookups over its codes — the
+    FAISS IVF-PQ scoring kernel as a pure Catalyst plan.
+
+    Plan shape (the 100 TB story): codebook is tiny (n_subspaces * n_codes
+    rows, broadcast everywhere); the distance tables are
+    n_queries * n_subspaces * n_codes rows folded into ONE map column per
+    query and broadcast into the candidate cross join, which therefore
+    moves only (neighbor_id, codes) — 8 ints per corpus row instead of the
+    full vector (64 doubles): ~32x less candidate-join traffic than brute
+    float. The fold over subspaces is ascending-m left addition (exact
+    IEEE order, mirrored by the oracle's ordered list_reduce).
+
+    ``rerank``: the production recipe — take the top-``rerank`` ADC
+    candidates per query (cheap, code-space), then score exactly (squared
+    euclidean on the FULL vectors) only those and re-rank. The exact pass
+    touches rerank << corpus vectors per query, so the compressed
+    candidate join still dominates the byte movement while recall is set
+    by the shortlist, not the quantizer (measured in tests). Output then
+    carries ``l2_dist`` (exact squared euclidean) instead of adc_dist.
+
+    Output: (query_id, neighbor_id, rank, adc_dist rounded to 6dp) —
+    adc_dist approximates SQUARED euclidean distance; ranking quality is
+    bounded by quantization error (recall measured in tests vs brute).
+    """
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    d = dim // n_subspaces
+    if codebook is None:
+        codebook = pq_train(
+            corpus, n_subspaces=n_subspaces, n_codes=n_codes, iters=iters,
+            dim=dim, id_col=id_col, vec_col=vec_col,
+        )
+    cb = codebook.select("subspace", "code", F.col("centroid").alias("_cv"))
+    codes = pq_encode(
+        corpus, codebook, n_subspaces=n_subspaces, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    ).select(F.col(id_col).alias("neighbor_id"), "codes")
+    qsub = _pq_subvectors(queries, n_subspaces, d, id_col, vec_col)
+    # per-query ADC table as ONE map column: key = subspace * 256 + code
+    dt = (
+        qsub.join(F.broadcast(cb), "subspace")
+        .withColumn("_d", sq_euclidean(F.col("_sv"), F.col("_cv")))
+        .groupBy("_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (F.col("subspace") * 256 + F.col("code")).alias("key"),
+                            F.col("_d").alias("value"),
+                        )
+                    )
+                )
+            ).alias("_dt")
+        )
+        .select(F.col("_id").alias("query_id"), "_dt")
+    )
+    pairs = codes.crossJoin(F.broadcast(dt))
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(F.col("_dt"), m * 256 + F.element_at(F.col("codes"), m + 1)),
+    )
+    pairs = pairs.withColumn("_d", score)
+    if rerank is None:
+        top = topk_per_key(pairs, "query_id", [F.asc("_d"), F.asc("neighbor_id")], k)
+        return top.select(
+            "query_id", "neighbor_id", "rank", F.round("_d", 6).alias("adc_dist")
+        )
+    C = max(rerank, k)
+    cands = topk_per_key(
+        pairs, "query_id", [F.asc("_d"), F.asc("neighbor_id")], C
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv"))
+    exact = (
+        cands.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("_e", sq_euclidean(F.col("_qv"), F.col("_cv")))
+    )
+    top = topk_per_key(exact, "query_id", [F.asc("_e"), F.asc("neighbor_id")], k)
+    return top.select(
+        "query_id", "neighbor_id", "rank", F.round("_e", 6).alias("l2_dist")
     )
