@@ -297,6 +297,9 @@ def main() -> None:
     run("bpe_train_encode", lambda: _mat(entry_mod._q103_bpe_encode(spark, sf_dir)), repeats=2)
     run("duplicate_spans", lambda: _mat(entry_mod._q104_duplicate_spans(spark, sf_dir)), repeats=2)
     run("hll_distinct", lambda: _mat(entry_mod._q107_hll_distinct(spark, sf_dir)), repeats=2)
+    run("source_cap", lambda: _mat(entry_mod._q114_source_cap(spark, sf_dir)), repeats=2)
+    # PQ end-to-end: subspace k-means training + encode + ADC + exact rerank
+    run("ann_pq_rerank", lambda: _mat(entry_mod._q115_ann_pq(spark, sf_dir)), repeats=2)
 
     # --- fallback tier: the guarded 100 TB paths --------------------------
     # Each fb_* entry runs the SAME input as its fast-path twin but forces
