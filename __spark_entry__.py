@@ -2158,6 +2158,25 @@ def _q115_ann_pq(spark, sf_dir):
     return ann_pq_topk(q, emb, k=5, rerank=64)
 
 
+def _q116_ann_ivfpq(spark, sf_dir):
+    """Residual IVF-PQ (operators/similarity.py::ann_ivfpq_topk) — the
+    full FAISS production index as ONE Catalyst plan: coarse k-means cells
+    (q93's machinery) partition the corpus, PQ codebooks train on the
+    RESIDUALS v - cell_centroid (Jegou et al. 2011 SIV), queries probe 4
+    cells with a per-cell ADC table over their own residual, candidates
+    score as ordered code-lookup folds, top-64 re-ranks exactly. The
+    oracle replays the COMPLETE index build and search — coarse Lloyd
+    training, residuals, subspace PQ training, encoding, per-cell ADC,
+    shortlist, rerank. Measured recall vs brute-L2: 0.988 on clustered
+    blobs (the index's design regime)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import ann_ivfpq_topk
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    return ann_ivfpq_topk(q, emb, k=5, n_lists=16, n_probe=4, rerank=64)
+
+
 def _q104_duplicate_spans(spark, sf_dir):
     """Maximal cross-document duplicated token regions (operators/corpus.py
     ::duplicate_spans — the Lee et al. 2021 ExactSubstr dedup shape):
@@ -2288,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_knn_dtw_multichannel": _q113_knn_dtw_multichannel,
         "q114_source_cap": _q114_source_cap,
         "q115_ann_pq": _q115_ann_pq,
+        "q116_ann_ivfpq": _q116_ann_ivfpq,
     }
 
 
@@ -3078,6 +3098,74 @@ def _sql_ann_ivf_kmeans(
                round(d, 6) AS cos_dist
         FROM ranked WHERE rank <= {k}
     """
+
+
+
+def _sql_sqd_n(a: str, b: str, n: int) -> str:
+    """Left-fold squared distance over the first n positions (the sq_euclidean
+    zip_with+aggregate op order)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {n + 1}),"
+        f" i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i]))), (x, y) -> x + y)"
+    )
+
+
+def _sql_pq_ctes(
+    src: str, pfx: str = "pq", n_subspaces: int = 8, n_codes: int = 16, d: int = 8
+) -> str:
+    """Mirror of operators/similarity.py::pq_train + pq_encode over a source
+    relation ``src`` with columns (vec_id, v): strided ntile seeds, one
+    fixed-point refit, nearest-code encoding. Emits prefixed CTEs ending at
+    ``{pfx}cent`` (subspace, code, cv) and ``{pfx}codes``
+    (vec_id, subspace, code)."""
+    sqd = _sql_sqd_n
+    return f"""{pfx}sub AS (
+            SELECT {src}.vec_id, m.m AS subspace,
+                   list_slice({src}.v, m.m*{d}+1, m.m*{d}+{d}) AS sv
+            FROM {src}, (SELECT unnest(range(0, {n_subspaces})) AS m) m(m)
+        ),
+        {pfx}tiles AS (
+            SELECT *, ntile({n_codes}) OVER (PARTITION BY subspace
+                                             ORDER BY vec_id) AS tile
+            FROM {pfx}sub
+        ),
+        {pfx}cent0 AS (
+            SELECT subspace, tile - 1 AS code, sv AS cv FROM (
+                SELECT *, row_number() OVER (PARTITION BY subspace, tile
+                                             ORDER BY vec_id) AS rn
+                FROM {pfx}tiles
+            ) WHERE rn = 1
+        ),
+        {pfx}asn0 AS (
+            SELECT vec_id, subspace, code FROM (
+                SELECT s.vec_id, s.subspace, c0.code,
+                       row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                           ORDER BY {sqd('s.sv', 'c0.cv', d)} ASC, c0.code ASC) AS rn
+                FROM {pfx}sub s JOIN {pfx}cent0 c0 USING (subspace)
+            ) WHERE rn = 1
+        ),
+        {pfx}csums AS (
+            SELECT a.subspace, a.code, dd.dim, count(*) AS n,
+                   sum(cast(round(s.sv[dd.dim + 1] * 1000000) AS bigint)) AS sm
+            FROM {pfx}asn0 a
+            JOIN {pfx}sub s ON s.vec_id = a.vec_id AND s.subspace = a.subspace
+            CROSS JOIN (SELECT unnest(range(0, {d})) AS dim) dd
+            GROUP BY a.subspace, a.code, dd.dim
+        ),
+        {pfx}cent AS (
+            SELECT subspace, code,
+                   list(cast(sm AS double) / cast(n * 1000000 AS double)
+                        ORDER BY dim) AS cv
+            FROM {pfx}csums GROUP BY subspace, code
+        ),
+        {pfx}codes AS (
+            SELECT vec_id, subspace, code FROM (
+                SELECT s.vec_id, s.subspace, c1.code,
+                       row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                           ORDER BY {sqd('s.sv', 'c1.cv', d)} ASC, c1.code ASC) AS rn
+                FROM {pfx}sub s JOIN {pfx}cent c1 USING (subspace)
+            ) WHERE rn = 1
+        )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4780,70 +4868,96 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rank <= 3
     """
 
+    # q116: residual IVF-PQ full replay — coarse kmeans CTEs (lowest-id
+    # seeds, the q87/q93 machinery) + residuals + the prefixed PQ chain on
+    # residuals + per-(query, cell) ADC tables + shortlist + exact rerank
+    out["q116_ann_ivfpq"] = f"""
+        WITH {_sql_kmeans_ctes(k=16)},
+        resid AS (
+            SELECT c.vec_id, a.cluster AS cell,
+                   list_transform(range(1, 65), i -> c.v[i] - ct.cv[i]) AS v
+            FROM c
+            JOIN asn1 a USING (vec_id)
+            JOIN cent1 ct ON ct.cluster = a.cluster
+        ),
+        rsrc AS (SELECT vec_id, v FROM resid),
+        {_sql_pq_ctes('rsrc')},
+        qpr AS (
+            SELECT query_id, cell, qr FROM (
+                SELECT c.vec_id AS query_id, ct.cluster AS cell,
+                       list_transform(range(1, 65), i -> c.v[i] - ct.cv[i]) AS qr,
+                       row_number() OVER (PARTITION BY c.vec_id
+                           ORDER BY {_sql_sqd_n('c.v', 'ct.cv', 64)} ASC,
+                                    ct.cluster ASC) AS rn
+                FROM c CROSS JOIN cent1 ct
+                WHERE c.vec_id % 25 = 0
+            ) WHERE rn <= 4
+        ),
+        qdt AS (
+            SELECT p.query_id, p.cell, m.m AS subspace, c1.code,
+                   {_sql_sqd_n('list_slice(p.qr, m.m*8+1, m.m*8+8)', 'c1.cv', 8)} AS d
+            FROM qpr p
+            CROSS JOIN (SELECT unnest(range(0, 8)) AS m) m(m)
+            JOIN pqcent c1 ON c1.subspace = m.m
+        ),
+        kc AS (
+            SELECT pc.vec_id, pc.subspace, pc.code, r.cell
+            FROM pqcodes pc JOIN (SELECT DISTINCT vec_id, cell FROM resid) r
+            USING (vec_id)
+        ),
+        adc AS (
+            SELECT q.query_id, k.vec_id AS neighbor_id,
+                   list_reduce(list_prepend(0.0, list(q.d ORDER BY q.subspace)),
+                               (x, y) -> x + y) AS score
+            FROM kc k
+            JOIN qdt q ON q.cell = k.cell AND q.subspace = k.subspace
+                      AND q.code = k.code
+            WHERE q.query_id != k.vec_id
+            GROUP BY q.query_id, k.vec_id
+        ),
+        cand AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY score ASC, neighbor_id ASC) AS rn
+                FROM adc
+            ) WHERE rn <= 64
+        ),
+        exact AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   {_sql_sqd_n('qc.v', 'nc.v', 64)} AS e
+            FROM cand
+            JOIN c qc ON qc.vec_id = cand.query_id
+            JOIN c nc ON nc.vec_id = cand.neighbor_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY e ASC, neighbor_id ASC) AS rank
+            FROM exact
+        )
+        SELECT query_id, neighbor_id, cast(rank AS int) AS rank,
+               round(e, 6) AS l2_dist
+        FROM ranked WHERE rank <= 5
+    """
+
     # q115: full PQ replay — subspace k-means (ntile seeds, int64-micro
     # refit), encode, ordered ADC fold, top-64 shortlist, exact rerank
-    out["q115_ann_pq"] = """
+    out["q115_ann_pq"] = f"""
         WITH c AS (
             SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
             FROM embeddings
         ),
-        sub AS (
-            SELECT c.vec_id, m.m AS subspace,
-                   list_slice(c.v, m.m*8+1, m.m*8+8) AS sv
-            FROM c, (SELECT unnest(range(0, 8)) AS m) m(m)
-        ),
-        tiles AS (
-            SELECT *, ntile(16) OVER (PARTITION BY subspace ORDER BY vec_id) AS tile
-            FROM sub
-        ),
-        cent0 AS (
-            SELECT subspace, tile - 1 AS code, sv AS cv FROM (
-                SELECT *, row_number() OVER (PARTITION BY subspace, tile
-                                             ORDER BY vec_id) AS rn
-                FROM tiles
-            ) WHERE rn = 1
-        ),
-        asn0 AS (
-            SELECT vec_id, subspace, code FROM (
-                SELECT s.vec_id, s.subspace, c0.code,
-                       row_number() OVER (PARTITION BY s.vec_id, s.subspace
-                           ORDER BY list_reduce(list_prepend(0.0, list_transform(range(1, 9), i -> (s.sv[i]-c0.cv[i])*(s.sv[i]-c0.cv[i]))), (x, y) -> x + y) ASC, c0.code ASC) AS rn
-                FROM sub s JOIN cent0 c0 USING (subspace)
-            ) WHERE rn = 1
-        ),
-        csums AS (
-            SELECT a.subspace, a.code, d.dim, count(*) AS n,
-                   sum(cast(round(s.sv[d.dim + 1] * 1000000) AS bigint)) AS sm
-            FROM asn0 a
-            JOIN sub s ON s.vec_id = a.vec_id AND s.subspace = a.subspace
-            CROSS JOIN (SELECT unnest(range(0, 8)) AS dim) d
-            GROUP BY a.subspace, a.code, d.dim
-        ),
-        cent1 AS (
-            SELECT subspace, code,
-                   list(cast(sm AS double) / cast(n * 1000000 AS double)
-                        ORDER BY dim) AS cv
-            FROM csums GROUP BY subspace, code
-        ),
-        codes AS (
-            SELECT vec_id, subspace, code FROM (
-                SELECT s.vec_id, s.subspace, c1.code,
-                       row_number() OVER (PARTITION BY s.vec_id, s.subspace
-                           ORDER BY list_reduce(list_prepend(0.0, list_transform(range(1, 9), i -> (s.sv[i]-c1.cv[i])*(s.sv[i]-c1.cv[i]))), (x, y) -> x + y) ASC, c1.code ASC) AS rn
-                FROM sub s JOIN cent1 c1 USING (subspace)
-            ) WHERE rn = 1
-        ),
+        {_sql_pq_ctes('c')},
         qdt AS (
             SELECT s.vec_id AS query_id, s.subspace, c1.code,
-                   list_reduce(list_prepend(0.0, list_transform(range(1, 9), i -> (s.sv[i]-c1.cv[i])*(s.sv[i]-c1.cv[i]))), (x, y) -> x + y) AS d
-            FROM sub s JOIN cent1 c1 USING (subspace)
+                   {_sql_sqd_n('s.sv', 'c1.cv', 8)} AS d
+            FROM pqsub s JOIN pqcent c1 USING (subspace)
             WHERE s.vec_id % 25 = 0
         ),
         adc AS (
             SELECT q.query_id, k.vec_id AS neighbor_id,
                    list_reduce(list_prepend(0.0, list(q.d ORDER BY q.subspace)),
                                (x, y) -> x + y) AS score
-            FROM codes k
+            FROM pqcodes k
             JOIN qdt q ON q.subspace = k.subspace AND q.code = k.code
             WHERE q.query_id != k.vec_id
             GROUP BY q.query_id, k.vec_id
@@ -4857,7 +4971,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         exact AS (
             SELECT cand.query_id, cand.neighbor_id,
-                   list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> (qc.v[i]-nc.v[i])*(qc.v[i]-nc.v[i]))), (x, y) -> x + y) AS e
+                   {_sql_sqd_n('qc.v', 'nc.v', 64)} AS e
             FROM cand
             JOIN c qc ON qc.vec_id = cand.query_id
             JOIN c nc ON nc.vec_id = cand.neighbor_id

@@ -300,6 +300,8 @@ def main() -> None:
     run("source_cap", lambda: _mat(entry_mod._q114_source_cap(spark, sf_dir)), repeats=2)
     # PQ end-to-end: subspace k-means training + encode + ADC + exact rerank
     run("ann_pq_rerank", lambda: _mat(entry_mod._q115_ann_pq(spark, sf_dir)), repeats=2)
+    # residual IVF-PQ: coarse cells + residual PQ + per-cell ADC + rerank
+    run("ann_ivfpq", lambda: _mat(entry_mod._q116_ann_ivfpq(spark, sf_dir)), repeats=2)
 
     # --- fallback tier: the guarded 100 TB paths --------------------------
     # Each fb_* entry runs the SAME input as its fast-path twin but forces

@@ -330,3 +330,31 @@ def test_pq_dim_validation(spark):
     df = _vec_df(spark, [(0, [1.0] * 64)])
     with pytest.raises(ValueError, match="divisible"):
         pq_train(df, n_subspaces=7)
+
+
+def test_ivfpq_recall_and_determinism(blobs64):
+    """Residual IVF-PQ (q116's operator) on its design regime: coarse cells
+    capture the blobs, residual PQ + rerank recovers the true neighbors.
+    Pin recall >= 0.95 vs brute L2 (measured 0.988) and exact
+    reproducibility."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import ann_ivfpq_topk
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.topk import topk_per_key
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.distance import sq_euclidean
+
+    q = blobs64.filter("vec_id % 15 = 0")
+    cc = blobs64.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cv"))
+    p = (
+        q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        .crossJoin(F.broadcast(cc))
+        .filter("qid != nid")
+        .withColumn("d", sq_euclidean("qv", "cv"))
+    )
+    brute = {
+        (r.qid, r.nid)
+        for r in topk_per_key(p, "qid", [F.asc("d"), F.asc("nid")], 5).collect()
+    }
+    a = ann_ivfpq_topk(q, blobs64, k=5, n_probe=4, rerank=64).collect()
+    got = {(r.query_id, r.neighbor_id) for r in a}
+    assert len(brute & got) / len(brute) >= 0.95
+    b = ann_ivfpq_topk(q, blobs64, k=5, n_probe=4, rerank=64).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

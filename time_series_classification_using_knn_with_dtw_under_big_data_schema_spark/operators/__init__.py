@@ -16,6 +16,7 @@ from .similarity import (  # noqa: F401
     ann_brute_topk,
     ann_ivf_topk,
     ann_lsh_topk,
+    ann_ivfpq_topk,
     ann_pq_topk,
     ann_quantized_topk,
     pq_encode,

@@ -793,3 +793,146 @@ def ann_pq_topk(
     return top.select(
         "query_id", "neighbor_id", "rank", F.round("_e", 6).alias("l2_dist")
     )
+
+
+def ann_ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    rerank: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Residual IVF-PQ — the full FAISS production index as one Catalyst
+    plan: coarse k-means cells partition the corpus (candidate generation,
+    q93's machinery), PQ codebooks train on the RESIDUALS r = v - cell
+    centroid (Jegou et al. 2011 §IV: residual energy is far below vector
+    energy, so the same code budget quantizes much finer), queries probe
+    ``n_probe`` cells with a PER-CELL ADC table over their own residual,
+    candidates score as ordered table-lookup folds over their codes, and
+    the top-``rerank`` shortlist re-ranks by exact squared euclidean.
+
+    100 TB shape: both trainings are bounded state (n_lists coarse
+    centroids; n_subspaces * n_codes residual codebook — broadcast
+    everywhere); the corpus-side index is (cell, codes) = ~9 small ints
+    per vector; the search never touches unprobed cells and moves only
+    codes until the ``rerank``-bounded exact pass. Fully deterministic
+    (strided seeds, fixed-point refits, total-order tie-breaks), so the
+    ENTIRE index build + search replays in the DuckDB oracle (q116).
+
+    Output: (query_id, neighbor_id, rank, l2_dist rounded to 6dp).
+    """
+    from .cluster import kmeans_centroids
+
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    d = dim // n_subspaces
+    c = corpus.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    q = queries.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    coarse = kmeans_centroids(
+        corpus, k=n_lists, iters=iters, id_col=id_col, vec_col=vec_col
+    ).select(F.col("cluster").alias("cell"), F.col("vector").alias("_cellv"))
+
+    # corpus: nearest cell + residual
+    casn = (
+        c.crossJoin(F.broadcast(coarse))
+        .withColumn("_d", sq_euclidean(F.col("_v"), F.col("_cellv")))
+        .groupBy("_id")
+        .agg(
+            F.min_by(F.struct("cell", "_cellv", "_v"), F.struct("_d", "cell")).alias("_m")
+        )
+        .select(
+            "_id",
+            F.col("_m.cell").alias("cell"),
+            F.zip_with(F.col("_m._v"), F.col("_m._cellv"), lambda a, b: a - b).alias("_r"),
+        )
+    )
+    resid = casn.select(F.col("_id").alias(id_col), F.col("_r").alias(vec_col))
+    codebook = pq_train(
+        resid, n_subspaces=n_subspaces, n_codes=n_codes, iters=iters,
+        dim=dim, id_col=id_col, vec_col=vec_col,
+    )
+    codes = (
+        pq_encode(
+            resid, codebook, n_subspaces=n_subspaces, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+        .withColumnRenamed(id_col, "neighbor_id")
+        .join(casn.select(F.col("_id").alias("neighbor_id"), "cell"), "neighbor_id")
+    )
+
+    # queries: probe n_probe cells, one residual (and one ADC table) per probe
+    probes = (
+        q.crossJoin(F.broadcast(coarse))
+        .withColumn("_d", sq_euclidean(F.col("_v"), F.col("_cellv")))
+    )
+    probes = topk_per_key(probes, "_id", [F.asc("_d"), F.asc("cell")], n_probe)
+    qres = probes.select(
+        F.col("_id").alias("query_id"),
+        "cell",
+        F.zip_with(F.col("_v"), F.col("_cellv"), lambda a, b: a - b).alias("_qr"),
+    )
+    qsub = qres.select(
+        "query_id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("subspace"), F.slice("_qr", m * d + 1, d).alias("_sv"))
+                    for m in range(n_subspaces)
+                ]
+            )
+        ).alias("_s"),
+    ).select("query_id", "cell", F.col("_s.subspace").alias("subspace"), F.col("_s._sv").alias("_sv"))
+    cb = codebook.select("subspace", "code", F.col("centroid").alias("_cv"))
+    dt = (
+        qsub.join(F.broadcast(cb), "subspace")
+        .withColumn("_d", sq_euclidean(F.col("_sv"), F.col("_cv")))
+        .groupBy("query_id", "cell")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (F.col("subspace") * 256 + F.col("code")).alias("key"),
+                            F.col("_d").alias("value"),
+                        )
+                    )
+                )
+            ).alias("_dt")
+        )
+    )
+
+    pairs = codes.join(F.broadcast(dt), "cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(F.col("_dt"), m * 256 + F.element_at(F.col("codes"), m + 1)),
+    )
+    pairs = pairs.withColumn("_s", score)
+    C = max(rerank, k)
+    cands = topk_per_key(
+        pairs, "query_id", [F.asc("_s"), F.asc("neighbor_id")], C
+    ).select("query_id", "neighbor_id")
+    qv = q.select(F.col("_id").alias("query_id"), F.col("_v").alias("_qv"))
+    cv = c.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("_cv2"))
+    exact = (
+        cands.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("_e", sq_euclidean(F.col("_qv"), F.col("_cv2")))
+    )
+    top = topk_per_key(exact, "query_id", [F.asc("_e"), F.asc("neighbor_id")], k)
+    return top.select(
+        "query_id", "neighbor_id", "rank", F.round("_e", 6).alias("l2_dist")
+    )
