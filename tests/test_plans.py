@@ -203,3 +203,27 @@ def test_bpe_encode_broadcasts_vocab(spark):
 
     merges = train_bpe(docs, num_merges=3)
     assert has_broadcast_join(bpe_encode(docs, merges))
+
+
+def test_pq_and_ivfpq_plans_broadcast_small_sides_only(spark):
+    """The PQ family's scale contract, plan-pinned: every join against the
+    codebook / centroid / distance-table sides is a BROADCAST join (those
+    tables are k-rows by construction), and the corpus side is never
+    collected or broadcast — the only cross joins in the plan carry a
+    broadcast (tiny) side."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        ann_ivfpq_topk,
+        ann_pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id % 25 = 0")
+    for df in (
+        ann_pq_topk(q, emb, k=3, rerank=16),
+        ann_ivfpq_topk(q, emb, k=3, n_probe=2, rerank=16),
+    ):
+        df.count()  # AQE: final plan only after execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        # no shuffle-based cartesian of corpus x corpus survives anywhere
+        assert "CartesianProduct" not in plan

@@ -82,9 +82,15 @@ def _stack_series(elems: np.ndarray) -> np.ndarray:
     Channel counts must agree within a batch (enforced by the stack)."""
     probe = elems[0]
     if len(probe) and np.ndim(probe[0]) >= 1:  # timesteps are vectors
-        return np.stack(
-            [np.stack([np.asarray(t, dtype=np.float64) for t in e]) for e in elems]
-        )
+        try:
+            return np.stack(
+                [np.stack([np.asarray(t, dtype=np.float64) for t in e]) for e in elems]
+            )
+        except ValueError as exc:
+            raise ValueError(
+                "multichannel series must have a FIXED channel count per "
+                "timestep and per batch (ragged inner arrays found)"
+            ) from exc
     return np.stack(elems)
 
 
