@@ -2904,7 +2904,8 @@ def _sql_sqd(a: str, b: str) -> str:
 
 
 def _sql_kmeans_ctes(
-    k: int = 8, scale: int = 1_000_000, dim: int = 64, iters: int = 2
+    k: int = 8, scale: int = 1_000_000, dim: int = 64, iters: int = 2,
+    seed: str = "lowid",
 ) -> str:
     """Mirror of operators/cluster.py::kmeans_assign(k, iters): seed =
     lowest-k vec_ids, argmin assignment with (dist, cluster) tie-break,
@@ -2943,7 +2944,9 @@ def _sql_kmeans_ctes(
             FROM embeddings
         ),
         cent0 AS (
-            SELECT vec_id AS cluster, v AS cv FROM c ORDER BY vec_id LIMIT {k}
+            SELECT vec_id AS cluster, v AS cv FROM c
+            ORDER BY {"((vec_id % 1000000007) * 654435747 + 40503) % 1000000007, vec_id" if seed == "spread" else "vec_id"}
+            LIMIT {k}
         ),
         {assign('cent0', 'asn0')}"""
     ]
@@ -3114,8 +3117,8 @@ def _sql_pq_ctes(
     src: str, pfx: str = "pq", n_subspaces: int = 8, n_codes: int = 16, d: int = 8
 ) -> str:
     """Mirror of operators/similarity.py::pq_train + pq_encode over a source
-    relation ``src`` with columns (vec_id, v): strided ntile seeds, one
-    fixed-point refit, nearest-code encoding. Emits prefixed CTEs ending at
+    relation ``src`` with columns (vec_id, v): hash-ranked spread seeds,
+    one fixed-point refit, nearest-code encoding. Emits prefixed CTEs ending at
     ``{pfx}cent`` (subspace, code, cv) and ``{pfx}codes``
     (vec_id, subspace, code)."""
     sqd = _sql_sqd_n
@@ -3124,17 +3127,13 @@ def _sql_pq_ctes(
                    list_slice({src}.v, m.m*{d}+1, m.m*{d}+{d}) AS sv
             FROM {src}, (SELECT unnest(range(0, {n_subspaces})) AS m) m(m)
         ),
-        {pfx}tiles AS (
-            SELECT *, ntile({n_codes}) OVER (PARTITION BY subspace
-                                             ORDER BY vec_id) AS tile
-            FROM {pfx}sub
-        ),
         {pfx}cent0 AS (
-            SELECT subspace, tile - 1 AS code, sv AS cv FROM (
-                SELECT *, row_number() OVER (PARTITION BY subspace, tile
-                                             ORDER BY vec_id) AS rn
-                FROM {pfx}tiles
-            ) WHERE rn = 1
+            SELECT subspace, rn - 1 AS code, sv AS cv FROM (
+                SELECT *, row_number() OVER (PARTITION BY subspace
+                           ORDER BY ((vec_id % 1000000007) * 654435747
+                                     + 40503) % 1000000007, vec_id) AS rn
+                FROM {pfx}sub
+            ) WHERE rn <= {n_codes}
         ),
         {pfx}asn0 AS (
             SELECT vec_id, subspace, code FROM (
@@ -4872,7 +4871,7 @@ def oracle_sql() -> dict[str, str]:
     # seeds, the q87/q93 machinery) + residuals + the prefixed PQ chain on
     # residuals + per-(query, cell) ADC tables + shortlist + exact rerank
     out["q116_ann_ivfpq"] = f"""
-        WITH {_sql_kmeans_ctes(k=16)},
+        WITH {_sql_kmeans_ctes(k=16, seed="spread")},
         resid AS (
             SELECT c.vec_id, a.cluster AS cell,
                    list_transform(range(1, 65), i -> c.v[i] - ct.cv[i]) AS v

@@ -49,10 +49,36 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _seed_centroids(c: DataFrame, k: int) -> DataFrame:
-    """Deterministic seeds: the k lowest-id vectors (the IVF convention —
-    similarity.py::ann_ivf_topk). Cluster ids are the seed vector ids, so
-    they stay stable across refits."""
+_HASH_P = 1_000_000_007
+
+
+def _spread_hash(col):
+    """The engine's portable affine id hash (the q72 mixture-sampling spec):
+    pseudo-random, engine-reproducible, no RNG state."""
+    return ((col % _HASH_P) * 654435747 + 40503) % _HASH_P
+
+
+def _seed_centroids(c: DataFrame, k: int, seed: str = "lowid") -> DataFrame:
+    """Deterministic seeds; cluster ids are the seed vector ids, so they
+    stay stable across refits.
+
+    seed='lowid' (default, the IVF convention — similarity.py::
+    ann_ivf_topk): the k lowest-id vectors. Degenerates when ids correlate
+    with content (a content-clustered corpus puts every seed in one
+    region — measured 0.27 IVF-PQ recall at 64 true clusters).
+    seed='spread': the k smallest by the portable affine id hash — a
+    deterministic uniform-ish sample, selected with a global TOP-K
+    (TakeOrderedAndProject: map-side partial, never a full sort), so it is
+    scale-safe AND seed-diverse (same fixture: 0.66-0.82 recall)."""
+    if seed == "spread":
+        return (
+            c.withColumn("_h", _spread_hash(F.col("_id")))
+            .orderBy("_h", "_id")
+            .limit(k)
+            .select(F.col("_id").alias("cluster"), F.col("_v").alias("_cv"))
+        )
+    if seed != "lowid":
+        raise ValueError(f"unknown seed mode {seed!r}")
     return (
         c.orderBy("_id")
         .limit(k)
@@ -119,13 +145,14 @@ def kmeans_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: str = "lowid",
 ) -> DataFrame:
     """Centroids after ``iters`` assignment passes (``iters - 1`` refits):
     (cluster, vector array<double>). Feed into
     ``ann_ivf_topk(centroids=...)`` (rename cluster -> list_id, vector
     stays) for a k-means-quality IVF index."""
     c = _norm_input(df, id_col, vec_col)
-    cent = _seed_centroids(c, k)
+    cent = _seed_centroids(c, k, seed)
     for _ in range(max(iters - 1, 0)):
         cent = _refit(c, _assign(c, cent))
     return cent.select("cluster", F.col("_cv").alias("vector"))

@@ -559,8 +559,8 @@ def pq_train(
     Quantization for Nearest Neighbor Search"): split each vector into
     ``n_subspaces`` contiguous subvectors and run an independent k-means
     (``n_codes`` centroids) per subspace. Fully deterministic — seeds are
-    the subvectors of the first vector of each of ``n_codes`` id-ordered
-    ntile tiles (strided across the id space; code = tile index),
+    the subvectors of the ``n_codes`` vectors with the smallest portable
+    affine id hash (a deterministic spread sample; code = hash rank),
     the refit is the fixed-point int64-micro mean (cluster.py's trick), and
     every argmin tie-breaks on (distance, code) — so a SQL oracle replays
     training exactly.
@@ -593,17 +593,19 @@ def pq_train(
         ).alias("_s"),
     ).select("_id", F.col("_s.subspace").alias("subspace"), F.col("_s._sv").alias("_sv"))
 
-    # STRIDED seeds: the first vector of each of n_codes equal id-ordered
-    # tiles (ntile) — deterministic and spread across the id space, unlike
-    # lowest-id seeds which all land in one region when ids correlate with
-    # content (measured: clustered-blob recall 0.59 -> 0.95 at rerank=30)
-    w = Window.partitionBy("subspace").orderBy("_id")
-    wt = Window.partitionBy("subspace", "_tile").orderBy("_id")
+    # SPREAD seeds: per subspace, the n_codes smallest by the portable
+    # affine id hash (code = hash rank - 1) — a deterministic uniform-ish
+    # sample that stays diverse when ids correlate with content, selected
+    # with a rank window WindowGroupLimit bounds MAP-SIDE (<= n_codes rows
+    # per partition ship; an ntile would need the full per-subspace sort)
+    from .cluster import _spread_hash
+
+    w = Window.partitionBy("subspace").orderBy("_h", "_id")
     cent = (
-        sub.withColumn("_tile", F.ntile(n_codes).over(w))
-        .withColumn("_rn", F.row_number().over(wt))
-        .filter(F.col("_rn") == 1)
-        .select("subspace", (F.col("_tile") - 1).alias("code"), F.col("_sv").alias("_cv"))
+        sub.withColumn("_h", _spread_hash(F.col("_id")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_codes)
+        .select("subspace", (F.col("_rn") - 1).alias("code"), F.col("_sv").alias("_cv"))
     )
 
     def assign(cent_df):
@@ -837,8 +839,12 @@ def ann_ivfpq_topk(
     d = dim // n_subspaces
     c = corpus.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
     q = queries.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    # seed='spread' (hash-ranked top-k): on a content-clustered corpus the
+    # default lowest-id seeds collapse into one region — measured IVF-PQ
+    # recall 0.27 -> 0.66/0.82 (rerank 64/128) at 20k vectors, 64 clusters
     coarse = kmeans_centroids(
-        corpus, k=n_lists, iters=iters, id_col=id_col, vec_col=vec_col
+        corpus, k=n_lists, iters=iters, id_col=id_col, vec_col=vec_col,
+        seed="spread",
     ).select(F.col("cluster").alias("cell"), F.col("vector").alias("_cellv"))
 
     # corpus: nearest cell + residual
