@@ -2190,6 +2190,26 @@ def _q104_duplicate_spans(spark, sf_dir):
     return duplicate_spans(_t(spark, sf_dir, "documents"), n=8, min_docs=2)
 
 
+def _q117_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 retrieval (operators/corpus.py::bm25_topk) — the
+    standard lexical ranker for RAG / retrieval pipelines, as one Catalyst
+    plan: (doc, term, dl) tf groupBy, vocabulary-sized df table, broadcast
+    query-term list, cents-trick integer score sum, WindowGroupLimit
+    top-k. Query workload: every doc_id % 23 == 0 document's first 6
+    tokens. Engine extension beyond the reference surface."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import bm25_topk
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokens_fn(F.col("text")), 1, 6)).alias(
+            "query_text"
+        ),
+    )
+    return bm25_topk(docs, qs, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2308,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_source_cap": _q114_source_cap,
         "q115_ann_pq": _q115_ann_pq,
         "q116_ann_ivfpq": _q116_ann_ivfpq,
+        "q117_bm25": _q117_bm25,
     }
 
 
@@ -5321,5 +5342,63 @@ def oracle_sql() -> dict[str, str]:
                cast(max(p) + 7 - min(p) + 1 AS int) AS span_tokens,
                cast(count(*) AS int) AS n_windows
         FROM isl GROUP BY doc_id, island
+    """
+
+    # q117: Okapi BM25 full replay — same rational idf, same left-assoc
+    # double expression tree as operators/corpus.py::bm25_topk, per-term
+    # contributions rounded to integer micro-units (cents trick) so the
+    # per-query sum is order-independent. (1.2 + 1.0) stays an engine-side
+    # literal fold, mirroring the Spark plan's (lit(k1) + lit(1.0)).
+    out["q117_bm25"] = f"""
+        WITH tok AS (
+            SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+        ),
+        qt AS (
+            SELECT DISTINCT doc_id AS query_id,
+                   unnest(list_slice(toks, 1, 6)) AS term
+            FROM tok WHERE doc_id % 23 = 0
+        ),
+        tfe AS (
+            SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok
+        ),
+        tf AS (
+            SELECT doc_id, dl, term, count(*) AS tf
+            FROM tfe GROUP BY doc_id, dl, term
+        ),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        stats AS (
+            SELECT count(DISTINCT doc_id) AS n_docs,
+                   sum(len(toks)) AS total_tokens
+            FROM tok
+        ),
+        contrib AS (
+            SELECT q.query_id, t.doc_id,
+                   CAST(round(
+                       ((CAST(s.n_docs - d.df AS double) + 0.5)
+                            / (CAST(d.df AS double) + 0.5) + 1.0)
+                       * ((CAST(t.tf AS double) * (1.2 + 1.0))
+                            / (CAST(t.tf AS double)
+                               + 1.2 * (1.0 - 0.75
+                                        + 0.75 * (CAST(t.dl AS double)
+                                                  / (CAST(s.total_tokens AS double)
+                                                     / CAST(s.n_docs AS double))))))
+                       * 1000000.0, 0) AS BIGINT) AS c
+            FROM tf t
+            JOIN qt q USING (term)
+            JOIN dfq d USING (term)
+            CROSS JOIN stats s
+        ),
+        scored AS (
+            SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+            FROM contrib GROUP BY query_id, doc_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_micro DESC, doc_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, cast(rank AS int) AS rank, doc_id,
+               CAST(score_micro AS double) / 1000000.0 AS score
+        FROM ranked WHERE rank <= 10
     """
     return out

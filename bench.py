@@ -302,6 +302,8 @@ def main() -> None:
     run("ann_pq_rerank", lambda: _mat(entry_mod._q115_ann_pq(spark, sf_dir)), repeats=2)
     # residual IVF-PQ: coarse cells + residual PQ + per-cell ADC + rerank
     run("ann_ivfpq", lambda: _mat(entry_mod._q116_ann_ivfpq(spark, sf_dir)), repeats=2)
+    # Okapi BM25 retrieval: tf/df build + broadcast query match + top-k
+    run("bm25_topk", lambda: _mat(entry_mod._q117_bm25(spark, sf_dir)), repeats=2)
 
     # --- fallback tier: the guarded 100 TB paths --------------------------
     # Each fb_* entry runs the SAME input as its fast-path twin but forces

@@ -439,3 +439,81 @@ def test_cap_per_source_plan_has_partial_window_limit(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = cap_per_source(docs, cap=3)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+@pytest.fixture(scope="module")
+def bm25_corpus(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog chased the cat"),
+        (3, "dogs and cats living together"),
+        (4, "a completely unrelated document about spark sql engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_hand_computed(spark, bm25_corpus):
+    """Exact Okapi BM25 against a from-scratch Python reference: rational
+    idf (N - df + 0.5)/(df + 0.5) + 1, k1=1.2 b=0.75 saturation, per-term
+    contributions rounded to micro-units before the sum (the operator's
+    cents-trick contract)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import bm25_topk
+
+    qs = spark.createDataFrame(
+        [(10, "the cat"), (11, "spark engines")], "query_id long, query_text string"
+    )
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bm25_topk(bm25_corpus, qs, k=3).collect()
+    }
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the dog chased the cat",
+        3: "dogs and cats living together",
+        4: "a completely unrelated document about spark sql engines",
+    }
+    toks = {d: t.split() for d, t in corpus.items()}
+    N = len(corpus)
+    dl = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dl.values()) / N
+    from collections import Counter
+
+    tfs = {d: Counter(t) for d, t in toks.items()}
+    df = Counter(t for c in tfs.values() for t in c)
+    k1, b = 1.2, 0.75
+
+    def score(qtext, d):
+        s = 0
+        for t in set(qtext.split()):
+            tf = tfs[d].get(t, 0)
+            if not tf:
+                continue
+            idf = (N - df[t] + 0.5) / (df[t] + 0.5) + 1.0
+            sat = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * (dl[d] / avgdl)))
+            s += round(idf * sat * 1e6)
+        return s / 1e6
+
+    for qid, qtext in [(10, "the cat"), (11, "spark engines")]:
+        exp = sorted(
+            ((score(qtext, d), d) for d in corpus if score(qtext, d) > 0),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        for rank, (sc, d) in enumerate(exp, 1):
+            assert got[(qid, rank)] == (d, sc), (qid, rank)
+    # doc 3 shares no term with query 10 ("cats" != "cat"): never appears
+    assert 3 not in {v[0] for k, v in got.items() if k[0] == 10}
+
+
+def test_bm25_duplicate_query_terms_count_once(spark, bm25_corpus):
+    """Query-term multiplicity is ignored (DISTINCT terms): 'cat cat cat'
+    scores identically to 'cat'."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import bm25_topk
+
+    qs = spark.createDataFrame(
+        [(1, "cat"), (2, "cat cat cat")], "query_id long, query_text string"
+    )
+    rows = bm25_topk(bm25_corpus, qs, k=5).collect()
+    one = sorted((r.rank, r.doc_id, r.score) for r in rows if r.query_id == 1)
+    three = sorted((r.rank, r.doc_id, r.score) for r in rows if r.query_id == 2)
+    assert one == three and one  # same ranking, non-empty

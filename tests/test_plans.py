@@ -227,3 +227,23 @@ def test_pq_and_ivfpq_plans_broadcast_small_sides_only(spark):
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
         # no shuffle-based cartesian of corpus x corpus survives anywhere
         assert "CartesianProduct" not in plan
+
+
+def test_bm25_plan_broadcasts_queries_not_corpus(spark):
+    """bm25_topk's scale contract: the query-term list joins broadcast (the
+    corpus-sized tf table is never reshuffled for matching), the top-k
+    window carries a map-side WindowGroupLimit partial, and no UDF or
+    cartesian product appears anywhere."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qs = docs.filter("doc_id % 23 = 0").selectExpr(
+        "doc_id AS query_id", "text AS query_text"
+    )
+    df = bm25_topk(docs, qs, k=5)
+    df.count()  # AQE: final plan only after execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -48,6 +48,8 @@ __all__ = [
     "redact_pii",
     "ngram_lm_score",
     "duplicate_spans",
+    "cap_per_source",
+    "bm25_topk",
 ]
 
 
@@ -890,3 +892,103 @@ def cap_per_source(
     return topk_per_key(
         t, group_col, [F.desc("n_tokens"), F.asc(id_col)], cap
     ).select(id_col, group_col, "n_tokens", "rank")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval (Robertson & Walker 1994) — the standard
+    lexical ranking for retrieval-augmented pipelines. Engine extension
+    beyond the reference surface (``Team11-Project.py`` has no text
+    analysis).
+
+    Score per (query, doc) = sum over DISTINCT query terms t present in d:
+
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    with the RATIONAL idf = (N - df + 0.5) / (df + 0.5) + 1 — the argument
+    of the textbook log-idf, unlogged, for the same reason as tfidf_topk's
+    raw-frequency idf: +, *, / on exact integers/halves are correctly-
+    rounded IEEE ops that reproduce bit-for-bit on any engine, while ln()
+    differs in the last ulp across libm implementations (monotone in df
+    either way, so ranking semantics are preserved; wrap ``F.log`` around
+    it for the textbook value). The per-term contribution is rounded to
+    integer micro-units (the cents trick) before summing, so the per-query
+    sum is an integer aggregate — exact and ORDER-INDEPENDENT, immune to
+    float-sum reassociation across partitions.
+
+    Output: (qid_col, rank, id_col, score) — top ``k`` docs per query by
+    (score desc, id asc), score in 1e-6 units as double. Docs sharing no
+    term with the query never appear.
+
+    Scale shape (100 TB): one corpus-sized shuffle (the (doc, term) tf
+    groupBy, map-side partial; dl rides along as a constant-per-doc group
+    key — no second corpus join). The df table is VOCABULARY-sized and
+    joins tf broadcast-by-AQE; N/avgdl is a 1-row broadcast cross join.
+    The query term list is workload-sized and explicitly broadcast, so
+    matching never reshuffles the corpus; the per-(query, doc) sum and the
+    final top-k window shuffle only MATCHED rows, and WindowGroupLimit
+    prunes the window map-side to k rows per query per partition.
+    """
+    qt = (
+        queries.select(
+            F.col(qid_col), F.explode(tokens(F.col(qtext_col))).alias("term")
+        )
+        .distinct()
+    )
+    t = fan_out(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = t.select(
+        id_col, F.size("_toks").alias("_dl"), F.explode("_toks").alias("term")
+    )
+    tf = toks.groupBy(id_col, "_dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = t.agg(
+        F.countDistinct(id_col).alias("_n_docs"),
+        F.sum(F.size("_toks")).alias("_total_tokens"),
+    )
+    idf = (
+        (F.col("_n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5)) + F.lit(1.0)
+    avgdl = F.col("_total_tokens").cast("double") / F.col("_n_docs").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("_dl").cast("double") / avgdl)
+    )
+    # (k1 + 1) as an ENGINE-side fold of the two decimal literals, never a
+    # Python-computed constant: both engines parse k1 to the same nearest
+    # double and add 1.0 with one correctly-rounded IEEE op, so the folded
+    # constant is bit-identical; a host-language sum baked into the plan
+    # could land on the other side of a rounding tie.
+    sat = (F.col("tf").cast("double") * (F.lit(k1) + F.lit(1.0))) / (
+        F.col("tf").cast("double") + norm
+    )
+    contrib = (
+        tf.join(F.broadcast(qt), "term")
+        .join(df_tbl, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_c", F.round(idf * sat * F.lit(1_000_000.0), 0).cast("long")
+        )
+    )
+    scored = contrib.groupBy(qid_col, id_col).agg(
+        F.sum("_c").alias("_score_micro")
+    )
+    top = topk_per_key(
+        scored, qid_col, [F.desc("_score_micro"), F.asc(id_col)], k
+    )
+    return top.select(
+        qid_col,
+        "rank",
+        id_col,
+        (F.col("_score_micro").cast("double") / F.lit(1_000_000.0)).alias("score"),
+    )
