@@ -2210,6 +2210,36 @@ def _q117_bm25(spark, sf_dir):
     return bm25_topk(docs, qs, k=10)
 
 
+def _q118_hybrid_retrieval(spark, sf_dir):
+    """Hybrid lexical+semantic retrieval with reciprocal-rank fusion
+    (operators/corpus.py::rrf_fuse; Cormack et al. 2009) — the production
+    RAG recipe: a BM25 top-10 leg (q117's workload) and a cosine-ANN
+    top-10 leg over the same id space (documents.doc_id == embeddings
+    .vec_id in the testdata schema), fused by 1/(60 + rank) with
+    micro-unit integer sums. Both legs are workload-bounded, so fusion
+    never touches the corpus."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        ann_brute_topk,
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = docs.filter(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokens_fn(F.col("text")), 1, 6)).alias(
+            "query_text"
+        ),
+    )
+    lex = bm25_topk(docs, qs, k=10)
+    sem = ann_brute_topk(
+        emb.filter(F.col("vec_id") % 23 == 0), emb, k=10, strategy="kernel"
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, sem], k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2329,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_ann_pq": _q115_ann_pq,
         "q116_ann_ivfpq": _q116_ann_ivfpq,
         "q117_bm25": _q117_bm25,
+        "q118_hybrid_retrieval": _q118_hybrid_retrieval,
     }
 
 
@@ -3185,6 +3216,62 @@ def _sql_pq_ctes(
                            ORDER BY {sqd('s.sv', 'c1.cv', d)} ASC, c1.code ASC) AS rn
                 FROM {pfx}sub s JOIN {pfx}cent c1 USING (subspace)
             ) WHERE rn = 1
+        )"""
+
+
+def _sql_bm25_ctes(mod: int = 23, qlen: int = 6) -> str:
+    """Mirror of operators/corpus.py::bm25_topk over the documents table
+    with the q117 workload (every doc_id % ``mod`` == 0 document's first
+    ``qlen`` tokens as a query): rational ln()-free idf, k1=1.2 / b=0.75
+    saturation in the operator's exact left-assoc double tree, per-term
+    contributions rounded to integer micro-units. Emits CTEs ending at
+    ``bmranked`` (query_id, doc_id, score_micro, rank)."""
+    return f"""tok AS (
+            SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+        ),
+        qt AS (
+            SELECT DISTINCT doc_id AS query_id,
+                   unnest(list_slice(toks, 1, {qlen})) AS term
+            FROM tok WHERE doc_id % {mod} = 0
+        ),
+        tfe AS (
+            SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok
+        ),
+        tf AS (
+            SELECT doc_id, dl, term, count(*) AS tf
+            FROM tfe GROUP BY doc_id, dl, term
+        ),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        stats AS (
+            SELECT count(DISTINCT doc_id) AS n_docs,
+                   sum(len(toks)) AS total_tokens
+            FROM tok
+        ),
+        contrib AS (
+            SELECT q.query_id, t.doc_id,
+                   CAST(round(
+                       ((CAST(s.n_docs - d.df AS double) + 0.5)
+                            / (CAST(d.df AS double) + 0.5) + 1.0)
+                       * ((CAST(t.tf AS double) * (1.2 + 1.0))
+                            / (CAST(t.tf AS double)
+                               + 1.2 * (1.0 - 0.75
+                                        + 0.75 * (CAST(t.dl AS double)
+                                                  / (CAST(s.total_tokens AS double)
+                                                     / CAST(s.n_docs AS double))))))
+                       * 1000000.0, 0) AS BIGINT) AS c
+            FROM tf t
+            JOIN qt q USING (term)
+            JOIN dfq d USING (term)
+            CROSS JOIN stats s
+        ),
+        bmscored AS (
+            SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+            FROM contrib GROUP BY query_id, doc_id
+        ),
+        bmranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_micro DESC, doc_id ASC) AS rank
+            FROM bmscored
         )"""
 
 
@@ -5350,55 +5437,58 @@ def oracle_sql() -> dict[str, str]:
     # per-query sum is order-independent. (1.2 + 1.0) stays an engine-side
     # literal fold, mirroring the Spark plan's (lit(k1) + lit(1.0)).
     out["q117_bm25"] = f"""
-        WITH tok AS (
-            SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
-        ),
-        qt AS (
-            SELECT DISTINCT doc_id AS query_id,
-                   unnest(list_slice(toks, 1, 6)) AS term
-            FROM tok WHERE doc_id % 23 = 0
-        ),
-        tfe AS (
-            SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok
-        ),
-        tf AS (
-            SELECT doc_id, dl, term, count(*) AS tf
-            FROM tfe GROUP BY doc_id, dl, term
-        ),
-        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        stats AS (
-            SELECT count(DISTINCT doc_id) AS n_docs,
-                   sum(len(toks)) AS total_tokens
-            FROM tok
-        ),
-        contrib AS (
-            SELECT q.query_id, t.doc_id,
-                   CAST(round(
-                       ((CAST(s.n_docs - d.df AS double) + 0.5)
-                            / (CAST(d.df AS double) + 0.5) + 1.0)
-                       * ((CAST(t.tf AS double) * (1.2 + 1.0))
-                            / (CAST(t.tf AS double)
-                               + 1.2 * (1.0 - 0.75
-                                        + 0.75 * (CAST(t.dl AS double)
-                                                  / (CAST(s.total_tokens AS double)
-                                                     / CAST(s.n_docs AS double))))))
-                       * 1000000.0, 0) AS BIGINT) AS c
-            FROM tf t
-            JOIN qt q USING (term)
-            JOIN dfq d USING (term)
-            CROSS JOIN stats s
-        ),
-        scored AS (
-            SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
-            FROM contrib GROUP BY query_id, doc_id
-        ),
-        ranked AS (
-            SELECT *, row_number() OVER (PARTITION BY query_id
-                        ORDER BY score_micro DESC, doc_id ASC) AS rank
-            FROM scored
-        )
+        WITH {_sql_bm25_ctes()}
         SELECT query_id, cast(rank AS int) AS rank, doc_id,
                CAST(score_micro AS double) / 1000000.0 AS score
-        FROM ranked WHERE rank <= 10
+        FROM bmranked WHERE rank <= 10
+    """
+
+    # q118: hybrid retrieval — the BM25 chain (q117) + a brute-cosine leg
+    # (q23's fold, %23 workload, top-10) fused by 1/(60 + rank) in integer
+    # micro-units (operators/corpus.py::rrf_fuse)
+    out["q118_hybrid_retrieval"] = f"""
+        WITH {_sql_bm25_ctes()},
+        lex AS (
+            SELECT query_id, doc_id, rank FROM bmranked WHERE rank <= 10
+        ),
+        cv AS (
+            SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+            FROM embeddings
+        ),
+        qv AS (SELECT * FROM cv WHERE vec_id % 23 = 0),
+        cpairs AS (
+            SELECT qv.vec_id AS query_id, cv.vec_id AS doc_id,
+                   1.0 - {_sql_dot("qv.v", "cv.v")}
+                         / (sqrt({_sql_dot("qv.v", "qv.v")})
+                            * sqrt({_sql_dot("cv.v", "cv.v")})) AS d
+            FROM qv CROSS JOIN cv
+            WHERE qv.vec_id != cv.vec_id
+        ),
+        sem AS (
+            SELECT query_id, doc_id, rank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY d ASC, doc_id ASC) AS rank
+                FROM cpairs
+            ) WHERE rank <= 10
+        ),
+        legs AS (
+            SELECT * FROM lex UNION ALL SELECT * FROM sem
+        ),
+        fused AS (
+            SELECT query_id, doc_id,
+                   CAST(sum(CAST(round(1000000.0
+                                       / (60.0 + CAST(rank AS double)), 0)
+                                 AS BIGINT)) AS BIGINT) AS micro
+            FROM legs GROUP BY query_id, doc_id
+        ),
+        franked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY micro DESC, doc_id ASC) AS rank
+            FROM fused
+        )
+        SELECT query_id, cast(rank AS int) AS rank, doc_id,
+               CAST(micro AS double) / 1000000.0 AS rrf_score
+        FROM franked WHERE rank <= 10
     """
     return out

@@ -304,6 +304,12 @@ def main() -> None:
     run("ann_ivfpq", lambda: _mat(entry_mod._q116_ann_ivfpq(spark, sf_dir)), repeats=2)
     # Okapi BM25 retrieval: tf/df build + broadcast query match + top-k
     run("bm25_topk", lambda: _mat(entry_mod._q117_bm25(spark, sf_dir)), repeats=2)
+    # hybrid retrieval: BM25 leg + cosine-ANN leg + reciprocal-rank fusion
+    run(
+        "hybrid_rrf",
+        lambda: _mat(entry_mod._q118_hybrid_retrieval(spark, sf_dir)),
+        repeats=2,
+    )
 
     # --- fallback tier: the guarded 100 TB paths --------------------------
     # Each fb_* entry runs the SAME input as its fast-path twin but forces

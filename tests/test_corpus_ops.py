@@ -517,3 +517,40 @@ def test_bm25_duplicate_query_terms_count_once(spark, bm25_corpus):
     one = sorted((r.rank, r.doc_id, r.score) for r in rows if r.query_id == 1)
     three = sorted((r.rank, r.doc_id, r.score) for r in rows if r.query_id == 2)
     assert one == three and one  # same ranking, non-empty
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF = sum of round(1e6/(60+rank)) micro-units across legs; docs in
+    both legs beat single-leg docs, ties break doc_id asc."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id long, doc_id long, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id long, doc_id long, rank int"
+    )
+    got = [
+        (r.rank, r.doc_id, r.rrf_score)
+        for r in rrf_fuse([lex, sem], k=4).orderBy("rank").collect()
+    ]
+    m = lambda r: round(1e6 / (60.0 + r))
+    exp_micro = {10: m(1), 11: m(2) + m(1), 12: m(3), 13: m(2)}
+    exp = sorted(((v, -d) for d, v in exp_micro.items()), reverse=True)
+    assert got == [
+        (i + 1, -d, v / 1e6) for i, (v, d) in enumerate(exp)
+    ]
+    # doc 11 (both legs) outranks everything
+    assert got[0][1] == 11
+
+
+def test_rrf_fuse_single_leg_and_validation(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import rrf_fuse
+
+    leg = spark.createDataFrame(
+        [(1, 5, 1), (1, 6, 2)], "query_id long, doc_id long, rank int"
+    )
+    out = rrf_fuse([leg], k=1).collect()
+    assert len(out) == 1 and out[0].doc_id == 5
+    with pytest.raises(ValueError):
+        rrf_fuse([])

@@ -36,6 +36,7 @@ from .corpus import (  # noqa: F401
     hash_embed,
     ngram_lm_score,
     redact_pii,
+    rrf_fuse,
     remove_common_spans,
     pack_sequences,
     repetition_stats,

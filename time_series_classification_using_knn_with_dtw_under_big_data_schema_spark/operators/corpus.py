@@ -50,6 +50,7 @@ __all__ = [
     "duplicate_spans",
     "cap_per_source",
     "bm25_topk",
+    "rrf_fuse",
 ]
 
 
@@ -991,4 +992,56 @@ def bm25_topk(
         "rank",
         id_col,
         (F.col("_score_micro").cast("double") / F.lit(1_000_000.0)).alias("score"),
+    )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    *,
+    k: int = 10,
+    c: int = 60,
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    retrieval combiner (lexical BM25 leg + semantic ANN leg in RAG
+    pipelines): fused(d) = sum over legs ranking d of 1 / (c + rank_leg(d)),
+    missing legs contribute 0. Engine extension beyond the reference
+    surface.
+
+    Each per-leg reciprocal is one correctly-rounded IEEE division, rounded
+    to integer micro-units before the sum (the cents trick), so the
+    per-(query, doc) aggregate is exact and order-independent — immune to
+    union/partition reassociation — and any engine replays it bit-for-bit.
+
+    Output: (qid_col, rank, id_col, rrf_score) — top ``k`` per query by
+    (fused score desc, id asc), rrf_score in 1e-6 units as double.
+
+    Scale shape (100 TB): the legs are already per-query top-k tables
+    (workload x k rows, corpus-independent), so the union + groupBy + final
+    WindowGroupLimit top-k all run on workload-sized data; the corpus is
+    never touched.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    legs = [r.select(qid_col, id_col, rank_col) for r in rankings]
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    contrib = u.withColumn(
+        "_c",
+        F.round(
+            F.lit(1_000_000.0)
+            / (F.lit(float(c)) + F.col(rank_col).cast("double")),
+            0,
+        ).cast("long"),
+    )
+    fused = contrib.groupBy(qid_col, id_col).agg(F.sum("_c").alias("_micro"))
+    top = topk_per_key(fused, qid_col, [F.desc("_micro"), F.asc(id_col)], k)
+    return top.select(
+        qid_col,
+        "rank",
+        id_col,
+        (F.col("_micro").cast("double") / F.lit(1_000_000.0)).alias("rrf_score"),
     )
