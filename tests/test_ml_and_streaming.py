@@ -527,3 +527,84 @@ def test_streaming_kill_resume_exactly_once_scoring(spark, har_dfs, tmp_path):
         ).collect()
     }
     assert got_map == expect
+
+
+@pytest.fixture()
+def bm25_docs(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog chased the cat"),
+        (3, "dogs and cats living together"),
+        (4, "a completely unrelated document about spark sql engines"),
+        (5, "cat cat cat repetition heavy cat"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_stream_bm25_batch_twin_matches_bm25_topk(spark, bm25_docs):
+    """score_stream_bm25's projection applied to a BATCH frame reproduces
+    bm25_topk's scores bit-for-bit on the index's own corpus."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import bm25_topk
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import (
+        bm25_query_index,
+        score_stream_bm25,
+    )
+
+    qs = spark.createDataFrame(
+        [(10, "the cat"), (11, "spark engines"), (12, "zebra unseen")],
+        "query_id long, query_text string",
+    )
+    idx = bm25_query_index(bm25_docs, qs)
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in score_stream_bm25(bm25_docs, idx).collect()
+    }
+    want = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_topk(bm25_docs, qs, k=10).collect()
+    }
+    assert got == want  # exact float equality: identical IEEE trees
+    # the all-unseen-terms query matches nothing
+    assert not [k for k in got if k[0] == 12]
+
+
+def test_stream_bm25_append_mode_file_stream(spark, bm25_docs, tmp_path):
+    """End-to-end: standing queries score a parquet file stream in APPEND
+    mode (stateless — no watermark, no state store), and an unseen term
+    arriving in the stream scores with df=0 (maximally rare)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import (
+        bm25_query_index,
+        score_stream_bm25,
+    )
+
+    qs = spark.createDataFrame(
+        [(10, "the cat"), (12, "zebra")], "query_id long, query_text string"
+    )
+    idx = bm25_query_index(bm25_docs, qs)
+
+    new_docs = spark.createDataFrame(
+        [(100, "a zebra escaped the zoo"), (101, "nothing relevant here")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "bm25_stream_src")
+    new_docs.write.parquet(src)
+    stream = spark.readStream.schema(new_docs.schema).parquet(src)
+    out = score_stream_bm25(stream, idx)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bm25_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM bm25_stream").collect()
+    finally:
+        q.stop()
+    got = {(r.query_id, r.doc_id): r.score for r in rows}
+    # doc 100 matches query 10 ("the") and query 12 (unseen "zebra", df=0)
+    assert (10, 100) in got and (12, 100) in got
+    # df=0 idf = (N + 0.5)/0.5 + 1 = 12: unseen term dominates
+    assert got[(12, 100)] > got[(10, 100)]
+    # doc 101 shares no term with any query
+    assert not [k for k in got if k[1] == 101]

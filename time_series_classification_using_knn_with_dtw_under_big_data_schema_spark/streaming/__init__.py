@@ -1,4 +1,9 @@
-from .scoring import score_stream, score_stream_stateless  # noqa: F401
+from .scoring import (  # noqa: F401
+    bm25_query_index,
+    score_stream,
+    score_stream_bm25,
+    score_stream_stateless,
+)
 from .windows import windowed_event_aggregate, sessionized_event_counts, nanos_to_ts  # noqa: F401
 from .stateful import running_user_stats  # noqa: F401
 from .dedup import stream_dedup_exact, stream_dedup_fingerprint  # noqa: F401

@@ -172,3 +172,116 @@ def score_stream_stateless(
         cands = F.filter(cands, lambda s: s["_d"] != 0)
     topk = F.slice(F.array_sort(cands), 1, k)
     return j.select("test_id", _vote_expr(topk).alias("predicted_label"))
+
+
+def bm25_query_index(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+) -> DataFrame:
+    """Build the STANDING-QUERY BM25 index for ``score_stream_bm25``: one
+    row per query — (query_id, qterms array<struct<term, df>>, n_docs,
+    total_tokens) — with document frequencies PRUNED to the query
+    vocabulary. The full corpus df table is vocabulary-sized (possibly
+    GBs at 100 TB); the slice a standing-query workload needs is
+    (queries x terms-per-query) rows by construction, so the index always
+    broadcasts. Terms absent from the training corpus keep df = 0 (a
+    streamed document can still contain them; they score as maximally
+    rare — the natural BM25 reading of an unseen term).
+
+    Batch op (run once per index refresh); corpus cost = one (term)
+    groupBy shuffle, semi-join-pruned to query terms before aggregation.
+    """
+    from ..functions.text import tokens
+    from ..operators.skew import fan_out
+
+    qt = (
+        queries.select(
+            F.col(qid_col).alias("query_id"),
+            F.explode(tokens(F.col(qtext_col))).alias("term"),
+        )
+        .distinct()
+    )
+    t = fan_out(corpus).select(
+        F.col(id_col).alias("_doc"), tokens(F.col(text_col)).alias("_toks")
+    )
+    # df only for terms some query mentions: broadcast-semi-join BEFORE the
+    # groupBy so the shuffle carries query-vocabulary terms only
+    doc_terms = t.select("_doc", F.explode("_toks").alias("term")).join(
+        F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+    )
+    df_tbl = doc_terms.groupBy("term").agg(
+        F.countDistinct("_doc").alias("df")
+    )
+    stats = t.agg(
+        F.countDistinct("_doc").alias("n_docs"),
+        F.sum(F.size("_toks")).alias("total_tokens"),
+    )
+    return (
+        qt.join(df_tbl, "term", "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+        .groupBy("query_id")
+        .agg(
+            F.collect_list(F.struct("term", "df")).alias("qterms")
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+
+
+def score_stream_bm25(
+    stream: DataFrame,
+    index: DataFrame,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPEND-MODE standing-query BM25: score every streamed document
+    against every registered query (``bm25_query_index``) — the streaming
+    inversion of retrieval (alerting / routing: queries are fixed, docs
+    flow). Zero streaming state: the index broadcasts (query-vocabulary-
+    sized by construction) and each document's score is ONE projection —
+    tf per query term via a filter-count over the token array, the exact
+    bm25_topk contribution tree, integer micro-unit fold. No shuffle, no
+    watermark, exactly-once through the file sink.
+
+    Scores match operators/corpus.py::bm25_topk bit-for-bit when the
+    stream replays the index's own corpus (test-pinned). Output:
+    (id_col, query_id, score) — only positive-scoring (doc, query) pairs,
+    mirroring bm25_topk's inner-join semantics.
+    """
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    pairs = stream.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_dl")
+    ).join(F.broadcast(index))  # stream-static cross join
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("_dl").cast("double") / avgdl)
+    )
+
+    def contrib(acc, s):
+        tf = F.size(F.filter(F.col("_toks"), lambda x: x == s["term"]))
+        idf = (
+            (F.col("n_docs") - s["df"]).cast("double") + F.lit(0.5)
+        ) / (s["df"].cast("double") + F.lit(0.5)) + F.lit(1.0)
+        sat = (tf.cast("double") * (F.lit(k1) + F.lit(1.0))) / (
+            tf.cast("double") + norm
+        )
+        c = F.round(idf * sat * F.lit(1_000_000.0), 0).cast("long")
+        return acc + F.when(tf > 0, c).otherwise(F.lit(0).cast("long"))
+
+    scored = pairs.withColumn(
+        "_micro", F.aggregate("qterms", F.lit(0).cast("long"), contrib)
+    )
+    return scored.filter(F.col("_micro") > 0).select(
+        id_col,
+        "query_id",
+        (F.col("_micro").cast("double") / F.lit(1_000_000.0)).alias("score"),
+    )
