@@ -935,8 +935,9 @@ def bm25_topk(
     groupBy, map-side partial; dl rides along as a constant-per-doc group
     key — no second corpus join). The df table is VOCABULARY-sized and
     joins tf broadcast-by-AQE; N/avgdl is a 1-row broadcast cross join.
-    The query term list is workload-sized and explicitly broadcast, so
-    matching never reshuffles the corpus; the per-(query, doc) sum and the
+    The query term list is workload-sized and broadcast by AQE from its
+    measured size (shuffle-join fallback if a huge standing-query workload
+    outgrows it), so matching normally never reshuffles the corpus; the per-(query, doc) sum and the
     final top-k window shuffle only MATCHED rows, and WindowGroupLimit
     prunes the window map-side to k rows per query per partition.
     """
@@ -973,8 +974,13 @@ def bm25_topk(
     sat = (F.col("tf").cast("double") * (F.lit(k1) + F.lit(1.0))) / (
         F.col("tf").cast("double") + norm
     )
+    # no forced hint on the query-term table: a standing-query workload is
+    # user-sized and can outgrow broadcast range (the ngram_lm review
+    # finding) — AQE broadcasts it from measured size when it fits (the
+    # normal case, keeping the corpus unshuffled for matching) and falls
+    # back to a shuffle join when it genuinely doesn't
     contrib = (
-        tf.join(F.broadcast(qt), "term")
+        tf.join(qt, "term")
         .join(df_tbl, "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
