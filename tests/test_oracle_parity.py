@@ -128,6 +128,8 @@ SLOW_SUBSET = [
     "q107_hll_distinct",
     "q109_tokenizer_pipeline",
     "q113_knn_dtw_multichannel",
+    "q117_bm25",
+    "q118_hybrid_retrieval",
 ]
 
 

@@ -421,6 +421,86 @@ def sweep_bpe(trials: int, seed: int) -> int:
     return fails
 
 
+def sweep_bm25(trials: int, seed: int) -> int:
+    """Random messy corpora (mixed case, whitespace runs, empty docs) and
+    random query workloads (in-vocab + unseen terms) through bm25_topk vs
+    a from-scratch pure-Python golden of the same contract: rational idf,
+    k1=1.2/b=0.75 saturation, micro-unit rounding, (score desc, doc asc)
+    rank order."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import SparkSession
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import bm25_topk
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    fails = 0
+    for trial in range(trials):
+        rng = random.Random(seed * 61417 + trial)
+        vocab = ["".join(rng.choice("abcXYZ") for _ in range(rng.randint(1, 5)))
+                 for _ in range(rng.randint(3, 12))]
+        def messy(words):
+            return rng.choice(["", " ", "  "]).join([""] + words + [""]) + \
+                rng.choice(["", " ", "\t"])
+        texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15)))
+                 for _ in range(rng.randint(2, 10))]
+        texts = [messy(t.split()) if rng.random() < 0.3 else t for t in texts]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        qtexts = [" ".join(rng.choice(vocab + ["zzz_unseen"])
+                           for _ in range(rng.randint(1, 4)))
+                  for _ in range(rng.randint(1, 4))]
+        qs = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(qtexts)],
+            "query_id long, query_text string",
+        )
+        k = rng.randint(1, 6)
+        got = sorted(
+            (r.query_id, r.rank, r.doc_id, r.score)
+            for r in bm25_topk(docs, qs, k=k).collect()
+        )
+
+        # golden
+        toks = {i: t.lower().split() for i, t in enumerate(texts)}
+        N = len(texts)
+        dl = {i: len(t) for i, t in toks.items()}
+        avgdl = sum(dl.values()) / N
+        tfs = {i: Counter(t) for i, t in toks.items()}
+        dfc = Counter(t for c in tfs.values() for t in c)
+        k1, b = 1.2, 0.75
+        exp = []
+        for qid, qt in zip(range(100, 100 + len(qtexts)), qtexts):
+            scores = {}
+            for d in toks:
+                micro = 0
+                for t in set(qt.lower().split()):
+                    tf = tfs[d].get(t, 0)
+                    if not tf:
+                        continue
+                    idf = (N - dfc[t] + 0.5) / (dfc[t] + 0.5) + 1.0
+                    sat = tf * (k1 + 1.0) / (
+                        tf + k1 * (1.0 - b + b * (dl[d] / avgdl))
+                    )
+                    micro += round(idf * sat * 1e6)
+                if micro:
+                    scores[d] = micro
+            ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            exp.extend((qid, r + 1, d, m / 1e6) for r, (d, m) in enumerate(ranked))
+        if got != sorted(exp):
+            fails += 1
+            print(f"BM25 MISMATCH trial={trial} k={k}")
+    spark.stop()
+    print(f"bm25 sweep: {trials} trials, {fails} failures")
+    return fails
+
+
 SWEEPS = {
     "dtw": sweep_dtw,
     "asof": sweep_asof,
@@ -428,8 +508,9 @@ SWEEPS = {
     "components": sweep_components,
     "jpeg": sweep_jpeg,
     "bpe": sweep_bpe,
+    "bm25": sweep_bm25,
 }
-DEFAULT_TRIALS = {"dtw": 250, "asof": 40, "interval": 20, "components": 12, "jpeg": 30, "bpe": 12}
+DEFAULT_TRIALS = {"dtw": 250, "asof": 40, "interval": 20, "components": 12, "jpeg": 30, "bpe": 12, "bm25": 25}
 
 
 def main() -> None:
