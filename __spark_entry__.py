@@ -2210,6 +2210,26 @@ def _q117_bm25(spark, sf_dir):
     return bm25_topk(docs, qs, k=10)
 
 
+def _q119_bm25_pruned(spark, sf_dir):
+    """BM25 with impact-ordered posting truncation (operators/corpus.py::
+    bm25_topk(max_postings=20)) — the hot-term skew guard for 100 TB
+    corpora: each query term keeps its 20 highest-contribution matches
+    (exact micro-unit order, WindowGroupLimit-bounded map-side) before the
+    per-query sum, so a stopword-ish term can never turn the match
+    shuffle corpus-sized. Same workload as q117."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import bm25_topk
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokens_fn(F.col("text")), 1, 6)).alias(
+            "query_text"
+        ),
+    )
+    return bm25_topk(docs, qs, k=10, max_postings=20)
+
+
 def _q118_hybrid_retrieval(spark, sf_dir):
     """Hybrid lexical+semantic retrieval with reciprocal-rank fusion
     (operators/corpus.py::rrf_fuse; Cormack et al. 2009) — the production
@@ -2360,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_ann_ivfpq": _q116_ann_ivfpq,
         "q117_bm25": _q117_bm25,
         "q118_hybrid_retrieval": _q118_hybrid_retrieval,
+        "q119_bm25_pruned": _q119_bm25_pruned,
     }
 
 
@@ -3219,13 +3240,28 @@ def _sql_pq_ctes(
         )"""
 
 
-def _sql_bm25_ctes(mod: int = 23, qlen: int = 6) -> str:
+def _sql_bm25_ctes(mod: int = 23, qlen: int = 6, max_postings: int = 0) -> str:
     """Mirror of operators/corpus.py::bm25_topk over the documents table
     with the q117 workload (every doc_id % ``mod`` == 0 document's first
     ``qlen`` tokens as a query): rational ln()-free idf, k1=1.2 / b=0.75
     saturation in the operator's exact left-assoc double tree, per-term
-    contributions rounded to integer micro-units. Emits CTEs ending at
+    contributions rounded to integer micro-units. ``max_postings`` > 0
+    replays the impact-ordered posting truncation (per-(query, term)
+    top-M by contribution desc, doc asc). Emits CTEs ending at
     ``bmranked`` (query_id, doc_id, score_micro, rank)."""
+    trunc = (
+        f""",
+        bmtrunc AS (
+            SELECT query_id, doc_id, c FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id, term
+                            ORDER BY c DESC, doc_id ASC) AS prn
+                FROM contrib
+            ) WHERE prn <= {max_postings}
+        )"""
+        if max_postings
+        else ""
+    )
+    src = "bmtrunc" if max_postings else "contrib"
     return f"""tok AS (
             SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
         ),
@@ -3248,7 +3284,7 @@ def _sql_bm25_ctes(mod: int = 23, qlen: int = 6) -> str:
             FROM tok
         ),
         contrib AS (
-            SELECT q.query_id, t.doc_id,
+            SELECT q.query_id, t.doc_id, t.term,
                    CAST(round(
                        ((CAST(s.n_docs - d.df AS double) + 0.5)
                             / (CAST(d.df AS double) + 0.5) + 1.0)
@@ -3263,10 +3299,10 @@ def _sql_bm25_ctes(mod: int = 23, qlen: int = 6) -> str:
             JOIN qt q USING (term)
             JOIN dfq d USING (term)
             CROSS JOIN stats s
-        ),
+        ){trunc},
         bmscored AS (
             SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
-            FROM contrib GROUP BY query_id, doc_id
+            FROM {src} GROUP BY query_id, doc_id
         ),
         bmranked AS (
             SELECT *, row_number() OVER (PARTITION BY query_id
@@ -5438,6 +5474,15 @@ def oracle_sql() -> dict[str, str]:
     # literal fold, mirroring the Spark plan's (lit(k1) + lit(1.0)).
     out["q117_bm25"] = f"""
         WITH {_sql_bm25_ctes()}
+        SELECT query_id, cast(rank AS int) AS rank, doc_id,
+               CAST(score_micro AS double) / 1000000.0 AS score
+        FROM bmranked WHERE rank <= 10
+    """
+
+    # q119: BM25 with impact-ordered posting truncation — the q117 chain
+    # with the per-(query, term) top-20 contribution window spliced in
+    out["q119_bm25_pruned"] = f"""
+        WITH {_sql_bm25_ctes(max_postings=20)}
         SELECT query_id, cast(rank AS int) AS rank, doc_id,
                CAST(score_micro AS double) / 1000000.0 AS score
         FROM bmranked WHERE rank <= 10

@@ -554,3 +554,34 @@ def test_rrf_fuse_single_leg_and_validation(spark):
     assert len(out) == 1 and out[0].doc_id == 5
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_bm25_posting_truncation_bounds_hot_terms(spark):
+    """max_postings keeps each query term's top-M matches by EXACT
+    contribution: on a corpus where 'the' matches every doc, truncation
+    at M=2 keeps only the 2 highest-impact 'the' postings while the rare
+    term's postings survive untouched."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import bm25_topk
+
+    rows = [(i, "the filler " + "pad " * i) for i in range(8)]
+    rows.append((100, "the rare gem"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(1, "the rare")], "query_id long, query_text string"
+    )
+    full = {r.doc_id: r.score for r in bm25_topk(docs, qs, k=20).collect()}
+    pruned = {
+        r.doc_id: r.score
+        for r in bm25_topk(docs, qs, k=20, max_postings=2).collect()
+    }
+    assert len(full) == 9  # every doc contains 'the'
+    # 'the' keeps its top-2 impact postings: doc 0 (dl=2), then the
+    # dl=3 tie between docs 1 and 100 breaks doc_id-asc to doc 1; the
+    # rare term's single posting (doc 100) survives untouched
+    assert set(pruned) == {0, 1, 100}
+    # docs whose only postings survived keep their exact full score
+    assert pruned[0] == full[0] and pruned[1] == full[1]
+    # doc 100 lost its 'the' posting but keeps the dominant rare-term one
+    assert 0 < pruned[100] < full[100]
+    # truncation can only lower ranks, never inflate scores
+    assert all(pruned[d] <= full[d] for d in pruned)

@@ -906,6 +906,7 @@ def bm25_topk(
     text_col: str = "text",
     qid_col: str = "query_id",
     qtext_col: str = "query_text",
+    max_postings: "int | None" = None,
 ) -> DataFrame:
     """Okapi BM25 top-k retrieval (Robertson & Walker 1994) — the standard
     lexical ranking for retrieval-augmented pipelines. Engine extension
@@ -940,6 +941,18 @@ def bm25_topk(
     outgrows it), so matching normally never reshuffles the corpus; the per-(query, doc) sum and the
     final top-k window shuffle only MATCHED rows, and WindowGroupLimit
     prunes the window map-side to k rows per query per partition.
+
+    ``max_postings`` (opt-in) is the hot-term skew guard: a stopword-ish
+    query term matches EVERY document, so the matched-row shuffle for
+    that term is corpus-sized. When set, each query term keeps only its
+    ``max_postings`` highest-IMPACT matches (exact contribution order:
+    micro-units desc, id asc — not a tf proxy) before the per-query sum;
+    WindowGroupLimit bounds the kept rows map-side. This is classic
+    impact-ordered posting truncation (the static index-pruning
+    counterpart of WAND): top results dominated by high-impact postings
+    are preserved, docs reachable only through tail postings of
+    saturated terms may drop — the standard recall trade, deterministic
+    and oracle-replayable here.
     """
     qt = (
         queries.select(
@@ -987,6 +1000,14 @@ def bm25_topk(
             "_c", F.round(idf * sat * F.lit(1_000_000.0), 0).cast("long")
         )
     )
+    if max_postings is not None:
+        contrib = topk_per_key(
+            contrib,
+            [qid_col, "term"],
+            [F.desc("_c"), F.asc(id_col)],
+            max_postings,
+            rank_col="_prn",
+        ).drop("_prn")
     scored = contrib.groupBy(qid_col, id_col).agg(
         F.sum("_c").alias("_score_micro")
     )
