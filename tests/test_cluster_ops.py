@@ -395,3 +395,34 @@ def test_ivfpq_recall_at_scale_with_id_content_correlation(spark):
     recall = np.mean([len(got.get(q, set()) & t) / 5 for q, t in truth.items()])
     emb.unpersist()
     assert recall >= 0.95, recall
+
+
+def test_ivfpq_build_search_split_and_parquet_roundtrip(spark, blobs64, tmp_path):
+    """ivfpq_build + ivfpq_search == ann_ivfpq_topk exactly, including when
+    the three index tables go through a parquet write/read (the production
+    build-once / serve-many shape)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        ann_ivfpq_topk,
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    q = blobs64.filter("vec_id % 7 = 0")
+    mono = sorted(
+        tuple(r)
+        for r in ann_ivfpq_topk(q, blobs64, k=3, n_probe=2, rerank=16).collect()
+    )
+    idx = ivfpq_build(blobs64)
+    split = sorted(
+        tuple(r)
+        for r in ivfpq_search(q, idx, blobs64, k=3, n_probe=2, rerank=16).collect()
+    )
+    assert split == mono
+    for name, df in idx.items():
+        df.write.mode("overwrite").parquet(str(tmp_path / name))
+    idx2 = {name: spark.read.parquet(str(tmp_path / name)) for name in idx}
+    rt = sorted(
+        tuple(r)
+        for r in ivfpq_search(q, idx2, blobs64, k=3, n_probe=2, rerank=16).collect()
+    )
+    assert rt == mono

@@ -18,6 +18,8 @@ from .similarity import (  # noqa: F401
     ann_lsh_topk,
     ann_ivfpq_topk,
     ann_pq_topk,
+    ivfpq_build,
+    ivfpq_search,
     ann_quantized_topk,
     pq_encode,
     pq_train,

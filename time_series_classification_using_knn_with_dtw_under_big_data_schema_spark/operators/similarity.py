@@ -842,13 +842,63 @@ def ann_ivfpq_topk(
 
     Output: (query_id, neighbor_id, rank, l2_dist rounded to 6dp).
     """
+    index = ivfpq_build(
+        corpus,
+        n_lists=n_lists,
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        iters=iters,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return ivfpq_search(
+        queries,
+        index,
+        corpus,
+        k=k,
+        n_probe=n_probe,
+        n_subspaces=n_subspaces,
+        dim=dim,
+        rerank=rerank,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_self=exclude_self,
+    )
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    *,
+    n_lists: int = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, DataFrame]:
+    """Train the residual IVF-PQ index ONCE and hand back its three
+    tables, each a plain DataFrame that round-trips through parquet —
+    the production index-reuse shape (``ann_ivfpq_topk`` retrains per
+    call; real workloads build once and serve many query batches):
+
+    - ``centroids``: (cell, vector)          — n_lists rows
+    - ``codebook``:  (subspace, code, centroid) — n_subspaces*n_codes rows
+    - ``codes``:     (id_col, cell, codes)   — one ~9-small-int row per
+      corpus vector (the only corpus-sized table; partition/bucket it by
+      cell on write so a probe reads only its cells)
+
+    Feed the dict (or the same tables re-read from storage) to
+    ``ivfpq_search``. Search results are identical to ``ann_ivfpq_topk``
+    with the same parameters (test-pinned, including through a parquet
+    round-trip).
+    """
     from .cluster import kmeans_centroids
 
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
-    d = dim // n_subspaces
     c = corpus.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
-    q = queries.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
     # seed='spread' (hash-ranked top-k): on a content-clustered corpus the
     # default lowest-id seeds collapse into one region — measured IVF-PQ
     # recall 0.27 -> 0.66/0.82 (rerank 64/128) at 20k vectors, 64 clusters
@@ -876,13 +926,48 @@ def ann_ivfpq_topk(
         resid, n_subspaces=n_subspaces, n_codes=n_codes, iters=iters,
         dim=dim, id_col=id_col, vec_col=vec_col,
     )
-    codes = (
-        pq_encode(
-            resid, codebook, n_subspaces=n_subspaces, dim=dim,
-            id_col=id_col, vec_col=vec_col,
-        )
-        .withColumnRenamed(id_col, "neighbor_id")
-        .join(casn.select(F.col("_id").alias("neighbor_id"), "cell"), "neighbor_id")
+    codes = pq_encode(
+        resid, codebook, n_subspaces=n_subspaces, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    ).join(casn.select(F.col("_id").alias(id_col), "cell"), id_col)
+    return {
+        "centroids": coarse.select("cell", F.col("_cellv").alias("vector")),
+        "codebook": codebook,
+        "codes": codes.select(id_col, "cell", "codes"),
+    }
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    index: "dict[str, DataFrame]",
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    dim: int = 64,
+    rerank: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Serve a query batch against a prebuilt ``ivfpq_build`` index (the
+    tables may come straight from the build or re-read from parquet).
+    ``corpus`` supplies the full vectors for the exact ``rerank`` pass
+    only — probing and ADC scoring touch nothing but the index tables.
+    Identical results to ``ann_ivfpq_topk`` by construction (shared
+    implementation; test-pinned through a parquet round-trip)."""
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    d = dim // n_subspaces
+    c = corpus.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    q = queries.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    coarse = index["centroids"].select(
+        "cell", _as_double(F.col("vector")).alias("_cellv")
+    )
+    codebook = index["codebook"]
+    codes = index["codes"].select(
+        F.col(id_col).alias("neighbor_id"), "cell", "codes"
     )
 
     # queries: probe n_probe cells, one residual (and one ADC table) per probe
