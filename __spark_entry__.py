@@ -2142,7 +2142,7 @@ def _q114_source_cap(spark, sf_dir):
 def _q115_ann_pq(spark, sf_dir):
     """Product-quantization ANN with exact rerank (operators/similarity.py::
     ann_pq_topk — the FAISS IVF-PQ scoring shape, r4): per-subspace
-    k-means codebooks (strided ntile seeds, fixed-point refit), corpus
+    k-means codebooks (hash-ranked spread seeds, fixed-point refit), corpus
     quantized to 8 codes/vector (~32x less candidate-join traffic than
     brute float), per-query ADC distance tables broadcast into the
     code-space cross join, top-64 shortlist scored EXACTLY and re-ranked.

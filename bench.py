@@ -76,17 +76,23 @@ def main() -> None:
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark("bench")
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
 
     def run(name: str, fn, repeats: int = 1):
         # repeats>1: report the best run — the box is shared and single
-        # observations of the hot queries can be 2-3x off the steady state
+        # observations of the hot queries can be 2-3x off the steady state.
+        # ALL observations are kept (samples -> BENCH_FULL.json) so drift
+        # vs noise is decidable from the artifact, not a rerun.
         best, out = None, None
+        obs = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             out = fn()
             dt = time.perf_counter() - t0
+            obs.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        samples[name] = obs
         return out
 
     # --- shared scan: every benched query loads tables through
@@ -247,7 +253,10 @@ def main() -> None:
             ),
             key="test_id", label="train_label", rank="rank",
         )),
-        repeats=2,
+        # repeats=4 with every observation recorded (r4 verdict #6): this
+        # entry drifted 2.96 -> 4.17s across two rounds inside a claimed
+        # noise band — the samples in BENCH_FULL.json settle noise vs real
+        repeats=4,
     )
 
     # --- multichannel DTW (r4): 2-channel series, dependent DTW ----------
@@ -410,41 +419,75 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     dtw_pairs_per_sec = round(n_pairs / timings["knn_fastdtw_k5"]) if timings.get("knn_fastdtw_k5") else None
-    print(
-        json.dumps(
-            {
-                "metric": "end-to-end seconds (relational + series KNN workload)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_series": n_series,
-                "n_pairs": n_pairs,
-                "series_len": SERIES_LEN,
-                "dtw_pairs_per_sec": dtw_pairs_per_sec,
-                "n_pairs_561": n_pairs_561,
-                "dtw561_banded_pairs_per_sec": dtw561_banded_pairs_per_sec,
-                "n_pairs_561_faithful": n_pairs_561f,
-                # the faithful entry runs a reduced test side to bound
-                # wall-time; these fields make the reduction machine-readable
-                "reduced_test_side": n_t561_small < n_t561,
-                "full_pairs_561": n_pairs_561,
-                "fastdtw561_pairs_per_sec": fastdtw561_pairs_per_sec,
-                "baseline_fastdtw561_pairs_per_sec": 22600,
-                # whether the compiled-C DTW hot loops (functions/dtw_c.py)
-                # were active — false means the numpy fallback ran
-                "dtw_c_kernel": _dtw_c_available(),
-                # r4 methodology: noop-sink materialization (full projection
-                # computed; count-based runs could prune deterministic
-                # projections) + measured envelopes for the guarded scale
-                # fallbacks (ratio = fallback_time / fast_path_time)
-                "materialization": "noop",
-                "mv_dtw_2ch_pairs_per_sec": mv_pairs_per_sec,
-                "fb_dtw561_banded_shuffle_pairs_per_sec": fb_dtw561_pairs_per_sec,
-                "fallback_ratios": fallback_ratios,
-            }
-        )
-    )
+
+    # --- emission (r5, VERDICT r4 #1) -------------------------------------
+    # The driver records only the LAST ~2000 chars of stdout and json-parses
+    # the final line; r4's single 49-entry JSON line outgrew that window and
+    # the round's perf record came back "parsed": null. So: the FULL result
+    # (every entry, every repeat observation, all machine fields) goes to
+    # BENCH_FULL.json next to this script, and stdout gets ONE compact line
+    # — headline queries only, hard-capped below the tail window — as the
+    # very last thing printed.
+    full = {
+        "metric": "end-to-end seconds (relational + series KNN workload)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "samples": samples,
+        "sf": sf,
+        "n_series": n_series,
+        "n_pairs": n_pairs,
+        "series_len": SERIES_LEN,
+        "dtw_pairs_per_sec": dtw_pairs_per_sec,
+        "n_pairs_561": n_pairs_561,
+        "dtw561_banded_pairs_per_sec": dtw561_banded_pairs_per_sec,
+        "n_pairs_561_faithful": n_pairs_561f,
+        "reduced_test_side": n_t561_small < n_t561,
+        "full_pairs_561": n_pairs_561,
+        "fastdtw561_pairs_per_sec": fastdtw561_pairs_per_sec,
+        "baseline_fastdtw561_pairs_per_sec": 22600,
+        "dtw_c_kernel": _dtw_c_available(),
+        "materialization": "noop",
+        "mv_dtw_2ch_pairs_per_sec": mv_pairs_per_sec,
+        "fb_dtw561_banded_shuffle_pairs_per_sec": fb_dtw561_pairs_per_sec,
+        "fallback_ratios": fallback_ratios,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+
+    # headline subset, priority-ordered: baseline comparables first, then
+    # the flagship pipeline entries; trimmed from the back until the line
+    # fits the driver tail window with margin
+    headline_order = [
+        "knn_fastdtw_561pt", "knn_dtw_561pt_banded", "knn_euclidean_k5",
+        "knn_fastdtw_k5", "knn_pruned_faithful_561pt", "knn_dtw_mv_2ch_k5",
+        "bm25_topk", "bm25_search", "ann_ivfpq", "ann_pq_rerank",
+        "hybrid_rrf", "dedup_minhash_lsh", "ann_brute_cosine",
+        "ann_ivf_kmeans", "semantic_dedup", "bpe_train_encode",
+        "dedup_exact", "text_stats", "rel_pricing_summary", "series_build",
+    ]
+    headline = {k: timings[k] for k in headline_order if k in timings}
+    compact = {
+        "metric": "end-to-end seconds (relational + series KNN workload)",
+        "value": total,
+        "unit": "sec",
+        "queries": headline,
+        "sf": sf,
+        "n_queries_total": len(timings),
+        "fastdtw561_pairs_per_sec": fastdtw561_pairs_per_sec,
+        "dtw561_banded_pairs_per_sec": dtw561_banded_pairs_per_sec,
+        "baseline_fastdtw561_pairs_per_sec": 22600,
+        "mv_dtw_2ch_pairs_per_sec": mv_pairs_per_sec,
+        "dtw_c_kernel": _dtw_c_available(),
+        "fallback_ratios": fallback_ratios,
+        "full_artifact": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact)
+    while len(line) > 1600 and compact["queries"]:
+        compact["queries"].popitem()
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -426,3 +426,43 @@ def test_ivfpq_build_search_split_and_parquet_roundtrip(spark, blobs64, tmp_path
         for r in ivfpq_search(q, idx2, blobs64, k=3, n_probe=2, rerank=16).collect()
     )
     assert rt == mono
+
+
+def test_pq_n_codes_validation(spark):
+    """ADVICE r4: the ADC map key packs subspace*256+code, so n_codes > 256
+    would silently collide keys across subspaces — must raise instead."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        ann_pq_topk,
+        ivfpq_build,
+        pq_train,
+    )
+
+    df = _vec_df(spark, [(0, [1.0] * 64)])
+    with pytest.raises(ValueError, match="n_codes"):
+        pq_train(df, n_codes=300)
+    with pytest.raises(ValueError, match="n_codes"):
+        ann_pq_topk(df, df, n_codes=257)
+    with pytest.raises(ValueError, match="n_codes"):
+        ivfpq_build(df, n_codes=1000)
+
+
+def test_ivfpq_search_rejects_mismatched_geometry(spark, blobs64):
+    """ADVICE r4: a search whose n_subspaces/dim disagree with the prebuilt
+    index used to read past the codes array (NULL ADC sums sort first =>
+    silently wrong neighbors). With the params table the mismatch raises
+    eagerly; params-less (pre-r5) indexes raise from the data-plane guard."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    q = blobs64.filter("vec_id % 19 = 0")
+    idx = ivfpq_build(blobs64)  # n_subspaces=8, dim=64
+    assert "params" in idx
+    with pytest.raises(ValueError, match="built with n_subspaces=8"):
+        ivfpq_search(q, idx, blobs64, n_subspaces=16)
+    # params-less legacy dict: the scoring expression itself must fail
+    # loudly (raise_error) rather than score off the end of codes
+    legacy = {k: v for k, v in idx.items() if k != "params"}
+    with pytest.raises(Exception, match="codes length"):
+        ivfpq_search(q, legacy, blobs64, n_subspaces=16).collect()

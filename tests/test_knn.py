@@ -320,3 +320,26 @@ def test_multichannel_pruned_paths_reject_cleanly(spark):
         knn_join_pruned(df, df, metric="fastdtw", k=2, length=8)
     with pytest.raises(ValueError, match="flat series"):
         knn_join_lb(df, df, metric="dtw", k=2, length=8, band=2)
+
+
+def test_multichannel_train_side_alone_rejected(spark):
+    """ADVICE r4: a multichannel TRAIN side paired with a flat test side
+    must hit the same clear guard as a multichannel test side — not an
+    opaque failure inside the univariate PAA/envelope code."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        knn_join_lb,
+        knn_join_pruned,
+    )
+
+    flat = spark.createDataFrame(
+        [(i, [float(i)] * 8, "a") for i in range(6)],
+        "series_id long, features array<double>, label string",
+    )
+    mc = spark.createDataFrame(
+        [(i, [[1.0, 2.0]] * 8, "a") for i in range(6)],
+        "series_id long, features array<array<double>>, label string",
+    )
+    with pytest.raises(ValueError, match="flat series"):
+        knn_join_pruned(flat, mc, metric="fastdtw", k=2, length=8)
+    with pytest.raises(ValueError, match="flat series"):
+        knn_join_lb(flat, mc, metric="dtw", k=2, length=8, band=2)

@@ -374,7 +374,12 @@ def knn_join_pruned(
 
     from ..functions.arrays import paa
 
-    if isinstance(test.schema[features_col].dataType.elementType, ArrayType):
+    # check BOTH sides: a multichannel train side paired with a flat test
+    # side would pass a test-only guard and fail opaquely in the univariate
+    # PAA code downstream (ADVICE r4)
+    if isinstance(test.schema[features_col].dataType.elementType, ArrayType) or isinstance(
+        train.schema[features_col].dataType.elementType, ArrayType
+    ):
         raise ValueError(
             "knn_join_pruned expects flat series (array<double>); for "
             "multichannel series use knn_join (any strategy) — the PAA "
@@ -505,7 +510,9 @@ def knn_join_lb(
 
     if callable(metric) or metric not in ("dtw", "fastdtw"):
         raise ValueError("knn_join_lb requires metric='dtw' or 'fastdtw'")
-    if isinstance(test.schema[features_col].dataType.elementType, ArrayType):
+    if isinstance(test.schema[features_col].dataType.elementType, ArrayType) or isinstance(
+        train.schema[features_col].dataType.elementType, ArrayType
+    ):
         raise ValueError(
             "knn_join_lb expects flat series (array<double>); for "
             "multichannel series use knn_join — the envelope bound is "

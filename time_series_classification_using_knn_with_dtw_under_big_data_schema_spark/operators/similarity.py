@@ -575,6 +575,10 @@ def pq_train(
     """
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    # the ADC map key downstream is packed as subspace*256 + code; more than
+    # 256 codes would silently collide keys across subspaces (ADVICE r4)
+    if not 1 <= n_codes <= 256:
+        raise ValueError(f"n_codes must be in [1, 256], got {n_codes}")
     d = dim // n_subspaces
     scale = 1_000_000
     c = corpus.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
@@ -734,6 +738,8 @@ def ann_pq_topk(
     """
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    if not 1 <= n_codes <= 256:
+        raise ValueError(f"n_codes must be in [1, 256], got {n_codes}")
     d = dim // n_subspaces
     if codebook is None:
         codebook = pq_train(
@@ -888,6 +894,9 @@ def ivfpq_build(
     - ``codes``:     (id_col, cell, codes)   — one ~9-small-int row per
       corpus vector (the only corpus-sized table; partition/bucket it by
       cell on write so a probe reads only its cells)
+    - ``params``:    1 row (n_lists, n_subspaces, n_codes, dim) — the build
+      geometry, so ``ivfpq_search`` can reject a mismatched search call
+      (easy after a parquet round-trip) instead of silently mis-scoring
 
     Feed the dict (or the same tables re-read from storage) to
     ``ivfpq_search``. Search results are identical to ``ann_ivfpq_topk``
@@ -898,6 +907,8 @@ def ivfpq_build(
 
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    if not 1 <= n_codes <= 256:
+        raise ValueError(f"n_codes must be in [1, 256], got {n_codes}")
     c = corpus.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
     # seed='spread' (hash-ranked top-k): on a content-clustered corpus the
     # default lowest-id seeds collapse into one region — measured IVF-PQ
@@ -930,10 +941,15 @@ def ivfpq_build(
         resid, codebook, n_subspaces=n_subspaces, dim=dim,
         id_col=id_col, vec_col=vec_col,
     ).join(casn.select(F.col("_id").alias(id_col), "cell"), id_col)
+    params = corpus.sparkSession.createDataFrame(
+        [(n_lists, n_subspaces, n_codes, dim)],
+        "n_lists int, n_subspaces int, n_codes int, dim int",
+    )
     return {
         "centroids": coarse.select("cell", F.col("_cellv").alias("vector")),
         "codebook": codebook,
         "codes": codes.select(id_col, "cell", "codes"),
+        "params": params,
     }
 
 
@@ -956,9 +972,26 @@ def ivfpq_search(
     ``corpus`` supplies the full vectors for the exact ``rerank`` pass
     only — probing and ADC scoring touch nothing but the index tables.
     Identical results to ``ann_ivfpq_topk`` by construction (shared
-    implementation; test-pinned through a parquet round-trip)."""
+    implementation; test-pinned through a parquet round-trip).
+
+    Geometry safety (ADVICE r4): a search call whose n_subspaces/dim
+    disagree with the prebuilt index would read past the codes array —
+    element_at past the end yields NULL ADC sums that sort FIRST under asc,
+    i.e. silently wrong neighbors. When the index carries its ``params``
+    table (every ``ivfpq_build`` since r5) the mismatch raises here,
+    eagerly and for free (the table is one literal/tiny-parquet row);
+    indexes without params are still guarded data-plane — the scoring
+    expression raises on any codes row whose length != n_subspaces."""
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    if "params" in index:
+        p = index["params"].first()
+        if p["n_subspaces"] != n_subspaces or p["dim"] != dim:
+            raise ValueError(
+                f"index was built with n_subspaces={p['n_subspaces']}, "
+                f"dim={p['dim']}; search called with n_subspaces="
+                f"{n_subspaces}, dim={dim}"
+            )
     d = dim // n_subspaces
     c = corpus.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
     q = queries.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
@@ -1020,6 +1053,20 @@ def ivfpq_search(
         F.lit(0.0),
         lambda acc, m: acc
         + F.element_at(F.col("_dt"), m * 256 + F.element_at(F.col("codes"), m + 1)),
+    )
+    # data-plane geometry guard for params-less (pre-r5) indexes: a codes
+    # row shorter/longer than n_subspaces fails loudly instead of scoring
+    # off the end of the array (NULL sums sort first => silent bad results)
+    score = F.when(F.size("codes") == n_subspaces, score).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"ivfpq_search: index codes length != n_subspaces={n_subspaces} "
+                    "(index built with different geometry?); got length "
+                ),
+                F.size("codes").cast("string"),
+            )
+        )
     )
     pairs = pairs.withColumn("_s", score)
     C = max(rerank, k)
