@@ -2230,6 +2230,82 @@ def _q119_bm25_pruned(spark, sf_dir):
     return bm25_topk(docs, qs, k=10, max_postings=20)
 
 
+def _q120_bm25_served(spark, sf_dir):
+    """BM25 through the build-once/serve-many split (operators/corpus.py::
+    bm25_build + bm25_search, r5 — the persistence mirror of
+    ivfpq_build/ivfpq_search): the corpus-sized index (tf partitioned-by-
+    term-able, vocabulary-sized df, 1-row stats) is built once; the serve
+    call joins only the query vocabulary against it — no corpus scan per
+    query batch. Result contract: bit-identical to q117 (same workload,
+    same oracle chain), which is exactly what the oracle checks."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        bm25_build,
+        bm25_search,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokens_fn(F.col("text")), 1, 6)).alias(
+            "query_text"
+        ),
+    )
+    return bm25_search(qs, bm25_build(docs), k=10)
+
+
+def _q121_bm25_wand(spark, sf_dir):
+    """LOSSLESS dynamic-pruned BM25 (operators/corpus.py::
+    bm25_search_pruned) — the exact WAND-flavored sibling of q119's static
+    truncation, same filter-and-verify shape as knn_join_lb: top-5
+    impact-ordered postings per query term, exact re-score of surviving
+    candidates, per-query completeness certificate (tail-bound sum vs the
+    k-th exact candidate score), and full-scoring ESCALATION for queries
+    the certificate can't prove. Result contract: identical to unpruned
+    q117 for every query — the oracle IS the full-chain replay. max_postings=5
+    is deliberately aggressive so the gate exercises both the proven path
+    and the escalation path on real data."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        bm25_build,
+        bm25_search_pruned,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokens_fn(F.col("text")), 1, 6)).alias(
+            "query_text"
+        ),
+    )
+    return bm25_search_pruned(qs, bm25_build(docs), k=10, max_postings=5)
+
+
+def _q122_bm25_wand_certificate(spark, sf_dir):
+    """The VERIFY pass of q121, oracled on its own (r4 verdict #7: 'with
+    the verify pass oracled'): per query — candidate count after top-5
+    posting truncation, theta (k-th exact candidate score, micro-units),
+    the admissible tail-bound sum over truncated terms, and the proven
+    flag (tail_sum == 0 OR (n_cand >= k AND tail_sum < theta)). The DuckDB
+    twin replays the whole certificate computation."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        bm25_build,
+        bm25_search_pruned,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokens_fn(F.col("text")), 1, 6)).alias(
+            "query_text"
+        ),
+    )
+    return bm25_search_pruned(
+        qs, bm25_build(docs), k=10, max_postings=5, certificate=True
+    )
+
+
 def _q118_hybrid_retrieval(spark, sf_dir):
     """Hybrid lexical+semantic retrieval with reciprocal-rank fusion
     (operators/corpus.py::rrf_fuse; Cormack et al. 2009) — the production
@@ -2381,6 +2457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_bm25": _q117_bm25,
         "q118_hybrid_retrieval": _q118_hybrid_retrieval,
         "q119_bm25_pruned": _q119_bm25_pruned,
+        "q120_bm25_served": _q120_bm25_served,
+        "q121_bm25_wand": _q121_bm25_wand,
+        "q122_bm25_wand_certificate": _q122_bm25_wand_certificate,
     }
 
 
@@ -3284,7 +3363,7 @@ def _sql_bm25_ctes(mod: int = 23, qlen: int = 6, max_postings: int = 0) -> str:
             FROM tok
         ),
         contrib AS (
-            SELECT q.query_id, t.doc_id, t.term,
+            SELECT q.query_id, t.doc_id, t.term, d.df,
                    CAST(round(
                        ((CAST(s.n_docs - d.df AS double) + 0.5)
                             / (CAST(d.df AS double) + 0.5) + 1.0)
@@ -5477,6 +5556,63 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, cast(rank AS int) AS rank, doc_id,
                CAST(score_micro AS double) / 1000000.0 AS score
         FROM bmranked WHERE rank <= 10
+    """
+
+    # q120: BM25 through the build/search persistence split — the serve
+    # path must reproduce the composed chain exactly, so the oracle IS
+    # q117's replay
+    out["q120_bm25_served"] = out["q117_bm25"]
+
+    # q121: lossless WAND-pruned BM25 — exact by construction, so the
+    # oracle is q117's full-chain replay (any pruning loss = hash mismatch)
+    out["q121_bm25_wand"] = out["q117_bm25"]
+
+    # q122: the WAND completeness certificate — truncate to top-5 postings
+    # per (query, term), exact re-score of candidates, tail-bound sum vs
+    # the k-th candidate score; the full verify-pass replay
+    out["q122_bm25_wand_certificate"] = f"""
+        WITH {_sql_bm25_ctes()},
+        kept AS (
+            SELECT query_id, term, df, doc_id, c,
+                   row_number() OVER (PARTITION BY query_id, term
+                               ORDER BY c DESC, doc_id ASC) AS prn
+            FROM contrib
+        ),
+        keptf AS (SELECT * FROM kept WHERE prn <= 5),
+        tails AS (
+            SELECT query_id, term, max(df) AS df, min(c) AS minkept
+            FROM keptf GROUP BY query_id, term
+        ),
+        tailsum AS (
+            SELECT query_id,
+                   CAST(sum(CASE WHEN df > 5 THEN minkept ELSE 0 END)
+                        AS BIGINT) AS tail_sum_micro
+            FROM tails GROUP BY query_id
+        ),
+        cand AS (SELECT DISTINCT query_id, doc_id FROM keptf),
+        exact AS (
+            SELECT c2.query_id, c2.doc_id, CAST(sum(c2.c) AS BIGINT) AS s
+            FROM contrib c2 JOIN cand USING (query_id, doc_id)
+            GROUP BY c2.query_id, c2.doc_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY s DESC, doc_id ASC) AS rnk
+            FROM exact
+        ),
+        theta AS (
+            SELECT query_id, min(s) AS theta FROM ranked
+            WHERE rnk <= 10 GROUP BY query_id
+        ),
+        nc AS (SELECT query_id, count(*) AS n_cand FROM exact GROUP BY query_id)
+        SELECT n.query_id,
+               CAST(n.n_cand AS BIGINT) AS n_candidates,
+               t.theta AS theta_micro,
+               s.tail_sum_micro,
+               (s.tail_sum_micro = 0
+                OR (n.n_cand >= 10 AND s.tail_sum_micro < t.theta)) AS proven
+        FROM nc n JOIN theta t ON n.query_id = t.query_id
+        JOIN tailsum s ON n.query_id = s.query_id
     """
 
     # q119: BM25 with impact-ordered posting truncation — the q117 chain

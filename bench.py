@@ -313,6 +313,52 @@ def main() -> None:
     run("ann_ivfpq", lambda: _mat(entry_mod._q116_ann_ivfpq(spark, sf_dir)), repeats=2)
     # Okapi BM25 retrieval: tf/df build + broadcast query match + top-k
     run("bm25_topk", lambda: _mat(entry_mod._q117_bm25(spark, sf_dir)), repeats=2)
+    # build-once/serve-many split (r5, VERDICT r4 #3): bm25_build is the
+    # corpus-sized cost paid once; bm25_search is the per-workload serve
+    # cost against the cached index — the number a standing retrieval
+    # service actually pays per query batch
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        bm25_build,
+        bm25_search,
+    )
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.text import (
+        tokens as _tokens_fn,
+    )
+
+    bm_docs = _t_cached(spark, sf_dir, "documents")
+    bm_qs = bm_docs.filter(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(_tokens_fn(F.col("text")), 1, 6)).alias(
+            "query_text"
+        ),
+    ).cache()
+    bm_qs.count()
+    def _build_and_materialize():
+        idx = {n: t.cache() for n, t in bm25_build(bm_docs).items()}
+        for t in idx.values():
+            t.count()  # the timed build INCLUDES materializing the index
+        return idx
+
+    bm_idx = run("bm25_build", _build_and_materialize)
+    run(
+        "bm25_search",
+        lambda: _mat(bm25_search(bm_qs, bm_idx, k=10)),
+        repeats=3,
+    )
+    # lossless WAND-style pruned serve (filter postings + verify + escalate
+    # unproven queries) on the same cached index — exact results by contract
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        bm25_search_pruned,
+    )
+
+    run(
+        "bm25_search_wand",
+        lambda: _mat(bm25_search_pruned(bm_qs, bm_idx, k=10, max_postings=20)),
+        repeats=2,
+    )
+    for t in bm_idx.values():
+        t.unpersist()
+    bm_qs.unpersist()
     # hybrid retrieval: BM25 leg + cosine-ANN leg + reciprocal-rank fusion
     run(
         "hybrid_rrf",
@@ -364,17 +410,19 @@ def main() -> None:
         round(n_pairs_561 / timings["fb_knn_dtw561_banded_shuffle"])
         if timings.get("fb_knn_dtw561_banded_shuffle") else None
     )
-    # ANN declarative-no-hint (similarity.py guard): corpus "too big" for the
-    # kernel broadcast — crossJoin without a broadcast hint, AQE decides.
+    # ANN chunked block scorer (r5, VERDICT r4 #2): corpus "too big" for the
+    # kernel broadcast now routes to the block nested-loop applyInPandas
+    # scorer (one corpus shuffle, no broadcast variable, bit-identical) —
+    # this replaced the 4.8-5.2x declarative-no-hint fallback.
     emb = _t_cached(spark, sf_dir, "embeddings")
     annq = emb.filter(F.col("vec_id") % 25 == 0)
     run(
-        "fb_ann_brute_declarative",
+        "fb_ann_brute_chunked",
         lambda: _mat(ann_brute_topk(annq, emb, k=5, strategy="kernel", max_broadcast_bytes=1)),
         repeats=2,
     )
     run(
-        "fb_ann_quantized_declarative",
+        "fb_ann_quantized_chunked",
         lambda: _mat(ann_quantized_topk(annq, emb, k=5, strategy="kernel", max_broadcast_bytes=1)),
         repeats=2,
     )
@@ -402,14 +450,120 @@ def main() -> None:
     )
     cc_pairs.unpersist()
 
+    # --- fallback tier 2 (r5, VERDICT r4 #4): the REAL regime -------------
+    # The fb_* tier forces guards on fits-in-memory inputs; this tier
+    # amplifies the inputs so the fallback serves where it actually would:
+    # a corpus that EXCEEDS the configured broadcast budget, plus a
+    # skewed-key (star-graph) leg for the distributed component solve.
+    amp_factor = 25
+    amp = (
+        emb.crossJoin(spark.range(amp_factor).withColumnRenamed("id", "_rep"))
+        .select(
+            (F.col("vec_id") + F.col("_rep") * 1_000_000).alias("vec_id"),
+            # perturb per replica: the amplified corpus is 25x the bytes,
+            # not 25 identical copies (distances stay non-degenerate)
+            F.transform(
+                "embedding", lambda x: x + F.col("_rep").cast("double") * 0.013
+            ).alias("embedding"),
+        )
+        .repartition(cpus)
+        .cache()
+    )
+    n_amp = amp.count()  # untimed: both strategies read the cached corpus
+    amp_q = amp.filter(F.col("vec_id") % 251 == 0).cache()
+    n_amp_q = amp_q.count()
+    # budget = 1/3 of the corpus matrix bytes (~8 MB at sf0.1): the guard
+    # fires at DEFAULT-shaped proportions, not threshold=1 on a toy input
+    amp_budget = max(1, n_amp * 64 * 8 // 3)
+    run(
+        "fb2_ann_brute_chunked_amplified",
+        lambda: _mat(ann_brute_topk(
+            amp_q, amp, k=5, strategy="kernel", max_broadcast_bytes=amp_budget
+        )),
+        repeats=2,
+    )
+    # same amplified input through the broadcast kernel (the budget a
+    # bigger executor would grant) = the fast-path twin for the ratio
+    run(
+        "fb2_ann_brute_kernel_amplified",
+        lambda: _mat(ann_brute_topk(amp_q, amp, k=5, strategy="kernel")),
+        repeats=2,
+    )
+    amp.unpersist()
+    amp_q.unpersist()
+    # series side: 8x train (the broadcast side in Model 2) with per-replica
+    # noise; Model-1 shuffle vs Model-2 broadcast at a scale where the
+    # broadcast build is no longer trivially small
+    amp8 = 8
+    amp_train = (
+        train.crossJoin(spark.range(amp8).withColumnRenamed("id", "_rep"))
+        .select(
+            (F.col("series_id") + F.col("_rep") * 1_000_000).alias("series_id"),
+            F.transform(
+                "features", lambda x: x + F.col("_rep").cast("double") * 0.01
+            ).alias("features"),
+            "label",
+        )
+        .repartition(cpus)
+        .cache()
+    )
+    n_amp_train = amp_train.count()
+    run(
+        "fb2_knn_shuffle_euclid_amplified",
+        lambda: _mat(knn_classify(
+            test, amp_train, metric="euclidean", k=5, strategy="shuffle"
+        )),
+        repeats=2,
+    )
+    run(
+        "fb2_knn_kernel_euclid_amplified",
+        lambda: _mat(knn_classify(
+            test, amp_train, metric="euclidean", k=5, strategy="kernel"
+        )),
+        repeats=2,
+    )
+    amp_train.unpersist()
+    # skewed-key leg: a star graph (one hub, n_docs-1 spokes) is the worst
+    # case for min-label propagation (every edge touches the hub's label) —
+    # the honest envelope for the distributed solve under hot-key skew
+    doc_ids = docs.select(F.col("doc_id"))
+    hub = doc_ids.agg(F.min("doc_id")).first()[0]
+    star_pairs = (
+        doc_ids.filter(F.col("doc_id") != hub)
+        .select(F.lit(hub).alias("id_a"), F.col("doc_id").alias("id_b"))
+        .cache()
+    )
+    star_pairs.count()
+    run(
+        "fb2_components_distributed_star",
+        lambda: _mat(dedup_components(docs, star_pairs, local_threshold=0)),
+        repeats=2,
+    )
+    run(
+        "fb2_components_local_star",
+        lambda: _mat(dedup_components(docs, star_pairs)),
+        repeats=2,
+    )
+    star_pairs.unpersist()
+
     fallback_pairs = {
         "knn_shuffle_euclid_k5": ("fb_knn_shuffle_euclid_k5", "knn_euclidean_k5"),
         "knn_shuffle_fastdtw_k5": ("fb_knn_shuffle_fastdtw_k5", "knn_fastdtw_k5"),
         "knn_dtw561_banded_shuffle": ("fb_knn_dtw561_banded_shuffle", "knn_dtw_561pt_banded"),
-        "ann_brute_declarative": ("fb_ann_brute_declarative", "ann_brute_cosine"),
-        "ann_quantized_declarative": ("fb_ann_quantized_declarative", "ann_quantized"),
+        "ann_brute_chunked": ("fb_ann_brute_chunked", "ann_brute_cosine"),
+        "ann_quantized_chunked": ("fb_ann_quantized_chunked", "ann_quantized"),
         "bpe_train_distributed": ("fb_bpe_train_distributed", "bpe_train_driver"),
         "components_distributed": ("fb_components_distributed", "components_solve_local"),
+        # tier 2: fallback vs fast-path twin on the AMPLIFIED / skewed inputs
+        "amp_ann_brute_chunked": (
+            "fb2_ann_brute_chunked_amplified", "fb2_ann_brute_kernel_amplified"
+        ),
+        "amp_knn_shuffle_euclid": (
+            "fb2_knn_shuffle_euclid_amplified", "fb2_knn_kernel_euclid_amplified"
+        ),
+        "star_components_distributed": (
+            "fb2_components_distributed_star", "fb2_components_local_star"
+        ),
     }
     fallback_ratios = {
         name: round(timings[fb] / timings[fast], 2)

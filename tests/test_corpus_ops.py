@@ -585,3 +585,130 @@ def test_bm25_posting_truncation_bounds_hot_terms(spark):
     assert 0 < pruned[100] < full[100]
     # truncation can only lower ranks, never inflate scores
     assert all(pruned[d] <= full[d] for d in pruned)
+
+
+def test_bm25_build_search_split_identical(spark, bm25_corpus, tmp_path):
+    """bm25_build -> parquet round-trip -> bm25_search must be bit-identical
+    to the composed bm25_topk (the build-once/serve-many contract, r5,
+    mirror of the ivfpq_build/ivfpq_search persistence split)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        bm25_build,
+        bm25_search,
+        bm25_topk,
+    )
+
+    qs = spark.createDataFrame(
+        [(10, "the cat"), (11, "spark engines"), (12, "dogs living")],
+        "query_id long, query_text string",
+    )
+    composed = sorted(map(tuple, bm25_topk(bm25_corpus, qs, k=3).collect()))
+
+    index = bm25_build(bm25_corpus)
+    # persist every index table and serve from the parquet copies only
+    reread = {}
+    for name, tbl in index.items():
+        path = str(tmp_path / f"bm25_{name}")
+        tbl.write.parquet(path)
+        reread[name] = spark.read.parquet(path)
+    served = sorted(map(tuple, bm25_search(qs, reread, k=3).collect()))
+    assert served == composed
+
+    # max_postings flows through the split identically too
+    trunc_composed = sorted(
+        map(tuple, bm25_topk(bm25_corpus, qs, k=3, max_postings=2).collect())
+    )
+    trunc_served = sorted(
+        map(tuple, bm25_search(qs, reread, k=3, max_postings=2).collect())
+    )
+    assert trunc_served == trunc_composed
+
+
+def test_bm25_search_validates_index_shape(spark, bm25_corpus):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        bm25_build,
+        bm25_search,
+    )
+
+    qs = spark.createDataFrame([(1, "cat")], "query_id long, query_text string")
+    with pytest.raises(ValueError, match="missing tables"):
+        bm25_search(qs, {"tf": bm25_corpus})
+    bad = bm25_build(bm25_corpus)
+    bad["stats"] = bad["stats"].drop("total_tokens")
+    with pytest.raises(ValueError, match="missing columns"):
+        bm25_search(qs, bad)
+
+
+def test_bm25_pruned_lossless_vs_full(spark, bm25_corpus):
+    """bm25_search_pruned must ALWAYS equal the unpruned search — including
+    max_postings=1, where nearly every query needs the escalation pass."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        bm25_build,
+        bm25_search_pruned,
+        bm25_topk,
+    )
+
+    qs = spark.createDataFrame(
+        [(10, "the cat"), (11, "spark engines"), (12, "dogs living together")],
+        "query_id long, query_text string",
+    )
+    idx = bm25_build(bm25_corpus)
+    full = sorted(map(tuple, bm25_topk(bm25_corpus, qs, k=3).collect()))
+    for m in (1, 2, 50):
+        pruned = sorted(
+            map(tuple, bm25_search_pruned(qs, idx, k=3, max_postings=m).collect())
+        )
+        assert pruned == full, f"max_postings={m} diverged"
+
+
+def test_bm25_pruned_hot_term_escalates_and_stays_exact(spark):
+    """A stopword-ish term matching every doc: static truncation (q119)
+    loses docs here; the WAND sibling must escalate and return the exact
+    answer anyway, and its certificate must mark the query unproven."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        bm25_build,
+        bm25_search_pruned,
+        bm25_topk,
+    )
+
+    # 30 docs, every one contains 'common'; rare terms differentiate
+    rows = [
+        (i, "common " + ("alpha " if i % 3 == 0 else "beta ") * (1 + i % 4))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(1, "common"), (2, "alpha common")], "query_id long, query_text string"
+    )
+    idx = bm25_build(docs)
+    full = sorted(map(tuple, bm25_topk(docs, qs, k=10).collect()))
+    pruned = sorted(
+        map(tuple, bm25_search_pruned(qs, idx, k=10, max_postings=3).collect())
+    )
+    assert pruned == full
+    cert = {
+        r.query_id: r
+        for r in bm25_search_pruned(
+            qs, idx, k=10, max_postings=3, certificate=True
+        ).collect()
+    }
+    # 'common' matches all 30 docs with near-identical impacts: truncating
+    # to 3 postings cannot prove a top-10 complete
+    assert not cert[1].proven
+    assert cert[1].tail_sum_micro > 0
+
+
+def test_bm25_pruned_certificate_proves_easy_queries(spark, bm25_corpus):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        bm25_build,
+        bm25_search_pruned,
+    )
+
+    qs = spark.createDataFrame(
+        [(11, "spark engines")], "query_id long, query_text string"
+    )
+    cert = bm25_search_pruned(
+        qs, bm25_build(bm25_corpus), k=3, max_postings=10, certificate=True
+    ).collect()
+    assert len(cert) == 1 and cert[0].proven
+    # nothing dropped: every matched term has <= 10 postings
+    assert cert[0].tail_sum_micro == 0

@@ -128,8 +128,16 @@ SLOW_SUBSET = [
     "q107_hll_distinct",
     "q109_tokenizer_pipeline",
     "q113_knn_dtw_multichannel",
+    # PQ family (r5, VERDICT r4 #5): the most AQE-plan-sensitive chains in
+    # the repo — previously verified at sf0.001 only
+    "q115_ann_pq",
+    "q116_ann_ivfpq",
     "q117_bm25",
     "q118_hybrid_retrieval",
+    "q119_bm25_pruned",
+    "q120_bm25_served",
+    "q121_bm25_wand",
+    "q122_bm25_wand_certificate",
 ]
 
 

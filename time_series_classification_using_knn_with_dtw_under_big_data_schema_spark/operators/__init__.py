@@ -29,6 +29,9 @@ from .similarity import (  # noqa: F401
 from .cluster import kmeans_assign, kmeans_centroids, semantic_dedup  # noqa: F401
 from .bpe import apply_merge, bpe_encode, train_bpe  # noqa: F401
 from .corpus import (  # noqa: F401
+    bm25_build,
+    bm25_search,
+    bm25_search_pruned,
     bm25_topk,
     cap_per_source,
     chunk_documents,

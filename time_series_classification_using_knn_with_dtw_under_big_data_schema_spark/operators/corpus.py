@@ -50,6 +50,9 @@ __all__ = [
     "duplicate_spans",
     "cap_per_source",
     "bm25_topk",
+    "bm25_build",
+    "bm25_search",
+    "bm25_search_pruned",
     "rrf_fuse",
 ]
 
@@ -954,30 +957,146 @@ def bm25_topk(
     saturated terms may drop — the standard recall trade, deterministic
     and oracle-replayable here.
     """
+    index = bm25_build(docs, id_col=id_col, text_col=text_col)
+    return bm25_search(
+        queries,
+        index,
+        k=k,
+        k1=k1,
+        b=b,
+        id_col=id_col,
+        qid_col=qid_col,
+        qtext_col=qtext_col,
+        max_postings=max_postings,
+    )
+
+
+def bm25_build(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "dict[str, DataFrame]":
+    """Build the persistable BM25 index — the build-once/serve-many split
+    of ``bm25_topk`` (r5, mirror of similarity.py's ivfpq_build/
+    ivfpq_search): the corpus-sized work (tokenize + tf groupBy + df agg)
+    runs ONCE, the product is three DataFrames a user parquets and every
+    subsequent ``bm25_search`` call reads — search never touches the raw
+    corpus again.
+
+    Returns ``{"tf": (id_col, dl, term, tf), "df": (term, df),
+    "stats": (n_docs, total_tokens) — exactly 1 row}``. Columns are
+    PUBLIC (no underscore) because the index is a storage format;
+    ``bm25_search`` validates the shape eagerly.
+
+    Scale shape (100 TB): tf is the only corpus-sized table — one shuffle
+    to build (map-side partial count; dl rides as a group key so there is
+    no second corpus join). Persist it partitioned/bucketed BY TERM
+    (e.g. ``df.repartition("term").write.bucketBy(n, "term")``): the
+    search-side query-term join then prunes to the query vocabulary's
+    buckets instead of scanning the full index. df is vocabulary-sized,
+    stats is 1 row.
+    """
+    t = fan_out(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = t.select(
+        id_col, F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
+    )
+    tf = toks.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = t.agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.sum(F.size("_toks")).alias("total_tokens"),
+    )
+    return {"tf": tf, "df": df_tbl, "stats": stats}
+
+
+def bm25_search(
+    queries: DataFrame,
+    index: "dict[str, DataFrame]",
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+    max_postings: "int | None" = None,
+) -> DataFrame:
+    """Serve BM25 top-k from a prebuilt ``bm25_build`` index (parquet
+    round-trip safe — test-pinned identical to the composed ``bm25_topk``).
+    Scoring semantics, tie order, micro-unit arithmetic and the
+    ``max_postings`` hot-term guard are exactly ``bm25_topk``'s (it
+    delegates here). Per-call cost is WORKLOAD-sized: the query-term join
+    against tf (AQE-sized; term-bucketed index storage prunes it), the
+    vocabulary-sized df join, the matched-row sum and the top-k window —
+    no corpus scan, no tokenize, no tf shuffle.
+    """
+    contrib = _bm25_contrib(
+        queries, index, k1=k1, b=b, id_col=id_col,
+        qid_col=qid_col, qtext_col=qtext_col,
+    )
+    if max_postings is not None:
+        contrib = topk_per_key(
+            contrib,
+            [qid_col, "term"],
+            [F.desc("_c"), F.asc(id_col)],
+            max_postings,
+            rank_col="_prn",
+        ).drop("_prn")
+    scored = contrib.groupBy(qid_col, id_col).agg(
+        F.sum("_c").alias("_score_micro")
+    )
+    top = topk_per_key(
+        scored, qid_col, [F.desc("_score_micro"), F.asc(id_col)], k
+    )
+    return top.select(
+        qid_col,
+        "rank",
+        id_col,
+        (F.col("_score_micro").cast("double") / F.lit(1_000_000.0)).alias("score"),
+    )
+
+
+def _bm25_contrib(
+    queries: DataFrame,
+    index: "dict[str, DataFrame]",
+    *,
+    k1: float,
+    b: float,
+    id_col: str,
+    qid_col: str,
+    qtext_col: str,
+) -> DataFrame:
+    """Shared scoring core of bm25_search / bm25_search_pruned: validate the
+    index shape, explode the query vocabulary, and emit one row per matched
+    (query, doc, term) with the exact micro-unit contribution ``_c`` (plus
+    the riding ``df``/``tf``/``dl`` columns)."""
+    missing = {"tf", "df", "stats"} - set(index)
+    if missing:
+        raise ValueError(f"bm25 index missing tables: {sorted(missing)}")
+    tf, df_tbl, stats = index["tf"], index["df"], index["stats"]
+    for tbl, cols in (
+        (tf, {id_col, "dl", "term", "tf"}),
+        (df_tbl, {"term", "df"}),
+        (stats, {"n_docs", "total_tokens"}),
+    ):
+        absent = cols - set(tbl.columns)
+        if absent:
+            raise ValueError(f"bm25 index table missing columns: {sorted(absent)}")
     qt = (
         queries.select(
             F.col(qid_col), F.explode(tokens(F.col(qtext_col))).alias("term")
         )
         .distinct()
     )
-    t = fan_out(docs).select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
-    )
-    toks = t.select(
-        id_col, F.size("_toks").alias("_dl"), F.explode("_toks").alias("term")
-    )
-    tf = toks.groupBy(id_col, "_dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = t.agg(
-        F.countDistinct(id_col).alias("_n_docs"),
-        F.sum(F.size("_toks")).alias("_total_tokens"),
-    )
     idf = (
-        (F.col("_n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+        (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
     ) / (F.col("df").cast("double") + F.lit(0.5)) + F.lit(1.0)
-    avgdl = F.col("_total_tokens").cast("double") / F.col("_n_docs").cast("double")
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
     norm = F.lit(k1) * (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("_dl").cast("double") / avgdl)
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
     )
     # (k1 + 1) as an ENGINE-side fold of the two decimal literals, never a
     # Python-computed constant: both engines parse k1 to the same nearest
@@ -1000,20 +1119,126 @@ def bm25_topk(
             "_c", F.round(idf * sat * F.lit(1_000_000.0), 0).cast("long")
         )
     )
-    if max_postings is not None:
-        contrib = topk_per_key(
-            contrib,
-            [qid_col, "term"],
-            [F.desc("_c"), F.asc(id_col)],
-            max_postings,
-            rank_col="_prn",
-        ).drop("_prn")
-    scored = contrib.groupBy(qid_col, id_col).agg(
-        F.sum("_c").alias("_score_micro")
+    return contrib
+
+
+def bm25_search_pruned(
+    queries: DataFrame,
+    index: "dict[str, DataFrame]",
+    *,
+    k: int = 10,
+    max_postings: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+    certificate: bool = False,
+) -> DataFrame:
+    """LOSSLESS dynamic-pruned BM25 top-k — the exact (WAND-flavored)
+    sibling of ``max_postings`` static truncation, same filter-and-verify
+    shape as knn.py's knn_join_lb: results are ALWAYS identical to the
+    unpruned ``bm25_search`` (test- and oracle-pinned), the pruning only
+    bounds how many posting rows the scoring shuffle moves.
+
+    Two-pass plan:
+
+    1. FILTER: keep each query term's ``max_postings`` highest-impact
+       postings (exact micro-unit order; WindowGroupLimit bounds kept rows
+       map-side — the q119 skew guard). The candidate set is every doc
+       surviving in >= 1 kept posting. Per (query, term), every DROPPED
+       posting's impact is <= the minimum KEPT impact (impact order), so
+       ``tail(q, t) = min kept _c if df(t) > max_postings else 0`` upper-
+       bounds any dropped posting; a NON-candidate doc's whole score is
+       <= ``tail_sum(q) = sum_t tail(q, t)``. df(t) is exactly the
+       (q, t) posting count, so no window-count (which would defeat
+       WindowGroupLimit's map-side pruning) is needed.
+    2. VERIFY: candidates are re-scored EXACTLY (semi-join back to the full
+       contribution stream on (query, doc) — moves candidate rows only),
+       top-k ranked, and theta(q) = the k-th exact candidate score. The
+       top-k is PROVEN complete iff ``tail_sum == 0`` (nothing was dropped
+       anywhere) or ``n_candidates >= k and tail_sum < theta`` (strict:
+       integer micro-unit scores mean no unseen doc can even tie). Queries
+       whose certificate fails — hot-term workloads where the static
+       truncation (q119) genuinely loses recall — are ESCALATED to full
+       unpruned scoring, restricted to just those queries, so the result
+       is exact for every query while typical workloads never pay the
+       full posting-list shuffle.
+
+    ``certificate=True`` returns the proof table instead of results:
+    (qid_col, n_candidates, theta_micro, tail_sum_micro, proven) — one row
+    per query with >= 1 matched term.
+
+    Scale shape (100 TB): pass-1 shuffle moves <= max_postings rows per
+    (query, term) (WindowGroupLimit map-side); the verify semi-join keys
+    are workload-sized (AQE broadcasts them); escalation re-runs only the
+    failing queries' postings. The corpus-sized tf table is read twice
+    (rank pass + verify pass) — cache or persist the index for serving.
+    """
+    contrib = _bm25_contrib(
+        queries, index, k1=k1, b=b, id_col=id_col,
+        qid_col=qid_col, qtext_col=qtext_col,
     )
-    top = topk_per_key(
-        scored, qid_col, [F.desc("_score_micro"), F.asc(id_col)], k
+    kept = topk_per_key(
+        contrib,
+        [qid_col, "term"],
+        [F.desc("_c"), F.asc(id_col)],
+        max_postings,
+        rank_col="_prn",
     )
+    # tail bound per (query, term): df == matched posting count, so
+    # df > max_postings <=> something was dropped
+    tails = kept.groupBy(qid_col, "term", "df").agg(
+        F.min("_c").alias("_minkept")
+    )
+    tail_sum = tails.groupBy(qid_col).agg(
+        F.sum(
+            F.when(F.col("df") > max_postings, F.col("_minkept")).otherwise(
+                F.lit(0)
+            )
+        ).alias("_tail_sum")
+    )
+    cand = kept.select(qid_col, id_col).distinct()
+    exact = (
+        contrib.join(cand, [qid_col, id_col], "left_semi")
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("_c").alias("_score_micro"))
+    )
+    ranked = topk_per_key(
+        exact, qid_col, [F.desc("_score_micro"), F.asc(id_col)], k
+    )
+    per_q = exact.groupBy(qid_col).agg(F.count(F.lit(1)).alias("_n_cand"))
+    theta = ranked.groupBy(qid_col).agg(F.min("_score_micro").alias("_theta"))
+    cert = (
+        per_q.join(theta, qid_col)
+        .join(tail_sum, qid_col)
+        .withColumn(
+            "_proven",
+            (F.col("_tail_sum") == 0)
+            | ((F.col("_n_cand") >= k) & (F.col("_tail_sum") < F.col("_theta"))),
+        )
+    )
+    if certificate:
+        return cert.select(
+            qid_col,
+            F.col("_n_cand").alias("n_candidates"),
+            F.col("_theta").alias("theta_micro"),
+            F.col("_tail_sum").alias("tail_sum_micro"),
+            F.col("_proven").alias("proven"),
+        )
+    unproven = cert.filter(~F.col("_proven")).select(qid_col)
+    proven_top = ranked.join(
+        cert.filter(F.col("_proven")).select(qid_col), qid_col, "left_semi"
+    )
+    escalated = (
+        contrib.join(F.broadcast(unproven), qid_col, "left_semi")
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("_c").alias("_score_micro"))
+    )
+    escalated_top = topk_per_key(
+        escalated, qid_col, [F.desc("_score_micro"), F.asc(id_col)], k
+    )
+    top = proven_top.unionByName(escalated_top)
     return top.select(
         qid_col,
         "rank",
