@@ -321,3 +321,58 @@ def test_mv_single_channel_equals_univariate():
     assert np.allclose(dtw_batch(A2, B2, band=2), dtw_batch(A1, B1, band=2))
     assert np.allclose(fastdtw_batch(A2, B2), fastdtw_batch(A1, B1))
     assert abs(dtw_pair(A2[0], B2[0]) - dtw_pair(A1[0], B1[0])) < 1e-12
+
+
+@pytest.mark.skipif(not dtw_c.available(), reason="no C compiler in container")
+def test_mv_c_numpy_equality_across_lengths_and_channels(monkeypatch):
+    """r5 (VERDICT r4 #8): the compiled kernel is channel-aware. C and
+    numpy routes must agree across a (length, channels) grid — allclose
+    for exact/banded DTW (the numpy scan REASSOCIATES the DP fold, so
+    last-ulp drift is expected; same contract as the 1-ch route test);
+    fastdtw within the documented fp near-tie envelope. Bit-exactness of
+    the C path is pinned against the per-pair reference below."""
+    rng = np.random.default_rng(17)
+    for n, m, ch in [(16, 16, 2), (31, 47, 3), (64, 64, 5), (25, 25, 7)]:
+        A = np.cumsum(rng.normal(size=(12, n, ch)), axis=1)
+        B = np.cumsum(rng.normal(size=(12, m, ch)), axis=1)
+        for band in (None, 3):
+            c_d = dtw_batch(A, B, band=band)
+            with monkeypatch.context() as mp:
+                mp.setenv("TSKNN_DTW_NO_CC", "1")
+                assert not dtw_c.available()
+                np_d = dtw_batch(A, B, band=band)
+            assert np.allclose(c_d, np_d), (n, m, ch, band)
+        c_f = fastdtw_batch(A, B, radius=1)
+        with monkeypatch.context() as mp:
+            mp.setenv("TSKNN_DTW_NO_CC", "1")
+            np_f = fastdtw_batch(A, B, radius=1)
+        rel = np.abs(c_f - np_f) / np.maximum(np_f, 1e-12)
+        assert (rel > 1e-9).mean() < 0.1 and rel.max() < 0.05, (n, m, ch)
+
+
+@pytest.mark.skipif(not dtw_c.available(), reason="no C compiler in container")
+def test_mv_c_matches_per_pair_reference_exactly():
+    """Compiled MV kernel vs the per-pair python reference: exact equality
+    (same natural recurrence, same left-to-right channel sum)."""
+    rng = np.random.default_rng(19)
+    A = np.cumsum(rng.normal(size=(20, 33, 2)), axis=1)
+    B = np.cumsum(rng.normal(size=(20, 29, 2)), axis=1)
+    for band in (None, 4):
+        got = dtw_batch(A, B, band=band)
+        ref = np.array([dtw_pair(a, b, band=band) for a, b in zip(A, B)])
+        assert np.array_equal(got, ref)
+    got = fastdtw_batch(A, B, radius=1)
+    ref = np.array([fastdtw_pair(a, b, radius=1) for a, b in zip(A, B)])
+    assert np.array_equal(got, ref)
+
+
+def test_mv_wide_channels_stay_on_numpy_path():
+    """ch >= 8: np.sum switches to pairwise accumulation, so the C kernel
+    (sequential sum) would not be bit-identical — the router must keep the
+    numpy path. Verified by value equality with the golden DP."""
+    rng = np.random.default_rng(23)
+    A = np.cumsum(rng.normal(size=(4, 12, 9)), axis=1)
+    B = np.cumsum(rng.normal(size=(4, 12, 9)), axis=1)
+    d = dtw_batch(A, B, band=None)
+    for i in range(4):
+        assert abs(d[i] - _golden_mv_dtw(A[i], B[i], None)) < 1e-9, i

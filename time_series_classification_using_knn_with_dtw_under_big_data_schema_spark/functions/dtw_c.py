@@ -46,19 +46,33 @@ _C_SRC = r"""
 
 #define LARGE 1e18
 
+/* Multichannel per-timestep cost: dependent DTW's summed |a_c - b_c|,
+   accumulated LEFT-TO-RIGHT over channels — for ch < 8 this is the exact
+   IEEE op order of np.sum's small-n sequential base case, so the compiled
+   path stays bit-identical to the numpy kernels (and to dtw_pair's
+   float(np.sum(np.abs(a[i] - b[j])))). Callers route ch >= 8 to numpy
+   (np.sum switches to 8-way pairwise accumulation there). */
+static inline double cost_mv(const double* ap, const double* bp, int64_t ch) {
+    double s = fabs(ap[0] - bp[0]);
+    for (int64_t c = 1; c < ch; c++) s += fabs(ap[c] - bp[c]);
+    return s;
+}
+
 /* Exact (optionally Sakoe-Chiba banded) DTW over a batch of pairs.
-   band < 0 means unconstrained. Band geometry matches dtw_pair():
-   center = round((i-1)*(m-1)/max(n-1,1)) + 1 with round-half-to-even
-   (Python round -> C rint under the default rounding mode). */
+   band < 0 means unconstrained. ch = channels per timestep (1 = scalar
+   series; rows are (n, ch) C-contiguous). Band geometry matches
+   dtw_pair(): center = round((i-1)*(m-1)/max(n-1,1)) + 1 with
+   round-half-to-even (Python round -> C rint under the default rounding
+   mode). */
 void dtw_band_batch(const double* A, const double* B,
-                    int64_t bs, int64_t n, int64_t m, int64_t band,
-                    double* out) {
+                    int64_t bs, int64_t n, int64_t m, int64_t ch,
+                    int64_t band, double* out) {
     double* prev = (double*)malloc((size_t)(m + 1) * sizeof(double));
     double* cur = (double*)malloc((size_t)(m + 1) * sizeof(double));
     if (!prev || !cur) { free(prev); free(cur); return; }
     for (int64_t p = 0; p < bs; p++) {
-        const double* a = A + p * n;
-        const double* b = B + p * m;
+        const double* a = A + p * n * ch;
+        const double* b = B + p * m * ch;
         for (int64_t j = 0; j <= m; j++) prev[j] = LARGE;
         prev[0] = 0.0;
         int64_t plo = 0, phi = m;           /* previous row's written range */
@@ -76,15 +90,28 @@ void dtw_band_batch(const double* A, const double* B,
             for (int64_t j = lo - 1; j < plo; j++) if (j >= 0) prev[j] = LARGE;
             for (int64_t j = phi + 1; j <= hi; j++) prev[j] = LARGE;
             cur[lo - 1] = LARGE;
-            double ai = a[i - 1];
-            for (int64_t j = lo; j <= hi; j++) {
-                double v = prev[j];
-                double h = cur[j - 1];
-                double d = prev[j - 1];
-                double best = v;
-                if (h < best) best = h;
-                if (d < best) best = d;
-                cur[j] = fabs(ai - b[j - 1]) + best;
+            if (ch == 1) {
+                double ai = a[i - 1];
+                for (int64_t j = lo; j <= hi; j++) {
+                    double v = prev[j];
+                    double h = cur[j - 1];
+                    double d = prev[j - 1];
+                    double best = v;
+                    if (h < best) best = h;
+                    if (d < best) best = d;
+                    cur[j] = fabs(ai - b[j - 1]) + best;
+                }
+            } else {
+                const double* ap = a + (i - 1) * ch;
+                for (int64_t j = lo; j <= hi; j++) {
+                    double v = prev[j];
+                    double h = cur[j - 1];
+                    double d = prev[j - 1];
+                    double best = v;
+                    if (h < best) best = h;
+                    if (d < best) best = d;
+                    cur[j] = cost_mv(ap, b + (j - 1) * ch, ch) + best;
+                }
             }
             double* t = prev; prev = cur; cur = t;
             plo = lo; phi = hi;
@@ -105,18 +132,19 @@ void dtw_band_batch(const double* A, const double* B,
    strict < to switch. */
 void fastdtw_level(const double* A, const double* B,
                    const int64_t* lo, const int64_t* hi,
-                   int64_t bs, int64_t n, int64_t m, int need_path,
+                   int64_t bs, int64_t n, int64_t m, int64_t ch,
+                   int need_path,
                    double* dist, int64_t* pmin, int64_t* pmax) {
     double* prev = (double*)malloc((size_t)(m + 1) * sizeof(double));
     double* cur = (double*)malloc((size_t)(m + 1) * sizeof(double));
-    signed char* ch = need_path
+    signed char* path_ch = need_path
         ? (signed char*)malloc((size_t)n * (size_t)m) : NULL;
-    if (!prev || !cur || (need_path && !ch)) {
-        free(prev); free(cur); free(ch); return;
+    if (!prev || !cur || (need_path && !path_ch)) {
+        free(prev); free(cur); free(path_ch); return;
     }
     for (int64_t p = 0; p < bs; p++) {
-        const double* a = A + p * n;
-        const double* b = B + p * m;
+        const double* a = A + p * n * ch;
+        const double* b = B + p * m * ch;
         const int64_t* lop = lo + p * n;
         const int64_t* hip = hi + p * n;
         int64_t W = 1;
@@ -133,9 +161,10 @@ void fastdtw_level(const double* A, const double* B,
             for (int64_t j = l - 1; j < plo; j++) if (j >= 0) prev[j] = LARGE;
             for (int64_t j = phi + 1; j <= h; j++) prev[j] = LARGE;
             cur[l - 1] = LARGE;
-            double ai = a[i - 1];
+            const double* ap = a + (i - 1) * ch;
+            double ai = ap[0];
             if (need_path) {
-                signed char* chr_ = ch + (i - 1) * W - l;
+                signed char* chr_ = path_ch + (i - 1) * W - l;
                 for (int64_t j = l; j <= h; j++) {
                     double v = prev[j];
                     double hh = cur[j - 1];
@@ -144,7 +173,9 @@ void fastdtw_level(const double* A, const double* B,
                     signed char sel = 0;
                     if (hh < best) { best = hh; sel = 1; }
                     if (d < best) { best = d; sel = 2; }
-                    cur[j] = fabs(ai - b[j - 1]) + best;
+                    cur[j] = (ch == 1 ? fabs(ai - b[j - 1])
+                                      : cost_mv(ap, b + (j - 1) * ch, ch))
+                             + best;
                     chr_[j] = sel;
                 }
             } else {
@@ -155,7 +186,9 @@ void fastdtw_level(const double* A, const double* B,
                     double best = v;
                     if (hh < best) best = hh;
                     if (d < best) best = d;
-                    cur[j] = fabs(ai - b[j - 1]) + best;
+                    cur[j] = (ch == 1 ? fabs(ai - b[j - 1])
+                                      : cost_mv(ap, b + (j - 1) * ch, ch))
+                             + best;
                 }
             }
             double* t = prev; prev = cur; cur = t;
@@ -169,7 +202,7 @@ void fastdtw_level(const double* A, const double* B,
             pmx[n - 1] = m - 1;
             int64_t i = n - 1, j = m - 1;    /* 0-based cells */
             while (i > 0 || j > 0) {
-                signed char s = ch[i * W + (j - lop[i])];
+                signed char s = path_ch[i * W + (j - lop[i])];
                 if (s == 1) { j--; }
                 else if (s == 0) { pmn[i] = j; pmx[i - 1] = j; i--; }
                 else { pmn[i] = j; pmx[i - 1] = j - 1; i--; j--; }
@@ -177,7 +210,7 @@ void fastdtw_level(const double* A, const double* B,
             pmn[0] = 0;
         }
     }
-    free(prev); free(cur); free(ch);
+    free(prev); free(cur); free(path_ch);
 }
 """
 
@@ -211,9 +244,9 @@ def _compile() -> "ctypes.CDLL | None":
     i64 = ctypes.c_int64
     dp = ctypes.POINTER(ctypes.c_double)
     ip = ctypes.POINTER(ctypes.c_int64)
-    lib.dtw_band_batch.argtypes = [dp, dp, i64, i64, i64, i64, dp]
+    lib.dtw_band_batch.argtypes = [dp, dp, i64, i64, i64, i64, i64, dp]
     lib.dtw_band_batch.restype = None
-    lib.fastdtw_level.argtypes = [dp, dp, ip, ip, i64, i64, i64, ctypes.c_int, dp, ip, ip]
+    lib.fastdtw_level.argtypes = [dp, dp, ip, ip, i64, i64, i64, i64, ctypes.c_int, dp, ip, ip]
     lib.fastdtw_level.restype = None
     return lib
 
@@ -242,12 +275,15 @@ def _iptr(x: np.ndarray):
 
 
 def dtw_band_batch(A: np.ndarray, B: np.ndarray, band: "int | None") -> np.ndarray:
-    """Compiled exact (banded) DTW: (bs, n) x (bs, m) -> (bs,). Caller
-    guarantees ``available()``; A/B must be C-contiguous float64."""
-    bs, n = A.shape
+    """Compiled exact (banded) DTW: (bs, n[, ch]) x (bs, m[, ch]) -> (bs,).
+    3D inputs are multichannel (dependent DTW, summed per-channel |a-b|;
+    keep ch < 8 for bit-identity with the numpy kernels — see cost_mv).
+    Caller guarantees ``available()``; A/B must be C-contiguous float64."""
+    bs, n = A.shape[0], A.shape[1]
     m = B.shape[1]
+    ch = A.shape[2] if A.ndim == 3 else 1
     out = np.empty(bs, dtype=np.float64)
-    _lib.dtw_band_batch(_dptr(A), _dptr(B), bs, n, m, -1 if band is None else band, _dptr(out))
+    _lib.dtw_band_batch(_dptr(A), _dptr(B), bs, n, m, ch, -1 if band is None else band, _dptr(out))
     # infeasible band (narrower than the diagonal slope on unequal
     # lengths): the corner stays at the LARGE sentinel — surface it as inf,
     # matching dtw_pair. Any real distance is astronomically below 1e17.
@@ -263,9 +299,11 @@ def fastdtw_level(
     need_path: bool,
 ):
     """Compiled one-level windowed DP (+ backtrack when need_path):
-    returns (dist, pmin, pmax) — pmin/pmax are None when not need_path."""
-    bs, n = A.shape
+    returns (dist, pmin, pmax) — pmin/pmax are None when not need_path.
+    3D A/B = multichannel (see dtw_band_batch)."""
+    bs, n = A.shape[0], A.shape[1]
     m = B.shape[1]
+    ch = A.shape[2] if A.ndim == 3 else 1
     dist = np.empty(bs, dtype=np.float64)
     lo = np.ascontiguousarray(lo, dtype=np.int64)
     hi = np.ascontiguousarray(hi, dtype=np.int64)
@@ -278,7 +316,7 @@ def fastdtw_level(
         null = ctypes.POINTER(ctypes.c_int64)()
         pmin_p = pmax_p = null
     _lib.fastdtw_level(
-        _dptr(A), _dptr(B), _iptr(lo), _iptr(hi), bs, n, m,
+        _dptr(A), _dptr(B), _iptr(lo), _iptr(hi), bs, n, m, ch,
         1 if need_path else 0, _dptr(dist), pmin_p, pmax_p,
     )
     return dist, pmin, pmax

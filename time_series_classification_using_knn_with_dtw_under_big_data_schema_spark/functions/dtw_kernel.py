@@ -189,9 +189,12 @@ def dtw_batch(A: np.ndarray, B: np.ndarray, band: int | None = None) -> np.ndarr
     mv = A.ndim == 3  # multivariate: (batch, length, channels)
     if bs == 0:
         return np.empty(0, dtype=np.float64)
-    if dtw_c.available() and not mv:
+    if dtw_c.available() and (not mv or A.shape[2] < 8):
         # Compiled natural recurrence: same band geometry, op order
-        # bit-identical to dtw_pair (the numpy scan below reassociates)
+        # bit-identical to dtw_pair (the numpy scan below reassociates).
+        # Multichannel rides the same kernel (r5): left-to-right channel
+        # sum == np.sum's sequential small-n base case for ch < 8; wider
+        # channel counts keep the numpy path (np.sum goes 8-way pairwise)
         return dtw_c.dtw_band_batch(A, B, band if band is not None and band < max(n, m) else None)
 
     use_band = band is not None and band < max(n, m)
@@ -494,9 +497,10 @@ def fastdtw_batch(A: np.ndarray, B: np.ndarray, radius: int = 1) -> np.ndarray:
             n_f, m_f = levels[li - 1][0].shape[1], levels[li - 1][1].shape[1]
             new_lo = np.empty((bs, n_f), dtype=np.int64)
             new_hi = np.empty((bs, n_f), dtype=np.int64)
-        if dtw_c.available() and not mv:
+        if dtw_c.available() and (not mv or A.shape[2] < 8):
             # Compiled per-pair DP + backtrack: no width re-bucketing needed
-            # (vectorization across the batch is what made width matter)
+            # (vectorization across the batch is what made width matter);
+            # ch < 8 multichannel is bit-identical to numpy (see dtw_c)
             d, pmin, pmax = dtw_c.fastdtw_level(a_l, b_l, lo, hi, need_path)
             if need_path:
                 new_lo, new_hi = _expand_batch(pmin, pmax, n_f, m_f, radius)
