@@ -2278,7 +2278,12 @@ def _q121_bm25_wand(spark, sf_dir):
             "query_text"
         ),
     )
-    return bm25_search_pruned(qs, bm25_build(docs), k=10, max_postings=5)
+    # serving contract (bm25_search_pruned docstring): the index is
+    # persisted/cached — the WAND plan reads tf in both the rank pass and
+    # the verify pass, and caching is what a serving job does; without it
+    # the tokenize+groupBy chain would re-execute per branch
+    index = {n: t.cache() for n, t in bm25_build(docs).items()}
+    return bm25_search_pruned(qs, index, k=10, max_postings=5)
 
 
 def _q122_bm25_wand_certificate(spark, sf_dir):
@@ -2301,8 +2306,9 @@ def _q122_bm25_wand_certificate(spark, sf_dir):
             "query_text"
         ),
     )
+    index = {n: t.cache() for n, t in bm25_build(docs).items()}
     return bm25_search_pruned(
-        qs, bm25_build(docs), k=10, max_postings=5, certificate=True
+        qs, index, k=10, max_postings=5, certificate=True
     )
 
 

@@ -1,0 +1,90 @@
+"""save_index/load_index (sources/index_io.py): dict-of-DataFrames index
+persistence for the build-once/serve-many operators. Round-trips must be
+serving-identical: search results from a loaded index == results from the
+in-memory build."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import (
+    load_index,
+    save_index,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog chased the cat"),
+        (3, "dogs and cats living together"),
+        (4, "a completely unrelated document about spark sql engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_index_roundtrip_serving_identical(spark, docs, tmp_path):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        bm25_build,
+        bm25_search,
+        bm25_search_pruned,
+    )
+
+    qs = spark.createDataFrame(
+        [(10, "the cat"), (11, "spark engines")], "query_id long, query_text string"
+    )
+    built = bm25_build(docs)
+    path = str(tmp_path / "bm25_idx")
+    # partition_by term: the layout a 100 TB index would use so the
+    # query-vocabulary join prunes files instead of scanning the index
+    save_index(built, path, partition_by={"tf": ["term"]})
+    loaded = load_index(spark, path)
+    assert set(loaded) == {"tf", "df", "stats"}
+    a = sorted(map(tuple, bm25_search(qs, built, k=3).collect()))
+    b = sorted(map(tuple, bm25_search(qs, loaded, k=3).collect()))
+    assert a == b
+    aw = sorted(map(tuple, bm25_search_pruned(qs, built, k=3, max_postings=2).collect()))
+    bw = sorted(map(tuple, bm25_search_pruned(qs, loaded, k=3, max_postings=2).collect()))
+    assert aw == bw
+
+
+def test_ivfpq_index_roundtrip_serving_identical(spark, tmp_path):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(int(i), [float(x) for x in rng.normal(0, 1, 16)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = ivfpq_build(emb, n_lists=4, n_subspaces=4, n_codes=8, dim=16)
+    path = str(tmp_path / "ivfpq_idx")
+    save_index(idx, path, partition_by={"codes": ["cell"]})
+    loaded = load_index(spark, path)
+    assert set(loaded) == {"centroids", "codebook", "codes", "params"}
+    q = emb.limit(6)
+    a = sorted(map(tuple, ivfpq_search(
+        q, idx, emb, k=3, n_probe=2, rerank=16, n_subspaces=4, dim=16
+    ).collect()))
+    b = sorted(map(tuple, ivfpq_search(
+        q, loaded, emb, k=3, n_probe=2, rerank=16, n_subspaces=4, dim=16
+    ).collect()))
+    assert a == b
+
+
+def test_save_index_rejects_unsafe_names_and_empty(spark, docs, tmp_path):
+    with pytest.raises(ValueError, match="empty index"):
+        save_index({}, str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="path-safe"):
+        save_index({"a/b": docs}, str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="path-safe"):
+        save_index({"_meta": docs}, str(tmp_path / "x"))
+
+
+def test_load_index_missing_path_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="does not exist"):
+        load_index(spark, str(tmp_path / "nope"))
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(ValueError, match="no index tables"):
+        load_index(spark, str(tmp_path / "empty"))

@@ -1,0 +1,82 @@
+"""Persistence for dict-of-DataFrames indexes (BM25, IVF-PQ, ...).
+
+The build-once/serve-many operators (``operators/corpus.py::bm25_build``,
+``operators/similarity.py::ivfpq_build``) return their index as a dict of
+named DataFrames — the natural Spark shape for a multi-table artifact. These
+helpers give that shape a durable layout:
+
+    <path>/<table_name>/   (one parquet dataset per index table)
+
+so a serving job is ``bm25_search(queries, load_index(spark, path))`` with
+no rebuild. Engine extension beyond the reference surface (the reference
+notebook recomputes everything per run).
+
+Scale notes (100 TB):
+- Directory discovery goes through the Hadoop FileSystem API resolved from
+  the path itself, so the same code serves local disk, HDFS, and object
+  stores — never ``os.listdir``.
+- ``partition_by`` routes high-cardinality tables into co-location-friendly
+  layouts (e.g. BM25's ``tf`` repartitioned by ``term`` keeps each term's
+  postings in few files, so the search-side query-vocabulary join prunes
+  instead of scanning the index; IVF-PQ's codes table partitioned by
+  ``list_id`` makes a probe read only its cells).
+- Loading is lazy: ``load_index`` returns unread DataFrames; validation of
+  table shape happens in the serving operator (bm25_search / ivfpq_search
+  both check eagerly).
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["save_index", "load_index"]
+
+
+def save_index(
+    index: "dict[str, DataFrame]",
+    path: str,
+    *,
+    partition_by: "dict[str, list[str]] | None" = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write every table of ``index`` under ``path/<name>/`` as parquet.
+
+    ``partition_by``: optional per-table partition columns, e.g.
+    ``{"codes": ["list_id"]}`` for an IVF-PQ index. Table names must be
+    path-safe (validated: no separators or dots).
+    """
+    if not index:
+        raise ValueError("empty index")
+    for name in index:
+        if not name or any(c in name for c in "/\\.") or name.startswith("_"):
+            raise ValueError(f"index table name not path-safe: {name!r}")
+    for name, df in index.items():
+        w = df.write.mode(mode)
+        cols = (partition_by or {}).get(name)
+        if cols:
+            w = w.partitionBy(*cols)
+        w.parquet(posixpath.join(path, name))
+
+
+def load_index(spark: SparkSession, path: str) -> "dict[str, DataFrame]":
+    """Read an index written by ``save_index``: every subdirectory of
+    ``path`` becomes one named DataFrame. Discovery uses the Hadoop
+    FileSystem resolved FROM the path (local / HDFS / S3A all work);
+    Spark-internal entries (``_SUCCESS``-style files) are skipped."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise ValueError(f"index path does not exist: {path}")
+    names = [
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory() and not st.getPath().getName().startswith("_")
+    ]
+    if not names:
+        raise ValueError(f"no index tables under: {path}")
+    return {
+        name: spark.read.parquet(posixpath.join(path, name)) for name in sorted(names)
+    }
