@@ -393,10 +393,12 @@ def main() -> None:
         lambda: _mat(knn_classify(test, train, metric="fastdtw", k=5, strategy="shuffle")),
         repeats=2,
     )
-    # kernel->shuffle guard reroute (knn.py max_broadcast_bytes): the exact
-    # code path a too-big train side triggers, on the 561-pt banded pairs.
+    # kernel oversize-guard reroute (knn.py max_broadcast_bytes): the exact
+    # code path a too-big train side triggers, on the 561-pt banded pairs —
+    # since r5 this routes to the chunked block scorer (fixed-length train),
+    # not the pair-materializing shuffle plan.
     run(
-        "fb_knn_dtw561_banded_shuffle",
+        "fb_knn_dtw561_banded_chunked",
         lambda: _mat(majority_vote(
             knn_join(
                 t561, r561, metric="dtw", band=3, k=5,
@@ -549,7 +551,7 @@ def main() -> None:
     fallback_pairs = {
         "knn_shuffle_euclid_k5": ("fb_knn_shuffle_euclid_k5", "knn_euclidean_k5"),
         "knn_shuffle_fastdtw_k5": ("fb_knn_shuffle_fastdtw_k5", "knn_fastdtw_k5"),
-        "knn_dtw561_banded_shuffle": ("fb_knn_dtw561_banded_shuffle", "knn_dtw_561pt_banded"),
+        "knn_dtw561_banded_chunked": ("fb_knn_dtw561_banded_chunked", "knn_dtw_561pt_banded"),
         "ann_brute_chunked": ("fb_ann_brute_chunked", "ann_brute_cosine"),
         "ann_quantized_chunked": ("fb_ann_quantized_chunked", "ann_quantized"),
         "bpe_train_distributed": ("fb_bpe_train_distributed", "bpe_train_driver"),
@@ -603,7 +605,7 @@ def main() -> None:
         "dtw_c_kernel": _dtw_c_available(),
         "materialization": "noop",
         "mv_dtw_2ch_pairs_per_sec": mv_pairs_per_sec,
-        "fb_dtw561_banded_shuffle_pairs_per_sec": fb_dtw561_pairs_per_sec,
+        "fb_dtw561_banded_chunked_pairs_per_sec": fb_dtw561_pairs_per_sec,
         "fallback_ratios": fallback_ratios,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")

@@ -109,3 +109,86 @@ def test_chunked_single_block_degenerate(spark, emb):
         emb.limit(7), emb, k=3, strategy="chunked", block_bytes=1 << 30
     )
     assert _collect(chunked) == _collect(kernel)
+
+
+# ---------------------------------------------------------------------------
+# Chunked block-scorer KNN (knn.py::_knn_chunked, r5): the too-big-to-
+# broadcast path for the series join — identical results to kernel/shuffle.
+# ---------------------------------------------------------------------------
+
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "manhattan", "dtw", "fastdtw"])
+def test_knn_chunked_matches_kernel(spark, har_dfs, metric):
+    train_df, test_df = har_dfs
+    kw = dict(metric=metric, k=4)
+    if metric == "dtw":
+        kw["band"] = 3
+    kernel = knn_join(test_df, train_df, strategy="kernel", **kw)
+    chunked = knn_join(test_df, train_df, strategy="chunked", **kw)
+    assert sorted(map(tuple, chunked.collect())) == sorted(map(tuple, kernel.collect()))
+
+
+def test_knn_chunked_no_label_and_exclude_zero(spark, har_dfs):
+    train_df, test_df = har_dfs
+    # score train against itself: exclude_zero drops exact self-matches
+    a = knn_join(train_df, train_df, metric="euclidean", k=3, strategy="kernel")
+    b = knn_join(train_df, train_df, metric="euclidean", k=3, strategy="chunked")
+    assert sorted(map(tuple, b.collect())) == sorted(map(tuple, a.collect()))
+    c = knn_join(test_df, train_df, metric="euclidean", k=2,
+                 strategy="chunked", label_col=None)
+    assert c.columns == ["test_id", "train_id", "distance", "rank"]
+    assert c.count() == test_df.count() * 2
+
+
+def test_knn_kernel_oversize_routes_to_chunked(spark, har_dfs):
+    """max_broadcast_bytes exceeded + fixed-length train -> the kernel
+    reroutes to the chunked block scorer (FlatMapGroupsInPandas), results
+    identical to the unguarded kernel."""
+    train_df, test_df = har_dfs
+    guarded = knn_join(
+        test_df, train_df, metric="euclidean", k=4,
+        strategy="kernel", max_broadcast_bytes=1,
+    )
+    plan = guarded._jdf.queryExecution().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    kernel = knn_join(test_df, train_df, metric="euclidean", k=4, strategy="kernel")
+    assert sorted(map(tuple, guarded.collect())) == sorted(map(tuple, kernel.collect()))
+
+
+def test_knn_kernel_oversize_ragged_still_falls_back_to_shuffle(spark):
+    """Ragged train can't stack into blocks: the oversize guard must keep
+    the declarative shuffle plan (and still match it)."""
+    train = spark.createDataFrame(
+        [(1, [1.0, 2.0], 1.0), (2, [1.0, 2.0, 3.0], 2.0), (3, [2.0, 1.0], 1.0)],
+        "series_id long, features array<double>, label double",
+    )
+    test = spark.createDataFrame(
+        [(10, [1.5, 2.5], 0.0)], "series_id long, features array<double>, label double"
+    )
+    guarded = knn_join(
+        test, train, metric="dtw", band=2, k=2, strategy="kernel",
+        max_broadcast_bytes=1,
+    )
+    plan = guarded._jdf.queryExecution().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    shuffle = knn_join(test, train, metric="dtw", band=2, k=2, strategy="shuffle")
+    assert sorted(map(tuple, guarded.collect())) == sorted(map(tuple, shuffle.collect()))
+
+
+def test_knn_chunked_multichannel(spark):
+    rng = np.random.default_rng(29)
+    def rows(n, start):
+        return [
+            (start + i,
+             [[float(x), float(x) * 0.5] for x in rng.normal(0, 1, 12)],
+             float(i % 3))
+            for i in range(n)
+        ]
+    schema = "series_id long, features array<array<double>>, label double"
+    train = spark.createDataFrame(rows(40, 0), schema)
+    test = spark.createDataFrame(rows(10, 1000), schema)
+    kernel = knn_join(test, train, metric="dtw", band=3, k=3, strategy="kernel")
+    chunked = knn_join(test, train, metric="dtw", band=3, k=3, strategy="chunked")
+    assert sorted(map(tuple, chunked.collect())) == sorted(map(tuple, kernel.collect()))

@@ -53,8 +53,10 @@ def test_kernel_rejects_unsupported_metric(spark, har_dfs):
 
 def test_kernel_oversize_falls_back_without_collect(spark, har_dfs):
     """A train side over max_broadcast_bytes must NOT be materialized on the
-    driver: the kernel strategy degrades to the declarative shuffle plan
-    (no MapInPandas node) with identical results."""
+    driver: the kernel strategy degrades to the chunked block scorer (r5 —
+    applyInPandas cells, no MapInPandas broadcast-variable node), BIT-
+    identical to the unguarded kernel and matching the declarative plan
+    under the kernel contract (exact ranks, 1e-9 distances)."""
     train_df, test_df = har_dfs
     guarded = knn_join(
         test_df, train_df, metric="euclidean", k=4, strategy="kernel",
@@ -62,10 +64,15 @@ def test_kernel_oversize_falls_back_without_collect(spark, har_dfs):
     )
     plan = guarded._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan  # kernel path not taken
-    declarative = knn_join(test_df, train_df, metric="euclidean", k=4)
+    assert "FlatMapGroupsInPandas" in plan  # chunked block scorer taken
+    kernel = knn_join(test_df, train_df, metric="euclidean", k=4, strategy="kernel")
     assert sorted(map(tuple, guarded.collect())) == sorted(
-        map(tuple, declarative.collect())
+        map(tuple, kernel.collect())
     )
+    a = sorted(map(tuple, knn_join(test_df, train_df, metric="euclidean", k=4).collect()))
+    b = sorted(map(tuple, guarded.collect()))
+    assert [x[:3] + (x[4],) for x in a] == [x[:3] + (x[4],) for x in b]
+    assert all(math.isclose(x[3], y[3], rel_tol=1e-9) for x, y in zip(a, b))
 
 
 def test_kernel_fastdtw_oversize_falls_back(spark, har_dfs):

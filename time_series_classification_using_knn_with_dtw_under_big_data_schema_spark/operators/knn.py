@@ -109,6 +109,21 @@ def knn_join(
             fastdtw_radius=fastdtw_radius,
             max_broadcast_bytes=max_broadcast_bytes,
         )
+    if strategy == "chunked":
+        if keep_features:
+            raise ValueError("keep_features is not supported with strategy='chunked'")
+        return _knn_chunked(
+            test,
+            train,
+            metric=metric,
+            k=k,
+            id_col=id_col,
+            features_col=features_col,
+            label_col=label_col,
+            exclude_zero=exclude_zero,
+            band=band,
+            fastdtw_radius=fastdtw_radius,
+        )
     if strategy not in ("broadcast", "shuffle"):
         raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -220,8 +235,26 @@ def _knn_kernel_broadcast(
         raise ValueError("empty train side")
     est_bytes = n_rows * int(max_len or 0) * int(max_ch or 1) * 8
     if est_bytes > max_broadcast_bytes:
-        # too big to materialize on the driver (or to broadcast at all):
-        # same semantics, no collect — cartesian + window top-k
+        # too big to materialize on the driver (or to broadcast at all).
+        # Fixed-length train -> the chunked block scorer (r5): both sides
+        # shuffle ONCE into block cells scored by the same numpy/C kernels
+        # — series cross the wire n_blocks times, not n_pairs times (the
+        # r4-measured 1.9-7.3x shuffle-reroute penalty came from per-PAIR
+        # array movement). Ragged train keeps the declarative shuffle plan.
+        n_lens = train.agg(F.countDistinct(F.size(features_col))).first()[0]
+        if n_lens == 1:
+            return _knn_chunked(
+                test,
+                train,
+                metric="dtw" if kind == "dtw" else metric,
+                k=k,
+                id_col=id_col,
+                features_col=features_col,
+                label_col=label_col,
+                exclude_zero=exclude_zero,
+                band=band,
+                fastdtw_radius=fastdtw_radius,
+            )
         return knn_join(
             test,
             train,
@@ -336,6 +369,201 @@ def _knn_kernel_broadcast(
 
     t = test.select(F.col(id_col).alias("test_id"), F.col(features_col).alias("_tf"))
     return t.mapInPandas(op, schema=schema)
+
+
+def _knn_chunked(
+    test: DataFrame,
+    train: DataFrame,
+    *,
+    metric: MetricT,
+    k: int,
+    id_col: str,
+    features_col: str,
+    label_col: Optional[str],
+    exclude_zero: bool,
+    band: Optional[int],
+    fastdtw_radius: int,
+    block_bytes: int = 64 << 20,
+) -> DataFrame:
+    """strategy='chunked' (r5): block nested-loop KNN for the NO-BROADCAST
+    regime — train exceeds ``max_broadcast_bytes`` so neither the kernel's
+    driver collect nor a broadcast join is allowed, and the declarative
+    'shuffle' plan would move BOTH feature arrays once per PAIR (O(N_t *
+    N_r * length * 8) shuffle bytes — the dominant cost of the r4-measured
+    1.9-7.3x reroute penalty).
+
+    Here the cross product is tiled into (test-block x train-block) cells:
+    each side shuffles ONCE, hash-assigned to ceil(bytes / block_bytes)
+    blocks (train floored up to cluster parallelism), replicated only
+    across the OTHER side's block count — per-series wire copies drop from
+    N_other to n_blocks_other. Each cell is scored by one applyInPandas
+    call running the EXACT numpy/C kernels of strategy='kernel' (same
+    metric expressions, same dist!=0 mask, same (distance, label, id)
+    lexsort), emitting top-k per (test, cell); a final WindowGroupLimit
+    window reranks the n_cells * k survivors per test. Results are
+    identical to kernel/shuffle (test-pinned).
+
+    Same constraints as strategy='kernel': named metrics, fixed-length
+    train series (validated with an aggregate, not a collect).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType
+
+    from ..functions.distance import _stack_series
+    from ..functions.dtw_kernel import dtw_batch, fastdtw_batch
+
+    if callable(metric):
+        raise ValueError("strategy='chunked' supports named metrics only")
+    if metric == "fastdtw":
+        kind = "dtw" if band is not None else "fastdtw"
+    elif metric == "dtw":
+        kind = "dtw"
+    elif metric in ("euclidean", "sq_euclidean", "manhattan", "chebyshev"):
+        kind = metric
+    else:
+        raise ValueError(f"strategy='chunked' does not support metric {metric!r}")
+    nested = isinstance(train.schema[features_col].dataType.elementType, ArrayType)
+    if nested and kind not in ("dtw", "fastdtw"):
+        raise ValueError(
+            f"multichannel series support metric='dtw'/'fastdtw' only, got {metric!r}"
+        )
+    spark = test.sparkSession
+    ch_expr = (
+        F.max(F.size(F.element_at(features_col, 1))) if nested else F.lit(1)
+    )
+    n_r, len_r, n_len_r, ch_r = train.agg(
+        F.count(F.lit(1)),
+        F.max(F.size(features_col)),
+        F.countDistinct(F.size(features_col)),
+        ch_expr,
+    ).first()
+    if not n_r:
+        raise ValueError("empty train side")
+    if n_len_r != 1:
+        raise ValueError(
+            "strategy='chunked' needs fixed-length train series "
+            f"(found {n_len_r} distinct lengths)"
+        )
+    n_t, len_t, ch_t = test.agg(
+        F.count(F.lit(1)), F.max(F.size(features_col)), ch_expr
+    ).first()
+    par = spark.sparkContext.defaultParallelism
+    bt = max(
+        1, math.ceil(int(n_t or 0) * int(len_t or 0) * int(ch_t or 1) * 8 / block_bytes)
+    )
+    br = max(
+        math.ceil(int(n_r) * int(len_r or 0) * int(ch_r or 1) * 8 / block_bytes),
+        min(int(n_r), par),
+    )
+    label_type = dict(train.dtypes)[label_col] if label_col else None
+    t_side = test.select(
+        F.pmod(F.hash(F.col(id_col)), F.lit(bt)).alias("_tblk"),
+        F.explode(F.sequence(F.lit(0), F.lit(br - 1))).alias("_rblk"),
+        F.lit(True).alias("_ist"),
+        F.col(id_col).alias("_id"),
+        F.col(features_col).alias("_f"),
+        *( [F.lit(None).cast(label_type).alias("_lbl")] if label_col else [] ),
+    )
+    r_side = train.select(
+        F.explode(F.sequence(F.lit(0), F.lit(bt - 1))).alias("_tblk"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(br)).alias("_rblk"),
+        F.lit(False).alias("_ist"),
+        F.col(id_col).alias("_id"),
+        F.col(features_col).alias("_f"),
+        *( [F.col(label_col).alias("_lbl")] if label_col else [] ),
+    )
+    kk, excl, bnd, rad = k, exclude_zero, band, fastdtw_radius
+    has_label = label_col is not None
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = {"test_id": [], "train_id": [], "distance": []}
+        if has_label:
+            cols["train_label"] = []
+        tm = pdf["_ist"].to_numpy()
+        tp, rp = pdf[tm], pdf[~tm]
+        if not len(tp) or not len(rp):
+            out = pd.DataFrame(cols)
+            return out.astype({"test_id": "int64", "train_id": "int64",
+                               "distance": "float64"})
+        b_ids = rp["_id"].to_numpy(dtype=np.int64)
+        b_feats = _stack_series(rp["_f"].to_numpy())
+        b_labels = rp["_lbl"].to_numpy() if has_label else None
+        n_train = len(b_ids)
+        rows_per = max(1, 1024 // max(1, n_train)) if kind == "fastdtw" else 1
+        tids = tp["_id"].to_numpy(dtype=np.int64)
+        fvals = tp["_f"].to_numpy()
+        by_len: dict[int, list[int]] = {}
+        for i, f in enumerate(fvals):
+            by_len.setdefault(len(f), []).append(i)
+        for L, idxs in by_len.items():
+            T = _stack_series([fvals[i] for i in idxs])
+            for c0 in range(0, len(idxs), rows_per):
+                chunk = idxs[c0 : c0 + rows_per]
+                Tc = T[c0 : c0 + rows_per]
+                nc = len(chunk)
+                if nc == 1:
+                    A = np.broadcast_to(Tc[0], (n_train,) + Tc[0].shape)
+                    B = b_feats
+                else:
+                    A = np.repeat(Tc, n_train, axis=0)
+                    B = np.tile(b_feats, (nc,) + (1,) * (b_feats.ndim - 1))
+                if kind == "dtw":
+                    D = dtw_batch(A, B, band=bnd)
+                elif kind == "fastdtw":
+                    D = fastdtw_batch(A, B, radius=rad)
+                elif kind == "euclidean":
+                    D = np.sqrt(((A - B) ** 2).sum(axis=1))
+                elif kind == "sq_euclidean":
+                    D = ((A - B) ** 2).sum(axis=1)
+                elif kind == "manhattan":
+                    D = np.abs(A - B).sum(axis=1)
+                else:  # chebyshev
+                    D = np.abs(A - B).max(axis=1)
+                D = D.reshape(nc, n_train)
+                for r, i in enumerate(chunk):
+                    d = D[r]
+                    mask = d != 0 if excl else np.ones(n_train, dtype=bool)
+                    di, ii = d[mask], b_ids[mask]
+                    li = b_labels[mask] if b_labels is not None else None
+                    order = (
+                        np.lexsort((ii, li, di)) if li is not None
+                        else np.lexsort((ii, di))
+                    )[:kk]
+                    m = len(order)
+                    cols["test_id"].extend([tids[i]] * m)
+                    cols["train_id"].extend(ii[order])
+                    cols["distance"].extend(di[order])
+                    if li is not None:
+                        cols["train_label"].extend(li[order])
+        order_cols = ["test_id", "train_id"]
+        if has_label:
+            order_cols.append("train_label")
+        order_cols.append("distance")
+        return pd.DataFrame({c: cols[c] for c in order_cols})
+
+    schema = "test_id long, train_id long"
+    if label_col:
+        schema += f", train_label {label_type}"
+    schema += ", distance double"
+    blocked = (
+        t_side.unionByName(r_side)
+        .groupBy("_tblk", "_rblk")
+        .applyInPandas(lambda _, pdf: cell(pdf), schema=schema)
+    )
+    order = [F.asc("distance")]
+    if label_col is not None:
+        order.append(F.asc("train_label"))
+    order.append(F.asc("train_id"))
+    topk = topk_per_key(blocked, "test_id", order, k)
+    out = ["test_id", "train_id"]
+    if label_col:
+        out.append("train_label")
+    out += ["distance", "rank"]
+    return topk.select(*out)
 
 
 def knn_join_pruned(
