@@ -2210,6 +2210,21 @@ def _q117_bm25(spark, sf_dir):
     return bm25_topk(docs, qs, k=10)
 
 
+def _q123_knn_chunked(spark, sf_dir):
+    """The chunked block-scorer KNN (operators/knn.py::_knn_chunked, r5) —
+    the too-big-to-broadcast regime where neither a driver collect
+    (strategy='kernel') nor a broadcast join is allowed: test x train tiles
+    into block cells via ONE hash-assign shuffle per side, each cell scored
+    by the kernel's numpy/C metrics inside applyInPandas, global
+    WindowGroupLimit rerank. Ranks are identical to every other strategy
+    (distance floats may differ from the SQL fold in the last ulp, hence
+    the rank-only projection — same contract as q09, whose oracle this
+    shares)."""
+    train, test = _series(spark, sf_dir)
+    nn = knn_join(test, train, metric="euclidean", k=5, strategy="chunked")
+    return nn.select("test_id", "train_id", "rank")
+
+
 def _q119_bm25_pruned(spark, sf_dir):
     """BM25 with impact-ordered posting truncation (operators/corpus.py::
     bm25_topk(max_postings=20)) — the hot-term skew guard for 100 TB
@@ -2466,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_bm25_served": _q120_bm25_served,
         "q121_bm25_wand": _q121_bm25_wand,
         "q122_bm25_wand_certificate": _q122_bm25_wand_certificate,
+        "q123_knn_chunked": _q123_knn_chunked,
     }
 
 
@@ -5568,6 +5584,10 @@ def oracle_sql() -> dict[str, str]:
     # path must reproduce the composed chain exactly, so the oracle IS
     # q117's replay
     out["q120_bm25_served"] = out["q117_bm25"]
+
+    # q123: chunked block-scorer KNN — identical ranks to every other
+    # strategy, so the oracle IS q09's replay
+    out["q123_knn_chunked"] = out["q09_knn_pairs"]
 
     # q121: lossless WAND-pruned BM25 — exact by construction, so the
     # oracle is q117's full-chain replay (any pruning loss = hash mismatch)

@@ -90,8 +90,10 @@ def knn_join(
 
     ``max_broadcast_bytes`` bounds strategy='kernel''s driver collect: if the
     estimated train matrix (rows x length x 8B) exceeds it, the call falls
-    back to the declarative shuffle plan (same results, no driver
-    materialization) — a train side that big shouldn't be broadcast either.
+    back to strategy='chunked' (r5 — the block nested-loop scorer, same
+    kernels, no driver materialization) for fixed-length train, or to the
+    declarative shuffle plan for ragged train — a train side that big
+    shouldn't be broadcast either.
     """
     if strategy == "kernel":
         if keep_features:
@@ -393,10 +395,15 @@ def _knn_chunked(
     1.9-7.3x reroute penalty).
 
     Here the cross product is tiled into (test-block x train-block) cells:
-    each side shuffles ONCE, hash-assigned to ceil(bytes / block_bytes)
-    blocks (train floored up to cluster parallelism), replicated only
-    across the OTHER side's block count — per-series wire copies drop from
-    N_other to n_blocks_other. Each cell is scored by one applyInPandas
+    each side is hash-assigned to ceil(bytes / block_bytes) blocks (train
+    floored up to cluster parallelism) and replicated only across the
+    OTHER side's block count — shuffle traffic is
+    test_blocks * |train| + train_blocks * |test| ~ 2|test||train|/B,
+    the grid-replication optimum for exact all-pairs (per-series wire
+    copies drop from N_other to n_blocks_other; raise block_bytes with
+    executor memory to cut replication linearly, and when even that
+    traffic is too much the answer is knn_join_pruned/knn_join_lb, not a
+    bigger brute force). Each cell is scored by one applyInPandas
     call running the EXACT numpy/C kernels of strategy='kernel' (same
     metric expressions, same dist!=0 mask, same (distance, label, id)
     lexsort), emitting top-k per (test, cell); a final WindowGroupLimit

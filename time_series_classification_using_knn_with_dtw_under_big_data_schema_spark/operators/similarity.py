@@ -73,13 +73,20 @@ def _chunked_pair_topk(
     independent of blocking; the global (_d asc, neighbor_id asc) window
     reproduces the kernel's lexsort order exactly).
 
-    Scale shape (100 TB): corpus rows shuffle ONCE, hash-assigned to
-    ceil(corpus_bytes / block_bytes) blocks (floored up to the cluster
-    parallelism so small inputs still fan out); the query side — the
-    replicated side — is replicated corpus_blocks times (queries are the
-    small side by contract; at 100 TB the corpus NEVER replicates, unlike
-    the pair-materializing declarative fallback, and no executor ever
-    holds more than ~2 blocks). The rerank input is
+    Scale shape (100 TB): shuffle traffic is the block-nested-loop
+    optimum for EXACT all-pairs scoring — each side is hash-assigned to
+    ceil(side_bytes / block_bytes) blocks (corpus floored up to cluster
+    parallelism) and replicated only across the OTHER side's block count:
+    traffic = q_blocks * |corpus| + c_blocks * |queries|
+            ~ 2 * |queries| * |corpus| / block_bytes,
+    the grid-replication lower bound for a brute-force cross product (vs
+    the pair-materializing declarative plan's |pairs| * row_bytes, which
+    is ~N_small * block_bytes / row_bytes times larger). When the query
+    workload fits one block (the common serve case) the corpus moves
+    EXACTLY ONCE. No executor holds more than one (query, corpus) cell;
+    raise block_bytes with executor memory to cut replication linearly.
+    If even this traffic is too much, the answer is an index (IVF/PQ/LSH
+    in this module), not a bigger brute force. The rerank input is
     queries * corpus_blocks * k id+double rows — workload-sized.
     """
     import math
