@@ -524,6 +524,15 @@ def main() -> None:
         )),
         repeats=2,
     )
+    # the r5 chunked block scorer on the same amplified train: the path the
+    # oversize guard actually takes now (vs the Model-1 shuffle above)
+    run(
+        "fb2_knn_chunked_euclid_amplified",
+        lambda: _mat(knn_classify(
+            test, amp_train, metric="euclidean", k=5, strategy="chunked"
+        )),
+        repeats=2,
+    )
     amp_train.unpersist()
     # skewed-key leg: a star graph (one hub, n_docs-1 spokes) is the worst
     # case for min-label propagation (every edge touches the hub's label) —
@@ -562,6 +571,9 @@ def main() -> None:
         ),
         "amp_knn_shuffle_euclid": (
             "fb2_knn_shuffle_euclid_amplified", "fb2_knn_kernel_euclid_amplified"
+        ),
+        "amp_knn_chunked_euclid": (
+            "fb2_knn_chunked_euclid_amplified", "fb2_knn_kernel_euclid_amplified"
         ),
         "star_components_distributed": (
             "fb2_components_distributed_star", "fb2_components_local_star"
