@@ -936,6 +936,13 @@ def knn_predict_1nn(
 
     Output: (test_id, predicted_label, distance).
     """
+    if strategy not in ("broadcast", "shuffle"):
+        # the min_by aggregate IS the fast path here — there is no kernel/
+        # chunked variant; reject silently-ignored strategies (a "kernel"
+        # caller would get an unhinted cross join without noticing)
+        raise ValueError(
+            f"knn_predict_1nn supports strategy 'broadcast' or 'shuffle', got {strategy!r}"
+        )
     fn, rank_squared = _resolve_metric(metric, band, fastdtw_radius)
     t = test.select(F.col(id_col).alias("test_id"), F.col(features_col).alias("_tf"))
     r = train.select(
