@@ -192,3 +192,20 @@ def test_knn_chunked_multichannel(spark):
     kernel = knn_join(test, train, metric="dtw", band=3, k=3, strategy="kernel")
     chunked = knn_join(test, train, metric="dtw", band=3, k=3, strategy="chunked")
     assert sorted(map(tuple, chunked.collect())) == sorted(map(tuple, kernel.collect()))
+
+
+def test_knn_chunked_string_labels(spark):
+    """String labels ride the chunked tie order like the kernel's (pandas
+    delivers them object-dtype; the scorer must re-materialize a sortable
+    array for np.lexsort)."""
+    rng = np.random.default_rng(31)
+    rows = lambda n, s: [
+        (s + i, [float(x) for x in rng.normal(0, 1, 8)], ["walk", "run", "sit"][i % 3])
+        for i in range(n)
+    ]
+    schema = "series_id long, features array<double>, label string"
+    train = spark.createDataFrame(rows(30, 0), schema)
+    test = spark.createDataFrame(rows(8, 1000), schema)
+    kernel = knn_join(test, train, metric="euclidean", k=3, strategy="kernel")
+    chunked = knn_join(test, train, metric="euclidean", k=3, strategy="chunked")
+    assert sorted(map(tuple, chunked.collect())) == sorted(map(tuple, kernel.collect()))

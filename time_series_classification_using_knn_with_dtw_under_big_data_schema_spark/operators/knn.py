@@ -498,7 +498,10 @@ def _knn_chunked(
                                "distance": "float64"})
         b_ids = rp["_id"].to_numpy(dtype=np.int64)
         b_feats = _stack_series(rp["_f"].to_numpy())
-        b_labels = rp["_lbl"].to_numpy() if has_label else None
+        # np.asarray(list) not .to_numpy(): pandas hands string labels as
+        # object dtype, which np.lexsort rejects; the list round-trip gives
+        # the same '<U'/float dtype the kernel's collect-based array has
+        b_labels = np.asarray(list(rp["_lbl"])) if has_label else None
         n_train = len(b_ids)
         rows_per = max(1, 1024 // max(1, n_train)) if kind == "fastdtw" else 1
         tids = tp["_id"].to_numpy(dtype=np.int64)
