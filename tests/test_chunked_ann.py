@@ -209,3 +209,22 @@ def test_knn_chunked_string_labels(spark):
     kernel = knn_join(test, train, metric="euclidean", k=3, strategy="kernel")
     chunked = knn_join(test, train, metric="euclidean", k=3, strategy="chunked")
     assert sorted(map(tuple, chunked.collect())) == sorted(map(tuple, kernel.collect()))
+
+
+def test_chunked_edge_grid(spark):
+    """Curated edge combos through the chunked ANN scorer vs the kernel:
+    k=1, k > corpus, dim=3 (odd), single-row corpus, tiny blocks."""
+    rng = np.random.default_rng(37)
+
+    def mk(n, dim):
+        rows = [(int(i), [float(x) for x in rng.normal(0, 1, dim)]) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for n, dim, k, bb in [(17, 3, 1, 1024), (9, 5, 20, 512), (1, 4, 2, 1 << 30), (64, 7, 7, 2048)]:
+        df = mk(n, dim)
+        q = df.limit(min(n, 5))
+        kernel = ann_brute_topk(q, df, k=k, strategy="kernel", exclude_self=False)
+        chunked = ann_brute_topk(
+            q, df, k=k, strategy="chunked", exclude_self=False, block_bytes=bb
+        )
+        assert _collect(chunked) == _collect(kernel), (n, dim, k, bb)
