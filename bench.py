@@ -348,7 +348,9 @@ def main() -> None:
     # lossless WAND-style pruned serve (filter postings + verify + escalate
     # unproven queries) on the same cached index — exact results by contract
     from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        ann_brute_topk as _ann_brute,
         bm25_search_pruned,
+        rrf_fuse as _rrf,
     )
 
     run(
@@ -356,6 +358,21 @@ def main() -> None:
         lambda: _mat(bm25_search_pruned(bm_qs, bm_idx, k=10, max_postings=20)),
         repeats=2,
     )
+    # served hybrid: both legs from prebuilt state (cached BM25 index +
+    # kernel ANN over the cached embeddings) — the per-batch cost a RAG
+    # serving job pays, vs hybrid_rrf above which rebuilds the lexical
+    # index per call
+    hy_emb = _t_cached(spark, sf_dir, "embeddings")
+
+    def _hybrid_served():
+        lex = bm25_search(bm_qs, bm_idx, k=10)
+        sem = _ann_brute(
+            hy_emb.filter(F.col("vec_id") % 23 == 0), hy_emb, k=10,
+            strategy="kernel",
+        ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+        return _rrf([lex, sem], k=10)
+
+    run("hybrid_rrf_served", lambda: _mat(_hybrid_served()), repeats=2)
     for t in bm_idx.values():
         t.unpersist()
     bm_qs.unpersist()
