@@ -712,3 +712,39 @@ def test_bm25_pruned_certificate_proves_easy_queries(spark, bm25_corpus):
     assert len(cert) == 1 and cert[0].proven
     # nothing dropped: every matched term has <= 10 postings
     assert cert[0].tail_sum_micro == 0
+
+
+def test_bm25_wand_lossless_random_sweep(spark):
+    """Seeded random-corpora sweep: bm25_search_pruned must equal the
+    unpruned bm25_topk on messy inputs (dup tokens, empty-ish docs, shared
+    stopwords, unseen query terms) across aggressive max_postings values —
+    the committed slice of the r4 fuzz-soak methodology, now covering the
+    WAND path end to end (truncation + certificate + escalation)."""
+    import random
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        bm25_build,
+        bm25_search_pruned,
+        bm25_topk,
+    )
+
+    rng = random.Random(61)
+    vocab = ["the", "of", "cat", "dog", "spark", "dtw", "knn", "mat", "x1", "zz"]
+    for trial in range(5):
+        docs_rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(0, 12))))
+            for i in range(rng.randint(6, 24))
+        ]
+        q_rows = [
+            (100 + i, " ".join(rng.choices(vocab + ["unseen"], k=rng.randint(1, 4))))
+            for i in range(rng.randint(1, 5))
+        ]
+        docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+        qs = spark.createDataFrame(q_rows, "query_id long, query_text string")
+        full = sorted(map(tuple, bm25_topk(docs, qs, k=4).collect()))
+        idx = bm25_build(docs)
+        m = rng.choice([1, 2, 3, 7])
+        pruned = sorted(
+            map(tuple, bm25_search_pruned(qs, idx, k=4, max_postings=m).collect())
+        )
+        assert pruned == full, (trial, m, docs_rows, q_rows)
