@@ -2225,6 +2225,22 @@ def _q123_knn_chunked(spark, sf_dir):
     return nn.select("test_id", "train_id", "rank")
 
 
+def _q124_ann_quantized_chunked(spark, sf_dir):
+    """The chunked block scorer through the INT8-quantized ANN
+    (operators/similarity.py::ann_quantized_topk(strategy='chunked')) —
+    q90's workload with the no-broadcast physical plan. Because every
+    accumulated quantity is an exact int64 and the final distance is two
+    correctly-rounded IEEE ops, the chunked result is bit-identical to
+    kernel AND declarative — so unlike q123 (rank-only), this entry
+    hash-proves the chunked path on FULL columns: q90's oracle replays
+    verbatim."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.similarity import ann_quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    return ann_quantized_topk(q, emb, k=5, strategy="chunked")
+
+
 def _q119_bm25_pruned(spark, sf_dir):
     """BM25 with impact-ordered posting truncation (operators/corpus.py::
     bm25_topk(max_postings=20)) — the hot-term skew guard for 100 TB
@@ -2482,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_bm25_wand": _q121_bm25_wand,
         "q122_bm25_wand_certificate": _q122_bm25_wand_certificate,
         "q123_knn_chunked": _q123_knn_chunked,
+        "q124_ann_quantized_chunked": _q124_ann_quantized_chunked,
     }
 
 
@@ -5588,6 +5605,10 @@ def oracle_sql() -> dict[str, str]:
     # q123: chunked block-scorer KNN — identical ranks to every other
     # strategy, so the oracle IS q09's replay
     out["q123_knn_chunked"] = out["q09_knn_pairs"]
+
+    # q124: chunked quantized ANN — integer arithmetic makes the chunked
+    # path bit-identical on every column, so q90's oracle replays verbatim
+    out["q124_ann_quantized_chunked"] = out["q90_ann_quantized"]
 
     # q121: lossless WAND-pruned BM25 — exact by construction, so the
     # oracle is q117's full-chain replay (any pruning loss = hash mismatch)

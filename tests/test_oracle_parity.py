@@ -138,6 +138,8 @@ SLOW_SUBSET = [
     "q120_bm25_served",
     "q121_bm25_wand",
     "q122_bm25_wand_certificate",
+    "q123_knn_chunked",
+    "q124_ann_quantized_chunked",
 ]
 
 
