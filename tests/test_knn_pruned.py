@@ -54,3 +54,23 @@ def test_pruned_shrinks_expensive_pairs(spark, har_dfs):
     # phase-1 rank filter present (candidate cap), phase-2 rank cap present
     assert "_crank" in plan
     assert pruned.count() <= n_test * 3
+
+def test_pruned_chunked_phase1_matches_broadcast(spark, har_dfs):
+    """strategy='chunked' runs phase-1 candidate generation through the
+    block scorer (the 100 TB sketch-side path); on tie-free data the
+    candidate set — and hence the final top-k — matches the broadcast
+    plan exactly."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join_pruned
+
+    train_df, test_df = har_dfs
+    a = knn_join_pruned(
+        test_df, train_df, metric="euclidean", k=3, length=24,
+        paa_segments=6, strategy="broadcast",
+    )
+    b = knn_join_pruned(
+        test_df, train_df, metric="euclidean", k=3, length=24,
+        paa_segments=6, strategy="chunked",
+    )
+    assert sorted(map(tuple, b.collect())) == sorted(map(tuple, a.collect()))
+    plan = b._jdf.queryExecution().toString()
+    assert "FlatMapGroupsInPandas" in plan

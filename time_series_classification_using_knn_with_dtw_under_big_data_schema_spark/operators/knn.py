@@ -639,14 +639,34 @@ def knn_join_pruned(
         r_cols.append(F.col(label_col).alias("train_label"))
     r = train.select(*r_cols)
 
-    # phase 1: sketch-space candidate generation (ids + sketches only)
+    # phase 1: sketch-space candidate generation (ids + sketches only).
+    # strategy='chunked' (r5): at 100 TB even the SKETCH side is ~1/70th of
+    # the corpus — far past broadcast range — so phase 1 is itself a
+    # too-big-to-broadcast KNN; the block scorer serves it (sketches are
+    # fixed-length by construction). Candidate RANKING is identical up to
+    # fp near-ties at the C-th boundary (numpy vs SQL-fold ulp), which is
+    # inside the prefilter's heuristic contract.
     t1 = t.select("test_id", "_tp")
     r1 = r.select("train_id", "_rp")
-    coarse = t1.crossJoin(F.broadcast(r1) if strategy == "broadcast" else r1)
-    coarse = coarse.withColumn("_cd", sq_euclidean(F.col("_tp"), F.col("_rp")))
-    cands = topk_per_key(
-        coarse, "test_id", [F.asc("_cd"), F.asc("train_id")], C, rank_col="_crank"
-    ).select("test_id", "train_id")
+    if strategy == "chunked":
+        cands = _knn_chunked(
+            t1.select(F.col("test_id").alias("sid"), F.col("_tp").alias("feat")),
+            r1.select(F.col("train_id").alias("sid"), F.col("_rp").alias("feat")),
+            metric="sq_euclidean",
+            k=C,
+            id_col="sid",
+            features_col="feat",
+            label_col=None,
+            exclude_zero=False,
+            band=None,
+            fastdtw_radius=fastdtw_radius,
+        ).select("test_id", "train_id")
+    else:
+        coarse = t1.crossJoin(F.broadcast(r1) if strategy == "broadcast" else r1)
+        coarse = coarse.withColumn("_cd", sq_euclidean(F.col("_tp"), F.col("_rp")))
+        cands = topk_per_key(
+            coarse, "test_id", [F.asc("_cd"), F.asc("train_id")], C, rank_col="_crank"
+        ).select("test_id", "train_id")
 
     # phase 2: exact metric on candidates only
     pairs = (
