@@ -429,6 +429,19 @@ def main() -> None:
         round(n_pairs_561 / timings["fb_knn_dtw561_banded_chunked"])
         if timings.get("fb_knn_dtw561_banded_chunked") else None
     )
+    # pruned KNN with the chunked sketch phase-1 (r5): the 100 TB shape
+    # where even the PAA sketches exceed broadcast range
+    run(
+        "fb_knn_pruned_chunked_561",
+        lambda: _mat(majority_vote(
+            knn_join_pruned(
+                t561_small, r561, metric="fastdtw", k=5, length=561,
+                paa_segments=8, candidates_per_test=30, strategy="chunked",
+            ),
+            key="test_id", label="train_label", rank="rank",
+        )),
+        repeats=2,
+    )
     # ANN chunked block scorer (r5, VERDICT r4 #2): corpus "too big" for the
     # kernel broadcast now routes to the block nested-loop applyInPandas
     # scorer (one corpus shuffle, no broadcast variable, bit-identical) —
@@ -578,6 +591,7 @@ def main() -> None:
         "knn_shuffle_euclid_k5": ("fb_knn_shuffle_euclid_k5", "knn_euclidean_k5"),
         "knn_shuffle_fastdtw_k5": ("fb_knn_shuffle_fastdtw_k5", "knn_fastdtw_k5"),
         "knn_dtw561_banded_chunked": ("fb_knn_dtw561_banded_chunked", "knn_dtw_561pt_banded"),
+        "knn_pruned_chunked": ("fb_knn_pruned_chunked_561", "knn_pruned_faithful_561pt"),
         "ann_brute_chunked": ("fb_ann_brute_chunked", "ann_brute_cosine"),
         "ann_quantized_chunked": ("fb_ann_quantized_chunked", "ann_quantized"),
         "bpe_train_distributed": ("fb_bpe_train_distributed", "bpe_train_driver"),
