@@ -88,3 +88,21 @@ def test_load_index_missing_path_raises(spark, tmp_path):
     (tmp_path / "empty").mkdir()
     with pytest.raises(ValueError, match="no index tables"):
         load_index(spark, str(tmp_path / "empty"))
+
+
+def test_term_partitioned_tf_prunes_on_read(spark, docs, tmp_path):
+    """The layout claim behind partition_by={'tf': ['term']}: a term filter
+    on the loaded index reaches the scan as a PartitionFilter (directory
+    pruning), so a query-vocabulary join against a term-partitioned tf
+    reads only the matching term directories instead of the whole index."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import bm25_build
+
+    path = str(tmp_path / "bm25_part")
+    save_index(bm25_build(docs), path, partition_by={"tf": ["term"]})
+    tf = load_index(spark, path)["tf"]
+    filtered = tf.filter(tf.term == "cat")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "term" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the filter actually prunes: only the cat partition's rows surface
+    rows = filtered.collect()
+    assert rows and all(r.term == "cat" for r in rows)
