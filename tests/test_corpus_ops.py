@@ -748,3 +748,17 @@ def test_bm25_wand_lossless_random_sweep(spark):
             map(tuple, bm25_search_pruned(qs, idx, k=4, max_postings=m).collect())
         )
         assert pruned == full, (trial, m, docs_rows, q_rows)
+
+
+def test_bm25_pruned_rejects_degenerate_params(spark, bm25_corpus):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        bm25_build,
+        bm25_search_pruned,
+    )
+
+    qs = spark.createDataFrame([(1, "cat")], "query_id long, query_text string")
+    idx = bm25_build(bm25_corpus)
+    with pytest.raises(ValueError, match="max_postings"):
+        bm25_search_pruned(qs, idx, max_postings=0)
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_search_pruned(qs, idx, k=0)

@@ -1177,6 +1177,13 @@ def bm25_search_pruned(
     """
     from ..caching import register_cache
 
+    if max_postings < 1:
+        # max_postings >= 1 is what guarantees every matched query keeps
+        # >= 1 candidate and therefore gets a certificate row; at 0 the
+        # proven/escalated split would silently drop matched queries
+        raise ValueError(f"max_postings must be >= 1, got {max_postings}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     contrib = _bm25_contrib(
         queries, index, k1=k1, b=b, id_col=id_col,
         qid_col=qid_col, qtext_col=qtext_col,
