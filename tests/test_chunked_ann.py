@@ -228,3 +228,23 @@ def test_chunked_edge_grid(spark):
             q, df, k=k, strategy="chunked", exclude_self=False, block_bytes=bb
         )
         assert _collect(chunked) == _collect(kernel), (n, dim, k, bb)
+
+
+def test_knn_chunked_nan_features_rank_last_like_kernel(spark):
+    """A train series containing NaN produces a NaN distance: the kernel's
+    lexsort puts it last; the chunked global rerank must do the same
+    (Arrow NaN->null would otherwise rank FIRST under plain asc)."""
+    train = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0], 1.0), (2, [float("nan"), 2.0, 3.0], 2.0),
+         (3, [1.5, 2.5, 3.5], 1.0), (4, [9.0, 9.0, 9.0], 2.0)],
+        "series_id long, features array<double>, label double",
+    )
+    test = spark.createDataFrame(
+        [(10, [1.0, 2.0, 3.0], 0.0)], "series_id long, features array<double>, label double"
+    )
+    kernel = knn_join(test, train, metric="euclidean", k=4, strategy="kernel")
+    chunked = knn_join(test, train, metric="euclidean", k=4, strategy="chunked")
+    kr = {r.train_id: r.rank for r in kernel.collect()}
+    cr = {r.train_id: r.rank for r in chunked.collect()}
+    assert cr == kr
+    assert cr[2] == max(cr.values())  # the NaN series ranks last

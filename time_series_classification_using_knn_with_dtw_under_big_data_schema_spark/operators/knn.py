@@ -564,7 +564,10 @@ def _knn_chunked(
         .groupBy("_tblk", "_rblk")
         .applyInPandas(lambda _, pdf: cell(pdf), schema=schema)
     )
-    order = [F.asc("distance")]
+    # nulls LAST: Arrow maps NaN distances (corrupt/NaN-element series) to
+    # SQL nulls; the kernel's in-Python lexsort puts NaN at the end, and a
+    # plain F.asc would rank nulls FIRST — same fix as the ANN chunked path
+    order = [F.asc_nulls_last("distance")]
     if label_col is not None:
         order.append(F.asc("train_label"))
     order.append(F.asc("train_id"))
