@@ -2373,6 +2373,66 @@ def _q118_hybrid_retrieval(spark, sf_dir):
     return rrf_fuse([lex, sem], k=10)
 
 
+_QUALITY_LABEL_CHARS = 290  # weak-label spec constant (see q125 docstring)
+
+
+def _quality_labeled_features(spark, sf_dir):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.caching import register_cache
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import doc_quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = doc_quality_features(docs)
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") > _QUALITY_LABEL_CHARS, 1)
+        .otherwise(-1)
+        .alias("y"),
+    )
+    # featurize ONCE: every training epoch (and the serve pass) rescans
+    # this table — (id, x[5] int64, y) is ~50 bytes/doc vs KBs of text, so
+    # caching it is the persistable-feature-table shape, not a corpus pin
+    return register_cache(feats.join(labels, "doc_id").cache())
+
+
+def _q125_quality_classifier(spark, sf_dir):
+    """Trained quality classifier (operators/classify.py::
+    train_quality_perceptron) — the CCNet/fastText curation recipe as a
+    distributed operator: a cheap weak label (here n_chars > 290,
+    standing in for seed-set membership — the signal you have on a
+    labeled sliver and want everywhere) is distilled into a linear model
+    over integer token-count features. Averaged batch perceptron, 4
+    epochs, every margin/gradient an exact order-free int64 — so the
+    TRAINED WEIGHTS themselves are hash-provable: the oracle replays all
+    4 epochs as chained CTEs (the q87 k-means trick applied to gradient
+    descent). Measured train accuracy 0.99 at sf0.01 (majority class
+    0.53). Per epoch: one column-pruned corpus scan, weights ride as
+    codegen literals, driver traffic = dim rows."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import train_quality_perceptron
+
+    _prep(spark)
+    return train_quality_perceptron(
+        _quality_labeled_features(spark, sf_dir), epochs=4
+    )
+
+
+def _q126_quality_filter(spark, sf_dir):
+    """The serve side of q125 (operators/classify.py::score_with_weights):
+    apply the trained weights to every document — exact int64 dot score,
+    kept = score > 0. Fully declarative: the dim-row model aggregates to
+    one array row, broadcasts into the corpus scan, and the filter runs
+    wherever the corpus lives (zero corpus shuffles — the shape a 100 TB
+    quality filter needs). The oracle replays training AND scoring."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        score_with_weights,
+        train_quality_perceptron,
+    )
+
+    _prep(spark)
+    labeled = _quality_labeled_features(spark, sf_dir)
+    w = train_quality_perceptron(labeled, epochs=4)
+    return score_with_weights(labeled, w)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2499,6 +2559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_bm25_wand_certificate": _q122_bm25_wand_certificate,
         "q123_knn_chunked": _q123_knn_chunked,
         "q124_ann_quantized_chunked": _q124_ann_quantized_chunked,
+        "q125_quality_classifier": _q125_quality_classifier,
+        "q126_quality_filter": _q126_quality_filter,
     }
 
 
@@ -3427,6 +3489,70 @@ def _sql_bm25_ctes(mod: int = 23, qlen: int = 6, max_postings: int = 0) -> str:
                         ORDER BY score_micro DESC, doc_id ASC) AS rank
             FROM bmscored
         )"""
+
+
+def _sql_perceptron_ctes(epochs: int = 4, dim: int = 5) -> str:
+    """Mirror of operators/classify.py::doc_quality_features +
+    train_quality_perceptron(epochs, averaged=True) on the q125 workload
+    (weak label: n_chars > 290): chained CTEs replay every epoch — the
+    q87 k-means technique applied to gradient descent. All arithmetic is
+    int64 (order-free sums), so the trained weights hash-match bit for
+    bit. Ends at ``pa{epochs}`` (1 row, averaged weight list) with ``pf``
+    (doc_id, y, x) and ``pd`` (dim) in scope."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.text import STOPWORDS
+
+    stops = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+    def margin(x: str, w: str) -> str:
+        return (
+            f"list_reduce(list_prepend(cast(0 AS bigint),"
+            f" list_transform(range(1, {dim + 1}),"
+            f" j -> {x}[j] * {w}[j])), (a, b) -> a + b)"
+        )
+
+    parts = [
+        f"""pf AS (
+            SELECT doc_id,
+                   CASE WHEN n_chars > {_QUALITY_LABEL_CHARS}
+                        THEN 1 ELSE -1 END AS y,
+                   [cast(1 AS bigint),
+                    cast(len(t) AS bigint) - 53,
+                    cast(len(list_filter(t, tk -> list_contains({stops}, tk)))
+                         AS bigint) - 8,
+                    cast(len(list_distinct(t)) AS bigint) - 30,
+                    cast(len(list_filter(t, tk -> len(tk) >= 5))
+                         AS bigint) - 20] AS x
+            FROM (SELECT doc_id, n_chars, {_SQL_TOKENS} AS t FROM documents)
+        ),
+        pd AS (SELECT unnest(range(0, {dim})) AS dim),
+        pw0 AS (SELECT list_transform(range(0, {dim}),
+                                      i -> cast(0 AS bigint)) AS w),
+        pa0 AS (SELECT list_transform(range(0, {dim}),
+                                      i -> cast(0 AS bigint)) AS a)"""
+    ]
+    for t in range(1, epochs + 1):
+        parts.append(
+            f"""pm{t} AS (
+            SELECT f.y, f.x FROM pf f CROSS JOIN pw{t - 1} w
+            WHERE f.y * {margin('f.x', 'w.w')} <= 0
+        ),
+        pg{t} AS (
+            SELECT d.dim,
+                   cast(coalesce(sum(m.y * m.x[d.dim + 1]), 0) AS BIGINT) AS g
+            FROM pd d LEFT JOIN pm{t} m ON true
+            GROUP BY d.dim
+        ),
+        pw{t} AS (
+            SELECT list(p.w[g.dim + 1] + g.g ORDER BY g.dim) AS w
+            FROM pg{t} g CROSS JOIN pw{t - 1} p
+        ),
+        pa{t} AS (
+            SELECT list_transform(range(1, {dim + 1}),
+                                  i -> p.a[i] + w.w[i]) AS a
+            FROM pa{t - 1} p CROSS JOIN pw{t} w
+        )"""
+        )
+    return ",\n        ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5719,4 +5845,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(micro AS double) / 1000000.0 AS rrf_score
         FROM franked WHERE rank <= 10
     """
+    # q125: averaged-perceptron quality classifier — the oracle replays
+    # all 4 training epochs (chained CTEs); the graded rows ARE the model
+    out["q125_quality_classifier"] = f"""
+        WITH {_sql_perceptron_ctes(epochs=4)}
+        SELECT cast(d.dim AS int) AS dim, a.a[d.dim + 1] AS weight
+        FROM pd d CROSS JOIN pa4 a
+    """
+
+    # q126: the trained filter applied to the corpus — training replay +
+    # one exact int64 dot per document
+    out["q126_quality_filter"] = f"""
+        WITH {_sql_perceptron_ctes(epochs=4)},
+        pscored AS (
+            SELECT f.doc_id,
+                   list_reduce(list_prepend(cast(0 AS bigint),
+                       list_transform(range(1, 6), j -> f.x[j] * a.a[j])),
+                       (x, y) -> x + y) AS score
+            FROM pf f CROSS JOIN pa4 a
+        )
+        SELECT doc_id, score, score > 0 AS kept FROM pscored
+    """
+
     return out

@@ -382,6 +382,14 @@ def main() -> None:
         lambda: _mat(entry_mod._q118_hybrid_retrieval(spark, sf_dir)),
         repeats=2,
     )
+    # learned quality filter (r5): averaged-perceptron training (4 epochs,
+    # one corpus scan each, dim-row driver traffic) + the declarative
+    # serve-side scoring pass over the whole corpus
+    run(
+        "quality_classifier",
+        lambda: _mat(entry_mod._q126_quality_filter(spark, sf_dir)),
+        repeats=2,
+    )
 
     # --- fallback tier: the guarded 100 TB paths --------------------------
     # Each fb_* entry runs the SAME input as its fast-path twin but forces

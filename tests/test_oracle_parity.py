@@ -140,6 +140,11 @@ SLOW_SUBSET = [
     "q122_bm25_wand_certificate",
     "q123_knn_chunked",
     "q124_ann_quantized_chunked",
+    # learned quality filter (r5): 4 chained training epochs — the
+    # weight hash is sensitive to every misclassified-set decision, so
+    # verify at bench scale too
+    "q125_quality_classifier",
+    "q126_quality_filter",
 ]
 
 

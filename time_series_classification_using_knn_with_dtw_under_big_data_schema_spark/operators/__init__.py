@@ -26,6 +26,11 @@ from .similarity import (  # noqa: F401
     quantize_embeddings,
     random_project,
 )
+from .classify import (  # noqa: F401
+    doc_quality_features,
+    score_with_weights,
+    train_quality_perceptron,
+)
 from .cluster import kmeans_assign, kmeans_centroids, semantic_dedup  # noqa: F401
 from .bpe import apply_merge, bpe_encode, train_bpe  # noqa: F401
 from .corpus import (  # noqa: F401
