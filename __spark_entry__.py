@@ -2433,6 +2433,25 @@ def _q126_quality_filter(spark, sf_dir):
     return score_with_weights(labeled, w)
 
 
+def _q127_series_features(spark, sf_dir):
+    """Per-series feature extraction (operators/features.py::
+    series_features) — the feature-based-classification escape hatch from
+    the reference's pairwise-distance paradigm: 9 shape/dynamics
+    statistics (mean, variance, extrema, mean |Δ|, zero crossings, peaks,
+    lag-1 autocorrelation) as pure per-row left-fold expressions. One
+    scan, ZERO shuffles beyond the series build itself — at 100 TB this
+    replaces the O(n·m)-per-pair cross join with O(n)-per-series work
+    (feed the vectors to classify.py's perceptron, kmeans, or the ANN
+    family). Every fold is IEEE-order-mirrored by the DuckDB oracle."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import series_features
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import events_to_series
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    series = events_to_series(events, length=SERIES_LEN)
+    return series_features(series)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2561,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_ann_quantized_chunked": _q124_ann_quantized_chunked,
         "q125_quality_classifier": _q125_quality_classifier,
         "q126_quality_filter": _q126_quality_filter,
+        "q127_series_features": _q127_series_features,
     }
 
 
@@ -5845,6 +5865,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(micro AS double) / 1000000.0 AS rrf_score
         FROM franked WHERE rank <= 10
     """
+    # q127: per-series feature extraction — every statistic is a
+    # left-fold whose DuckDB mirror runs the identical IEEE op sequence
+    out["q127_series_features"] = f"""
+        WITH {_SERIES_CTE},
+        sf0 AS (
+            SELECT series_id, features AS x, len(features) AS n,
+                   list_reduce(list_prepend(cast(0.0 AS double), features),
+                               (a, v) -> a + v) / len(features) AS mu
+            FROM series
+        ),
+        sf1 AS (
+            SELECT *, list_transform(x, v -> v - mu) AS d FROM sf0
+        ),
+        sf2 AS (
+            SELECT *,
+                   list_reduce(list_prepend(cast(0.0 AS double),
+                       list_transform(d, v -> v * v)), (a, v) -> a + v) AS den,
+                   CASE WHEN n >= 2 THEN
+                       list_reduce(list_prepend(cast(0.0 AS double),
+                           list_transform(range(1, n), i -> d[i] * d[i + 1])),
+                           (a, v) -> a + v)
+                   ELSE 0.0 END AS num
+            FROM sf1
+        )
+        SELECT series_id,
+               cast(n AS int) AS n_points,
+               mu AS mean,
+               den / n AS variance,
+               list_min(x) AS vmin,
+               list_max(x) AS vmax,
+               CASE WHEN n >= 2 THEN
+                   list_reduce(list_prepend(cast(0.0 AS double),
+                       list_transform(range(2, n + 1),
+                                      i -> abs(x[i] - x[i - 1]))),
+                       (a, v) -> a + v) / (n - 1)
+               ELSE 0.0 END AS mean_abs_change,
+               cast(CASE WHEN n >= 2 THEN
+                   len(list_filter(list_transform(range(2, n + 1),
+                       i -> d[i - 1] * d[i] < 0), b -> b))
+               ELSE 0 END AS int) AS zero_crossings,
+               cast(CASE WHEN n >= 3 THEN
+                   len(list_filter(list_transform(range(2, n),
+                       i -> x[i] > x[i - 1] AND x[i] > x[i + 1]), b -> b))
+               ELSE 0 END AS int) AS n_peaks,
+               CASE WHEN den > 0 THEN num / den ELSE 0.0 END AS acf1
+        FROM sf2
+    """
+
     # q125: averaged-perceptron quality classifier — the oracle replays
     # all 4 training epochs (chained CTEs); the graded rows ARE the model
     out["q125_quality_classifier"] = f"""

@@ -390,6 +390,13 @@ def main() -> None:
         lambda: _mat(entry_mod._q126_quality_filter(spark, sf_dir)),
         repeats=2,
     )
+    # per-series feature extraction (r5): the O(n)-per-series alternative
+    # to the pair matrix — pure per-row folds, scan-bound
+    run(
+        "series_features",
+        lambda: _mat(entry_mod._q127_series_features(spark, sf_dir)),
+        repeats=2,
+    )
 
     # --- fallback tier: the guarded 100 TB paths --------------------------
     # Each fb_* entry runs the SAME input as its fast-path twin but forces

@@ -1,0 +1,119 @@
+"""series_features (operators/features.py): numpy-golden parity on
+random/edge series, and the composition it exists for — feature-space
+classification beating the pair matrix on separable series."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.classify import (
+    score_with_weights,
+    train_quality_perceptron,
+)
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.features import series_features
+
+
+def _numpy_features(f):
+    f = np.asarray(f, dtype=np.float64)
+    n = len(f)
+    # left-to-right fold sums, mirroring the Spark/DuckDB op order
+    mu = 0.0
+    for v in f:
+        mu += v
+    mu /= n
+    d = f - mu
+    den = 0.0
+    for v in d:
+        den += v * v
+    var = den / n
+    mac = 0.0
+    if n >= 2:
+        for i in range(1, n):
+            mac += abs(f[i] - f[i - 1])
+        mac /= n - 1
+    zc = int(((d[:-1] * d[1:]) < 0).sum()) if n >= 2 else 0
+    pk = (
+        int(((f[1:-1] > f[:-2]) & (f[1:-1] > f[2:])).sum()) if n >= 3 else 0
+    )
+    num = 0.0
+    if n >= 2:
+        for i in range(n - 1):
+            num += d[i] * d[i + 1]
+    acf1 = num / den if den > 0 else 0.0
+    return (n, mu, var, float(f.min()), float(f.max()), mac, zc, pk, acf1)
+
+
+def test_matches_numpy_golden(spark):
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(v) for v in rng.normal(0, 3, int(rng.integers(1, 40)))]) for i in range(60)]
+    rows += [(100, [5.0]), (101, [1.0, 1.0, 1.0]), (102, [2.0, -2.0]),
+             (103, [0.0, 1.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    got = {r["series_id"]: r for r in series_features(df).collect()}
+    for sid, f in rows:
+        n, mu, var, vmin, vmax, mac, zc, pk, acf1 = _numpy_features(f)
+        g = got[sid]
+        assert g["n_points"] == n
+        assert g["mean"] == mu
+        assert g["variance"] == var
+        assert g["vmin"] == vmin and g["vmax"] == vmax
+        assert g["mean_abs_change"] == mac
+        assert g["zero_crossings"] == zc
+        assert g["n_peaks"] == pk
+        assert g["acf1"] == acf1
+
+
+def test_constant_series_safe(spark):
+    df = spark.createDataFrame(
+        [(1, [7.0] * 10)], "series_id long, features array<double>"
+    )
+    r = series_features(df).first()
+    assert r["variance"] == 0.0 and r["acf1"] == 0.0 and r["zero_crossings"] == 0
+
+
+def test_multichannel_rejected(spark):
+    df = spark.createDataFrame(
+        [(1, [[1.0, 2.0]])], "series_id long, features array<array<double>>"
+    )
+    with pytest.raises(ValueError, match="univariate"):
+        series_features(df)
+
+
+def test_feature_space_classification_on_har(spark, har_dfs):
+    # the whole point of the operator: on structured series, feature-space
+    # linear classification replaces the KNN pair matrix. HAR-like classes
+    # differ in frequency -> zero_crossings/acf1/mac separate them; a
+    # 1-vs-rest perceptron on quantized features should far exceed the
+    # majority baseline (class 1 is ~25%)
+    train, _ = har_dfs
+    feats = series_features(train)
+    # comparable feature magnitudes matter for the perceptron (no
+    # per-feature learning rates): everything lands in the O(100-1000)
+    # range — measured 1.0 train accuracy at 12+ epochs vs 0.77
+    # (= majority collapse) with the raw-scale mix
+    x = F.array(
+        F.lit(1).cast("long"),
+        F.round(F.col("mean") * 100).cast("long"),
+        F.round(F.col("mean_abs_change") * 100).cast("long"),
+        F.round(F.col("acf1") * 1000).cast("long"),
+        (F.col("zero_crossings") * 100).cast("long"),
+        (F.col("n_peaks") * 100).cast("long"),
+    )
+    labeled = (
+        feats.join(train.select("series_id", "label"), "series_id")
+        .select(
+            F.col("series_id").alias("doc_id"),
+            x.alias("x"),
+            F.when(F.col("label") == 1.0, 1).otherwise(-1).alias("y"),
+        )
+    )
+    w = train_quality_perceptron(labeled, epochs=12)
+    scored = score_with_weights(labeled, w).join(
+        labeled.select("doc_id", "y"), "doc_id"
+    )
+    acc = scored.select(
+        F.avg((F.col("kept") == (F.col("y") > 0)).cast("double")).alias("a")
+    ).first()["a"]
+    assert acc >= 0.9, acc
