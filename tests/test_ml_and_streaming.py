@@ -608,3 +608,70 @@ def test_stream_bm25_append_mode_file_stream(spark, bm25_docs, tmp_path):
     assert got[(12, 100)] > got[(10, 100)]
     # doc 101 shares no term with any query
     assert not [k for k in got if k[1] == 101]
+
+
+def test_stream_quality_batch_twin_matches_batch_scorer(spark):
+    """score_stream_quality on a BATCH frame reproduces
+    doc_quality_features + score_with_weights bit-for-bit."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        doc_quality_features,
+        score_with_weights,
+        train_quality_perceptron,
+    )
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import score_stream_quality
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, ("the quick value row " * (i + 1)).strip()) for i in range(20)],
+        "doc_id long, text string",
+    )
+    labeled = doc_quality_features(docs).join(
+        docs.select(
+            "doc_id",
+            F.when(F.length("text") > 60, 1).otherwise(-1).alias("y"),
+        ),
+        "doc_id",
+    )
+    w = train_quality_perceptron(labeled, epochs=3)
+    want = {
+        r.doc_id: (r.score, r.kept)
+        for r in score_with_weights(labeled, w).collect()
+    }
+    got = {
+        r.doc_id: (r.score, r.kept)
+        for r in score_stream_quality(docs, w).collect()
+    }
+    assert got == want
+
+
+def test_stream_quality_append_mode_file_stream(spark, tmp_path):
+    """The standing quality filter scores a parquet file stream in APPEND
+    mode — stateless, no watermark, no state store."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import score_stream_quality
+
+    w = spark.createDataFrame(
+        [(0, 10), (1, 3), (2, 0), (3, 0), (4, 0)], "dim int, weight bigint"
+    )
+    new_docs = spark.createDataFrame(
+        [(100, " ".join(["tok"] * 60)), (101, "x")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "quality_stream_src")
+    new_docs.write.parquet(src)
+    stream = spark.readStream.schema(new_docs.schema).parquet(src)
+    q = (
+        score_stream_quality(stream, w)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("quality_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM quality_stream").collect()
+    finally:
+        q.stop()
+    got = {r.doc_id: (r.score, r.kept) for r in rows}
+    # w = [10, 3, 0, 0, 0]: score = 10 + 3*(n_tokens - 53)
+    assert got[100] == (10 + 3 * (60 - 53), True)
+    assert got[101] == (10 + 3 * (1 - 53), False)

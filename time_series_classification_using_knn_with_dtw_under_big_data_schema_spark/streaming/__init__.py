@@ -2,6 +2,7 @@ from .scoring import (  # noqa: F401
     bm25_query_index,
     score_stream,
     score_stream_bm25,
+    score_stream_quality,
     score_stream_stateless,
 )
 from .windows import windowed_event_aggregate, sessionized_event_counts, nanos_to_ts  # noqa: F401

@@ -285,3 +285,44 @@ def score_stream_bm25(
         "query_id",
         (F.col("_micro").cast("double") / F.lit(1_000_000.0)).alias("score"),
     )
+
+
+def score_stream_quality(
+    stream: DataFrame,
+    weights: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPEND-MODE learned quality filtering of a document stream: the
+    weights trained by operators/classify.py::train_quality_perceptron
+    applied to every streamed document — the standing-filter shape of
+    q126 (ingest-time curation: score documents as they arrive, route by
+    ``kept``). Zero streaming state: featurization
+    (operators/classify.py::doc_quality_features — per-row token-count
+    projections) and the exact int64 dot run as ONE projection per row;
+    the dim-row model packs to a single array row on the STATIC side and
+    broadcasts. No shuffle, no watermark, exactly-once through the file
+    sink. Scores match score_with_weights bit-for-bit on the same rows
+    (test-pinned).
+
+    Output: (id_col, score bigint, kept boolean).
+    """
+    from ..operators.classify import doc_quality_features
+
+    feats = doc_quality_features(stream, id_col=id_col, text_col=text_col)
+    warr = weights.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "weight"))),
+            lambda s: s["weight"],
+        ).alias("_w")
+    )
+    j = feats.join(F.broadcast(warr))  # stream-static; static side is 1 row
+    score = F.aggregate(
+        F.zip_with(F.col("x"), F.col("_w"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return j.select(
+        F.col(id_col), score.alias("score"), (score > 0).alias("kept")
+    )
