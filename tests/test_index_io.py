@@ -106,3 +106,34 @@ def test_term_partitioned_tf_prunes_on_read(spark, docs, tmp_path):
     # and the filter actually prunes: only the cat partition's rows surface
     rows = filtered.collect()
     assert rows and all(r.term == "cat" for r in rows)
+
+
+def test_perceptron_model_roundtrip_serving_identical(spark, docs, tmp_path):
+    """The trained quality-filter weights persist through the same
+    save_index/load_index layout as BM25/IVF-PQ — integer weights, so the
+    reloaded model scores bit-identically."""
+    from pyspark.sql import functions as F
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        doc_quality_features,
+        score_with_weights,
+        train_quality_perceptron,
+    )
+
+    labeled = doc_quality_features(docs).join(
+        docs.select(
+            "doc_id",
+            F.when(F.length("text") > 25, 1).otherwise(-1).alias("y"),
+        ),
+        "doc_id",
+    )
+    w = train_quality_perceptron(labeled, epochs=3)
+    path = str(tmp_path / "quality_model")
+    save_index({"weights": w}, path)
+    w2 = load_index(spark, path)["weights"]
+    assert sorted((r.dim, r.weight) for r in w2.collect()) == sorted(
+        (r.dim, r.weight) for r in w.collect()
+    )
+    want = {(r.doc_id, r.score, r.kept) for r in score_with_weights(labeled, w).collect()}
+    got = {(r.doc_id, r.score, r.kept) for r in score_with_weights(labeled, w2).collect()}
+    assert got == want
