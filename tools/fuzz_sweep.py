@@ -15,7 +15,7 @@ against an independent reference implementation:
 - components: operators.dedup.dedup_components (driver union-find AND
   distributed Pregel paths) vs a Python union-find on random graphs.
 
-Usage: python tools/fuzz_sweep.py [dtw|asof|interval|components|all]
+Usage: python tools/fuzz_sweep.py [dtw|asof|interval|components|jpeg|bpe|bm25|classify|all]
        [--trials N] [--seed S]
 
 Exit code 0 = no discrepancies. Slow by design (minutes at the default
@@ -421,6 +421,81 @@ def sweep_bpe(trials: int, seed: int) -> int:
     return fails
 
 
+def sweep_classify(trials: int, seed: int) -> int:
+    """Random integer feature sets / label mixes (incl. single-class,
+    all-zero features, pre-converged data) through the distributed
+    averaged/last perceptron vs the numpy golden recurrence, plus the
+    serve-side dot check."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import SparkSession
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        score_with_weights,
+        train_quality_perceptron,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    fails = 0
+    for trial in range(trials):
+        rng = random.Random(seed * 9176 + trial)
+        nrng = np.random.default_rng(seed * 9176 + trial)
+        n = rng.randint(1, 80)
+        dim = rng.randint(1, 7)
+        epochs = rng.randint(1, 6)
+        averaged = rng.random() < 0.5
+        kind = rng.choice(["mixed", "one_class", "zero_x"])
+        X = nrng.integers(-30, 31, size=(n, dim))
+        if kind == "zero_x":
+            X[:] = 0
+        if kind == "one_class":
+            y = np.full(n, rng.choice([-1, 1]), dtype=np.int64)
+        else:
+            y = np.where(nrng.random(n) < 0.5, 1, -1)
+        w = np.zeros(dim, dtype=np.int64)
+        acc = np.zeros_like(w)
+        for _ in range(epochs):
+            mis = (y * (X @ w)) <= 0
+            w = w + (y[mis, None] * X[mis]).sum(axis=0)
+            acc = acc + w
+        want = (acc if averaged else w).tolist()
+        df = spark.createDataFrame(
+            [(i, [int(v) for v in X[i]], int(y[i])) for i in range(n)],
+            "doc_id long, x array<bigint>, y int",
+        )
+        model = train_quality_perceptron(
+            df, epochs=epochs, averaged=averaged
+        )
+        got = [r.weight for r in model.orderBy("dim").collect()]
+        ok = got == want
+        if ok:
+            wv = np.asarray(want, dtype=np.int64)
+            scored = {
+                r.doc_id: (r.score, r.kept)
+                for r in score_with_weights(df, model).collect()
+            }
+            for i in range(n):
+                s = int(X[i].astype(np.int64) @ wv)
+                if scored[i] != (s, s > 0):
+                    ok = False
+                    break
+        if not ok:
+            fails += 1
+            print(
+                f"CLASSIFY MISMATCH trial={trial} n={n} dim={dim} "
+                f"epochs={epochs} averaged={averaged} kind={kind}"
+            )
+    spark.stop()
+    print(f"classify sweep: {trials} trials, {fails} failures")
+    return fails
+
+
 def sweep_bm25(trials: int, seed: int) -> int:
     """Random messy corpora (mixed case, whitespace runs, empty docs) and
     random query workloads (in-vocab + unseen terms) through bm25_topk vs
@@ -509,8 +584,9 @@ SWEEPS = {
     "jpeg": sweep_jpeg,
     "bpe": sweep_bpe,
     "bm25": sweep_bm25,
+    "classify": sweep_classify,
 }
-DEFAULT_TRIALS = {"dtw": 250, "asof": 40, "interval": 20, "components": 12, "jpeg": 30, "bpe": 12, "bm25": 25}
+DEFAULT_TRIALS = {"dtw": 250, "asof": 40, "interval": 20, "components": 12, "jpeg": 30, "bpe": 12, "bm25": 25, "classify": 15}
 
 
 def main() -> None:
