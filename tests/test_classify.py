@@ -135,7 +135,7 @@ def test_validation_errors(spark):
     ragged = spark.createDataFrame(
         [(1, [1, 2], 1), (2, [1], -1)], "doc_id long, x array<bigint>, y int"
     )
-    with pytest.raises(ValueError, match="ragged"):
+    with pytest.raises(Exception, match="ragged feature arrays"):
         train_quality_perceptron(ragged)
     bad = spark.createDataFrame(
         [(1, [1, 2], 0)], "doc_id long, x array<bigint>, y int"

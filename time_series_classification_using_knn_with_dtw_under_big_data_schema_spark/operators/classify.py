@@ -137,18 +137,23 @@ def train_quality_perceptron(
         raise ValueError(f"epochs must be >= 1, got {epochs}")
     y = F.col(label_col)
     x = F.col(features_col)
-    # dim probe + ragged-array guard: 1-row aggregate
-    probe = df.select(
-        F.min(F.size(x)).alias("_lo"), F.max(F.size(x)).alias("_hi")
-    ).first()
-    if probe["_lo"] is None:
+    # dim probe: ONE row (LIMIT-1 scan, not a corpus aggregate — at 100 TB
+    # a full min/max pass just for validation would double the epoch cost);
+    # ragged arrays and bad labels are data-plane guards that fire inside
+    # the first epoch's scan instead
+    probe = df.select(F.size(x).alias("_n")).first()
+    if probe is None:
         raise ValueError("training set is empty")
-    if probe["_lo"] != probe["_hi"]:
-        raise ValueError(
-            f"ragged feature arrays: size {probe['_lo']}..{probe['_hi']}"
-        )
-    dim = probe["_hi"]
+    dim = probe["_n"]
     guard = F.when(
+        F.size(x) != dim,
+        F.raise_error(
+            F.concat(
+                F.lit(f"ragged feature arrays: expected size {dim}, got "),
+                F.size(x).cast("string"),
+            )
+        ),
+    ).when(
         ~y.isin(-1, 1),
         F.raise_error(
             F.concat(
