@@ -117,3 +117,24 @@ def test_feature_space_classification_on_har(spark, har_dfs):
         F.avg((F.col("kept") == (F.col("y") > 0)).cast("double")).alias("a")
     ).first()["a"]
     assert acc >= 0.9, acc
+
+
+def test_channel_selection_matches_flat(spark):
+    rng = np.random.default_rng(5)
+    mv_rows, flat0, flat1 = [], [], []
+    for i in range(10):
+        a = [float(v) for v in rng.normal(0, 2, 12)]
+        b = [float(v) for v in rng.normal(5, 1, 12)]
+        mv_rows.append((i, [[x, y] for x, y in zip(a, b)]))
+        flat0.append((i, a))
+        flat1.append((i, b))
+    mv = spark.createDataFrame(mv_rows, "series_id long, features array<array<double>>")
+    for ch, flat in ((0, flat0), (1, flat1)):
+        fdf = spark.createDataFrame(flat, "series_id long, features array<double>")
+        got = sorted(series_features(mv, channel=ch).collect())
+        want = sorted(series_features(fdf).collect())
+        assert got == want
+    with pytest.raises(ValueError, match="univariate"):
+        series_features(mv)
+    with pytest.raises(ValueError, match="flat"):
+        series_features(spark.createDataFrame(flat0, "series_id long, features array<double>"), channel=0)

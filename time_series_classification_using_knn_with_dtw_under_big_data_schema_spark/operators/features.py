@@ -47,23 +47,39 @@ def series_features(
     *,
     id_col: str = "series_id",
     features_col: str = "features",
+    channel: int | None = None,
 ) -> DataFrame:
     """(id_col, n_points, mean, variance, vmin, vmax, mean_abs_change,
     zero_crossings, n_peaks, acf1) — one row per series, one scan, zero
-    shuffles. Multichannel (nested-array) series are rejected: the
-    statistics here are univariate (flatten channels upstream or extract
-    per channel)."""
+    shuffles. The statistics are univariate: multichannel (nested-array)
+    series must pass ``channel`` (0-based) to select which channel to
+    profile — still a per-row projection, so extracting every channel is
+    C independent scan-bound passes (or one pass after an upstream
+    explode). A nested column without ``channel`` is rejected."""
     ftype = dict(series.dtypes).get(features_col)
-    if ftype and ftype.startswith("array<array"):
+    nested = bool(ftype) and ftype.startswith("array<array")
+    if nested and channel is None:
         raise ValueError(
             "series_features is univariate; got nested "
-            f"{ftype} in {features_col!r} — extract one channel first"
+            f"{ftype} in {features_col!r} — pass channel=<i> to select one"
         )
+    if channel is not None:
+        if not nested:
+            raise ValueError(
+                f"channel={channel} given but {features_col!r} is flat"
+            )
+        if channel < 0:
+            raise ValueError(f"channel must be >= 0, got {channel}")
+        src = F.transform(
+            F.col(features_col), lambda p: F.element_at(p, channel + 1)
+        )
+    else:
+        src = F.col(features_col)
     x = F.col("_x")
     n = F.size(x)
     nd = n.cast("double")
     base = series.select(
-        F.col(id_col), F.col(features_col).alias("_x")
+        F.col(id_col), src.alias("_x")
     ).withColumn("_mu", _fold_sum(x) / nd)
     mu = F.col("_mu")
     # centered series: the reusable intermediate for var / crossings / acf1
