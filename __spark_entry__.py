@@ -2452,6 +2452,22 @@ def _q127_series_features(spark, sf_dir):
     return series_features(series)
 
 
+def _q128_epoch_sweep(spark, sf_dir):
+    """Training-curve sweep for the learned quality filter (operators/
+    classify.py::perceptron_epoch_sweep) — the epochs analog of q28's
+    k-sweep (the reference sweeps KNN's k at Team11-Project.py:237-476;
+    this sweeps the perceptron's one capacity knob). Per epoch: the exact
+    integer n_correct of the deployable averaged model on the training
+    corpus. The oracle replays every epoch AND every count — the whole
+    learning curve is hash-proven."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import perceptron_epoch_sweep
+
+    _prep(spark)
+    return perceptron_epoch_sweep(
+        _quality_labeled_features(spark, sf_dir), epochs=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2581,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_quality_classifier": _q125_quality_classifier,
         "q126_quality_filter": _q126_quality_filter,
         "q127_series_features": _q127_series_features,
+        "q128_epoch_sweep": _q128_epoch_sweep,
     }
 
 
@@ -5933,6 +5950,32 @@ def oracle_sql() -> dict[str, str]:
             FROM pf f CROSS JOIN pa4 a
         )
         SELECT doc_id, score, score > 0 AS kept FROM pscored
+    """
+
+    # q128: the learning curve — per-epoch exact correct counts of the
+    # averaged model, replayed epoch by epoch
+    legs = []
+    for t in range(1, 5):
+        legs.append(f"""
+        SELECT {t} AS epoch,
+               CAST(count(*) FILTER (WHERE (f.y > 0 AND s > 0)
+                                        OR (f.y < 0 AND s <= 0)) AS BIGINT)
+                   AS n_correct,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM (SELECT f.y,
+                     list_reduce(list_prepend(cast(0 AS bigint),
+                         list_transform(range(1, 6),
+                                        j -> f.x[j] * a.a[j])),
+                         (p, q) -> p + q) AS s
+              FROM pf f CROSS JOIN pa{t} a) f""")
+    union = " UNION ALL ".join(legs)
+    out["q128_epoch_sweep"] = f"""
+        WITH {_sql_perceptron_ctes(epochs=4)},
+        sweep AS ({union})
+        SELECT cast(epoch AS int) AS epoch, n_correct, n_total,
+               cast(n_correct AS double) / cast(n_total AS double)
+                   AS accuracy
+        FROM sweep
     """
 
     return out

@@ -142,3 +142,39 @@ def test_validation_errors(spark):
     )
     with pytest.raises(Exception, match="label must be -1 or \\+1"):
         train_quality_perceptron(bad)
+
+
+def test_epoch_sweep_matches_numpy(spark, rand_xy):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.classify import (
+        perceptron_epoch_sweep,
+    )
+
+    X, y = rand_xy
+    X = np.asarray(X, dtype=np.int64)
+    got = {
+        r.epoch: (r.n_correct, r.n_total, r.accuracy)
+        for r in perceptron_epoch_sweep(
+            _labeled_df(spark, X, y), epochs=4
+        ).collect()
+    }
+    w = np.zeros(X.shape[1], dtype=np.int64)
+    acc = np.zeros_like(w)
+    for t in range(1, 5):
+        mis = (y * (X @ w)) <= 0
+        w = w + (y[mis, None] * X[mis]).sum(axis=0)
+        acc = acc + w
+        s = X @ acc
+        n_correct = int((((y > 0) & (s > 0)) | ((y < 0) & (s <= 0))).sum())
+        assert got[t] == (n_correct, len(y), n_correct / len(y))
+
+
+def test_epoch_sweep_validation(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.classify import (
+        perceptron_epoch_sweep,
+    )
+
+    df = _labeled_df(spark, np.array([[1, 2]]), np.array([1]))
+    with pytest.raises(ValueError, match="epochs"):
+        perceptron_epoch_sweep(df, epochs=0)
+    with pytest.raises(ValueError, match="empty"):
+        perceptron_epoch_sweep(df.filter(F.lit(False)))

@@ -28,6 +28,7 @@ from .similarity import (  # noqa: F401
 )
 from .classify import (  # noqa: F401
     doc_quality_features,
+    perceptron_epoch_sweep,
     score_with_weights,
     train_quality_perceptron,
 )

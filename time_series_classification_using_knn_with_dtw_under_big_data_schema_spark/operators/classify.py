@@ -185,6 +185,71 @@ def train_quality_perceptron(
     )
 
 
+def perceptron_epoch_sweep(
+    df: DataFrame,
+    *,
+    epochs: int = 4,
+    features_col: str = "x",
+    label_col: str = "y",
+) -> DataFrame:
+    """Training-curve sweep: the epochs analog of the reference's k-sweep
+    (Team11-Project.py:237-476 sweeps KNN's k and reports accuracy per
+    value; this sweeps the perceptron's one capacity knob and reports
+    train accuracy of the AVERAGED model after each epoch — the model
+    you would actually deploy at that stopping point).
+
+    Output: (epoch int, n_correct bigint, n_total bigint, accuracy
+    double) for epoch = 1..epochs. ``correct`` means the deployed
+    decision matches the label: score > 0 for y = +1, score <= 0 for
+    y = -1 (score == 0 predicts 'drop', the same contract as
+    score_with_weights' ``kept``). Counts are exact integers, so the
+    whole sweep is oracle-replayable; accuracy is the one double
+    division. Per epoch: the training gradient pass + one count — both
+    corpus scans, both order-free."""
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    y = F.col(label_col)
+    x = F.col(features_col)
+    probe = df.select(F.size(x).alias("_n")).first()
+    if probe is None:
+        raise ValueError("training set is empty")
+    dim = probe["_n"]
+    n_total = df.count()
+    w = [0] * dim
+    acc = [0] * dim
+    rows = []
+    for t in range(1, epochs + 1):
+        mis = df.select(y.alias("_y"), x.alias("_x")).filter(
+            F.col("_y").cast("long") * _margin(F.col("_x"), w) <= 0
+        )
+        grad_rows = (
+            mis.select(F.col("_y"), F.posexplode("_x").alias("_dim", "_v"))
+            .groupBy("_dim")
+            .agg(F.sum(F.col("_y").cast("long") * F.col("_v")).alias("_g"))
+            .collect()  # bounded: <= dim rows
+        )
+        g = {r["_dim"]: r["_g"] for r in grad_rows}
+        w = [w[j] + g.get(j, 0) for j in range(dim)]
+        acc = [acc[j] + w[j] for j in range(dim)]
+        score = _margin(x, acc)
+        n_correct = df.filter(
+            ((y > 0) & (score > 0)) | ((y < 0) & (score <= 0))
+        ).count()
+        rows.append((t, int(n_correct), int(n_total)))
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        rows, "epoch int, n_correct bigint, n_total bigint"
+    )
+    return out.select(
+        "epoch",
+        "n_correct",
+        "n_total",
+        (
+            F.col("n_correct").cast("double") / F.col("n_total").cast("double")
+        ).alias("accuracy"),
+    )
+
+
 def score_with_weights(
     df: DataFrame,
     weights: DataFrame,
