@@ -2468,6 +2468,34 @@ def _q128_epoch_sweep(spark, sf_dir):
     )
 
 
+def _q129_stump(spark, sf_dir):
+    """Exact decision-stump induction (operators/classify.py::
+    train_stump) — threshold-RULE learning for curation filters, the
+    fully-declarative sibling of the perceptron: NO epochs, NO driver
+    loop; one (dim, value) groupBy shuffle, one running-sum window over
+    the pre-aggregated value table, one TakeOrdered top-1. The winning
+    (dim, threshold, polarity, exact error count) rule on the q125
+    weak-label workload."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import train_stump
+
+    _prep(spark)
+    return train_stump(_quality_labeled_features(spark, sf_dir))
+
+
+def _q130_stump_filter(spark, sf_dir):
+    """The serve side of q129 (operators/classify.py::score_stump):
+    the 1-row learned rule broadcasts into the corpus scan, kept =
+    predicted > 0. The oracle replays rule induction AND scoring."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        score_stump,
+        train_stump,
+    )
+
+    _prep(spark)
+    labeled = _quality_labeled_features(spark, sf_dir)
+    return score_stump(labeled, train_stump(labeled))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2598,6 +2626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_quality_filter": _q126_quality_filter,
         "q127_series_features": _q127_series_features,
         "q128_epoch_sweep": _q128_epoch_sweep,
+        "q129_stump": _q129_stump,
+        "q130_stump_filter": _q130_stump_filter,
     }
 
 
@@ -3590,6 +3620,43 @@ def _sql_perceptron_ctes(epochs: int = 4, dim: int = 5) -> str:
         )"""
         )
     return ",\n        ".join(parts)
+
+
+def _sql_stump_ctes() -> str:
+    """Mirror of operators/classify.py::train_stump on the q125 workload:
+    explode to (dim, value, label), per-value counts, dim-partitioned
+    running sums, both polarities, total-order argmin. Ends at ``sbest``
+    (1 row) with ``pf``/``pd`` in scope (via _sql_perceptron_ctes' pf)."""
+    return f"""{_sql_perceptron_ctes(epochs=0)},
+        sex AS (
+            SELECT f.y, d.dim, f.x[d.dim + 1] AS v
+            FROM pf f CROSS JOIN pd d
+        ),
+        spv AS (
+            SELECT dim, v,
+                   sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS pos,
+                   sum(CASE WHEN y < 0 THEN 1 ELSE 0 END) AS neg
+            FROM sex GROUP BY dim, v
+        ),
+        scum AS (
+            SELECT dim, v,
+                   sum(pos) OVER (PARTITION BY dim ORDER BY v) AS cpos,
+                   sum(neg) OVER (PARTITION BY dim ORDER BY v) AS cneg,
+                   sum(pos) OVER (PARTITION BY dim) AS p,
+                   sum(neg) OVER (PARTITION BY dim) AS n
+            FROM spv
+        ),
+        srules AS (
+            SELECT dim, v, 1 AS pol, cneg + p - cpos AS err, p + n AS total
+            FROM scum
+            UNION ALL
+            SELECT dim, v, -1 AS pol, cpos + n - cneg AS err, p + n AS total
+            FROM scum
+        ),
+        sbest AS (
+            SELECT * FROM srules
+            ORDER BY err ASC, dim ASC, v ASC, pol DESC LIMIT 1
+        )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5976,6 +6043,29 @@ def oracle_sql() -> dict[str, str]:
                cast(n_correct AS double) / cast(n_total AS double)
                    AS accuracy
         FROM sweep
+    """
+
+    # q129: declarative stump induction — one hash-proven argmin rule
+    out["q129_stump"] = f"""
+        WITH {_sql_stump_ctes()}
+        SELECT cast(dim AS int) AS dim, cast(v AS bigint) AS threshold,
+               cast(pol AS int) AS polarity, cast(err AS bigint) AS n_errors,
+               cast(total AS bigint) AS n_total
+        FROM sbest
+    """
+
+    # q130: the stump rule applied to the corpus — induction + scoring
+    out["q130_stump_filter"] = f"""
+        WITH {_sql_stump_ctes()},
+        sscored AS (
+            SELECT f.doc_id,
+                   CASE WHEN f.x[b.dim + 1] <= b.v THEN b.pol
+                        ELSE -b.pol END AS predicted
+            FROM pf f CROSS JOIN sbest b
+        )
+        SELECT doc_id, cast(predicted AS int) AS predicted,
+               predicted > 0 AS kept
+        FROM sscored
     """
 
     return out

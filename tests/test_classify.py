@@ -178,3 +178,61 @@ def test_epoch_sweep_validation(spark):
         perceptron_epoch_sweep(df, epochs=0)
     with pytest.raises(ValueError, match="empty"):
         perceptron_epoch_sweep(df.filter(F.lit(False)))
+
+
+def _numpy_best_stump(X, y):
+    # brute force over every (dim, observed value, polarity)
+    best = None
+    n = len(y)
+    for dim in range(X.shape[1]):
+        for v in np.unique(X[:, dim]):
+            le = X[:, dim] <= v
+            for pol in (1, -1):
+                pred = np.where(le, pol, -pol)
+                err = int((pred != y).sum())
+                key = (err, dim, int(v), -pol)  # pol DESC on ties
+                if best is None or key < best[0]:
+                    best = (key, (dim, int(v), pol, err, n))
+    return best[1]
+
+
+def test_stump_matches_bruteforce(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.classify import train_stump
+
+    rng = np.random.default_rng(13)
+    for trial in range(4):
+        n = int(rng.integers(5, 60))
+        d = int(rng.integers(1, 5))
+        X = rng.integers(-8, 9, size=(n, d))
+        y = np.where(rng.random(n) < 0.5, 1, -1)
+        df = _labeled_df(spark, X, y)
+        r = train_stump(df).first()
+        assert (r.dim, r.threshold, r.polarity, r.n_errors, r.n_total) == _numpy_best_stump(X, y)
+
+
+def test_stump_on_separable_threshold(spark):
+    # y determined by x[1] <= 3: the stump must find exactly that rule
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.classify import (
+        score_stump,
+        train_stump,
+    )
+
+    rng = np.random.default_rng(17)
+    X = np.column_stack([rng.integers(0, 100, 80), rng.integers(0, 10, 80)])
+    y = np.where(X[:, 1] <= 3, 1, -1)
+    df = _labeled_df(spark, X, y)
+    r = train_stump(df).first()
+    assert (r.dim, r.threshold, r.polarity, r.n_errors) == (1, 3, 1, 0)
+    scored = {s.doc_id: s.kept for s in score_stump(df, train_stump(df)).collect()}
+    for i in range(len(y)):
+        assert scored[i] == (y[i] > 0)
+
+
+def test_stump_label_guard(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.classify import train_stump
+
+    bad = spark.createDataFrame(
+        [(1, [1, 2], 7)], "doc_id long, x array<bigint>, y int"
+    )
+    with pytest.raises(Exception, match="label must be -1 or \\+1"):
+        train_stump(bad).collect()

@@ -145,6 +145,8 @@ SLOW_SUBSET = [
     # verify at bench scale too
     "q125_quality_classifier",
     "q126_quality_filter",
+    # declarative stump induction (r5): window + union + top-1 argmin
+    "q130_stump_filter",
 ]
 
 

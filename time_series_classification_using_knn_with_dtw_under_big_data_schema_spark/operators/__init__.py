@@ -29,8 +29,10 @@ from .similarity import (  # noqa: F401
 from .classify import (  # noqa: F401
     doc_quality_features,
     perceptron_epoch_sweep,
+    score_stump,
     score_with_weights,
     train_quality_perceptron,
+    train_stump,
 )
 from .cluster import kmeans_assign, kmeans_centroids, semantic_dedup  # noqa: F401
 from .features import series_features  # noqa: F401

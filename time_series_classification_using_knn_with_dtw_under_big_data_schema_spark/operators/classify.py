@@ -250,6 +250,125 @@ def perceptron_epoch_sweep(
     )
 
 
+def train_stump(
+    df: DataFrame,
+    *,
+    features_col: str = "x",
+    label_col: str = "y",
+) -> DataFrame:
+    """Exact decision-stump induction — threshold-RULE learning for
+    filters ("which n_tokens cutoff best agrees with the seed label?"),
+    the interpretable sibling of the perceptron. Unlike the perceptron
+    this is FULLY declarative: no epochs, no driver loop, no collect —
+    one plan Catalyst owns end to end.
+
+    Searches every (feature dim, threshold, polarity) rule of the form
+
+        predict +1 if x[dim] <= threshold else -1      (polarity +1)
+        predict -1 if x[dim] <= threshold else +1      (polarity -1)
+
+    over all OBSERVED feature values as thresholds, and returns the
+    single rule with the fewest training errors (exact integer counts;
+    total-order tie-break n_errors asc, dim asc, threshold asc, polarity
+    desc). The constant rules are included for free: at threshold =
+    max(x[dim]) polarity +1 predicts all +1, polarity -1 all -1.
+
+    Plan shape: posexplode to (dim, value, y) -> ONE groupBy (dim,
+    value) shuffle of per-value label counts -> ONE dim-partitioned
+    running-sum window over the (dims x distinct values) table (NOT the
+    corpus — the window input is pre-aggregated) -> global top-1
+    (TakeOrderedAndProject, map-side partial). At 100 TB the only
+    corpus-sized stage is the explode feeding the partial aggregation.
+
+    Output: 1 row — (dim int, threshold bigint, polarity int,
+    n_errors bigint, n_total bigint).
+    """
+    from pyspark.sql import Window
+
+    y = F.col(label_col)
+    x = F.col(features_col)
+    ex = df.select(
+        F.when(
+            ~y.isin(-1, 1),
+            F.raise_error(
+                F.concat(
+                    F.lit("stump label must be -1 or +1, got "),
+                    y.cast("string"),
+                )
+            ),
+        )
+        .otherwise(y)
+        .alias("_y"),
+        F.posexplode(x).alias("_dim", "_v"),
+    )
+    per_value = ex.groupBy("_dim", "_v").agg(
+        F.sum(F.when(F.col("_y") > 0, 1).otherwise(0)).alias("_pos"),
+        F.sum(F.when(F.col("_y") < 0, 1).otherwise(0)).alias("_neg"),
+    )
+    w = Window.partitionBy("_dim").orderBy("_v")
+    tot = Window.partitionBy("_dim")
+    cum = per_value.select(
+        "_dim",
+        "_v",
+        F.sum("_pos").over(w).alias("_cpos"),
+        F.sum("_neg").over(w).alias("_cneg"),
+        F.sum("_pos").over(tot).alias("_P"),
+        F.sum("_neg").over(tot).alias("_N"),
+    )
+    # polarity +1: errors = negatives at/below threshold + positives above
+    # polarity -1: the mirror
+    cand = cum.select(
+        "_dim",
+        "_v",
+        (F.col("_cneg") + F.col("_P") - F.col("_cpos")).alias("_err_pos"),
+        (F.col("_cpos") + F.col("_N") - F.col("_cneg")).alias("_err_neg"),
+        (F.col("_P") + F.col("_N")).alias("_total"),
+    )
+    rules = cand.select(
+        "_dim", "_v", F.lit(1).alias("_pol"), F.col("_err_pos").alias("_err"), "_total"
+    ).unionByName(
+        cand.select(
+            "_dim", "_v", F.lit(-1).alias("_pol"), F.col("_err_neg").alias("_err"), "_total"
+        )
+    )
+    best = rules.orderBy(
+        F.asc("_err"), F.asc("_dim"), F.asc("_v"), F.desc("_pol")
+    ).limit(1)
+    return best.select(
+        F.col("_dim").cast("int").alias("dim"),
+        F.col("_v").cast("bigint").alias("threshold"),
+        F.col("_pol").cast("int").alias("polarity"),
+        F.col("_err").cast("bigint").alias("n_errors"),
+        F.col("_total").cast("bigint").alias("n_total"),
+    )
+
+
+def score_stump(
+    df: DataFrame,
+    stump: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    features_col: str = "x",
+) -> DataFrame:
+    """Apply a trained stump rule: (id_col, predicted int, kept boolean)
+    with predicted = polarity if x[dim] <= threshold else -polarity and
+    kept = predicted > 0. The 1-row rule broadcasts into the corpus scan
+    — zero corpus shuffles, the same serve contract as
+    score_with_weights."""
+    j = df.select(F.col(id_col), F.col(features_col).alias("_x")).crossJoin(
+        F.broadcast(stump)
+    )
+    pred = F.when(
+        F.element_at(F.col("_x"), F.col("dim") + 1) <= F.col("threshold"),
+        F.col("polarity"),
+    ).otherwise(-F.col("polarity"))
+    return j.select(
+        F.col(id_col),
+        pred.alias("predicted"),
+        (pred > 0).alias("kept"),
+    )
+
+
 def score_with_weights(
     df: DataFrame,
     weights: DataFrame,
