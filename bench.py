@@ -397,6 +397,13 @@ def main() -> None:
         lambda: _mat(entry_mod._q127_series_features(spark, sf_dir)),
         repeats=2,
     )
+    # declarative stump induction + corpus scoring (r5): one groupBy +
+    # one window + top-1, no driver loop
+    run(
+        "stump_filter",
+        lambda: _mat(entry_mod._q130_stump_filter(spark, sf_dir)),
+        repeats=2,
+    )
 
     # --- fallback tier: the guarded 100 TB paths --------------------------
     # Each fb_* entry runs the SAME input as its fast-path twin but forces

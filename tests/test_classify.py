@@ -236,3 +236,23 @@ def test_stump_label_guard(spark):
     )
     with pytest.raises(Exception, match="label must be -1 or \\+1"):
         train_stump(bad).collect()
+
+
+def test_null_label_raises_not_silently_dropped(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.classify import (
+        perceptron_epoch_sweep,
+    )
+
+    withnull = spark.createDataFrame(
+        [(1, [1, 2], 1), (2, [3, 4], None)],
+        "doc_id long, x array<bigint>, y int",
+    )
+    with pytest.raises(Exception, match="label must be -1 or \\+1"):
+        train_quality_perceptron(withnull)
+    with pytest.raises(Exception, match="label must be -1 or \\+1"):
+        perceptron_epoch_sweep(withnull)
+    bad = spark.createDataFrame(
+        [(1, [1, 2], 2)], "doc_id long, x array<bigint>, y int"
+    )
+    with pytest.raises(Exception, match="label must be -1 or \\+1"):
+        perceptron_epoch_sweep(bad)

@@ -376,3 +376,28 @@ def test_mv_wide_channels_stay_on_numpy_path():
     d = dtw_batch(A, B, band=None)
     for i in range(4):
         assert abs(d[i] - _golden_mv_dtw(A[i], B[i], None)) < 1e-9, i
+
+
+def test_batch_kernels_reject_channel_mismatch():
+    """r5 review fix: flat-vs-nested or differing channel counts used to
+    return garbage (and read out of bounds) on the compiled route — the
+    guard must raise on BOTH routes before any kernel dispatch."""
+    import numpy as np
+    import pytest
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.dtw_kernel import (
+        dtw_batch,
+        fastdtw_batch,
+    )
+
+    rng = np.random.default_rng(0)
+    flat = rng.normal(size=(2, 6))
+    two_ch = rng.normal(size=(2, 6, 2))
+    three_ch = rng.normal(size=(2, 6, 3))
+    for fn in (dtw_batch, fastdtw_batch):
+        with pytest.raises(ValueError, match="rank mismatch"):
+            fn(flat, two_ch)
+        with pytest.raises(ValueError, match="rank mismatch"):
+            fn(two_ch, flat)
+        with pytest.raises(ValueError, match="channel mismatch"):
+            fn(two_ch, three_ch)

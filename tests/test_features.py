@@ -138,3 +138,12 @@ def test_channel_selection_matches_flat(spark):
         series_features(mv)
     with pytest.raises(ValueError, match="flat"):
         series_features(spark.createDataFrame(flat0, "series_id long, features array<double>"), channel=0)
+
+
+def test_channel_out_of_range_raises(spark):
+    df = spark.createDataFrame(
+        [(1, [[1.0, 2.0], [3.0, 4.0]])],
+        "series_id long, features array<array<double>>",
+    )
+    with pytest.raises(Exception, match="out of range"):
+        series_features(df, channel=2).collect()

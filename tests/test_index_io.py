@@ -137,3 +137,13 @@ def test_perceptron_model_roundtrip_serving_identical(spark, docs, tmp_path):
     want = {(r.doc_id, r.score, r.kept) for r in score_with_weights(labeled, w).collect()}
     got = {(r.doc_id, r.score, r.kept) for r in score_with_weights(labeled, w2).collect()}
     assert got == want
+
+
+def test_overwrite_removes_stale_tables(spark, docs, tmp_path):
+    """Re-saving a DIFFERENT index at the same path must not leave the
+    previous index's tables behind (load_index would serve a stale mix)."""
+    path = str(tmp_path / "reused_index")
+    a = docs.select("doc_id").limit(1)
+    save_index({"tf": a, "df": a, "stats": a}, path)
+    save_index({"centroids": a, "codes": a}, path, mode="overwrite")
+    assert sorted(load_index(spark, path)) == ["centroids", "codes"]

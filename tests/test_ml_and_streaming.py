@@ -675,3 +675,23 @@ def test_stream_quality_append_mode_file_stream(spark, tmp_path):
     # w = [10, 3, 0, 0, 0]: score = 10 + 3*(n_tokens - 53)
     assert got[100] == (10 + 3 * (60 - 53), True)
     assert got[101] == (10 + 3 * (1 - 53), False)
+
+
+def test_estimator_k1_kernel_strategy(spark, har_dfs):
+    """r5 review fix: k=1 with strategy='kernel' used to crash in
+    knn_predict_1nn's strategy guard; it now routes through
+    knn_classify(k=1), whose top-1 tie order equals min_by's."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.ml import KnnDtwClassifier
+
+    train_df, test_df = har_dfs
+    preds = {}
+    for strat in ("broadcast", "kernel"):
+        m = (
+            KnnDtwClassifier(k=1, metric="euclidean", strategy=strat)
+            .fit(train_df)
+        )
+        preds[strat] = {
+            (r.series_id, r.predicted_label)
+            for r in m.transform(test_df).collect()
+        }
+    assert preds["kernel"] == preds["broadcast"]

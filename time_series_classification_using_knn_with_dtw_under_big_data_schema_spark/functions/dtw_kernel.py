@@ -175,6 +175,27 @@ def fastdtw_pair(a, b, radius: int = 1) -> float:
 # ---------------------------------------------------------------------------
 
 
+def _validate_pair_batch(A: np.ndarray, B: np.ndarray) -> None:
+    """Channel-compatibility guard shared by the batch kernels. Without
+    it a flat-vs-nested or 2ch-vs-3ch pair silently takes A's channel
+    count into the compiled kernel (dtw_c sizes its strides from A only)
+    — wrong distances, and an out-of-bounds read of B when A is wider.
+    The numpy scan raised a broadcast error here; the C path must be at
+    least as loud."""
+    if A.ndim != B.ndim:
+        raise ValueError(
+            f"series rank mismatch: A is {A.ndim - 1}-d points, "
+            f"B is {B.ndim - 1}-d points (flat vs multichannel?)"
+        )
+    if A.ndim == 3 and A.shape[2] != B.shape[2]:
+        raise ValueError(
+            f"channel mismatch: A has {A.shape[2]} channels, "
+            f"B has {B.shape[2]}"
+        )
+    if A.ndim not in (2, 3):
+        raise ValueError(f"expected (batch, n[, ch]) arrays, got ndim={A.ndim}")
+
+
 def dtw_batch(A: np.ndarray, B: np.ndarray, band: int | None = None) -> np.ndarray:
     """Exact (optionally banded) DTW over a batch of equal-length pairs.
 
@@ -184,6 +205,7 @@ def dtw_batch(A: np.ndarray, B: np.ndarray, band: int | None = None) -> np.ndarr
     """
     A = np.ascontiguousarray(A, dtype=np.float64)
     B = np.ascontiguousarray(B, dtype=np.float64)
+    _validate_pair_batch(A, B)
     bs, n = A.shape[0], A.shape[1]
     m = B.shape[1]
     mv = A.ndim == 3  # multivariate: (batch, length, channels)
@@ -472,6 +494,7 @@ def fastdtw_batch(A: np.ndarray, B: np.ndarray, radius: int = 1) -> np.ndarray:
     """
     A = np.ascontiguousarray(A, dtype=np.float64)
     B = np.ascontiguousarray(B, dtype=np.float64)
+    _validate_pair_batch(A, B)
     bs, n = A.shape[0], A.shape[1]
     m = B.shape[1]
     mv = A.ndim == 3  # multivariate: (batch, length, channels)

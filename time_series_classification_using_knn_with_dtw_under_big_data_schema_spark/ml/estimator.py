@@ -24,7 +24,7 @@ from ..operators.knn import knn_classify, knn_join, knn_predict_1nn
 class _KnnParams(Params):
     k = Param(Params._dummy(), "k", "number of neighbors", TypeConverters.toInt)
     metric = Param(Params._dummy(), "metric", "distance metric name", TypeConverters.toString)
-    strategy = Param(Params._dummy(), "strategy", "broadcast | shuffle", TypeConverters.toString)
+    strategy = Param(Params._dummy(), "strategy", "broadcast | shuffle | kernel | chunked", TypeConverters.toString)
     idCol = Param(Params._dummy(), "idCol", "row id column", TypeConverters.toString)
     featuresCol = Param(Params._dummy(), "featuresCol", "series column", TypeConverters.toString)
     labelCol = Param(Params._dummy(), "labelCol", "label column", TypeConverters.toString)
@@ -95,7 +95,11 @@ class KnnDtwClassifierModel(Transformer, _KnnParams):
             **self._metric_kwargs(),
         )
         k = self.getOrDefault(self.k)
-        if k == 1:
+        if k == 1 and common["strategy"] in ("broadcast", "shuffle"):
+            # Model-2 min_by fast path. kernel/chunked have no 1-NN
+            # aggregate form — they route through knn_classify(k=1),
+            # which picks the identical neighbor (the top-1 window order
+            # (_d, train_label, train_id) IS min_by's tie-break struct)
             pred = knn_predict_1nn(dataset, self.train, **common).drop("distance")
         else:
             pred = knn_classify(dataset, self.train, k=k, **common)

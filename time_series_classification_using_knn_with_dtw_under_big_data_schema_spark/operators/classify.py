@@ -95,6 +95,35 @@ def doc_quality_features(
     return df.select(F.col(id_col), x.alias("x"))
 
 
+def _guarded_label(y, x, dim: int):
+    """Data-plane validation fused into the training scan: ragged feature
+    arrays and labels outside {-1, +1} raise loudly. NULL handling is
+    explicit — ``~y.isin(-1, 1)`` is NULL (not true) for a NULL label, so
+    a join-miss label would otherwise be silently FILTERED out of every
+    epoch instead of raising."""
+    return (
+        F.when(
+            F.size(x) != dim,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"ragged feature arrays: expected size {dim}, got "),
+                    F.size(x).cast("string"),
+                )
+            ),
+        )
+        .when(
+            y.isNull() | ~y.isin(-1, 1),
+            F.raise_error(
+                F.concat(
+                    F.lit("perceptron label must be -1 or +1, got "),
+                    F.coalesce(y.cast("string"), F.lit("NULL")),
+                )
+            ),
+        )
+        .otherwise(y)
+    )
+
+
 def _margin(x_col, weights: list[int]):
     """Exact int64 margin sum_j x[j] * w[j] with the weights embedded as
     literals — whole-stage-codegen'd, no join against a weight table."""
@@ -145,23 +174,7 @@ def train_quality_perceptron(
     if probe is None:
         raise ValueError("training set is empty")
     dim = probe["_n"]
-    guard = F.when(
-        F.size(x) != dim,
-        F.raise_error(
-            F.concat(
-                F.lit(f"ragged feature arrays: expected size {dim}, got "),
-                F.size(x).cast("string"),
-            )
-        ),
-    ).when(
-        ~y.isin(-1, 1),
-        F.raise_error(
-            F.concat(
-                F.lit("perceptron label must be -1 or +1, got "),
-                y.cast("string"),
-            )
-        ),
-    ).otherwise(y)
+    guard = _guarded_label(y, x, dim)
 
     w = [0] * dim
     acc = [0] * dim
@@ -214,6 +227,11 @@ def perceptron_epoch_sweep(
     if probe is None:
         raise ValueError("training set is empty")
     dim = probe["_n"]
+    # every pass (gradient AND count) reads through the guard — a bad or
+    # NULL label raises in whichever scan hits it first
+    df = df.select(
+        _guarded_label(y, x, dim).alias(label_col), x.alias(features_col)
+    )
     n_total = df.count()
     w = [0] * dim
     acc = [0] * dim
@@ -289,11 +307,11 @@ def train_stump(
     x = F.col(features_col)
     ex = df.select(
         F.when(
-            ~y.isin(-1, 1),
+            y.isNull() | ~y.isin(-1, 1),
             F.raise_error(
                 F.concat(
                     F.lit("stump label must be -1 or +1, got "),
-                    y.cast("string"),
+                    F.coalesce(y.cast("string"), F.lit("NULL")),
                 )
             ),
         )
@@ -369,6 +387,30 @@ def score_stump(
     )
 
 
+def pack_weights(weights: DataFrame) -> DataFrame:
+    """(dim, weight) -> ONE row with the weight array sorted by dim — the
+    broadcastable serve-side form. Shared by score_with_weights and the
+    streaming twin (streaming/scoring.py::score_stream_quality) so the
+    packing order can never diverge between batch and stream."""
+    return weights.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "weight"))),
+            lambda s: s["weight"],
+        ).alias("_w")
+    )
+
+
+def packed_score(x_col) -> "F.Column":
+    """Exact int64 dot of a feature array against the packed ``_w`` array
+    (pack_weights) — the single definition of model application; batch
+    and streaming both read it."""
+    return F.aggregate(
+        F.zip_with(x_col, F.col("_w"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def score_with_weights(
     df: DataFrame,
     weights: DataFrame,
@@ -380,24 +422,14 @@ def score_with_weights(
     with score = x . w (exact int64) and kept = score > 0.
 
     Fully declarative — the ``dim``-row weight table aggregates to ONE
-    array row (sorted by dim) and broadcast-cross-joins into the corpus
+    array row (pack_weights) and broadcast-cross-joins into the corpus
     scan; the dot product is the same codegen'd fold as training. No
     collect, no corpus shuffle: the filter runs wherever the corpus
     lives, which is the serve-side contract a 100 TB filter needs.
     """
-    warr = weights.groupBy().agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "weight"))),
-            lambda s: s["weight"],
-        ).alias("_w")
-    )
-    score = F.aggregate(
-        F.zip_with(F.col(features_col), F.col("_w"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    score = packed_score(F.col(features_col))
     return (
-        df.crossJoin(F.broadcast(warr))
+        df.crossJoin(F.broadcast(pack_weights(weights)))
         .select(
             F.col(id_col),
             score.alias("score"),

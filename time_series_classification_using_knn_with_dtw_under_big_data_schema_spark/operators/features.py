@@ -70,8 +70,21 @@ def series_features(
             )
         if channel < 0:
             raise ValueError(f"channel must be >= 0, got {channel}")
+        # loud out-of-range guard under BOTH ANSI modes: try_element_at
+        # is NULL past the end (where plain element_at would either throw
+        # an opaque ANSI error or, ANSI-off, silently turn every
+        # statistic NULL) — so the raise carries the real diagnosis
         src = F.transform(
-            F.col(features_col), lambda p: F.element_at(p, channel + 1)
+            F.col(features_col),
+            lambda p: F.when(
+                F.try_element_at(p, F.lit(channel + 1)).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"channel {channel} out of range (or null element) "
+                        "in multichannel series"
+                    )
+                ),
+            ).otherwise(F.try_element_at(p, F.lit(channel + 1))),
         )
     else:
         src = F.col(features_col)

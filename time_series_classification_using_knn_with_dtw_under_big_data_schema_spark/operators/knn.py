@@ -200,8 +200,6 @@ def _knn_kernel_broadcast(
     import numpy as np
     import pandas as pd
 
-    from ..functions.dtw_kernel import dtw_batch, fastdtw_batch
-
     if callable(metric):
         raise ValueError("strategy='kernel' supports named metrics only")
     if metric == "fastdtw":
@@ -222,17 +220,17 @@ def _knn_kernel_broadcast(
         raise ValueError(
             f"multichannel series support metric='dtw'/'fastdtw' only, got {metric!r}"
         )
-    if nested:
-        n_rows, max_len, max_ch = train.agg(
-            F.count(F.lit(1)),
-            F.max(F.size(features_col)),
-            F.max(F.size(F.element_at(features_col, 1))),
-        ).first()
-    else:
-        n_rows, max_len = train.agg(
-            F.count(F.lit(1)), F.max(F.size(features_col))
-        ).first()
-        max_ch = 1
+    # ONE stats pass over the (possibly huge) train side: size estimate,
+    # length spread, and channels together — the reroute below reuses them
+    # instead of re-aggregating (r5 review: three separate driver-blocking
+    # jobs over the biggest table before any scoring started)
+    stat_cols = [
+        F.count(F.lit(1)),
+        F.max(F.size(features_col)),
+        F.countDistinct(F.size(features_col)),
+        F.max(F.size(F.element_at(features_col, 1))) if nested else F.lit(1),
+    ]
+    n_rows, max_len, n_lens, max_ch = train.agg(*stat_cols).first()
     if not n_rows:
         raise ValueError("empty train side")
     est_bytes = n_rows * int(max_len or 0) * int(max_ch or 1) * 8
@@ -243,7 +241,6 @@ def _knn_kernel_broadcast(
         # — series cross the wire n_blocks times, not n_pairs times (the
         # r4-measured 1.9-7.3x shuffle-reroute penalty came from per-PAIR
         # array movement). Ragged train keeps the declarative shuffle plan.
-        n_lens = train.agg(F.countDistinct(F.size(features_col))).first()[0]
         if n_lens == 1:
             return _knn_chunked(
                 test,
@@ -256,6 +253,7 @@ def _knn_kernel_broadcast(
                 exclude_zero=exclude_zero,
                 band=band,
                 fastdtw_radius=fastdtw_radius,
+                _train_stats=(int(n_rows), int(max_len), int(n_lens), int(max_ch or 1)),
             )
         return knn_join(
             test,
@@ -296,73 +294,20 @@ def _knn_kernel_broadcast(
 
     def op(batches):
         b_ids, b_feats, b_labels = bvar.value
-        n_train = len(b_ids)
-        # fastdtw: chunk several test rows into ONE kernel call. Pair target
-        # ~1024 balances ufunc-dispatch amortization against cache footprint:
-        # the kernel's (pairs, window) work arrays must share L2/L3 with 31
-        # sibling workers, and measured aggregate throughput on 561-pt
-        # wide-warp pairs peaks near 1k pairs/call (4k-pair calls were ~20%
-        # slower under full contention). The cheap kernels (banded DTW /
-        # euclidean family) score one test row against the train matrix with
-        # ZERO-copy views (broadcast_to + b_feats directly) — for them the
-        # chunked path's np.repeat/np.tile copies cost more than they save.
-        rows_per = max(1, 1024 // max(1, n_train)) if kind == "fastdtw" else 1
         for pdf in batches:
-            out = {
-                "test_id": [], "train_id": [], "distance": [], "rank": [],
-            }
-            if b_labels is not None:
-                out["train_label"] = []
-            tids = pdf["test_id"].to_numpy()
-            fvals = pdf["_tf"].to_numpy()
-            # test rows may be ragged; each chunk stacks rectangular
-            by_len: dict[int, list[int]] = {}
-            for i, f in enumerate(fvals):
-                by_len.setdefault(len(f), []).append(i)
-            for L, idxs in by_len.items():
-                from ..functions.distance import _stack_series
-
-                T = _stack_series([fvals[i] for i in idxs])
-                for c0 in range(0, len(idxs), rows_per):
-                    chunk = idxs[c0 : c0 + rows_per]
-                    Tc = T[c0 : c0 + rows_per]
-                    nc = len(chunk)
-                    if nc == 1:
-                        A = np.broadcast_to(Tc[0], (n_train,) + Tc[0].shape)
-                        B = b_feats
-                    else:
-                        A = np.repeat(Tc, n_train, axis=0)
-                        B = np.tile(b_feats, (nc,) + (1,) * (b_feats.ndim - 1))
-                    if kind == "dtw":
-                        D = dtw_batch(A, B, band=bnd)
-                    elif kind == "fastdtw":
-                        D = fastdtw_batch(A, B, radius=rad)
-                    elif kind == "euclidean":
-                        D = np.sqrt(((A - B) ** 2).sum(axis=1))
-                    elif kind == "sq_euclidean":
-                        D = ((A - B) ** 2).sum(axis=1)
-                    elif kind == "manhattan":
-                        D = np.abs(A - B).sum(axis=1)
-                    else:  # chebyshev
-                        D = np.abs(A - B).max(axis=1)
-                    D = D.reshape(nc, n_train)
-                    for r, i in enumerate(chunk):
-                        d = D[r]
-                        mask = d != 0 if excl else np.ones(n_train, dtype=bool)
-                        di, ii = d[mask], b_ids[mask]
-                        li = b_labels[mask] if b_labels is not None else None
-                        # tie order parity: (distance, label, id) ascending
-                        order = (
-                            np.lexsort((ii, li, di)) if li is not None
-                            else np.lexsort((ii, di))
-                        )[:kk]
-                        m = len(order)
-                        out["test_id"].extend([tids[i]] * m)
-                        out["train_id"].extend(ii[order])
-                        out["distance"].extend(di[order])
-                        out["rank"].extend(range(1, m + 1))
-                        if li is not None:
-                            out["train_label"].extend(li[order])
+            out = _score_block_rows(
+                pdf["test_id"].to_numpy(),
+                pdf["_tf"].to_numpy(),
+                b_ids,
+                b_feats,
+                b_labels,
+                kind=kind,
+                k=kk,
+                excl=excl,
+                band=bnd,
+                radius=rad,
+                with_rank=True,
+            )
             cols = ["test_id", "train_id"]
             if b_labels is not None:
                 cols.append("train_label")
@@ -371,6 +316,90 @@ def _knn_kernel_broadcast(
 
     t = test.select(F.col(id_col).alias("test_id"), F.col(features_col).alias("_tf"))
     return t.mapInPandas(op, schema=schema)
+
+
+def _score_block_rows(
+    tids, fvals, b_ids, b_feats, b_labels, *, kind, k, excl, band, radius,
+    with_rank,
+):
+    """THE kernel scoring core — one test block against one train matrix,
+    shared verbatim by strategy='kernel' (broadcast) and
+    strategy='chunked' (block cells), so their bit-identity contract is
+    enforced by construction instead of by two hand-synced copies.
+
+    fastdtw: chunk several test rows into ONE kernel call. Pair target
+    ~1024 balances ufunc-dispatch amortization against cache footprint:
+    the kernel's (pairs, window) work arrays must share L2/L3 with 31
+    sibling workers, and measured aggregate throughput on 561-pt
+    wide-warp pairs peaks near 1k pairs/call (4k-pair calls were ~20%
+    slower under full contention). The cheap kernels (banded DTW /
+    euclidean family) score one test row against the train matrix with
+    ZERO-copy views (broadcast_to + b_feats directly) — for them the
+    chunked path's np.repeat/np.tile copies cost more than they save.
+
+    Returns dict-of-lists: test_id, train_id, distance[, rank]
+    [, train_label]. Tie order parity: (distance, label, id) ascending
+    via np.lexsort, NaN last — the contract every strategy shares.
+    """
+    import numpy as np
+
+    from ..functions.distance import _stack_series
+    from ..functions.dtw_kernel import dtw_batch, fastdtw_batch
+
+    out = {"test_id": [], "train_id": [], "distance": []}
+    if with_rank:
+        out["rank"] = []
+    if b_labels is not None:
+        out["train_label"] = []
+    n_train = len(b_ids)
+    rows_per = max(1, 1024 // max(1, n_train)) if kind == "fastdtw" else 1
+    # test rows may be ragged; each chunk stacks rectangular
+    by_len: dict = {}
+    for i, f in enumerate(fvals):
+        by_len.setdefault(len(f), []).append(i)
+    for L, idxs in by_len.items():
+        T = _stack_series([fvals[i] for i in idxs])
+        for c0 in range(0, len(idxs), rows_per):
+            chunk = idxs[c0 : c0 + rows_per]
+            Tc = T[c0 : c0 + rows_per]
+            nc = len(chunk)
+            if nc == 1:
+                A = np.broadcast_to(Tc[0], (n_train,) + Tc[0].shape)
+                B = b_feats
+            else:
+                A = np.repeat(Tc, n_train, axis=0)
+                B = np.tile(b_feats, (nc,) + (1,) * (b_feats.ndim - 1))
+            if kind == "dtw":
+                D = dtw_batch(A, B, band=band)
+            elif kind == "fastdtw":
+                D = fastdtw_batch(A, B, radius=radius)
+            elif kind == "euclidean":
+                D = np.sqrt(((A - B) ** 2).sum(axis=1))
+            elif kind == "sq_euclidean":
+                D = ((A - B) ** 2).sum(axis=1)
+            elif kind == "manhattan":
+                D = np.abs(A - B).sum(axis=1)
+            else:  # chebyshev
+                D = np.abs(A - B).max(axis=1)
+            D = D.reshape(nc, n_train)
+            for r, i in enumerate(chunk):
+                d = D[r]
+                mask = d != 0 if excl else np.ones(n_train, dtype=bool)
+                di, ii = d[mask], b_ids[mask]
+                li = b_labels[mask] if b_labels is not None else None
+                order = (
+                    np.lexsort((ii, li, di)) if li is not None
+                    else np.lexsort((ii, di))
+                )[:k]
+                m = len(order)
+                out["test_id"].extend([tids[i]] * m)
+                out["train_id"].extend(ii[order])
+                out["distance"].extend(di[order])
+                if with_rank:
+                    out["rank"].extend(range(1, m + 1))
+                if li is not None:
+                    out["train_label"].extend(li[order])
+    return out
 
 
 def _knn_chunked(
@@ -386,6 +415,7 @@ def _knn_chunked(
     band: Optional[int],
     fastdtw_radius: int,
     block_bytes: int = 64 << 20,
+    _train_stats: "Optional[tuple[int, int, int, int]]" = None,
 ) -> DataFrame:
     """strategy='chunked' (r5): block nested-loop KNN for the NO-BROADCAST
     regime — train exceeds ``max_broadcast_bytes`` so neither the kernel's
@@ -421,7 +451,6 @@ def _knn_chunked(
     from pyspark.sql.types import ArrayType
 
     from ..functions.distance import _stack_series
-    from ..functions.dtw_kernel import dtw_batch, fastdtw_batch
 
     if callable(metric):
         raise ValueError("strategy='chunked' supports named metrics only")
@@ -434,6 +463,13 @@ def _knn_chunked(
     else:
         raise ValueError(f"strategy='chunked' does not support metric {metric!r}")
     nested = isinstance(train.schema[features_col].dataType.elementType, ArrayType)
+    nested_t = isinstance(test.schema[features_col].dataType.elementType, ArrayType)
+    if nested != nested_t:
+        raise ValueError(
+            "test/train nestedness mismatch: one side is multichannel "
+            "(array<array>) and the other flat — flatten or channel-split "
+            "upstream"
+        )
     if nested and kind not in ("dtw", "fastdtw"):
         raise ValueError(
             f"multichannel series support metric='dtw'/'fastdtw' only, got {metric!r}"
@@ -442,12 +478,17 @@ def _knn_chunked(
     ch_expr = (
         F.max(F.size(F.element_at(features_col, 1))) if nested else F.lit(1)
     )
-    n_r, len_r, n_len_r, ch_r = train.agg(
-        F.count(F.lit(1)),
-        F.max(F.size(features_col)),
-        F.countDistinct(F.size(features_col)),
-        ch_expr,
-    ).first()
+    if _train_stats is not None:
+        # the kernel-guard reroute already aggregated the train side once
+        # (n_rows, max_len, n_distinct_lens, channels) — don't re-scan
+        n_r, len_r, n_len_r, ch_r = _train_stats
+    else:
+        n_r, len_r, n_len_r, ch_r = train.agg(
+            F.count(F.lit(1)),
+            F.max(F.size(features_col)),
+            F.countDistinct(F.size(features_col)),
+            ch_expr,
+        ).first()
     if not n_r:
         raise ValueError("empty train side")
     if n_len_r != 1:
@@ -458,6 +499,10 @@ def _knn_chunked(
     n_t, len_t, ch_t = test.agg(
         F.count(F.lit(1)), F.max(F.size(features_col)), ch_expr
     ).first()
+    if nested and n_t and ch_t != ch_r:
+        raise ValueError(
+            f"channel mismatch: test has {ch_t} channels, train has {ch_r}"
+        )
     par = spark.sparkContext.defaultParallelism
     bt = max(
         1, math.ceil(int(n_t or 0) * int(len_t or 0) * int(ch_t or 1) * 8 / block_bytes)
@@ -502,53 +547,22 @@ def _knn_chunked(
         # object dtype, which np.lexsort rejects; the list round-trip gives
         # the same '<U'/float dtype the kernel's collect-based array has
         b_labels = np.asarray(list(rp["_lbl"])) if has_label else None
-        n_train = len(b_ids)
-        rows_per = max(1, 1024 // max(1, n_train)) if kind == "fastdtw" else 1
-        tids = tp["_id"].to_numpy(dtype=np.int64)
-        fvals = tp["_f"].to_numpy()
-        by_len: dict[int, list[int]] = {}
-        for i, f in enumerate(fvals):
-            by_len.setdefault(len(f), []).append(i)
-        for L, idxs in by_len.items():
-            T = _stack_series([fvals[i] for i in idxs])
-            for c0 in range(0, len(idxs), rows_per):
-                chunk = idxs[c0 : c0 + rows_per]
-                Tc = T[c0 : c0 + rows_per]
-                nc = len(chunk)
-                if nc == 1:
-                    A = np.broadcast_to(Tc[0], (n_train,) + Tc[0].shape)
-                    B = b_feats
-                else:
-                    A = np.repeat(Tc, n_train, axis=0)
-                    B = np.tile(b_feats, (nc,) + (1,) * (b_feats.ndim - 1))
-                if kind == "dtw":
-                    D = dtw_batch(A, B, band=bnd)
-                elif kind == "fastdtw":
-                    D = fastdtw_batch(A, B, radius=rad)
-                elif kind == "euclidean":
-                    D = np.sqrt(((A - B) ** 2).sum(axis=1))
-                elif kind == "sq_euclidean":
-                    D = ((A - B) ** 2).sum(axis=1)
-                elif kind == "manhattan":
-                    D = np.abs(A - B).sum(axis=1)
-                else:  # chebyshev
-                    D = np.abs(A - B).max(axis=1)
-                D = D.reshape(nc, n_train)
-                for r, i in enumerate(chunk):
-                    d = D[r]
-                    mask = d != 0 if excl else np.ones(n_train, dtype=bool)
-                    di, ii = d[mask], b_ids[mask]
-                    li = b_labels[mask] if b_labels is not None else None
-                    order = (
-                        np.lexsort((ii, li, di)) if li is not None
-                        else np.lexsort((ii, di))
-                    )[:kk]
-                    m = len(order)
-                    cols["test_id"].extend([tids[i]] * m)
-                    cols["train_id"].extend(ii[order])
-                    cols["distance"].extend(di[order])
-                    if li is not None:
-                        cols["train_label"].extend(li[order])
+        # the SAME scoring core as strategy='kernel' (bit-identity by
+        # construction); per-cell top-k only — the global rerank window
+        # below re-ranks across cells, so no rank is emitted here
+        cols = _score_block_rows(
+            tp["_id"].to_numpy(dtype=np.int64),
+            tp["_f"].to_numpy(),
+            b_ids,
+            b_feats,
+            b_labels,
+            kind=kind,
+            k=kk,
+            excl=excl,
+            band=bnd,
+            radius=rad,
+            with_rank=False,
+        )
         order_cols = ["test_id", "train_id"]
         if has_label:
             order_cols.append("train_label")

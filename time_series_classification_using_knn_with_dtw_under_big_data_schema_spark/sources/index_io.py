@@ -52,6 +52,26 @@ def save_index(
     for name in index:
         if not name or any(c in name for c in "/\\.") or name.startswith("_"):
             raise ValueError(f"index table name not path-safe: {name!r}")
+    if mode == "overwrite":
+        # overwrite the INDEX, not just its tables: per-table overwrite
+        # would leave a previous index's other tables under the same root
+        # (bm25 tf/df/stats surviving an ivfpq re-save), and load_index
+        # would hand the serving operator a stale mixed dict — remove any
+        # pre-existing table directory that is NOT in the new index (same
+        # Hadoop FS discovery as load_index, so object stores work too)
+        spark = next(iter(index.values())).sparkSession
+        jvm = spark._jvm
+        hroot = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hroot.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hroot):
+            for st in fs.listStatus(hroot):
+                name = st.getPath().getName()
+                if (
+                    st.isDirectory()
+                    and not name.startswith("_")
+                    and name not in index
+                ):
+                    fs.delete(st.getPath(), True)
     for name, df in index.items():
         w = df.write.mode(mode)
         cols = (partition_by or {}).get(name)

@@ -308,21 +308,17 @@ def score_stream_quality(
 
     Output: (id_col, score bigint, kept boolean).
     """
-    from ..operators.classify import doc_quality_features
+    from ..operators.classify import (
+        doc_quality_features,
+        pack_weights,
+        packed_score,
+    )
 
     feats = doc_quality_features(stream, id_col=id_col, text_col=text_col)
-    warr = weights.groupBy().agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "weight"))),
-            lambda s: s["weight"],
-        ).alias("_w")
-    )
-    j = feats.join(F.broadcast(warr))  # stream-static; static side is 1 row
-    score = F.aggregate(
-        F.zip_with(F.col("x"), F.col("_w"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    # same packing + same dot as score_with_weights, BY CONSTRUCTION —
+    # the arithmetic is imported, not re-stated
+    j = feats.join(F.broadcast(pack_weights(weights)))  # stream-static, 1 row
+    score = packed_score(F.col("x"))
     return j.select(
         F.col(id_col), score.alias("score"), (score > 0).alias("kept")
     )
