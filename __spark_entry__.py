@@ -2496,6 +2496,53 @@ def _q130_stump_filter(spark, sf_dir):
     return score_stump(labeled, train_stump(labeled))
 
 
+def _q131_series_classifier(spark, sf_dir):
+    """Feature-space time-series classification, composed end-to-end
+    under ONE oracle: events -> series (q08) -> shape/dynamics features
+    (q127) -> fixed-scale integer quantization -> averaged perceptron
+    (q125's machinery, dim=6) on a 1-vs-rest label (label == 'click').
+    The scale story: this pipeline is O(n) per series with zero pair
+    joins — the alternative the reference's O(n*m)-per-PAIR KNN needs at
+    100 TB. Honest measurement: on THIS testdata the event values carry
+    no label signal (accuracy ~= majority, same information-theoretic
+    wall as ann_lsh probes=0 on structureless data — q12's KNN is the
+    graded accuracy surface); the HAR fixture test
+    (tests/test_features.py) pins 1.0 train accuracy where structure
+    exists. The graded rows are the trained weights — hash-proven
+    through series build, ten feature folds, rounding, and four training
+    epochs."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.caching import register_cache
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        series_features,
+        train_quality_perceptron,
+    )
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import events_to_series
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    series = events_to_series(events, length=SERIES_LEN)
+    feats = series_features(series)
+    x = F.array(
+        F.lit(1).cast("long"),
+        F.round(F.col("mean") * 100).cast("long"),
+        F.round(F.col("mean_abs_change") * 100).cast("long"),
+        F.round(F.col("acf1") * 1000).cast("long"),
+        (F.col("zero_crossings") * 100).cast("long"),
+        (F.col("n_peaks") * 100).cast("long"),
+    )
+    labeled = (
+        feats.join(series.select("series_id", "label"), "series_id")
+        .select(
+            F.col("series_id").alias("doc_id"),
+            x.alias("x"),
+            F.when(F.col("label") == "click", 1).otherwise(-1).alias("y"),
+        )
+    )
+    # featurize once: epochs + the dim probe rescan this tiny table
+    labeled = register_cache(labeled.cache())
+    return train_quality_perceptron(labeled, epochs=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2628,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_epoch_sweep": _q128_epoch_sweep,
         "q129_stump": _q129_stump,
         "q130_stump_filter": _q130_stump_filter,
+        "q131_series_classifier": _q131_series_classifier,
     }
 
 
@@ -3558,27 +3606,13 @@ def _sql_bm25_ctes(mod: int = 23, qlen: int = 6, max_postings: int = 0) -> str:
         )"""
 
 
-def _sql_perceptron_ctes(epochs: int = 4, dim: int = 5) -> str:
-    """Mirror of operators/classify.py::doc_quality_features +
-    train_quality_perceptron(epochs, averaged=True) on the q125 workload
-    (weak label: n_chars > 290): chained CTEs replay every epoch — the
-    q87 k-means technique applied to gradient descent. All arithmetic is
-    int64 (order-free sums), so the trained weights hash-match bit for
-    bit. Ends at ``pa{epochs}`` (1 row, averaged weight list) with ``pf``
-    (doc_id, y, x) and ``pd`` (dim) in scope."""
+def _sql_quality_pf_body() -> str:
+    """The q125 workload's pf body: doc_quality_features + the n_chars
+    weak label over ``documents``."""
     from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.text import STOPWORDS
 
     stops = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
-
-    def margin(x: str, w: str) -> str:
-        return (
-            f"list_reduce(list_prepend(cast(0 AS bigint),"
-            f" list_transform(range(1, {dim + 1}),"
-            f" j -> {x}[j] * {w}[j])), (a, b) -> a + b)"
-        )
-
-    parts = [
-        f"""pf AS (
+    return f"""
             SELECT doc_id,
                    CASE WHEN n_chars > {_QUALITY_LABEL_CHARS}
                         THEN 1 ELSE -1 END AS y,
@@ -3589,7 +3623,31 @@ def _sql_perceptron_ctes(epochs: int = 4, dim: int = 5) -> str:
                     cast(len(list_distinct(t)) AS bigint) - 30,
                     cast(len(list_filter(t, tk -> len(tk) >= 5))
                          AS bigint) - 20] AS x
-            FROM (SELECT doc_id, n_chars, {_SQL_TOKENS} AS t FROM documents)
+            FROM (SELECT doc_id, n_chars, {_SQL_TOKENS} AS t FROM documents)"""
+
+
+def _sql_perceptron_ctes(
+    epochs: int = 4, dim: int = 5, pf_body: "str | None" = None
+) -> str:
+    """Mirror of operators/classify.py::train_quality_perceptron(epochs,
+    averaged=True): chained CTEs replay every epoch — the q87 k-means
+    technique applied to gradient descent. All arithmetic is int64
+    (order-free sums), so the trained weights hash-match bit for bit.
+    ``pf_body`` is the labeled-features SELECT producing (doc_id, y, x)
+    — default is the q125 documents workload (_sql_quality_pf_body);
+    q131 passes the series-features featurization instead. Ends at
+    ``pa{epochs}`` (1 row, averaged weight list) with ``pf`` (doc_id, y,
+    x) and ``pd`` (dim) in scope."""
+
+    def margin(x: str, w: str) -> str:
+        return (
+            f"list_reduce(list_prepend(cast(0 AS bigint),"
+            f" list_transform(range(1, {dim + 1}),"
+            f" j -> {x}[j] * {w}[j])), (a, b) -> a + b)"
+        )
+
+    parts = [
+        f"""pf AS ({pf_body if pf_body is not None else _sql_quality_pf_body()}
         ),
         pd AS (SELECT unnest(range(0, {dim})) AS dim),
         pw0 AS (SELECT list_transform(range(0, {dim}),
@@ -3656,6 +3714,58 @@ def _sql_stump_ctes() -> str:
         sbest AS (
             SELECT * FROM srules
             ORDER BY err ASC, dim ASC, v ASC, pol DESC LIMIT 1
+        )"""
+
+
+def _sql_series_features_ctes() -> str:
+    """Mirror of operators/features.py::series_features over the _SERIES_CTE
+    ``series`` table: CTEs sf0/sf1/sf2 + ``sfeat`` (all 10 columns) — every
+    statistic's fold runs the identical IEEE op sequence the Spark
+    expressions run. Shared by q127 (graded directly) and q131 (feeds the
+    perceptron featurization)."""
+    return """sf0 AS (
+            SELECT series_id, features AS x, len(features) AS n,
+                   list_reduce(list_prepend(cast(0.0 AS double), features),
+                               (a, v) -> a + v) / len(features) AS mu
+            FROM series
+        ),
+        sf1 AS (
+            SELECT *, list_transform(x, v -> v - mu) AS d FROM sf0
+        ),
+        sf2 AS (
+            SELECT *,
+                   list_reduce(list_prepend(cast(0.0 AS double),
+                       list_transform(d, v -> v * v)), (a, v) -> a + v) AS den,
+                   CASE WHEN n >= 2 THEN
+                       list_reduce(list_prepend(cast(0.0 AS double),
+                           list_transform(range(1, n), i -> d[i] * d[i + 1])),
+                           (a, v) -> a + v)
+                   ELSE 0.0 END AS num
+            FROM sf1
+        ),
+        sfeat AS (
+        SELECT series_id,
+               cast(n AS int) AS n_points,
+               mu AS mean,
+               den / n AS variance,
+               list_min(x) AS vmin,
+               list_max(x) AS vmax,
+               CASE WHEN n >= 2 THEN
+                   list_reduce(list_prepend(cast(0.0 AS double),
+                       list_transform(range(2, n + 1),
+                                      i -> abs(x[i] - x[i - 1]))),
+                       (a, v) -> a + v) / (n - 1)
+               ELSE 0.0 END AS mean_abs_change,
+               cast(CASE WHEN n >= 2 THEN
+                   len(list_filter(list_transform(range(2, n + 1),
+                       i -> d[i - 1] * d[i] < 0), b -> b))
+               ELSE 0 END AS int) AS zero_crossings,
+               cast(CASE WHEN n >= 3 THEN
+                   len(list_filter(list_transform(range(2, n),
+                       i -> x[i] > x[i - 1] AND x[i] > x[i + 1]), b -> b))
+               ELSE 0 END AS int) AS n_peaks,
+               CASE WHEN den > 0 THEN num / den ELSE 0.0 END AS acf1
+        FROM sf2
         )"""
 
 
@@ -5953,48 +6063,8 @@ def oracle_sql() -> dict[str, str]:
     # left-fold whose DuckDB mirror runs the identical IEEE op sequence
     out["q127_series_features"] = f"""
         WITH {_SERIES_CTE},
-        sf0 AS (
-            SELECT series_id, features AS x, len(features) AS n,
-                   list_reduce(list_prepend(cast(0.0 AS double), features),
-                               (a, v) -> a + v) / len(features) AS mu
-            FROM series
-        ),
-        sf1 AS (
-            SELECT *, list_transform(x, v -> v - mu) AS d FROM sf0
-        ),
-        sf2 AS (
-            SELECT *,
-                   list_reduce(list_prepend(cast(0.0 AS double),
-                       list_transform(d, v -> v * v)), (a, v) -> a + v) AS den,
-                   CASE WHEN n >= 2 THEN
-                       list_reduce(list_prepend(cast(0.0 AS double),
-                           list_transform(range(1, n), i -> d[i] * d[i + 1])),
-                           (a, v) -> a + v)
-                   ELSE 0.0 END AS num
-            FROM sf1
-        )
-        SELECT series_id,
-               cast(n AS int) AS n_points,
-               mu AS mean,
-               den / n AS variance,
-               list_min(x) AS vmin,
-               list_max(x) AS vmax,
-               CASE WHEN n >= 2 THEN
-                   list_reduce(list_prepend(cast(0.0 AS double),
-                       list_transform(range(2, n + 1),
-                                      i -> abs(x[i] - x[i - 1]))),
-                       (a, v) -> a + v) / (n - 1)
-               ELSE 0.0 END AS mean_abs_change,
-               cast(CASE WHEN n >= 2 THEN
-                   len(list_filter(list_transform(range(2, n + 1),
-                       i -> d[i - 1] * d[i] < 0), b -> b))
-               ELSE 0 END AS int) AS zero_crossings,
-               cast(CASE WHEN n >= 3 THEN
-                   len(list_filter(list_transform(range(2, n),
-                       i -> x[i] > x[i - 1] AND x[i] > x[i + 1]), b -> b))
-               ELSE 0 END AS int) AS n_peaks,
-               CASE WHEN den > 0 THEN num / den ELSE 0.0 END AS acf1
-        FROM sf2
+        {_sql_series_features_ctes()}
+        SELECT * FROM sfeat
     """
 
     # q125: averaged-perceptron quality classifier — the oracle replays
@@ -6066,6 +6136,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, cast(predicted AS int) AS predicted,
                predicted > 0 AS kept
         FROM sscored
+    """
+
+    # q131: the composed feature-space series classifier — series build +
+    # ten feature folds + quantization + 4 perceptron epochs, one hash
+    pf131 = """
+            SELECT f.series_id AS doc_id,
+                   CASE WHEN s.label = 'click' THEN 1 ELSE -1 END AS y,
+                   [cast(1 AS bigint),
+                    cast(round(f.mean * 100) AS bigint),
+                    cast(round(f.mean_abs_change * 100) AS bigint),
+                    cast(round(f.acf1 * 1000) AS bigint),
+                    cast(f.zero_crossings * 100 AS bigint),
+                    cast(f.n_peaks * 100 AS bigint)] AS x
+            FROM sfeat f JOIN series s USING (series_id)"""
+    out["q131_series_classifier"] = f"""
+        WITH {_SERIES_CTE},
+        {_sql_series_features_ctes()},
+        {_sql_perceptron_ctes(epochs=4, dim=6, pf_body=pf131)}
+        SELECT cast(d.dim AS int) AS dim, a.a[d.dim + 1] AS weight
+        FROM pd d CROSS JOIN pa4 a
     """
 
     return out

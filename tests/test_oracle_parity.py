@@ -147,6 +147,9 @@ SLOW_SUBSET = [
     "q126_quality_filter",
     # declarative stump induction (r5): window + union + top-1 argmin
     "q130_stump_filter",
+    # composed feature-space series classifier (r5): series build + feature
+    # folds + quantization + 4 epochs under one hash
+    "q131_series_classifier",
 ]
 
 
