@@ -142,16 +142,18 @@ def _chunked_pair_topk(
     )
 
 
-def _brute_cos_block_scorer(qids, Q, cids, C, k, exclude_self):
-    """Per-block cosine scorer with the broadcast kernel's EXACT arithmetic
-    (dim-ascending accumulation — the SQL left-fold's IEEE op order), so
-    chunked distances are bit-identical to kernel/declarative ones."""
+def _brute_cos_block_scorer(qids, Q, cids, C, k, exclude_self, *, with_rank=False):
+    """THE cosine scoring core — a query block against a corpus matrix,
+    with the SQL left-fold's EXACT arithmetic (dim-ascending
+    accumulation), shared by strategy='kernel' (broadcast op) and
+    strategy='chunked' (block cells): bit-identity across strategies is
+    enforced by construction, not by two hand-synced loops."""
     dim = C.shape[1]
     cn = np.zeros(len(cids))
     for d in range(dim):
         cn += C[:, d] * C[:, d]
     cn = np.sqrt(cn)
-    out = {"query_id": [], "neighbor_id": [], "_d": []}
+    out = {"query_id": [], "neighbor_id": [], "rank": [], "_d": []}
     for qid, a in zip(qids, Q):
         dot = np.zeros(len(cids))
         qn = 0.0
@@ -164,21 +166,26 @@ def _brute_cos_block_scorer(qids, Q, cids, C, k, exclude_self):
         order = np.lexsort((ii, di))[:k]
         out["query_id"].extend([qid] * len(order))
         out["neighbor_id"].extend(ii[order])
+        out["rank"].extend(range(1, len(order) + 1))
         out["_d"].extend(di[order])
-    return pd.DataFrame(out).astype(
-        {"query_id": "int64", "neighbor_id": "int64", "_d": "float64"}
-    )
+    if not with_rank:
+        del out["rank"]
+    types = {"query_id": "int64", "neighbor_id": "int64", "_d": "float64"}
+    if with_rank:
+        types["rank"] = "int32"
+    return pd.DataFrame(out).astype(types)
 
 
-def _quantized_cos_block_scorer(qids, Q, cids, C, k, exclude_self):
-    """Per-block int8-quantized scorer: all accumulations exact int64 (the
-    values arrive as integer-valued doubles <= 127 — exactly representable,
-    so the int64 round-trip is lossless), final distance the same two
-    correctly-rounded IEEE ops as the broadcast kernel."""
+def _quantized_cos_block_scorer(qids, Q, cids, C, k, exclude_self, *, with_rank=False):
+    """Int8-quantized twin of _brute_cos_block_scorer: all accumulations
+    exact int64 (the values arrive as integer-valued doubles <= 127 —
+    exactly representable, so the int64 round-trip is lossless), final
+    distance the same two correctly-rounded IEEE ops as every other
+    strategy. Shared by kernel and chunked."""
     Ci = C.astype(np.int64)
     bn = (Ci * Ci).sum(axis=1)
     bsq = np.sqrt(bn.astype(np.float64))
-    out = {"query_id": [], "neighbor_id": [], "_d": []}
+    out = {"query_id": [], "neighbor_id": [], "rank": [], "_d": []}
     for qid, af in zip(qids, Q):
         a = af.astype(np.int64)
         qn = int(a @ a)
@@ -193,10 +200,14 @@ def _quantized_cos_block_scorer(qids, Q, cids, C, k, exclude_self):
         order = np.lexsort((ii, di))[:k]
         out["query_id"].extend([qid] * len(order))
         out["neighbor_id"].extend(ii[order])
+        out["rank"].extend(range(1, len(order) + 1))
         out["_d"].extend(di[order])
-    return pd.DataFrame(out).astype(
-        {"query_id": "int64", "neighbor_id": "int64", "_d": "float64"}
-    )
+    if not with_rank:
+        del out["rank"]
+    types = {"query_id": "int64", "neighbor_id": "int64", "_d": "float64"}
+    if with_rank:
+        types["rank"] = "int32"
+    return pd.DataFrame(out).astype(types)
 
 
 def ann_brute_topk(
@@ -259,34 +270,21 @@ def ann_brute_topk(
         M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
         bvar = queries.sparkSession.sparkContext.broadcast((ids, M))
         kk, excl = k, exclude_self
-        dim = M.shape[1]
 
         def op(batches):
             b_ids, B = bvar.value
-            # left-fold-exact: accumulate dim-by-dim in ascending order
-            cn = np.zeros(len(b_ids))
-            for d in range(dim):
-                cn += B[:, d] * B[:, d]
-            cn = np.sqrt(cn)
             for pdf in batches:
-                out = {"query_id": [], "neighbor_id": [], "rank": [], "_d": []}
-                for qid, f in zip(pdf["query_id"], pdf["_qv"]):
-                    a = np.asarray(f, dtype=np.float64)
-                    dot = np.zeros(len(b_ids))
-                    qn = 0.0
-                    for d in range(dim):
-                        dot += a[d] * B[:, d]
-                        qn = qn + a[d] * a[d]
-                    dist = 1.0 - dot / (np.sqrt(qn) * cn)
-                    mask = b_ids != qid if excl else np.ones(len(b_ids), dtype=bool)
-                    di, ii = dist[mask], b_ids[mask]
-                    order = np.lexsort((ii, di))[:kk]
-                    m = len(order)
-                    out["query_id"].extend([qid] * m)
-                    out["neighbor_id"].extend(ii[order])
-                    out["rank"].extend(range(1, m + 1))
-                    out["_d"].extend(di[order])
-                yield pd.DataFrame(out)
+                # the SAME scoring core as strategy='chunked' — shared
+                # left-fold-exact arithmetic, bit-identity by construction
+                yield _brute_cos_block_scorer(
+                    pdf["query_id"].to_numpy(dtype=np.int64),
+                    [np.asarray(f, dtype=np.float64) for f in pdf["_qv"]],
+                    b_ids,
+                    B,
+                    kk,
+                    excl,
+                    with_rank=True,
+                )[["query_id", "neighbor_id", "rank", "_d"]]
 
         top = q.mapInPandas(op, schema="query_id long, neighbor_id long, rank int, _d double")
         return top.select(
@@ -658,30 +656,19 @@ def ann_quantized_topk(
         kk, excl = k, exclude_self
 
         def op(batches):
-            b_ids, B, bn = bvar.value
-            bsq = np.sqrt(bn.astype(np.float64))
+            b_ids, B, _bn = bvar.value
             for pdf in batches:
-                out = {"query_id": [], "neighbor_id": [], "rank": [], "_d": []}
-                for qid, f in zip(pdf["query_id"], pdf["_qa"]):
-                    a = np.asarray(f, dtype=np.int64)
-                    qn = int(a @ a)
-                    dot = B @ a  # exact int64
-                    if qn == 0:
-                        dist = np.ones(len(b_ids))
-                    else:
-                        dist = 1.0 - dot.astype(np.float64) / (
-                            np.sqrt(float(qn)) * bsq
-                        )
-                        dist[bn == 0] = 1.0
-                    mask = b_ids != qid if excl else np.ones(len(b_ids), dtype=bool)
-                    di, ii = dist[mask], b_ids[mask]
-                    order = np.lexsort((ii, di))[:kk]
-                    m = len(order)
-                    out["query_id"].extend([qid] * m)
-                    out["neighbor_id"].extend(ii[order])
-                    out["rank"].extend(range(1, m + 1))
-                    out["_d"].extend(di[order])
-                yield pd.DataFrame(out)
+                # the SAME integer scoring core as strategy='chunked' —
+                # exact int64 sums, bit-identity by construction
+                yield _quantized_cos_block_scorer(
+                    pdf["query_id"].to_numpy(dtype=np.int64),
+                    [np.asarray(f, dtype=np.float64) for f in pdf["_qa"]],
+                    b_ids,
+                    B,
+                    kk,
+                    excl,
+                    with_rank=True,
+                )[["query_id", "neighbor_id", "rank", "_d"]]
 
         top = qq.mapInPandas(
             op, schema="query_id long, neighbor_id long, rank int, _d double"
