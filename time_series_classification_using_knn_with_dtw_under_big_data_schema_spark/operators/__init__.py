@@ -1,6 +1,6 @@
 from .knn import knn_join, knn_join_pruned, knn_join_lb, knn_classify, knn_predict_1nn  # noqa: F401
 from .topk import topk_per_key  # noqa: F401
-from .vote import majority_vote  # noqa: F401
+from .vote import majority_vote, weighted_vote, knn_regress_predict  # noqa: F401
 from .evaluate import accuracy, k_sweep  # noqa: F401
 from .dedup import (  # noqa: F401
     dedup_components,
@@ -82,4 +82,20 @@ from .sketch import (  # noqa: F401
     kmv_distinct,
     mix32,
     stratified_sample,
+)
+from .sax import (  # noqa: F401
+    SAX_BREAKPOINTS,
+    codes_to_word,
+    sax_codes,
+    sax_knn_classify,
+    sax_mindist_sq,
+    sax_symbolize,
+)
+from .motif import (  # noqa: F401
+    bop_classify,
+    bop_histograms,
+    matrix_profile,
+    motif_words,
+    series_discords,
+    subsequence_windows,
 )

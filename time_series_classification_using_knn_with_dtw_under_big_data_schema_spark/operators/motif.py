@@ -1,0 +1,305 @@
+"""Subsequence analytics: sliding windows, matrix profile, motifs/discords,
+bag-of-patterns classification.
+
+Engine extensions beyond the reference's whole-series KNN
+(Team11-Project.py classifies complete 561-point vectors): the standard
+subsequence toolkit for time-series mining —
+
+* ``subsequence_windows``: slide length-``m`` windows over each series
+  (per-row explode, zero shuffles).
+* ``matrix_profile``: each window's nearest non-trivial neighbor WITHIN its
+  series (Yeh et al. 2016, "Matrix Profile I") — the basis for motif
+  (repeated pattern) and discord (anomaly) discovery.
+* ``series_discords``: per-series argmax/argmin of the profile.
+* ``motif_words`` / ``bop_histograms`` / ``bop_classify``: SAX-word
+  bucketing of windows — corpus-scale motif counting and the
+  Bag-of-Patterns classifier (Lin et al. 2012), whose histogram distance is
+  INTEGER arithmetic (exact cross-engine, no float-order hazards).
+
+Scale shape: window extraction is map-only; the matrix-profile self-join
+shuffles once on series_id and is per-key quadratic in (length - m + 1) —
+bounded by series length, never corpus size. SAX-word bucketing shuffles
+windows once on the word (vocabulary <= alphabet^segments, bounded);
+``bop_classify`` moves 2 ints per (test, train) pair plus a sparse
+word-join dot product — the byte-frugal analog of the reference's
+raw-vector cross join. Left-fold arithmetic only (NOTES invariant); the
+DuckDB oracles mirror every fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.arrays import znorm
+from ..functions.distance import sq_euclidean
+from .sax import codes_to_word, sax_codes
+from .topk import topk_per_key
+from .vote import majority_vote
+
+
+def subsequence_windows(
+    series: DataFrame,
+    m: int,
+    *,
+    features_col: str = "features",
+    znormalize: bool = True,
+    step: int = 1,
+) -> DataFrame:
+    """(series_id, features, ...) -> one row per sliding window:
+    (series_id, ..., start (1-based), win array<double> of length m).
+
+    ``znormalize`` z-normalizes EACH WINDOW (the matrix-profile convention:
+    shape similarity, offset/amplitude invariant). Map-only explode — the
+    fan-out factor is (length - m + 1) / step, independent of corpus size.
+    """
+    if m < 1 or step < 1:
+        raise ValueError(f"m and step must be >= 1, got m={m} step={step}")
+    arr = F.col(features_col)
+    # sequence(a, b) DESCENDS when b < a (NOTES invariant) — guard short rows
+    starts = F.when(
+        F.size(arr) >= m,
+        F.sequence(F.lit(1), F.size(arr) - m + 1, F.lit(step)),
+    ).otherwise(F.array().cast("array<int>"))
+    win = lambda s: F.slice(arr, s, m)  # noqa: E731
+    if znormalize:
+        make = lambda s: znorm(win(s))  # noqa: E731
+    else:
+        make = win
+    keep = [c for c in series.columns if c != features_col]
+    return series.select(
+        *keep,
+        F.explode(
+            F.transform(starts, lambda s: F.struct(s.alias("start"), make(s).alias("win")))
+        ).alias("_w"),
+    ).select(*keep, F.col("_w.start").alias("start"), F.col("_w.win").alias("win"))
+
+
+def matrix_profile(
+    series: DataFrame,
+    m: int,
+    *,
+    exclusion: int | None = None,
+    features_col: str = "features",
+) -> DataFrame:
+    """Per-window nearest-neighbor profile within each series:
+    (series_id, start, nn_start, profile_d) where profile_d is the
+    z-normalized squared Euclidean distance to the nearest window of the
+    SAME series at least ``exclusion`` starts away (default m // 2 — the
+    standard trivial-match exclusion zone).
+
+    Plan: one windows explode, ONE shuffle on series_id for the self-join,
+    per-key quadratic in window count (bounded by series length), then a
+    WindowGroupLimit min per window with (d, nn_start) total-order
+    tie-break. Windows with no admissible neighbor (series shorter than
+    m + exclusion) drop out (inner join).
+    """
+    if exclusion is None:
+        exclusion = max(1, m // 2)
+    if exclusion < 1:
+        raise ValueError(f"exclusion must be >= 1, got {exclusion}")
+    w = subsequence_windows(series, m, features_col=features_col, znormalize=True)
+    w = w.select("series_id", "start", "win")
+    pairs = (
+        w.alias("a")
+        .join(
+            w.alias("b"),
+            (F.col("a.series_id") == F.col("b.series_id"))
+            & (F.abs(F.col("a.start") - F.col("b.start")) >= exclusion),
+        )
+        .select(
+            F.col("a.series_id").alias("series_id"),
+            F.col("a.start").alias("start"),
+            F.col("b.start").alias("nn_start"),
+            sq_euclidean(F.col("a.win"), F.col("b.win")).alias("d"),
+        )
+    )
+    rk = Window.partitionBy("series_id", "start").orderBy(
+        F.asc("d"), F.asc("nn_start")
+    )
+    return (
+        pairs.withColumn("_rk", F.row_number().over(rk))
+        .filter(F.col("_rk") == 1)
+        .select("series_id", "start", "nn_start", F.col("d").alias("profile_d"))
+    )
+
+
+def series_discords(profile: DataFrame) -> DataFrame:
+    """Matrix profile -> one row per series: the top discord (window whose
+    nearest neighbor is FARTHEST — the series' anomaly) and the top motif
+    seed (window whose nearest neighbor is CLOSEST — the repeated shape).
+
+    (series_id, discord_start, discord_d, motif_start, motif_d). Both ranks
+    share one partitioning (a single shuffle); ties break on start ASC.
+    """
+    wd = Window.partitionBy("series_id").orderBy(F.desc("profile_d"), F.asc("start"))
+    wm = Window.partitionBy("series_id").orderBy(F.asc("profile_d"), F.asc("start"))
+    p = profile.withColumn("_rd", F.row_number().over(wd)).withColumn(
+        "_rm", F.row_number().over(wm)
+    )
+    discord = p.filter(F.col("_rd") == 1).select(
+        "series_id",
+        F.col("start").alias("discord_start"),
+        F.col("profile_d").alias("discord_d"),
+    )
+    motif = p.filter(F.col("_rm") == 1).select(
+        "series_id",
+        F.col("start").alias("motif_start"),
+        F.col("profile_d").alias("motif_d"),
+    )
+    return discord.join(motif, "series_id")
+
+
+def _window_words(
+    series: DataFrame,
+    m: int,
+    *,
+    n_segments: int,
+    alphabet_size: int,
+    features_col: str = "features",
+) -> DataFrame:
+    """Per-series ordered array of window SAX words (start order):
+    (series_id, ..., words array<string>). Each window is z-normalized by
+    sax_codes itself (znorm -> PAA -> discretize) — the Bag-of-Patterns
+    convention. Map-only."""
+    arr = F.col(features_col)
+    starts = F.when(
+        F.size(arr) >= m,
+        F.sequence(F.lit(1), F.size(arr) - m + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    words = F.transform(
+        starts,
+        lambda s: codes_to_word(
+            sax_codes(F.slice(arr, s, m), n_segments, alphabet_size, m)
+        ),
+    )
+    keep = [c for c in series.columns if c != features_col]
+    return series.select(*keep, words.alias("words"))
+
+
+def _numerosity_reduce(words):
+    """Drop consecutive duplicate words (BOP numerosity reduction) — a
+    range-indexed filter both engines express identically (DuckDB mirror:
+    list_filter(list_transform(range(...), CASE ...), NOT NULL))."""
+    idx = F.when(
+        F.size(words) >= 1, F.sequence(F.lit(1), F.size(words))
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.transform(
+        idx,
+        lambda i: F.when(
+            (i == 1) | (F.element_at(words, i) != F.element_at(words, i - 1)),
+            F.element_at(words, i),
+        ),
+    )
+    return F.filter(kept, lambda x: x.isNotNull())
+
+
+def motif_words(
+    series: DataFrame,
+    m: int,
+    *,
+    n_segments: int = 4,
+    alphabet_size: int = 4,
+    features_col: str = "features",
+) -> DataFrame:
+    """Corpus-scale motif counting: every window's SAX word, aggregated
+    globally -> (word, n_windows, n_series). The word vocabulary is bounded
+    by alphabet^segments, so the single shuffle is on a BOUNDED key space —
+    this is how "what shapes recur across 100 TB of series" stays tractable
+    when the matrix-profile self-join (quadratic per series, exact) is the
+    wrong tool across series."""
+    ww = _window_words(
+        series, m, n_segments=n_segments, alphabet_size=alphabet_size,
+        features_col=features_col,
+    )
+    exploded = ww.select(
+        "series_id", F.explode("words").alias("word")
+    )
+    return exploded.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.countDistinct("series_id").alias("n_series"),
+    )
+
+
+def bop_histograms(
+    series: DataFrame,
+    m: int,
+    *,
+    n_segments: int = 4,
+    alphabet_size: int = 4,
+    numerosity_reduction: bool = True,
+    features_col: str = "features",
+) -> DataFrame:
+    """Bag-of-Patterns histograms: (series_id[, label], word, cnt) — the
+    sparse integer representation of each series (Lin et al. 2012).
+    ``numerosity_reduction`` drops consecutive duplicate words (the BOP
+    default: a flat stretch shouldn't dominate the histogram)."""
+    ww = _window_words(
+        series, m, n_segments=n_segments, alphabet_size=alphabet_size,
+        features_col=features_col,
+    )
+    words = F.col("words")
+    if numerosity_reduction:
+        words = _numerosity_reduce(words)
+    keep = [c for c in ww.columns if c != "words"]
+    return (
+        ww.select(*keep, F.explode(words).alias("word"))
+        .groupBy(*keep, "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def bop_classify(
+    test_hist: DataFrame,
+    train_hist: DataFrame,
+    *,
+    k: int = 1,
+) -> DataFrame:
+    """KNN over Bag-of-Patterns histograms with EXACT integer squared
+    distance: d(a, b) = ||a||^2 + ||b||^2 - 2 <a, b>, where the dot product
+    is a sparse equi-join on the word (only shared words produce join rows;
+    absent pairs have dot = 0 via the left join). Inputs are
+    ``bop_histograms`` outputs carrying a ``label`` on the train side.
+    Returns (test_id, predicted_label).
+
+    All arithmetic is int64 — bit-identical cross-engine, no float-order
+    hazards. The norm cross join moves 2 ints per pair (vs the reference's
+    full 561-double rows, Team11-Project.py:122); the dot join shuffles on
+    the bounded word vocabulary.
+    """
+    t_norm = test_hist.groupBy("series_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("n2")
+    )
+    r_norm = train_hist.groupBy("series_id", "label").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("n2")
+    )
+    dots = (
+        test_hist.alias("t")
+        .join(train_hist.alias("r"), "word")
+        .groupBy(
+            F.col("t.series_id").alias("test_id"),
+            F.col("r.series_id").alias("train_id"),
+        )
+        .agg(F.sum(F.col("t.cnt") * F.col("r.cnt")).cast("long").alias("dot"))
+    )
+    pairs = (
+        t_norm.alias("tn")
+        .crossJoin(r_norm.alias("rn"))
+        .select(
+            F.col("tn.series_id").alias("test_id"),
+            F.col("rn.series_id").alias("train_id"),
+            F.col("rn.label").alias("train_label"),
+            (F.col("tn.n2") + F.col("rn.n2")).alias("_norms"),
+        )
+        .join(dots, ["test_id", "train_id"], "left")
+        .select(
+            "test_id",
+            "train_id",
+            "train_label",
+            (F.col("_norms") - 2 * F.coalesce(F.col("dot"), F.lit(0))).alias("d"),
+        )
+    )
+    topk = topk_per_key(
+        pairs, "test_id", [F.asc("d"), F.asc("train_label"), F.asc("train_id")], k
+    )
+    return majority_vote(topk)

@@ -1,0 +1,177 @@
+"""SAX — Symbolic Aggregate approXimation (Lin, Keogh, Lonardi & Chiu 2003).
+
+Engine extension to the reference's pairwise-distance paradigm
+(Team11-Project.py computes Euclidean/FastDTW over raw 561-point vectors):
+SAX compresses a z-normalized series to a short symbol word via PAA +
+equiprobable Gaussian breakpoints, and MINDIST over words LOWER-BOUNDS the
+Euclidean distance over the raw series — so symbol-space KNN is the
+byte-frugal first phase the raw-vector cross join (knn.py J2/J3) cannot be
+at 100 TB: a 561-point double series (4.5 KB) becomes an 8-char word.
+
+Everything here is pure codegen'd SQL expressions (left-fold arithmetic
+only, the NOTES oracle-parity invariant): no UDFs, no collects. The DuckDB
+oracles in __spark_entry__.py mirror each fold bit-for-bit.
+
+Scale shape: symbolization is a per-row projection (zero shuffles);
+``sax_knn_classify`` cross-joins WORDS (w small ints per series, ~1/70th
+of raw bytes at 561->8) and prunes per-test with one WindowGroupLimit
+window — the same plan discipline as knn.py, on radically fewer bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.arrays import paa, znorm
+from .topk import topk_per_key
+from .vote import majority_vote
+
+# Equiprobable N(0,1) breakpoints (Lin et al. 2003, Table 3) — FIXED literal
+# constants so Spark and the DuckDB oracle discretize identically.
+SAX_BREAKPOINTS: dict[int, list[float]] = {
+    2: [0.0],
+    3: [-0.43, 0.43],
+    4: [-0.67, 0.0, 0.67],
+    5: [-0.84, -0.25, 0.25, 0.84],
+    6: [-0.97, -0.43, 0.0, 0.43, 0.97],
+    7: [-1.07, -0.57, -0.18, 0.18, 0.57, 1.07],
+    8: [-1.15, -0.67, -0.32, 0.0, 0.32, 0.67, 1.15],
+    9: [-1.22, -0.76, -0.43, -0.14, 0.14, 0.43, 0.76, 1.22],
+    10: [-1.28, -0.84, -0.52, -0.25, 0.0, 0.25, 0.52, 0.84, 1.28],
+}
+
+SAX_ALPHABET = "abcdefghij"
+
+
+def _check_alphabet(alphabet_size: int) -> list[float]:
+    if alphabet_size not in SAX_BREAKPOINTS:
+        raise ValueError(
+            f"alphabet_size must be in {sorted(SAX_BREAKPOINTS)}, got {alphabet_size}"
+        )
+    return SAX_BREAKPOINTS[alphabet_size]
+
+
+def sax_codes(
+    arr: Column, n_segments: int, alphabet_size: int, length: int
+) -> Column:
+    """array<double> (fixed ``length``) -> array<int> of SAX symbol codes.
+
+    znorm (whole series) -> PAA (n_segments means) -> discretize each mean
+    as ``count of breakpoints <= mean`` (a left fold over the breakpoint
+    literals, so ties-at-breakpoint resolve identically cross-engine).
+    """
+    betas = _check_alphabet(alphabet_size)
+    p = paa(znorm(arr), n_segments, length)
+    return F.transform(
+        p,
+        lambda v: F.aggregate(
+            F.array(*[F.lit(b) for b in betas]),
+            F.lit(0),
+            lambda acc, b: acc + F.when(v >= b, F.lit(1)).otherwise(F.lit(0)),
+        ),
+    )
+
+
+def codes_to_word(codes: Column) -> Column:
+    """array<int> codes -> the SAX word string ('abca...')."""
+    return F.aggregate(
+        codes,
+        F.lit(""),
+        lambda acc, c: F.concat(acc, F.substr(F.lit(SAX_ALPHABET), c + 1, F.lit(1))),
+    )
+
+
+def sax_symbolize(
+    series: DataFrame,
+    *,
+    n_segments: int = 8,
+    alphabet_size: int = 4,
+    length: int,
+    features_col: str = "features",
+) -> DataFrame:
+    """(series_id, features[, label]) -> (series_id[, label], sax_codes,
+    sax_word). Pure per-row projection — zero shuffles, codegen'd end to
+    end; at 100 TB this is a map-only pass that shrinks each series to a
+    word."""
+    if length // n_segments < 1:
+        raise ValueError(
+            f"n_segments={n_segments} exceeds series length {length}"
+        )
+    codes = sax_codes(F.col(features_col), n_segments, alphabet_size, length)
+    keep = [c for c in series.columns if c not in (features_col,)]
+    return series.select(
+        *keep,
+        codes.alias("sax_codes"),
+    ).withColumn("sax_word", codes_to_word(F.col("sax_codes")))
+
+
+def sax_mindist_sq(
+    a: Column, b: Column, *, alphabet_size: int, length: int, n_segments: int
+) -> Column:
+    """Scaled squared MINDIST between two SAX code arrays:
+
+        (length / n_segments) * sum_i cell(a_i, b_i)^2
+        cell(r, c) = 0                          if |r - c| <= 1
+                     beta[max(r,c)-1] - beta[min(r,c)]   otherwise
+
+    sqrt of this is the classic MINDIST, a LOWER BOUND on the Euclidean
+    distance between the z-normalized originals (Lin et al. 2003, eq. 6);
+    ranking on the square avoids a needless sqrt in the hot compare.
+    """
+    betas = _check_alphabet(alphabet_size)
+    beta_arr = F.array(*[F.lit(x) for x in betas])
+    cells = F.zip_with(
+        a,
+        b,
+        lambda r, c: F.when(
+            F.abs(r - c) <= 1, F.lit(0.0)
+        ).otherwise(
+            F.element_at(beta_arr, F.greatest(r, c))
+            - F.element_at(beta_arr, F.least(r, c) + 1)
+        ),
+    )
+    s = F.aggregate(cells, F.lit(0.0), lambda acc, v: acc + v * v)
+    return F.lit(float(length) / float(n_segments)) * s
+
+
+def sax_knn_classify(
+    test_sax: DataFrame,
+    train_sax: DataFrame,
+    *,
+    k: int = 5,
+    alphabet_size: int = 4,
+    length: int,
+    n_segments: int = 8,
+    codes_col: str = "sax_codes",
+) -> DataFrame:
+    """KNN classification in symbol space: cross join on WORDS (not raw
+    series), rank per test by (MINDIST^2, train_label, train_id) — the
+    reference's heapq tie order (Team11-Project.py:180) — then the
+    Counter-parity majority vote. Returns (test_id, predicted_label).
+
+    Scale: the join side carries n_segments small ints per row; with the
+    default 8 segments a 561-point series moves ~1/280th of its raw bytes.
+    WindowGroupLimit prunes map-side exactly like the raw-vector KNN.
+    """
+    d = sax_mindist_sq(
+        F.col("t." + codes_col),
+        F.col("r." + codes_col),
+        alphabet_size=alphabet_size,
+        length=length,
+        n_segments=n_segments,
+    )
+    pairs = (
+        test_sax.alias("t")
+        .crossJoin(train_sax.alias("r"))
+        .select(
+            F.col("t.series_id").alias("test_id"),
+            F.col("r.series_id").alias("train_id"),
+            F.col("r.label").alias("train_label"),
+            d.alias("d"),
+        )
+    )
+    topk = topk_per_key(
+        pairs, "test_id", [F.asc("d"), F.asc("train_label"), F.asc("train_id")], k
+    )
+    return majority_vote(topk)

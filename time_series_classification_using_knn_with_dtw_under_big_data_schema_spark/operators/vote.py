@@ -39,3 +39,70 @@ def majority_vote(
         .filter(F.col("_vrk") == 1)
         .select(F.col(key), F.col(label).alias(out_col))
     )
+
+
+def weighted_vote(
+    neighbors: DataFrame,
+    key: str = "test_id",
+    label: str = "train_label",
+    dist: str = "d",
+    rank: str = "rank",
+    *,
+    out_col: str = "predicted_label",
+) -> DataFrame:
+    """Distance-weighted KNN vote (the standard wkNN refinement of the
+    reference's unweighted ``Counter`` vote, Team11-Project.py:162): each
+    neighbor contributes weight 1 / (1 + d), so a tight nearest neighbor
+    outvotes two distant ones. Winner by (weight_sum DESC, best_rank ASC,
+    label ASC).
+
+    Determinism discipline: float weight sums are order-sensitive, so the
+    per-label fold runs over the RANK-SORTED neighbor array (array_sort of
+    a (rank, d) struct — rank is unique), never a groupBy float sum whose
+    order Spark doesn't define. k is small, so the collected array is
+    bounded; the DuckDB oracle folds the identical list(… ORDER BY rank).
+    """
+    g = neighbors.groupBy(key, label).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(rank).alias("r"), F.col(dist).alias("_d")))
+        ).alias("_nb"),
+        F.min(rank).alias("best_rank"),
+    )
+    wsum = F.aggregate(
+        F.col("_nb"),
+        F.lit(0.0),
+        lambda a, x: a + F.lit(1.0) / (F.lit(1.0) + x["_d"]),
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.desc("_wsum"), F.asc("best_rank"), F.asc(label)
+    )
+    return (
+        g.withColumn("_wsum", wsum)
+        .withColumn("_vrk", F.row_number().over(w))
+        .filter(F.col("_vrk") == 1)
+        .select(F.col(key), F.col(label).alias(out_col), F.col("_wsum").alias("weight"))
+    )
+
+
+def knn_regress_predict(
+    neighbors: DataFrame,
+    key: str = "test_id",
+    target: str = "train_target",
+    rank: str = "rank",
+    *,
+    out_col: str = "prediction",
+) -> DataFrame:
+    """KNN regression: predict the mean of the k nearest neighbors' numeric
+    targets (the regression twin of the majority vote). The mean folds over
+    the RANK-SORTED neighbor array — deterministic float order, mirrored by
+    the oracle's list(target ORDER BY rank) fold."""
+    g = neighbors.groupBy(key).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(rank).alias("r"), F.col(target).alias("_t")))
+        ).alias("_nb")
+    )
+    s = F.aggregate(F.col("_nb"), F.lit(0.0), lambda a, x: a + x["_t"])
+    return g.select(
+        F.col(key),
+        (s / F.size("_nb").cast("double")).alias(out_col),
+    )
