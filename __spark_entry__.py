@@ -2543,6 +2543,175 @@ def _q131_series_classifier(spark, sf_dir):
     return train_quality_perceptron(labeled, epochs=4)
 
 
+# SAX / subsequence-analytics geometry (q132-q137) — FIXED constants shared
+# with the DuckDB oracles below
+_SAX_NSEG, _SAX_A = 8, 4            # whole-series symbolization (q132/q133)
+_MP_M, _MP_EXCL = 8, 4              # matrix-profile window / exclusion zone
+_BOP_NSEG, _BOP_A = 4, 4            # per-window SAX word geometry (q136/q137)
+
+
+def _q132_sax_symbols(spark, sf_dir):
+    """SAX symbolization (operators/sax.py::sax_symbolize — Lin et al.
+    2003): znorm -> PAA -> equiprobable-Gaussian-breakpoint discretization,
+    each series compressed to an 8-char word. Pure per-row codegen folds,
+    ZERO shuffles beyond the series build — the byte-frugal representation
+    the reference's raw-vector pipeline (Team11-Project.py:122, full
+    561-double rows through every join) lacks at 100 TB. Every fold
+    (mean, var, segment means, breakpoint counts) is IEEE-order-mirrored
+    by the oracle."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import sax_symbolize
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import events_to_series
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    out = sax_symbolize(
+        series, n_segments=_SAX_NSEG, alphabet_size=_SAX_A, length=SERIES_LEN
+    )
+    return out.select("series_id", "label", "sax_word")
+
+
+def _q133_sax_knn(spark, sf_dir):
+    """Symbol-space KNN classification (operators/sax.py::
+    sax_knn_classify): the q10 classifier re-run on SAX words — MINDIST^2
+    ranking (a LOWER BOUND of Euclidean on the z-normalized originals)
+    with the reference's heapq tie order (Team11-Project.py:180) and
+    Counter-parity vote. The cross join moves 8 small ints per series
+    instead of 16 doubles (561 -> 8 at reference scale: ~1/280th the
+    bytes) — the scale answer when even the PAA-pruned raw join is too
+    heavy."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import sax_knn_classify, sax_symbolize
+
+    _prep(spark)
+    train, test = _series(spark, sf_dir)
+    tr = sax_symbolize(
+        train, n_segments=_SAX_NSEG, alphabet_size=_SAX_A, length=SERIES_LEN
+    )
+    te = sax_symbolize(
+        test, n_segments=_SAX_NSEG, alphabet_size=_SAX_A, length=SERIES_LEN
+    )
+    return sax_knn_classify(
+        te,
+        tr,
+        k=5,
+        alphabet_size=_SAX_A,
+        length=SERIES_LEN,
+        n_segments=_SAX_NSEG,
+    )
+
+
+def _q134_matrix_profile(spark, sf_dir):
+    """Matrix profile (operators/motif.py::matrix_profile — Yeh et al.
+    2016): each length-8 window's nearest non-trivial neighbor WITHIN its
+    series (z-normalized sq-Euclidean, exclusion zone 4). One windows
+    explode + ONE series_id-shuffled self-join, per-key quadratic in
+    window count (bounded by series LENGTH, never corpus size), min per
+    window via WindowGroupLimit with (d, nn_start) total order. The
+    subsequence-anomaly primitive the reference's whole-series KNN cannot
+    express."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import matrix_profile
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import events_to_series
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return matrix_profile(series, _MP_M, exclusion=_MP_EXCL)
+
+
+def _q135_series_discords(spark, sf_dir):
+    """Discord/motif selection over the matrix profile (operators/
+    motif.py::series_discords): per series, the window whose nearest
+    neighbor is farthest (the anomaly) and nearest (the repeated shape).
+    Both ranks share one partitioning — a single extra shuffle over
+    q134's profile."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import matrix_profile, series_discords
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import events_to_series
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return series_discords(matrix_profile(series, _MP_M, exclusion=_MP_EXCL))
+
+
+def _q136_motif_words(spark, sf_dir):
+    """Corpus-scale motif counting (operators/motif.py::motif_words):
+    every sliding window -> SAX word, aggregated globally into
+    (word, n_windows, n_series). The shuffle key space is BOUNDED by
+    alphabet^segments (256 here), so 'what shapes recur across the
+    corpus' stays one bounded-key aggregation at 100 TB — the
+    cross-series scale path where the exact per-series matrix profile
+    (q134) would be quadratic."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import motif_words
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import events_to_series
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return motif_words(
+        series, _MP_M, n_segments=_BOP_NSEG, alphabet_size=_BOP_A
+    )
+
+
+def _q137_bop_classify(spark, sf_dir):
+    """Bag-of-Patterns classification (Lin et al. 2012; operators/
+    motif.py::bop_histograms + bop_classify): windows -> SAX words ->
+    numerosity-reduced per-series histograms -> 1-NN under the EXACT
+    integer squared histogram distance ||a||^2+||b||^2-2<a,b> (sparse
+    word-join dot product; int64 end to end, no float-order hazards).
+    The norm cross join moves 2 ints per pair vs the reference's full
+    feature rows."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import bop_classify, bop_histograms
+
+    _prep(spark)
+    train, test = _series(spark, sf_dir)
+    th = bop_histograms(
+        test.drop("label"), _MP_M, n_segments=_BOP_NSEG, alphabet_size=_BOP_A
+    )
+    rh = bop_histograms(
+        train, _MP_M, n_segments=_BOP_NSEG, alphabet_size=_BOP_A
+    )
+    return bop_classify(th, rh, k=1)
+
+
+def _q138_knn_weighted(spark, sf_dir):
+    """Distance-weighted KNN vote (operators/vote.py::weighted_vote): the
+    standard wkNN refinement of the reference's unweighted Counter vote —
+    each of the 5 nearest neighbors votes with weight 1/(1+d). Float
+    weight sums fold over the RANK-SORTED neighbor array (never an
+    order-undefined groupBy float sum), so the oracle's
+    list(... ORDER BY rank) fold is bit-identical."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join, weighted_vote
+
+    _prep(spark)
+    train, test = _series(spark, sf_dir)
+    nn = knn_join(test, train, metric="euclidean", k=5, strategy="broadcast")
+    return weighted_vote(nn, dist="distance")
+
+
+def _q139_knn_regress(spark, sf_dir):
+    """KNN regression (operators/vote.py::knn_regress_predict): predict a
+    numeric per-series target (the series' mean value) as the mean of the
+    5 nearest neighbors' targets — the regression twin of q10's vote,
+    sharing the identical neighbor plan (J2/J3 + K1). The prediction mean
+    folds in rank order for cross-engine determinism; output carries the
+    actual target so the oracle hashes the full (prediction, actual)
+    surface."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join, knn_regress_predict
+
+    _prep(spark)
+    train, test = _series(spark, sf_dir)
+    target = (
+        F.aggregate(F.col("features"), F.lit(0.0), lambda a, v: a + v)
+        / F.size("features").cast("double")
+    )
+    train_t = train.select(
+        F.col("series_id").alias("train_id"), target.alias("train_target")
+    )
+    nn = knn_join(test, train, metric="euclidean", k=5, strategy="broadcast")
+    nb = nn.join(train_t, "train_id")
+    pred = knn_regress_predict(nb)
+    actual = test.select(
+        F.col("series_id").alias("test_id"), target.alias("actual")
+    )
+    return pred.join(actual, "test_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2676,6 +2845,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_stump": _q129_stump,
         "q130_stump_filter": _q130_stump_filter,
         "q131_series_classifier": _q131_series_classifier,
+        "q132_sax_symbols": _q132_sax_symbols,
+        "q133_sax_knn": _q133_sax_knn,
+        "q134_matrix_profile": _q134_matrix_profile,
+        "q135_series_discords": _q135_series_discords,
+        "q136_motif_words": _q136_motif_words,
+        "q137_bop_classify": _q137_bop_classify,
+        "q138_knn_weighted": _q138_knn_weighted,
+        "q139_knn_regress": _q139_knn_regress,
     }
 
 
@@ -3766,6 +3943,155 @@ def _sql_series_features_ctes() -> str:
                ELSE 0 END AS int) AS n_peaks,
                CASE WHEN den > 0 THEN num / den ELSE 0.0 END AS acf1
         FROM sf2
+        )"""
+
+
+def _sql_fold0(list_expr: str) -> str:
+    """Left-fold sum with a 0.0 init (list_prepend trick) — the DuckDB twin
+    of Spark's F.aggregate(arr, lit(0.0), acc + v)."""
+    return (
+        f"list_reduce(list_prepend(cast(0.0 AS double), {list_expr}),"
+        f" (a, v) -> a + v)"
+    )
+
+
+def _sql_betas(alphabet_size: int) -> str:
+    """SAX breakpoint literal list — same constants as operators/sax.py."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sax import SAX_BREAKPOINTS
+
+    return "[" + ", ".join(repr(b) for b in SAX_BREAKPOINTS[alphabet_size]) + "]"
+
+
+def _sql_sax_ctes(nseg: int, a: int, length: int) -> str:
+    """Whole-series SAX chain over ``series`` -> ``scodes`` (series_id,
+    label, codes). Mirrors sax_codes: znorm (mean/var folds, 1e-300 std
+    guard) -> PAA segment-mean folds -> breakpoint-count discretization —
+    identical IEEE op order to the Spark expressions."""
+    seg = length // nseg
+    betas = _sql_betas(a)
+    return f"""sx0 AS (
+            SELECT series_id, label, features AS x,
+                   {_sql_fold0('features')} / len(features) AS mu,
+                   {_sql_fold0('list_transform(features, v -> v * v)')}
+                       / len(features) AS s2n
+            FROM series
+        ),
+        sx1 AS (
+            SELECT series_id, label,
+                   list_transform(x, v -> (v - mu)
+                       / sqrt(greatest(s2n - mu * mu, 1e-300))) AS z
+            FROM sx0
+        ),
+        sx2 AS (
+            SELECT series_id, label,
+                   list_transform(range(0, {nseg}), g ->
+                       {_sql_fold0(f'z[g * {seg} + 1 : g * {seg} + {seg}]')}
+                           / {float(seg)!r}) AS p
+            FROM sx1
+        ),
+        scodes AS (
+            SELECT series_id, label,
+                   list_transform(p, v ->
+                       len(list_filter({betas}, b -> v >= b))) AS codes
+            FROM sx2
+        )"""
+
+
+_SQL_SAX_WORD = (
+    "array_to_string(list_transform(codes, c ->"
+    " substr('abcdefghij', cast(c AS int) + 1, 1)), '')"
+)
+
+
+def _sql_mindist_sq(nseg: int, a: int, length: int, ca: str, cb: str) -> str:
+    """Scaled squared MINDIST between two code-array expressions — mirrors
+    sax_mindist_sq's zip/fold (cells, then acc + cell^2, then scale)."""
+    betas = _sql_betas(a)
+    cell = (
+        f"(CASE WHEN abs({ca}[i] - {cb}[i]) <= 1 THEN 0.0"
+        f" ELSE {betas}[greatest({ca}[i], {cb}[i])]"
+        f" - {betas}[least({ca}[i], {cb}[i]) + 1] END)"
+    )
+    return (
+        f"{float(length) / float(nseg)!r} * list_reduce("
+        f"list_prepend(cast(0.0 AS double),"
+        f" list_transform(range(1, {nseg} + 1), i -> {cell})),"
+        f" (a, v) -> a + v * v)"
+    )
+
+
+def _sql_window_ctes(m: int) -> str:
+    """Sliding-window chain over ``series`` -> ``wz`` (series_id, start,
+    zw): per-window znorm with the same mean/var folds and std guard as
+    subsequence_windows(znormalize=True)."""
+    return f"""widx AS (
+            SELECT series_id, features,
+                   unnest(range(1, len(features) - {m} + 2)) AS start
+            FROM series WHERE len(features) >= {m}
+        ),
+        wraw AS (
+            SELECT series_id, start,
+                   features[start : start + {m} - 1] AS w
+            FROM widx
+        ),
+        wst AS (
+            SELECT series_id, start, w,
+                   {_sql_fold0('w')} / len(w) AS mu,
+                   {_sql_fold0('list_transform(w, v -> v * v)')} / len(w) AS s2n
+            FROM wraw
+        ),
+        wz AS (
+            SELECT series_id, start,
+                   list_transform(w, v -> (v - mu)
+                       / sqrt(greatest(s2n - mu * mu, 1e-300))) AS zw
+            FROM wst
+        )"""
+
+
+def _sql_matrix_profile_ctes(m: int, excl: int) -> str:
+    """wz self-join -> ``mprof`` ranked per (series_id, start); rk = 1 rows
+    are the matrix profile. Distance fold mirrors sq_euclidean's zip/fold."""
+    d = (
+        f"list_reduce(list_prepend(cast(0.0 AS double),"
+        f" list_transform(range(1, {m} + 1), i ->"
+        f" (a.zw[i] - b.zw[i]) * (a.zw[i] - b.zw[i]))), (x, y) -> x + y)"
+    )
+    return f"""mpp AS (
+            SELECT a.series_id AS series_id, a.start AS start,
+                   b.start AS nn_start, {d} AS d
+            FROM wz a JOIN wz b
+              ON a.series_id = b.series_id
+             AND abs(a.start - b.start) >= {excl}
+        ),
+        mprof AS (
+            SELECT series_id, start, nn_start, d,
+                   row_number() OVER (PARTITION BY series_id, start
+                                      ORDER BY d ASC, nn_start ASC) AS rk
+            FROM mpp
+        )"""
+
+
+def _sql_window_word_ctes(m: int, nseg: int, a: int) -> str:
+    """wz -> per-window SAX word (``ww``: series_id, start, word) — the
+    _window_words mirror (each window already znormed by the wz chain,
+    matching sax_codes' internal znorm on the slice)."""
+    seg = m // nseg
+    betas = _sql_betas(a)
+    return f"""wp AS (
+            SELECT series_id, start,
+                   list_transform(range(0, {nseg}), g ->
+                       {_sql_fold0(f'zw[g * {seg} + 1 : g * {seg} + {seg}]')}
+                           / {float(seg)!r}) AS p
+            FROM wz
+        ),
+        wc AS (
+            SELECT series_id, start,
+                   list_transform(p, v ->
+                       len(list_filter({betas}, b -> v >= b))) AS codes
+            FROM wp
+        ),
+        ww AS (
+            SELECT series_id, start, {_SQL_SAX_WORD} AS word FROM wc
         )"""
 
 
@@ -6156,6 +6482,192 @@ def oracle_sql() -> dict[str, str]:
         {_sql_perceptron_ctes(epochs=4, dim=6, pf_body=pf131)}
         SELECT cast(d.dim AS int) AS dim, a.a[d.dim + 1] AS weight
         FROM pd d CROSS JOIN pa4 a
+    """
+
+    # q132: SAX symbolization — every fold (znorm mean/var, PAA segment
+    # means, breakpoint counts) mirrored in IEEE order; the word is a
+    # deterministic string concat
+    out["q132_sax_symbols"] = f"""
+        WITH {_SERIES_CTE},
+        {_sql_sax_ctes(8, 4, SERIES_LEN)}
+        SELECT series_id, label, {_SQL_SAX_WORD} AS sax_word FROM scodes
+    """
+
+    # q133: symbol-space KNN — MINDIST^2 ranking with the reference heapq
+    # tie order, Counter-parity vote (q10's discipline on SAX words)
+    out["q133_sax_knn"] = f"""
+        WITH {_SERIES_CTE},
+        {_sql_sax_ctes(8, 4, SERIES_LEN)},
+        strain AS (SELECT * FROM scodes WHERE series_id % 4 != 0),
+        stest  AS (SELECT * FROM scodes WHERE series_id % 4 = 0),
+        spairs AS (
+            SELECT t.series_id AS test_id, r.series_id AS train_id,
+                   r.label AS train_label,
+                   {_sql_mindist_sq(8, 4, SERIES_LEN, 't.codes', 'r.codes')} AS d
+            FROM stest t CROSS JOIN strain r
+        ),
+        sranked AS (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                ORDER BY d ASC, train_label ASC, train_id ASC) AS rank
+            FROM spairs
+        ),
+        topk AS (SELECT * FROM sranked WHERE rank <= 5),
+        {_VOTE_SQL.strip().rstrip()}
+        SELECT test_id, train_label AS predicted_label FROM sel WHERE vrk = 1
+    """
+
+    # q134: matrix profile — per-window znorm folds + self-join with the
+    # exclusion zone, min per window under (d, nn_start) total order
+    out["q134_matrix_profile"] = f"""
+        WITH {_SERIES_CTE},
+        {_sql_window_ctes(8)},
+        {_sql_matrix_profile_ctes(8, 4)}
+        SELECT series_id, start, nn_start, d AS profile_d
+        FROM mprof WHERE rk = 1
+    """
+
+    # q135: discord/motif argmax/argmin over the q134 profile
+    out["q135_series_discords"] = f"""
+        WITH {_SERIES_CTE},
+        {_sql_window_ctes(8)},
+        {_sql_matrix_profile_ctes(8, 4)},
+        prof AS (
+            SELECT series_id, start, nn_start, d AS profile_d
+            FROM mprof WHERE rk = 1
+        ),
+        pr2 AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY series_id
+                       ORDER BY profile_d DESC, start ASC) AS rd,
+                   row_number() OVER (PARTITION BY series_id
+                       ORDER BY profile_d ASC, start ASC) AS rm
+            FROM prof
+        )
+        SELECT d.series_id, d.start AS discord_start,
+               d.profile_d AS discord_d,
+               m.start AS motif_start, m.profile_d AS motif_d
+        FROM (SELECT * FROM pr2 WHERE rd = 1) d
+        JOIN (SELECT * FROM pr2 WHERE rm = 1) m USING (series_id)
+    """
+
+    # q136: corpus-scale motif words — bounded-vocabulary aggregation of
+    # per-window SAX words
+    out["q136_motif_words"] = f"""
+        WITH {_SERIES_CTE},
+        {_sql_window_ctes(8)},
+        {_sql_window_word_ctes(8, 4, 4)}
+        SELECT word, count(*) AS n_windows,
+               cast(count(DISTINCT series_id) AS bigint) AS n_series
+        FROM ww GROUP BY word
+    """
+
+    # q137: Bag-of-Patterns 1-NN — numerosity-reduced word histograms,
+    # EXACT int64 distance ||a||^2 + ||b||^2 - 2<a,b> via the sparse
+    # word-join dot product (absent pairs coalesce to dot = 0)
+    out["q137_bop_classify"] = f"""
+        WITH {_SERIES_CTE},
+        {_sql_window_ctes(8)},
+        {_sql_window_word_ctes(8, 4, 4)},
+        wl AS (
+            SELECT series_id, list(word ORDER BY start) AS words
+            FROM ww GROUP BY series_id
+        ),
+        wnr AS (
+            SELECT series_id,
+                   list_filter(list_transform(range(1, len(words) + 1),
+                       i -> CASE WHEN i = 1 OR words[i] != words[i - 1]
+                                 THEN words[i] END),
+                       x -> x IS NOT NULL) AS words
+            FROM wl
+        ),
+        hcnt AS (
+            SELECT series_id, word, cast(count(*) AS bigint) AS cnt
+            FROM (SELECT series_id, unnest(words) AS word FROM wnr)
+            GROUP BY series_id, word
+        ),
+        thist AS (
+            SELECT series_id, word, cnt FROM hcnt WHERE series_id % 4 = 0
+        ),
+        rhist AS (
+            SELECT h.series_id, s.label, h.word, h.cnt
+            FROM hcnt h JOIN series s ON h.series_id = s.series_id
+            WHERE h.series_id % 4 != 0
+        ),
+        tn AS (
+            SELECT series_id, cast(sum(cnt * cnt) AS bigint) AS n2
+            FROM thist GROUP BY series_id
+        ),
+        rn AS (
+            SELECT series_id, label, cast(sum(cnt * cnt) AS bigint) AS n2
+            FROM rhist GROUP BY series_id, label
+        ),
+        dots AS (
+            SELECT t.series_id AS test_id, r.series_id AS train_id,
+                   cast(sum(t.cnt * r.cnt) AS bigint) AS dot
+            FROM thist t JOIN rhist r USING (word)
+            GROUP BY t.series_id, r.series_id
+        ),
+        bpairs AS (
+            SELECT tn.series_id AS test_id, rn.series_id AS train_id,
+                   rn.label AS train_label,
+                   tn.n2 + rn.n2 - 2 * coalesce(d.dot, 0) AS d
+            FROM tn CROSS JOIN rn
+            LEFT JOIN dots d
+              ON d.test_id = tn.series_id AND d.train_id = rn.series_id
+        ),
+        brk AS (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                ORDER BY d ASC, train_label ASC, train_id ASC) AS rk
+            FROM bpairs
+        )
+        SELECT test_id, train_label AS predicted_label FROM brk WHERE rk = 1
+    """
+
+    # q138: distance-weighted vote — the per-label weight sum folds over
+    # list(sqrt(d) ORDER BY rank), bit-matching Spark's rank-sorted array
+    # fold (never an order-undefined float groupBy sum)
+    out["q138_knn_weighted"] = f"""
+        WITH {_SERIES_CTE},
+        {_KNN_TOPK_CTE},
+        wv AS (
+            SELECT test_id, train_label, min(rank) AS best_rank,
+                   list_reduce(list_prepend(cast(0.0 AS double),
+                       list(sqrt(d) ORDER BY rank)),
+                       (a, v) -> a + 1.0 / (1.0 + v)) AS wsum
+            FROM topk GROUP BY test_id, train_label
+        ),
+        wsel AS (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                ORDER BY wsum DESC, best_rank ASC, train_label ASC) AS vrk
+            FROM wv
+        )
+        SELECT test_id, train_label AS predicted_label, wsum AS weight
+        FROM wsel WHERE vrk = 1
+    """
+
+    # q139: KNN regression — the prediction mean folds neighbor targets in
+    # rank order; targets are the same left-fold series means on both sides
+    out["q139_knn_regress"] = f"""
+        WITH {_SERIES_CTE},
+        {_KNN_TOPK_CTE},
+        tgt AS (
+            SELECT series_id,
+                   {_sql_fold0('features')} / len(features) AS target
+            FROM series
+        ),
+        nb AS (
+            SELECT k.test_id, k.rank, t.target AS train_target
+            FROM topk k JOIN tgt t ON k.train_id = t.series_id
+        ),
+        pr AS (
+            SELECT test_id,
+                   list_reduce(list_prepend(cast(0.0 AS double),
+                       list(train_target ORDER BY rank)), (a, v) -> a + v)
+                       / count(*) AS prediction
+            FROM nb GROUP BY test_id
+        )
+        SELECT p.test_id, p.prediction, t2.target AS actual
+        FROM pr p JOIN tgt t2 ON p.test_id = t2.series_id
     """
 
     return out

@@ -284,7 +284,8 @@ def bop_classify(
     )
     pairs = (
         t_norm.alias("tn")
-        .crossJoin(r_norm.alias("rn"))
+        # train norms are 2 ints per series — broadcast hint (knn.py J3)
+        .crossJoin(F.broadcast(r_norm.alias("rn")))
         .select(
             F.col("tn.series_id").alias("test_id"),
             F.col("rn.series_id").alias("train_id"),

@@ -163,7 +163,9 @@ def sax_knn_classify(
     )
     pairs = (
         test_sax.alias("t")
-        .crossJoin(train_sax.alias("r"))
+        # the train side is words (n_segments small ints/row) — broadcast is
+        # a hint, never a driver collect (knn.py J3 discipline)
+        .crossJoin(F.broadcast(train_sax.alias("r")))
         .select(
             F.col("t.series_id").alias("test_id"),
             F.col("r.series_id").alias("train_id"),
