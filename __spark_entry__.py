@@ -2712,6 +2712,28 @@ def _q139_knn_regress(spark, sf_dir):
     return pred.join(actual, "test_id")
 
 
+# q140 query pattern: a spike shape, z-normalized driver-side with the
+# engine's fold order; BOTH the Spark literal and the oracle literal embed
+# the identical normalized floats
+_Q140_PATTERN_RAW = [0.0, 0.5, 2.0, 4.0, 2.0, 0.5, 0.0, -0.5]
+
+
+def _q140_subsequence_search(spark, sf_dir):
+    """Anchored subsequence search (operators/motif.py::
+    subsequence_search): top-25 windows across the WHOLE corpus closest to
+    a given query pattern (z-normalized sq-Euclidean). Map-only window
+    explode, pattern shipped as a plan literal (no join), then
+    TakeOrderedAndProject — per-partition top-k, k-row driver merge, NO
+    global sort shuffle. The 'find this shape in 100 TB of telemetry'
+    primitive."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import subsequence_search
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import events_to_series
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return subsequence_search(series, _Q140_PATTERN_RAW, k=25)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2853,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_bop_classify": _q137_bop_classify,
         "q138_knn_weighted": _q138_knn_weighted,
         "q139_knn_regress": _q139_knn_regress,
+        "q140_subsequence_search": _q140_subsequence_search,
     }
 
 
@@ -6668,6 +6691,27 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT p.test_id, p.prediction, t2.target AS actual
         FROM pr p JOIN tgt t2 ON p.test_id = t2.series_id
+    """
+
+    # q140: anchored subsequence search — same wz window chain as q134;
+    # the normalized pattern literal is byte-identical to the Spark plan's
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.motif import _py_znorm_fold
+
+    _pat = _py_znorm_fold(_Q140_PATTERN_RAW)
+    _pat_sql = "[" + ", ".join(repr(v) for v in _pat) + "]"
+    _pat_d = (
+        f"list_reduce(list_prepend(cast(0.0 AS double),"
+        f" list_transform(range(1, {len(_pat)} + 1), i ->"
+        f" (zw[i] - ({_pat_sql})[i]) * (zw[i] - ({_pat_sql})[i]))),"
+        f" (x, y) -> x + y)"
+    )
+    out["q140_subsequence_search"] = f"""
+        WITH {_SERIES_CTE},
+        {_sql_window_ctes(len(_pat))}
+        SELECT series_id, start, {_pat_d} AS d
+        FROM wz
+        ORDER BY d ASC, series_id ASC, start ASC
+        LIMIT 25
     """
 
     return out

@@ -404,6 +404,30 @@ def main() -> None:
         lambda: _mat(entry_mod._q130_stump_filter(spark, sf_dir)),
         repeats=2,
     )
+    # SAX / subsequence family (r5 cont.): symbol-space KNN (words, not raw
+    # vectors), the per-series matrix-profile self-join, the integer-exact
+    # Bag-of-Patterns classifier, and anchored pattern search
+    # (TakeOrderedAndProject, no global sort)
+    run(
+        "sax_knn_classify",
+        lambda: _mat(entry_mod._q133_sax_knn(spark, sf_dir)),
+        repeats=2,
+    )
+    run(
+        "matrix_profile",
+        lambda: _mat(entry_mod._q134_matrix_profile(spark, sf_dir)),
+        repeats=2,
+    )
+    run(
+        "bop_classify",
+        lambda: _mat(entry_mod._q137_bop_classify(spark, sf_dir)),
+        repeats=2,
+    )
+    run(
+        "subsequence_search",
+        lambda: _mat(entry_mod._q140_subsequence_search(spark, sf_dir)),
+        repeats=2,
+    )
 
     # --- fallback tier: the guarded 100 TB paths --------------------------
     # Each fb_* entry runs the SAME input as its fast-path twin but forces

@@ -150,6 +150,13 @@ SLOW_SUBSET = [
     # composed feature-space series classifier (r5): series build + feature
     # folds + quantization + 4 epochs under one hash
     "q131_series_classifier",
+    # SAX / subsequence family (r5): the window self-join (q134) and the
+    # BOP sparse-distance chain (q137) are the plan-shape-sensitive ones;
+    # q133's MINDIST vote and q140's TakeOrdered top-k ride along
+    "q133_sax_knn",
+    "q134_matrix_profile",
+    "q137_bop_classify",
+    "q140_subsequence_search",
 ]
 
 

@@ -20,6 +20,7 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.o
     sax_mindist_sq,
     sax_symbolize,
     series_discords,
+    subsequence_search,
     subsequence_windows,
 )
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sax import SAX_ALPHABET
@@ -385,3 +386,24 @@ def test_sax_knn_vs_raw_knn_agreement(spark, har_dfs):
     ).collect()
     acc = sum(1 for r in joined if r["predicted_label"] == r["actual"]) / len(joined)
     assert acc >= 0.6, acc
+
+
+def test_subsequence_search_golden(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.motif import _py_znorm_fold
+
+    rng = np.random.default_rng(21)
+    rows = [(i, [float(v) for v in rng.normal(0, 1, 14)]) for i in range(12)]
+    pattern = [0.0, 1.0, 3.0, 1.0, 0.0]
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    got = subsequence_search(df, pattern, k=7).collect()
+    pat = _py_znorm_fold(pattern)
+    cand = []
+    for sid, f in rows:
+        for s, w in _py_windows(f, 5):
+            cand.append((_py_sq_euclid(_py_znorm(w), pat), sid, s))
+    cand.sort()
+    assert [(r["d"], r["series_id"], r["start"]) for r in got] == cand[:7]
+    with pytest.raises(ValueError):
+        subsequence_search(df, [], k=3)
+    with pytest.raises(ValueError):
+        subsequence_search(df, pattern, k=0)

@@ -97,5 +97,6 @@ from .motif import (  # noqa: F401
     matrix_profile,
     motif_words,
     series_discords,
+    subsequence_search,
     subsequence_windows,
 )

@@ -28,6 +28,8 @@ DuckDB oracles mirror every fold.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -148,6 +150,66 @@ def series_discords(profile: DataFrame) -> DataFrame:
         F.col("profile_d").alias("motif_d"),
     )
     return discord.join(motif, "series_id")
+
+
+def subsequence_search(
+    series: DataFrame,
+    pattern: list[float],
+    *,
+    k: int = 10,
+    features_col: str = "features",
+    znormalize: bool = True,
+) -> DataFrame:
+    """Top-k closest windows to a GIVEN query pattern across the whole
+    corpus (anchored subsequence search): every length-len(pattern) window
+    of every series, ranked by (z-normalized) squared Euclidean distance
+    to the pattern. Returns (series_id, start, d), the k best under the
+    total order (d, series_id, start).
+
+    Plan: map-only window explode -> codegen'd fold against the pattern
+    LITERAL (shipped in the plan, no join) -> TakeOrderedAndProject (the
+    sort-limit fuses into a per-partition top-k + driver merge of k rows —
+    no global sort shuffle). The pattern is z-normalized driver-side with
+    the same fold arithmetic the engine uses, so the oracle can embed the
+    identical literal.
+    """
+    m = len(pattern)
+    if m < 1:
+        raise ValueError("pattern must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if znormalize:
+        pattern = _py_znorm_fold(pattern)
+    w = subsequence_windows(
+        series, m, features_col=features_col, znormalize=znormalize
+    )
+    lit_pat = F.array(*[F.lit(float(v)) for v in pattern])
+    return (
+        w.select(
+            "series_id",
+            "start",
+            sq_euclidean(F.col("win"), lit_pat).alias("d"),
+        )
+        .orderBy(F.asc("d"), F.asc("series_id"), F.asc("start"))
+        .limit(k)
+    )
+
+
+def _py_znorm_fold(f: list[float]) -> list[float]:
+    """Driver-side z-norm with the engine's exact fold order (sequential
+    sums, var = s2/n - mu^2, sqrt(max(var, 1e-300)) guard) — used only to
+    normalize a QUERY PATTERN literal, never data."""
+    n = len(f)
+    s1 = 0.0
+    for v in f:
+        s1 += v
+    mu = s1 / n
+    s2 = 0.0
+    for v in f:
+        s2 += v * v
+    var = s2 / n - mu * mu
+    std = math.sqrt(max(var, 1e-300))
+    return [(v - mu) / std for v in f]
 
 
 def _window_words(

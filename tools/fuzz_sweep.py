@@ -576,6 +576,119 @@ def sweep_bm25(trials: int, seed: int) -> int:
     return fails
 
 
+def sweep_sax(trials: int, seed: int) -> int:
+    """Random (length, n_segments, alphabet) SAX geometry + random series
+    (incl. constant/near-constant rows hitting the std guard) through
+    sax_symbolize and matrix_profile vs pure-Python fold-order goldens —
+    exact equality, the oracle-parity arithmetic contract."""
+    import math
+    import random
+
+    import numpy as np
+    from pyspark.sql import SparkSession
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import matrix_profile, sax_symbolize
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sax import SAX_ALPHABET, SAX_BREAKPOINTS
+
+    def znorm(f):
+        n = len(f)
+        s1 = 0.0
+        for v in f:
+            s1 += v
+        mu = s1 / n
+        s2 = 0.0
+        for v in f:
+            s2 += v * v
+        std = math.sqrt(max(s2 / n - mu * mu, 1e-300))
+        return [(v - mu) / std for v in f]
+
+    def sax_word(f, nseg, a, length):
+        z = znorm(f)
+        seg = length // nseg
+        betas = SAX_BREAKPOINTS[a]
+        word = ""
+        for g in range(nseg):
+            s = 0.0
+            for v in z[g * seg : g * seg + seg]:
+                s += v
+            m = s / float(seg)
+            word += SAX_ALPHABET[sum(1 for b in betas if m >= b)]
+        return word
+
+    def sqd(x, y):
+        s = 0.0
+        for p, q in zip(x, y):
+            s += (p - q) * (p - q)
+        return s
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    fails = 0
+    for trial in range(trials):
+        rng = random.Random(seed * 5531 + trial)
+        nrng = np.random.default_rng(seed * 5531 + trial)
+        nseg = rng.choice([2, 4, 8])
+        length = nseg * rng.randint(1, 6)
+        a = rng.randint(2, 10)
+        n = rng.randint(1, 30)
+        rows = []
+        for i in range(n):
+            kind = rng.random()
+            if kind < 0.15:
+                f = [float(rng.uniform(-5, 5))] * length  # constant
+            elif kind < 0.3:
+                base = rng.uniform(-5, 5)
+                f = [base + (1e-9 if j == 0 else 0.0) for j in range(length)]
+            else:
+                f = [float(v) for v in nrng.normal(0, rng.uniform(0.1, 5), length)]
+            rows.append((i, f))
+        df = spark.createDataFrame(rows, "series_id long, features array<double>")
+        got = {
+            r["series_id"]: r["sax_word"]
+            for r in sax_symbolize(
+                df, n_segments=nseg, alphabet_size=a, length=length
+            ).collect()
+        }
+        for sid, f in rows:
+            exp = sax_word(f, nseg, a, length)
+            if got[sid] != exp:
+                print(f"SAX MISMATCH trial={trial} sid={sid} got={got[sid]} exp={exp}")
+                fails += 1
+        # matrix profile on a subset (quadratic golden)
+        m = rng.randint(2, max(2, length // 2))
+        excl = rng.randint(1, max(1, m))
+        prof = {
+            (r["series_id"], r["start"]): (r["profile_d"], r["nn_start"])
+            for r in matrix_profile(df, m, exclusion=excl).collect()
+        }
+        exp_prof = {}
+        for sid, f in rows:
+            if len(f) < m:
+                continue
+            wins = [(s + 1, znorm(f[s : s + m])) for s in range(len(f) - m + 1)]
+            for sa, wa in wins:
+                best = None
+                for sb, wb in wins:
+                    if abs(sa - sb) < excl:
+                        continue
+                    key = (sqd(wa, wb), sb)
+                    if best is None or key < best:
+                        best = key
+                if best is not None:
+                    exp_prof[(sid, sa)] = best
+        if set(prof) != set(exp_prof) or any(
+            prof[k] != exp_prof[k] for k in exp_prof
+        ):
+            print(f"MATRIX-PROFILE MISMATCH trial={trial} (m={m} excl={excl})")
+            fails += 1
+    print(f"sax sweep: {trials} trials, {fails} failures")
+    return fails
+
+
 SWEEPS = {
     "dtw": sweep_dtw,
     "asof": sweep_asof,
@@ -585,8 +698,9 @@ SWEEPS = {
     "bpe": sweep_bpe,
     "bm25": sweep_bm25,
     "classify": sweep_classify,
+    "sax": sweep_sax,
 }
-DEFAULT_TRIALS = {"dtw": 250, "asof": 40, "interval": 20, "components": 12, "jpeg": 30, "bpe": 12, "bm25": 25, "classify": 15}
+DEFAULT_TRIALS = {"dtw": 250, "asof": 40, "interval": 20, "components": 12, "jpeg": 30, "bpe": 12, "bm25": 25, "classify": 15, "sax": 12}
 
 
 def main() -> None:
