@@ -2734,6 +2734,23 @@ def _q140_subsequence_search(spark, sf_dir):
     return subsequence_search(series, _Q140_PATTERN_RAW, k=25)
 
 
+def _q141_knn_cv(spark, sf_dir):
+    """k-fold cross-validation in ONE plan (operators/evaluate.py::
+    knn_cross_validate — the fold analog of q28's k-sweep trick): every
+    series is a test row once (fold = id % 4), neighbors come from the
+    other folds via a single fold-inequality cross join, and all four
+    per-fold accuracies come out of one WindowGroupLimit + vote +
+    aggregate chain. Loop-based CV would run the reference's full cross
+    product 4 times (Team11-Project.py re-ran ~20 cluster-minutes per
+    hyperparameter point); this is the same pair volume as ONE run."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_cross_validate
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import events_to_series
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return knn_cross_validate(series, folds=4, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2876,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_knn_weighted": _q138_knn_weighted,
         "q139_knn_regress": _q139_knn_regress,
         "q140_subsequence_search": _q140_subsequence_search,
+        "q141_knn_cv": _q141_knn_cv,
     }
 
 
@@ -6712,6 +6730,52 @@ def oracle_sql() -> dict[str, str]:
         FROM wz
         ORDER BY d ASC, series_id ASC, start ASC
         LIMIT 25
+    """
+
+    # q141: one-plan k-fold CV — fold-inequality cross join, q09's rank
+    # order and dist != 0 quirk, q10's vote, q12's exact-count accuracy
+    out["q141_knn_cv"] = f"""
+        WITH {_SERIES_CTE},
+        cvp AS (
+            SELECT a.series_id AS test_id, a.series_id % 4 AS fold,
+                   a.label AS actual,
+                   b.series_id AS train_id, b.label AS train_label,
+                   list_reduce(list_transform(range(1, len(a.features) + 1),
+                       i -> (a.features[i] - b.features[i])
+                            * (a.features[i] - b.features[i])),
+                       (x, y) -> x + y) AS d
+            FROM series a JOIN series b
+              ON b.series_id % 4 != a.series_id % 4
+        ),
+        cvr AS (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                ORDER BY d ASC, train_label ASC, train_id ASC) AS rank
+            FROM cvp WHERE d != 0
+        ),
+        cvk AS (SELECT * FROM cvr WHERE rank <= 5),
+        cvv AS (
+            SELECT test_id, train_label, count(*) AS votes,
+                   min(rank) AS best_rank
+            FROM cvk GROUP BY test_id, train_label
+        ),
+        cvs AS (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                ORDER BY votes DESC, best_rank ASC, train_label ASC) AS vrk
+            FROM cvv
+        ),
+        cvpred AS (
+            SELECT s.test_id, s.train_label AS predicted_label,
+                   p.fold, p.actual
+            FROM cvs s JOIN (SELECT DISTINCT test_id, fold, actual FROM cvp) p
+              ON s.test_id = p.test_id
+            WHERE s.vrk = 1
+        )
+        SELECT fold, count(*) AS n_test,
+               cast(sum(CASE WHEN predicted_label = actual THEN 1 ELSE 0 END)
+                    AS bigint) AS n_correct,
+               avg(CASE WHEN predicted_label = actual
+                        THEN 1.0 ELSE 0.0 END) AS accuracy
+        FROM cvpred GROUP BY fold
     """
 
     return out

@@ -428,6 +428,13 @@ def main() -> None:
         lambda: _mat(entry_mod._q140_subsequence_search(spark, sf_dir)),
         repeats=2,
     )
+    # one-plan 4-fold CV: all folds' accuracies from a single
+    # fold-inequality cross join (vs folds x full reruns loop-based)
+    run(
+        "knn_cross_validate",
+        lambda: _mat(entry_mod._q141_knn_cv(spark, sf_dir)),
+        repeats=2,
+    )
 
     # --- fallback tier: the guarded 100 TB paths --------------------------
     # Each fb_* entry runs the SAME input as its fast-path twin but forces

@@ -157,6 +157,8 @@ SLOW_SUBSET = [
     "q134_matrix_profile",
     "q137_bop_classify",
     "q140_subsequence_search",
+    # one-plan k-fold CV (r5): the biggest single cross join in the registry
+    "q141_knn_cv",
 ]
 
 

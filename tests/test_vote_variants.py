@@ -71,3 +71,20 @@ def test_knn_regress_predict_golden(spark):
     got = {r["test_id"]: r["prediction"] for r in knn_regress_predict(df).collect()}
     assert got[1] == ((2.0 + 4.0) + 9.0) / 3.0
     assert got[2] == 5.0
+
+
+def test_knn_cross_validate_har(spark, har_dfs):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_cross_validate
+
+    train, test = har_dfs
+    series = train.unionByName(test)
+    out = knn_cross_validate(series, folds=4, k=3).collect()
+    n_total = series.count()
+    assert sum(r["n_test"] for r in out) == n_total
+    assert {r["fold"] for r in out} == {0, 1, 2, 3}
+    for r in out:
+        # separable archetypes: every fold classifies well
+        assert r["accuracy"] >= 0.8, (r["fold"], r["accuracy"])
+        assert r["n_correct"] <= r["n_test"]
+    with pytest.raises(ValueError):
+        knn_cross_validate(series, folds=1)

@@ -89,3 +89,74 @@ def k_sweep(
             )
         )
     return reduce(DataFrame.unionByName, per_k)
+
+
+def knn_cross_validate(
+    series: DataFrame,
+    *,
+    folds: int = 4,
+    k: int = 5,
+    id_col: str = "series_id",
+    features_col: str = "features",
+    label_col: str = "label",
+    exclude_zero: bool = True,
+) -> DataFrame:
+    """k-fold cross-validation of the Euclidean KNN classifier in ONE plan
+    — the fold analog of ``k_sweep``'s trick. The reference validates with
+    a single held-out split (split_train_test); proper CV would re-run its
+    full cross product per fold. Here EVERY row is a test row exactly once
+    (its fold = id % folds) and its candidate neighbors are all rows of the
+    OTHER folds — one cross join with a fold-inequality predicate scores
+    all folds simultaneously.
+
+    Output: (fold, n_test, n_correct, accuracy), one row per fold.
+
+    Scale shape: identical pair volume to ONE train/test run over the whole
+    corpus (the fold filter drops the 1/folds same-fold diagonal), vs
+    ``folds`` separate cross products for loop-based CV; top-k is the same
+    WindowGroupLimit window as q09, the vote/accuracy the same aggregates
+    as q10/q12. ``exclude_zero`` carries the reference's dist != 0 quirk
+    (Team11-Project.py:176-177) into every fold.
+    """
+    from ..functions.distance import sq_euclidean
+    from .topk import topk_per_key
+    from .vote import majority_vote
+
+    if folds < 2:
+        raise ValueError(f"folds must be >= 2, got {folds}")
+    a = series.select(
+        F.col(id_col).alias("test_id"),
+        (F.col(id_col) % folds).alias("fold"),
+        F.col(features_col).alias("_tf"),
+        F.col(label_col).alias("actual"),
+    )
+    b = series.select(
+        F.col(id_col).alias("train_id"),
+        (F.col(id_col) % folds).alias("_bfold"),
+        F.col(features_col).alias("_rf"),
+        F.col(label_col).alias("train_label"),
+    )
+    pairs = a.join(b, F.col("_bfold") != F.col("fold")).withColumn(
+        "_d", sq_euclidean(F.col("_tf"), F.col("_rf"))
+    )
+    if exclude_zero:
+        pairs = pairs.filter(F.col("_d") != 0)
+    topk = topk_per_key(
+        pairs,
+        "test_id",
+        [F.asc("_d"), F.asc("train_label"), F.asc("train_id")],
+        k,
+    )
+    pred = majority_vote(topk)
+    joined = pred.join(
+        a.select("test_id", "fold", "actual"), "test_id"
+    )
+    return joined.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(
+            (F.col("predicted_label") == F.col("actual")).cast("long")
+        ).alias("n_correct"),
+        F.avg(
+            (F.col("predicted_label") == F.col("actual")).cast("double")
+        ).alias("accuracy"),
+    )
