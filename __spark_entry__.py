@@ -5907,8 +5907,9 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rank <= 5
     """
 
-    # q115: full PQ replay — subspace k-means (ntile seeds, int64-micro
-    # refit), encode, ordered ADC fold, top-64 shortlist, exact rerank
+    # q115: full PQ replay — subspace k-means (hash-ranked spread seeds,
+    # int64-micro refit), encode, ordered ADC fold, top-64 shortlist,
+    # exact rerank
     out["q115_ann_pq"] = f"""
         WITH c AS (
             SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
