@@ -2751,6 +2751,25 @@ def _q141_knn_cv(spark, sf_dir):
     return knn_cross_validate(series, folds=4, k=5)
 
 
+def _q142_sbd_knn(spark, sf_dir):
+    """Shape-based-distance KNN (functions/distance.py::sbd): k-Shape's
+    NCC_c distance (Paparrizos & Gravano, SIGMOD 2015) — 1 minus the
+    maximum coefficient-normalized cross-correlation over all 2n-1 shifts.
+    The alignment-free complement of DTW (a time-SHIFTED series is near,
+    where euclidean sees it as far) and, unlike DTW, a pure Catalyst
+    expression: the whole shift sweep is transform(sequence)+aggregate
+    folds, whole-stage codegen'd, zero Python. Same broadcast cross join +
+    WindowGroupLimit shape as q09/q70; the oracle mirrors every fold in
+    list_transform/list_reduce (bit-exact: IEEE mul/div/sqrt + exact max,
+    same op order)."""
+    _prep(spark)
+    train, test = _series(spark, sf_dir)
+    nn = knn_join(test, train, metric="sbd", k=3, strategy="broadcast")
+    return nn.select(
+        "test_id", "train_id", "rank", F.round("distance", 6).alias("distance")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2894,6 +2913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_knn_regress": _q139_knn_regress,
         "q140_subsequence_search": _q140_subsequence_search,
         "q141_knn_cv": _q141_knn_cv,
+        "q142_sbd_knn": _q142_sbd_knn,
     }
 
 
@@ -6777,6 +6797,49 @@ def oracle_sql() -> dict[str, str]:
                avg(CASE WHEN predicted_label = actual
                         THEN 1.0 ELSE 0.0 END) AS accuracy
         FROM cvpred GROUP BY fold
+    """
+
+    # q142: shape-based distance — norms, the 2n-1 shift cross-correlation
+    # sweep, and the max are all mirrored fold-for-fold (exact max + IEEE
+    # mul/div/sqrt in the Spark expression's op order); d != 0 is q09's
+    # exclude-zero quirk
+    out["q142_sbd_knn"] = f"""
+        WITH {_SERIES_CTE},
+        pairs AS (
+            SELECT t.series_id AS test_id, r.series_id AS train_id,
+                   r.label AS train_label, t.features AS fa, r.features AS fb
+            FROM test t CROSS JOIN train r
+        ),
+        scored AS (
+            SELECT test_id, train_id, train_label,
+                   CASE WHEN nrm = 0 THEN 1.0
+                        ELSE 1.0 - list_reduce(cc, (x, y) -> greatest(x, y))
+                                   / nrm
+                   END AS d
+            FROM (
+                SELECT *,
+                       sqrt(list_reduce(list_prepend(0.0,
+                            list_transform(fa, x -> x * x)), (x, y) -> x + y))
+                     * sqrt(list_reduce(list_prepend(0.0,
+                            list_transform(fb, x -> x * x)), (x, y) -> x + y))
+                       AS nrm,
+                       list_transform(range(1 - len(fa), len(fa)), s ->
+                           list_reduce(list_prepend(0.0,
+                               list_transform(range(1, len(fa) - abs(s) + 1),
+                                   t -> fa[t + greatest(s, 0)]
+                                        * fb[t - least(s, 0)])),
+                               (x, y) -> x + y)) AS cc
+                FROM pairs
+            )
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                        ORDER BY d ASC, train_label ASC, train_id ASC) AS rank
+            FROM scored WHERE d != 0
+        )
+        SELECT test_id, train_id, cast(rank AS int) AS rank,
+               round(d, 6) AS distance
+        FROM ranked WHERE rank <= 3
     """
 
     return out

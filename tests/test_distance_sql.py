@@ -12,6 +12,7 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.f
     euclidean,
     manhattan,
     make_dtw_udf,
+    sbd,
     sq_euclidean,
 )
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.dtw_kernel import (
@@ -52,6 +53,86 @@ def test_sql_distances_match_numpy(pairs_df):
         assert r["cos"] == pytest.approx(
             1 - (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
         )
+
+
+def _sbd_np(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    n = len(a)
+    nrm = np.linalg.norm(a) * np.linalg.norm(b)
+    if nrm == 0:
+        return 1.0
+    best = -np.inf
+    for s in range(-(n - 1), n):
+        if s >= 0:
+            cc = float((a[s:] * b[: n - s]).sum())
+        else:
+            cc = float((a[: n + s] * b[-s:]).sum())
+        best = max(best, cc)
+    return 1.0 - best / nrm
+
+
+def test_sbd_matches_numpy(pairs_df):
+    df, rows = pairs_df
+    got = {
+        r["id"]: r["d"]
+        for r in df.select("id", sbd(F.col("a"), F.col("b")).alias("d")).collect()
+    }
+    for i, a, b in rows:
+        assert got[i] == pytest.approx(_sbd_np(a, b), abs=1e-12)
+
+
+def test_sbd_shift_invariance_and_guards(spark):
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16)
+    shifted = np.concatenate([np.zeros(5), base[:-5]])  # 5-step delay
+    rows = [
+        (0, [float(x) for x in base], [float(x) for x in shifted]),
+        (1, [float(x) for x in base], [float(x) for x in rng.normal(size=16)]),
+        (2, [float(x) for x in base], [float(x) for x in base]),
+        (3, [0.0] * 16, [float(x) for x in base]),  # zero-norm guard
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            sbd(F.col("a"), F.col("b")).alias("s"),
+            euclidean(F.col("a"), F.col("b")).alias("e"),
+        ).collect()
+    }
+    # a delayed copy is SBD-near but euclidean-far — the property the
+    # distance exists for
+    assert got[0]["s"] < 0.35 < got[1]["s"]
+    assert got[0]["e"] > np.linalg.norm(base - np.roll(base, 5)) * 0.5
+    assert got[2]["s"] == pytest.approx(0.0, abs=1e-12)  # identical series
+    assert got[3]["s"] == 1.0  # flat-zero series pins to max distance
+
+
+def test_sbd_knn_join_integration(spark):
+    """metric='sbd' plugs into the KNN operator suite via DISTANCES."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join
+
+    rng = np.random.default_rng(5)
+    tr = [
+        (i, [float(x) for x in rng.normal(size=12)], f"c{i % 2}") for i in range(20)
+    ]
+    te = [(100 + i, [float(x) for x in rng.normal(size=12)], "?") for i in range(4)]
+    schema = "series_id long, features array<double>, label string"
+    train, test = spark.createDataFrame(tr, schema), spark.createDataFrame(te, schema)
+    out = knn_join(test, train, metric="sbd", k=3, strategy="broadcast").collect()
+    assert len(out) == 12
+    by_test = {}
+    for r in out:
+        by_test.setdefault(r["test_id"], []).append(r)
+    for tid, rs in by_test.items():
+        a = next(f for i, f, _ in te if i == tid)
+        want = sorted(
+            ((_sbd_np(a, f), lab, i) for i, f, lab in tr),
+        )[:3]
+        got = sorted((r["distance"], r["train_label"], r["train_id"]) for r in rs)
+        for (gd, gl, gi), (wd, wl, wi) in zip(got, want):
+            assert gd == pytest.approx(wd, abs=1e-12)
+            assert (gl, gi) == (wl, wi)
 
 
 def test_dtw_udf_matches_kernel(pairs_df):

@@ -6,6 +6,7 @@ from .distance import (  # noqa: F401
     dot,
     cosine_similarity,
     cosine_distance,
+    sbd,
     dtw_udf,
     make_dtw_udf,
     DISTANCES,

@@ -32,6 +32,7 @@ __all__ = [
     "dot",
     "cosine_similarity",
     "cosine_distance",
+    "sbd",
     "dtw_udf",
     "make_dtw_udf",
     "make_fastdtw_udf",
@@ -71,6 +72,41 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
 def cosine_distance(a: Column, b: Column) -> Column:
     return F.lit(1.0) - cosine_similarity(a, b)
+
+
+def sbd(a: Column, b: Column) -> Column:
+    """Shape-based distance (k-Shape; Paparrizos & Gravano, SIGMOD 2015):
+    ``1 - max_s NCC_c(s)`` where ``NCC_c(s) = CC_s(a, b) / (||a||*||b||)``
+    is the coefficient-normalized cross-correlation at shift
+    ``s in [-(n-1), n-1]``. Phase-invariant: two series that are shifted
+    copies of each other are at distance ~0 even though their euclidean
+    distance is large — the alignment-free complement of DTW's warping.
+
+    Pure Catalyst expression (no UDF): the shift sweep is a
+    ``transform(sequence(...))`` over 2n-1 shifts, each an ``aggregate``
+    left fold over the overlap — O(n^2) per pair like the textbook
+    definition, whole-stage codegen'd. Left-fold op order + IEEE
+    mul/div/sqrt only, so a DuckDB ``list_transform``/``list_reduce``
+    twin reproduces it bit-for-bit. Zero-norm inputs (a flat-zero series
+    has no shape) pin to the maximum distance 1.0 instead of NaN.
+
+    Both inputs must be equal length (same contract as the other series
+    distances; the overlap indexing reads ``size(a)``)."""
+    n = F.size(a)
+    norm = F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
+    cc = F.transform(
+        F.sequence(F.lit(1) - n, n - F.lit(1)),
+        lambda s: F.aggregate(
+            F.sequence(F.lit(1), n - F.abs(s)),
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.element_at(a, (t + F.greatest(s, F.lit(0))).cast("int"))
+            * F.element_at(b, (t - F.least(s, F.lit(0))).cast("int")),
+        ),
+    )
+    return F.when(norm == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.array_max(cc) / norm
+    )
 
 
 def _stack_series(elems: np.ndarray) -> np.ndarray:
@@ -158,6 +194,7 @@ DISTANCES: dict[str, Callable[[Column, Column], Column]] = {
     "manhattan": manhattan,
     "chebyshev": chebyshev,
     "cosine": cosine_distance,
+    "sbd": sbd,
     "dtw": dtw_udf,
 }
 
