@@ -2751,6 +2751,28 @@ def _q141_knn_cv(spark, sf_dir):
     return knn_cross_validate(series, folds=4, k=5)
 
 
+def _q143_ts_kmedoids(spark, sf_dir):
+    """DTW k-medoids clustering (operators/cluster.py::ts_kmedoids): the
+    clustering sibling of the reference's KNN classifier — PAM-style
+    seed -> assign -> medoid-update -> reassign where the centroid is an
+    actual corpus series, so DTW (no mean defined) clusters without
+    barycenter math. Spread-hash seeds (q72 spec), micro-rounded distances
+    before every decision (integer-exact argmins on any engine/partition
+    order), total-order tie-breaks. The oracle replays the ENTIRE
+    algorithm: the q70 recursive-CTE DTW builds the pair-distance matrix,
+    then window argmins mirror both assignment passes and the
+    sum-of-distances medoid update — an iterative clustering algorithm
+    with a hash-graded proof (the q102/q125 playbook). Spark computes only
+    the staged pairs (n*k + within-cluster); the oracle's full matrix is a
+    superset, so the staged results coincide."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import ts_kmedoids
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import events_to_series
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return ts_kmedoids(series, k=4, metric="dtw")
+
+
 def _q142_sbd_knn(spark, sf_dir):
     """Shape-based-distance KNN (functions/distance.py::sbd): k-Shape's
     NCC_c distance (Paparrizos & Gravano, SIGMOD 2015) — 1 minus the
@@ -2914,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_subsequence_search": _q140_subsequence_search,
         "q141_knn_cv": _q141_knn_cv,
         "q142_sbd_knn": _q142_sbd_knn,
+        "q143_ts_kmedoids": _q143_ts_kmedoids,
     }
 
 
@@ -6840,6 +6863,72 @@ def oracle_sql() -> dict[str, str]:
         SELECT test_id, train_id, cast(rank AS int) AS rank,
                round(d, 6) AS distance
         FROM ranked WHERE rank <= 3
+    """
+
+    # q143: full k-medoids replay — the q70 DTW recursion over ALL series
+    # pairs builds the distance matrix in micro-longs, then window argmins
+    # replay assign-1, the medoid-update sum, and assign-2 (every decision
+    # integer-exact; seeds = 4 smallest by the q72 affine hash)
+    out["q143_ts_kmedoids"] = f"""
+        WITH RECURSIVE {_SERIES_CTE},
+        allp AS (
+            SELECT a.series_id AS ia, a.features AS fa,
+                   b.series_id AS ib, b.features AS fb
+            FROM series a CROSS JOIN series b
+        ),
+        dp AS (
+            SELECT ia, ib, fa, fb, 1 AS i,
+                   list_transform(range(1, len(fb)+1),
+                       j -> list_reduce(list_prepend(0.0,
+                                list_transform(range(1, j+1), k -> abs(fa[1]-fb[k]))),
+                            (x, y) -> x + y)) AS row
+            FROM allp
+            UNION ALL
+            SELECT ia, ib, fa, fb, i+1,
+                   list_reduce(
+                       list_prepend([row[1] + abs(fa[i+1]-fb[1])],
+                           list_transform(range(2, len(fb)+1),
+                               j -> [abs(fa[i+1]-fb[j]), row[j], row[j-1]])),
+                       (acc, e) -> list_append(acc, e[1] + least(e[2], e[3], acc[-1]))) AS row
+            FROM dp WHERE i < len(fa)
+        ),
+        dmat AS (
+            SELECT ia, ib, cast(round(row[-1] * 1000000) AS bigint) AS dm
+            FROM dp WHERE i = len(fa)
+        ),
+        seeds AS (
+            SELECT series_id AS mid FROM series
+            ORDER BY ((series_id % 1000000007) * 654435747 + 40503)
+                     % 1000000007 ASC, series_id ASC
+            LIMIT 4
+        ),
+        a1 AS (
+            SELECT id, mid FROM (
+                SELECT d.ia AS id, d.ib AS mid, d.dm,
+                       row_number() OVER (PARTITION BY d.ia
+                           ORDER BY d.dm ASC, d.ib ASC) AS rk
+                FROM dmat d JOIN seeds s ON d.ib = s.mid
+            ) WHERE rk = 1
+        ),
+        sums AS (
+            SELECT m1.mid AS cm, m1.id AS cand, sum(d.dm) AS s
+            FROM a1 m1 JOIN a1 m2 ON m1.mid = m2.mid
+            JOIN dmat d ON d.ia = m1.id AND d.ib = m2.id
+            GROUP BY m1.mid, m1.id
+        ),
+        med2 AS (
+            SELECT cand AS mid FROM (
+                SELECT cand, row_number() OVER (PARTITION BY cm
+                           ORDER BY s ASC, cand ASC) AS rk
+                FROM sums
+            ) WHERE rk = 1
+        )
+        SELECT id AS series_id, mid AS medoid_id, dm AS dist_micro FROM (
+            SELECT d.ia AS id, d.ib AS mid, d.dm,
+                   row_number() OVER (PARTITION BY d.ia
+                       ORDER BY d.dm ASC, d.ib ASC) AS rk
+            FROM dmat d JOIN med2 m ON d.ib = m.mid
+        ) WHERE rk = 1
     """
 
     return out

@@ -466,3 +466,97 @@ def test_ivfpq_search_rejects_mismatched_geometry(spark, blobs64):
     legacy = {k: v for k, v in idx.items() if k != "params"}
     with pytest.raises(Exception, match="codes length"):
         ivfpq_search(q, legacy, blobs64, n_subspaces=16).collect()
+
+
+# ---------------------------------------------------------------------------
+# ts_kmedoids (time-series k-medoids under DTW)
+# ---------------------------------------------------------------------------
+
+
+def _series_blobs(spark, n=45, seed=3):
+    """3 separable series shapes + noise."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        c = i % 3
+        base = np.sin(np.linspace(0, 2 + 2 * c, 16)) * (c + 1) * 3
+        rows.append((i, [float(x) for x in base + rng.normal(size=16) * 0.2], str(c)))
+    return (
+        spark.createDataFrame(
+            rows, "series_id long, features array<double>, label string"
+        ),
+        rows,
+    )
+
+
+def test_ts_kmedoids_recovers_shapes_and_replays_exactly(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.dtw_kernel import dtw_pair
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.cluster import ts_kmedoids
+
+    df, rows = _series_blobs(spark)
+    out = ts_kmedoids(df, k=3, metric="dtw").collect()
+    assert len(out) == len(rows)
+    # exact python replay of seed -> assign -> update -> reassign
+    P = 1_000_000_007
+    h = lambda i: ((i % P) * 654435747 + 40503) % P
+    feats = {i: np.array(f) for i, f, _ in rows}
+    d = lambda a, b: round(dtw_pair(feats[a], feats[b]) * 1e6)
+    seeds = sorted(feats, key=lambda i: (h(i), i))[:3]
+    a1 = {i: min(seeds, key=lambda m: (d(i, m), m)) for i in feats}
+    clusters: dict[int, list[int]] = {}
+    for i, m in a1.items():
+        clusters.setdefault(m, []).append(i)
+    med2 = [
+        min(mem, key=lambda c: (sum(d(c, o) for o in mem), c))
+        for mem in clusters.values()
+    ]
+    a2 = {i: min(med2, key=lambda m: (d(i, m), m)) for i in feats}
+    for r in out:
+        assert a2[r["series_id"]] == r["medoid_id"]
+        assert d(r["series_id"], r["medoid_id"]) == r["dist_micro"]
+    # the 3 shape families separate: each cluster is label-pure
+    labels = {i: lab for i, _, lab in rows}
+    by_medoid: dict[int, set[str]] = {}
+    for r in out:
+        by_medoid.setdefault(r["medoid_id"], set()).add(labels[r["series_id"]])
+    assert len(by_medoid) == 3
+    assert all(len(v) == 1 for v in by_medoid.values())
+
+
+def test_ts_kmedoids_update_cap_is_clara_sampled_update(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.cluster import ts_kmedoids
+
+    df, rows = _series_blobs(spark, n=30, seed=5)
+    full = {r["series_id"]: r["medoid_id"] for r in ts_kmedoids(df, k=3).collect()}
+    capped = {
+        r["series_id"]: r["medoid_id"]
+        for r in ts_kmedoids(df, k=3, update_cap=8).collect()
+    }
+    assert set(capped) == set(full)  # assignment passes stay full-corpus
+    assert len(set(capped.values())) == len(set(full.values()))
+    # CLARA contract: the sampled update approximates the exact one —
+    # medoid ids may differ (it picks from the sample), but the co-cluster
+    # structure should broadly agree on cleanly separated shapes
+    ids = sorted(full)
+    agree = same = 0
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            same += 1
+            if (full[a] == full[b]) == (capped[a] == capped[b]):
+                agree += 1
+    assert agree / same >= 0.85, agree / same
+
+
+def test_ts_kmedoids_euclidean_and_validation(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.cluster import ts_kmedoids
+
+    df, rows = _series_blobs(spark, n=21, seed=9)
+    out = ts_kmedoids(df, k=3, metric="euclidean").collect()
+    assert len(out) == len(rows)
+    # medoids are themselves members at distance 0
+    meds = {r["medoid_id"] for r in out}
+    zero = {r["series_id"]: r["dist_micro"] for r in out}
+    assert all(zero[m] == 0 for m in meds)
+    with pytest.raises(ValueError, match="k must be"):
+        ts_kmedoids(df, k=0)

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ..functions.distance import cosine_distance, sq_euclidean
 
-__all__ = ["kmeans_assign", "kmeans_centroids", "semantic_dedup"]
+__all__ = ["kmeans_assign", "kmeans_centroids", "semantic_dedup", "ts_kmedoids"]
 
 _SCALE = 1_000_000
 
@@ -280,4 +280,119 @@ def semantic_dedup(
             "cluster",
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
         )
+    )
+
+
+def ts_kmedoids(
+    series: DataFrame,
+    *,
+    k: int = 4,
+    metric: str = "dtw",
+    band=None,
+    fastdtw_radius: int = 1,
+    id_col: str = "series_id",
+    features_col: str = "features",
+    update_cap=None,
+) -> DataFrame:
+    """Time-series k-medoids (PAM-style seed -> assign -> medoid update ->
+    reassign) under any engine metric, DTW included — the clustering
+    sibling of the reference's KNN classifier (the reference has no
+    clustering; this reuses its distance core the way kmeans_assign
+    generalizes the similarity core). Unlike k-means, the centroid is an
+    actual corpus series (no barycenter averaging needed), so the whole
+    algorithm is joins + argmins over a pair-distance relation and works
+    for NON-metric-space distances like DTW where a mean isn't defined.
+
+    Determinism for oracle parity (the kmeans_assign playbook): seeds are
+    the k series with the smallest portable affine id hash (the q72 spec —
+    deterministic, content-independent, selected by a global top-k, never
+    a full sort); every distance is micro-rounded (round(d*1e6) -> long)
+    BEFORE any decision, so assignment argmins and the medoid-update sums
+    are integer-exact on any engine and any partitioning; all argmin
+    tie-breaks are total orders ((dist, medoid_id) / (sum, candidate_id)).
+
+    Scale shape at 100 TB: the medoid table is k rows — both assignment
+    passes broadcast it (n*k kernel pairs, zero corpus shuffles). The
+    medoid-update step is the quadratic term, sum_c |c|^2 pair distances
+    after ONE repartition-by-cluster join; ``update_cap`` bounds it
+    CLARA-style (Kaufman & Rousseeuw's sampled PAM): only the cap
+    lowest-hash members per cluster serve as update candidates AND as the
+    evaluation sample, making the step O(k * cap^2) while both assignment
+    passes stay exact over the full corpus.
+
+    Duplicate-series edge (documented PAM behavior): if two seeds are at
+    micro-distance 0, the higher-id seed's cluster can come out empty and
+    the effective k shrinks — exactly like PAM with coincident medoids.
+
+    Output: (id_col, medoid_id, dist_micro) — cluster label IS the final
+    medoid's series id (stable across refits), dist_micro the member's
+    micro-rounded distance to it.
+    """
+    from .knn import _resolve_metric
+    from ..functions.distance import euclidean
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    fn, rank_squared = _resolve_metric(metric, band, fastdtw_radius)
+    if fn is None:  # euclidean special case: rank == output here
+        fn = euclidean
+    dist_micro = lambda a, b: F.round(fn(a, b) * _SCALE).cast("long")
+
+    s = series.select(F.col(id_col).alias("_id"), F.col(features_col).alias("_f"))
+    seeds = (
+        s.withColumn("_h", _spread_hash(F.col("_id")))
+        .orderBy("_h", "_id")
+        .limit(k)
+        .select(F.col("_id").alias("_mid"), F.col("_f").alias("_mf"))
+    )
+
+    def assign(medoids: DataFrame) -> DataFrame:
+        p = s.crossJoin(F.broadcast(medoids)).withColumn(
+            "_dm", dist_micro(F.col("_f"), F.col("_mf"))
+        )
+        return (
+            p.groupBy("_id")
+            .agg(
+                F.min_by(
+                    F.struct("_mid", "_dm"), F.struct("_dm", "_mid")
+                ).alias("_m")
+            )
+            .select("_id", F.col("_m._mid").alias("_mid"), F.col("_m._dm").alias("_dm"))
+        )
+
+    asn1 = assign(seeds)
+    members = s.join(asn1.select("_id", "_mid"), "_id")
+    if update_cap is not None:
+        w = Window.partitionBy("_mid").orderBy(
+            _spread_hash(F.col("_id")).asc(), F.col("_id").asc()
+        )
+        members = (
+            members.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= update_cap)
+            .drop("_rn")
+        )
+    cand = members.select(
+        F.col("_mid").alias("_cm"), F.col("_id").alias("_cand"), F.col("_f").alias("_cf")
+    )
+    other = members.select(
+        F.col("_mid").alias("_cm"), F.col("_id").alias("_oid"), F.col("_f").alias("_of")
+    )
+    sums = (
+        cand.join(other, "_cm")
+        .withColumn("_dm", dist_micro(F.col("_cf"), F.col("_of")))
+        .groupBy("_cm", "_cand")
+        .agg(F.sum("_dm").alias("_s"))
+    )
+    med2 = (
+        sums.groupBy("_cm")
+        .agg(F.min_by(F.struct("_cand"), F.struct("_s", "_cand")).alias("_m"))
+        .select(F.col("_m._cand").alias("_mid2"))
+    )
+    medoids2 = med2.join(s, med2["_mid2"] == s["_id"]).select(
+        F.col("_id").alias("_mid"), F.col("_f").alias("_mf")
+    )
+    return assign(medoids2).select(
+        F.col("_id").alias(id_col),
+        F.col("_mid").alias("medoid_id"),
+        F.col("_dm").alias("dist_micro"),
     )
