@@ -2773,6 +2773,27 @@ def _q143_ts_kmedoids(spark, sf_dir):
     return ts_kmedoids(series, k=4, metric="dtw")
 
 
+def _q144_importance_resample(spark, sf_dir):
+    """DSIR-shaped importance resampling (operators/corpus.py::
+    importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
+    bucket counts, add-one smoothed target/raw likelihood ratios in
+    LINEAR domain (the q101/q51 no-ln() playbook: exact BIGINT products,
+    one IEEE division per bucket, micro-rounded), per-doc count-weighted
+    mean ratio as an integer score, exact-percentile keep gate (q73).
+    Target distribution here: the English sub-corpus — the classic
+    'make the raw crawl look like the curated set' selection. The oracle
+    replays featurization (portable char-fold bucket hash), both
+    distributions, the ratio table, scoring, and the quantile gate."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import importance_resample
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return importance_resample(
+        docs, docs.filter(F.col("lang") == "en"),
+        n_buckets=64, keep_fraction=0.25,
+    )
+
+
 def _q142_sbd_knn(spark, sf_dir):
     """Shape-based-distance KNN (functions/distance.py::sbd): k-Shape's
     NCC_c distance (Paparrizos & Gravano, SIGMOD 2015) — 1 minus the
@@ -2937,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_knn_cv": _q141_knn_cv,
         "q142_sbd_knn": _q142_sbd_knn,
         "q143_ts_kmedoids": _q143_ts_kmedoids,
+        "q144_importance_resample": _q144_importance_resample,
     }
 
 
@@ -6929,6 +6951,63 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY d.dm ASC, d.ib ASC) AS rk
             FROM dmat d JOIN med2 m ON d.ib = m.mid
         ) WHERE rk = 1
+    """
+
+    # q144: DSIR replay — portable char-fold bucket hash, add-one smoothed
+    # linear-domain ratios (exact BIGINT products, one IEEE division each,
+    # micro-rounded), integer count-weighted mean score, quantile_cont gate
+    out["q144_importance_resample"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents
+        ),
+        feats0 AS (
+            SELECT doc_id, unnest(list_concat(tk,
+                CASE WHEN len(tk) >= 2
+                     THEN list_transform(range(1, len(tk)),
+                              i -> tk[i] || ' ' || tk[i+1])
+                     ELSE [] END)) AS g
+            FROM toks
+        ),
+        rawf AS (
+            SELECT doc_id, bucket, count(*) AS c FROM (
+                SELECT doc_id, {_sql_char_fold('g')} % 64 AS bucket
+                FROM feats0
+            ) GROUP BY doc_id, bucket
+        ),
+        tgtf AS (
+            SELECT f.bucket, sum(f.c) AS t
+            FROM rawf f JOIN documents d USING (doc_id)
+            WHERE d.lang = 'en' GROUP BY f.bucket
+        ),
+        tot AS (
+            SELECT (SELECT sum(r.c) FROM rawf r) AS rt,
+                   (SELECT coalesce(sum(t.t), 0) FROM tgtf t) AS tt
+        ),
+        ratio AS (
+            SELECT rb.bucket,
+                   cast(round(
+                       cast((coalesce(tg.t, 0) + 1) * (tot.rt + 64) AS double)
+                       / cast((rb.r + 1) * (tot.tt + 64) AS double)
+                       * 1000000) AS bigint) AS rm
+            FROM (SELECT bucket, sum(c) AS r FROM rawf GROUP BY bucket) rb
+            LEFT JOIN tgtf tg USING (bucket) CROSS JOIN tot
+        ),
+        sc AS (
+            SELECT f.doc_id,
+                   cast(round(cast(sum(f.c * ra.rm) AS double)
+                              / cast(sum(f.c) AS double)) AS bigint)
+                       AS score_micro
+            FROM rawf f JOIN ratio ra USING (bucket)
+            GROUP BY f.doc_id
+        ),
+        alld AS (
+            SELECT d.doc_id, coalesce(s.score_micro, 0) AS score_micro
+            FROM documents d LEFT JOIN sc s USING (doc_id)
+        ),
+        th AS (SELECT quantile_cont(score_micro, 0.75) AS _t FROM alld)
+        SELECT doc_id, score_micro,
+               cast(score_micro AS double) >= _t AS kept
+        FROM alld CROSS JOIN th
     """
 
     return out

@@ -762,3 +762,53 @@ def test_bm25_pruned_rejects_degenerate_params(spark, bm25_corpus):
         bm25_search_pruned(qs, idx, max_postings=0)
     with pytest.raises(ValueError, match="k must be"):
         bm25_search_pruned(qs, idx, k=0)
+
+
+# ---------------------------------------------------------------------------
+# importance_resample (DSIR-shaped selection)
+# ---------------------------------------------------------------------------
+
+
+def test_importance_resample_prefers_targetlike_docs(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import importance_resample
+
+    # two vocabularies: "sciency" target-like docs vs "webby" docs
+    sci = "quantum entropy lattice theorem proof tensor spectral operator"
+    web = "click here buy now free offer deal win prize cheap"
+    rows = []
+    for i in range(40):
+        words = (sci if i % 2 == 0 else web).split()
+        rows.append((i, " ".join(words[(i // 2) % 4 :] + words[: (i // 2) % 4])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter(F.col("doc_id") % 2 == 0).limit(8)
+    out = importance_resample(docs, target, n_buckets=128, keep_fraction=0.5)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 40  # every doc scored
+    kept = {i for i, r in got.items() if r["kept"]}
+    # the sciency half should dominate the kept set
+    sci_kept = sum(1 for i in kept if i % 2 == 0)
+    assert sci_kept >= 0.9 * len([i for i in kept])
+    # and every sciency doc outranks every webby doc
+    s_min = min(got[i]["score_micro"] for i in got if i % 2 == 0)
+    w_max = max(got[i]["score_micro"] for i in got if i % 2 == 1)
+    assert s_min > w_max
+
+
+def test_importance_resample_empty_docs_and_validation(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import importance_resample
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    target = docs.filter(F.col("doc_id") == 1)
+    got = {
+        r["doc_id"]: r
+        for r in importance_resample(docs, target, n_buckets=32).collect()
+    }
+    assert got[2]["score_micro"] == 0  # featureless doc scores zero
+    assert not got[2]["kept"]
+    with pytest.raises(ValueError, match="keep_fraction"):
+        importance_resample(docs, target, keep_fraction=0.0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        importance_resample(docs, target, n_buckets=0)

@@ -48,6 +48,7 @@ from .corpus import (  # noqa: F401
     decontaminate_fuzzy,
     duplicate_spans,
     hash_embed,
+    importance_resample,
     ngram_lm_score,
     redact_pii,
     rrf_fuse,

@@ -54,6 +54,7 @@ __all__ = [
     "bm25_search",
     "bm25_search_pruned",
     "rrf_fuse",
+    "importance_resample",
 ]
 
 
@@ -1317,4 +1318,130 @@ def rrf_fuse(
         "rank",
         id_col,
         (F.col("_micro").cast("double") / F.lit(1_000_000.0)).alias("rrf_score"),
+    )
+
+
+def _hashed_ngram_features(docs: DataFrame, id_col: str, text_col: str,
+                           n_buckets: int) -> DataFrame:
+    """(id, bucket, c): hashed unigram+bigram counts per document — the
+    DSIR feature space. Bucket = polynomial char-fold hash of the token
+    (bigrams space-joined) mod n_buckets, so a DuckDB twin reproduces the
+    bucketing exactly. The bigram sequence is guarded (Spark sequence()
+    DESCENDS when the doc has < 2 tokens)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i.cast("int")),
+                F.element_at(toks, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    return (
+        docs.select(F.col(id_col).alias("_id"), F.explode(feats).alias("_g"))
+        .select("_id", (char_hash(F.col("_g")) % n_buckets).alias("bucket"))
+        .groupBy("_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def importance_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    n_buckets: int = 256,
+    keep_fraction: float = 0.25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-shaped importance resampling (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score every
+    raw document by how much its hashed-n-gram profile looks like a small
+    TARGET corpus (the distribution you want more of — curated text, a
+    domain, a language), then keep the top ``keep_fraction``.
+
+    Engine formulation (the q101/q51 no-ln() playbook): DSIR's log-
+    likelihood ratio is replaced by the LINEAR-domain per-bucket ratio
+
+        ratio_micro(b) = round(1e6 * ((t_b+1)*(R+B)) / ((r_b+1)*(T+B)))
+
+    (add-one smoothed target/raw bucket probabilities; the numerator and
+    denominator are exact BIGINT products, the quotient ONE correctly-
+    rounded IEEE division) and a document's score is the exact integer
+    count-weighted mean  round(sum_b c_b*ratio_micro(b) / n_feats)  —
+    rank-equivalent to the first-order expansion of the log form,
+    bit-reproducible by a DuckDB twin. Docs with no features score 0.
+    Selection is the q73 percentile gate: keep score >= the exact
+    (1-keep_fraction) percentile (ties keep slightly more than the
+    fraction — deterministic, documented).
+
+    Scale (100 TB): the feature table is one map-side-combinable
+    (doc, bucket) groupBy; both distributions are B-row tables broadcast
+    back onto it; the per-doc score is a second map-side agg. The exact
+    percentile is the only width-sensitive step — swap in
+    approx_percentile at extreme scale (q36 note).
+
+    Output: (id_col, score_micro bigint, kept boolean) for EVERY input
+    doc, so recall/selection audits don't need a second pass.
+    """
+    if not 0 < keep_fraction <= 1:
+        raise ValueError(f"keep_fraction must be in (0, 1], got {keep_fraction}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    raw_f = _hashed_ngram_features(docs, id_col, text_col, n_buckets)
+    tgt_f = _hashed_ngram_features(target, id_col, text_col, n_buckets)
+    r_b = raw_f.groupBy("bucket").agg(F.sum("c").alias("r"))
+    t_b = tgt_f.groupBy("bucket").agg(F.sum("c").alias("t"))
+    totals = (
+        r_b.agg(F.sum("r").alias("r_total"))
+        .crossJoin(t_b.agg(F.sum("t").alias("t_total")))
+    )
+    ratio = (
+        r_b.join(t_b, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    (F.coalesce(F.col("t"), F.lit(0)) + 1)
+                    * (F.col("r_total") + n_buckets)
+                ).cast("double")
+                / ((F.col("r") + 1) * (F.col("t_total") + n_buckets)).cast("double")
+                * 1_000_000
+            ).cast("long").alias("ratio_micro"),
+        )
+    )
+    scored = (
+        raw_f.join(F.broadcast(ratio), "bucket")
+        .groupBy("_id")
+        .agg(
+            F.sum(F.col("c") * F.col("ratio_micro")).alias("_w"),
+            F.sum("c").alias("_n"),
+        )
+        .select(
+            "_id",
+            F.round(
+                F.col("_w").cast("double") / F.col("_n").cast("double")
+            ).cast("long").alias("score_micro"),
+        )
+    )
+    alldocs = (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(scored, "_id", "left")
+        .select("_id", F.coalesce("score_micro", F.lit(0)).alias("score_micro"))
+    )
+    thresh = alldocs.agg(
+        F.expr(f"percentile(score_micro, {1 - keep_fraction!r}D)").alias("_t")
+    )
+    return (
+        alldocs.crossJoin(F.broadcast(thresh))
+        .select(
+            F.col("_id").alias(id_col),
+            "score_micro",
+            (F.col("score_micro").cast("double") >= F.col("_t")).alias("kept"),
+        )
     )
