@@ -2773,6 +2773,24 @@ def _q143_ts_kmedoids(spark, sf_dir):
     return ts_kmedoids(series, k=4, metric="dtw")
 
 
+def _q145_sbd_kmedoids(spark, sf_dir):
+    """k-medoids under shape-based distance — the k-Shape-flavored
+    clustering (cluster by cross-correlation shape similarity, not
+    warping): ts_kmedoids(metric='sbd') composes q143's PAM machinery
+    with q142's distance, and because sbd() is a pure Catalyst expression
+    the WHOLE clustering algorithm is declarative — zero Python, every
+    stage whole-stage-codegen'd. Distances are micro-rounded before every
+    decision, and since Spark and DuckDB compute the sbd folds bit-
+    identically, the micro table is exactly equal on both sides. The
+    oracle merges q142's fold SQL into q143's full-replay chain."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import ts_kmedoids
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import events_to_series
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return ts_kmedoids(series, k=4, metric="sbd")
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -2959,6 +2977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_sbd_knn": _q142_sbd_knn,
         "q143_ts_kmedoids": _q143_ts_kmedoids,
         "q144_importance_resample": _q144_importance_resample,
+        "q145_sbd_kmedoids": _q145_sbd_kmedoids,
     }
 
 
@@ -2992,6 +3011,44 @@ series AS (
 train AS (SELECT * FROM series WHERE series_id % 4 != 0),
 test  AS (SELECT * FROM series WHERE series_id % 4 = 0)
 """
+
+# PAM k-medoids replay (q143/q145): seeds -> assign-1 -> sum-of-distances
+# medoid update -> assign-2, all argmins as row_number windows with total-
+# order tie-breaks, over a `dmat` (ia, ib, dm BIGINT micro) CTE the caller
+# supplies (DTW recursion for q143, SBD folds for q145). k = 4.
+_SQL_KMEDOIDS_TAIL = """seeds AS (
+            SELECT series_id AS mid FROM series
+            ORDER BY ((series_id % 1000000007) * 654435747 + 40503)
+                     % 1000000007 ASC, series_id ASC
+            LIMIT 4
+        ),
+        a1 AS (
+            SELECT id, mid FROM (
+                SELECT d.ia AS id, d.ib AS mid, d.dm,
+                       row_number() OVER (PARTITION BY d.ia
+                           ORDER BY d.dm ASC, d.ib ASC) AS rk
+                FROM dmat d JOIN seeds s ON d.ib = s.mid
+            ) WHERE rk = 1
+        ),
+        sums AS (
+            SELECT m1.mid AS cm, m1.id AS cand, sum(d.dm) AS s
+            FROM a1 m1 JOIN a1 m2 ON m1.mid = m2.mid
+            JOIN dmat d ON d.ia = m1.id AND d.ib = m2.id
+            GROUP BY m1.mid, m1.id
+        ),
+        med2 AS (
+            SELECT cand AS mid FROM (
+                SELECT cand, row_number() OVER (PARTITION BY cm
+                           ORDER BY s ASC, cand ASC) AS rk
+                FROM sums
+            ) WHERE rk = 1
+        )
+        SELECT id AS series_id, mid AS medoid_id, dm AS dist_micro FROM (
+            SELECT d.ia AS id, d.ib AS mid, d.dm,
+                   row_number() OVER (PARTITION BY d.ia
+                       ORDER BY d.dm ASC, d.ib ASC) AS rk
+            FROM dmat d JOIN med2 m ON d.ib = m.mid
+        ) WHERE rk = 1"""
 
 # left-fold squared-euclidean — same IEEE op order as Spark's
 # aggregate(zip_with(...)) (init 0.0 + left fold == DuckDB's no-init left fold
@@ -6918,39 +6975,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT ia, ib, cast(round(row[-1] * 1000000) AS bigint) AS dm
             FROM dp WHERE i = len(fa)
         ),
-        seeds AS (
-            SELECT series_id AS mid FROM series
-            ORDER BY ((series_id % 1000000007) * 654435747 + 40503)
-                     % 1000000007 ASC, series_id ASC
-            LIMIT 4
+        {_SQL_KMEDOIDS_TAIL}
+    """
+
+    # q145: same PAM replay over the SBD distance matrix — the q142 folds
+    # produce doubles bit-equal to the Spark expression, so the micro table
+    # (and every downstream decision) is exactly equal by construction
+    out["q145_sbd_kmedoids"] = f"""
+        WITH {_SERIES_CTE},
+        allp AS (
+            SELECT a.series_id AS ia, a.features AS fa,
+                   b.series_id AS ib, b.features AS fb
+            FROM series a CROSS JOIN series b
         ),
-        a1 AS (
-            SELECT id, mid FROM (
-                SELECT d.ia AS id, d.ib AS mid, d.dm,
-                       row_number() OVER (PARTITION BY d.ia
-                           ORDER BY d.dm ASC, d.ib ASC) AS rk
-                FROM dmat d JOIN seeds s ON d.ib = s.mid
-            ) WHERE rk = 1
+        dmat AS (
+            SELECT ia, ib,
+                   cast(round(
+                       CASE WHEN nrm = 0 THEN 1.0
+                            ELSE 1.0 - list_reduce(cc, (x, y) -> greatest(x, y))
+                                       / nrm
+                       END * 1000000) AS bigint) AS dm
+            FROM (
+                SELECT ia, ib,
+                       sqrt(list_reduce(list_prepend(0.0,
+                            list_transform(fa, x -> x * x)), (x, y) -> x + y))
+                     * sqrt(list_reduce(list_prepend(0.0,
+                            list_transform(fb, x -> x * x)), (x, y) -> x + y))
+                       AS nrm,
+                       list_transform(range(1 - len(fa), len(fa)), s ->
+                           list_reduce(list_prepend(0.0,
+                               list_transform(range(1, len(fa) - abs(s) + 1),
+                                   t -> fa[t + greatest(s, 0)]
+                                        * fb[t - least(s, 0)])),
+                               (x, y) -> x + y)) AS cc
+                FROM allp
+            )
         ),
-        sums AS (
-            SELECT m1.mid AS cm, m1.id AS cand, sum(d.dm) AS s
-            FROM a1 m1 JOIN a1 m2 ON m1.mid = m2.mid
-            JOIN dmat d ON d.ia = m1.id AND d.ib = m2.id
-            GROUP BY m1.mid, m1.id
-        ),
-        med2 AS (
-            SELECT cand AS mid FROM (
-                SELECT cand, row_number() OVER (PARTITION BY cm
-                           ORDER BY s ASC, cand ASC) AS rk
-                FROM sums
-            ) WHERE rk = 1
-        )
-        SELECT id AS series_id, mid AS medoid_id, dm AS dist_micro FROM (
-            SELECT d.ia AS id, d.ib AS mid, d.dm,
-                   row_number() OVER (PARTITION BY d.ia
-                       ORDER BY d.dm ASC, d.ib ASC) AS rk
-            FROM dmat d JOIN med2 m ON d.ib = m.mid
-        ) WHERE rk = 1
+        {_SQL_KMEDOIDS_TAIL}
     """
 
     # q144: DSIR replay — portable char-fold bucket hash, add-one smoothed
