@@ -2791,6 +2791,45 @@ def _q145_sbd_kmedoids(spark, sf_dir):
     return ts_kmedoids(series, k=4, metric="sbd")
 
 
+def _q146_rocket_features(spark, sf_dir):
+    """ROCKET-family convolutional series features (operators/features.py::
+    rocket_features; Dempster et al. 2020/2021): 12 deterministic
+    MiniROCKET-shaped integer kernels (beta=+2 at 3 of 7 positions,
+    alpha=-1, dilations 1/2), per kernel the PPV and max of the dilated
+    convolution sweep. Pure per-row Catalyst projection — no shuffle, no
+    UDF, no pair matrix: the O(n)-per-series convolutional alternative to
+    the DTW cross join (q127's statistical features, upgraded to shape-
+    sensitive conv features). Integer kernel weights make the oracle
+    trivial-exact: the convolution is an integer combination of input
+    doubles, mirrored term-for-term."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import rocket_features
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import events_to_series
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return rocket_features(series, n_kernels=12)
+
+
+def _q147_rocket_knn(spark, sf_dir):
+    """Series classification IN ROCKET FEATURE SPACE: q146's 24 conv
+    features assembled into a fixed-dim vector, then the reference's own
+    Model-2 pipeline (euclidean 5-NN + majority vote, q10) over the
+    vectors — the published ROCKET recipe with the linear classifier
+    swapped for the engine's KNN. At 100 TB this replaces the
+    O(len^2)-per-pair DTW matrix with an O(len)-per-row projection and a
+    24-dim distance — the pair stage cost drops by ~len^2/24. Oracle:
+    q146's feature SQL feeds q09/q10's exact KNN+vote chain."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import rocket_features
+
+    _prep(spark)
+    train, test = _series(spark, sf_dir)
+    names = [n for i in range(12) for n in (f"k{i}_ppv", f"k{i}_max")]
+    vec = lambda df: rocket_features(df, n_kernels=12).select(
+        "series_id", F.array(*names).alias("features"), "label"
+    )
+    return knn_classify(vec(test), vec(train), metric="euclidean", k=5)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -2978,6 +3017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_ts_kmedoids": _q143_ts_kmedoids,
         "q144_importance_resample": _q144_importance_resample,
         "q145_sbd_kmedoids": _q145_sbd_kmedoids,
+        "q146_rocket_features": _q146_rocket_features,
+        "q147_rocket_knn": _q147_rocket_knn,
     }
 
 
@@ -3049,6 +3090,41 @@ _SQL_KMEDOIDS_TAIL = """seeds AS (
                        ORDER BY d.dm ASC, d.ib ASC) AS rk
             FROM dmat d JOIN med2 m ON d.ib = m.mid
         ) WHERE rk = 1"""
+
+def _sql_rocket_exprs() -> "list[tuple[str, str]]":
+    """(name, expr) per ROCKET feature over a `features` list column —
+    mirrors operators/features.py::rocket_features bit-for-bit: integer
+    two-valued kernels (zero float-literal hazards), left-assoc dilated
+    convolution terms, exact max / exact count-ratio PPV, round(6), NULL
+    when the series is shorter than the kernel span."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.features import (
+        make_rocket_kernels,
+    )
+
+    out = []
+    for i, k in enumerate(make_rocket_kernels()):
+        d, w = k["dilation"], k["weights"]
+        span = (len(w) - 1) * d
+        terms = " + ".join(
+            f"features[p + {j * d}] * {wj}" for j, wj in enumerate(w)
+        )
+        conv = (
+            f"list_transform(range(1, len(features) - {span} + 1),"
+            f" p -> {terms})"
+        )
+        out.append((
+            f"k{i}_ppv",
+            f"round(CASE WHEN len(features) > {span} THEN"
+            f" cast(len(list_filter({conv}, c -> c > 0)) AS double)"
+            f" / cast(len(features) - {span} AS double) END, 6)",
+        ))
+        out.append((
+            f"k{i}_max",
+            f"round(CASE WHEN len(features) > {span} THEN"
+            f" list_reduce({conv}, (x, y) -> greatest(x, y)) END, 6)",
+        ))
+    return out
+
 
 # left-fold squared-euclidean — same IEEE op order as Spark's
 # aggregate(zip_with(...)) (init 0.0 + left fold == DuckDB's no-init left fold
@@ -7012,6 +7088,39 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         {_SQL_KMEDOIDS_TAIL}
+    """
+
+    # q146/q147: ROCKET features — integer kernels mirror term-for-term;
+    # q147 pipes the feature vectors through q09/q10's exact KNN+vote chain
+    _rk = _sql_rocket_exprs()
+    _rk_select = ",\n               ".join(f"{e} AS {n}" for n, e in _rk)
+    _rk_vec = "[" + ", ".join(e for _, e in _rk) + "]"
+    out["q146_rocket_features"] = f"""
+        WITH {_SERIES_CTE}
+        SELECT series_id, label,
+               {_rk_select}
+        FROM series
+    """
+    out["q147_rocket_knn"] = f"""
+        WITH {_SERIES_CTE},
+        ftr AS (SELECT series_id, label, {_rk_vec} AS fv FROM train),
+        fte AS (SELECT series_id, label, {_rk_vec} AS fv FROM test),
+        pairs AS (
+            SELECT t.series_id AS test_id, r.series_id AS train_id,
+                   r.label AS train_label,
+                   list_reduce(list_transform(range(1, len(t.fv) + 1),
+                       i -> (t.fv[i] - r.fv[i]) * (t.fv[i] - r.fv[i])),
+                       (x, y) -> x + y) AS d
+            FROM fte t CROSS JOIN ftr r
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                ORDER BY d ASC, train_label ASC, train_id ASC) AS rank
+            FROM pairs WHERE d != 0
+        ),
+        topk AS (SELECT * FROM ranked WHERE rank <= 5),
+        {_VOTE_SQL.strip().lstrip()}
+        SELECT test_id, train_label AS predicted_label FROM sel WHERE vrk = 1
     """
 
     # q144: DSIR replay — portable char-fold bucket hash, add-one smoothed

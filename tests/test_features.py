@@ -147,3 +147,57 @@ def test_channel_out_of_range_raises(spark):
     )
     with pytest.raises(Exception, match="out of range"):
         series_features(df, channel=2).collect()
+
+
+# ---------------------------------------------------------------------------
+# rocket_features (ROCKET-family integer conv kernels)
+# ---------------------------------------------------------------------------
+
+
+def test_rocket_features_hand_computed(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        make_rocket_kernels,
+        rocket_features,
+    )
+
+    x = [float(v) for v in [1, -2, 3, 0, 5, -1, 2, 4, -3, 1, 0, 2, -1, 3, 1, -2]]
+    df = spark.createDataFrame(
+        [(1, x, "a")], "series_id long, features array<double>, label string"
+    )
+    got = rocket_features(df, n_kernels=4).collect()[0]
+    for i, k in enumerate(make_rocket_kernels(4)):
+        d, w = k["dilation"], k["weights"]
+        span = (len(w) - 1) * d
+        conv = [
+            sum(x[p + j * d] * wj for j, wj in enumerate(w))
+            for p in range(len(x) - span)
+        ]
+        ppv = sum(1 for c in conv if c > 0) / len(conv)
+        assert got[f"k{i}_ppv"] == round(ppv, 6), (i, "ppv")
+        assert got[f"k{i}_max"] == round(max(conv), 6), (i, "max")
+
+
+def test_rocket_features_short_series_null_guard(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import rocket_features
+
+    # length 10: dilation-1 kernels (span 6) fit, dilation-2 (span 12) don't
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(10)], "a")],
+        "series_id long, features array<double>, label string",
+    )
+    got = rocket_features(df, n_kernels=2).collect()[0]
+    assert got["k0_ppv"] is not None and got["k0_max"] is not None
+    assert got["k1_ppv"] is None and got["k1_max"] is None
+
+
+def test_make_rocket_kernels_validation():
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import make_rocket_kernels
+
+    with pytest.raises(ValueError, match="n_beta"):
+        make_rocket_kernels(n_beta=7, length=7)
+    with pytest.raises(ValueError, match="distinct kernels"):
+        make_rocket_kernels(n_kernels=100, length=4, n_beta=2)
+    ks = make_rocket_kernels(12)
+    assert len(ks) == 12
+    assert all(sorted(set(k["weights"])) == [-1, 2] for k in ks)
+    assert {k["dilation"] for k in ks} == {1, 2}

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["series_features"]
+__all__ = ["series_features", "make_rocket_kernels", "rocket_features"]
 
 
 def _fold_sum(arr):
@@ -147,3 +147,96 @@ def series_features(
         peaks.cast("int").alias("n_peaks"),
         acf1.alias("acf1"),
     )
+
+
+def make_rocket_kernels(n_kernels: int = 12, length: int = 7, n_beta: int = 3,
+                        dilations: tuple = (1, 2)) -> list:
+    """Deterministic ROCKET-family kernel bank (MiniROCKET recipe —
+    Dempster et al., KDD 2021 — adapted to short series): two-valued
+    integer kernels, weight beta=+2 at ``n_beta`` of ``length`` positions
+    and alpha=-1 elsewhere, enumerated in lexicographic position order
+    (MiniROCKET's own fixed combination set; its 'almost deterministic'
+    transform becomes FULLY deterministic here — no RNG anywhere), with
+    dilations cycled per kernel. Integer weights are the point: the
+    convolution is an exact integer combination of the input doubles, so
+    a SQL twin reproduces features bit-for-bit with zero float-literal
+    hazards."""
+    from itertools import combinations
+
+    if n_beta >= length:
+        raise ValueError(f"n_beta {n_beta} must be < kernel length {length}")
+    out = []
+    for idx, pos in enumerate(combinations(range(length), n_beta)):
+        if idx >= n_kernels:
+            break
+        w = [-1] * length
+        for p in pos:
+            w[p] = 2
+        out.append({"weights": w, "dilation": dilations[idx % len(dilations)]})
+    if len(out) < n_kernels:
+        raise ValueError(
+            f"only {len(out)} distinct kernels exist for length={length}, "
+            f"n_beta={n_beta}; asked for {n_kernels}"
+        )
+    return out
+
+
+def rocket_features(
+    series: DataFrame,
+    *,
+    kernels: list | None = None,
+    n_kernels: int = 12,
+    id_col: str = "series_id",
+    features_col: str = "features",
+    keep_cols: tuple = ("label",),
+) -> DataFrame:
+    """ROCKET-family convolutional features (Dempster et al. 2020/2021):
+    per (series, kernel), the dilated convolution sweep and two pooled
+    features — PPV (proportion of positive convolution values,
+    MiniROCKET's sole feature, bias fixed at 0 rather than sample
+    quantiles — documented simplification) and the ROCKET max. Output
+    columns: k{i}_ppv, k{i}_max per kernel, round(6).
+
+    Scale shape: like series_features this is a pure per-row Catalyst
+    projection — NO shuffle, no UDF, no pair matrix; the O(n_positions *
+    kernel_length) sweep is whole-stage codegen'd per row. The classifier
+    that consumes the features (KNN/perceptron/stump) sees a fixed
+    2*n_kernels-dim vector regardless of series length — the O(n)-per-row
+    escape hatch from the DTW pair matrix, with convolutional (not just
+    statistical) shape sensitivity.
+
+    Series shorter than a kernel's span ((length-1)*dilation + 1) yield
+    NULL for that kernel's features (sequence() guard — the engine
+    invariant)."""
+    ks = kernels if kernels is not None else make_rocket_kernels(n_kernels)
+    f = F.col(features_col)
+    n = F.size(f)
+    from functools import reduce as _reduce
+    from operator import add as _add
+
+    # closure factory: F.transform inspects the lambda's arity, so the
+    # kernel params must be captured, not default-arg'd
+    def _conv_fn(d, w):
+        return lambda p: _reduce(
+            _add,
+            [
+                F.element_at(f, (p + j * d).cast("int")) * F.lit(wj)
+                for j, wj in enumerate(w)
+            ],
+        )
+
+    cols = [F.col(id_col), *[F.col(c) for c in keep_cols]]
+    for i, k in enumerate(ks):
+        d, w = k["dilation"], k["weights"]
+        span = (len(w) - 1) * d
+        conv = F.transform(F.sequence(F.lit(1), n - span), _conv_fn(d, w))
+        ppv = F.size(F.filter(conv, lambda c: c > 0)).cast("double") / F.size(
+            conv
+        ).cast("double")
+        cols.append(
+            F.when(n > span, F.round(ppv, 6)).alias(f"k{i}_ppv")
+        )
+        cols.append(
+            F.when(n > span, F.round(F.array_max(conv), 6)).alias(f"k{i}_max")
+        )
+    return series.select(*cols)
