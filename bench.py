@@ -435,6 +435,35 @@ def main() -> None:
         lambda: _mat(entry_mod._q141_knn_cv(spark, sf_dir)),
         repeats=2,
     )
+    # r5 additions: shape-based distance KNN (pure-Catalyst NCC sweep, no
+    # UDF), DTW/SBD k-medoids clustering, ROCKET conv features + feature-
+    # space KNN (the O(n)-per-row escape from the pair matrix), and
+    # DSIR-style importance resampling over the documents corpus
+    run(
+        "sbd_knn",
+        lambda: _mat(entry_mod._q142_sbd_knn(spark, sf_dir)),
+        repeats=2,
+    )
+    run(
+        "ts_kmedoids_dtw",
+        lambda: _mat(entry_mod._q143_ts_kmedoids(spark, sf_dir)),
+        repeats=2,
+    )
+    run(
+        "rocket_features",
+        lambda: _mat(entry_mod._q146_rocket_features(spark, sf_dir)),
+        repeats=2,
+    )
+    run(
+        "rocket_knn",
+        lambda: _mat(entry_mod._q147_rocket_knn(spark, sf_dir)),
+        repeats=2,
+    )
+    run(
+        "importance_resample",
+        lambda: _mat(entry_mod._q144_importance_resample(spark, sf_dir)),
+        repeats=2,
+    )
 
     # --- fallback tier: the guarded 100 TB paths --------------------------
     # Each fb_* entry runs the SAME input as its fast-path twin but forces
