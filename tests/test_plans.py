@@ -247,3 +247,26 @@ def test_bm25_plan_broadcasts_queries_not_corpus(spark):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r5_shape_ops_stay_jvm_side(spark):
+    """The r5 declarative claims, pinned: SBD KNN (q142), SBD k-medoids
+    (q145), ROCKET features (q146) and feature-space KNN (q147) are pure
+    Catalyst — ZERO Python nodes; DTW k-medoids (q143) crosses Python only
+    for the distance kernel. q146 additionally has no join at all."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.plans import (
+        executed_plan,
+    )
+
+    for q in (
+        "_q142_sbd_knn",
+        "_q145_sbd_kmedoids",
+        "_q146_rocket_features",
+        "_q147_rocket_knn",
+    ):
+        df = getattr(entry_mod, q)(spark, SF)
+        assert python_eval_nodes(df) == 0, q
+    feats = entry_mod._q146_rocket_features(spark, SF)
+    assert "Join" not in executed_plan(feats)
+    kmed = entry_mod._q143_ts_kmedoids(spark, SF)
+    assert python_eval_nodes(kmed) >= 1  # the DTW kernel, nothing else py-side
