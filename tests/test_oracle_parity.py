@@ -159,6 +159,15 @@ SLOW_SUBSET = [
     "q140_subsequence_search",
     # one-plan k-fold CV (r5): the biggest single cross join in the registry
     "q141_knn_cv",
+    # shape-analytics family (r5 cont.): SBD's 2n-1-shift fold sweep over
+    # the full cross join, DSIR's bucket-distribution chain, and the
+    # ROCKET feature-space KNN (q143/q145's k-medoids oracles rebuild the
+    # FULL n^2 pair matrix in a recursive CTE — exact but deliberately
+    # sf0.001/0.01-only; the Spark side is staged-pairs and scales)
+    "q142_sbd_knn",
+    "q144_importance_resample",
+    "q146_rocket_features",
+    "q147_rocket_knn",
 ]
 
 
