@@ -2830,6 +2830,24 @@ def _q147_rocket_knn(spark, sf_dir):
     return knn_classify(vec(test), vec(train), metric="euclidean", k=5)
 
 
+def _q148_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition (operators/features.py::
+    seasonal_decompose — the statsmodels/pre-STL textbook method), period
+    4: centered 2x4 moving-average trend (half-weight endpoints, the
+    quarterly convention), per-phase detrended means centered to zero as
+    the seasonal component, residual as the remainder. One row per
+    (series, interior position). Pure per-row folds + one explode — no
+    shuffle, no UDF, scan-bound at 100 TB like q127/q146. Every sum is a
+    position-ascending left fold and every mean one IEEE division, so the
+    oracle reproduces the decomposition bit-for-bit."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import seasonal_decompose
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import events_to_series
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return seasonal_decompose(series, period=4)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3019,6 +3037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_sbd_kmedoids": _q145_sbd_kmedoids,
         "q146_rocket_features": _q146_rocket_features,
         "q147_rocket_knn": _q147_rocket_knn,
+        "q148_seasonal_decompose": _q148_seasonal_decompose,
     }
 
 
@@ -7121,6 +7140,55 @@ def oracle_sql() -> dict[str, str]:
         topk AS (SELECT * FROM ranked WHERE rank <= 5),
         {_VOTE_SQL.strip().lstrip()}
         SELECT test_id, train_label AS predicted_label FROM sel WHERE vrk = 1
+    """
+
+    # q148: additive decomposition replay — the 2x4 MA trend expression is
+    # generated once and spliced at every use site (identical op order:
+    # half-weight init, ascending core fold, half-weight tail, one divide)
+    def _tr4(t: str) -> str:
+        return (
+            f"(list_reduce(list_prepend(f[{t}-2] * 0.5,"
+            f" list_transform(range({t}-1, {t}+2), i -> f[i])),"
+            f" (x, y) -> x + y) + f[{t}+2] * 0.5) / 4.0"
+        )
+
+    def _s4(j: int) -> str:
+        sel = f"list_filter(pos, t -> (t-1) % 4 = {j})"
+        return (
+            f"CASE WHEN len({sel}) > 0 THEN"
+            f" list_reduce(list_prepend(0.0,"
+            f" list_transform({sel}, t -> f[t] - {_tr4('t')})),"
+            f" (x, y) -> x + y) / cast(len({sel}) AS double)"
+            f" ELSE 0.0 END"
+        )
+
+    out["q148_seasonal_decompose"] = f"""
+        WITH {_SERIES_CTE},
+        b AS (
+            SELECT series_id, features AS f,
+                   range(3, len(features) - 1) AS pos
+            FROM series WHERE len(features) >= 5
+        ),
+        sea AS (
+            SELECT series_id, f, pos,
+                   {_s4(0)} AS s0, {_s4(1)} AS s1,
+                   {_s4(2)} AS s2, {_s4(3)} AS s3
+            FROM b
+        ),
+        cen AS (
+            SELECT *, (((s0 + s1) + s2) + s3) / 4.0 AS sbar FROM sea
+        ),
+        ex AS (
+            SELECT series_id, f,
+                   [s0 - sbar, s1 - sbar, s2 - sbar, s3 - sbar] AS seas,
+                   unnest(pos) AS t
+            FROM cen
+        )
+        SELECT series_id, cast(t AS int) AS t, f[t] AS value,
+               {_tr4('t')} AS trend,
+               seas[(t-1) % 4 + 1] AS seasonal,
+               f[t] - {_tr4('t')} - seas[(t-1) % 4 + 1] AS resid
+        FROM ex
     """
 
     # q144: DSIR replay — portable char-fold bucket hash, add-one smoothed

@@ -201,3 +201,84 @@ def test_make_rocket_kernels_validation():
     assert len(ks) == 12
     assert all(sorted(set(k["weights"])) == [-1, 2] for k in ks)
     assert {k["dilation"] for k in ks} == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# seasonal_decompose (classical additive decomposition)
+# ---------------------------------------------------------------------------
+
+
+def _decompose_py(xs, p):
+    n, half = len(xs), p // 2
+    trend = {}
+    for t in range(half + 1, n - half + 1):
+        if p % 2:
+            acc = 0.0
+            for i in range(t - half, t + half + 1):
+                acc += xs[i - 1]
+            trend[t] = acc / p
+        else:
+            acc = xs[t - half - 1] * 0.5
+            for i in range(t - half + 1, t + half):
+                acc += xs[i - 1]
+            trend[t] = (acc + xs[t + half - 1] * 0.5) / p
+    s = []
+    for j in range(p):
+        sel = [t for t in trend if (t - 1) % p == j]
+        acc = 0.0
+        for t in sorted(sel):
+            acc += xs[t - 1] - trend[t]
+        s.append(acc / len(sel) if sel else 0.0)
+    sbar = 0.0
+    for v in s:
+        sbar += v
+    sbar /= p
+    sc = [v - sbar for v in s]
+    return {
+        t: (xs[t - 1], trend[t], sc[(t - 1) % p], xs[t - 1] - trend[t] - sc[(t - 1) % p])
+        for t in trend
+    }
+
+
+@pytest.mark.parametrize("period", [3, 4])
+def test_seasonal_decompose_matches_python_replay(spark, period):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import seasonal_decompose
+
+    rng = np.random.default_rng(2)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16) + 0.3 * np.arange(16)])
+        for i in range(6)
+    ]
+    rows.append((99, [1.0] * (period)))  # too short -> no rows
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    out = seasonal_decompose(df, period=period).collect()
+    feats = dict(rows)
+    n_expected = sum(
+        max(len(f) - 2 * (period // 2), 0) if len(f) >= period + 1 else 0
+        for f in feats.values()
+    )
+    assert len(out) == n_expected
+    for r in out:
+        exp = _decompose_py(feats[r["series_id"]], period)[r["t"]]
+        got = (r["value"], r["trend"], r["seasonal"], r["resid"])
+        for g, e in zip(got, exp):
+            assert g == pytest.approx(e, abs=1e-12)
+
+
+def test_seasonal_decompose_recovers_planted_seasonality(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import seasonal_decompose
+
+    t = np.arange(16)
+    planted = np.array([3.0, 0.0, -3.0, 0.0])  # period-4 shape
+    xs = 0.5 * t + planted[t % 4]
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in xs])], "series_id long, features array<double>"
+    )
+    out = seasonal_decompose(df, period=4).collect()
+    # trend recovers the line, seasonal the planted shape, resid ~ 0
+    for r in out:
+        assert r["seasonal"] == pytest.approx(planted[(r["t"] - 1) % 4], abs=1e-9)
+        assert r["resid"] == pytest.approx(0.0, abs=1e-9)
+        assert r["trend"] == pytest.approx(0.5 * (r["t"] - 1), abs=1e-9)
+    with pytest.raises(ValueError, match="period"):
+        seasonal_decompose(df, period=1)
