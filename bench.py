@@ -464,6 +464,11 @@ def main() -> None:
         lambda: _mat(entry_mod._q144_importance_resample(spark, sf_dir)),
         repeats=2,
     )
+    run(
+        "seasonal_decompose",
+        lambda: _mat(entry_mod._q148_seasonal_decompose(spark, sf_dir)),
+        repeats=2,
+    )
 
     # --- fallback tier: the guarded 100 TB paths --------------------------
     # Each fb_* entry runs the SAME input as its fast-path twin but forces

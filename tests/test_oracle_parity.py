@@ -168,6 +168,7 @@ SLOW_SUBSET = [
     "q144_importance_resample",
     "q146_rocket_features",
     "q147_rocket_knn",
+    "q148_seasonal_decompose",
 ]
 
 
