@@ -2848,6 +2848,33 @@ def _q148_seasonal_decompose(spark, sf_dir):
     return seasonal_decompose(series, period=4)
 
 
+def _q149_dba_barycenters(spark, sf_dir):
+    """DTW Barycenter Averaging (operators/barycenter.py::dba_update;
+    Petitjean et al. 2011) seeded by q143's medoids — one DBA iteration of
+    DTW k-means: assign with ts_kmedoids, then every member aligns to its
+    cluster medoid under INTEGER-quantized DTW (micro costs -> exact int64
+    DP, fixed diagonal/up/left tie rule) and each barycenter coordinate
+    becomes the mean of its aligned member values (micro-int sums, one
+    IEEE division). The oracle replays the warping PATH itself — a DP
+    recursion accumulating the full integer cost matrix, then a second
+    recursion walking the backtrace — on top of the q143 k-medoids replay:
+    three chained recursive algorithms under one hash."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import dba_update, ts_kmedoids
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import events_to_series
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    asn = ts_kmedoids(series, k=4, metric="dtw")
+    members = series.join(
+        asn.select("series_id", F.col("medoid_id").alias("bary_id")), "series_id"
+    )
+    meds = asn.select(F.col("medoid_id").alias("bary_id")).distinct()
+    barys = meds.join(
+        series, meds["bary_id"] == series["series_id"]
+    ).select("bary_id", F.col("features").alias("bary_features"))
+    return dba_update(members, barys)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3038,6 +3065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_rocket_features": _q146_rocket_features,
         "q147_rocket_knn": _q147_rocket_knn,
         "q148_seasonal_decompose": _q148_seasonal_decompose,
+        "q149_dba_barycenters": _q149_dba_barycenters,
     }
 
 
@@ -3102,13 +3130,20 @@ _SQL_KMEDOIDS_TAIL = """seeds AS (
                            ORDER BY s ASC, cand ASC) AS rk
                 FROM sums
             ) WHERE rk = 1
-        )
-        SELECT id AS series_id, mid AS medoid_id, dm AS dist_micro FROM (
-            SELECT d.ia AS id, d.ib AS mid, d.dm,
-                   row_number() OVER (PARTITION BY d.ia
-                       ORDER BY d.dm ASC, d.ib ASC) AS rk
-            FROM dmat d JOIN med2 m ON d.ib = m.mid
-        ) WHERE rk = 1"""
+        ),
+        a2 AS (
+            SELECT id, mid, dm FROM (
+                SELECT d.ia AS id, d.ib AS mid, d.dm,
+                       row_number() OVER (PARTITION BY d.ia
+                           ORDER BY d.dm ASC, d.ib ASC) AS rk
+                FROM dmat d JOIN med2 m ON d.ib = m.mid
+            ) WHERE rk = 1
+        )"""
+
+# final projection shared by q143/q145 (q149 extends a2 instead)
+_SQL_KMEDOIDS_SELECT = (
+    "SELECT id AS series_id, mid AS medoid_id, dm AS dist_micro FROM a2"
+)
 
 def _sql_rocket_exprs() -> "list[tuple[str, str]]":
     """(name, expr) per ROCKET feature over a `features` list column —
@@ -7071,6 +7106,7 @@ def oracle_sql() -> dict[str, str]:
             FROM dp WHERE i = len(fa)
         ),
         {_SQL_KMEDOIDS_TAIL}
+        {_SQL_KMEDOIDS_SELECT}
     """
 
     # q145: same PAM replay over the SBD distance matrix — the q142 folds
@@ -7107,6 +7143,7 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         {_SQL_KMEDOIDS_TAIL}
+        {_SQL_KMEDOIDS_SELECT}
     """
 
     # q146/q147: ROCKET features — integer kernels mirror term-for-term;
@@ -7189,6 +7226,97 @@ def oracle_sql() -> dict[str, str]:
                seas[(t-1) % 4 + 1] AS seasonal,
                f[t] - {_tr4('t')} - seas[(t-1) % 4 + 1] AS resid
         FROM ex
+    """
+
+    # q149: DBA on top of the q143 replay — recursion 3 (integer DP,
+    # accumulating the FULL cost matrix) + recursion 4 (backtrace walk with
+    # the diagonal/up/left tie rule) + the aligned micro-mean aggregation
+    out["q149_dba_barycenters"] = f"""
+        WITH RECURSIVE {_SERIES_CTE},
+        allp AS (
+            SELECT a.series_id AS ia, a.features AS fa,
+                   b.series_id AS ib, b.features AS fb
+            FROM series a CROSS JOIN series b
+        ),
+        dp AS (
+            SELECT ia, ib, fa, fb, 1 AS i,
+                   list_transform(range(1, len(fb)+1),
+                       j -> list_reduce(list_prepend(0.0,
+                                list_transform(range(1, j+1), k -> abs(fa[1]-fb[k]))),
+                            (x, y) -> x + y)) AS row
+            FROM allp
+            UNION ALL
+            SELECT ia, ib, fa, fb, i+1,
+                   list_reduce(
+                       list_prepend([row[1] + abs(fa[i+1]-fb[1])],
+                           list_transform(range(2, len(fb)+1),
+                               j -> [abs(fa[i+1]-fb[j]), row[j], row[j-1]])),
+                       (acc, e) -> list_append(acc, e[1] + least(e[2], e[3], acc[-1]))) AS row
+            FROM dp WHERE i < len(fa)
+        ),
+        dmat AS (
+            SELECT ia, ib, cast(round(row[-1] * 1000000) AS bigint) AS dm
+            FROM dp WHERE i = len(fa)
+        ),
+        {_SQL_KMEDOIDS_TAIL},
+        mem AS (
+            SELECT a2.mid AS bid, a2.id AS sid, s.features AS mf
+            FROM a2 JOIN series s ON s.series_id = a2.id
+        ),
+        bfe AS (
+            SELECT b.bid, s.features AS bf
+            FROM (SELECT DISTINCT mid AS bid FROM a2) b
+            JOIN series s ON s.series_id = b.bid
+        ),
+        pairq AS (
+            SELECT m.bid, m.sid,
+                   list_transform(f.bf, x -> cast(round(x * 1000000) AS bigint)) AS bm,
+                   list_transform(m.mf, x -> cast(round(x * 1000000) AS bigint)) AS mm
+            FROM mem m JOIN bfe f ON f.bid = m.bid
+        ),
+        dpi AS (
+            SELECT bid, sid, bm, mm, 1 AS i,
+                   [list_transform(range(1, len(mm)+1),
+                       j -> list_reduce(list_prepend(cast(0 AS bigint),
+                                list_transform(range(1, j+1), k -> abs(bm[1]-mm[k]))),
+                            (x, y) -> x + y))] AS mat
+            FROM pairq
+            UNION ALL
+            SELECT bid, sid, bm, mm, i+1,
+                   list_append(mat,
+                       list_reduce(
+                           list_prepend([mat[i][1] + abs(bm[i+1]-mm[1])],
+                               list_transform(range(2, len(mm)+1),
+                                   j -> [abs(bm[i+1]-mm[j]), mat[i][j], mat[i][j-1]])),
+                           (acc, e) -> list_append(acc, e[1] + least(e[2], e[3], acc[-1])))) AS mat
+            FROM dpi WHERE i < len(bm)
+        ),
+        walk AS (
+            SELECT bid, sid, mm, mat, len(mat) AS i, len(mm) AS j
+            FROM dpi WHERE i = len(bm)
+            UNION ALL
+            SELECT bid, sid, mm, mat,
+                   CASE WHEN i = 1 THEN 1
+                        WHEN j = 1 THEN i - 1
+                        WHEN mat[i-1][j-1] <= mat[i-1][j]
+                             AND mat[i-1][j-1] <= mat[i][j-1] THEN i - 1
+                        WHEN mat[i-1][j] <= mat[i][j-1] THEN i - 1
+                        ELSE i
+                   END AS i,
+                   CASE WHEN i = 1 THEN j - 1
+                        WHEN j = 1 THEN j
+                        WHEN mat[i-1][j-1] <= mat[i-1][j]
+                             AND mat[i-1][j-1] <= mat[i][j-1] THEN j - 1
+                        WHEN mat[i-1][j] <= mat[i][j-1] THEN j
+                        ELSE j - 1
+                   END AS j
+            FROM walk WHERE NOT (i = 1 AND j = 1)
+        )
+        SELECT bid AS bary_id, cast(i AS int) AS pos,
+               cast(count(*) AS int) AS n_aligned,
+               cast(cast(sum(mm[j]) AS bigint) AS double)
+               / cast(count(*) * 1000000 AS double) AS bary
+        FROM walk GROUP BY bid, i
     """
 
     # q144: DSIR replay — portable char-fold bucket hash, add-one smoothed

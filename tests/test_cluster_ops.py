@@ -560,3 +560,93 @@ def test_ts_kmedoids_euclidean_and_validation(spark):
     assert all(zero[m] == 0 for m in meds)
     with pytest.raises(ValueError, match="k must be"):
         ts_kmedoids(df, k=0)
+
+
+# ---------------------------------------------------------------------------
+# DBA barycenter averaging
+# ---------------------------------------------------------------------------
+
+
+def test_dtw_path_int_properties():
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import dtw_path_int
+
+    rng = np.random.default_rng(4)
+    for _ in range(25):
+        n, m = rng.integers(1, 12, size=2)
+        a = rng.integers(-1000, 1000, size=n).tolist()
+        b = rng.integers(-1000, 1000, size=m).tolist()
+        path = dtw_path_int(a, b)
+        assert path[0] == (1, 1) and path[-1] == (n, m)
+        for (i0, j0), (i1, j1) in zip(path, path[1:]):
+            assert (i1 - i0, j1 - j0) in {(0, 1), (1, 0), (1, 1)}
+    # identical series align on the diagonal (all-zero costs, diag preferred)
+    x = [3, -1, 4, 1, 5]
+    assert dtw_path_int(x, x) == [(i, i) for i in range(1, 6)]
+
+
+def test_dba_update_fixed_point_and_replay(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import dba_update, dtw_path_int
+
+    # fixed point: a cluster of copies of the barycenter returns it exactly
+    base = [1.5, -2.25, 3.0, 0.5, 2.0]
+    mdf = spark.createDataFrame(
+        [(i, base, 7) for i in range(4)],
+        "series_id long, features array<double>, bary_id long",
+    )
+    bdf = spark.createDataFrame(
+        [(7, base)], "bary_id long, bary_features array<double>"
+    )
+    got = {r["pos"]: r for r in dba_update(mdf, bdf).collect()}
+    assert len(got) == len(base)
+    for p, v in enumerate(base, start=1):
+        assert got[p]["bary"] == v
+        assert got[p]["n_aligned"] == 4
+    # exact python replay on a heterogeneous cluster
+    rng = np.random.default_rng(8)
+    members = [
+        (i, [float(x) for x in rng.normal(size=10)], 7) for i in range(6)
+    ]
+    mdf2 = spark.createDataFrame(
+        members, "series_id long, features array<double>, bary_id long"
+    )
+    out = dba_update(mdf2, bdf).collect()
+    S = 1_000_000
+    bm = [round(v * S) for v in base]
+    agg: dict[int, list] = {}
+    for _, f, _b in members:
+        mm = [round(v * S) for v in f]
+        for bi, mj in dtw_path_int(bm, mm):
+            c, s = agg.get(bi, (0, 0))
+            agg[bi] = (c + 1, s + mm[mj - 1])
+    assert len(out) == len(agg)
+    for r in out:
+        c, s = agg[r["pos"]]
+        assert r["n_aligned"] == c
+        assert r["bary"] == s / (c * S)
+
+
+def test_dba_iteration_reduces_within_cluster_dtw_cost(spark):
+    """DBA's defining property: one update step does not increase the sum
+    of DTW distances from members to the (refined) barycenter."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.dtw_kernel import dtw_pair
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import dba_update
+
+    rng = np.random.default_rng(12)
+    tpl = np.sin(np.linspace(0, 4, 12)) * 2
+    members = [
+        (i, [float(x) for x in np.roll(tpl, int(rng.integers(0, 3))) + rng.normal(size=12) * 0.1], 1)
+        for i in range(8)
+    ]
+    init = [float(x) for x in members[0][1]]
+    mdf = spark.createDataFrame(
+        members, "series_id long, features array<double>, bary_id long"
+    )
+    bdf = spark.createDataFrame(
+        [(1, init)], "bary_id long, bary_features array<double>"
+    )
+    new = [
+        r["bary"]
+        for r in sorted(dba_update(mdf, bdf).collect(), key=lambda r: r["pos"])
+    ]
+    cost = lambda b: sum(dtw_pair(np.array(f), np.array(b)) for _, f, _x in members)
+    assert cost(new) <= cost(init) + 1e-9

@@ -1,0 +1,159 @@
+"""DTW Barycenter Averaging (DBA — Petitjean, Ketterlin & Gançarski,
+Pattern Recognition 2011): the warping-aware mean of a set of series.
+k-medoids (cluster.py::ts_kmedoids) picks a representative FROM the
+corpus; DBA refines it into a true average — each barycenter coordinate
+becomes the mean of every member value its position aligns to under DTW.
+Together they are DTW k-means: assign with ts_kmedoids, average with
+dba_update.
+
+Determinism for oracle parity (the engine's integer playbook, applied to
+a warping PATH for the first time): costs are micro-quantized BEFORE the
+dynamic program (|a-b| -> round(*1e6) int64), so the DP table is exact
+integer arithmetic on any engine, and the backtrace tie rule is a fixed
+preference order (diagonal, then up, then left, on <=). That makes the
+whole alignment — not just the distance — bit-reproducible by a DuckDB
+recursive-CTE twin: one recursion builds the integer DP table, a second
+walks the path. Aligned values aggregate as micro-int64 sums (order-free
+under distributed partial aggregation) with ONE final IEEE division.
+
+Scale shape (100 TB): each member aligns against its cluster's tiny
+barycenter (broadcast k rows); the per-pair DP is O(len^2) inside an
+Arrow-batched kernel; the update is one (cluster, position) groupBy of
+integer partial sums — never a member x member join. One DBA iteration =
+one corpus scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["dba_update", "dtw_path_int"]
+
+_SCALE = 1_000_000
+
+
+def dtw_path_int(a_micro, b_micro) -> list:
+    """Full-matrix integer DTW + deterministic backtrace.
+
+    ``a_micro``/``b_micro`` are int sequences (micro-quantized values);
+    cost(i, j) = |a[i] - b[j]| (already integer). Returns the warping
+    path as a list of (i, j) 1-based pairs, (1,1) .. (n,m), in path
+    order. Tie rule at each step back from (i, j): prefer diagonal, then
+    up (i-1, j), then left (i, j-1), on <= comparisons — mirrored
+    verbatim by the SQL twin."""
+    a = [int(x) for x in a_micro]
+    b = [int(x) for x in b_micro]
+    n, m = len(a), len(b)
+    INF = float("inf")
+    D = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            c = abs(a[i - 1] - b[j - 1])
+            if i == 1 and j == 1:
+                D[i][j] = c
+            elif i == 1:
+                D[i][j] = c + D[1][j - 1]
+            elif j == 1:
+                D[i][j] = c + D[i - 1][1]
+            else:
+                D[i][j] = c + min(D[i - 1][j - 1], D[i - 1][j], D[i][j - 1])
+    path = []
+    i, j = n, m
+    while True:
+        path.append((i, j))
+        if i == 1 and j == 1:
+            break
+        if i == 1:
+            j -= 1
+        elif j == 1:
+            i -= 1
+        else:
+            diag, up, left = D[i - 1][j - 1], D[i - 1][j], D[i][j - 1]
+            if diag <= up and diag <= left:
+                i, j = i - 1, j - 1
+            elif up <= left:
+                i -= 1
+            else:
+                j -= 1
+    path.reverse()
+    return path
+
+
+def dba_update(
+    members: DataFrame,
+    barycenters: DataFrame,
+    *,
+    id_col: str = "series_id",
+    features_col: str = "features",
+    bary_id_col: str = "bary_id",
+    bary_features_col: str = "bary_features",
+) -> DataFrame:
+    """One DBA iteration: align every member series to its assigned
+    barycenter (integer-quantized DTW path), then average the member
+    values aligned to each barycenter position.
+
+    ``members``: (id_col, features_col, bary_id_col) — each series with
+    its cluster's barycenter id (e.g. ts_kmedoids output, medoid_id as
+    bary_id). ``barycenters``: (bary_id_col, bary_features_col).
+
+    Output: (bary_id_col, pos, n_aligned, bary) — pos 1-based over the
+    barycenter length, n_aligned the number of (member, position) pairs
+    aligned there, bary the updated coordinate = micro-int sum / (count *
+    1e6) in ONE IEEE division. Feed back as the next iteration's
+    barycenter (classic DBA fixed-point loop)."""
+    b = barycenters.select(
+        F.col(bary_id_col).alias("_bid"),
+        F.col(bary_features_col).alias("_bf"),
+    )
+    m = members.select(
+        F.col(bary_id_col).alias("_bid"),
+        F.col(features_col).alias("_mf"),
+    )
+    paired = m.join(F.broadcast(b), "_bid")
+
+    # micro-quantize both sides (the decision arithmetic); member RAW
+    # micro values ride along for the averaged sum
+    to_micro = lambda c: F.transform(c, lambda x: F.round(x * _SCALE).cast("long"))
+    paired = paired.select(
+        "_bid",
+        to_micro(F.col("_mf")).alias("_mm"),
+        to_micro(F.col("_bf")).alias("_bm"),
+    )
+
+    out_t = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("pos", T.IntegerType()),
+                T.StructField("val", T.LongType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(out_t)
+    def align(bm: pd.Series, mm: pd.Series) -> pd.Series:
+        res = []
+        for bary, mem in zip(bm, mm):
+            path = dtw_path_int(bary, mem)
+            res.append([(int(i), int(mem[j - 1])) for i, j in path])
+        return pd.Series(res)
+
+    aligned = paired.select(
+        "_bid", F.explode(align(F.col("_bm"), F.col("_mm"))).alias("_a")
+    ).select("_bid", F.col("_a.pos").alias("pos"), F.col("_a.val").alias("_v"))
+    return (
+        aligned.groupBy("_bid", "pos")
+        .agg(F.count(F.lit(1)).alias("n_aligned"), F.sum("_v").alias("_s"))
+        .select(
+            F.col("_bid").alias(bary_id_col),
+            "pos",
+            F.col("n_aligned").cast("int").alias("n_aligned"),
+            (
+                F.col("_s").cast("double")
+                / (F.col("n_aligned") * F.lit(_SCALE)).cast("double")
+            ).alias("bary"),
+        )
+    )
