@@ -2875,6 +2875,24 @@ def _q149_dba_barycenters(spark, sf_dir):
     return dba_update(members, barys)
 
 
+def _q150_dtw_kmeans(spark, sf_dir):
+    """Full DTW k-means iteration (operators/barycenter.py::
+    dtw_kmeans_dba, iters=1): medoid seeding (q143) -> DBA barycenter
+    update (q149) -> reassignment of every series to its nearest REFINED
+    barycenter under exact DTW. The oracle chains FIVE recursions — the
+    k-medoids pair matrix, the k-medoids replay, the integer DP, the
+    backtrace walk, and a final double-cost DTW recursion between every
+    series and the refined (real-valued) barycenters — and hash-proves
+    the resulting assignment. The warping-aware Lloyd loop the
+    reference's classification-only surface never had."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import dtw_kmeans_dba
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import events_to_series
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return dtw_kmeans_dba(series, k=4, iters=1)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3066,6 +3084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_rocket_knn": _q147_rocket_knn,
         "q148_seasonal_decompose": _q148_seasonal_decompose,
         "q149_dba_barycenters": _q149_dba_barycenters,
+        "q150_dtw_kmeans": _q150_dtw_kmeans,
     }
 
 
@@ -7228,11 +7247,10 @@ def oracle_sql() -> dict[str, str]:
         FROM ex
     """
 
-    # q149: DBA on top of the q143 replay — recursion 3 (integer DP,
+    # q149/q150: DBA on top of the q143 replay — recursion 3 (integer DP,
     # accumulating the FULL cost matrix) + recursion 4 (backtrace walk with
-    # the diagonal/up/left tie rule) + the aligned micro-mean aggregation
-    out["q149_dba_barycenters"] = f"""
-        WITH RECURSIVE {_SERIES_CTE},
+    # the diagonal/up/left tie rule); the shared chain ends at `walk`
+    _dba_chain = f"""{_SERIES_CTE},
         allp AS (
             SELECT a.series_id AS ia, a.features AS fa,
                    b.series_id AS ib, b.features AS fb
@@ -7311,12 +7329,61 @@ def oracle_sql() -> dict[str, str]:
                         ELSE j - 1
                    END AS j
             FROM walk WHERE NOT (i = 1 AND j = 1)
-        )
+        )"""
+
+    out["q149_dba_barycenters"] = f"""
+        WITH RECURSIVE {_dba_chain}
         SELECT bid AS bary_id, cast(i AS int) AS pos,
                cast(count(*) AS int) AS n_aligned,
                cast(cast(sum(mm[j]) AS bigint) AS double)
                / cast(count(*) * 1000000 AS double) AS bary
         FROM walk GROUP BY bid, i
+    """
+
+    # q150: the full k-means iteration — rebuild the refined barycenter
+    # arrays (pos-ordered lists of the q149 means), then recursion 5: a
+    # double-cost DTW DP between EVERY series and every refined barycenter,
+    # micro-rounded argmin with the (dist, cluster) tie order
+    out["q150_dtw_kmeans"] = f"""
+        WITH RECURSIVE {_dba_chain},
+        bary2 AS (
+            SELECT bid, list(bary ORDER BY pos) AS bf2 FROM (
+                SELECT bid, i AS pos,
+                       cast(cast(sum(mm[j]) AS bigint) AS double)
+                       / cast(count(*) * 1000000 AS double) AS bary
+                FROM walk GROUP BY bid, i
+            ) GROUP BY bid
+        ),
+        rp AS (
+            SELECT s.series_id AS sid, b.bid, b.bf2 AS ra, s.features AS rb
+            FROM series s CROSS JOIN bary2 b
+        ),
+        dpr AS (
+            SELECT sid, bid, ra, rb, 1 AS i,
+                   list_transform(range(1, len(rb)+1),
+                       j -> list_reduce(list_prepend(0.0,
+                                list_transform(range(1, j+1), k -> abs(ra[1]-rb[k]))),
+                            (x, y) -> x + y)) AS row
+            FROM rp
+            UNION ALL
+            SELECT sid, bid, ra, rb, i+1,
+                   list_reduce(
+                       list_prepend([row[1] + abs(ra[i+1]-rb[1])],
+                           list_transform(range(2, len(rb)+1),
+                               j -> [abs(ra[i+1]-rb[j]), row[j], row[j-1]])),
+                       (acc, e) -> list_append(acc, e[1] + least(e[2], e[3], acc[-1]))) AS row
+            FROM dpr WHERE i < len(ra)
+        ),
+        dr AS (
+            SELECT sid, bid, cast(round(row[-1] * 1000000) AS bigint) AS dm
+            FROM dpr WHERE i = len(ra)
+        )
+        SELECT sid AS series_id, bid AS cluster, dm AS dist_micro FROM (
+            SELECT sid, bid, dm,
+                   row_number() OVER (PARTITION BY sid
+                       ORDER BY dm ASC, bid ASC) AS rk
+            FROM dr
+        ) WHERE rk = 1
     """
 
     # q144: DSIR replay — portable char-fold bucket hash, add-one smoothed

@@ -650,3 +650,30 @@ def test_dba_iteration_reduces_within_cluster_dtw_cost(spark):
     ]
     cost = lambda b: sum(dtw_pair(np.array(f), np.array(b)) for _, f, _x in members)
     assert cost(new) <= cost(init) + 1e-9
+
+
+def test_dtw_kmeans_dba_recovers_shapes_and_is_deterministic(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import dtw_kmeans_dba
+
+    rng = np.random.default_rng(6)
+    rows = []
+    for i in range(45):
+        c = i % 3
+        base = np.sin(np.linspace(0, 2 + 2 * c, 16)) * (c + 1) * 3
+        rows.append(
+            (i, [float(x) for x in base + rng.normal(size=16) * 0.2], str(c))
+        )
+    df = spark.createDataFrame(
+        rows, "series_id long, features array<double>, label string"
+    )
+    out1 = sorted(map(tuple, dtw_kmeans_dba(df, k=3, iters=1).collect()))
+    out2 = sorted(map(tuple, dtw_kmeans_dba(df, k=3, iters=1).collect()))
+    assert out1 == out2  # deterministic end to end
+    labels = {i: l for i, _, l in rows}
+    by_cluster: dict[int, set] = {}
+    for sid, cl, _dm in out1:
+        by_cluster.setdefault(cl, set()).add(labels[sid])
+    assert len(by_cluster) == 3
+    assert all(len(v) == 1 for v in by_cluster.values())
+    with pytest.raises(ValueError, match="iters"):
+        dtw_kmeans_dba(df, k=3, iters=0)

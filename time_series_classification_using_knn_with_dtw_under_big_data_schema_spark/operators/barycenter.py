@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["dba_update", "dtw_path_int"]
+__all__ = ["dba_update", "dtw_kmeans_dba", "dtw_path_int"]
 
 _SCALE = 1_000_000
 
@@ -156,4 +156,91 @@ def dba_update(
                 / (F.col("n_aligned") * F.lit(_SCALE)).cast("double")
             ).alias("bary"),
         )
+    )
+
+
+def dtw_kmeans_dba(
+    series: DataFrame,
+    *,
+    k: int = 4,
+    iters: int = 1,
+    id_col: str = "series_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """DTW k-means (Petitjean-style): k-medoids seeds the clusters
+    (ts_kmedoids — deterministic, oracle-exact), then each iteration runs
+    one DBA barycenter update followed by reassignment of every series to
+    its nearest REFINED barycenter under exact DTW (micro-rounded before
+    the argmin, (dist, cluster) total-order tie-break).
+
+    This is the full warping-aware k-means loop the reference's
+    classification-only surface never had: medoids give a robust integer-
+    exact seed, DBA moves the centers off the corpus onto true warping
+    averages, and the assignment stays a broadcast k-row cross join (one
+    corpus scan per iteration — the Lloyd shape, with DTW instead of
+    euclidean and DBA instead of the mean).
+
+    Output: (id_col, cluster, dist_micro) — cluster is the seeding
+    medoid's series id (stable across iterations), dist_micro the final
+    micro-rounded DTW distance to the iteration's refined barycenter."""
+    from .cluster import ts_kmedoids
+    from ..functions.distance import make_dtw_udf
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    dtw = make_dtw_udf(None)
+    s = series.select(F.col(id_col).alias("_id"), F.col(features_col).alias("_f"))
+
+    asn = ts_kmedoids(
+        series, k=k, metric="dtw", id_col=id_col, features_col=features_col
+    ).select(F.col(id_col).alias("_id"), F.col("medoid_id").alias("_bid"))
+    meds = asn.select(F.col("_bid")).distinct()
+    barys = meds.join(s, meds["_bid"] == s["_id"]).select(
+        F.col("_bid").alias("bary_id"), F.col("_f").alias("bary_features")
+    )
+
+    out = None
+    for _ in range(iters):
+        members = s.join(asn, "_id").select(
+            F.col("_id").alias(id_col),
+            F.col("_f").alias(features_col),
+            F.col("_bid").alias("bary_id"),
+        )
+        upd = dba_update(
+            members, barys, id_col=id_col, features_col=features_col
+        )
+        barys = upd.groupBy("bary_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "bary"))),
+                lambda e: e["bary"],
+            ).alias("bary_features")
+        )
+        scored = s.crossJoin(
+            F.broadcast(
+                barys.select(
+                    F.col("bary_id").alias("_bid"),
+                    F.col("bary_features").alias("_bf"),
+                )
+            )
+        ).withColumn(
+            "_dm", F.round(dtw(F.col("_f"), F.col("_bf")) * _SCALE).cast("long")
+        )
+        out = (
+            scored.groupBy("_id")
+            .agg(
+                F.min_by(
+                    F.struct("_bid", "_dm"), F.struct("_dm", "_bid")
+                ).alias("_m")
+            )
+            .select(
+                "_id",
+                F.col("_m._bid").alias("_bid"),
+                F.col("_m._dm").alias("_dm"),
+            )
+        )
+        asn = out.select("_id", "_bid")
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("_bid").alias("cluster"),
+        F.col("_dm").alias("dist_micro"),
     )
