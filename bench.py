@@ -469,6 +469,18 @@ def main() -> None:
         lambda: _mat(entry_mod._q148_seasonal_decompose(spark, sf_dir)),
         repeats=2,
     )
+    # DBA family: q149 is medoid seed + one barycenter update; q150 adds
+    # the reassignment pass (the full warping-aware Lloyd iteration)
+    run(
+        "dba_update",
+        lambda: _mat(entry_mod._q149_dba_barycenters(spark, sf_dir)),
+        repeats=2,
+    )
+    run(
+        "dtw_kmeans_iter",
+        lambda: _mat(entry_mod._q150_dtw_kmeans(spark, sf_dir)),
+        repeats=2,
+    )
 
     # --- fallback tier: the guarded 100 TB paths --------------------------
     # Each fb_* entry runs the SAME input as its fast-path twin but forces
