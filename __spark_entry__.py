@@ -2893,6 +2893,23 @@ def _q150_dtw_kmeans(spark, sf_dir):
     return dtw_kmeans_dba(series, k=4, iters=1)
 
 
+def _q151_holt_forecast(spark, sf_dir):
+    """Holt linear-trend exponential smoothing (operators/forecast.py::
+    holt_forecast): the classic level/trend recurrence folded left-to-
+    right per series (alpha=0.5, beta=0.25 — binary-exact constants), plus
+    1-step and 4-step forecasts level + h*trend. The recurrence IS one
+    Catalyst aggregate with a 2-element array state — no shuffle, no UDF,
+    scan-bound. RAW doubles (q148 lesson: mirrored folds are bit-equal;
+    rounding only desyncs). The oracle runs the identical fold with
+    [x, 0.0]-padded elements (list_reduce needs uniform element types)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import holt_forecast
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import events_to_series
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return holt_forecast(series, alpha=0.5, beta=0.25, horizons=(1, 4))
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3085,6 +3102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_seasonal_decompose": _q148_seasonal_decompose,
         "q149_dba_barycenters": _q149_dba_barycenters,
         "q150_dtw_kmeans": _q150_dtw_kmeans,
+        "q151_holt_forecast": _q151_holt_forecast,
     }
 
 
@@ -7384,6 +7402,30 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY dm ASC, bid ASC) AS rk
             FROM dr
         ) WHERE rk = 1
+    """
+
+    # q151: the Holt fold with [x, 0.0]-padded elements; binary-exact
+    # 0.5/0.25/0.75 literals, raw doubles out
+    out["q151_holt_forecast"] = f"""
+        WITH {_SERIES_CTE},
+        st AS (
+            SELECT series_id,
+                   CASE WHEN len(features) >= 2 THEN
+                       list_reduce(
+                           list_prepend([features[1], features[2] - features[1]],
+                               list_transform(features[3:], x -> [x, 0.0])),
+                           (acc, e) -> [
+                               0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                               0.25 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2]))
+                                       - acc[1]) + 0.75 * acc[2]
+                           ])
+                   END AS s
+            FROM series
+        )
+        SELECT series_id, s[1] AS level, s[2] AS trend,
+               s[1] + 1.0 * s[2] AS fc_1,
+               s[1] + 4.0 * s[2] AS fc_4
+        FROM st
     """
 
     # q144: DSIR replay — portable char-fold bucket hash, add-one smoothed

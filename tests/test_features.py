@@ -282,3 +282,46 @@ def test_seasonal_decompose_recovers_planted_seasonality(spark):
         assert r["trend"] == pytest.approx(0.5 * (r["t"] - 1), abs=1e-9)
     with pytest.raises(ValueError, match="period"):
         seasonal_decompose(df, period=1)
+
+
+# ---------------------------------------------------------------------------
+# holt_forecast (exponential smoothing)
+# ---------------------------------------------------------------------------
+
+
+def test_holt_forecast_matches_python_replay_and_extrapolates(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import holt_forecast
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=14).cumsum()]) for i in range(5)
+    ]
+    rows.append((98, [7.0]))  # n < 2 -> NULLs
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    got = {r["series_id"]: r for r in holt_forecast(df, alpha=0.5, beta=0.25).collect()}
+
+    def replay(xs, a=0.5, b=0.25):
+        l, t = xs[0], xs[1] - xs[0]
+        for v in xs[2:]:
+            ln = a * v + (1 - a) * (l + t)
+            t = b * (ln - l) + (1 - b) * t
+            l = ln
+        return l, t
+
+    for i, xs in rows:
+        r = got[i]
+        if len(xs) < 2:
+            assert r["level"] is None and r["fc_1"] is None
+            continue
+        l, t = replay(xs)
+        assert (r["level"], r["trend"]) == (l, t)
+        assert r["fc_1"] == l + 1.0 * t and r["fc_4"] == l + 4.0 * t
+    # clean line -> near-exact extrapolation
+    lin = [float(2 * i + 1) for i in range(16)]
+    lr = holt_forecast(
+        spark.createDataFrame([(1, lin)], "series_id long, features array<double>")
+    ).collect()[0]
+    assert lr["fc_1"] == pytest.approx(33.0, abs=0.1)
+    assert lr["fc_4"] == pytest.approx(39.0, abs=0.1)
+    with pytest.raises(ValueError, match="alpha"):
+        holt_forecast(df, alpha=0.0)
