@@ -2910,6 +2910,37 @@ def _q151_holt_forecast(spark, sf_dir):
     return holt_forecast(series, alpha=0.5, beta=0.25, horizons=(1, 4))
 
 
+def _q152_residual_anomalies(spark, sf_dir):
+    """Decomposition-residual anomaly detection (composes q148, the
+    STL-residual-threshold recipe): a position is anomalous when its
+    seasonal-decomposition residual exceeds 3 robust-sigma —
+    integer-exactly, rm^2 * n > 9 * sum(rm^2) over micro-rounded
+    residuals, so the flag is an order-free integer comparison (no float
+    groupBy sums, no sqrt). Output: every interior position with its
+    residual micro value and flag. One extra (series) groupBy over q148's
+    scan-bound decomposition."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import seasonal_decompose
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import events_to_series
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    d = seasonal_decompose(series, period=4).select(
+        "series_id", "t",
+        F.round(F.col("resid") * 1_000_000).cast("long").alias("resid_micro"),
+    )
+    stats = d.groupBy("series_id").agg(
+        F.sum(F.col("resid_micro") * F.col("resid_micro")).alias("_ss"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return d.join(stats, "series_id").select(
+        "series_id", "t", "resid_micro",
+        (
+            F.col("resid_micro") * F.col("resid_micro") * F.col("_n")
+            > F.lit(9) * F.col("_ss")
+        ).alias("is_anomaly"),
+    )
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3103,6 +3134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_dba_barycenters": _q149_dba_barycenters,
         "q150_dtw_kmeans": _q150_dtw_kmeans,
         "q151_holt_forecast": _q151_holt_forecast,
+        "q152_residual_anomalies": _q152_residual_anomalies,
     }
 
 
@@ -7426,6 +7458,47 @@ def oracle_sql() -> dict[str, str]:
                s[1] + 1.0 * s[2] AS fc_1,
                s[1] + 4.0 * s[2] AS fc_4
         FROM st
+    """
+
+    # q152: q148's decomposition CTEs + micro residuals + the integer
+    # 3-sigma comparison (rm^2 * n > 9 * sum(rm^2), order-free)
+    out["q152_residual_anomalies"] = f"""
+        WITH {_SERIES_CTE},
+        b AS (
+            SELECT series_id, features AS f,
+                   range(3, len(features) - 1) AS pos
+            FROM series WHERE len(features) >= 5
+        ),
+        sea AS (
+            SELECT series_id, f, pos,
+                   {_s4(0)} AS s0, {_s4(1)} AS s1,
+                   {_s4(2)} AS s2, {_s4(3)} AS s3
+            FROM b
+        ),
+        cen AS (
+            SELECT *, (((s0 + s1) + s2) + s3) / 4.0 AS sbar FROM sea
+        ),
+        ex AS (
+            SELECT series_id, f,
+                   [s0 - sbar, s1 - sbar, s2 - sbar, s3 - sbar] AS seas,
+                   unnest(pos) AS t
+            FROM cen
+        ),
+        rm AS (
+            SELECT series_id, cast(t AS int) AS t,
+                   cast(round((f[t] - {_tr4('t')} - seas[(t-1) % 4 + 1])
+                              * 1000000) AS bigint) AS resid_micro
+            FROM ex
+        ),
+        stats AS (
+            SELECT series_id,
+                   cast(sum(resid_micro * resid_micro) AS bigint) AS ss,
+                   count(*) AS n
+            FROM rm GROUP BY series_id
+        )
+        SELECT r.series_id, r.t, r.resid_micro,
+               r.resid_micro * r.resid_micro * s.n > 9 * s.ss AS is_anomaly
+        FROM rm r JOIN stats s USING (series_id)
     """
 
     # q144: DSIR replay — portable char-fold bucket hash, add-one smoothed
