@@ -439,9 +439,17 @@ def main() -> None:
     # UDF), DTW/SBD k-medoids clustering, ROCKET conv features + feature-
     # space KNN (the O(n)-per-row escape from the pair matrix), and
     # DSIR-style importance resampling over the documents corpus
+    # strategy='kernel' routes SBD through the FFT cross-correlation batch
+    # kernel (sbd_batch) — the scale path. The declarative fold (q142's
+    # oracle-exact expression) measured 57s on this workload: Spark
+    # higher-order functions are interpreted, so the O(n^2) shift sweep is
+    # HOF-dispatch-bound (NOTES r5); the FFT kernel is 13x faster with
+    # identical neighbor sets (test-pinned).
     run(
         "sbd_knn",
-        lambda: _mat(entry_mod._q142_sbd_knn(spark, sf_dir)),
+        lambda: _mat(knn_join(
+            test, train, metric="sbd", k=3, strategy="kernel"
+        )),
         repeats=2,
     )
     run(

@@ -290,3 +290,49 @@ def test_sax_blocking_recall_on_clustered_series(spark, har_dfs):
     assert hits / n_test >= 0.8, (hits, n_test)
     assert covered >= n_test * 0.9
     assert total_cand < n_test * n_train * 0.6, (total_cand, n_test * n_train)
+
+
+def test_sbd_batch_matches_naive_sweep():
+    """FFT kernel vs the naive shift sweep — random, anti-correlated
+    (all-negative cc: the zero-padding-bin trap), and zero-norm pairs."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import sbd_batch
+
+    rng = np.random.default_rng(17)
+    for n in (1, 2, 7, 16, 64):
+        A = rng.normal(size=(20, n))
+        B = rng.normal(size=(20, n))
+        if n >= 4:
+            A[0] = np.sin(np.linspace(0, 5, n))
+            B[0] = -A[0]  # every correlation negative
+        A[1] = 0.0  # zero norm
+        got = sbd_batch(A, B)
+        exp = np.array([_sbd_np(a, b) for a, b in zip(A, B)])
+        assert np.abs(got - exp).max() < 1e-11, n
+    with pytest.raises(ValueError, match="equal-length"):
+        sbd_batch(np.zeros((2, 4)), np.zeros((2, 5)))
+
+
+def test_sbd_kernel_strategies_match_declarative(spark):
+    """knn_join metric='sbd': kernel and chunked (FFT batch) agree with the
+    broadcast expression path on neighbor sets and ranks (distances to
+    1e-9 — FFT reassociation)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join
+
+    rng = np.random.default_rng(23)
+    tr = [(i, [float(x) for x in rng.normal(size=16)], f"c{i % 2}") for i in range(40)]
+    te = [(100 + i, [float(x) for x in rng.normal(size=16)], "?") for i in range(8)]
+    schema = "series_id long, features array<double>, label string"
+    train, test = spark.createDataFrame(tr, schema), spark.createDataFrame(te, schema)
+    base = {
+        (r["test_id"], r["rank"]): (r["train_id"], r["distance"])
+        for r in knn_join(test, train, metric="sbd", k=3, strategy="broadcast").collect()
+    }
+    for strat in ("kernel", "chunked"):
+        got = {
+            (r["test_id"], r["rank"]): (r["train_id"], r["distance"])
+            for r in knn_join(test, train, metric="sbd", k=3, strategy=strat).collect()
+        }
+        assert set(got) == set(base), strat
+        for key, (tid, d) in got.items():
+            assert tid == base[key][0], (strat, key)
+            assert d == pytest.approx(base[key][1], abs=1e-9), (strat, key)

@@ -7,6 +7,7 @@ from .distance import (  # noqa: F401
     cosine_similarity,
     cosine_distance,
     sbd,
+    sbd_batch,
     dtw_udf,
     make_dtw_udf,
     DISTANCES,

@@ -208,7 +208,7 @@ def _knn_kernel_broadcast(
         kind = "dtw" if band is not None else "fastdtw"
     elif metric == "dtw":
         kind = "dtw"
-    elif metric in ("euclidean", "sq_euclidean", "manhattan", "chebyshev"):
+    elif metric in ("euclidean", "sq_euclidean", "manhattan", "chebyshev", "sbd"):
         kind = metric
     else:
         raise ValueError(f"strategy='kernel' does not support metric {metric!r}")
@@ -379,6 +379,12 @@ def _score_block_rows(
                 D = ((A - B) ** 2).sum(axis=1)
             elif kind == "manhattan":
                 D = np.abs(A - B).sum(axis=1)
+            elif kind == "sbd":
+                from ..functions.distance import sbd_batch
+
+                # broadcast_to views are read-only and non-contiguous;
+                # the FFT kernel wants materialized rows
+                D = sbd_batch(np.ascontiguousarray(A), B)
             else:  # chebyshev
                 D = np.abs(A - B).max(axis=1)
             D = D.reshape(nc, n_train)
@@ -458,7 +464,7 @@ def _knn_chunked(
         kind = "dtw" if band is not None else "fastdtw"
     elif metric == "dtw":
         kind = "dtw"
-    elif metric in ("euclidean", "sq_euclidean", "manhattan", "chebyshev"):
+    elif metric in ("euclidean", "sq_euclidean", "manhattan", "chebyshev", "sbd"):
         kind = metric
     else:
         raise ValueError(f"strategy='chunked' does not support metric {metric!r}")
