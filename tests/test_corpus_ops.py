@@ -812,3 +812,27 @@ def test_importance_resample_empty_docs_and_validation(spark):
         importance_resample(docs, target, keep_fraction=0.0)
     with pytest.raises(ValueError, match="n_buckets"):
         importance_resample(docs, target, n_buckets=0)
+
+
+def test_importance_resample_xxhash_mode_same_shape(spark):
+    """hash_mode='xxhash64' (production): same selection machinery, JVM
+    bucket hash — scores differ (different buckets) but the output
+    contract and the target-separation property hold."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import importance_resample
+
+    sci = "quantum entropy lattice theorem proof tensor spectral operator"
+    web = "click here buy now free offer deal win prize cheap"
+    rows = [
+        (i, " ".join((sci if i % 2 == 0 else web).split()))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter(F.col("doc_id") % 2 == 0).limit(6)
+    out = importance_resample(
+        docs, target, n_buckets=128, keep_fraction=0.5, hash_mode="xxhash64"
+    ).collect()
+    assert len(out) == 30
+    kept = {r["doc_id"] for r in out if r["kept"]}
+    assert sum(1 for i in kept if i % 2 == 0) >= 0.9 * len(kept)
+    with pytest.raises(ValueError, match="hash_mode"):
+        importance_resample(docs, target, hash_mode="nope").collect()
