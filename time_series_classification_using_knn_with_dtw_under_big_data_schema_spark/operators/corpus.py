@@ -153,14 +153,24 @@ def _token_ngrams(text: "F.Column", n: int) -> "F.Column":
     Caller must guarantee ``size(tokens) >= n`` (Spark's ``sequence`` would
     otherwise produce a DESCENDING range for an empty window and emit bogus
     grams).
+
+    Evaluate-once binding: slicing the ``tokens(text)`` EXPRESSION inside
+    the position lambda would re-run the whole tokenizer per gram (the
+    O(len^2)-per-doc HOF trap measured on importance_resample, NOTES r5).
+    Wrapping the token array as the single element of an outer
+    ``transform`` binds it to a lambda VARIABLE — computed once, indexed
+    cheaply by the inner gram lambda.
     """
-    toks = tokens(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
+    wrapped = F.transform(
+        F.array(tokens(text)),
+        lambda tk: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+            )
+        ),
     )
+    return F.element_at(wrapped, 1)
 
 
 def decontaminate(
