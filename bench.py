@@ -467,11 +467,35 @@ def main() -> None:
         lambda: _mat(entry_mod._q147_rocket_knn(spark, sf_dir)),
         repeats=2,
     )
-    run(
-        "importance_resample",
-        lambda: _mat(entry_mod._q144_importance_resample(spark, sf_dir)),
-        repeats=2,
+    # the production path for the same classification: feature vectors
+    # through the broadcast numpy kernel instead of the declarative
+    # (interpreted-HOF) euclidean fold the oracle uses
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import rocket_features as _rf
+
+    def _rocket_knn_kernel():
+        names = [m for i in range(12) for m in (f"k{i}_ppv", f"k{i}_max")]
+        events01 = _t_cached(spark, sf_dir, "events")
+        s = events_to_series(events01, length=16)
+        tr, te = split_train_test(s)
+        vec = lambda df: _rf(df, n_kernels=12).select(
+            "series_id", F.array(*names).alias("features"), "label"
+        )
+        _mat(knn_classify(vec(te), vec(tr), metric="euclidean", k=5, strategy="kernel"))
+
+    run("rocket_knn_kernel", _rocket_knn_kernel, repeats=2)
+    # cache_scope per observation: importance_resample registers a bounded
+    # doc-score cache internally — without the scope, repeat 2 would serve
+    # from repeat 1's cache and "best of repeats" would report the warm
+    # re-query (0.5s) instead of the operator (measured [4.4, 0.5] samples)
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.caching import (
+        cache_scope,
     )
+
+    def _ir_fresh():
+        with cache_scope():
+            _mat(entry_mod._q144_importance_resample(spark, sf_dir))
+
+    run("importance_resample", _ir_fresh, repeats=2)
     run(
         "seasonal_decompose",
         lambda: _mat(entry_mod._q148_seasonal_decompose(spark, sf_dir)),
