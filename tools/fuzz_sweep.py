@@ -689,6 +689,135 @@ def sweep_sax(trials: int, seed: int) -> int:
     return fails
 
 
+
+def sweep_shape(trials: int, seed: int) -> int:
+    """r5 shape family vs pure-Python goldens: sbd_batch (FFT) vs the
+    naive shift sweep, holt_forecast vs the scalar recurrence, and
+    seasonal_decompose vs the textbook replay — random lengths/periods
+    incl. constant, zero, and too-short series."""
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.distance import sbd_batch
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        holt_forecast,
+        seasonal_decompose,
+    )
+
+    rng = np.random.default_rng(seed)
+    fails = 0
+
+    def sbd_naive(a, b):
+        n = len(a)
+        na = np.sqrt((a * a).sum())
+        nb = np.sqrt((b * b).sum())
+        if na * nb == 0:
+            return 1.0
+        best = -np.inf
+        for s in range(-(n - 1), n):
+            if s >= 0:
+                cc = float((a[s:] * b[: n - s]).sum())
+            else:
+                cc = float((a[: n + s] * b[-s:]).sum())
+            best = max(best, cc)
+        return 1.0 - best / (na * nb)
+
+    # leg 1 (pure numpy, no Spark): sbd FFT vs naive on adversarial shapes
+    for t in range(trials * 4):
+        n = int(rng.integers(1, 96))
+        bs = int(rng.integers(1, 12))
+        A = rng.normal(size=(bs, n))
+        B = rng.normal(size=(bs, n))
+        if t % 3 == 1 and n > 1:
+            B[0] = -A[0]  # all-negative correlation sweep
+        if t % 4 == 2:
+            A[0] = 0.0  # zero norm
+        got = sbd_batch(A, B)
+        exp = np.array([sbd_naive(a, b) for a, b in zip(A, B)])
+        if np.abs(got - exp).max() > 1e-10:
+            print(f"shape FAIL sbd trial={t} n={n} err={np.abs(got-exp).max()}")
+            fails += 1
+
+    spark = _spark()
+    for t in range(trials):
+        n_series = int(rng.integers(1, 10))
+        length = int(rng.integers(1, 24))
+        rows = [
+            (i, [float(x) for x in rng.normal(size=length)])
+            for i in range(n_series)
+        ]
+        if t % 3 == 0:
+            rows[0] = (rows[0][0], [1.5] * length)  # constant series
+        df = spark.createDataFrame(rows, "series_id long, features array<double>")
+
+        # holt leg — exact equality with the scalar recurrence
+        got = {r["series_id"]: r for r in holt_forecast(df).collect()}
+        for i, xs in rows:
+            if length < 2:
+                if got[i]["level"] is not None:
+                    print(f"shape FAIL holt guard trial={t}")
+                    fails += 1
+                continue
+            l, b = xs[0], xs[1] - xs[0]
+            for v in xs[2:]:
+                ln = 0.5 * v + 0.5 * (l + b)
+                b = 0.25 * (ln - l) + 0.75 * b
+                l = ln
+            if (got[i]["level"], got[i]["trend"]) != (l, b):
+                print(f"shape FAIL holt trial={t} id={i}")
+                fails += 1
+
+        # decompose leg — exact vs the textbook replay
+        period = int(rng.integers(2, 6))
+        half = period // 2
+        out = seasonal_decompose(df, period=period).collect()
+        exp_rows = 0
+        for i, xs in rows:
+            npts = len(xs)
+            if npts < period + 1:
+                continue
+            exp_rows += npts - 2 * half
+        if len(out) != exp_rows:
+            print(f"shape FAIL decompose rowcount trial={t}: {len(out)} vs {exp_rows}")
+            fails += 1
+            continue
+        feats = dict(rows)
+        for r in out:
+            xs = feats[r["series_id"]]
+            npts = len(xs)
+            trend = {}
+            for tt in range(half + 1, npts - half + 1):
+                if period % 2:
+                    acc = 0.0
+                    for ii in range(tt - half, tt + half + 1):
+                        acc += xs[ii - 1]
+                    trend[tt] = acc / period
+                else:
+                    acc = xs[tt - half - 1] * 0.5
+                    for ii in range(tt - half + 1, tt + half):
+                        acc += xs[ii - 1]
+                    trend[tt] = (acc + xs[tt + half - 1] * 0.5) / period
+            s_idx = []
+            for j in range(period):
+                sel = sorted(k for k in trend if (k - 1) % period == j)
+                acc = 0.0
+                for k in sel:
+                    acc += xs[k - 1] - trend[k]
+                s_idx.append(acc / len(sel) if sel else 0.0)
+            sbar = 0.0
+            for v in s_idx:
+                sbar += v
+            sbar /= period
+            sc = [v - sbar for v in s_idx]
+            tt = r["t"]
+            if (r["trend"], r["seasonal"]) != (trend[tt], sc[(tt - 1) % period]):
+                sid = r["series_id"]
+                print(f"shape FAIL decompose trial={t} id={sid} t={tt}")
+                fails += 1
+                break
+    print(f"sweep shape: {fails} failures")
+    return fails
+
+
 SWEEPS = {
     "dtw": sweep_dtw,
     "asof": sweep_asof,
@@ -699,8 +828,9 @@ SWEEPS = {
     "bm25": sweep_bm25,
     "classify": sweep_classify,
     "sax": sweep_sax,
+    "shape": sweep_shape,
 }
-DEFAULT_TRIALS = {"dtw": 250, "asof": 40, "interval": 20, "components": 12, "jpeg": 30, "bpe": 12, "bm25": 25, "classify": 15, "sax": 12}
+DEFAULT_TRIALS = {"dtw": 250, "asof": 40, "interval": 20, "components": 12, "jpeg": 30, "bpe": 12, "bm25": 25, "classify": 15, "sax": 12, "shape": 10}
 
 
 def main() -> None:
