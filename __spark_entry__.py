@@ -2941,6 +2941,24 @@ def _q152_residual_anomalies(spark, sf_dir):
     )
 
 
+def _q153_dba_classify(spark, sf_dir):
+    """Nearest-DBA-prototype classification (operators/barycenter.py::
+    dba_classify) — the SCALE answer to the reference's own problem: one
+    DBA barycenter per class (supervised: members grouped by label,
+    assignments never move), test series labeled by nearest prototype
+    under exact DTW. Scoring cost O(n_test * n_classes) vs the
+    reference's O(n_test * n_train) cross join. Oracle: per-class
+    spread-hash seeds, the integer-DP + backtrace-walk recursions
+    aligning every train series to its class seed, barycenter rebuild,
+    and a final double-cost DTW recursion of every test series against
+    the k class prototypes — hash-proving predictions end to end."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import dba_classify
+
+    _prep(spark)
+    train, test = _series(spark, sf_dir)
+    return dba_classify(test, train)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3135,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_dtw_kmeans": _q150_dtw_kmeans,
         "q151_holt_forecast": _q151_holt_forecast,
         "q152_residual_anomalies": _q152_residual_anomalies,
+        "q153_dba_classify": _q153_dba_classify,
     }
 
 
@@ -7499,6 +7518,106 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.series_id, r.t, r.resid_micro,
                r.resid_micro * r.resid_micro * s.n > 9 * s.ss AS is_anomaly
         FROM rm r JOIN stats s USING (series_id)
+    """
+
+    # q153: supervised DBA prototypes — per-class spread-hash seeds, the
+    # q149 integer-DP/backtrace recursions with bid = LABEL, barycenter
+    # rebuild, then the q150 double-cost DTW recursion of test vs the k
+    # class prototypes and the (dist, label) argmin
+    out["q153_dba_classify"] = f"""
+        WITH RECURSIVE {_SERIES_CTE},
+        seeds AS (
+            SELECT label AS bid, features AS bf FROM (
+                SELECT label, features,
+                       row_number() OVER (PARTITION BY label
+                           ORDER BY ((series_id % 1000000007) * 654435747
+                                     + 40503) % 1000000007 ASC,
+                                    series_id ASC) AS rk
+                FROM train
+            ) WHERE rk = 1
+        ),
+        pairq AS (
+            SELECT t.label AS bid, t.series_id AS sid,
+                   list_transform(s.bf, x -> cast(round(x * 1000000) AS bigint)) AS bm,
+                   list_transform(t.features, x -> cast(round(x * 1000000) AS bigint)) AS mm
+            FROM train t JOIN seeds s ON s.bid = t.label
+        ),
+        dpi AS (
+            SELECT bid, sid, bm, mm, 1 AS i,
+                   [list_transform(range(1, len(mm)+1),
+                       j -> list_reduce(list_prepend(cast(0 AS bigint),
+                                list_transform(range(1, j+1), k -> abs(bm[1]-mm[k]))),
+                            (x, y) -> x + y))] AS mat
+            FROM pairq
+            UNION ALL
+            SELECT bid, sid, bm, mm, i+1,
+                   list_append(mat,
+                       list_reduce(
+                           list_prepend([mat[i][1] + abs(bm[i+1]-mm[1])],
+                               list_transform(range(2, len(mm)+1),
+                                   j -> [abs(bm[i+1]-mm[j]), mat[i][j], mat[i][j-1]])),
+                           (acc, e) -> list_append(acc, e[1] + least(e[2], e[3], acc[-1])))) AS mat
+            FROM dpi WHERE i < len(bm)
+        ),
+        walk AS (
+            SELECT bid, sid, mm, mat, len(mat) AS i, len(mm) AS j
+            FROM dpi WHERE i = len(bm)
+            UNION ALL
+            SELECT bid, sid, mm, mat,
+                   CASE WHEN i = 1 THEN 1
+                        WHEN j = 1 THEN i - 1
+                        WHEN mat[i-1][j-1] <= mat[i-1][j]
+                             AND mat[i-1][j-1] <= mat[i][j-1] THEN i - 1
+                        WHEN mat[i-1][j] <= mat[i][j-1] THEN i - 1
+                        ELSE i
+                   END AS i,
+                   CASE WHEN i = 1 THEN j - 1
+                        WHEN j = 1 THEN j
+                        WHEN mat[i-1][j-1] <= mat[i-1][j]
+                             AND mat[i-1][j-1] <= mat[i][j-1] THEN j - 1
+                        WHEN mat[i-1][j] <= mat[i][j-1] THEN j
+                        ELSE j - 1
+                   END AS j
+            FROM walk WHERE NOT (i = 1 AND j = 1)
+        ),
+        bary2 AS (
+            SELECT bid, list(bary ORDER BY pos) AS bf2 FROM (
+                SELECT bid, i AS pos,
+                       cast(cast(sum(mm[j]) AS bigint) AS double)
+                       / cast(count(*) * 1000000 AS double) AS bary
+                FROM walk GROUP BY bid, i
+            ) GROUP BY bid
+        ),
+        rp AS (
+            SELECT s.series_id AS sid, b.bid, b.bf2 AS ra, s.features AS rb
+            FROM test s CROSS JOIN bary2 b
+        ),
+        dpr AS (
+            SELECT sid, bid, ra, rb, 1 AS i,
+                   list_transform(range(1, len(rb)+1),
+                       j -> list_reduce(list_prepend(0.0,
+                                list_transform(range(1, j+1), k -> abs(ra[1]-rb[k]))),
+                            (x, y) -> x + y)) AS row
+            FROM rp
+            UNION ALL
+            SELECT sid, bid, ra, rb, i+1,
+                   list_reduce(
+                       list_prepend([row[1] + abs(ra[i+1]-rb[1])],
+                           list_transform(range(2, len(rb)+1),
+                               j -> [abs(ra[i+1]-rb[j]), row[j], row[j-1]])),
+                       (acc, e) -> list_append(acc, e[1] + least(e[2], e[3], acc[-1]))) AS row
+            FROM dpr WHERE i < len(ra)
+        ),
+        dr AS (
+            SELECT sid, bid, cast(round(row[-1] * 1000000) AS bigint) AS dm
+            FROM dpr WHERE i = len(ra)
+        )
+        SELECT sid AS test_id, bid AS predicted_label, dm AS dist_micro FROM (
+            SELECT sid, bid, dm,
+                   row_number() OVER (PARTITION BY sid
+                       ORDER BY dm ASC, bid ASC) AS rk
+            FROM dr
+        ) WHERE rk = 1
     """
 
     # q144: DSIR replay — portable char-fold bucket hash, add-one smoothed

@@ -513,6 +513,13 @@ def main() -> None:
         lambda: _mat(entry_mod._q150_dtw_kmeans(spark, sf_dir)),
         repeats=2,
     )
+    # nearest-DBA-prototype classification: the O(n_test * n_classes)
+    # alternative to the KNN pair matrix for the reference's own problem
+    run(
+        "dba_classify",
+        lambda: _mat(entry_mod._q153_dba_classify(spark, sf_dir)),
+        repeats=2,
+    )
 
     # --- fallback tier: the guarded 100 TB paths --------------------------
     # Each fb_* entry runs the SAME input as its fast-path twin but forces

@@ -677,3 +677,54 @@ def test_dtw_kmeans_dba_recovers_shapes_and_is_deterministic(spark):
     assert all(len(v) == 1 for v in by_cluster.values())
     with pytest.raises(ValueError, match="iters"):
         dtw_kmeans_dba(df, k=3, iters=0)
+
+
+def test_dba_classify_separable_shapes_and_replay(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.dtw_kernel import dtw_pair
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import dba_classify, dtw_path_int
+
+    rng = np.random.default_rng(2)
+    mk = lambda i, c: np.sin(np.linspace(0, 2 + 2 * c, 16)) * (c + 1) * 3 + rng.normal(size=16) * 0.2
+    tr = [(i, [float(x) for x in mk(i, i % 3)], str(i % 3)) for i in range(45)]
+    te = [(100 + i, [float(x) for x in mk(i, i % 3)], str(i % 3)) for i in range(12)]
+    schema = "series_id long, features array<double>, label string"
+    out = dba_classify(
+        spark.createDataFrame(te, schema), spark.createDataFrame(tr, schema)
+    ).collect()
+    assert len(out) == 12
+    acc = sum(
+        1 for r in out if r["predicted_label"] == str((r["test_id"] - 100) % 3)
+    ) / len(out)
+    assert acc == 1.0
+    # exact python replay: per-class spread-hash seed -> integer-DP DBA ->
+    # nearest-prototype argmin
+    P, S = 1_000_000_007, 1_000_000
+    h = lambda i: ((i % P) * 654435747 + 40503) % P
+    by_label: dict[str, list] = {}
+    for i, f, lab in tr:
+        by_label.setdefault(lab, []).append((i, f))
+    barys = {}
+    for lab, mem in by_label.items():
+        seed = min(mem, key=lambda m: (h(m[0]), m[0]))[1]
+        bm = [round(v * S) for v in seed]
+        agg: dict[int, tuple] = {}
+        for _i, f in mem:
+            mm = [round(v * S) for v in f]
+            for bi, mj in dtw_path_int(bm, mm):
+                c0, s0 = agg.get(bi, (0, 0))
+                agg[bi] = (c0 + 1, s0 + mm[mj - 1])
+        barys[lab] = [agg[p][1] / (agg[p][0] * S) for p in sorted(agg)]
+    for r in out:
+        f = next(x for i, x, _ in te if i == r["test_id"])
+        dm = {
+            lab: round(dtw_pair(np.array(f), np.array(b)) * S)
+            for lab, b in barys.items()
+        }
+        pl = min(dm, key=lambda lab: (dm[lab], lab))
+        assert (pl, dm[pl]) == (r["predicted_label"], r["dist_micro"])
+    with pytest.raises(ValueError, match="iters"):
+        dba_classify(
+            spark.createDataFrame(te, schema),
+            spark.createDataFrame(tr, schema),
+            iters=0,
+        )

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["dba_update", "dtw_kmeans_dba", "dtw_path_int"]
+__all__ = ["dba_classify", "dba_update", "dtw_kmeans_dba", "dtw_path_int"]
 
 _SCALE = 1_000_000
 
@@ -209,12 +209,7 @@ def dtw_kmeans_dba(
         upd = dba_update(
             members, barys, id_col=id_col, features_col=features_col
         )
-        barys = upd.groupBy("bary_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "bary"))),
-                lambda e: e["bary"],
-            ).alias("bary_features")
-        )
+        barys = _rebuild_barys(upd)
         scored = s.crossJoin(
             F.broadcast(
                 barys.select(
@@ -243,4 +238,96 @@ def dtw_kmeans_dba(
         F.col("_id").alias(id_col),
         F.col("_bid").alias("cluster"),
         F.col("_dm").alias("dist_micro"),
+    )
+
+
+def _rebuild_barys(upd: DataFrame, bary_id_col: str = "bary_id") -> DataFrame:
+    """(bary_id, bary_features) from a dba_update output: coordinates
+    re-assembled position-ascending (the kmeans _refit array trick)."""
+    return upd.groupBy(bary_id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "bary"))),
+            lambda e: e["bary"],
+        ).alias("bary_features")
+    )
+
+
+def dba_classify(
+    test: DataFrame,
+    train: DataFrame,
+    *,
+    iters: int = 1,
+    id_col: str = "series_id",
+    features_col: str = "features",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-DBA-prototype classification — the SCALE alternative to the
+    reference's KNN for its own problem: train ONE barycenter per class
+    (supervised DBA: members are grouped by their label, assignments never
+    move), then label each test series by its nearest class prototype
+    under exact DTW. Scoring cost drops from O(n_test * n_train) pair
+    distances (the reference's cross join, Team11-Project.py:190/528) to
+    O(n_test * n_classes) — at 100 TB the train corpus is touched once
+    per DBA iteration and never joined against the test side at all.
+    The classic nearest-centroid/prototype method (Petitjean et al. use
+    exactly this as DBA's motivating application).
+
+    Determinism: per-class seed = the member with the smallest portable
+    spread hash (tie: id); DBA alignment/update integer-exact as in
+    dba_update; final argmin on micro-rounded distances with
+    (dist, label) total-order ties.
+
+    Output: (test_id, predicted_label, dist_micro)."""
+    from .cluster import _spread_hash
+    from ..functions.distance import make_dtw_udf
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    dtw = make_dtw_udf(None)
+    seeds = (
+        train.withColumn("_h", _spread_hash(F.col(id_col)))
+        .groupBy(F.col(label_col).alias("bary_id"))
+        .agg(
+            F.min_by(
+                F.col(features_col), F.struct("_h", id_col)
+            ).alias("bary_features")
+        )
+    )
+    members = train.select(
+        F.col(id_col),
+        F.col(features_col),
+        F.col(label_col).alias("bary_id"),
+    )
+    barys = seeds
+    for _ in range(iters):
+        upd = dba_update(
+            members, barys, id_col=id_col, features_col=features_col
+        )
+        barys = _rebuild_barys(upd)
+    scored = (
+        test.select(
+            F.col(id_col).alias("test_id"), F.col(features_col).alias("_f")
+        )
+        .crossJoin(
+            F.broadcast(
+                barys.select(
+                    F.col("bary_id").alias("_bid"),
+                    F.col("bary_features").alias("_bf"),
+                )
+            )
+        )
+        .withColumn(
+            "_dm", F.round(dtw(F.col("_f"), F.col("_bf")) * _SCALE).cast("long")
+        )
+    )
+    return (
+        scored.groupBy("test_id")
+        .agg(
+            F.min_by(F.struct("_bid", "_dm"), F.struct("_dm", "_bid")).alias("_m")
+        )
+        .select(
+            "test_id",
+            F.col("_m._bid").alias("predicted_label"),
+            F.col("_m._dm").alias("dist_micro"),
+        )
     )
