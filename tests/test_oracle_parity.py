@@ -161,9 +161,10 @@ SLOW_SUBSET = [
     "q141_knn_cv",
     # shape-analytics family (r5 cont.): SBD's 2n-1-shift fold sweep over
     # the full cross join, DSIR's bucket-distribution chain, and the
-    # ROCKET feature-space KNN (q143/q145's k-medoids oracles rebuild the
-    # FULL n^2 pair matrix in a recursive CTE — exact but deliberately
-    # sf0.001/0.01-only; the Spark side is staged-pairs and scales)
+    # ROCKET feature-space KNN (q143/q145's k-medoids oracles and the
+    # q149/q150/q153 DBA-family oracles rebuild full pair matrices / DP
+    # tables in recursive CTEs — exact but deliberately sf0.001/0.01-only;
+    # the Spark side is staged-pairs/broadcast-prototypes and scales)
     "q142_sbd_knn",
     "q144_importance_resample",
     "q146_rocket_features",
