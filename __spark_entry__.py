@@ -2959,6 +2959,24 @@ def _q153_dba_classify(spark, sf_dir):
     return dba_classify(test, train)
 
 
+def _q154_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection (operators/features.py::
+    cusum_changepoint; Page 1954): per series the argmax over t of
+    |S_t - (t/n) S_n| — the mean-shift first-split statistic — plus the
+    before/after means. Prefix sums ride as ONE array-state fold, the
+    argmax one more fold with a (stat desc, t asc) preference; a per-row
+    projection, no shuffle, no UDF. Raw doubles (q148 lesson); the
+    oracle mirrors the prefix fold and replaces the argmax fold with the
+    equivalent (stat DESC, t ASC) row_number — decisions coincide because
+    the stat doubles are bit-equal."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import cusum_changepoint
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import events_to_series
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return cusum_changepoint(series)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3154,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_holt_forecast": _q151_holt_forecast,
         "q152_residual_anomalies": _q152_residual_anomalies,
         "q153_dba_classify": _q153_dba_classify,
+        "q154_cusum_changepoint": _q154_cusum_changepoint,
     }
 
 
@@ -7618,6 +7637,39 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY dm ASC, bid ASC) AS rk
             FROM dr
         ) WHERE rk = 1
+    """
+
+    # q154: prefix-sum fold mirrored element-for-element ([x]-padded for
+    # uniform list_reduce types); argmax as the equivalent ranked window
+    out["q154_cusum_changepoint"] = f"""
+        WITH {_SERIES_CTE},
+        b AS (
+            SELECT series_id, features AS f, len(features) AS n,
+                   list_reduce(list_prepend(CAST([] AS DOUBLE[]),
+                       list_transform(features, x -> [x])),
+                       (acc, e) -> list_append(acc,
+                           coalesce(acc[-1], 0.0) + e[1])) AS S
+            FROM series WHERE len(features) >= 2
+        ),
+        st AS (
+            SELECT series_id, f, n, S, unnest(range(1, n)) AS t
+            FROM b
+        ),
+        scored AS (
+            SELECT series_id, n, S, t,
+                   abs(S[t] - (cast(t AS double) / cast(n AS double)) * S[n])
+                       AS stat
+            FROM st
+        ),
+        sel AS (
+            SELECT *, row_number() OVER (PARTITION BY series_id
+                       ORDER BY stat DESC, t ASC) AS rk
+            FROM scored
+        )
+        SELECT series_id, cast(t AS int) AS cp_pos, stat,
+               S[t] / cast(t AS double) AS mean_before,
+               (S[n] - S[t]) / cast(n - t AS double) AS mean_after
+        FROM sel WHERE rk = 1
     """
 
     # q144: DSIR replay — portable char-fold bucket hash, add-one smoothed

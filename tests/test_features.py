@@ -325,3 +325,37 @@ def test_holt_forecast_matches_python_replay_and_extrapolates(spark):
     assert lr["fc_4"] == pytest.approx(39.0, abs=0.1)
     with pytest.raises(ValueError, match="alpha"):
         holt_forecast(df, alpha=0.0)
+
+
+def test_cusum_changepoint_detects_shift_and_replays(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import cusum_changepoint
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(6):
+        cp = 4 + i
+        xs = np.concatenate([rng.normal(size=cp), rng.normal(size=16 - cp) + 5.0])
+        rows.append((i, [float(x) for x in xs]))
+    rows.append((99, [2.0]))  # n < 2 -> no row
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    out = {r["series_id"]: r for r in cusum_changepoint(df).collect()}
+    assert 99 not in out and len(out) == 6
+    for i, xs in rows:
+        if len(xs) < 2:
+            continue
+        n = len(xs)
+        S, run = [], 0.0
+        for v in xs:
+            run += v
+            S.append(run)
+        best = (-1.0, 0)
+        for t in range(1, n):
+            st = abs(S[t - 1] - (t / n) * S[n - 1])
+            if st > best[0]:
+                best = (st, t)
+        r = out[i]
+        assert (r["cp_pos"], r["stat"]) == (best[1], best[0])
+        assert r["mean_before"] == S[best[1] - 1] / best[1]
+        assert r["mean_after"] == (S[n - 1] - S[best[1] - 1]) / (n - best[1])
+        # the planted shift at 4+i is found within 1 position
+        assert abs(r["cp_pos"] - (4 + i)) <= 1

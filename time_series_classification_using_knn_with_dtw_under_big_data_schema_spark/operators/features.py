@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["series_features", "make_rocket_kernels", "rocket_features", "seasonal_decompose"]
+__all__ = ["series_features", "make_rocket_kernels", "rocket_features", "seasonal_decompose", "cusum_changepoint"]
 
 
 def _fold_sum(arr):
@@ -383,3 +383,92 @@ def seasonal_decompose(
         )
     )
     return out
+
+
+def cusum_changepoint(
+    series: DataFrame,
+    *,
+    id_col: str = "series_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """CUSUM change-point detection (Page 1954 / the standard binary-
+    segmentation first split): per series, the position maximizing the
+    centered cumulative-sum statistic
+
+        stat(t) = | S_t - (t/n) * S_n |,   S_t = x_1 + ... + x_t
+
+    — large when the mean before t differs from the mean after t. Output:
+    (id_col, cp_pos, stat, mean_before, mean_after) with cp_pos the
+    1-based argmax (ties: smallest t) over t in [1, n-1]; series with
+    n < 2 yield no row.
+
+    Shape: prefix sums are ONE left fold carried as array state, the
+    argmax one more fold over (stat, t) pairs — a per-row projection, no
+    shuffle, no UDF (the q127/q146/q151 family). Every sum is position-
+    ascending and the division count is fixed, so the oracle mirrors
+    bit-for-bit; outputs stay RAW doubles (q148 lesson).
+    """
+    f = F.col(features_col)
+    n = F.size(f)
+    nd = n.cast("double")
+    # prefix sums S_1..S_n as one fold: state = [running, S_1, ..., S_t]
+    prefix = F.aggregate(
+        f,
+        F.array().cast("array<double>"),
+        lambda acc, v: F.concat(
+            acc,
+            F.array(
+                # try_element_at: the first step reads past the empty
+                # accumulator (ANSI element_at would throw)
+                F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0.0)) + v
+            ),
+        ),
+    )
+    base = series.select(
+        F.col(id_col), f.alias("_f"), n.alias("_n"), prefix.alias("_S")
+    ).filter(F.col("_n") >= 2)
+    S = F.col("_S")
+    total = F.element_at(S, F.col("_n").cast("int"))
+    nd2 = F.col("_n").cast("double")
+    # argmax over t = 1..n-1 of |S_t - (t/n)*S_n|, ties -> smallest t:
+    # fold over (stat, t) structs with a (stat desc, t asc) preference
+    stats = F.transform(
+        F.sequence(F.lit(1), F.col("_n") - 1),
+        lambda t: F.struct(
+            F.abs(
+                F.element_at(S, t.cast("int"))
+                - (t.cast("double") / nd2) * total
+            ).alias("stat"),
+            t.alias("t"),
+        ),
+    )
+    best = F.aggregate(
+        stats,
+        F.struct(
+            F.lit(-1.0).alias("stat"), F.lit(0).cast("int").alias("t")
+        ),
+        lambda acc, e: F.when(e["stat"] > acc["stat"], e).otherwise(acc),
+    )
+    cp = F.col("_b.t")
+    return base.select(
+        id_col,
+        F.col("_f"),
+        F.col("_n"),
+        F.col("_S"),
+        best.alias("_b"),
+    ).select(
+        id_col,
+        cp.alias("cp_pos"),
+        F.col("_b.stat").alias("stat"),
+        (
+            F.element_at(F.col("_S"), cp)
+            / cp.cast("double")
+        ).alias("mean_before"),
+        (
+            (
+                F.element_at(F.col("_S"), F.col("_n").cast("int"))
+                - F.element_at(F.col("_S"), cp)
+            )
+            / (F.col("_n") - cp).cast("double")
+        ).alias("mean_after"),
+    )
