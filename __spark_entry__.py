@@ -2862,9 +2862,12 @@ def _q149_dba_barycenters(spark, sf_dir):
     from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import dba_update, ts_kmedoids
     from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import events_to_series
 
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.caching import register_cache
+
     _prep(spark)
     series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
-    asn = ts_kmedoids(series, k=4, metric="dtw")
+    # bounded (one row per series); two consumers (members + medoid join)
+    asn = register_cache(ts_kmedoids(series, k=4, metric="dtw").cache())
     members = series.join(
         asn.select("series_id", F.col("medoid_id").alias("bary_id")), "series_id"
     )

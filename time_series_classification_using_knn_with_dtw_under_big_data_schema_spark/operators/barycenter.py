@@ -186,14 +186,24 @@ def dtw_kmeans_dba(
     from .cluster import ts_kmedoids
     from ..functions.distance import make_dtw_udf
 
+    from ..caching import register_cache
+
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     dtw = make_dtw_udf(None)
     s = series.select(F.col(id_col).alias("_id"), F.col(features_col).alias("_f"))
 
-    asn = ts_kmedoids(
-        series, k=k, metric="dtw", id_col=id_col, features_col=features_col
-    ).select(F.col(id_col).alias("_id"), F.col("medoid_id").alias("_bid"))
+    # BOUNDED (one (id, cluster) row per series) and consumed by two
+    # branches (members + the medoid->barycenter seed join) — uncached,
+    # the whole k-medoids DAG (kernel DTW stages included) re-executes
+    # per branch. register_cache: LRU-evictable outside a cache_scope.
+    asn = register_cache(
+        ts_kmedoids(
+            series, k=k, metric="dtw", id_col=id_col, features_col=features_col
+        )
+        .select(F.col(id_col).alias("_id"), F.col("medoid_id").alias("_bid"))
+        .cache()
+    )
     meds = asn.select(F.col("_bid")).distinct()
     barys = meds.join(s, meds["_bid"] == s["_id"]).select(
         F.col("_bid").alias("bary_id"), F.col("_f").alias("bary_features")
@@ -209,7 +219,8 @@ def dtw_kmeans_dba(
         upd = dba_update(
             members, barys, id_col=id_col, features_col=features_col
         )
-        barys = _rebuild_barys(upd)
+        # k rows; feeds the broadcast scoring AND (next iter) the update
+        barys = register_cache(_rebuild_barys(upd).cache())
         scored = s.crossJoin(
             F.broadcast(
                 barys.select(
@@ -293,6 +304,8 @@ def dba_classify(
             ).alias("bary_features")
         )
     )
+    from ..caching import register_cache
+
     members = train.select(
         F.col(id_col),
         F.col(features_col),
@@ -303,7 +316,8 @@ def dba_classify(
         upd = dba_update(
             members, barys, id_col=id_col, features_col=features_col
         )
-        barys = _rebuild_barys(upd)
+        # k rows (one prototype per class) — broadcast into scoring
+        barys = register_cache(_rebuild_barys(upd).cache())
     scored = (
         test.select(
             F.col(id_col).alias("test_id"), F.col(features_col).alias("_f")
