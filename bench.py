@@ -525,6 +525,11 @@ def main() -> None:
         lambda: _mat(entry_mod._q154_cusum_changepoint(spark, sf_dir)),
         repeats=2,
     )
+    run(
+        "holt_forecast",
+        lambda: _mat(entry_mod._q151_holt_forecast(spark, sf_dir)),
+        repeats=2,
+    )
 
     # --- fallback tier: the guarded 100 TB paths --------------------------
     # Each fb_* entry runs the SAME input as its fast-path twin but forces
