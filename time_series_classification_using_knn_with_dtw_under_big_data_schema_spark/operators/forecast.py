@@ -5,8 +5,9 @@ recurrence
     l_t = alpha * x_t + (1 - alpha) * (l_{t-1} + b_{t-1})
     b_t = beta  * (l_t - l_{t-1}) + (1 - beta) * b_{t-1}
 
-initialized l_1 = x_1, b_1 = x_2 - x_1, folded left-to-right over the
-series; the h-step forecast is l_n + h * b_n.
+initialized l_1 = x_1, b_1 = x_2 - x_1 (equivalently: the fold starts
+from the exact post-t=2 state (x_2, x_2 - x_1)); the h-step forecast is
+l_n + h * b_n.
 
 Engine shape: the recurrence IS a left fold — one Catalyst ``aggregate``
 with a 2-element array state per row. No shuffle, no UDF, scan-bound
@@ -52,7 +53,13 @@ def holt_forecast(
         b_new = F.lit(b_) * (l_new - l_prev) + F.lit(1.0 - b_) * b_prev
         return F.array(l_new, b_new)
 
-    state = F.aggregate(F.slice(f, 3, n - 2), F.array(x1, x2 - x1), step)
+    # init = the state AFTER the t=2 update: with l_1=x_1, b_1=x_2-x_1 the
+    # textbook t=2 step lands exactly on (l_2, b_2) = (x_2, x_2-x_1) for
+    # any alpha/beta, so folding x_3.. onward from THIS init is the
+    # standard recurrence with no skipped observation (self-review r5: the
+    # earlier (x_1, x_2-x_1) init left the level one step behind —
+    # fc_1 of [0, 10] returned 10 instead of the extrapolated 20)
+    state = F.aggregate(F.slice(f, 3, n - 2), F.array(x2, x2 - x1), step)
     guarded = F.when(n >= 2, state)
     level = F.element_at(guarded, 1)
     trend = F.element_at(guarded, 2)

@@ -352,7 +352,14 @@ def _score_block_rows(
     if b_labels is not None:
         out["train_label"] = []
     n_train = len(b_ids)
-    rows_per = max(1, 1024 // max(1, n_train)) if kind == "fastdtw" else 1
+    # fastdtw chunks for ufunc amortization; sbd chunks so ONE block FFT
+    # serves many test rows (memory-capped: nc * n_train * 2L doubles)
+    if kind == "fastdtw":
+        rows_per = max(1, 1024 // max(1, n_train))
+    elif kind == "sbd":
+        rows_per = max(1, 65536 // max(1, n_train))
+    else:
+        rows_per = 1
     # test rows may be ragged; each chunk stacks rectangular
     by_len: dict = {}
     for i, f in enumerate(fvals):
@@ -363,13 +370,22 @@ def _score_block_rows(
             chunk = idxs[c0 : c0 + rows_per]
             Tc = T[c0 : c0 + rows_per]
             nc = len(chunk)
-            if nc == 1:
+            if kind == "sbd":
+                from ..functions.distance import sbd_block
+
+                # block form: both sides FFT'd once per chunk, no pair
+                # materialization at all
+                D = sbd_block(Tc, b_feats).reshape(-1)
+                A = None
+            elif nc == 1:
                 A = np.broadcast_to(Tc[0], (n_train,) + Tc[0].shape)
                 B = b_feats
             else:
                 A = np.repeat(Tc, n_train, axis=0)
                 B = np.tile(b_feats, (nc,) + (1,) * (b_feats.ndim - 1))
-            if kind == "dtw":
+            if kind == "sbd":
+                pass
+            elif kind == "dtw":
                 D = dtw_batch(A, B, band=band)
             elif kind == "fastdtw":
                 D = fastdtw_batch(A, B, radius=radius)
@@ -379,12 +395,6 @@ def _score_block_rows(
                 D = ((A - B) ** 2).sum(axis=1)
             elif kind == "manhattan":
                 D = np.abs(A - B).sum(axis=1)
-            elif kind == "sbd":
-                from ..functions.distance import sbd_batch
-
-                # broadcast_to views are read-only and non-contiguous;
-                # the FFT kernel wants materialized rows
-                D = sbd_batch(np.ascontiguousarray(A), B)
             else:  # chebyshev
                 D = np.abs(A - B).max(axis=1)
             D = D.reshape(nc, n_train)

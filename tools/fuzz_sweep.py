@@ -757,7 +757,7 @@ def sweep_shape(trials: int, seed: int) -> int:
                     print(f"shape FAIL holt guard trial={t}")
                     fails += 1
                 continue
-            l, b = xs[0], xs[1] - xs[0]
+            l, b = xs[1], xs[1] - xs[0]  # post-t=2 Holt state
             for v in xs[2:]:
                 ln = 0.5 * v + 0.5 * (l + b)
                 b = 0.25 * (ln - l) + 0.75 * b
