@@ -809,6 +809,7 @@ def main() -> None:
     headline_order = [
         "knn_fastdtw_561pt", "knn_dtw_561pt_banded", "knn_euclidean_k5",
         "knn_fastdtw_k5", "knn_pruned_faithful_561pt", "knn_dtw_mv_2ch_k5",
+        "sbd_knn", "ts_kmedoids_dtw", "dba_classify", "rocket_knn_kernel",
         "bm25_topk", "bm25_search", "ann_ivfpq", "ann_pq_rerank",
         "hybrid_rrf", "dedup_minhash_lsh", "ann_brute_cosine",
         "ann_ivf_kmeans", "semantic_dedup", "bpe_train_encode",
