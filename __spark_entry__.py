@@ -2986,6 +2986,23 @@ def _q154_cusum_changepoint(spark, sf_dir):
     return cusum_changepoint(series)
 
 
+def _q155_holt_winters(spark, sf_dir):
+    """Holt-Winters additive triple exponential smoothing (operators/
+    forecast.py::holt_winters_forecast; Winters 1960), period 4: level +
+    trend + a rotating 4-slot seasonal vector as ONE aggregate with a
+    7-element array state — the phase counter rides IN the state (fold
+    lambdas see no index) and each step patches exactly one seasonal
+    slot. Textbook two-period init; forecasts l + h*b + s_phase(n+h).
+    Binary-exact constants (0.5/0.25/0.5), raw doubles; the oracle folds
+    [x]-padded elements through the identical recurrence."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import holt_winters_forecast
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import events_to_series
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return holt_winters_forecast(series, period=4, horizons=(1, 4))
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3182,6 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_residual_anomalies": _q152_residual_anomalies,
         "q153_dba_classify": _q153_dba_classify,
         "q154_cusum_changepoint": _q154_cusum_changepoint,
+        "q155_holt_winters": _q155_holt_winters,
     }
 
 
@@ -7681,6 +7699,42 @@ def oracle_sql() -> dict[str, str]:
                S[t] / cast(t AS double) AS mean_before,
                (S[n] - S[t]) / cast(n - t AS double) AS mean_after
         FROM sel WHERE rk = 1
+    """
+
+    # q155: the Holt-Winters fold — state [l, b, counter, s0..s3], the
+    # phase from the in-state counter, one seasonal slot patched per step;
+    # every splice preserves the Spark op order exactly
+    _hw_m1 = "(list_reduce(list_prepend(0.0, features[1:4]), (x, y) -> x + y) / 4.0)"
+    _hw_m2 = "(list_reduce(list_prepend(0.0, features[5:8]), (x, y) -> x + y) / 4.0)"
+    out["q155_holt_winters"] = f"""
+        WITH {_SERIES_CTE},
+        st AS (
+            SELECT series_id,
+                   CASE WHEN len(features) >= 8 THEN
+                       list_reduce(
+                           list_prepend(
+                               list_concat(
+                                   [{_hw_m1},
+                                    ({_hw_m2} - {_hw_m1}) / 4.0,
+                                    4.0],
+                                   list_transform(range(1, 5),
+                                       j -> features[j] - {_hw_m1})),
+                               list_transform(features[5:], x -> [x])),
+                           (acc, e) -> list_concat(
+                               [0.5 * (e[1] - acc[cast(acc[3] % 4.0 AS bigint) + 4]) + 0.5 * (acc[1] + acc[2]),
+                                0.25 * ((0.5 * (e[1] - acc[cast(acc[3] % 4.0 AS bigint) + 4]) + 0.5 * (acc[1] + acc[2])) - acc[1]) + 0.75 * acc[2],
+                                acc[3] + 1.0],
+                               list_transform(range(0, 4),
+                                   j -> CASE WHEN j = cast(acc[3] % 4.0 AS bigint) % 4
+                                             THEN 0.5 * (e[1] - (0.5 * (e[1] - acc[cast(acc[3] % 4.0 AS bigint) + 4]) + 0.5 * (acc[1] + acc[2]))) + 0.5 * acc[cast(acc[3] % 4.0 AS bigint) + 4]
+                                             ELSE acc[j + 4] END)))
+                   END AS s, len(features) AS n
+            FROM series
+        )
+        SELECT series_id, s[1] AS level, s[2] AS trend,
+               s[1] + 1.0 * s[2] + s[cast((n + 1 - 1) % 4 AS bigint) + 4] AS fc_1,
+               s[1] + 4.0 * s[2] + s[cast((n + 4 - 1) % 4 AS bigint) + 4] AS fc_4
+        FROM st
     """
 
     # q144: DSIR replay — portable char-fold bucket hash, add-one smoothed

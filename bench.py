@@ -530,6 +530,11 @@ def main() -> None:
         lambda: _mat(entry_mod._q151_holt_forecast(spark, sf_dir)),
         repeats=2,
     )
+    run(
+        "holt_winters",
+        lambda: _mat(entry_mod._q155_holt_winters(spark, sf_dir)),
+        repeats=2,
+    )
 
     # --- fallback tier: the guarded 100 TB paths --------------------------
     # Each fb_* entry runs the SAME input as its fast-path twin but forces

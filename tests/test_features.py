@@ -359,3 +359,55 @@ def test_cusum_changepoint_detects_shift_and_replays(spark):
         assert r["mean_after"] == (S[n - 1] - S[best[1] - 1]) / (n - best[1])
         # the planted shift at 4+i is found within 1 position
         assert abs(r["cp_pos"] - (4 + i)) <= 1
+
+
+def test_holt_winters_matches_replay_and_recovers_seasonality(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import holt_winters_forecast
+
+    rng = np.random.default_rng(9)
+    rows = []
+    seas = np.array([4.0, 0.0, -4.0, 0.0])
+    for i in range(4):
+        t = np.arange(16)
+        xs = 2.0 + 0.7 * t + seas[t % 4] + rng.normal(size=16) * 0.05
+        rows.append((i, [float(x) for x in xs]))
+    rows.append((99, [1.0] * 7))  # n < 2*period -> NULLs
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    got = {r["series_id"]: r for r in holt_winters_forecast(df, period=4).collect()}
+
+    def replay(xs, p=4, a=0.5, b=0.25, g=0.5):
+        m1 = 0.0
+        for v in xs[:p]:
+            m1 += v
+        m1 /= p
+        m2 = 0.0
+        for v in xs[p : 2 * p]:
+            m2 += v
+        m2 /= p
+        l, tr = m1, (m2 - m1) / p
+        s = [xs[j] - m1 for j in range(p)]
+        for t in range(p, len(xs)):
+            ph = t % p
+            so = s[ph]
+            ln = a * (xs[t] - so) + (1 - a) * (l + tr)
+            tr = b * (ln - l) + (1 - b) * tr
+            s[ph] = g * (xs[t] - ln) + (1 - g) * so
+            l = ln
+        return l, tr, s
+
+    for i, xs in rows:
+        r = got[i]
+        if len(xs) < 8:
+            assert r["level"] is None and r["fc_1"] is None
+            continue
+        l, tr, s = replay(xs)
+        n = len(xs)
+        assert (r["level"], r["trend"]) == (l, tr)
+        assert r["fc_1"] == l + 1.0 * tr + s[n % 4]
+        assert r["fc_4"] == l + 4.0 * tr + s[(n + 3) % 4]
+        # the planted period-4 pattern is recovered: fc_1 ~ trend line + 4
+        assert r["fc_1"] == pytest.approx(2.0 + 0.7 * 16 + 4.0, abs=0.8)
+    with pytest.raises(ValueError, match="gamma"):
+        holt_winters_forecast(df, gamma=0.0)
+    with pytest.raises(ValueError, match="period"):
+        holt_winters_forecast(df, period=1)
