@@ -275,10 +275,13 @@ def _q13_knn_dtw(spark, sf_dir):
     functions/dtw_kernel.py::fastdtw_batch; pinned to fastdtw_pair semantics
     in tests/test_dtw_kernel.py::test_fastdtw_batch_matches_pair, and the
     fixed-band stand-in's divergence from it is quantified in
-    test_banded_vs_faithful_divergence. The multi-resolution recursion is
-    not SQL-expressible, so THIS query is rows-only; the exact-DTW distance
-    operator itself IS oracle-checked via q70's recursive-CTE dynamic
-    program."""
+    test_banded_vs_faithful_divergence. ORACLE (r6): the multi-resolution
+    recursion IS SQL-expressible over the fixed 16-point series — the
+    DuckDB twin replays the full algorithm (coarsen -> coarse DP ->
+    path backtrack -> radius-1 window expansion -> windowed DP, unrolled
+    over the [16, 8, 4, 2] level chain; see _fdtw_dist_sql) with bit-exact
+    distances (natural-recurrence op order, one IEEE add per cell), so the
+    driver's rows+schema+hash gate applies in full."""
     train, test = _series(spark, sf_dir)
     return knn_classify(test, train, metric="fastdtw", k=5)
 
@@ -3350,6 +3353,250 @@ sel AS (
 """
 
 
+# --- faithful-FastDTW oracle (q13) ----------------------------------------
+#
+# Salvador & Chan 2007 (the reference's `fastdtw` dependency,
+# Team11-Project.py:339-341) replayed ENTIRELY in DuckDB SQL: recursive
+# half-resolution coarsening, full DP at the coarsest level, warp-path
+# backtracking, radius-1 window expansion, windowed DP at each finer level.
+# SERIES_LEN is fixed (16), so the level chain [16, 8, 4, 2] is known at
+# SQL-generation time and the per-level (DP recursion -> choice rows ->
+# backtrack recursion -> interval expansion) chain is unrolled level by
+# level — the q150 multi-recursion pattern, three levels deeper.
+#
+# Float parity is EXACT (bit-identical at sf0.001 and sf0.01, all pairs):
+# every DP cell is pred_best + |a_i - b_j| (one IEEE add), coarsening is
+# (x0 + x1) / 2.0, and the path tie order (vertical > horizontal > diagonal,
+# strict < to switch) mirrors functions/dtw_kernel.py::_dtw_with_path /
+# dtw_c's compiled fastdtw_level, so no rounding is needed anywhere.
+# Out-of-window cells use the kernel's own finite-unreachable sentinel
+# (1e18 — any reachable 16-pt cost is astronomically below it).
+
+_FDTW_SENT = "1e18"
+_FDTW_RADIUS = 1
+
+
+def _fdtw_level_chain(n: int, radius: int = _FDTW_RADIUS) -> list:
+    """FastDTW level lengths: halve (dropping an odd tail, _reduce_by_half)
+    while the coarsest level is still >= radius + 2."""
+    out = [n]
+    while out[-1] >= radius + 2:
+        out.append((out[-1] - out[-1] % 2) // 2)
+    return out
+
+
+def _fdtw_coarsen(src: str, n_src: int) -> str:
+    """One _reduce_by_half step: (x[2i-1] + x[2i]) / 2.0, 1-indexed lists."""
+    return (
+        f"list_transform(range(1, {n_src // 2 + 1}), "
+        f"i -> ({src}[2*i-1] + {src}[2*i]) / 2.0)"
+    )
+
+
+def _fdtw_dp_cte(lv: int, n: int, m: int, a: str, b: str, win_src: str) -> str:
+    """Windowed-DP recursion over DP rows i (the q70 list_reduce technique):
+    dp{lv} emits (keys, i, vals) where vals is the full-width m-list of row
+    i's DP values, sentinel outside [lo[i], hi[i]]. Row 0 is the cumsum base
+    (virtual origin (-1,-1)=0 reachable only diagonally from (0,0)); each
+    later cell = |a_i-b_j| + least(vertical, diagonal, horizontal) with the
+    horizontal term being the just-built acc[-1] — the sequential cur[j-1]
+    dependency expressed as a left fold."""
+    base_row = (
+        f"list_transform("
+        f"list_reduce(list_prepend([abs({a}[1] - {b}[1])],"
+        f" list_transform(range(2, {m + 1}), j -> [abs({a}[1] - {b}[j])])),"
+        f" (acc, e) -> list_append(acc, acc[-1] + e[1])),"
+        f" (v, j) -> CASE WHEN j - 1 > hi[1] THEN {_FDTW_SENT} ELSE v END)"
+    )
+    step_elems = (
+        f"list_transform(range(1, {m + 1}), j -> ["
+        f"CASE WHEN j - 1 < lo[i + 1] OR j - 1 > hi[i + 1] THEN 1.0 ELSE 0.0 END,"
+        f" abs({a}[i + 1] - {b}[j]), vals[j],"
+        f" CASE WHEN j > 1 THEN vals[j - 1] ELSE {_FDTW_SENT} END])"
+    )
+    step_row = (
+        f"list_reduce(list_prepend("
+        f"[CASE WHEN lo[i + 1] > 0 THEN {_FDTW_SENT}"
+        f" ELSE abs({a}[i + 1] - {b}[1]) + vals[1] END],"
+        f" {step_elems}[2:]),"
+        f" (acc, e) -> list_append(acc,"
+        f" CASE WHEN e[1] = 1.0 THEN {_FDTW_SENT}"
+        f" ELSE e[2] + least(e[3], e[4], acc[-1]) END))"
+    )
+    return f"""dp{lv} AS (
+        SELECT test_id, train_id, {a}, {b}, lo, hi, 1 AS i, {base_row} AS vals
+        FROM {win_src}
+        UNION ALL
+        SELECT test_id, train_id, {a}, {b}, lo, hi, i + 1, {step_row} AS vals
+        FROM dp{lv} WHERE i < {n}
+    )"""
+
+
+def _fdtw_choice_ctes(lv: int, n: int, m: int) -> str:
+    """Per-cell predecessor choices (0 vertical, 1 horizontal, 2 diagonal;
+    earliest-candidate-wins tie order of _dtw_with_path), derived by joining
+    adjacent DP rows; assembled row-major into chs."""
+    row0 = f"list_transform(range(1, {m + 1}), j -> CASE WHEN j = 1 THEN 2 ELSE 1 END)"
+    rowi = (
+        f"list_transform(range(1, {m + 1}), j -> CASE"
+        f" WHEN (CASE WHEN j > 1 THEN p.vals[j - 1] ELSE {_FDTW_SENT} END)"
+        f"  < least(p.vals[j],"
+        f"    CASE WHEN j > 1 THEN c.vals[j - 1] ELSE {_FDTW_SENT} END) THEN 2"
+        f" WHEN (CASE WHEN j > 1 THEN c.vals[j - 1] ELSE {_FDTW_SENT} END)"
+        f"  < p.vals[j] THEN 1"
+        f" ELSE 0 END)"
+    )
+    return f"""ch{lv} AS (
+        SELECT test_id, train_id, 1 AS i, {row0} AS cr
+        FROM dp{lv} WHERE i = 1
+        UNION ALL
+        SELECT c.test_id, c.train_id, c.i, {rowi} AS cr
+        FROM dp{lv} c JOIN dp{lv} p
+          ON c.test_id = p.test_id AND c.train_id = p.train_id
+         AND p.i = c.i - 1
+        WHERE c.i > 1
+    ),
+    chs{lv} AS (
+        SELECT test_id, train_id, list(cr ORDER BY i) AS chs
+        FROM ch{lv} GROUP BY test_id, train_id
+    )"""
+
+
+def _fdtw_bt_ctes(lv: int, n: int, m: int) -> str:
+    """Backtrack-walk recursion from (n-1, m-1) to (0, 0) following the
+    stored choices; per-row path column spans (pmin, pmax) maintained as in
+    dtw_kernel._backtrack_batch (leaving row i pins pmin[i]; entering row
+    i-1 pins pmax[i-1]; pmin[0] forced 0 at the end)."""
+    pmin0 = f"list_transform(range(1, {n + 1}), r -> {m - 1})"
+    pmax0 = (
+        f"list_transform(range(1, {n + 1}), "
+        f"r -> CASE WHEN r = {n} THEN {m - 1} ELSE 0 END)"
+    )
+    return f"""bt{lv} AS (
+        SELECT test_id, train_id, chs, {n - 1} AS i, {m - 1} AS j,
+               {pmin0} AS pmin, {pmax0} AS pmax
+        FROM chs{lv}
+        UNION ALL
+        SELECT test_id, train_id, chs,
+               CASE WHEN chs[i + 1][j + 1] = 1 THEN i ELSE i - 1 END,
+               CASE WHEN chs[i + 1][j + 1] = 0 THEN j ELSE j - 1 END,
+               CASE WHEN chs[i + 1][j + 1] != 1
+                    THEN list_transform(pmin,
+                         (v, r) -> CASE WHEN r = i + 1 THEN j ELSE v END)
+                    ELSE pmin END,
+               CASE WHEN chs[i + 1][j + 1] != 1 AND i >= 1
+                    THEN list_transform(pmax, (v, r) -> CASE WHEN r = i
+                         THEN CASE WHEN chs[i + 1][j + 1] = 0 THEN j ELSE j - 1 END
+                         ELSE v END)
+                    ELSE pmax END
+        FROM bt{lv} WHERE i > 0 OR j > 0
+    ),
+    span{lv} AS (
+        SELECT test_id, train_id,
+               list_transform(pmin,
+                   (v, r) -> CASE WHEN r = 1 THEN 0 ELSE v END) AS pmin,
+               pmax
+        FROM bt{lv} WHERE i = 0 AND j = 0
+    )"""
+
+
+def _fdtw_expand_cte(
+    lv: int, n_c: int, n_f: int, m_f: int, a_f: str, b_f: str, feat_src: str
+) -> str:
+    """Coarse path spans -> fine-level windows (dtw_kernel._expand_batch's
+    interval form of _expand_window): dilate each row span over the
+    2*radius+1 surrounding rows on n_c + radius extension rows, pad by
+    radius, upsample 2x, clip to [0, m_f - 1]."""
+    r = _FDTW_RADIUS
+    n_e = n_c + r
+    imax, imin = "9223372036854775807", "-9223372036854775807"
+    lo_ext = (
+        f"list_transform(range(0, {n_e}), e -> least("
+        f"CASE WHEN e - 1 >= 0 AND e - 1 <= {n_c - 1} THEN s.pmin[e] ELSE {imax} END,"
+        f" CASE WHEN e <= {n_c - 1} THEN s.pmin[e + 1] ELSE {imax} END,"
+        f" CASE WHEN e + 1 <= {n_c - 1} THEN s.pmin[e + 2] ELSE {imax} END) - {r})"
+    )
+    hi_ext = (
+        f"list_transform(range(0, {n_e}), e -> greatest("
+        f"CASE WHEN e - 1 >= 0 AND e - 1 <= {n_c - 1} THEN s.pmax[e] ELSE {imin} END,"
+        f" CASE WHEN e <= {n_c - 1} THEN s.pmax[e + 1] ELSE {imin} END,"
+        f" CASE WHEN e + 1 <= {n_c - 1} THEN s.pmax[e + 2] ELSE {imin} END) + {r})"
+    )
+    lo_f = (
+        f"list_transform(range(0, {n_f}), i -> greatest(0, least("
+        f"2 * loe[least(i // 2, {n_e - 1}) + 1], {m_f - 1})))"
+    )
+    hi_f = (
+        f"list_transform(range(0, {n_f}), i -> greatest(0, least("
+        f"2 * hie[least(i // 2, {n_e - 1}) + 1] + 1, {m_f - 1})))"
+    )
+    return f"""ext{lv} AS (
+        SELECT test_id, train_id, {lo_ext} AS loe, {hi_ext} AS hie
+        FROM span{lv} s
+    ),
+    win{lv - 1} AS (
+        SELECT e.test_id, e.train_id, f.{a_f}, f.{b_f},
+               {lo_f} AS lo, {hi_f} AS hi
+        FROM ext{lv} e JOIN {feat_src} f
+          ON e.test_id = f.test_id AND e.train_id = f.train_id
+    )"""
+
+
+def _fdtw_dist_sql(n: int, series_cte: str) -> str:
+    """WITH-RECURSIVE body ending in dd(test_id, train_id, train_label,
+    dist): faithful FastDTW radius=1 for every test x train pair of
+    fixed-length-n series."""
+    chain = _fdtw_level_chain(n)
+    L = len(chain)
+    parts = [
+        series_cte,
+        """pairs AS (
+        SELECT t.series_id AS test_id, r.series_id AS train_id,
+               r.label AS train_label, t.features AS a0, r.features AS b0
+        FROM test t CROSS JOIN train r
+    )""",
+    ]
+    prev = "pairs"
+    for li in range(1, L):
+        parts.append(
+            f"""lvl{li} AS (
+        SELECT *, {_fdtw_coarsen(f'a{li - 1}', chain[li - 1])} AS a{li},
+                  {_fdtw_coarsen(f'b{li - 1}', chain[li - 1])} AS b{li}
+        FROM {prev}
+    )"""
+        )
+        prev = f"lvl{li}"
+    feat_src = prev
+    lc, n_c = L - 1, chain[L - 1]
+    parts.append(
+        f"""win{lc} AS (
+        SELECT test_id, train_id, a{lc}, b{lc},
+               list_transform(range(0, {n_c}), r -> 0) AS lo,
+               list_transform(range(0, {n_c}), r -> {n_c - 1}) AS hi
+        FROM {feat_src}
+    )"""
+    )
+    for li in range(L - 1, 0, -1):
+        nl = chain[li]
+        parts.append(_fdtw_dp_cte(li, nl, nl, f"a{li}", f"b{li}", f"win{li}"))
+        parts.append(_fdtw_choice_ctes(li, nl, nl))
+        parts.append(_fdtw_bt_ctes(li, nl, nl))
+        nf = chain[li - 1]
+        parts.append(
+            _fdtw_expand_cte(li, nl, nf, nf, f"a{li - 1}", f"b{li - 1}", feat_src)
+        )
+    parts.append(_fdtw_dp_cte(0, n, n, "a0", "b0", "win0"))
+    parts.append(
+        f"""dd AS (
+        SELECT d.test_id, d.train_id, p.train_label, d.vals[{n}] AS dist
+        FROM dp0 d JOIN pairs p
+          ON d.test_id = p.test_id AND d.train_id = p.train_id
+        WHERE d.i = {n}
+    )"""
+    )
+    return "WITH RECURSIVE " + ",\n".join(parts)
+
+
 # --- portable-hash SQL fragments (mirror functions/text.py bit-for-bit) ----
 
 
@@ -4660,8 +4907,21 @@ def oracle_sql() -> dict[str, str]:
                    avg(cast(predicted_label = label AS double)) AS accuracy
             FROM joined
         """,
-        # q13_knn_dtw: intentionally no oracle (DTW is not SQL-expressible;
-        # rows-only check per the driver contract)
+        # faithful FastDTW replayed entirely in DuckDB (coarsen -> coarse DP
+        # -> backtrack -> expand -> windowed DP, unrolled over the fixed
+        # [16, 8, 4, 2] level chain); distances bit-exact vs the kernel, so
+        # the same top-5 + vote tail as q10 finishes the pipeline
+        "q13_knn_dtw": f"""
+            {_fdtw_dist_sql(SERIES_LEN, _SERIES_CTE)},
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY test_id
+                            ORDER BY dist ASC, train_label ASC, train_id ASC) AS rank
+                FROM dd WHERE dist != 0
+            ),
+            topk AS (SELECT * FROM ranked WHERE rank <= 5),
+            {_VOTE_SQL}
+            SELECT test_id, train_label AS predicted_label FROM sel WHERE vrk = 1
+        """,
         "q14_set_ops": """
             WITH hi AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000),
                  urgent AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')

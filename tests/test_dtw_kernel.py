@@ -401,3 +401,38 @@ def test_batch_kernels_reject_channel_mismatch():
             fn(two_ch, flat)
         with pytest.raises(ValueError, match="channel mismatch"):
             fn(two_ch, three_ch)
+
+
+def test_fdtw_oracle_sql_bit_exact_vs_fastdtw_pair():
+    """Third corner of the q13 proof triangle (r6): the generated DuckDB
+    FastDTW replay (__spark_entry__._fdtw_dist_sql — coarsen -> coarse DP ->
+    backtrack -> expand -> windowed DP over the fixed [16, 8, 4, 2] level
+    chain) must be BIT-exact against fastdtw_pair on every sf0.001 pair.
+    (The oracle-parity suite pins SQL == Spark; test_fastdtw_batch_matches_
+    pair pins Spark kernel == fastdtw_pair; this closes SQL == fastdtw_pair
+    directly so a compensating double-error can't hide.)"""
+    import duckdb
+    import numpy as np
+
+    from __spark_entry__ import _SERIES_CTE, _fdtw_dist_sql
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.dtw_kernel import (
+        fastdtw_pair,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    feats = {
+        sid: np.asarray(f)
+        for sid, f in con.execute(
+            f"WITH {_SERIES_CTE} SELECT series_id, features FROM series"
+        ).fetchall()
+    }
+    sql = _fdtw_dist_sql(16, _SERIES_CTE) + "\nSELECT test_id, train_id, dist FROM dd"
+    got = con.execute(sql).fetchall()
+    assert got, "oracle produced no pairs"
+    for tid, rid, d in got:
+        expect = fastdtw_pair(feats[tid], feats[rid])
+        assert d == expect, (tid, rid, d, expect)
