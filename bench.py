@@ -621,6 +621,38 @@ def main() -> None:
         "fb_bpe_train_distributed",
         lambda: train_bpe(bpe_sample, num_merges=12, strategy="distributed"),
     )
+    # BPE amplified tier (r6, VERDICT r5 #2): the distributed loop's real
+    # regime is a vocabulary too big for the driver. Replica-tag every
+    # token so the amplified corpus has ~25x the DISTINCT words (plain doc
+    # replication would dedup back to the same vocab), then measure both
+    # strategies on it.
+    bpe_amp = (
+        docs.crossJoin(spark.range(25).withColumnRenamed("id", "_rep"))
+        .select(
+            (F.col("doc_id") + F.col("_rep") * 1_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(
+                        F.lit("r"), F.col("_rep").cast("string"), F.lit("x"), w
+                    ),
+                ),
+            ).alias("text"),
+        )
+        .repartition(cpus)
+        .cache()
+    )
+    bpe_amp.count()  # untimed: both strategies read the cached corpus
+    run(
+        "fb2_bpe_train_driver_amplified",
+        lambda: train_bpe(bpe_amp, num_merges=12, strategy="driver"),
+    )
+    run(
+        "fb2_bpe_train_distributed_amplified",
+        lambda: train_bpe(bpe_amp, num_merges=12, strategy="distributed"),
+    )
+    bpe_amp.unpersist()
     # Components: driver union-find vs distributed Pregel min-label loop on
     # the SAME precomputed pair set (dedup_components local_threshold guard).
     cc_pairs = dedup_minhash_lsh(
@@ -748,6 +780,9 @@ def main() -> None:
         "ann_brute_chunked": ("fb_ann_brute_chunked", "ann_brute_cosine"),
         "ann_quantized_chunked": ("fb_ann_quantized_chunked", "ann_quantized"),
         "bpe_train_distributed": ("fb_bpe_train_distributed", "bpe_train_driver"),
+        "amp_bpe_train_distributed": (
+            "fb2_bpe_train_distributed_amplified", "fb2_bpe_train_driver_amplified"
+        ),
         "components_distributed": ("fb_components_distributed", "components_solve_local"),
         # tier 2: fallback vs fast-path twin on the AMPLIFIED / skewed inputs
         "amp_ann_brute_chunked": (

@@ -246,13 +246,16 @@ def train_bpe(
     if strategy not in ("auto", "driver", "distributed"):
         words.unpersist()
         raise ValueError(f"unknown strategy {strategy!r}")
+    # the vocab size estimate serves BOTH the driver-path guard and the
+    # distributed loop's parallelism sizing, so it is always computed (it
+    # reads the cached word count — no extra corpus pass)
+    est = words.agg(
+        (F.sum(F.length("_w")) * 8 + F.count(F.lit(1)) * 64).alias("_est")
+    ).first()["_est"]
+    if est is None:
+        words.unpersist()
+        return []
     if strategy != "distributed":
-        est = words.agg(
-            (F.sum(F.length("_w")) * 8 + F.count(F.lit(1)) * 64).alias("_est")
-        ).first()["_est"]
-        if est is None:
-            words.unpersist()
-            return []
         if est <= max_driver_vocab_bytes:
             freq = {r["_w"]: r["_freq"] for r in words.collect()}
             words.unpersist()
@@ -263,19 +266,45 @@ def train_bpe(
                 f"vocabulary ~{est} bytes exceeds max_driver_vocab_bytes="
                 f"{max_driver_vocab_bytes}; use strategy='distributed'"
             )
-    # ONE Spark job per merge step: the step-s argmax scans the (cached,
-    # not-yet-materialized) step-(s-1) vocabulary, which Spark computes from
-    # the PREVIOUS generation's in-memory blocks and persists as a side
-    # effect of the scan — so the merge application never needs its own
-    # eager count() job (r3 ran 2 jobs/step; at 32 shuffle partitions the
-    # per-job scheduling latency, not the vocab-sized data, dominated the
-    # loop). The previous generation stays cached exactly one step longer
-    # than it is current, so every materialization is a single apply_merge
-    # layer over in-memory blocks, never a recompute chain.
-    vocab = words.select("_w", "_freq", F.split("_w", "").alias("_syms")).cache()
-    prev: DataFrame | None = None
+    # ONE Spark job per merge step: the step-s argmax scans the (lazily
+    # checkpointed, not-yet-materialized) step-(s-1) vocabulary, so the
+    # merge application never needs its own eager job. Two per-step
+    # constants dominated this loop in r5 (fallback ratio 14.5x, the worst
+    # in BENCH_FULL) and both are fixed here:
+    #
+    # - GROWING LINEAGE: cache() does not truncate the logical plan, so
+    #   step s re-analyzed s stacked apply_merge higher-order lambdas
+    #   before the cache lookup — measured 0.26s -> 2.4s/step by merge 12.
+    #   Each generation is now a LAZY localCheckpoint (the argmax scan
+    #   materializes its blocks as a side effect — still one job/step, and
+    #   the logical plan every later step sees is a flat LogicalRDD;
+    #   superseded generations are dropped by the ContextCleaner when
+    #   their last reference dies, the dedup_components pattern).
+    # - FIXED 32-WAY MICRO-SHUFFLES: every merge step shuffled a
+    #   vocab-sized (often tiny) table across the full default partition
+    #   count, paying ~65 empty-task latencies per step. The loop now
+    #   sizes its own parallelism from the vocab estimate (one 64 MiB-ish
+    #   partition per slice, capped at the session default — a 100 TB web
+    #   corpus vocabulary still runs wide), and when that says ONE
+    #   partition it also switches AQE off for the loop's micro-queries
+    #   (their plan is fixed; per-stage re-optimization was pure overhead).
+    #   Session confs are restored in finally.
+    spark = docs.sparkSession
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    loop_parts = max(1, min(default_parts, int(est) // (64 << 20) + 1))
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    tune = loop_parts < default_parts
     merges: list[tuple[int, str, str, int]] = []
     try:
+        if tune:
+            spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+            if loop_parts == 1:
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+        vocab = (
+            words.select("_w", "_freq", F.split("_w", "").alias("_syms"))
+            .coalesce(loop_parts)
+            .localCheckpoint(eager=False)
+        )
         for step in range(1, num_merges + 1):
             best = (
                 _pair_counts(vocab)
@@ -283,21 +312,21 @@ def train_bpe(
                 .limit(1)
                 .collect()
             )
-            if prev is not None:  # materialized by the collect above
-                prev.unpersist()
-                prev = None
+            if step == 1:
+                # the first argmax materialized vocab's checkpoint blocks;
+                # the corpus-pass word count is no longer needed
+                words.unpersist()
             if not best:
                 break
             a, b, c = best[0]["a"], best[0]["b"], int(best[0]["_c"])
             merges.append((step, a, b, c))
-            nxt = vocab.select(
+            vocab = vocab.select(
                 "_w", "_freq", apply_merge(F.col("_syms"), a, b).alias("_syms")
-            ).cache()
-            prev, vocab = vocab, nxt
+            ).localCheckpoint(eager=False)
     finally:
-        vocab.unpersist()
-        if prev is not None:
-            prev.unpersist()
+        if tune:
+            spark.conf.set("spark.sql.shuffle.partitions", str(default_parts))
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         words.unpersist()
     return merges
 
