@@ -728,3 +728,29 @@ def test_dba_classify_separable_shapes_and_replay(spark):
             spark.createDataFrame(tr, schema),
             iters=0,
         )
+
+
+def test_dtw_kmeans_plan_size_constant_per_iteration(spark):
+    """r6 (VERDICT r5 #4): per-iteration lazy localCheckpoints on the
+    assignment and barycenter tables bound the logical plan — before, each
+    iteration nested the whole prior lineage (O(iters) plan growth). The
+    optimized-plan string must stay essentially flat across iters."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import dtw_kmeans_dba
+
+    rng = np.random.default_rng(6)
+    rows = []
+    for i in range(30):
+        c = i % 3
+        base = np.sin(np.linspace(0, 2 + 2 * c, 16)) * (c + 1) * 3
+        rows.append((i, [float(x) for x in base + rng.normal(size=16) * 0.2], str(c)))
+    df = spark.createDataFrame(
+        rows, "series_id long, features array<double>, label string"
+    )
+    sizes = {}
+    for it in (2, 4):
+        out = dtw_kmeans_dba(df, k=3, iters=it)
+        sizes[it] = len(out._jdf.queryExecution().optimizedPlan().toString())
+        assert out.count() == 30  # still computes
+    # doubling iters must not grow the plan materially (id renumbering
+    # wiggles a few bytes; linear growth would be ~2x)
+    assert sizes[4] <= sizes[2] * 1.2, sizes

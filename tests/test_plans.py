@@ -270,3 +270,42 @@ def test_r5_shape_ops_stay_jvm_side(spark):
     assert "Join" not in executed_plan(feats)
     kmed = entry_mod._q143_ts_kmedoids(spark, SF)
     assert python_eval_nodes(kmed) >= 1  # the DTW kernel, nothing else py-side
+
+
+def test_executed_node_counts_pinned_on_known_plan(spark):
+    """r6 (VERDICT r5 #3): the tree-walk counter, pinned against a plan
+    whose true shape is known by construction — a cached base aggregated
+    through one shuffle and broadcast-joined to a tiny dim. The old
+    substring counter saw the cached child plan reprinted under every
+    InMemoryRelation reference; the tree walk must report exactly the
+    executed nodes: ONE shuffle exchange, ONE broadcast join, ONE cache
+    scan, zero Python, and the three compiled codegen stages."""
+    from pyspark.sql import functions as F
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.plans import (
+        executed_node_counts,
+    )
+
+    base = spark.range(1000).withColumn("k", F.col("id") % 7).cache()
+    try:
+        base.count()
+        dim = spark.range(7).withColumnRenamed("id", "k")
+        df = base.groupBy("k").count().join(F.broadcast(dim), "k")
+        nc = executed_node_counts(df)  # collects: finalizes the AQE plan
+        assert nc["exchanges"] == 1, nc
+        assert nc["broadcast_exchanges"] == 1, nc
+        assert nc["broadcast_joins"] == 1, nc
+        assert nc["inmem_scans"] == 1, nc
+        assert nc["python_nodes"] == 0, nc
+        assert nc["codegen_stages"] == 3, nc
+        # and a Python crossing IS seen when one exists
+        from pyspark.sql.types import DoubleType
+
+        @F.pandas_udf(DoubleType())
+        def _twice(s):
+            return s * 2.0
+
+        nc2 = executed_node_counts(base.select(_twice("k").alias("t")))
+        assert nc2["python_nodes"] == 1, nc2
+    finally:
+        base.unpersist()

@@ -221,8 +221,15 @@ def dtw_kmeans_dba(
             F.col("_bid").alias("bary_id"),
         )
         upd = dba_update(members, barys, features_col=features_col)
-        # k rows; feeds the broadcast scoring AND (next iter) the update
-        barys = register_cache(_rebuild_barys(upd).cache())
+        # k rows; feeds the broadcast scoring AND (next iter) the update.
+        # LAZY localCheckpoint, not cache (r6, VERDICT r5 #4): cache()
+        # leaves the full prior iteration nested in the logical plan, so
+        # the plan grew linearly with iters (analysis cost + debug noise);
+        # the checkpoint truncates to a flat LogicalRDD once the first
+        # consumer materializes it — same dedup_components pattern.
+        # Superseded generations are reclaimed by the ContextCleaner when
+        # the loop rebinds the name.
+        barys = _rebuild_barys(upd).localCheckpoint(eager=False)
         scored = s.crossJoin(
             F.broadcast(
                 barys.select(
@@ -246,7 +253,9 @@ def dtw_kmeans_dba(
                 F.col("_m._dm").alias("_dm"),
             )
         )
-        asn = out.select("_id", "_bid")
+        # per-iteration assignment: lazy checkpoint bounds the NEXT
+        # iteration's plan (never materialized on the last pass)
+        asn = out.select("_id", "_bid").localCheckpoint(eager=False)
     return out.select(
         F.col("_id").alias(id_col),
         F.col("_bid").alias("cluster"),

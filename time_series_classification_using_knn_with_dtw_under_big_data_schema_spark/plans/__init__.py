@@ -3,6 +3,7 @@ from .audit import (  # noqa: F401
     codegen_stage_count,
     collect_audit,
     count_exchanges,
+    executed_node_counts,
     executed_plan,
     explain_str,
     has_broadcast_join,

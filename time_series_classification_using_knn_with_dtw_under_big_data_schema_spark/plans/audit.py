@@ -73,6 +73,83 @@ def codegen_stage_count(df: DataFrame) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Executed-plan TREE walk (r6, VERDICT r5 #3). The string counters above are
+# fine for pinning plan SHAPES in tests, but they over-count cache-heavy
+# queries (every InMemoryRelation reference REPRINTS its cached child plan —
+# q150 printed 340 "Exchange" substrings through 17 reprints) and
+# under-count codegen under AQE (adaptive plan strings drop the *(N)
+# markers). Walking the JVM plan tree gives true per-run counts: descend
+# into AdaptiveSparkPlanExec's final plan and each QueryStageExec's
+# materialized stage plan; stop at InMemoryTableScanExec (the cached
+# subtree executes once, at population, not per query) and at
+# ReusedExchangeExec (a reuse of an exchange counted where it first runs).
+# ---------------------------------------------------------------------------
+
+_PYTHON_EVAL_NODES = (
+    "ArrowEvalPythonExec",
+    "BatchEvalPythonExec",
+    "MapInPandasExec",
+    "FlatMapGroupsInPandasExec",
+    "FlatMapGroupsInPandasWithStateExec",
+    "ArrowEvalPythonUDTFExec",
+    "BatchEvalPythonUDTFExec",
+)
+
+
+def executed_node_counts(df: DataFrame, materialize: bool = True) -> dict:
+    """True node counts from the executed physical-plan TREE.
+
+    ``materialize``: AQE only finalizes a plan when ITS OWN QueryExecution
+    runs (``df.count()`` plans a different query), so by default the frame
+    is collected first — callers audit small/sample frames.
+
+    Returns ``{"exchanges", "broadcast_exchanges", "broadcast_joins",
+    "codegen_stages", "python_nodes", "inmem_scans"}``.
+    """
+    if materialize:
+        df.collect()
+    counts = {
+        "exchanges": 0,
+        "broadcast_exchanges": 0,
+        "broadcast_joins": 0,
+        "python_nodes": 0,
+        "inmem_scans": 0,
+    }
+    codegen_ids: set = set()
+
+    def visit(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            visit(node.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            visit(node.plan())
+            return
+        if name == "ShuffleExchangeExec":
+            counts["exchanges"] += 1
+        elif name == "BroadcastExchangeExec":
+            counts["broadcast_exchanges"] += 1
+        elif name in ("BroadcastHashJoinExec", "BroadcastNestedLoopJoinExec"):
+            counts["broadcast_joins"] += 1
+        elif name == "WholeStageCodegenExec":
+            codegen_ids.add(node.codegenStageId())
+        elif name in _PYTHON_EVAL_NODES:
+            counts["python_nodes"] += 1
+        elif name == "InMemoryTableScanExec":
+            counts["inmem_scans"] += 1
+            return  # cached subtree runs once at population — not this query
+        if name == "ReusedExchangeExec":
+            return  # reuse of an exchange counted where it first runs
+        children = node.children()
+        for i in range(children.length()):
+            visit(children.apply(i))
+
+    visit(df._jdf.queryExecution().executedPlan())
+    counts["codegen_stages"] = len(codegen_ids)
+    return counts
+
+
+# ---------------------------------------------------------------------------
 # Driver-bottleneck audit: every DataFrame.collect an operator performs must
 # be bounded (sketch-sized, 1-row, or guarded by an explicit byte bound with
 # a no-collect fallback). This instrumentation turns that design rule into a
