@@ -3006,6 +3006,36 @@ def _q155_holt_winters(spark, sf_dir):
     return holt_winters_forecast(series, period=4, horizons=(1, 4))
 
 
+def _q156_knn_dtw_mc_pruned(spark, sf_dir):
+    """MULTICHANNEL exact pruned DTW KNN (r6, VERDICT r5 #5): q113's
+    dependent-DTW brute force re-run through operators/knn.py::knn_join_lb
+    with channel-wise envelope/PAA sketches. Per-channel LB_paa bounds sum
+    to an admissible bound on the shared-warp-path summed cost, so the
+    filter-and-verify chain stays LOSSLESS on nested input — this query's
+    oracle is deliberately q113's brute-force recursive-CTE DP verbatim:
+    hash equality proves the pruned plan returns bit-identical neighbors.
+    Candidate budget deliberately starved (C = k) so phase 3 does real
+    completeness work at the gate scale."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ch2", F.length("event_type").cast("double")
+    )
+    series = events_to_series(events, value=["value", "ch2"], length=SERIES_LEN)
+    train, test = split_train_test(series)
+    nn = knn_join_lb(
+        test,
+        train,
+        metric="dtw",
+        band=None,
+        k=3,
+        length=SERIES_LEN,
+        channels=2,
+        candidates_per_test=3,
+    )
+    return nn.select(
+        "test_id", "train_id", "rank", F.round("distance", 6).alias("distance")
+    )
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3203,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_dba_classify": _q153_dba_classify,
         "q154_cusum_changepoint": _q154_cusum_changepoint,
         "q155_holt_winters": _q155_holt_winters,
+        "q156_knn_dtw_mc_pruned": _q156_knn_dtw_mc_pruned,
     }
 
 
@@ -6481,6 +6512,11 @@ def oracle_sql() -> dict[str, str]:
                round(dist, 6) AS distance
         FROM ranked WHERE rank <= 3
     """
+
+    # q156 (r6): the multichannel LB-pruned KNN is lossless, so its oracle
+    # IS q113's brute-force dependent-DTW dynamic program, verbatim — hash
+    # equality proves filter-and-verify returns the brute-force answer
+    out["q156_knn_dtw_mc_pruned"] = out["q113_knn_dtw_multichannel"]
 
     # q116: residual IVF-PQ full replay — coarse kmeans CTEs (lowest-id
     # seeds, the q87/q93 machinery) + residuals + the prefixed PQ chain on

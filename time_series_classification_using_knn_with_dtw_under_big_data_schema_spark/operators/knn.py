@@ -353,13 +353,18 @@ def _score_block_rows(
         out["train_label"] = []
     n_train = len(b_ids)
     # fastdtw chunks for ufunc amortization; sbd chunks so ONE block FFT
-    # serves many test rows (memory-capped: nc * n_train * 2L doubles)
-    if kind == "fastdtw":
-        rows_per = max(1, 1024 // max(1, n_train))
-    elif kind == "sbd":
+    # serves many test rows (memory-capped: nc * n_train * 2L doubles).
+    # r6: the cheap kernels (banded DTW / euclidean family) now chunk to
+    # the same ~1024-pair call target — a no-op in the broadcast-kernel
+    # regime (train matrix >= 1024 rows -> rows_per = 1, zero-copy views,
+    # where the r5 measurement showed repeat/tile copies losing), but in
+    # the chunked regime's NARROW corpus blocks it collapses
+    # rows x blocks tiny kernel calls into ~1024-pair ones (the toy-regime
+    # fb_knn_dtw561 gap was per-call overhead x 11 block replication)
+    if kind == "sbd":
         rows_per = max(1, 65536 // max(1, n_train))
     else:
-        rows_per = 1
+        rows_per = max(1, 1024 // max(1, n_train))
     # test rows may be ragged; each chunk stacks rectangular
     by_len: dict = {}
     for i, f in enumerate(fvals):
@@ -520,12 +525,27 @@ def _knn_chunked(
             f"channel mismatch: test has {ch_t} channels, train has {ch_r}"
         )
     par = spark.sparkContext.defaultParallelism
-    bt = max(
-        1, math.ceil(int(n_t or 0) * int(len_t or 0) * int(ch_t or 1) * 8 / block_bytes)
-    )
-    br = max(
-        math.ceil(int(n_r) * int(len_r or 0) * int(ch_r or 1) * 8 / block_bytes),
-        min(int(n_r), par),
+    # grid sizing (r6, VERDICT r5 #6): overhead-aware cell count +
+    # traffic-balanced split + memory floors — see similarity._grid_split.
+    # Per-pair cost model: DTW sweeps len x band_width cells (x channels),
+    # point metrics touch each coordinate once — heavy DTW workloads keep
+    # every core even when their BYTES are small.
+    from .similarity import _grid_split
+
+    L = int(len_r or 1)
+    if metric in ("dtw", "fastdtw"):
+        width = min(2 * band + 1, L) if band is not None else L
+        per_pair = L * width * int(ch_r or 1)
+    else:
+        per_pair = L * int(ch_r or 1)
+    bt, br = _grid_split(
+        int(n_t or 0) * int(len_t or 0) * int(ch_t or 1) * 8,
+        int(n_r) * int(len_r or 0) * int(ch_r or 1) * 8,
+        int(n_t or 1),
+        int(n_r),
+        int(n_t or 0) * int(n_r) * per_pair,
+        block_bytes,
+        par,
     )
     label_type = dict(train.dtypes)[label_col] if label_col else None
     t_side = test.select(
@@ -589,8 +609,18 @@ def _knn_chunked(
     if label_col:
         schema += f", train_label {label_type}"
     schema += ", distance double"
+    # EXPLICIT repartition on the cell key (r6, VERDICT r5 #6): the cell
+    # grid is compute-heavy but byte-light, and AQE's advisory-size
+    # coalescing saw a ~tens-of-MB shuffle and squeezed it onto 1-2 tasks —
+    # serializing every cell (the measured toy-regime gap: 3s of cell
+    # compute with 0.1s max per cell running at parallelism 1). A
+    # user-specified repartition is exempt from AQE coalescing and
+    # satisfies the groupBy's clustering requirement, so the exchange is
+    # not duplicated.
+    n_parts = min(bt * br, max(par, 1))
     blocked = (
         t_side.unionByName(r_side)
+        .repartition(n_parts, "_tblk", "_rblk")
         .groupBy("_tblk", "_rblk")
         .applyInPandas(lambda _, pdf: cell(pdf), schema=schema)
     )
@@ -609,6 +639,37 @@ def _knn_chunked(
     return topk.select(*out)
 
 
+def _check_channel_parity(
+    test: DataFrame,
+    train: DataFrame,
+    features_col: str,
+    channels: Optional[int],
+    who: str,
+) -> bool:
+    """Shared pruned/LB-path input guard: both sides must agree on flat vs
+    multichannel (a mixed pair would fail opaquely inside the univariate
+    sketch code — ADVICE r4), and nested input needs an explicit fixed
+    ``channels`` count (the per-channel sketch expressions are unrolled at
+    plan time, like ``length``). Returns True for multichannel."""
+    from pyspark.sql.types import ArrayType
+
+    nested_t = isinstance(test.schema[features_col].dataType.elementType, ArrayType)
+    nested_r = isinstance(train.schema[features_col].dataType.elementType, ArrayType)
+    if nested_t != nested_r:
+        raise ValueError(
+            f"{who}: flat/multichannel mismatch — test features are "
+            f"{'nested' if nested_t else 'flat'} but train features are "
+            f"{'nested' if nested_r else 'flat'}"
+        )
+    if nested_t and channels is None:
+        raise ValueError(
+            f"{who}: multichannel series (array<array<double>>) require "
+            f"channels=<fixed channel count> (sketches are unrolled per "
+            f"channel at plan time, like length)"
+        )
+    return nested_t
+
+
 def knn_join_pruned(
     test: DataFrame,
     train: DataFrame,
@@ -625,6 +686,7 @@ def knn_join_pruned(
     exclude_zero: bool = True,
     band: Optional[int] = None,
     fastdtw_radius: int = 1,
+    channels: Optional[int] = None,
 ) -> DataFrame:
     """Two-phase pruned KNN (scale path; SURVEY.md §4 'worth adding').
 
@@ -640,6 +702,13 @@ def knn_join_pruned(
     inequality), so with enough candidates this is exact in practice; for DTW
     it is a (good) heuristic filter — recall measured in tests. Output schema
     = knn_join's.
+
+    Multichannel series (array<array<double>>, one vector per timestep —
+    r6, VERDICT r5 #5): pass ``channels``; the phase-1 sketch becomes the
+    CONCATENATION of per-channel PAA sketches (its squared distance is the
+    sum of per-channel PAA distances — the same heuristic, channel-wise)
+    and phase 2 scores with the dependent-DTW kernel, so only
+    metric='dtw'/'fastdtw' are supported for nested input (the kernel rule).
     """
     from pyspark.sql.types import ArrayType
 
@@ -648,25 +717,41 @@ def knn_join_pruned(
     # check BOTH sides: a multichannel train side paired with a flat test
     # side would pass a test-only guard and fail opaquely in the univariate
     # PAA code downstream (ADVICE r4)
-    if isinstance(test.schema[features_col].dataType.elementType, ArrayType) or isinstance(
-        train.schema[features_col].dataType.elementType, ArrayType
-    ):
+    nested = _check_channel_parity(
+        test, train, features_col, channels, "knn_join_pruned"
+    )
+    if nested and (callable(metric) or metric not in ("dtw", "fastdtw")):
         raise ValueError(
-            "knn_join_pruned expects flat series (array<double>); for "
-            "multichannel series use knn_join (any strategy) — the PAA "
-            "sketch prefilter is univariate"
+            f"multichannel series support metric='dtw'/'fastdtw' only, got {metric!r}"
         )
+
+    def _proj(c):
+        # NOTE: a 2-arg lambda (even with a default) is read by F.transform
+        # as the (element, index) signature — channel capture must close
+        # over a single-arg function
+        return lambda p: F.element_at(p, c + 1)
+
+    def _sketch(col):
+        if not nested:
+            return paa(col, paa_segments, length)
+        return F.concat(
+            *[
+                paa(F.transform(col, _proj(c)), paa_segments, length)
+                for c in range(channels)
+            ]
+        )
+
     C = candidates_per_test if candidates_per_test is not None else 4 * k
 
     t = test.select(
         F.col(id_col).alias("test_id"),
         F.col(features_col).alias("_tf"),
-        paa(F.col(features_col), paa_segments, length).alias("_tp"),
+        _sketch(F.col(features_col)).alias("_tp"),
     )
     r_cols = [
         F.col(id_col).alias("train_id"),
         F.col(features_col).alias("_rf"),
-        paa(F.col(features_col), paa_segments, length).alias("_rp"),
+        _sketch(F.col(features_col)).alias("_rp"),
     ]
     if label_col is not None:
         r_cols.append(F.col(label_col).alias("train_label"))
@@ -741,6 +826,7 @@ def knn_join_lb(
     exclude_zero: bool = True,
     band: Optional[int] = None,
     fastdtw_radius: int = 1,
+    channels: Optional[int] = None,
 ) -> DataFrame:
     """EXACT pruned DTW/FastDTW KNN via an admissible lower bound
     (filter-and-verify; SURVEY.md §4's "LB prefilter worth adding" row,
@@ -793,22 +879,39 @@ def knn_join_lb(
     per-test intermediates (candidates, scores, tau) are O(C) rows and
     cached via register_cache, the pair-level LB table is recomputed
     (codegen) rather than cached.
-    """
-    from pyspark.sql.types import ArrayType
 
+    Multichannel series (array<array<double>>, one vector per timestep —
+    r6, VERDICT r5 #5): pass ``channels``. Dependent DTW scores ONE shared
+    warp path with the per-channel SUMMED |a-b| point cost, so each
+    channel's envelope bound holds for that same path independently and
+    the per-channel LBs ADD:
+
+        sum_ch LB_paa_ch(q, c) <= sum_ch cost_ch(path) = dependent DTW
+
+    — admissibility is preserved channel-wise, and the result stays
+    bit-identical to brute-force knn_join on the same multichannel input
+    (q156's oracle is exactly q113's brute-force DP).
+    """
     from ..caching import register_cache
     from ..functions.arrays import paa
 
     if callable(metric) or metric not in ("dtw", "fastdtw"):
         raise ValueError("knn_join_lb requires metric='dtw' or 'fastdtw'")
-    if isinstance(test.schema[features_col].dataType.elementType, ArrayType) or isinstance(
-        train.schema[features_col].dataType.elementType, ArrayType
-    ):
-        raise ValueError(
-            "knn_join_lb expects flat series (array<double>); for "
-            "multichannel series use knn_join — the envelope bound is "
-            "univariate"
-        )
+    nested = _check_channel_parity(test, train, features_col, channels, "knn_join_lb")
+    n_ch = channels if nested else 1
+
+    def _chan(col, c):
+        # channel-c series as a flat array (identity for flat input).
+        # NOTE: a 2-arg lambda (even with a default) is read by F.transform
+        # as the (element, index) signature — capture c via a nested def
+        if not nested:
+            return col
+
+        def proj(p):
+            return F.element_at(p, c + 1)
+
+        return F.transform(col, proj)
+
     C = max(candidates_per_test if candidates_per_test is not None else 4 * k, k)
     fn, _ = _resolve_metric(metric, band, fastdtw_radius)
     r_env = band if band is not None else length
@@ -817,43 +920,49 @@ def knn_join_lb(
     nseg = min(paa_segments, mid_len) if mid_len > 0 else 0
     seg_w = (mid_len // nseg) if nseg else 0
 
-    # test sketch: endpoints + per-block banded envelope extremes.
-    # Block b covers middle positions [s_b, s_b + seg_w - 1] (1-based);
-    # its envelope slice widens by r_env on both sides, clipped to the
-    # series — for r_env = length that degenerates to the global min/max.
-    env_cols = []
-    for b in range(nseg):
-        s_b = 2 + b * seg_w
-        lo_pos = max(1, s_b - r_env)
-        hi_pos = min(length, s_b + seg_w - 1 + r_env)
-        sl = F.slice(features_col, lo_pos, hi_pos - lo_pos + 1)
-        env_cols.append(F.array_max(sl).alias(f"_u{b}"))
-        env_cols.append(F.array_min(sl).alias(f"_l{b}"))
-    t_sk = test.select(
-        F.col(id_col).alias("test_id"),
-        F.element_at(features_col, 1).alias("_q0"),
-        F.element_at(features_col, length).alias("_ql"),
-        *env_cols,
-    )
-    r_sk_cols = [
-        F.col(id_col).alias("train_id"),
-        F.element_at(features_col, 1).alias("_r0"),
-        F.element_at(features_col, length).alias("_rl"),
-    ]
-    if nseg:
-        r_sk_cols.append(
-            paa(F.slice(features_col, 2, seg_w * nseg), nseg, seg_w * nseg).alias("_rp")
-        )
+    # test sketch: per-channel endpoints + per-block banded envelope
+    # extremes. Block b covers middle positions [s_b, s_b + seg_w - 1]
+    # (1-based); its envelope slice widens by r_env on both sides, clipped
+    # to the series — for r_env = length that degenerates to the global
+    # min/max.
+    t_cols = [F.col(id_col).alias("test_id")]
+    for c in range(n_ch):
+        chf = _chan(F.col(features_col), c)
+        t_cols.append(F.element_at(chf, 1).alias(f"_q0_{c}"))
+        t_cols.append(F.element_at(chf, length).alias(f"_ql_{c}"))
+        for b in range(nseg):
+            s_b = 2 + b * seg_w
+            lo_pos = max(1, s_b - r_env)
+            hi_pos = min(length, s_b + seg_w - 1 + r_env)
+            sl = F.slice(chf, lo_pos, hi_pos - lo_pos + 1)
+            t_cols.append(F.array_max(sl).alias(f"_u{b}_{c}"))
+            t_cols.append(F.array_min(sl).alias(f"_l{b}_{c}"))
+    t_sk = test.select(*t_cols)
+    r_sk_cols = [F.col(id_col).alias("train_id")]
+    for c in range(n_ch):
+        chf = _chan(F.col(features_col), c)
+        r_sk_cols.append(F.element_at(chf, 1).alias(f"_r0_{c}"))
+        r_sk_cols.append(F.element_at(chf, length).alias(f"_rl_{c}"))
+        if nseg:
+            r_sk_cols.append(
+                paa(F.slice(chf, 2, seg_w * nseg), nseg, seg_w * nseg).alias(f"_rp_{c}")
+            )
     r_sk = train.select(*r_sk_cols)
 
-    lb = F.abs(F.col("_q0") - F.col("_r0")) + F.abs(F.col("_ql") - F.col("_rl"))
+    lb = None
+    for c in range(n_ch):
+        term = F.abs(F.col(f"_q0_{c}") - F.col(f"_r0_{c}")) + F.abs(
+            F.col(f"_ql_{c}") - F.col(f"_rl_{c}")
+        )
+        lb = term if lb is None else lb + term
     if nseg:
         hinges = [
             F.greatest(
                 F.lit(0.0),
-                F.element_at("_rp", b + 1) - F.col(f"_u{b}"),
-                F.col(f"_l{b}") - F.element_at("_rp", b + 1),
+                F.element_at(f"_rp_{c}", b + 1) - F.col(f"_u{b}_{c}"),
+                F.col(f"_l{b}_{c}") - F.element_at(f"_rp_{c}", b + 1),
             )
+            for c in range(n_ch)
             for b in range(nseg)
         ]
         hinge_sum = hinges[0]

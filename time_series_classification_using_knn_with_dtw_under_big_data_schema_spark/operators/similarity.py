@@ -49,6 +49,54 @@ def _cos_fn(scoring: str):
     raise ValueError(f"unknown scoring {scoring!r}")
 
 
+# ~multiply-adds a block cell should own before another task is worth its
+# fixed cost (launch + Arrow decode + numpy stack) — calibrated on the r5
+# toy-regime fallback entries; shared by the ANN and KNN chunked scorers
+_CELL_WORK_TARGET = 16_000_000
+
+
+def _grid_split(
+    q_bytes: int,
+    c_bytes: int,
+    nq: int,
+    nc: int,
+    pair_work: int,
+    block_bytes: int,
+    par: int,
+) -> "tuple[int, int]":
+    """Block-grid sizing for the chunked pair scorers (r6, VERDICT r5 #6).
+
+    Three forces, applied in order:
+    - OVERHEAD: total cells = pair_work / _CELL_WORK_TARGET capped at the
+      cluster parallelism — a toy input collapses to one cell instead of
+      paying par tasks' fixed cost (the r5 toy-regime ratios), a big input
+      keeps every core (DTW workloads count their band sweep in pair_work,
+      so compute-heavy-but-byte-light inputs still go wide).
+    - TRAFFIC: each side is replicated across the OTHER side's block
+      count (traffic = q_bytes*bc + c_bytes*bq), so the grid splits the
+      cell budget proportional to sqrt(q_bytes/c_bytes) — the minimizer
+      under bq*bc = cells. A tiny query side gives bq = 1 and the corpus
+      still moves EXACTLY ONCE (the serve case).
+    - MEMORY: hard floors ceil(side_bytes / block_bytes) so no task's
+      working set exceeds ~2 blocks regardless of the above.
+    """
+    import math
+
+    bq_mem = max(1, math.ceil(q_bytes / block_bytes))
+    bc_mem = max(1, math.ceil(c_bytes / block_bytes))
+    # cap at 4x parallelism, not 1x: cells land on shuffle partitions by
+    # hash, so at exactly par cells some tasks draw 2-3 cells and straggle;
+    # a few cells per partition smooths the assignment (classic
+    # tasks >> slots balancing)
+    cells = max(
+        bq_mem * bc_mem, min(4 * par, max(1, pair_work // _CELL_WORK_TARGET))
+    )
+    bq = round(math.sqrt(cells * q_bytes / max(c_bytes, 1)))
+    bq = min(max(bq, bq_mem, 1), max(nq, 1), cells)
+    bc = min(max(math.ceil(cells / bq), bc_mem), max(nc, 1))
+    return bq, bc
+
+
 def _chunked_pair_topk(
     q: DataFrame,
     c: DataFrame,
@@ -58,6 +106,7 @@ def _chunked_pair_topk(
     scorer,
     elem_bytes: int,
     block_bytes: int,
+    corpus_stats: "tuple[int, int] | None" = None,
 ) -> DataFrame:
     """Block nested-loop pair scoring for the NO-BROADCAST regime (r5,
     VERDICT r4 #2): when neither side fits in one executor's memory as a
@@ -93,14 +142,24 @@ def _chunked_pair_topk(
 
     spark = q.sparkSession
     nq, dq = q.agg(F.count(F.lit(1)), F.max(F.size("_qv"))).first()
-    nc, dc = c.agg(F.count(F.lit(1)), F.max(F.size("_cv"))).first()
+    if corpus_stats is not None:
+        # the kernel-guard reroute already aggregated the corpus once —
+        # don't pay a second stats job (the knn _train_stats pattern)
+        nc, dc = corpus_stats
+    else:
+        nc, dc = c.agg(F.count(F.lit(1)), F.max(F.size("_cv"))).first()
     if not nc:
         raise ValueError("empty corpus side")
     par = spark.sparkContext.defaultParallelism
-    bq = max(1, math.ceil(int(nq) * int(dq or 0) * elem_bytes / block_bytes))
-    bc = max(
-        math.ceil(int(nc) * int(dc or 0) * elem_bytes / block_bytes),
-        min(int(nc), par),
+    pair_work = int(nq or 0) * int(nc) * int(dc or 1)
+    bq, bc = _grid_split(
+        int(nq or 0) * int(dq or 0) * elem_bytes,
+        int(nc) * int(dc or 0) * elem_bytes,
+        int(nq or 1),
+        int(nc),
+        pair_work,
+        block_bytes,
+        par,
     )
     qt = q.select(
         F.pmod(F.hash("query_id"), F.lit(bq)).alias("_qblk"),
@@ -131,8 +190,18 @@ def _chunked_pair_topk(
         C = np.stack([np.asarray(v, dtype=np.float64) for v in cp["_v"]])
         return fn(qids, Q, cids, C, kk, excl)
 
-    blocked = qt.unionByName(ct).groupBy("_qblk", "_cblk").applyInPandas(
-        lambda _, pdf: blk(pdf), schema="query_id long, neighbor_id long, _d double"
+    # explicit repartition on the cell key (r6): exempt from AQE's
+    # advisory-size coalescing, which otherwise squeezes this byte-light
+    # but compute-heavy stage onto 1-2 tasks (see the knn.py twin)
+    n_parts = min(bq * bc, max(par, 1))
+    blocked = (
+        qt.unionByName(ct)
+        .repartition(n_parts, "_qblk", "_cblk")
+        .groupBy("_qblk", "_cblk")
+        .applyInPandas(
+            lambda _, pdf: blk(pdf),
+            schema="query_id long, neighbor_id long, _d double",
+        )
     )
     # nulls LAST: Arrow maps the scorer's NaN distances (zero-norm vectors)
     # to SQL nulls, and the kernel's in-Python lexsort puts NaN at the end —
@@ -248,16 +317,19 @@ def ann_brute_topk(
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv"))
     hint_broadcast = True
+    c_stats = None
     if strategy == "kernel":
         n_rows, dim0 = c.agg(F.count(F.lit(1)), F.max(F.size("_cv"))).first()
         if not n_rows:
             raise ValueError("empty corpus side")
         if n_rows * int(dim0 or 0) * 8 > max_broadcast_bytes:
             strategy = "chunked"
+            c_stats = (int(n_rows), int(dim0 or 0))
     if strategy == "chunked":
         top = _chunked_pair_topk(
             q, c, k=k, exclude_self=exclude_self,
             scorer=_brute_cos_block_scorer, elem_bytes=8, block_bytes=block_bytes,
+            corpus_stats=c_stats,
         )
         return top.select(
             "query_id", "neighbor_id", "rank", F.round("_d", 6).alias("cos_dist")
@@ -626,6 +698,7 @@ def ann_quantized_topk(
         F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("_qb")
     )
     hint_broadcast = True
+    c_stats = None
     if strategy == "kernel":
         n_rows, dim0 = qc.agg(F.count(F.lit(1)), F.max(F.size("_qb"))).first()
         if not n_rows:
@@ -633,6 +706,7 @@ def ann_quantized_topk(
         # int16 on the wire: 2 bytes per component
         if n_rows * int(dim0 or 0) * 2 > max_broadcast_bytes:
             strategy = "chunked"
+            c_stats = (int(n_rows), int(dim0 or 0))
     if strategy == "chunked":
         top = _chunked_pair_topk(
             qq.select("query_id", _as_double(F.col("_qa")).alias("_qv")),
@@ -641,7 +715,7 @@ def ann_quantized_topk(
             # elem_bytes=8: block sizing bounds the SCORER's working set,
             # and the int8 codes are widened to int64 inside the block
             scorer=_quantized_cos_block_scorer, elem_bytes=8,
-            block_bytes=block_bytes,
+            block_bytes=block_bytes, corpus_stats=c_stats,
         )
         return top.select(
             "query_id", "neighbor_id", "rank", F.round("_d", 6).alias("q_cos_dist")
