@@ -772,6 +772,163 @@ def main() -> None:
     )
     star_pairs.unpersist()
 
+    # --- sf1.0-equivalent soak tier (r6, VERDICT r5 #8) --------------------
+    # No sf1.0 parquet exists in the container (testdata is read-only), so
+    # the soak amplifies the sf0.1 inputs 10x IN-PROCESS (perturbed
+    # replicas, the fb2 pattern) and re-runs the headline guard-routing
+    # entries at that scale. Goals: (a) the byte-guards route to the
+    # chunked paths ON THEIR OWN under a realistic budget (recorded in
+    # soak_routing — no max_broadcast_bytes=1 forcing), (b) per-entry
+    # throughput is recorded, (c) the soak fallback ratios stay inside the
+    # amplified-tier envelope.
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_search,
+    )
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.plans import executed_plan as _xplan
+
+    soak_routing = {}
+
+    def _rep10(df, id_cols, perturb_col=None, tag_text_col=None):
+        """10 perturbed replicas: ids offset per replica; numeric arrays
+        shifted (distances stay non-degenerate) or text replica-tagged
+        per token (vocab/shingles stay distinct across replicas)."""
+        out = df.crossJoin(spark.range(10).withColumnRenamed("id", "_rep"))
+        cols = []
+        for c in out.columns:
+            if c == "_rep":
+                continue
+            if c in id_cols:
+                cols.append((F.col(c) + F.col("_rep") * 10_000_000).alias(c))
+            elif c == perturb_col:
+                cols.append(
+                    F.transform(c, lambda x: x + F.col("_rep").cast("double") * 0.017).alias(c)
+                )
+            elif c == tag_text_col:
+                cols.append(
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.split(F.col(c), " "),
+                            lambda w: F.concat(
+                                F.lit("s"), F.col("_rep").cast("string"), F.lit("x"), w
+                            ),
+                        ),
+                    ).alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        return out.select(*cols).repartition(cpus)
+
+    # 10x embeddings: brute kernel (broadcast fine) vs guard-routed chunked
+    emb10 = _rep10(emb, {"vec_id"}, perturb_col="embedding").cache()
+    n_emb10 = emb10.count()
+    emb10_q = emb10.filter(F.col("vec_id") % 251 == 0).cache()
+    n_emb10_q = emb10_q.count()
+    dim10 = 64
+    soak_ann_budget = max(1, n_emb10 * dim10 * 8 // 3)
+    run(
+        "soak10x_ann_brute_kernel",
+        lambda: _mat(ann_brute_topk(emb10_q, emb10, k=5, strategy="kernel")),
+        repeats=2,
+    )
+    _soak_ann = ann_brute_topk(
+        emb10_q, emb10, k=5, strategy="kernel", max_broadcast_bytes=soak_ann_budget
+    )
+    soak_routing["ann_brute_10x"] = (
+        "chunked" if "FlatMapGroupsInPandas" in _xplan(_soak_ann) else "broadcast"
+    )
+    run(
+        "soak10x_ann_brute_chunked",
+        lambda: _mat(ann_brute_topk(
+            emb10_q, emb10, k=5, strategy="kernel", max_broadcast_bytes=soak_ann_budget
+        )),
+        repeats=2,
+    )
+
+    # 10x series, banded DTW: kernel vs guard-routed chunked
+    ser10 = _rep10(series, {"series_id"}, perturb_col="features").cache()
+    tr10, te10 = split_train_test(ser10)
+    te10s = te10.filter(F.col("series_id") % 16 == 0).cache()
+    n_tr10, n_te10s = tr10.count(), te10s.count()
+    soak_knn_budget = max(1, n_tr10 * SERIES_LEN * 8 // 3)
+    run(
+        "soak10x_knn_dtw_kernel",
+        lambda: _mat(knn_join(te10s, tr10, metric="dtw", band=3, k=5, strategy="kernel")),
+        repeats=2,
+    )
+    _soak_knn = knn_join(
+        te10s, tr10, metric="dtw", band=3, k=5,
+        strategy="kernel", max_broadcast_bytes=soak_knn_budget,
+    )
+    soak_routing["knn_dtw_10x"] = (
+        "chunked" if "FlatMapGroupsInPandas" in _xplan(_soak_knn) else "broadcast"
+    )
+    run(
+        "soak10x_knn_dtw_chunked",
+        lambda: _mat(knn_join(
+            te10s, tr10, metric="dtw", band=3, k=5,
+            strategy="kernel", max_broadcast_bytes=soak_knn_budget,
+        )),
+        repeats=2,
+    )
+    soak_knn_pairs_per_sec = (
+        round(n_tr10 * n_te10s / timings["soak10x_knn_dtw_chunked"])
+        if timings.get("soak10x_knn_dtw_chunked") else None
+    )
+
+    # 10x documents: LSH near-dup pairs -> connected components
+    docs10 = _rep10(
+        docs.select("doc_id", "text"), {"doc_id"}, tag_text_col="text"
+    ).cache()
+    n_docs10 = docs10.count()
+    soak_pairs10 = dedup_minhash_lsh(
+        docs10, threshold=0.5, max_bucket_size=64, hash_mode="kernel"
+    ).cache()
+    run("soak10x_dedup_lsh", lambda: soak_pairs10.count())
+    run(
+        "soak10x_dedup_components",
+        lambda: _mat(dedup_components(docs10, soak_pairs10, local_threshold=0)),
+    )
+    soak_pairs10.unpersist()
+
+    # 10x corpus BM25: build once (timed), serve the sf0.1 query batch
+    bm10_idx = None
+
+    def _soak_bm25_build():
+        nonlocal_idx = {n: t.cache() for n, t in bm25_build(docs10).items()}
+        for t in nonlocal_idx.values():
+            t.count()
+        return nonlocal_idx
+
+    bm10_idx = run("soak10x_bm25_build", _soak_bm25_build)
+    run(
+        "soak10x_bm25_search",
+        lambda: _mat(bm25_search(bm_qs, bm10_idx, k=10)),
+        repeats=2,
+    )
+
+    # 10x IVF-PQ: build once (timed), serve (timed) — the index path that
+    # replaces brute force when even chunked traffic is too much
+    def _soak_ivfpq_build():
+        idx = {n: t.cache() for n, t in ivfpq_build(emb10).items()}
+        for t in idx.values():
+            t.count()
+        return idx
+
+    ivfpq10 = run("soak10x_ivfpq_build", _soak_ivfpq_build)
+    run(
+        "soak10x_ivfpq_search",
+        lambda: _mat(ivfpq_search(emb10_q, ivfpq10, emb10, k=5)),
+        repeats=2,
+    )
+    for t in ivfpq10.values():
+        t.unpersist()
+    for t in bm10_idx.values():
+        t.unpersist()
+    docs10.unpersist()
+    emb10.unpersist(); emb10_q.unpersist(); ser10.unpersist(); te10s.unpersist()
+
     fallback_pairs = {
         "knn_shuffle_euclid_k5": ("fb_knn_shuffle_euclid_k5", "knn_euclidean_k5"),
         "knn_shuffle_fastdtw_k5": ("fb_knn_shuffle_fastdtw_k5", "knn_fastdtw_k5"),
@@ -796,6 +953,15 @@ def main() -> None:
         ),
         "star_components_distributed": (
             "fb2_components_distributed_star", "fb2_components_local_star"
+        ),
+        # sf1.0-equivalent soak (r6): guard-routed chunked vs broadcast
+        # kernel on the 10x inputs — must stay inside the amplified-tier
+        # envelope (amp_ann_brute_chunked / amp_knn_chunked_euclid)
+        "soak_ann_brute_chunked": (
+            "soak10x_ann_brute_chunked", "soak10x_ann_brute_kernel"
+        ),
+        "soak_knn_dtw_chunked": (
+            "soak10x_knn_dtw_chunked", "soak10x_knn_dtw_kernel"
         ),
     }
     fallback_ratios = {
@@ -838,6 +1004,16 @@ def main() -> None:
         "mv_dtw_2ch_pairs_per_sec": mv_pairs_per_sec,
         "fb_dtw561_banded_chunked_pairs_per_sec": fb_dtw561_pairs_per_sec,
         "fallback_ratios": fallback_ratios,
+        # sf1.0-equivalent soak tier (r6): 10x in-process amplification
+        "soak10x": {
+            "n_embeddings": n_emb10,
+            "n_queries": n_emb10_q,
+            "n_train_series": n_tr10,
+            "n_test_series": n_te10s,
+            "n_docs": n_docs10,
+            "knn_dtw_chunked_pairs_per_sec": soak_knn_pairs_per_sec,
+            "routing": soak_routing,
+        },
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as f:

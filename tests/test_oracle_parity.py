@@ -170,6 +170,21 @@ SLOW_SUBSET = [
     "q146_rocket_features",
     "q147_rocket_knn",
     "q148_seasonal_decompose",
+    # r6 (VERDICT r5 #7): the rest of the r5 shape family whose oracles are
+    # LINEAR in series count (per-series smoothing/CUSUM folds — measured
+    # < 0.5s each at sf0.1); the pair-matrix/path-replay recursions
+    # (q143/q145/q149/q150/q153) stay sf0.001/0.01-only — q149's oracle
+    # alone ran > 10 min at sf0.1 (1500^2-pair DP rebuild), while their
+    # Spark sides are broadcast-prototype plans verified here via the
+    # family's cheap members plus q156's full-DP equality below
+    "q151_holt_forecast",
+    "q152_residual_anomalies",
+    "q154_cusum_changepoint",
+    "q155_holt_winters",
+    # multichannel LB-pruned KNN vs the q113 brute-force DP oracle at bench
+    # scale: the lossless-pruning claim re-proven where AQE actually
+    # re-plans (q113 itself is already in this subset)
+    "q156_knn_dtw_mc_pruned",
 ]
 
 
