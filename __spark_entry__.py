@@ -3036,6 +3036,22 @@ def _q156_knn_dtw_mc_pruned(spark, sf_dir):
     )
 
 
+def _q157_shapelet_rule(spark, sf_dir):
+    """Shapelet discovery (r6; operators/shapelet.py::shapelet_stump —
+    Ye & Keogh 2009 made integer-exact): deterministic spread-hash
+    candidate subsequences (2 series/class, length 8, stride 4) ->
+    per-series min-subsequence squared distances (ascending-j folds,
+    micro-rounded BIGINT) -> the classify.py stump search for the
+    minimum-error (candidate, threshold, polarity) rule, one-vs-rest on
+    the majority label. The oracle replays candidate selection, every
+    distance fold, and the stump argmin under the shared total order."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import shapelet_stump
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return shapelet_stump(series, window=8, stride=4, per_class=2)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3234,6 +3250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_cusum_changepoint": _q154_cusum_changepoint,
         "q155_holt_winters": _q155_holt_winters,
         "q156_knn_dtw_mc_pruned": _q156_knn_dtw_mc_pruned,
+        "q157_shapelet_rule": _q157_shapelet_rule,
     }
 
 
@@ -6517,6 +6534,87 @@ def oracle_sql() -> dict[str, str]:
     # IS q113's brute-force dependent-DTW dynamic program, verbatim — hash
     # equality proves filter-and-verify returns the brute-force answer
     out["q156_knn_dtw_mc_pruned"] = out["q113_knn_dtw_multichannel"]
+
+    # q157 (r6): shapelet rule induction — candidate selection (per-label
+    # spread-hash top-2, windows of 8 at stride 4), per-(series, candidate)
+    # min-subsequence squared distance (ascending-j fold, micro BIGINT),
+    # then the q130 stump-argmin machinery over (dim = cand_id - 1, dm)
+    out["q157_shapelet_rule"] = f"""
+        WITH {_SERIES_CTE},
+        tgt AS (
+            SELECT label FROM series GROUP BY label
+            ORDER BY count(*) DESC, label ASC LIMIT 1
+        ),
+        picked AS (
+            SELECT series_id, label, features FROM (
+                SELECT *, row_number() OVER (PARTITION BY label
+                    ORDER BY ((series_id % 1000000007) * 654435747 + 40503)
+                             % 1000000007 ASC, series_id ASC) AS rk
+                FROM series
+            ) WHERE rk <= 2
+        ),
+        cands AS (
+            SELECT row_number() OVER (
+                       ORDER BY label ASC, source_series_id ASC, start ASC
+                   ) AS cand_id,
+                   source_series_id, label, start, shapelet
+            FROM (
+                SELECT series_id AS source_series_id, label,
+                       cast(s AS bigint) AS start,
+                       features[s : s + 7] AS shapelet
+                FROM picked, generate_series(1, {SERIES_LEN} - 8 + 1, 4) g(s)
+            )
+        ),
+        featrows AS (
+            SELECT s.series_id, c.cand_id,
+                   cast(round(list_min(list_transform(
+                       range(1, {SERIES_LEN} - 8 + 2),
+                       st -> list_reduce(list_prepend(0.0,
+                           list_transform(range(0, 8),
+                               j -> (s.features[st + j] - c.shapelet[j + 1])
+                                  * (s.features[st + j] - c.shapelet[j + 1]))),
+                           (a, v) -> a + v))) * 1000000) AS bigint) AS dm,
+                   CASE WHEN s.label = (SELECT label FROM tgt)
+                        THEN 1 ELSE -1 END AS y
+            FROM series s CROSS JOIN cands c
+        ),
+        sex AS (SELECT y, cand_id - 1 AS dim, dm AS v FROM featrows),
+        spv AS (
+            SELECT dim, v,
+                   sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS pos,
+                   sum(CASE WHEN y < 0 THEN 1 ELSE 0 END) AS neg
+            FROM sex GROUP BY dim, v
+        ),
+        scum AS (
+            SELECT dim, v,
+                   sum(pos) OVER (PARTITION BY dim ORDER BY v) AS cpos,
+                   sum(neg) OVER (PARTITION BY dim ORDER BY v) AS cneg,
+                   sum(pos) OVER (PARTITION BY dim) AS p,
+                   sum(neg) OVER (PARTITION BY dim) AS n
+            FROM spv
+        ),
+        srules AS (
+            SELECT dim, v, 1 AS pol, cneg + p - cpos AS err, p + n AS total
+            FROM scum
+            UNION ALL
+            SELECT dim, v, -1 AS pol, cpos + n - cneg AS err, p + n AS total
+            FROM scum
+        ),
+        sbest AS (
+            SELECT * FROM srules
+            ORDER BY err ASC, dim ASC, v ASC, pol DESC LIMIT 1
+        )
+        SELECT cast(c.cand_id AS int) AS cand_id,
+               c.source_series_id,
+               cast(c.start AS int) AS start,
+               cast(8 AS int) AS "window",
+               b.v AS threshold_micro,
+               b.pol AS polarity,
+               cast(b.err AS bigint) AS n_errors,
+               cast(b.total AS bigint) AS n_total,
+               c.shapelet
+        FROM sbest b JOIN cands c ON b.dim + 1 = c.cand_id
+    """
 
     # q116: residual IVF-PQ full replay — coarse kmeans CTEs (lowest-id
     # seeds, the q87/q93 machinery) + residuals + the prefixed PQ chain on

@@ -483,6 +483,17 @@ def main() -> None:
         _mat(knn_classify(vec(te), vec(tr), metric="euclidean", k=5, strategy="kernel"))
 
     run("rocket_knn_kernel", _rocket_knn_kernel, repeats=2)
+
+    # shapelet rule induction (r6): candidate extraction + broadcast
+    # min-subsequence-distance features + integer-exact stump argmin
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import shapelet_stump as _shst
+
+    def _shapelet():
+        events01 = _t_cached(spark, sf_dir, "events")
+        s = events_to_series(events01, length=16)
+        _mat(_shst(s, window=8, stride=4, per_class=2))
+
+    run("shapelet_rule", _shapelet, repeats=2)
     # cache_scope per observation: importance_resample registers a bounded
     # doc-score cache internally — without the scope, repeat 2 would serve
     # from repeat 1's cache and "best of repeats" would report the warm

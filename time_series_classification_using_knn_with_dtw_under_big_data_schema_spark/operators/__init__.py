@@ -35,6 +35,11 @@ from .classify import (  # noqa: F401
     train_stump,
 )
 from .barycenter import dba_classify, dba_update, dtw_kmeans_dba, dtw_path_int  # noqa: F401
+from .shapelet import (  # noqa: F401
+    shapelet_candidates,
+    shapelet_features,
+    shapelet_stump,
+)
 from .cluster import kmeans_assign, kmeans_centroids, semantic_dedup, ts_kmedoids  # noqa: F401
 from .features import cusum_changepoint, make_rocket_kernels, rocket_features, seasonal_decompose, series_features  # noqa: F401
 from .forecast import holt_forecast, holt_winters_forecast  # noqa: F401
