@@ -3052,6 +3052,22 @@ def _q157_shapelet_rule(spark, sf_dir):
     return shapelet_stump(series, window=8, stride=4, per_class=2)
 
 
+def _q158_ar_forecast(spark, sf_dir):
+    """AR(2)-with-intercept least squares per series (r6; operators/
+    forecast.py::ar_forecast): eight normal-equation sums in ONE
+    ascending-t fold, 3x3 Cramer solve as a fixed expression tree,
+    recursive 1- and 2-step forecasts. Raw doubles (the q148 rule); the
+    oracle mirrors each sum as its own ascending left fold (identical
+    per-element arithmetic and accumulation order -> bit-equal), then
+    the same Cramer tree. NULL fit on short (<5 pts) or singular
+    (constant) series."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import ar_forecast
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return ar_forecast(series, horizons=(1, 2))
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3251,6 +3267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_holt_winters": _q155_holt_winters,
         "q156_knn_dtw_mc_pruned": _q156_knn_dtw_mc_pruned,
         "q157_shapelet_rule": _q157_shapelet_rule,
+        "q158_ar_forecast": _q158_ar_forecast,
     }
 
 
@@ -6534,6 +6551,58 @@ def oracle_sql() -> dict[str, str]:
     # IS q113's brute-force dependent-DTW dynamic program, verbatim — hash
     # equality proves filter-and-verify returns the brute-force answer
     out["q156_knn_dtw_mc_pruned"] = out["q113_knn_dtw_multichannel"]
+
+    # q158 (r6): AR(2) normal equations — each sum its own ascending left
+    # fold (bit-equal to the Spark 8-state fold: same per-element products,
+    # same accumulation order), then the identical Cramer expression tree
+    _arf = lambda expr: (
+        "list_reduce(list_prepend(0.0, list_transform(range(3, n + 1), "
+        f"t -> {expr})), (a, v) -> a + v)"
+    )
+    out["q158_ar_forecast"] = f"""
+        WITH {_SERIES_CTE},
+        sums AS (
+            SELECT series_id, features AS f, len(features) AS n,
+                   {_arf("f[t - 1]")} AS s1,
+                   {_arf("f[t - 2]")} AS s2,
+                   {_arf("f[t - 1] * f[t - 1]")} AS s11,
+                   {_arf("f[t - 2] * f[t - 2]")} AS s22,
+                   {_arf("f[t - 1] * f[t - 2]")} AS s12,
+                   {_arf("f[t]")} AS sy,
+                   {_arf("f[t] * f[t - 1]")} AS sy1,
+                   {_arf("f[t] * f[t - 2]")} AS sy2
+            FROM series
+        ),
+        dets AS (
+            SELECT *, cast(n - 2 AS double) AS s0,
+                   cast(n - 2 AS double) * (s11 * s22 - s12 * s12)
+                     - s1 * (s1 * s22 - s12 * s2)
+                     + s2 * (s1 * s12 - s11 * s2) AS det,
+                   sy * (s11 * s22 - s12 * s12)
+                     - s1 * (sy1 * s22 - s12 * sy2)
+                     + s2 * (sy1 * s12 - s11 * sy2) AS det_c,
+                   cast(n - 2 AS double) * (sy1 * s22 - s12 * sy2)
+                     - sy * (s1 * s22 - s12 * s2)
+                     + s2 * (s1 * sy2 - sy1 * s2) AS det_a1,
+                   cast(n - 2 AS double) * (s11 * sy2 - sy1 * s12)
+                     - s1 * (s1 * sy2 - sy1 * s2)
+                     + sy * (s1 * s12 - s11 * s2) AS det_a2
+            FROM sums
+        ),
+        fit AS (
+            SELECT series_id, f, n,
+                   CASE WHEN n >= 5 AND det != 0.0 THEN det_c / det END AS c,
+                   CASE WHEN n >= 5 AND det != 0.0 THEN det_a1 / det END AS a1,
+                   CASE WHEN n >= 5 AND det != 0.0 THEN det_a2 / det END AS a2
+            FROM dets
+        ),
+        h1 AS (
+            SELECT *, c + a1 * f[n] + a2 * f[n - 1] AS fc_1 FROM fit
+        )
+        SELECT series_id, c, a1, a2, fc_1,
+               c + a1 * fc_1 + a2 * f[n] AS fc_2
+        FROM h1
+    """
 
     # q157 (r6): shapelet rule induction — candidate selection (per-label
     # spread-hash top-2, windows of 8 at stride 4), per-(series, candidate)

@@ -411,3 +411,49 @@ def test_holt_winters_matches_replay_and_recovers_seasonality(spark):
         holt_winters_forecast(df, gamma=0.0)
     with pytest.raises(ValueError, match="period"):
         holt_winters_forecast(df, period=1)
+
+
+def test_ar_forecast_exact_recovery_and_guards(spark):
+    """r6 (operators/forecast.py::ar_forecast): a noiseless AR(2) process
+    is recovered to machine precision by the normal-equation solve; the
+    1-step forecast equals the true next value; constant (singular) and
+    short series yield NULL fits; statsmodels-free numpy lstsq replay
+    agrees on noisy data."""
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import ar_forecast
+
+    rows = []
+    for sid in range(3):
+        y = [float(sid), float(sid + 1)]
+        for _ in range(14):
+            y.append(1.0 + 0.5 * y[-1] - 0.3 * y[-2])
+        rows.append((sid, y))
+    rows.append((99, [5.0] * 16))       # constant -> singular
+    rows.append((98, [1.0, 2.0, 3.0]))  # too short
+    rng = np.random.default_rng(7)
+    noisy = list(np.cumsum(rng.normal(size=20)) + 3.0)
+    rows.append((50, [float(v) for v in noisy]))
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    out = {r["series_id"]: r for r in ar_forecast(df, horizons=(1, 2)).collect()}
+
+    for sid in (0, 1, 2):
+        r = out[sid]
+        assert abs(r["c"] - 1.0) < 1e-6
+        assert abs(r["a1"] - 0.5) < 1e-6
+        assert abs(r["a2"] + 0.3) < 1e-6
+        y = rows[sid][1]
+        assert abs(r["fc_1"] - (1.0 + 0.5 * y[-1] - 0.3 * y[-2])) < 1e-9
+        # 2-step rolls the 1-step forecast forward
+        assert abs(r["fc_2"] - (r["c"] + r["a1"] * r["fc_1"] + r["a2"] * y[-1])) < 1e-9
+    assert out[99]["c"] is None and out[99]["fc_1"] is None
+    assert out[98]["c"] is None
+
+    # independent least-squares replay on the noisy series
+    y = np.array(noisy)
+    X = np.stack([np.ones(len(y) - 2), y[1:-1], y[:-2]], axis=1)
+    coef, *_ = np.linalg.lstsq(X, y[2:], rcond=None)
+    r = out[50]
+    assert abs(r["c"] - coef[0]) < 1e-6
+    assert abs(r["a1"] - coef[1]) < 1e-6
+    assert abs(r["a2"] - coef[2]) < 1e-6

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["holt_forecast", "holt_winters_forecast"]
+__all__ = ["ar_forecast", "holt_forecast", "holt_winters_forecast"]
 
 
 def holt_forecast(
@@ -166,3 +166,90 @@ def holt_winters_forecast(
             (level + F.lit(float(h)) * trend + seas).alias(f"fc_{h}")
         )
     return series.select(*cols)
+
+
+def ar_forecast(
+    series: DataFrame,
+    *,
+    horizons: tuple = (1, 2),
+    id_col: str = "series_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """Per-series AR(2)-with-intercept least squares, solved EXACTLY by
+    normal equations + Cramer's rule (r6; the classic autoregressive
+    short-horizon forecaster — Box & Jenkins' AR family at fixed order,
+    where the closed form keeps the whole fit oracle-exact; an iterative
+    solver's float trajectory would be engine-fragile).
+
+        y_t = c + a1 * y_{t-1} + a2 * y_{t-2} + e_t,   t = 3..n
+
+    ONE ascending-t Catalyst ``aggregate`` fold accumulates the eight
+    normal-equation sums (fixed in-state order, so a DuckDB list_reduce
+    twin reproduces every intermediate bit-for-bit), then a fixed
+    expression tree evaluates the 3x3 Cramer determinants. Forecasts roll
+    forward recursively: fc_1 = c + a1*y_n + a2*y_{n-1};
+    fc_2 = c + a1*fc_1 + a2*y_n; ...
+
+    NULL row when the fit is undefined: n < 5 (fewer equations than
+    parameters) or a singular system (det == 0 exactly — e.g. constant
+    series, where the lag columns are collinear).
+
+    Engine shape: scan-bound per-row projection (q127/q146/holt family) —
+    no shuffle, no UDF, no driver loop.
+
+    Output: (id_col, c, a1, a2, fc_<h>...) — raw doubles (q148 lesson:
+    mirrored folds are already bit-equal; never round).
+    """
+    f = F.col(features_col)
+    n = F.size(f)
+
+    def step(acc, t):
+        y = F.element_at(f, t)
+        y1 = F.element_at(f, t - 1)
+        y2 = F.element_at(f, t - 2)
+        return F.array(
+            F.element_at(acc, 1) + y1,            # S1  = sum y_{t-1}
+            F.element_at(acc, 2) + y2,            # S2  = sum y_{t-2}
+            F.element_at(acc, 3) + y1 * y1,       # S11
+            F.element_at(acc, 4) + y2 * y2,       # S22
+            F.element_at(acc, 5) + y1 * y2,       # S12
+            F.element_at(acc, 6) + y,             # Sy
+            F.element_at(acc, 7) + y * y1,        # Sy1
+            F.element_at(acc, 8) + y * y2,        # Sy2
+        )
+
+    init = F.array(*[F.lit(0.0)] * 8)
+    s = F.aggregate(F.sequence(F.lit(3), n), init, step)
+    S1, S2, S11, S22, S12, Sy, Sy1, Sy2 = [
+        F.element_at(s, i + 1) for i in range(8)
+    ]
+    S0 = (n - 2).cast("double")
+
+    def det3(a, b, c, d, e, g, h, i, j):
+        # | a b c |
+        # | d e g |   expanded along the first row, fixed op order
+        # | h i j |
+        return a * (e * j - g * i) - b * (d * j - g * h) + c * (d * i - e * h)
+
+    det = det3(S0, S1, S2, S1, S11, S12, S2, S12, S22)
+    det_c = det3(Sy, S1, S2, Sy1, S11, S12, Sy2, S12, S22)
+    det_a1 = det3(S0, Sy, S2, S1, Sy1, S12, S2, Sy2, S22)
+    det_a2 = det3(S0, S1, Sy, S1, S11, Sy1, S2, S12, Sy2)
+    ok = (n >= 5) & (det != 0.0)
+    c = F.when(ok, det_c / det)
+    a1 = F.when(ok, det_a1 / det)
+    a2 = F.when(ok, det_a2 / det)
+
+    yn = F.element_at(f, n)
+    yn1 = F.element_at(f, n - 1)
+    fcs = []
+    prev2, prev1 = yn1, yn
+    for h in sorted(set(int(h) for h in horizons)):
+        while len(fcs) < h:
+            nxt = c + a1 * prev1 + a2 * prev2
+            fcs.append(nxt)
+            prev2, prev1 = prev1, nxt
+    out = [F.col(id_col), c.alias("c"), a1.alias("a1"), a2.alias("a2")]
+    for h in sorted(set(int(h) for h in horizons)):
+        out.append(fcs[h - 1].alias(f"fc_{h}"))
+    return series.select(*out)
