@@ -436,3 +436,42 @@ def test_fdtw_oracle_sql_bit_exact_vs_fastdtw_pair():
     for tid, rid, d in got:
         expect = fastdtw_pair(feats[tid], feats[rid])
         assert d == expect, (tid, rid, d, expect)
+
+
+def test_fdtw_oracle_sql_generator_all_lengths():
+    """The q13 oracle GENERATOR, property-tested past the registry's n=16:
+    for every series length 5..20 (odd lengths exercise the dropped-tail
+    coarsening, short ones the 2-level chain), the generated SQL replay is
+    bit-exact against fastdtw_pair on random-walk pairs."""
+    import duckdb
+    import numpy as np
+
+    from __spark_entry__ import _fdtw_dist_sql
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.dtw_kernel import (
+        fastdtw_pair,
+    )
+
+    rng = np.random.default_rng(42)
+    for n in range(5, 21):
+        A = np.cumsum(rng.normal(size=(3, n)), axis=1)
+        B = np.cumsum(rng.normal(size=(4, n)), axis=1)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE test(series_id BIGINT, features DOUBLE[], label VARCHAR)"
+        )
+        con.execute(
+            "CREATE TABLE train(series_id BIGINT, features DOUBLE[], label VARCHAR)"
+        )
+        for i, row in enumerate(A):
+            con.execute("INSERT INTO test VALUES (?, ?, 'a')", [i, list(map(float, row))])
+        for i, row in enumerate(B):
+            con.execute("INSERT INTO train VALUES (?, ?, 'b')", [100 + i, list(map(float, row))])
+        # series CTE stub: the generator only needs test/train to exist
+        sql = _fdtw_dist_sql(n, "noop AS (SELECT 1)") + "\nSELECT test_id, train_id, dist FROM dd"
+        got = {(t, r): d for t, r, d in con.execute(sql).fetchall()}
+        assert len(got) == 12, n
+        for ti, ta in enumerate(A):
+            for ri, rb in enumerate(B):
+                expect = fastdtw_pair(ta, rb)
+                assert got[(ti, 100 + ri)] == expect, (n, ti, ri)
+        con.close()

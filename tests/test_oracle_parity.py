@@ -185,6 +185,10 @@ SLOW_SUBSET = [
     # scale: the lossless-pruning claim re-proven where AQE actually
     # re-plans (q113 itself is already in this subset)
     "q156_knn_dtw_mc_pruned",
+    # r6 additions: shapelet rule induction (candidate x series min-dist
+    # scan + stump argmin — 1.3s oracle at sf0.1) and the AR(2) Cramer fit
+    "q157_shapelet_rule",
+    "q158_ar_forecast",
 ]
 
 
