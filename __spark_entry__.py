@@ -3068,6 +3068,44 @@ def _q158_ar_forecast(spark, sf_dir):
     return ar_forecast(series, horizons=(1, 2))
 
 
+def _q159_sbd_1nn_lag(spark, sf_dir):
+    """Lead-lag alignment (r6; functions/distance.py::sbd_align): each
+    test series' SBD-nearest train neighbor PLUS the shift that best
+    aligns them — lag = argmax_s sum_t a[t+s]*b[t] (b delayed by L ->
+    lag = -L, sign pinned in tests), first-match tie-break on the exact
+    max correlation. One struct expression shares the cross-correlation
+    sweep between distance and argmax; the oracle extends q142's
+    bit-exact fold mirror with list_position."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.distance import sbd_align
+
+    _prep(spark)
+    train, test = _series(spark, sf_dir)
+    t = test.select(F.col("series_id").alias("test_id"), F.col("features").alias("_tf"))
+    r = train.select(
+        F.col("series_id").alias("train_id"),
+        F.col("features").alias("_rf"),
+        F.col("label").alias("train_label"),
+    )
+    pairs = (
+        t.crossJoin(F.broadcast(r))
+        .withColumn("_r", sbd_align(F.col("_tf"), F.col("_rf")))
+        .filter(F.col("_r.sbd") != 0)
+    )
+    w = Window.partitionBy("test_id").orderBy(
+        F.asc("_r.sbd"), F.asc("train_label"), F.asc("train_id")
+    )
+    return (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "test_id",
+            "train_id",
+            F.col("_r.lag").alias("lag"),
+            F.round("_r.sbd", 6).alias("sbd"),
+        )
+    )
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3268,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_knn_dtw_mc_pruned": _q156_knn_dtw_mc_pruned,
         "q157_shapelet_rule": _q157_shapelet_rule,
         "q158_ar_forecast": _q158_ar_forecast,
+        "q159_sbd_1nn_lag": _q159_sbd_1nn_lag,
     }
 
 
@@ -6551,6 +6590,51 @@ def oracle_sql() -> dict[str, str]:
     # IS q113's brute-force dependent-DTW dynamic program, verbatim — hash
     # equality proves filter-and-verify returns the brute-force answer
     out["q156_knn_dtw_mc_pruned"] = out["q113_knn_dtw_multichannel"]
+
+    # q159 (r6): q142's bit-exact SBD fold mirror + list_position argmax
+    # (first match — same tie rule as F.array_position) for the lag
+    out["q159_sbd_1nn_lag"] = f"""
+        WITH {_SERIES_CTE},
+        pairs AS (
+            SELECT t.series_id AS test_id, r.series_id AS train_id,
+                   r.label AS train_label, t.features AS fa, r.features AS fb
+            FROM test t CROSS JOIN train r
+        ),
+        scored AS (
+            SELECT test_id, train_id, train_label,
+                   CASE WHEN nrm = 0 THEN 1.0
+                        ELSE 1.0 - list_reduce(cc, (x, y) -> greatest(x, y))
+                                   / nrm
+                   END AS d,
+                   CASE WHEN nrm = 0 THEN 0
+                        ELSE cast(list_position(cc,
+                                 list_reduce(cc, (x, y) -> greatest(x, y)))
+                             - len(fa) AS int)
+                   END AS lag
+            FROM (
+                SELECT *,
+                       sqrt(list_reduce(list_prepend(0.0,
+                            list_transform(fa, x -> x * x)), (x, y) -> x + y))
+                     * sqrt(list_reduce(list_prepend(0.0,
+                            list_transform(fb, x -> x * x)), (x, y) -> x + y))
+                       AS nrm,
+                       list_transform(range(1 - len(fa), len(fa)), s ->
+                           list_reduce(list_prepend(0.0,
+                               list_transform(range(1, len(fa) - abs(s) + 1),
+                                   t -> fa[t + greatest(s, 0)]
+                                        * fb[t - least(s, 0)])),
+                               (x, y) -> x + y)) AS cc
+                FROM pairs
+            )
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                        ORDER BY d ASC, train_label ASC, train_id ASC) AS rank
+            FROM scored WHERE d != 0
+        )
+        SELECT test_id, train_id, lag, round(d, 6) AS sbd
+        FROM ranked WHERE rank = 1
+    """
 
     # q158 (r6): AR(2) normal equations — each sum its own ascending left
     # fold (bit-equal to the Spark 8-state fold: same per-element products,

@@ -336,3 +336,39 @@ def test_sbd_kernel_strategies_match_declarative(spark):
         for key, (tid, d) in got.items():
             assert tid == base[key][0], (strat, key)
             assert d == pytest.approx(base[key][1], abs=1e-9), (strat, key)
+
+
+def test_sbd_align_lag_sign_and_ties(spark):
+    """r6 (functions/distance.py::sbd_align): sign convention pinned —
+    a ``b`` equal to ``a`` DELAYED by L samples recovers lag = -L at
+    distance 0; identical series give (0, 0); zero-norm pins to (1, 0)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.distance import (
+        sbd_align,
+    )
+
+    rng = np.random.default_rng(5)
+    core = np.cumsum(rng.normal(size=6)) + 10
+    n = 14
+    rows = []
+    for L in (0, 2, 4):
+        a = np.zeros(n)
+        a[1:7] = core
+        b = np.zeros(n)
+        b[1 + L : 7 + L] = core
+        rows.append((L, [float(v) for v in a], [float(v) for v in b]))
+    rows.append((99, [0.0] * n, [1.0] * n))
+    df = spark.createDataFrame(rows, "k long, a array<double>, b array<double>")
+    out = {
+        r["k"]: (r["r"]["sbd"], r["r"]["lag"])
+        for r in df.select(
+            "k", sbd_align(F.col("a"), F.col("b")).alias("r")
+        ).collect()
+    }
+    for L in (0, 2, 4):
+        d, lag = out[L]
+        assert abs(d) < 1e-12, L  # 1 - max_ncc leaves ~1 ulp of residue
+        assert lag == -L, L
+    assert out[99] == (1.0, 0)

@@ -33,6 +33,7 @@ __all__ = [
     "cosine_similarity",
     "cosine_distance",
     "sbd",
+    "sbd_align",
     "sbd_batch",
     "dtw_udf",
     "make_dtw_udf",
@@ -114,6 +115,43 @@ def sbd(a: Column, b: Column) -> Column:
     )
     return F.when(norm == 0, F.lit(1.0)).otherwise(
         F.lit(1.0) - F.array_max(cc) / norm
+    )
+
+
+def sbd_align(a: Column, b: Column) -> Column:
+    """SBD distance AND the aligning shift (r6): struct(sbd double,
+    lag int) where ``lag = argmax_s sum_t a[t+s]*b[t]`` — the lead-lag
+    primitive. Sign convention (test-pinned): when ``b`` is ``a`` DELAYED
+    by L samples, lag = -L; so lag < 0 means b trails a by |lag|, lag > 0
+    means b leads. Ties on the maximum correlation resolve to the FIRST
+    (most negative) shift via array_position's first-match semantics —
+    exact double equality against the array's own max element, so the
+    tie-break is bitwise-deterministic and the DuckDB list_position twin
+    matches. Zero-norm inputs (no shape) pin to (1.0, 0).
+
+    Same O(n^2) interpreted-HOF cost model as ``sbd`` (the oracle-exact
+    declarative form — watchlist-sized pair volumes, not corpus KNN)."""
+    n = F.size(a)
+    norm = F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
+    cc = F.transform(
+        F.sequence(F.lit(1) - n, n - F.lit(1)),
+        lambda s: F.aggregate(
+            F.sequence(F.lit(1), n - F.abs(s)),
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.element_at(a, (t + F.greatest(s, F.lit(0))).cast("int"))
+            * F.element_at(b, (t - F.least(s, F.lit(0))).cast("int")),
+        ),
+    )
+    best = F.array_max(cc)
+    lag = (F.array_position(cc, best) - n).cast("int")
+    return F.when(
+        norm == 0,
+        F.struct(F.lit(1.0).alias("sbd"), F.lit(0).cast("int").alias("lag")),
+    ).otherwise(
+        F.struct(
+            (F.lit(1.0) - best / norm).alias("sbd"), lag.alias("lag")
+        )
     )
 
 
