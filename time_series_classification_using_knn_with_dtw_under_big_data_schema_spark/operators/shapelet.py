@@ -179,6 +179,16 @@ def shapelet_stump(
     window int, threshold_micro bigint, polarity int, n_errors bigint,
     n_total bigint, shapelet array<double>).
     """
+    from ..caching import register_cache
+
+    # the pipeline reads the series table four times (majority label,
+    # candidate ranking, the feature scan, the label join) — cache the
+    # projected columns once (register_cache: LRU-evictable outside a
+    # cache_scope) instead of recomputing the upstream series build per
+    # consumer
+    series = register_cache(
+        series.select(id_col, features_col, label_col).cache()
+    )
     if target_label is None:
         top = (
             series.groupBy(label_col)
