@@ -457,3 +457,25 @@ def test_ar_forecast_exact_recovery_and_guards(spark):
     assert abs(r["c"] - coef[0]) < 1e-6
     assert abs(r["a1"] - coef[1]) < 1e-6
     assert abs(r["a2"] - coef[2]) < 1e-6
+
+
+def test_ar_forecast_degenerate_lengths_and_horizon_guard(spark):
+    """Review r6 regressions: series with 0/1/2 points must yield NULL-fit
+    rows (not index errors — the fold and tail lookups are now gated), and
+    non-positive horizons must raise instead of silently aliasing fcs[-1]."""
+    import pytest
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import ar_forecast
+
+    df = spark.createDataFrame(
+        [(0, []), (1, [1.0]), (2, [1.0, 2.0]), (3, [1.0, 2.0, 3.0, 4.0])],
+        "series_id long, features array<double>",
+    )
+    out = {r["series_id"]: r for r in ar_forecast(df, horizons=(1, 3)).collect()}
+    assert len(out) == 4
+    for sid in (0, 1, 2, 3):  # all below the n >= 5 fit gate
+        assert out[sid]["c"] is None and out[sid]["fc_1"] is None and out[sid]["fc_3"] is None
+    with pytest.raises(ValueError, match="horizons"):
+        ar_forecast(df, horizons=(0, 2))
+    with pytest.raises(ValueError, match="horizons"):
+        ar_forecast(df, horizons=())

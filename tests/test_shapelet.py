@@ -84,3 +84,18 @@ def test_shapelet_target_label_override_and_guards(spark):
         shapelet_candidates(df, window=0, stride=2)
     with pytest.raises(ValueError, match="empty"):
         shapelet_stump(df.filter(F.lit(False)), window=4, stride=2)
+
+
+def test_shapelet_short_series_raise_clearly(spark):
+    """Review r6 regression: a series shorter than the window anywhere in
+    the corpus must produce a CLEAR error naming the window and length,
+    not an opaque descending-sequence/index engine failure."""
+    df = _bump_df(spark, n=8)
+    short = spark.createDataFrame(
+        [(100, [1.0, 2.0], "a")],
+        "series_id long, features array<double>, label string",
+    )
+    with pytest.raises(Exception, match="window=4 exceeds series length 2"):
+        shapelet_stump(df.unionByName(short), window=4, stride=2).collect()
+    with pytest.raises(Exception, match="window=4 exceeds series length"):
+        shapelet_candidates(short, window=4, stride=2).collect()

@@ -129,6 +129,11 @@ def sbd_align(a: Column, b: Column) -> Column:
     tie-break is bitwise-deterministic and the DuckDB list_position twin
     matches. Zero-norm inputs (no shape) pin to (1.0, 0).
 
+    Both inputs must be equal length (the shared series-distance contract;
+    the sweep indexes with ``size(a)`` — a longer ``b`` is silently
+    truncated and a shorter one errors out-of-bounds under ANSI mode, and
+    the lag range [1-n, n-1] is only meaningful for equal lengths).
+
     Same O(n^2) interpreted-HOF cost model as ``sbd`` (the oracle-exact
     declarative form — watchlist-sized pair volumes, not corpus KNN)."""
     n = F.size(a)

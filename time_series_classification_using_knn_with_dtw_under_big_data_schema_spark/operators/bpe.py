@@ -233,6 +233,14 @@ def train_bpe(
       vocabulary runs here); or
     - ``"auto"`` (default) — driver when the estimate fits, else
       distributed. Both paths are merge-for-merge identical (test-pinned).
+
+    CONCURRENCY caveat (review r6): the distributed loop tunes
+    ``spark.sql.shuffle.partitions`` / ``spark.sql.adaptive.enabled`` for
+    its micro-queries and restores them in ``finally`` — that protects
+    SEQUENTIAL callers only. Queries submitted on the same SparkSession
+    from other threads while the loop runs would inherit the reduced
+    settings; run concurrent workloads on a separate session
+    (``spark.newSession()`` shares the cluster but isolates SQL confs).
     """
     toks = tokens(F.col(text_col))
     words = (

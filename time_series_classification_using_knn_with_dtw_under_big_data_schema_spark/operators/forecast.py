@@ -200,6 +200,9 @@ def ar_forecast(
     Output: (id_col, c, a1, a2, fc_<h>...) — raw doubles (q148 lesson:
     mirrored folds are already bit-equal; never round).
     """
+    hs = sorted(set(int(h) for h in horizons))
+    if not hs or hs[0] < 1:
+        raise ValueError(f"horizons must all be >= 1, got {tuple(horizons)}")
     f = F.col(features_col)
     n = F.size(f)
 
@@ -219,7 +222,13 @@ def ar_forecast(
         )
 
     init = F.array(*[F.lit(0.0)] * 8)
-    s = F.aggregate(F.sequence(F.lit(3), n), init, step)
+    # n < 3: F.sequence(3, n) would run DESCENDING into index-0/OOB errors
+    # (review r6) — fold over an empty index list instead; the n >= 5
+    # output gate below nulls the row either way
+    idx = F.when(n >= 3, F.sequence(F.lit(3), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    s = F.aggregate(idx, init, step)
     S1, S2, S11, S22, S12, Sy, Sy1, Sy2 = [
         F.element_at(s, i + 1) for i in range(8)
     ]
@@ -240,16 +249,18 @@ def ar_forecast(
     a1 = F.when(ok, det_a1 / det)
     a2 = F.when(ok, det_a2 / det)
 
-    yn = F.element_at(f, n)
-    yn1 = F.element_at(f, n - 1)
+    # element_at with n < 2 is an index-0/OOB error even on rows the fit
+    # gate nulls — CaseWhen evaluates lazily per row, so the guards make
+    # empty/1-point series safe (review r6)
+    yn = F.when(n >= 2, F.element_at(f, n))
+    yn1 = F.when(n >= 2, F.element_at(f, n - 1))
     fcs = []
     prev2, prev1 = yn1, yn
-    for h in sorted(set(int(h) for h in horizons)):
-        while len(fcs) < h:
-            nxt = c + a1 * prev1 + a2 * prev2
-            fcs.append(nxt)
-            prev2, prev1 = prev1, nxt
+    for _ in range(hs[-1]):
+        nxt = c + a1 * prev1 + a2 * prev2
+        fcs.append(nxt)
+        prev2, prev1 = prev1, nxt
     out = [F.col(id_col), c.alias("c"), a1.alias("a1"), a2.alias("a2")]
-    for h in sorted(set(int(h) for h in horizons)):
+    for h in hs:
         out.append(fcs[h - 1].alias(f"fc_{h}"))
     return series.select(*out)

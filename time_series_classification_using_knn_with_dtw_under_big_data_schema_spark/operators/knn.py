@@ -533,9 +533,15 @@ def _knn_chunked(
     from .similarity import _grid_split
 
     L = int(len_r or 1)
-    if metric in ("dtw", "fastdtw"):
+    if metric == "dtw" or (metric == "fastdtw" and band is not None):
         width = min(2 * band + 1, L) if band is not None else L
         per_pair = L * width * int(ch_r or 1)
+    elif metric == "fastdtw":
+        # faithful FastDTW sweeps ~(2*(2r+1)+2) cells per row across all
+        # levels, NOT the full L columns — modeling it as L*L overstated
+        # 561-pt work ~190x and kept toy jobs from collapsing cells
+        # (review r6)
+        per_pair = L * min(4 * (fastdtw_radius + 1) + 2, L) * int(ch_r or 1)
     else:
         per_pair = L * int(ch_r or 1)
     bt, br = _grid_split(
@@ -639,6 +645,18 @@ def _knn_chunked(
     return topk.select(*out)
 
 
+def _channel_series(col, c: int):
+    """Channel-c series of a multichannel (array<array<double>>) column as
+    a flat array. NOTE: a 2-arg lambda (even with a default arg) is read by
+    F.transform as the (element, index) signature — the channel must be
+    captured by this single-arg closure, never a default-arg lambda."""
+
+    def proj(p):
+        return F.element_at(p, c + 1)
+
+    return F.transform(col, proj)
+
+
 def _check_channel_parity(
     test: DataFrame,
     train: DataFrame,
@@ -725,18 +743,12 @@ def knn_join_pruned(
             f"multichannel series support metric='dtw'/'fastdtw' only, got {metric!r}"
         )
 
-    def _proj(c):
-        # NOTE: a 2-arg lambda (even with a default) is read by F.transform
-        # as the (element, index) signature — channel capture must close
-        # over a single-arg function
-        return lambda p: F.element_at(p, c + 1)
-
     def _sketch(col):
         if not nested:
             return paa(col, paa_segments, length)
         return F.concat(
             *[
-                paa(F.transform(col, _proj(c)), paa_segments, length)
+                paa(_channel_series(col, c), paa_segments, length)
                 for c in range(channels)
             ]
         )
@@ -901,16 +913,8 @@ def knn_join_lb(
     n_ch = channels if nested else 1
 
     def _chan(col, c):
-        # channel-c series as a flat array (identity for flat input).
-        # NOTE: a 2-arg lambda (even with a default) is read by F.transform
-        # as the (element, index) signature — capture c via a nested def
-        if not nested:
-            return col
-
-        def proj(p):
-            return F.element_at(p, c + 1)
-
-        return F.transform(col, proj)
+        # channel-c series as a flat array (identity for flat input)
+        return _channel_series(col, c) if nested else col
 
     C = max(candidates_per_test if candidates_per_test is not None else 4 * k, k)
     fn, _ = _resolve_metric(metric, band, fastdtw_radius)

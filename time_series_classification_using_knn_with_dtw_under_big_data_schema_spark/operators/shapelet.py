@@ -52,6 +52,22 @@ __all__ = ["shapelet_candidates", "shapelet_features", "shapelet_stump"]
 _SCALE = 1_000_000
 
 
+def _guarded_size(col, window: int):
+    """Series length, or a CLEAR error when a series is shorter than the
+    window (otherwise F.sequence runs descending into opaque index-0/OOB
+    engine errors — review r6; the classify.py declarative-raise pattern,
+    so the guard costs no extra pass over the corpus)."""
+    return F.when(
+        F.size(col) < window,
+        F.raise_error(
+            F.concat(
+                F.lit(f"shapelet window={window} exceeds series length "),
+                F.size(col).cast("string"),
+            )
+        ),
+    ).otherwise(F.size(col))
+
+
 def shapelet_candidates(
     series: DataFrame,
     *,
@@ -83,7 +99,8 @@ def shapelet_candidates(
         .drop("_rk")
     )
     starts = F.sequence(
-        F.lit(1), F.size(features_col) - window + 1, F.lit(stride)
+        F.lit(1), _guarded_size(F.col(features_col), window) - window + 1,
+        F.lit(stride),
     )
     cands = picked.select(
         F.col(id_col).alias("source_series_id"),
@@ -126,7 +143,7 @@ def shapelet_features(
     dmin = F.array_min(
         F.transform(
             F.sequence(
-                F.lit(1), F.size(features_col) - window + 1
+                F.lit(1), _guarded_size(F.col(features_col), window) - window + 1
             ),
             lambda s: F.aggregate(
                 F.sequence(F.lit(0), F.lit(window - 1)),
