@@ -3106,6 +3106,31 @@ def _q159_sbd_1nn_lag(spark, sf_dir):
     )
 
 
+def _q160_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend test per series (r6; operators/
+    features.py::mann_kendall): S = sum_{i<j} sign(x_j - x_i) — a pure
+    INTEGER statistic, exact on any engine/partitioning; tau = S / pairs
+    is the one IEEE division. O(len^2) per row, never corpus-quadratic."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import mann_kendall
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return mann_kendall(series)
+
+
+def _q161_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend line per series (r6; operators/features.py::
+    theil_sen): median of all pairwise slopes + median residual level as
+    the intercept — explicit sort + element-pick medians (even counts
+    average the middle two), so the whole estimator is order-exact and
+    the oracle mirrors it value-for-value."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import theil_sen
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return theil_sen(series)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3307,6 +3332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_shapelet_rule": _q157_shapelet_rule,
         "q158_ar_forecast": _q158_ar_forecast,
         "q159_sbd_1nn_lag": _q159_sbd_1nn_lag,
+        "q160_mann_kendall": _q160_mann_kendall,
+        "q161_theil_sen": _q161_theil_sen,
     }
 
 
@@ -6590,6 +6617,67 @@ def oracle_sql() -> dict[str, str]:
     # IS q113's brute-force dependent-DTW dynamic program, verbatim — hash
     # equality proves filter-and-verify returns the brute-force answer
     out["q156_knn_dtw_mc_pruned"] = out["q113_knn_dtw_multichannel"]
+
+    # q160/q161 (r6): integer Mann-Kendall S + order-exact Theil-Sen
+    # medians — nested ascending folds / explicit sort + element pick,
+    # mirroring the Spark expressions value-for-value
+    out["q160_mann_kendall"] = f"""
+        WITH {_SERIES_CTE},
+        base AS (
+            SELECT series_id, features AS f, len(features) AS n FROM series
+        ),
+        stat AS (
+            SELECT series_id, n,
+                   list_reduce(list_prepend(cast(0 AS bigint),
+                       list_transform(range(1, n), i ->
+                           list_reduce(list_prepend(cast(0 AS bigint),
+                               list_transform(range(i + 1, n + 1),
+                                   j -> cast(sign(f[j] - f[i]) AS bigint))),
+                               (a, v) -> a + v))),
+                       (a, v) -> a + v) AS s_stat,
+                   cast(n * (n - 1) / 2 AS bigint) AS n_pairs
+            FROM base
+        )
+        SELECT series_id, s_stat, n_pairs,
+               CASE WHEN n >= 2
+                    THEN cast(s_stat AS double) / cast(n_pairs AS double)
+               END AS tau
+        FROM stat
+    """
+    out["q161_theil_sen"] = f"""
+        WITH {_SERIES_CTE},
+        base AS (
+            SELECT series_id, features AS f, len(features) AS n FROM series
+        ),
+        sl AS (
+            SELECT series_id, f, n,
+                   list_sort(flatten(list_transform(range(1, n), i ->
+                       list_transform(range(i + 1, n + 1),
+                           j -> (f[j] - f[i]) / cast(j - i AS double))))) AS ss
+            FROM base
+        ),
+        med AS (
+            SELECT series_id, f, n,
+                   CASE WHEN n < 2 THEN NULL
+                        WHEN len(ss) % 2 = 1 THEN ss[len(ss) // 2 + 1]
+                        ELSE (ss[len(ss) // 2] + ss[len(ss) // 2 + 1]) / 2.0
+                   END AS slope
+            FROM sl
+        ),
+        lev AS (
+            SELECT series_id, slope,
+                   list_sort(list_transform(range(1, n + 1),
+                       t -> f[t] - slope * cast(t AS double))) AS ls,
+                   n
+            FROM med
+        )
+        SELECT series_id, slope,
+               CASE WHEN n < 2 THEN NULL
+                    WHEN len(ls) % 2 = 1 THEN ls[len(ls) // 2 + 1]
+                    ELSE (ls[len(ls) // 2] + ls[len(ls) // 2 + 1]) / 2.0
+               END AS intercept
+        FROM lev
+    """
 
     # q159 (r6): q142's bit-exact SBD fold mirror + list_position argmax
     # (first match — same tie rule as F.array_position) for the lag

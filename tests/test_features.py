@@ -479,3 +479,48 @@ def test_ar_forecast_degenerate_lengths_and_horizon_guard(spark):
         ar_forecast(df, horizons=(0, 2))
     with pytest.raises(ValueError, match="horizons"):
         ar_forecast(df, horizons=())
+
+
+def test_mann_kendall_and_theil_sen_exact(spark):
+    """r6 trend operators: integer S / exact tau for Mann-Kendall; the
+    Theil-Sen slope and intercept match an independent python replay
+    (explicit sorted-middle medians); degenerate n < 2 yields NULLs."""
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        mann_kendall,
+        theil_sen,
+    )
+
+    rng = np.random.default_rng(9)
+    noisy = [float(v) for v in np.cumsum(rng.normal(size=15)) + 0.4 * np.arange(15)]
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0]),
+        (1, [4.0, 3.0, 2.0, 1.0]),
+        (2, [1.0, 1.0, 1.0]),
+        (3, [5.0]),
+        (4, noisy),
+    ]
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    mk = {r["series_id"]: (r["s_stat"], r["n_pairs"], r["tau"]) for r in mann_kendall(df).collect()}
+    ts = {r["series_id"]: (r["slope"], r["intercept"]) for r in theil_sen(df).collect()}
+    assert mk[0] == (6, 6, 1.0) and mk[1] == (-6, 6, -1.0) and mk[2] == (0, 3, 0.0)
+    assert mk[3] == (0, 0, None)
+    assert ts[0] == (1.0, 0.0) and ts[1][0] == -1.0 and ts[2][0] == 0.0
+    assert ts[3] == (None, None)
+
+    def med(v):
+        v = sorted(v)
+        m = len(v)
+        return v[m // 2] if m % 2 else (v[m // 2 - 1] + v[m // 2]) / 2
+
+    y = np.array(noisy)
+    n = len(y)
+    slopes = [(y[j] - y[i]) / (j - i) for i in range(n) for j in range(i + 1, n)]
+    S = int(sum(np.sign(y[j] - y[i]) for i in range(n) for j in range(i + 1, n)))
+    assert mk[4][0] == S
+    assert abs(ts[4][0] - med(slopes)) < 1e-12
+    sl = ts[4][0]
+    # intercept: median residual level with 1-based positions (t = 1..n)
+    levels = [y[t - 1] - sl * t for t in range(1, n + 1)]
+    assert abs(ts[4][1] - med(levels)) < 1e-12

@@ -189,6 +189,8 @@ SLOW_SUBSET = [
     # scan + stump argmin — 1.3s oracle at sf0.1) and the AR(2) Cramer fit
     "q157_shapelet_rule",
     "q158_ar_forecast",
+    "q160_mann_kendall",
+    "q161_theil_sen",
 ]
 
 

@@ -41,7 +41,15 @@ from .shapelet import (  # noqa: F401
     shapelet_stump,
 )
 from .cluster import kmeans_assign, kmeans_centroids, semantic_dedup, ts_kmedoids  # noqa: F401
-from .features import cusum_changepoint, make_rocket_kernels, rocket_features, seasonal_decompose, series_features  # noqa: F401
+from .features import (  # noqa: F401
+    cusum_changepoint,
+    make_rocket_kernels,
+    mann_kendall,
+    rocket_features,
+    seasonal_decompose,
+    series_features,
+    theil_sen,
+)
 from .forecast import ar_forecast, holt_forecast, holt_winters_forecast  # noqa: F401
 from .bpe import apply_merge, bpe_encode, train_bpe  # noqa: F401
 from .corpus import (  # noqa: F401

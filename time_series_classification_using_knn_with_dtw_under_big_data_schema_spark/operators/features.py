@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["series_features", "make_rocket_kernels", "rocket_features", "seasonal_decompose", "cusum_changepoint"]
+__all__ = ["series_features", "make_rocket_kernels", "rocket_features", "seasonal_decompose", "cusum_changepoint", "mann_kendall", "theil_sen"]
 
 
 def _fold_sum(arr):
@@ -477,4 +477,106 @@ def cusum_changepoint(
             )
             / (F.col("_n") - cp).cast("double")
         ).alias("mean_after"),
+    )
+
+
+def mann_kendall(
+    series: DataFrame,
+    *,
+    id_col: str = "series_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """Mann-Kendall trend test per series (r6; Mann 1945 / Kendall 1975 —
+    THE nonparametric monotone-trend detector, and a perfect fit for the
+    engine's exactness discipline because its statistic is a pure INTEGER:
+
+        S = sum_{i<j} sign(x_j - x_i)        in [-n(n-1)/2, n(n-1)/2]
+
+    No variance approximation, no normal quantiles — S and the pair count
+    are exact BIGINTs on any engine/partitioning, and Kendall's tau =
+    S / (n(n-1)/2) is one IEEE division (oracle bit-equal). O(n^2) per
+    series in series LENGTH (bounded), never corpus-sized; per-row
+    projection, no shuffle.
+
+    Output: (id_col, s_stat bigint, n_pairs bigint, tau double) —
+    tau NULL when n < 2 (no pairs)."""
+    f = F.col(features_col)
+    n = F.size(f)
+    s_stat = F.aggregate(
+        F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.aggregate(
+            F.sequence(i + 1, n),
+            F.lit(0).cast("bigint"),
+            lambda a2, j: a2
+            + F.signum(F.element_at(f, j) - F.element_at(f, i)).cast("bigint"),
+        ),
+    )
+    n_pairs = (n.cast("bigint") * (n - 1).cast("bigint") / 2).cast("bigint")
+    return series.select(
+        F.col(id_col),
+        s_stat.alias("s_stat"),
+        n_pairs.alias("n_pairs"),
+        F.when(
+            n >= 2, s_stat.cast("double") / n_pairs.cast("double")
+        ).alias("tau"),
+    )
+
+
+def theil_sen(
+    series: DataFrame,
+    *,
+    id_col: str = "series_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """Theil-Sen robust slope per series (r6; Theil 1950 / Sen 1968): the
+    MEDIAN of all pairwise slopes (x_j - x_i) / (j - i), i < j — up to a
+    ~29% contamination breakdown point vs least squares' zero. The whole
+    estimator is order-exact: slopes are single IEEE divisions, the median
+    is an explicit sort + element pick (even counts average the two middle
+    elements with one add + one halving — no interpolation ambiguity
+    across engines). Intercept = median of (x_t - slope * t) residual
+    levels, same explicit median. O(n^2) slopes per series in LENGTH
+    (bounded); per-row projection, no shuffle.
+
+    Output: (id_col, slope double, intercept double) — NULL when n < 2."""
+    f = F.col(features_col)
+    n = F.size(f)
+    slopes = F.array_sort(
+        F.flatten(
+            F.transform(
+                F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+                    F.array().cast("array<int>")
+                ),
+                lambda i: F.transform(
+                    F.sequence(i + 1, n),
+                    lambda j: (F.element_at(f, j) - F.element_at(f, i))
+                    / (j - i).cast("double"),
+                ),
+            )
+        )
+    )
+
+    def _median(arr):
+        m = F.size(arr)
+        mid = (m / 2).cast("int")
+        return F.when(
+            m % 2 == 1, F.element_at(arr, mid + 1)
+        ).otherwise(
+            (F.element_at(arr, mid) + F.element_at(arr, mid + 1)) / 2.0
+        )
+
+    slope = F.when(n >= 2, _median(slopes))
+    levels = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda t: F.element_at(f, t) - slope * t.cast("double"),
+        )
+    )
+    intercept = F.when(n >= 2, _median(levels))
+    return series.select(
+        F.col(id_col), slope.alias("slope"), intercept.alias("intercept")
     )
