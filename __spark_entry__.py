@@ -44,6 +44,11 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.f
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.text import tokens as tokens_fn
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import paa, series_features, znorm
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.arrays import resample_linear
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.edit_distance import (
+    EDR_EPS,
+    ERP_GAP,
+    LCSS_EPS,
+)
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
     accuracy,
     k_sweep,
@@ -3131,6 +3136,46 @@ def _q161_theil_sen(spark, sf_dir):
     return theil_sen(series)
 
 
+def _q162_knn_lcss(spark, sf_dir):
+    """LCSS-distance KNN (r6; functions/edit_distance.py::lcss_dist —
+    Vlachos et al. ICDE 2002): longest-common-subsequence alignment under
+    a match tolerance (eps=10, ~0.2 sigma of events.value), distance =
+    1 - LCSS/min(n, m). The ENTIRE DP runs as a pure Catalyst nested fold
+    (outer aggregate over rows, inner aggregate building each row with the
+    acc[-1] left-cell dependency) — an integer-state KNN metric with ZERO
+    Python. The oracle replays the identical DP as a q70-style recursive
+    CTE; integer state means exactness needs no rounding anywhere."""
+    train, test = _series(spark, sf_dir)
+    nn = knn_join(test, train, metric="lcss", k=3)
+    return nn.select("test_id", "train_id", "rank", "distance")
+
+
+def _q163_knn_edr(spark, sf_dir):
+    """EDR-distance KNN (r6; edit distance on real sequences, Chen et al.
+    SIGMOD 2005) through strategy='kernel': the anti-diagonal batched
+    numpy DP (functions/edit_distance.py::edr_batch) scores each Arrow
+    test batch against the broadcast train matrix — integer edit counts,
+    so the kernel, the Catalyst fold twin, and the recursive-CTE oracle
+    agree exactly by construction (kernel==expression pinned in
+    tests/test_edit_distance.py)."""
+    train, test = _series(spark, sf_dir)
+    nn = knn_join(test, train, metric="edr", k=3, strategy="kernel")
+    return nn.select("test_id", "train_id", "rank", "distance")
+
+
+def _q164_knn_erp(spark, sf_dir):
+    """ERP-distance KNN (r6; edit distance with real penalty, Chen & Ng
+    VLDB 2004 — the edit-family member that is a TRUE metric) through
+    strategy='kernel'. Float DP, but every cell is one IEEE add + an exact
+    3-way min on top of predecessor cells, so cell values are identical
+    whatever order they're evaluated in: the numpy anti-diagonal kernel
+    hash-matches the DuckDB row-by-row recursive CTE to the last ulp —
+    no round() anywhere in this query."""
+    train, test = _series(spark, sf_dir)
+    nn = knn_join(test, train, metric="erp", k=3, strategy="kernel")
+    return nn.select("test_id", "train_id", "rank", "distance")
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3334,6 +3379,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_sbd_1nn_lag": _q159_sbd_1nn_lag,
         "q160_mann_kendall": _q160_mann_kendall,
         "q161_theil_sen": _q161_theil_sen,
+        "q162_knn_lcss": _q162_knn_lcss,
+        "q163_knn_edr": _q163_knn_edr,
+        "q164_knn_erp": _q164_knn_erp,
     }
 
 
@@ -6678,6 +6726,84 @@ def oracle_sql() -> dict[str, str]:
                END AS intercept
         FROM lev
     """
+
+    # q162-q164 (r6): edit-distance family (LCSS/EDR/ERP) — each KNN's full
+    # DP replayed as a q70-style recursive CTE: one DP row per recursion
+    # level (boundary column j=0 included, so row[j+1] = dp[i][j]), the
+    # row's sequential left-cell dependency as a list_reduce with acc[-1].
+    # LCSS/EDR state is INTEGER (exact on any engine); ERP cells are each
+    # ONE IEEE add + an exact 3-way least, identical in any evaluation
+    # order — so all three hash-match the Spark side with NO rounding.
+    def _edit_knn_sql(init_row: str, step_row: str, final: str) -> str:
+        return f"""
+        WITH RECURSIVE {_SERIES_CTE},
+        pairs AS (
+            SELECT t.series_id AS test_id, r.series_id AS train_id,
+                   r.label AS train_label, t.features AS fa, r.features AS fb
+            FROM test t CROSS JOIN train r
+        ),
+        dp AS (
+            SELECT test_id, train_id, train_label, fa, fb, 0 AS i,
+                   {init_row} AS row
+            FROM pairs
+            UNION ALL
+            SELECT test_id, train_id, train_label, fa, fb, i + 1,
+                   {step_row} AS row
+            FROM dp WHERE i < len(fa)
+        ),
+        dd AS (
+            SELECT test_id, train_id, train_label, {final} AS dist
+            FROM dp WHERE i = len(fa)
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                        ORDER BY dist ASC, train_label ASC, train_id ASC) AS rank
+            FROM dd WHERE dist != 0
+        )
+        SELECT test_id, train_id, cast(rank AS int) AS rank, dist AS distance
+        FROM ranked WHERE rank <= 3
+        """
+
+    out["q162_knn_lcss"] = _edit_knn_sql(
+        "list_transform(range(0, len(fb) + 1), j -> 0)",
+        f"""list_reduce(
+               list_prepend([0],
+                   list_transform(range(1, len(fb) + 1),
+                       j -> [CASE WHEN abs(fa[i+1] - fb[j]) <= {LCSS_EPS}
+                                  THEN 1 ELSE 0 END, row[j], row[j+1]])),
+               (acc, e) -> list_append(acc,
+                   CASE WHEN e[1] = 1 THEN e[2] + 1
+                        ELSE greatest(e[3], acc[-1]) END))""",
+        "1.0 - cast(row[-1] AS double) / cast(least(len(fa), len(fb)) AS double)",
+    )
+    out["q163_knn_edr"] = _edit_knn_sql(
+        "list_transform(range(0, len(fb) + 1), j -> cast(j AS integer))",
+        f"""list_reduce(
+               list_prepend([cast(i + 1 AS integer)],
+                   list_transform(range(1, len(fb) + 1),
+                       j -> [CASE WHEN abs(fa[i+1] - fb[j]) <= {EDR_EPS}
+                                  THEN 0 ELSE 1 END, row[j], row[j+1]])),
+               (acc, e) -> list_append(acc,
+                   least(e[2] + e[1], e[3] + 1, acc[-1] + 1)))""",
+        "cast(row[-1] AS double) / cast(greatest(len(fa), len(fb)) AS double)",
+    )
+    out["q164_knn_erp"] = _edit_knn_sql(
+        f"""list_reduce(
+               list_prepend([0.0],
+                   list_transform(range(1, len(fb) + 1),
+                       j -> [abs({ERP_GAP} - fb[j])])),
+               (acc, e) -> list_append(acc, acc[-1] + e[1]))""",
+        f"""list_reduce(
+               list_prepend([row[1] + abs(fa[i+1] - {ERP_GAP})],
+                   list_transform(range(1, len(fb) + 1),
+                       j -> [abs(fa[i+1] - fb[j]), row[j], row[j+1],
+                             abs({ERP_GAP} - fb[j])])),
+               (acc, e) -> list_append(acc,
+                   least(e[2] + e[1],
+                         e[3] + abs(fa[i+1] - {ERP_GAP}),
+                         acc[-1] + e[4])))""",
+        "row[-1]",
+    )
 
     # q159 (r6): q142's bit-exact SBD fold mirror + list_position argmax
     # (first match — same tie rule as F.array_position) for the lag

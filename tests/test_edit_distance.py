@@ -1,0 +1,191 @@
+"""Edit-distance metric family (r6): LCSS / EDR / ERP.
+
+Contracts pinned here:
+- batch kernels == an independent naive per-pair Python DP (fuzz, ragged
+  lengths, incl. the LCSS temporal-window delta variant);
+- Catalyst fold expressions == kernels BITWISE (the oracle-exactness
+  backbone: per-cell arithmetic is evaluation-order independent);
+- all three knn_join strategies (broadcast expression / kernel /
+  chunked) return identical neighbor sets for every metric;
+- empty-side guard (sequence(1, 0) descends — repo invariant) -> NULL;
+- ERP's triangle inequality (it's the edit-family member that IS a
+  metric).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.edit_distance import (
+    EDR_EPS,
+    ERP_GAP,
+    LCSS_EPS,
+    edr_batch,
+    edr_dist,
+    erp_batch,
+    erp_dist,
+    lcss_batch,
+    lcss_dist,
+)
+from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join
+
+
+def _naive_lcss(a, b, eps, delta=None):
+    n, m = len(a), len(b)
+    dp = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            ok = abs(a[i - 1] - b[j - 1]) <= eps and (
+                delta is None or abs(i - j) <= delta
+            )
+            dp[i][j] = dp[i - 1][j - 1] + 1 if ok else max(dp[i - 1][j], dp[i][j - 1])
+    return 1.0 - dp[n][m] / min(n, m)
+
+
+def _naive_edr(a, b, eps):
+    n, m = len(a), len(b)
+    dp = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        dp[i][0] = i
+    for j in range(m + 1):
+        dp[0][j] = j
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            sub = 0 if abs(a[i - 1] - b[j - 1]) <= eps else 1
+            dp[i][j] = min(dp[i - 1][j - 1] + sub, dp[i - 1][j] + 1, dp[i][j - 1] + 1)
+    return dp[n][m] / max(n, m)
+
+
+def _naive_erp(a, b, g):
+    n, m = len(a), len(b)
+    dp = [[0.0] * (m + 1) for _ in range(n + 1)]
+    for i in range(1, n + 1):
+        dp[i][0] = dp[i - 1][0] + abs(a[i - 1] - g)
+    for j in range(1, m + 1):
+        dp[0][j] = dp[0][j - 1] + abs(g - b[j - 1])
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            dp[i][j] = min(
+                dp[i - 1][j - 1] + abs(a[i - 1] - b[j - 1]),
+                dp[i - 1][j] + abs(a[i - 1] - g),
+                dp[i][j - 1] + abs(g - b[j - 1]),
+            )
+    return dp[n][m]
+
+
+def _random_pairs(n_pairs=60, seed=11):
+    rng = np.random.default_rng(seed)
+    return [
+        (
+            rng.uniform(0, 100, int(rng.integers(2, 14))),
+            rng.uniform(0, 100, int(rng.integers(2, 14))),
+        )
+        for _ in range(n_pairs)
+    ]
+
+
+def test_kernels_match_naive_dp_fuzz():
+    for a, b in _random_pairs():
+        A, B = a[None, :], b[None, :]
+        assert lcss_batch(A, B, eps=10.0)[0] == _naive_lcss(a, b, 10.0)
+        assert lcss_batch(A, B, eps=10.0, delta=2)[0] == _naive_lcss(a, b, 10.0, 2)
+        assert edr_batch(A, B, eps=10.0)[0] == _naive_edr(a, b, 10.0)
+        # bit equality, not isclose: the anti-diagonal kernel computes the
+        # exact per-cell value DAG of the naive row sweep
+        assert erp_batch(A, B, g=0.0)[0] == _naive_erp(a, b, 0.0)
+        assert erp_batch(A, B, g=5.0)[0] == _naive_erp(a, b, 5.0)
+
+
+def test_kernels_batch_composition_invariant():
+    """Stacking many pairs into one kernel call never changes any pair's
+    result (the fastdtw_batch contract, shared by the whole kernel
+    family)."""
+    rng = np.random.default_rng(3)
+    pairs = [(rng.uniform(0, 100, 8), rng.uniform(0, 100, 8)) for _ in range(32)]
+    A = np.stack([p[0] for p in pairs])
+    B = np.stack([p[1] for p in pairs])
+    for fn, kw in ((lcss_batch, {"eps": 10.0}), (edr_batch, {"eps": 10.0}),
+                   (erp_batch, {"g": 0.0})):
+        batched = fn(A, B, **kw)
+        single = np.array([fn(a[None, :], b[None, :], **kw)[0] for a, b in pairs])
+        assert (batched == single).all()
+
+
+def test_expressions_match_kernels_bitwise(spark):
+    rows = [
+        (i, a.tolist(), b.tolist()) for i, (a, b) in enumerate(_random_pairs(40))
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    got = df.select(
+        "id",
+        lcss_dist(F.col("a"), F.col("b")).alias("lcss"),
+        edr_dist(F.col("a"), F.col("b")).alias("edr"),
+        erp_dist(F.col("a"), F.col("b")).alias("erp"),
+    ).collect()
+    by_id = {r["id"]: r for r in got}
+    for i, (a, b) in enumerate(_random_pairs(40)):
+        A, B = a[None, :], b[None, :]
+        r = by_id[i]
+        assert r["lcss"] == lcss_batch(A, B, eps=LCSS_EPS)[0]
+        assert r["edr"] == edr_batch(A, B, eps=EDR_EPS)[0]
+        assert r["erp"] == erp_batch(A, B, g=ERP_GAP)[0]
+
+
+def test_empty_side_guard_returns_null(spark):
+    df = spark.createDataFrame(
+        [(1, [], [1.0, 2.0]), (2, [1.0], []), (3, [], [])],
+        "id long, a array<double>, b array<double>",
+    )
+    got = df.select(
+        lcss_dist(F.col("a"), F.col("b")).alias("l"),
+        edr_dist(F.col("a"), F.col("b")).alias("e"),
+        erp_dist(F.col("a"), F.col("b")).alias("r"),
+    ).collect()
+    for row in got:
+        assert row["l"] is None and row["e"] is None and row["r"] is None
+
+
+def test_erp_triangle_inequality():
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        a, b, c = (rng.uniform(0, 50, 10) for _ in range(3))
+        dab = erp_batch(a[None, :], b[None, :])[0]
+        dac = erp_batch(a[None, :], c[None, :])[0]
+        dcb = erp_batch(c[None, :], b[None, :])[0]
+        assert dab <= dac + dcb + 1e-9
+
+
+@pytest.mark.parametrize("metric", ["lcss", "edr", "erp"])
+def test_knn_strategies_agree(spark, metric):
+    """broadcast (Catalyst fold) / kernel (anti-diagonal numpy) / chunked
+    (block cells) return the SAME ranked neighbors — integer or
+    order-independent state makes this exact, no tolerance."""
+    rng = np.random.default_rng(9)
+    train = spark.createDataFrame(
+        [
+            (i, [float(x) for x in rng.uniform(0, 100, 16)], f"c{i % 3}")
+            for i in range(40)
+        ],
+        "series_id long, features array<double>, label string",
+    )
+    test = spark.createDataFrame(
+        [
+            (100 + i, [float(x) for x in rng.uniform(0, 100, 16)], "t")
+            for i in range(12)
+        ],
+        "series_id long, features array<double>, label string",
+    )
+    base = None
+    for strategy in ("broadcast", "kernel", "chunked"):
+        got = sorted(
+            (r["test_id"], r["rank"], r["train_id"], r["distance"])
+            for r in knn_join(
+                test, train, metric=metric, k=4, strategy=strategy
+            ).collect()
+        )
+        if base is None:
+            base = got
+        else:
+            assert got == base, f"{metric}: {strategy} diverged from broadcast"

@@ -303,6 +303,13 @@ def make_fastdtw_udf(radius: int = 1) -> Callable[[Column, Column], Column]:
 dtw_udf = make_dtw_udf(None)
 
 
+def _edit_family() -> dict[str, Callable[[Column, Column], Column]]:
+    # late import: edit_distance imports _grouped_pairs_udf from here
+    from .edit_distance import edr_dist, erp_dist, lcss_dist
+
+    return {"lcss": lcss_dist, "edr": edr_dist, "erp": erp_dist}
+
+
 DISTANCES: dict[str, Callable[[Column, Column], Column]] = {
     "euclidean": euclidean,
     "sq_euclidean": sq_euclidean,
@@ -311,6 +318,10 @@ DISTANCES: dict[str, Callable[[Column, Column], Column]] = {
     "cosine": cosine_distance,
     "sbd": sbd,
     "dtw": dtw_udf,
+    # edit-distance family (r6): pure-Catalyst DP folds at module defaults
+    # (functions/edit_distance.py — LCSS_EPS/EDR_EPS/ERP_GAP); custom params
+    # via lcss_dist/edr_dist/erp_dist partials or make_*_udf kernels
+    **_edit_family(),
 }
 
 

@@ -208,7 +208,10 @@ def _knn_kernel_broadcast(
         kind = "dtw" if band is not None else "fastdtw"
     elif metric == "dtw":
         kind = "dtw"
-    elif metric in ("euclidean", "sq_euclidean", "manhattan", "chebyshev", "sbd"):
+    elif metric in (
+        "euclidean", "sq_euclidean", "manhattan", "chebyshev", "sbd",
+        "lcss", "edr", "erp",
+    ):
         kind = metric
     else:
         raise ValueError(f"strategy='kernel' does not support metric {metric!r}")
@@ -400,6 +403,17 @@ def _score_block_rows(
                 D = ((A - B) ** 2).sum(axis=1)
             elif kind == "manhattan":
                 D = np.abs(A - B).sum(axis=1)
+            elif kind in ("lcss", "edr", "erp"):
+                # edit-distance family at module defaults (the named-metric
+                # contract; custom eps/g go through callable metrics on the
+                # declarative path) — anti-diagonal batched DPs, bit-equal
+                # to the Catalyst fold expressions
+                from ..functions.edit_distance import (
+                    edr_batch, erp_batch, lcss_batch,
+                )
+
+                fn = {"lcss": lcss_batch, "edr": edr_batch, "erp": erp_batch}[kind]
+                D = fn(A, B)
             else:  # chebyshev
                 D = np.abs(A - B).max(axis=1)
             D = D.reshape(nc, n_train)
@@ -479,7 +493,10 @@ def _knn_chunked(
         kind = "dtw" if band is not None else "fastdtw"
     elif metric == "dtw":
         kind = "dtw"
-    elif metric in ("euclidean", "sq_euclidean", "manhattan", "chebyshev", "sbd"):
+    elif metric in (
+        "euclidean", "sq_euclidean", "manhattan", "chebyshev", "sbd",
+        "lcss", "edr", "erp",
+    ):
         kind = metric
     else:
         raise ValueError(f"strategy='chunked' does not support metric {metric!r}")
@@ -542,6 +559,9 @@ def _knn_chunked(
         # 561-pt work ~190x and kept toy jobs from collapsing cells
         # (review r6)
         per_pair = L * min(4 * (fastdtw_radius + 1) + 2, L) * int(ch_r or 1)
+    elif metric in ("lcss", "edr", "erp"):
+        # full-table edit-distance DPs sweep every (i, j) cell
+        per_pair = L * L
     else:
         per_pair = L * int(ch_r or 1)
     bt, br = _grid_split(
