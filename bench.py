@@ -164,6 +164,20 @@ def main() -> None:
         repeats=2,
     )
 
+    # --- edit-distance metric family (r6): LCSS / EDR / ERP through the
+    # kernel strategy (anti-diagonal batched numpy DP, broadcast train
+    # matrix). Full O(L^2)-per-pair DPs on the same corpus as the
+    # euclidean/fastdtw entries above — the declarative fold twins are
+    # oracle-exactness artifacts (interpreted HOFs), never benched.
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join as _kj
+
+    for _em in ("lcss", "edr", "erp"):
+        run(
+            f"knn_{_em}_kernel",
+            lambda m=_em: _mat(_kj(test, train, metric=m, k=5, strategy="kernel")),
+            repeats=2,
+        )
+
     from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
         knn_join_pruned,
         majority_vote,

@@ -191,6 +191,12 @@ SLOW_SUBSET = [
     "q158_ar_forecast",
     "q160_mann_kendall",
     "q161_theil_sen",
+    # q162-q164 (edit-distance KNN) are sf0.001/0.01-only like the other
+    # pair-DP replays: both the q162 declarative fold and the recursive-CTE
+    # oracles are O(pairs * n * m) interpreted DPs (measured ~2 min EACH at
+    # sf0.1); the production kernel paths are benched separately
+    # (bench.py knn_lcss/edr/erp_kernel) and 3-strategy equality is pinned
+    # in test_edit_distance.
 ]
 
 
