@@ -48,6 +48,8 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.f
     EDR_EPS,
     ERP_GAP,
     LCSS_EPS,
+    TWED_LAM,
+    TWED_NU,
 )
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
     accuracy,
@@ -3176,6 +3178,19 @@ def _q164_knn_erp(spark, sf_dir):
     return nn.select("test_id", "train_id", "rank", "distance")
 
 
+def _q165_knn_twed(spark, sf_dir):
+    """TWED-distance KNN (r6; Marteau TPAMI 2009 — time-warped edit
+    distance, the stiffness-parameterized elastic metric) through
+    strategy='kernel'. Index timestamps, a_0=b_0=0 padding, +inf borders;
+    nu/lambda folded into literals in Python so both engines parse the
+    identical doubles. Like ERP, every DP cell is a fixed add tree + an
+    exact 3-way min — the anti-diagonal kernel hash-matches the
+    recursive-CTE replay with no rounding."""
+    train, test = _series(spark, sf_dir)
+    nn = knn_join(test, train, metric="twed", k=3, strategy="kernel")
+    return nn.select("test_id", "train_id", "rank", "distance")
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3382,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_knn_lcss": _q162_knn_lcss,
         "q163_knn_edr": _q163_knn_edr,
         "q164_knn_erp": _q164_knn_erp,
+        "q165_knn_twed": _q165_knn_twed,
     }
 
 
@@ -6801,6 +6817,32 @@ def oracle_sql() -> dict[str, str]:
                (acc, e) -> list_append(acc,
                    least(e[2] + e[1],
                          e[3] + abs(fa[i+1] - {ERP_GAP}),
+                         acc[-1] + e[4])))""",
+        "row[-1]",
+    )
+
+    # q165 (r6): TWED — same recursive-row replay with +inf borders and the
+    # a_0 = b_0 = 0 padding convention; nu/lambda constants are folded in
+    # PYTHON (2*nu, nu+lambda) and injected as the same repr literal both
+    # engines parse to the identical double
+    _twed_nu2 = repr(2.0 * TWED_NU)
+    _twed_gap = repr(TWED_NU + TWED_LAM)
+    _twed_aprev = "(CASE WHEN i + 1 = 1 THEN 0.0 ELSE fa[i] END)"
+    _twed_bprev = "(CASE WHEN j = 1 THEN 0.0 ELSE fb[j-1] END)"
+    out["q165_knn_twed"] = _edit_knn_sql(
+        "list_prepend(0.0, list_transform(range(1, len(fb) + 1),"
+        " j -> cast('infinity' AS double)))",
+        f"""list_reduce(
+               list_prepend([cast('infinity' AS double)],
+                   list_transform(range(1, len(fb) + 1),
+                       j -> [(abs(fa[i+1] - fb[j])
+                              + abs({_twed_aprev} - {_twed_bprev}))
+                             + {_twed_nu2} * cast(abs((i + 1) - j) AS double),
+                             row[j], row[j+1],
+                             abs(fb[j] - {_twed_bprev}) + {_twed_gap}])),
+               (acc, e) -> list_append(acc,
+                   least(e[2] + e[1],
+                         e[3] + (abs(fa[i+1] - {_twed_aprev}) + {_twed_gap}),
                          acc[-1] + e[4])))""",
         "row[-1]",
     )

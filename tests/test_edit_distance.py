@@ -1,4 +1,4 @@
-"""Edit-distance metric family (r6): LCSS / EDR / ERP.
+"""Edit-distance metric family (r6): LCSS / EDR / ERP / TWED.
 
 Contracts pinned here:
 - batch kernels == an independent naive per-pair Python DP (fuzz, ragged
@@ -8,8 +8,8 @@ Contracts pinned here:
 - all three knn_join strategies (broadcast expression / kernel /
   chunked) return identical neighbor sets for every metric;
 - empty-side guard (sequence(1, 0) descends — repo invariant) -> NULL;
-- ERP's triangle inequality (it's the edit-family member that IS a
-  metric).
+- ERP's and TWED's triangle inequality (the edit-family members that
+  ARE metrics).
 """
 
 from __future__ import annotations
@@ -22,12 +22,16 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.f
     EDR_EPS,
     ERP_GAP,
     LCSS_EPS,
+    TWED_LAM,
+    TWED_NU,
     edr_batch,
     edr_dist,
     erp_batch,
     erp_dist,
     lcss_batch,
     lcss_dist,
+    twed_batch,
+    twed_dist,
 )
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join
 
@@ -75,6 +79,25 @@ def _naive_erp(a, b, g):
     return dp[n][m]
 
 
+def _naive_twed(a, b, nu, lam):
+    n, m = len(a), len(b)
+    inf = float("inf")
+    nu2, gap = 2.0 * nu, nu + lam
+    ap = [0.0] + list(a[:-1])
+    bp = [0.0] + list(b[:-1])
+    dp = [[inf] * (m + 1) for _ in range(n + 1)]
+    dp[0][0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            d_match = (abs(a[i - 1] - b[j - 1]) + abs(ap[i - 1] - bp[j - 1])) + nu2 * abs(i - j)
+            dp[i][j] = min(
+                dp[i - 1][j - 1] + d_match,
+                dp[i - 1][j] + (abs(a[i - 1] - ap[i - 1]) + gap),
+                dp[i][j - 1] + (abs(b[j - 1] - bp[j - 1]) + gap),
+            )
+    return dp[n][m]
+
+
 def _random_pairs(n_pairs=60, seed=11):
     rng = np.random.default_rng(seed)
     return [
@@ -96,6 +119,8 @@ def test_kernels_match_naive_dp_fuzz():
         # exact per-cell value DAG of the naive row sweep
         assert erp_batch(A, B, g=0.0)[0] == _naive_erp(a, b, 0.0)
         assert erp_batch(A, B, g=5.0)[0] == _naive_erp(a, b, 5.0)
+        assert twed_batch(A, B)[0] == _naive_twed(a, b, TWED_NU, TWED_LAM)
+        assert twed_batch(A, B, nu=1.0, lam=0.5)[0] == _naive_twed(a, b, 1.0, 0.5)
 
 
 def test_kernels_batch_composition_invariant():
@@ -107,7 +132,7 @@ def test_kernels_batch_composition_invariant():
     A = np.stack([p[0] for p in pairs])
     B = np.stack([p[1] for p in pairs])
     for fn, kw in ((lcss_batch, {"eps": 10.0}), (edr_batch, {"eps": 10.0}),
-                   (erp_batch, {"g": 0.0})):
+                   (erp_batch, {"g": 0.0}), (twed_batch, {})):
         batched = fn(A, B, **kw)
         single = np.array([fn(a[None, :], b[None, :], **kw)[0] for a, b in pairs])
         assert (batched == single).all()
@@ -123,6 +148,7 @@ def test_expressions_match_kernels_bitwise(spark):
         lcss_dist(F.col("a"), F.col("b")).alias("lcss"),
         edr_dist(F.col("a"), F.col("b")).alias("edr"),
         erp_dist(F.col("a"), F.col("b")).alias("erp"),
+        twed_dist(F.col("a"), F.col("b")).alias("twed"),
     ).collect()
     by_id = {r["id"]: r for r in got}
     for i, (a, b) in enumerate(_random_pairs(40)):
@@ -131,6 +157,7 @@ def test_expressions_match_kernels_bitwise(spark):
         assert r["lcss"] == lcss_batch(A, B, eps=LCSS_EPS)[0]
         assert r["edr"] == edr_batch(A, B, eps=EDR_EPS)[0]
         assert r["erp"] == erp_batch(A, B, g=ERP_GAP)[0]
+        assert r["twed"] == twed_batch(A, B)[0]
 
 
 def test_empty_side_guard_returns_null(spark):
@@ -142,22 +169,27 @@ def test_empty_side_guard_returns_null(spark):
         lcss_dist(F.col("a"), F.col("b")).alias("l"),
         edr_dist(F.col("a"), F.col("b")).alias("e"),
         erp_dist(F.col("a"), F.col("b")).alias("r"),
+        twed_dist(F.col("a"), F.col("b")).alias("t"),
     ).collect()
     for row in got:
         assert row["l"] is None and row["e"] is None and row["r"] is None
+        assert row["t"] is None
 
 
-def test_erp_triangle_inequality():
+def test_erp_twed_triangle_inequality():
+    """ERP and TWED are the edit-family members that are TRUE metrics
+    (Chen & Ng 2004; Marteau 2009)."""
     rng = np.random.default_rng(5)
     for _ in range(200):
         a, b, c = (rng.uniform(0, 50, 10) for _ in range(3))
-        dab = erp_batch(a[None, :], b[None, :])[0]
-        dac = erp_batch(a[None, :], c[None, :])[0]
-        dcb = erp_batch(c[None, :], b[None, :])[0]
-        assert dab <= dac + dcb + 1e-9
+        for fn in (erp_batch, twed_batch):
+            dab = fn(a[None, :], b[None, :])[0]
+            dac = fn(a[None, :], c[None, :])[0]
+            dcb = fn(c[None, :], b[None, :])[0]
+            assert dab <= dac + dcb + 1e-9
 
 
-@pytest.mark.parametrize("metric", ["lcss", "edr", "erp"])
+@pytest.mark.parametrize("metric", ["lcss", "edr", "erp", "twed"])
 def test_knn_strategies_agree(spark, metric):
     """broadcast (Catalyst fold) / kernel (anti-diagonal numpy) / chunked
     (block cells) return the SAME ranked neighbors — integer or

@@ -23,5 +23,8 @@ from .edit_distance import (  # noqa: F401
     make_edr_udf,
     make_erp_udf,
     make_lcss_udf,
+    make_twed_udf,
+    twed_batch,
+    twed_dist,
 )
 from .arrays import paa, sax_word, series_features, series_to_columns, znorm  # noqa: F401

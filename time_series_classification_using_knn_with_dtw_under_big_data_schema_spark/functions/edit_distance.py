@@ -51,15 +51,20 @@ __all__ = [
     "LCSS_EPS",
     "EDR_EPS",
     "ERP_GAP",
+    "TWED_NU",
+    "TWED_LAM",
     "lcss_dist",
     "edr_dist",
     "erp_dist",
+    "twed_dist",
     "lcss_batch",
     "edr_batch",
     "erp_batch",
+    "twed_batch",
     "make_lcss_udf",
     "make_edr_udf",
     "make_erp_udf",
+    "make_twed_udf",
 ]
 
 # Engine defaults for the NAMED metric registrations ('lcss'/'edr'/'erp' in
@@ -71,6 +76,13 @@ __all__ = [
 LCSS_EPS = 10.0
 EDR_EPS = 10.0
 ERP_GAP = 0.0
+# TWED stiffness (nu: per-unit-time-shift cost) and edit penalty (lambda).
+# nu=0.05 keeps the elasticity term ~the same magnitude as one value-scale
+# unit across the <=15-step shifts of a 16-pt series; lam=1.0 is Marteau's
+# common midpoint. Timestamps are the 1-based indices (the uniform-sampling
+# convention when no explicit time column exists).
+TWED_NU = 0.05
+TWED_LAM = 1.0
 
 
 # ---------------------------------------------------------------------------
@@ -202,6 +214,62 @@ def erp_dist(a: Column, b: Column, g: float = ERP_GAP) -> Column:
     return F.when((n > 0) & (m > 0), _dp_fold(a, b, init, step))
 
 
+def twed_dist(
+    a: Column, b: Column, nu: float = TWED_NU, lam: float = TWED_LAM
+) -> Column:
+    """TWED — Time-Warped Edit Distance (Marteau, TPAMI 2009): the edit
+    family's elastic METRIC with a stiffness parameter. Operations and
+    costs (timestamps = 1-based indices; the a_0 = b_0 = 0 padding
+    convention of the reference implementations):
+
+    - match:    dp[i-1][j-1] + ((|a_i - b_j| + |a_{i-1} - b_{j-1}|)
+                               + 2*nu*|i - j|)
+    - delete-a: dp[i-1][j] + (|a_i - a_{i-1}| + (nu + lam))
+    - delete-b: dp[i][j-1] + (|b_j - b_{j-1}| + (nu + lam))
+
+    with +inf borders (dp[0][0] = 0). Every candidate is a fixed small add
+    tree on top of one predecessor + an exact 3-way least, so cell values
+    are evaluation-order independent — fold, anti-diagonal kernel, and
+    recursive-CTE oracle agree bitwise (the erp_dist argument; the
+    2*nu / nu+lam constants are folded in PYTHON and injected as the same
+    literal on both engines)."""
+    n, m = F.size(a), F.size(b)
+    inf = F.lit(float("inf"))
+    nu2 = F.lit(2.0 * float(nu))
+    gap = F.lit(float(nu) + float(lam))
+
+    def prev(arr: Column, idx: Column) -> Column:
+        return F.when(idx == 1, F.lit(0.0)).otherwise(
+            F.element_at(arr, (idx - 1).cast("int"))
+        )
+
+    def step(row: Column, i: Column) -> Column:
+        ai = F.element_at(a, i.cast("int"))
+        api = prev(a, i)
+        del_a = F.abs(ai - api) + gap
+
+        def cell(acc: Column, j: Column) -> Column:
+            bj = F.element_at(b, j.cast("int"))
+            bpj = prev(b, j)
+            d_match = (F.abs(ai - bj) + F.abs(api - bpj)) + nu2 * F.abs(
+                i - j
+            ).cast("double")
+            del_b = F.abs(bj - bpj) + gap
+            return F.array_append(
+                acc,
+                F.least(
+                    F.element_at(row, j.cast("int")) + d_match,
+                    F.element_at(row, (j + 1).cast("int")) + del_a,
+                    F.element_at(acc, -1) + del_b,
+                ),
+            )
+
+        return F.aggregate(F.sequence(F.lit(1), m), F.array(inf), cell)
+
+    init = F.concat(F.array(F.lit(0.0)), F.array_repeat(inf, m))
+    return F.when((n > 0) & (m > 0), _dp_fold(a, b, init, step))
+
+
 # ---------------------------------------------------------------------------
 # batched numpy kernels (anti-diagonal DP; the strategy='kernel' scale path)
 # ---------------------------------------------------------------------------
@@ -288,6 +356,36 @@ def erp_batch(A: np.ndarray, B: np.ndarray, g: float = ERP_GAP) -> np.ndarray:
     return dp[:, n, m]
 
 
+def twed_batch(
+    A: np.ndarray, B: np.ndarray, nu: float = TWED_NU, lam: float = TWED_LAM
+) -> np.ndarray:
+    """Batched TWED: A (P, n) vs B (P, m) -> (P,). Anti-diagonal float DP;
+    per-cell add trees match ``twed_dist`` exactly (see its docstring)."""
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    P, n = A.shape
+    m = B.shape[1]
+    nu2 = 2.0 * float(nu)
+    gap = float(nu) + float(lam)
+    AP = np.concatenate([np.zeros((P, 1)), A[:, :-1]], axis=1)
+    BP = np.concatenate([np.zeros((P, 1)), B[:, :-1]], axis=1)
+    del_a = np.abs(A - AP) + gap  # (P, n), index i-1 = row i's delete-a cost
+    del_b = np.abs(B - BP) + gap
+    dp = np.full((P, n + 1, m + 1), np.inf, dtype=np.float64)
+    dp[:, 0, 0] = 0.0
+    for d in range(2, n + m + 1):
+        i, j = _diag_indices(d, n, m)
+        if not len(i):
+            continue
+        pen = nu2 * np.abs(i - j).astype(np.float64)
+        d_match = (np.abs(A[:, i - 1] - B[:, j - 1]) + np.abs(AP[:, i - 1] - BP[:, j - 1])) + pen
+        dp[:, i, j] = np.minimum(
+            dp[:, i - 1, j - 1] + d_match,
+            np.minimum(dp[:, i - 1, j] + del_a[:, i - 1], dp[:, i, j - 1] + del_b[:, j - 1]),
+        )
+    return dp[:, n, m]
+
+
 # ---------------------------------------------------------------------------
 # Arrow-batched pandas_udf wrappers (pair-scorer form for the UDF path)
 # ---------------------------------------------------------------------------
@@ -311,3 +409,11 @@ def make_erp_udf(g: float = ERP_GAP) -> Callable[[Column, Column], Column]:
     from .distance import _grouped_pairs_udf
 
     return _grouped_pairs_udf(lambda A, B: erp_batch(A, B, g=g))
+
+
+def make_twed_udf(
+    nu: float = TWED_NU, lam: float = TWED_LAM
+) -> Callable[[Column, Column], Column]:
+    from .distance import _grouped_pairs_udf
+
+    return _grouped_pairs_udf(lambda A, B: twed_batch(A, B, nu=nu, lam=lam))
