@@ -3191,6 +3191,22 @@ def _q165_knn_twed(spark, sf_dir):
     return nn.select("test_id", "train_id", "rank", "distance")
 
 
+def _q166_lof_outliers(spark, sf_dir):
+    """Local Outlier Factor (r6; operators/knn.py::knn_lof — Breunig et
+    al. SIGMOD 2000): density-relative anomaly scores over the all-vs-all
+    euclidean 5-NN self-join. Exactly-k neighborhoods under the engine's
+    total tie order; every float sum folds over the RANK-SORTED neighbor
+    list, all other ops single correctly-rounded IEEE ops -> kdist/lrd/lof
+    are raw doubles and still hash-exact. Complements q68's global
+    mean-distance score with the density-RELATIVE one (the score that
+    finds an outlier sitting next to a dense cluster)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_lof
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return knn_lof(series, k=5)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3398,6 +3414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_knn_edr": _q163_knn_edr,
         "q164_knn_erp": _q164_knn_erp,
         "q165_knn_twed": _q165_knn_twed,
+        "q166_lof_outliers": _q166_lof_outliers,
     }
 
 
@@ -6846,6 +6863,52 @@ def oracle_sql() -> dict[str, str]:
                          acc[-1] + e[4])))""",
         "row[-1]",
     )
+
+    # q166 (r6): LOF — k-distances, reach-dists, lrd and the final ratio
+    # all mirror the engine exactly: rank-sorted list folds for every float
+    # sum, greatest/sqrt/divide are single correctly-rounded IEEE ops, so
+    # raw doubles hash-match
+    out["q166_lof_outliers"] = f"""
+        WITH {_SERIES_CTE},
+        pairs AS (
+            SELECT t.series_id AS test_id, r.series_id AS train_id,
+                   sqrt({_SQDIST}) AS d
+            FROM series t CROSS JOIN series r
+        ),
+        knn AS (
+            SELECT * FROM (
+                SELECT test_id, train_id, d,
+                       row_number() OVER (PARTITION BY test_id
+                           ORDER BY d ASC, train_id ASC) AS rank
+                FROM pairs WHERE d != 0
+            ) WHERE rank <= 5
+        ),
+        kd AS (SELECT test_id AS oid, d AS kdist FROM knn WHERE rank = 5),
+        reach AS (
+            SELECT n.test_id, n.rank, greatest(kd.kdist, n.d) AS v
+            FROM knn n JOIN kd ON n.train_id = kd.oid
+        ),
+        lrd AS (
+            SELECT test_id AS lid,
+                   5.0 / list_reduce(list_prepend(0.0, list(v ORDER BY rank)),
+                                     (a, b) -> a + b) AS lrd
+            FROM reach GROUP BY test_id
+        ),
+        nbl AS (
+            SELECT n.test_id, n.rank, l.lrd AS lo
+            FROM knn n JOIN lrd l ON n.train_id = l.lid
+        ),
+        slo AS (
+            SELECT test_id,
+                   list_reduce(list_prepend(0.0, list(lo ORDER BY rank)),
+                               (a, b) -> a + b) AS s
+            FROM nbl GROUP BY test_id
+        )
+        SELECT s.test_id AS series_id, kd.kdist AS kdist, l.lrd AS lrd,
+               (s.s / 5.0) / l.lrd AS lof
+        FROM slo s JOIN lrd l ON s.test_id = l.lid
+        JOIN kd ON s.test_id = kd.oid
+    """
 
     # q159 (r6): q142's bit-exact SBD fold mirror + list_position argmax
     # (first match — same tie rule as F.array_position) for the lag

@@ -221,3 +221,23 @@ def test_knn_strategies_agree(spark, metric):
             base = got
         else:
             assert got == base, f"{metric}: {strategy} diverged from broadcast"
+
+
+def test_knn_lof_planted_outlier(spark):
+    """A tight 2-D-ish cluster + one far point: the far point's LOF is the
+    maximum and well above 1; in-cluster points sit near 1 (the LOF
+    contract — scores are density-RELATIVE)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_lof
+
+    rng = np.random.default_rng(21)
+    rows = [
+        (i, [float(x) for x in rng.normal(0.0, 0.5, 8)]) for i in range(30)
+    ] + [(999, [50.0] * 8)]
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    got = {r["series_id"]: r for r in knn_lof(df, k=5).collect()}
+    assert len(got) == 31
+    lofs = {i: r["lof"] for i, r in got.items()}
+    assert max(lofs, key=lofs.get) == 999
+    assert lofs[999] > 2.0
+    in_cluster = [v for i, v in lofs.items() if i != 999]
+    assert all(0.5 < v < 2.0 for v in in_cluster)

@@ -1160,3 +1160,96 @@ def knn_predict_1nn(
         F.col("_best.train_label").alias("predicted_label"),
         distance.alias("distance"),
     )
+
+
+def knn_lof(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    metric: MetricT = "euclidean",
+    strategy: str = "broadcast",
+    id_col: str = "series_id",
+    features_col: str = "features",
+    exclude_zero: bool = True,
+    band: Optional[int] = None,
+    fastdtw_radius: int = 1,
+) -> DataFrame:
+    """Local Outlier Factor (Breunig et al., SIGMOD 2000) over an
+    all-vs-all KNN self-join — density-relative anomaly scores where a
+    global distance threshold fails (a point is an outlier relative to
+    ITS OWN neighborhood's density):
+
+        k-dist(p)      = distance to p's rank-k neighbor
+        reach(p, o)    = max(k-dist(o), d(p, o))
+        lrd(p)         = k / sum_{o in kNN(p)} reach(p, o)
+        LOF(p)         = (sum_{o in kNN(p)} lrd(o) / k) / lrd(p)
+
+    This is the "exactly k neighbors" variant (the sklearn behavior):
+    the neighborhood is the deterministic rank-1..k set under the
+    engine's total tie order (distance, id), not the <=k-distance ball —
+    identical results on any engine given the same ranking.
+    ``exclude_zero`` inherits the engine's self-match rule (P7), which
+    also drops exact-duplicate pairs; with it False, duplicate points get
+    reach sums of 0 and inf lrds (the textbook duplicate pathology).
+
+    Output: (id_col, kdist, lrd, lof) — raw doubles, bit-exact across
+    engines: every float sum folds over the RANK-SORTED neighbor list
+    (never an unordered groupBy float sum) and all other ops are
+    single correctly-rounded IEEE ops (sqrt/max/divide).
+
+    Scale: one knn_join (any strategy incl. kernel/chunked) + two
+    id-keyed equi-joins on k-row-per-id tables + two bounded-array folds
+    — nothing quadratic beyond the KNN itself.
+    """
+    nn = knn_join(
+        df,
+        df,
+        metric=metric,
+        k=k,
+        strategy=strategy,
+        id_col=id_col,
+        features_col=features_col,
+        label_col=None,
+        exclude_zero=exclude_zero,
+        band=band,
+        fastdtw_radius=fastdtw_radius,
+    ).select("test_id", "train_id", "rank", "distance")
+    kd = nn.filter(F.col("rank") == k).select(
+        F.col("test_id").alias("_oid"), F.col("distance").alias("kdist")
+    )
+    # reach-dist toward each neighbor o uses o's OWN k-distance
+    reach = nn.join(kd, nn.train_id == kd._oid).select(
+        "test_id",
+        "rank",
+        F.greatest(F.col("kdist"), F.col("distance")).alias("_rd"),
+    )
+
+    def _rank_fold(col_r: str, col_v: str, values: DataFrame, key: str):
+        g = values.groupBy(key).agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(col_r).alias("r"), F.col(col_v).alias("v")))
+            ).alias("_nb")
+        )
+        return g.select(
+            F.col(key),
+            F.aggregate(F.col("_nb"), F.lit(0.0), lambda a, x: a + x["v"]).alias("_s"),
+        )
+
+    kd_f = F.lit(float(k))
+    lrd = _rank_fold("rank", "_rd", reach, "test_id").select(
+        F.col("test_id").alias("_lid"), (kd_f / F.col("_s")).alias("lrd")
+    )
+    # each point's neighbors' lrds, rank-ordered
+    nbl = nn.join(lrd, nn.train_id == lrd._lid).select("test_id", "rank", F.col("lrd").alias("_lo"))
+    slo = _rank_fold("rank", "_lo", nbl, "test_id")
+    out = (
+        slo.join(lrd, slo.test_id == lrd._lid)
+        .join(kd, slo.test_id == kd._oid)
+        .select(
+            F.col("test_id").alias(id_col),
+            F.col("kdist"),
+            F.col("lrd"),
+            ((F.col("_s") / kd_f) / F.col("lrd")).alias("lof"),
+        )
+    )
+    return out
