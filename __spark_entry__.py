@@ -3207,6 +3207,22 @@ def _q166_lof_outliers(spark, sf_dir):
     return knn_lof(series, k=5)
 
 
+def _q167_acf_dominant_lag(spark, sf_dir):
+    """Autocorrelation function + dominant seasonal lag per series (r6;
+    operators/features.py::acf_features): acf(1..8) as ascending
+    mean-centered product folds over one IEEE division each, dom_lag =
+    first-match argmax (smallest lag on exact ties). Raw doubles, no
+    rounding; constant/short series are designed to NULL (never 0/0 NaN,
+    whose max/position semantics diverge across engines). The
+    periodicity-detection primitive feeding seasonal_decompose's period
+    choice (q148) and Holt-Winters' slot count (q155)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import acf_features
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return acf_features(series, max_lag=8)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3415,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_knn_erp": _q164_knn_erp,
         "q165_knn_twed": _q165_knn_twed,
         "q166_lof_outliers": _q166_lof_outliers,
+        "q167_acf_dominant_lag": _q167_acf_dominant_lag,
     }
 
 
@@ -6908,6 +6925,45 @@ def oracle_sql() -> dict[str, str]:
                (s.s / 5.0) / l.lrd AS lof
         FROM slo s JOIN lrd l ON s.test_id = l.lid
         JOIN kd ON s.test_id = kd.oid
+    """
+
+    # q167 (r6): ACF + dominant lag — mean/variance/covariance ascending
+    # folds, one IEEE division per lag, first-match argmax; NULL design
+    # keeps NaN max/position semantics out of the hash
+    out["q167_acf_dominant_lag"] = f"""
+        WITH {_SERIES_CTE},
+        base AS (
+            SELECT series_id, features AS f, len(features) AS n,
+                   list_reduce(list_prepend(0.0, features), (a, v) -> a + v)
+                     / cast(len(features) AS double) AS m
+            FROM series
+        ),
+        st AS (
+            SELECT series_id, f, n, m,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(f, v -> (v - m) * (v - m))),
+                       (a, v) -> a + v) AS c0,
+                   least(8, n - 1) AS L
+            FROM base
+        ),
+        ar AS (
+            SELECT series_id, n, c0, L,
+                   CASE WHEN n >= 2 AND c0 != 0 THEN
+                       list_transform(range(1, L + 1), l ->
+                           list_reduce(list_prepend(0.0,
+                               list_transform(range(1, n - l + 1),
+                                   t -> (f[t] - m) * (f[t + l] - m))),
+                               (a, v) -> a + v) / c0)
+                   END AS arr
+            FROM st
+        )
+        SELECT series_id,
+               {", ".join(f"CASE WHEN {lag} <= L THEN arr[{lag}] END AS acf{lag}" for lag in range(1, 9))},
+               CASE WHEN arr IS NOT NULL THEN
+                   cast(list_position(arr,
+                       list_reduce(arr, (x, y) -> greatest(x, y))) AS int)
+               END AS dom_lag
+        FROM ar
     """
 
     # q159 (r6): q142's bit-exact SBD fold mirror + list_position argmax

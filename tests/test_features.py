@@ -524,3 +524,49 @@ def test_mann_kendall_and_theil_sen_exact(spark):
     # intercept: median residual level with 1-based positions (t = 1..n)
     levels = [y[t - 1] - sl * t for t in range(1, n + 1)]
     assert abs(ts[4][1] - med(levels)) < 1e-12
+
+
+def test_acf_features_period_recovery_and_guards(spark):
+    """acf_features (r6): planted period-4 signal -> dom_lag 4; python
+    replay is bit-exact; constant and too-short series NULL out."""
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import acf_features
+
+    period4 = [float(x) for x in ([1.0, 5.0, 2.0, -3.0] * 4)]
+    rng = np.random.default_rng(4)
+    noisy = [float(x) for x in np.sin(np.arange(16) * (2 * np.pi / 4)) * 3 + rng.normal(0, 0.1, 16)]
+    rows = [
+        (1, period4),
+        (2, noisy),
+        (3, [7.0] * 16),       # constant: zero variance
+        (4, [1.0]),            # n < 2
+        (5, [float(x) for x in rng.uniform(0, 10, 6)]),  # n-1 < max_lag
+    ]
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    got = {r["series_id"]: r for r in acf_features(df, max_lag=8).collect()}
+
+    assert got[1]["dom_lag"] == 4 and got[2]["dom_lag"] == 4
+    assert got[3]["dom_lag"] is None and all(
+        got[3][f"acf{i}"] is None for i in range(1, 9)
+    )
+    assert got[4]["dom_lag"] is None
+    # n=6: lags 1..5 defined, 6..8 NULL
+    assert got[5]["acf5"] is not None and got[5]["acf6"] is None
+
+    def replay(x, lag):
+        n = len(x)
+        m = 0.0
+        for v in x:
+            m += v
+        m /= n
+        c0 = 0.0
+        for v in x:
+            c0 += (v - m) * (v - m)
+        c = 0.0
+        for t in range(n - lag):
+            c += (x[t] - m) * (x[t + lag] - m)
+        return c / c0
+    for sid, x in ((1, period4), (2, noisy)):
+        for lag in range(1, 9):
+            assert got[sid][f"acf{lag}"] == replay(x, lag), (sid, lag)

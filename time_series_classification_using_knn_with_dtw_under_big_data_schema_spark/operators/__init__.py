@@ -42,6 +42,7 @@ from .shapelet import (  # noqa: F401
 )
 from .cluster import kmeans_assign, kmeans_centroids, semantic_dedup, ts_kmedoids  # noqa: F401
 from .features import (  # noqa: F401
+    acf_features,
     cusum_changepoint,
     make_rocket_kernels,
     mann_kendall,

@@ -580,3 +580,76 @@ def theil_sen(
     return series.select(
         F.col(id_col), slope.alias("slope"), intercept.alias("intercept")
     )
+
+
+def acf_features(
+    series: DataFrame,
+    *,
+    max_lag: int = 8,
+    id_col: str = "series_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """Autocorrelation function per series + the dominant seasonal lag
+    (r6): the classic periodicity detector —
+
+        acf(l) = sum_{t<=n-l} (x_t - mean)(x_{t+l} - mean)
+                 / sum_t (x_t - mean)^2
+
+    for l = 1..min(max_lag, n-1), and dom_lag = argmax_l acf(l) (first
+    match on the exact maximum, i.e. the SMALLEST dominant lag on ties).
+    Everything is ascending left folds + single IEEE divisions, so raw
+    doubles mirror cross-engine bit-for-bit; per-row projection, no
+    shuffle, no UDF.
+
+    Output: (id_col, acf1..acf{max_lag} double, dom_lag int). Lags >= n
+    are NULL; a constant series (zero variance) or n < 2 yields all-NULL
+    acfs and NULL dom_lag (no 0/0 NaNs — NaN max/position semantics are
+    the one place engines disagree, so they are designed out)."""
+    f = F.col(features_col)
+    n = F.size(f)
+    mean = (
+        F.aggregate(f, F.lit(0.0), lambda a, v: a + v) / n.cast("double")
+    )
+    base = series.select(
+        F.col(id_col), f.alias("_f"), n.alias("_n"), mean.alias("_m")
+    )
+    f2, n2, m2 = F.col("_f"), F.col("_n"), F.col("_m")
+    c0 = F.aggregate(
+        f2, F.lit(0.0), lambda a, v: a + (v - m2) * (v - m2)
+    )
+    L = F.least(F.lit(max_lag), n2 - 1)
+
+    def c_at(lag: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), n2 - lag),
+            F.lit(0.0),
+            lambda a, t: a
+            + (F.element_at(f2, t.cast("int")) - m2)
+            * (F.element_at(f2, (t + lag).cast("int")) - m2),
+        )
+
+    ok = (n2 >= 2) & (c0 != 0)
+    arr = F.when(
+        ok, F.transform(F.sequence(F.lit(1), L), lambda l: c_at(l) / c0)
+    )
+    staged = base.select(
+        F.col(id_col), n2.alias("_n"), c0.alias("_c0"), arr.alias("_arr"),
+        L.alias("_L"),
+    )
+    cols = [F.col(id_col)]
+    for lag in range(1, max_lag + 1):
+        cols.append(
+            F.when(
+                F.lit(lag) <= F.col("_L"),
+                F.element_at(F.col("_arr"), lag),
+            ).alias(f"acf{lag}")
+        )
+    cols.append(
+        F.when(
+            F.col("_arr").isNotNull(),
+            F.array_position(F.col("_arr"), F.array_max(F.col("_arr"))),
+        )
+        .cast("int")
+        .alias("dom_lag")
+    )
+    return staged.select(*cols)
