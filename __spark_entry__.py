@@ -3223,6 +3223,22 @@ def _q167_acf_dominant_lag(spark, sf_dir):
     return acf_features(series, max_lag=8)
 
 
+def _q168_periodogram(spark, sf_dir):
+    """Discrete periodogram + dominant frequency per series (r6;
+    operators/features.py::periodogram): P(k) = (sum x_t cos)^2 +
+    (sum x_t sin)^2 for k=1..8 over PYTHON-LITERAL twiddle tables — the
+    rocket-kernel literal trick applied to the DFT, so the spectrum is
+    bit-exact cross-engine (engines never call their own cos/sin, whose
+    libm last-ulp differences would break hashes). dom_freq = first-match
+    argmax; dom_period = length/dom_freq. The frequency-domain complement
+    of q167's lag-domain ACF."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import periodogram
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return periodogram(series, length=SERIES_LEN)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3432,6 +3448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_knn_twed": _q165_knn_twed,
         "q166_lof_outliers": _q166_lof_outliers,
         "q167_acf_dominant_lag": _q167_acf_dominant_lag,
+        "q168_periodogram": _q168_periodogram,
     }
 
 
@@ -6925,6 +6942,49 @@ def oracle_sql() -> dict[str, str]:
                (s.s / 5.0) / l.lrd AS lof
         FROM slo s JOIN lrd l ON s.test_id = l.lid
         JOIN kd ON s.test_id = kd.oid
+    """
+
+    # q168 (r6): periodogram — the SAME numpy-computed twiddle literals the
+    # Spark plan uses (periodogram_twiddles), folded identically; engines
+    # never call their own cos/sin
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        periodogram_twiddles as _ptw,
+    )
+
+    def _pg_fold(table):
+        lits = "[" + ", ".join(repr(c) for c in table) + "]"
+        return (
+            "list_reduce(list_prepend(0.0, list_transform("
+            f"range(1, {SERIES_LEN} + 1), t -> f[t] * ({lits})[t])), "
+            "(a, v) -> a + v)"
+        )
+
+    _pg = _ptw(SERIES_LEN)
+    _pg_sums = ",\n                   ".join(
+        f"{_pg_fold(cs)} AS re{k}, {_pg_fold(sn)} AS im{k}" for k, cs, sn in _pg
+    )
+    _pg_ps = ", ".join(f"re{k} * re{k} + im{k} * im{k} AS p{k}" for k, _, _ in _pg)
+    _pg_arr = "[" + ", ".join(f"p{k}" for k, _, _ in _pg) + "]"
+    _pg_pos = (
+        f"list_position({_pg_arr}, "
+        f"list_reduce({_pg_arr}, (x, y) -> greatest(x, y)))"
+    )
+    out["q168_periodogram"] = f"""
+        WITH {_SERIES_CTE},
+        base AS (
+            SELECT series_id, features AS f FROM series
+            WHERE len(features) = {SERIES_LEN}
+        ),
+        sums AS (
+            SELECT series_id,
+                   {_pg_sums}
+            FROM base
+        ),
+        ps AS (SELECT series_id, {_pg_ps} FROM sums)
+        SELECT series_id, {", ".join(f"p{k}" for k, _, _ in _pg)},
+               cast({_pg_pos} AS int) AS dom_freq,
+               {float(SERIES_LEN)!r} / cast({_pg_pos} AS double) AS dom_period
+        FROM ps
     """
 
     # q167 (r6): ACF + dominant lag — mean/variance/covariance ascending

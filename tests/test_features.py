@@ -570,3 +570,40 @@ def test_acf_features_period_recovery_and_guards(spark):
     for sid, x in ((1, period4), (2, noisy)):
         for lag in range(1, 9):
             assert got[sid][f"acf{lag}"] == replay(x, lag), (sid, lag)
+
+
+def test_periodogram_dominant_frequency_and_replay(spark):
+    """periodogram (r6): a pure period-4 sinusoid over 16 points has its
+    power at k = 16/4 = 4; numpy replay of the literal folds is bit-exact;
+    ragged rows are filtered; twiddle validation raises."""
+    import math
+
+    import numpy as np
+    import pytest as _pt
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        periodogram,
+        periodogram_twiddles,
+    )
+
+    sig4 = [math.sin(2 * math.pi * t / 4) * 3.0 + 1.0 for t in range(16)]
+    rng = np.random.default_rng(8)
+    rand = [float(x) for x in rng.uniform(0, 10, 16)]
+    rows = [(1, sig4), (2, rand), (3, [1.0] * 7)]
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    got = {r["series_id"]: r for r in periodogram(df, length=16).collect()}
+    assert 3 not in got  # ragged row filtered
+    assert got[1]["dom_freq"] == 4 and got[1]["dom_period"] == 4.0
+
+    tw = periodogram_twiddles(16)
+    for sid, x in ((1, sig4), (2, rand)):
+        for k, cs, sn in tw:
+            re = 0.0
+            im = 0.0
+            for t in range(16):
+                re += x[t] * cs[t]
+                im += x[t] * sn[t]
+            assert got[sid][f"p{k}"] == re * re + im * im, (sid, k)
+
+    with _pt.raises(ValueError):
+        periodogram_twiddles(16, n_freqs=9)

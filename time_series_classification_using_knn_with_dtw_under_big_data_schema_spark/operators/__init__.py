@@ -46,6 +46,8 @@ from .features import (  # noqa: F401
     cusum_changepoint,
     make_rocket_kernels,
     mann_kendall,
+    periodogram,
+    periodogram_twiddles,
     rocket_features,
     seasonal_decompose,
     series_features,

@@ -653,3 +653,79 @@ def acf_features(
         .alias("dom_lag")
     )
     return staged.select(*cols)
+
+
+def periodogram_twiddles(length: int, n_freqs: int | None = None):
+    """Twiddle-factor tables for ``periodogram``: for each frequency
+    k = 1..n_freqs (default length//2), the cos/sin tables
+    C[t] = cos(2*pi*k*t/length), S[t] = sin(2*pi*k*t/length) for t =
+    0..length-1, computed ONCE in numpy and injected as plain double
+    literals into BOTH the Spark plan and the DuckDB oracle (the rocket-
+    kernel literal trick) — the engines never call their own cos/sin
+    (libm implementations differ in the last ulp; literals can't)."""
+    import math
+
+    if n_freqs is None:
+        n_freqs = length // 2
+    if not (1 <= n_freqs <= length // 2):
+        raise ValueError(f"n_freqs must be in [1, {length // 2}], got {n_freqs}")
+    out = []
+    for k in range(1, n_freqs + 1):
+        cs = [math.cos(2.0 * math.pi * k * t / length) for t in range(length)]
+        sn = [math.sin(2.0 * math.pi * k * t / length) for t in range(length)]
+        out.append((k, cs, sn))
+    return out
+
+
+def periodogram(
+    series: DataFrame,
+    *,
+    length: int,
+    n_freqs: int | None = None,
+    id_col: str = "series_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """Discrete periodogram per series + dominant frequency (r6): for each
+    k = 1..n_freqs,
+
+        P(k) = (sum_t x_t cos(2 pi k t/n))^2 + (sum_t x_t sin(2 pi k t/n))^2
+
+    — the textbook O(n^2) DFT power sweep as pure ascending folds over
+    PYTHON-literal twiddle tables (see ``periodogram_twiddles``), so the
+    whole spectrum is bit-exact cross-engine; dom_freq = first-match
+    argmax (lowest frequency on exact ties), dom_period = length/dom_freq.
+
+    Rows whose series length differs from ``length`` are FILTERED (the
+    twiddle tables are length-specific — resample_linear upstream for
+    ragged corpora). Per-row projection, no shuffle, no UDF; for long
+    series at corpus scale the FFT belongs in a kernel (sbd_batch's
+    pattern), but at feature-extraction lengths the literal fold IS the
+    scale path (stays in the scan projection)."""
+    tw = periodogram_twiddles(length, n_freqs)
+    f = F.col(features_col)
+    base = series.filter(F.size(f) == length)
+
+    def fold_lit(table):
+        arr = F.array(*[F.lit(c) for c in table])
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(length)),
+            F.lit(0.0),
+            lambda a, t: a
+            + F.element_at(f, t.cast("int")) * F.element_at(arr, t.cast("int")),
+        )
+
+    p_cols = []
+    for k, cs, sn in tw:
+        re, im = fold_lit(cs), fold_lit(sn)
+        p_cols.append((re * re + im * im).alias(f"p{k}"))
+    staged = base.select(F.col(id_col), *p_cols)
+    parr = F.array(*[F.col(f"p{k}") for k, _, _ in tw])
+    return staged.select(
+        F.col(id_col),
+        *[F.col(f"p{k}") for k, _, _ in tw],
+        F.array_position(parr, F.array_max(parr)).cast("int").alias("dom_freq"),
+        (
+            F.lit(float(length))
+            / F.array_position(parr, F.array_max(parr)).cast("double")
+        ).alias("dom_period"),
+    )
