@@ -3239,6 +3239,21 @@ def _q168_periodogram(spark, sf_dir):
     return periodogram(series, length=SERIES_LEN)
 
 
+def _q169_conformal_knn(spark, sf_dir):
+    """Split-conformal KNN p-values (r6; operators/classify.py::
+    conformal_knn — Vovk's inductive conformal prediction): per test x
+    candidate label, p = (#{calibration alpha_i >= alpha(x,y)} + 1) /
+    (n_cal + 1) with the 1-NN same/other distance-ratio nonconformity.
+    MIN aggregates + INTEGER rank counts + one division — p-values are
+    exact rationals, no float accumulation anywhere. The
+    finite-sample-valid uncertainty layer the reference's bare argmax
+    vote lacks."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import conformal_knn
+
+    train, test = _series(spark, sf_dir)
+    return conformal_knn(test, train)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3449,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_lof_outliers": _q166_lof_outliers,
         "q167_acf_dominant_lag": _q167_acf_dominant_lag,
         "q168_periodogram": _q168_periodogram,
+        "q169_conformal_knn": _q169_conformal_knn,
     }
 
 
@@ -6942,6 +6958,73 @@ def oracle_sql() -> dict[str, str]:
                (s.s / 5.0) / l.lrd AS lof
         FROM slo s JOIN lrd l ON s.test_id = l.lid
         JOIN kd ON s.test_id = kd.oid
+    """
+
+    # q169 (r6): split-conformal KNN — joins + MIN aggregates + integer
+    # rank counts + one division; p-values are exact rationals
+    def _cq_d(a: str, b: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_transform(range(1, len({a}) + 1),"
+            f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y))"
+        )
+
+    out["q169_conformal_knn"] = f"""
+        WITH {_SERIES_CTE},
+        proper AS (
+            SELECT series_id AS pid, features AS pf, label AS plab
+            FROM train WHERE series_id % 3 != 1
+        ),
+        cal AS (
+            SELECT series_id AS cid, features AS cf, label AS clab
+            FROM train WHERE series_id % 3 = 1
+        ),
+        cpairs AS (
+            SELECT c.cid, c.clab, p.plab, {_cq_d("c.cf", "p.pf")} AS d
+            FROM cal c CROSS JOIN proper p
+        ),
+        cmin AS (
+            SELECT cid, clab, plab, min(d) AS dmin
+            FROM cpairs WHERE d != 0 GROUP BY cid, clab, plab
+        ),
+        csame AS (SELECT cid, dmin AS ds FROM cmin WHERE plab = clab),
+        cdiff AS (
+            SELECT cid, min(dmin) AS dd FROM cmin
+            WHERE plab != clab GROUP BY cid
+        ),
+        alphas AS (
+            SELECT s.ds / d.dd AS ai FROM csame s JOIN cdiff d USING (cid)
+        ),
+        nc AS (SELECT cast(count(*) AS bigint) AS ncal FROM alphas),
+        tpairs AS (
+            SELECT t.series_id AS test_id, p.plab,
+                   {_cq_d("t.features", "p.pf")} AS d
+            FROM test t CROSS JOIN proper p
+        ),
+        tmin AS (
+            SELECT test_id, plab, min(d) AS dmin
+            FROM tpairs WHERE d != 0 GROUP BY test_id, plab
+        ),
+        tdiff AS (
+            SELECT a.test_id, a.plab AS label, min(b.dmin) AS dd
+            FROM tmin a JOIN tmin b
+              ON a.test_id = b.test_id AND a.plab != b.plab
+            GROUP BY a.test_id, a.plab
+        ),
+        axy AS (
+            SELECT m.test_id, m.plab AS label, m.dmin / d.dd AS alpha
+            FROM tmin m JOIN tdiff d
+              ON m.test_id = d.test_id AND m.plab = d.label
+        ),
+        cnt AS (
+            SELECT test_id, label, alpha,
+                   cast(sum(CASE WHEN ai >= alpha THEN 1 ELSE 0 END)
+                        AS bigint) AS ge
+            FROM axy CROSS JOIN alphas
+            GROUP BY test_id, label, alpha
+        )
+        SELECT test_id, label, alpha,
+               cast(ge + 1 AS double) / cast(ncal + 1 AS double) AS p_value
+        FROM cnt CROSS JOIN nc
     """
 
     # q168 (r6): periodogram — the SAME numpy-computed twiddle literals the

@@ -256,3 +256,31 @@ def test_null_label_raises_not_silently_dropped(spark):
     )
     with pytest.raises(Exception, match="label must be -1 or \\+1"):
         perceptron_epoch_sweep(bad)
+
+
+def test_conformal_knn_separable_and_exact_rationals(spark, har_dfs):
+    """conformal_knn (r6): on the separable HAR fixture the true label's
+    p-value is the per-test maximum for almost every test point; every
+    p-value is an exact rational k/(n_cal+1); candidate rows cover the
+    proper split's label set."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import conformal_knn
+
+    train, test = har_dfs
+    out = conformal_knn(test, train).collect()
+    truth = {r["series_id"]: r["label"] for r in test.collect()}
+    labels = {r["label"] for r in out}
+    assert len(labels) == 4
+
+    n_cal = train.filter("pmod(series_id, 3) = 1").count()
+    # calibration rows whose label is missing from proper would drop;
+    # HAR has all 4 classes in both splits, so the count is exact
+    by_test = {}
+    for r in out:
+        assert 0.0 < r["p_value"] <= 1.0
+        k = r["p_value"] * (n_cal + 1)
+        assert abs(k - round(k)) < 1e-9  # exact rational
+        by_test.setdefault(r["test_id"], []).append((r["p_value"], r["label"]))
+    hits = sum(
+        1 for tid, ps in by_test.items() if max(ps)[1] == truth[tid]
+    )
+    assert hits / len(by_test) >= 0.9

@@ -27,6 +27,7 @@ from .similarity import (  # noqa: F401
     random_project,
 )
 from .classify import (  # noqa: F401
+    conformal_knn,
     doc_quality_features,
     perceptron_epoch_sweep,
     score_stump,

@@ -436,3 +436,106 @@ def score_with_weights(
             (score > 0).alias("kept"),
         )
     )
+
+
+def conformal_knn(
+    test: DataFrame,
+    train: DataFrame,
+    *,
+    id_col: str = "series_id",
+    features_col: str = "features",
+    label_col: str = "label",
+    cal_mod: int = 3,
+    cal_rem: int = 1,
+) -> DataFrame:
+    """Split-conformal KNN classification (r6; Vovk et al., *Algorithmic
+    Learning in a Random World* — the inductive/split variant): per test
+    point and CANDIDATE label y, a p-value with a finite-sample validity
+    guarantee (P(p_true <= eps) <= eps under exchangeability):
+
+        train -> proper / calibration split (id % cal_mod == cal_rem)
+        alpha(x, y) = min d(x, proper with label y)
+                      / min d(x, proper with label != y)      (1-NN ratio)
+        alpha_i     = same score for each calibration point at its TRUE label
+        p(x, y)     = (#{alpha_i >= alpha(x, y)} + 1) / (n_cal + 1)
+
+    Everything is joins + MIN aggregates + INTEGER rank counts + one
+    division — no float accumulation anywhere, so p-values are exact
+    rationals and hash cross-engine bit-for-bit. d is euclidean with the
+    engine's d != 0 exclusion (P7); calibration points whose label is
+    absent from the proper split drop out (no same-label distance exists).
+
+    Output: (test_id, label, alpha, p_value) — one row per test x
+    candidate label (candidates = the proper split's label set). Predict
+    by max p; the runner-up p is the classic confidence complement.
+
+    Scale: two cross joins against the BROADCAST proper split (the KNN
+    pair volume, pre-aggregated by MIN before anything wide), one
+    broadcast of the bounded calibration-score table. Nothing corpus x
+    corpus beyond the KNN itself.
+    """
+    from ..functions.distance import euclidean
+
+    pid = F.col(id_col)
+    proper = train.filter(F.pmod(pid, F.lit(cal_mod)) != cal_rem).select(
+        pid.alias("_pid"), F.col(features_col).alias("_pf"), F.col(label_col).alias("_plab")
+    )
+    cal = train.filter(F.pmod(pid, F.lit(cal_mod)) == cal_rem).select(
+        pid.alias("_cid"), F.col(features_col).alias("_cf"), F.col(label_col).alias("_clab")
+    )
+
+    def _mins(side: DataFrame, fcol: str, keys: list[str]) -> DataFrame:
+        pairs = side.crossJoin(F.broadcast(proper)).withColumn(
+            "_d", euclidean(F.col(fcol), F.col("_pf"))
+        ).filter(F.col("_d") != 0)
+        return pairs.groupBy(*keys, "_plab").agg(F.min("_d").alias("_dmin"))
+
+    # calibration scores at the TRUE label
+    cmin = _mins(cal, "_cf", ["_cid", "_clab"])
+    csame = cmin.filter(F.col("_plab") == F.col("_clab")).select(
+        "_cid", F.col("_dmin").alias("_ds")
+    )
+    cdiff = cmin.filter(F.col("_plab") != F.col("_clab")).groupBy("_cid").agg(
+        F.min("_dmin").alias("_dd")
+    )
+    alphas = csame.join(cdiff, "_cid").select(
+        (F.col("_ds") / F.col("_dd")).alias("_ai")
+    )
+    n_cal = alphas.agg(F.count(F.lit(1)).alias("_ncal"))
+
+    # test scores per candidate label
+    tmin = _mins(
+        test.select(F.col(id_col).alias("test_id"), F.col(features_col).alias("_tf")),
+        "_tf",
+        ["test_id"],
+    )
+    tdiff = (
+        tmin.alias("a")
+        .join(tmin.alias("b"), "test_id")
+        .filter(F.col("a._plab") != F.col("b._plab"))
+        .groupBy(F.col("test_id"), F.col("a._plab").alias("label"))
+        .agg(F.min(F.col("b._dmin")).alias("_dd"))
+    )
+    axy = (
+        tmin.select("test_id", F.col("_plab").alias("label"), F.col("_dmin").alias("_ds"))
+        .join(tdiff, ["test_id", "label"])
+        .select("test_id", "label", (F.col("_ds") / F.col("_dd")).alias("alpha"))
+    )
+    counted = (
+        axy.crossJoin(F.broadcast(alphas))
+        .groupBy("test_id", "label", "alpha")
+        .agg(
+            F.sum(
+                F.when(F.col("_ai") >= F.col("alpha"), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("_ge")
+        )
+    )
+    return counted.crossJoin(F.broadcast(n_cal)).select(
+        "test_id",
+        "label",
+        "alpha",
+        (
+            (F.col("_ge") + 1).cast("double")
+            / (F.col("_ncal") + 1).cast("double")
+        ).alias("p_value"),
+    )
