@@ -3254,6 +3254,22 @@ def _q169_conformal_knn(spark, sf_dir):
     return conformal_knn(test, train)
 
 
+def _q170_viterbi_regimes(spark, sf_dir):
+    """Two-regime Viterbi decoding per series (r6; operators/features.py::
+    viterbi_regimes): minimum-cost low/high state path with a switching
+    penalty — contextual regime labels a per-point threshold can't give
+    (a lone spike inside a low regime stays low). Emission costs and the
+    switch penalty are micro-quantized BIGINTs before ANY decision
+    (the barycenter.py rule), so the full DP + backtrace is integer-exact
+    on any engine; the oracle replays the recursion with candidate paths
+    carried in the CTE state."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import viterbi_regimes
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return viterbi_regimes(series, switch_cost=500.0)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3465,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_acf_dominant_lag": _q167_acf_dominant_lag,
         "q168_periodogram": _q168_periodogram,
         "q169_conformal_knn": _q169_conformal_knn,
+        "q170_viterbi_regimes": _q170_viterbi_regimes,
     }
 
 
@@ -6958,6 +6975,57 @@ def oracle_sql() -> dict[str, str]:
                (s.s / 5.0) / l.lrd AS lof
         FROM slo s JOIN lrd l ON s.test_id = l.lid
         JOIN kd ON s.test_id = kd.oid
+    """
+
+    # q170 (r6): 2-regime Viterbi — integer-micro DP with candidate paths
+    # carried in the recursion state; ties prefer staying / the low state
+    _vs = int(round(500.0 * 1_000_000))
+    out["q170_viterbi_regimes"] = f"""
+        WITH RECURSIVE {_SERIES_CTE},
+        vbase AS (
+            SELECT series_id, features AS f,
+                   list_reduce(list_prepend(cast('infinity' AS double),
+                       features), (x, y) -> least(x, y)) AS mn,
+                   list_reduce(list_prepend(cast('-infinity' AS double),
+                       features), (x, y) -> greatest(x, y)) AS mx
+            FROM series WHERE len(features) >= 1
+        ),
+        mus AS (
+            SELECT series_id, f,
+                   mn + (mx - mn) / 4.0 AS mlo,
+                   mx - (mx - mn) / 4.0 AS mhi
+            FROM vbase
+        ),
+        dp AS (
+            SELECT series_id, f, mlo, mhi, 0 AS t,
+                   cast(0 AS bigint) AS dlo, cast(0 AS bigint) AS dhi,
+                   cast([] AS integer[]) AS plo, cast([] AS integer[]) AS phi
+            FROM mus
+            UNION ALL
+            SELECT series_id, f, mlo, mhi, t + 1,
+                   cast(round((f[t+1] - mlo) * (f[t+1] - mlo) * 1000000.0)
+                        AS bigint) + least(dlo, dhi + {_vs}),
+                   cast(round((f[t+1] - mhi) * (f[t+1] - mhi) * 1000000.0)
+                        AS bigint) + least(dhi, dlo + {_vs}),
+                   list_append(CASE WHEN dlo <= dhi + {_vs} THEN plo
+                                    ELSE phi END, 0),
+                   list_append(CASE WHEN dhi <= dlo + {_vs} THEN phi
+                                    ELSE plo END, 1)
+            FROM dp WHERE t < len(f)
+        ),
+        fin AS (
+            SELECT series_id, f,
+                   CASE WHEN dlo <= dhi THEN plo ELSE phi END AS path
+            FROM dp WHERE t = len(f)
+        ),
+        ex AS (
+            SELECT series_id, f, path,
+                   unnest(range(1, len(f) + 1)) AS tt
+            FROM fin
+        )
+        SELECT series_id, cast(tt AS int) AS t, path[tt] AS regime,
+               f[tt] AS value
+        FROM ex
     """
 
     # q169 (r6): split-conformal KNN — joins + MIN aggregates + integer

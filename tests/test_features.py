@@ -607,3 +607,49 @@ def test_periodogram_dominant_frequency_and_replay(spark):
 
     with _pt.raises(ValueError):
         periodogram_twiddles(16, n_freqs=9)
+
+
+def test_viterbi_regimes_contextual_labels(spark):
+    """viterbi_regimes (r6): recovers a low-high-low block structure, keeps
+    a lone spike contextual under a high switch cost, flips it under a low
+    one, and matches an independent python Viterbi replay exactly."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import viterbi_regimes
+
+    blocks = [1.0, 1.2, 0.8, 1.1, 9.0, 9.2, 8.8, 9.1, 1.0, 0.9, 1.1, 1.0]
+    spike = [5.0, 5.1, 4.9, 20.0, 5.0, 5.2, 4.8, 5.1]
+    df = spark.createDataFrame(
+        [(1, blocks), (2, spike)], "series_id long, features array<double>"
+    )
+
+    def decode(sc_):
+        out = viterbi_regimes(df, switch_cost=sc_).collect()
+        paths = {}
+        for r in sorted(out, key=lambda r: (r["series_id"], r["t"])):
+            paths.setdefault(r["series_id"], []).append(r["regime"])
+        return paths
+
+    lo = decode(5.0)
+    assert lo[1] == [0, 0, 0, 0, 1, 1, 1, 1, 0, 0, 0, 0]
+    assert lo[2][3] == 1  # cheap switches: the spike flips
+    hi = decode(80.0)
+    assert hi[2] == [0] * 8  # expensive switches: the spike stays low
+
+    def replay(x, sc_):
+        s = int(round(sc_ * 1_000_000))
+        mn, mx = min(x), max(x)
+        mlo, mhi = mn + (mx - mn) / 4.0, mx - (mx - mn) / 4.0
+        dlo = dhi = 0
+        plo, phi = [], []
+        for v in x:
+            elo = int(round((v - mlo) * (v - mlo) * 1e6))
+            ehi = int(round((v - mhi) * (v - mhi) * 1e6))
+            nlo = elo + min(dlo, dhi + s)
+            nhi = ehi + min(dhi, dlo + s)
+            nplo = (plo if dlo <= dhi + s else phi) + [0]
+            nphi = (phi if dhi <= dlo + s else plo) + [1]
+            dlo, dhi, plo, phi = nlo, nhi, nplo, nphi
+        return plo if dlo <= dhi else phi
+
+    for sc_, got in ((5.0, lo), (80.0, hi)):
+        assert got[1] == replay(blocks, sc_)
+        assert got[2] == replay(spike, sc_)

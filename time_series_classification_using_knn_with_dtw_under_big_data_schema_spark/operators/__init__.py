@@ -53,6 +53,7 @@ from .features import (  # noqa: F401
     seasonal_decompose,
     series_features,
     theil_sen,
+    viterbi_regimes,
 )
 from .forecast import ar_forecast, holt_forecast, holt_winters_forecast  # noqa: F401
 from .bpe import apply_merge, bpe_encode, train_bpe  # noqa: F401

@@ -729,3 +729,88 @@ def periodogram(
             / F.array_position(parr, F.array_max(parr)).cast("double")
         ).alias("dom_period"),
     )
+
+
+def viterbi_regimes(
+    series: DataFrame,
+    *,
+    switch_cost: float = 500.0,
+    id_col: str = "series_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """Two-regime Viterbi decoding per series (r6): label every point
+    low/high by the minimum-cost state path of a 2-state HMM-shaped model —
+    the regime-segmentation primitive (market state labeling, sensor
+    mode detection) that a per-point threshold can't do, because the
+    switch penalty makes labels CONTEXTUAL (one spike inside a low regime
+    stays low).
+
+    Model, integer-exact by construction: per-series level anchors
+    mu_lo = min + (max-min)/4 and mu_hi = max - (max-min)/4 (exact
+    min/max + exact divisions); emission cost of state s at point x is
+    round((x - mu_s)^2 * 1e6) as BIGINT micro; switching states costs
+    round(switch_cost * 1e6) micro. The Viterbi DP then runs entirely in
+    BIGINT (the barycenter.py micro-quantize-before-decisions rule), so
+    the decoded path is identical on any engine/partitioning; ties prefer
+    STAYING in the current state (<=), and the final state tie prefers
+    low (<=) — total order, no RNG.
+
+    One aggregate fold per row carrying struct(dlo, dhi, path_lo,
+    path_hi) — candidate paths ride in the state (O(n^2) bounded array
+    copies, fine at feature lengths); per-row projection, no shuffle, no
+    UDF. Output: one row per point — (id_col, t, regime 0|1, value).
+    """
+    f = F.col(features_col)
+    n = F.size(f)
+    s_micro = int(round(float(switch_cost) * 1_000_000))
+    base = series.filter(n >= 1).select(
+        F.col(id_col),
+        f.alias("_f"),
+        F.aggregate(f, F.lit(float("inf")), lambda a, v: F.least(a, v)).alias("_mn"),
+        F.aggregate(f, F.lit(float("-inf")), lambda a, v: F.greatest(a, v)).alias("_mx"),
+    )
+    mu_lo = (F.col("_mn") + (F.col("_mx") - F.col("_mn")) / F.lit(4.0)).alias("_mlo")
+    mu_hi = (F.col("_mx") - (F.col("_mx") - F.col("_mn")) / F.lit(4.0)).alias("_mhi")
+    base = base.select(F.col(id_col), F.col("_f"), mu_lo, mu_hi)
+
+    f2 = F.col("_f")
+    S = F.lit(s_micro).cast("bigint")
+
+    def em(x: Column, mu: Column) -> Column:
+        return F.round((x - mu) * (x - mu) * F.lit(1_000_000.0)).cast("bigint")
+
+    def step(acc: Column, t: Column) -> Column:
+        x = F.element_at(f2, t.cast("int"))
+        e_lo = em(x, F.col("_mlo"))
+        e_hi = em(x, F.col("_mhi"))
+        stay_lo = acc["dlo"] <= acc["dhi"] + S
+        stay_hi = acc["dhi"] <= acc["dlo"] + S
+        return F.struct(
+            (e_lo + F.least(acc["dlo"], acc["dhi"] + S)).alias("dlo"),
+            (e_hi + F.least(acc["dhi"], acc["dlo"] + S)).alias("dhi"),
+            F.array_append(
+                F.when(stay_lo, acc["plo"]).otherwise(acc["phi"]), F.lit(0)
+            ).alias("plo"),
+            F.array_append(
+                F.when(stay_hi, acc["phi"]).otherwise(acc["plo"]), F.lit(1)
+            ).alias("phi"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("dlo"),
+        F.lit(0).cast("bigint").alias("dhi"),
+        F.array().cast("array<int>").alias("plo"),
+        F.array().cast("array<int>").alias("phi"),
+    )
+    fin = F.aggregate(F.sequence(F.lit(1), F.size(f2)), init, step)
+    path = F.when(fin["dlo"] <= fin["dhi"], fin["plo"]).otherwise(fin["phi"])
+    staged = base.select(F.col(id_col), f2.alias("_f"), path.alias("_path"))
+    ex = staged.select(
+        F.col(id_col), F.col("_f"), F.posexplode(F.col("_path")).alias("_pos", "regime")
+    )
+    return ex.select(
+        F.col(id_col),
+        (F.col("_pos") + 1).cast("int").alias("t"),
+        F.col("regime"),
+        F.element_at(F.col("_f"), (F.col("_pos") + 1).cast("int")).alias("value"),
+    )
