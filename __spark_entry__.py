@@ -3270,6 +3270,21 @@ def _q170_viterbi_regimes(spark, sf_dir):
     return viterbi_regimes(series, switch_cost=500.0)
 
 
+def _q171_fluss_segmentation(spark, sf_dir):
+    """FLUSS semantic segmentation (r6; operators/motif.py::
+    fluss_segmentation — Gharghabi et al. ICDM 2017): regime-change
+    positions from matrix-profile arc density. Arc counts via a +1/-1
+    delta prefix sum (one window cumsum — never a positions x arcs join),
+    the idealized-curve correction as single IEEE divisions, boundary =
+    first-match argmin over the interior zone. m=4 windows (znormalized,
+    exclusion 2) on the 16-pt series."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import fluss_segmentation
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return fluss_segmentation(series, m=4)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3482,6 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_periodogram": _q168_periodogram,
         "q169_conformal_knn": _q169_conformal_knn,
         "q170_viterbi_regimes": _q170_viterbi_regimes,
+        "q171_fluss_segmentation": _q171_fluss_segmentation,
     }
 
 
@@ -6975,6 +6991,58 @@ def oracle_sql() -> dict[str, str]:
                (s.s / 5.0) / l.lrd AS lof
         FROM slo s JOIN lrd l ON s.test_id = l.lid
         JOIN kd ON s.test_id = kd.oid
+    """
+
+    # q171 (r6): FLUSS — q134's matrix-profile CTEs (m=4, excl=2) + integer
+    # delta prefix-sum arc counts + the idealized-curve correction
+    out["q171_fluss_segmentation"] = f"""
+        WITH {_SERIES_CTE},
+        {_sql_window_ctes(4)},
+        {_sql_matrix_profile_ctes(4, 2)},
+        prof AS (SELECT series_id, start, nn_start FROM mprof WHERE rk = 1),
+        lw AS (
+            SELECT series_id, len(features) - 4 + 1 AS L
+            FROM series WHERE len(features) - 4 + 1 >= 2
+        ),
+        deltas AS (
+            SELECT series_id, least(start, nn_start) AS p, 1 AS dlt FROM prof
+            UNION ALL
+            SELECT series_id, greatest(start, nn_start) AS p, -1 AS dlt
+            FROM prof
+        ),
+        dsum AS (
+            SELECT series_id, p, cast(sum(dlt) AS bigint) AS dl
+            FROM deltas GROUP BY series_id, p
+        ),
+        frame AS (SELECT series_id, L, unnest(range(1, L)) AS p FROM lw),
+        jj AS (
+            SELECT f.series_id, f.L, f.p, coalesce(d.dl, 0) AS dl
+            FROM frame f LEFT JOIN dsum d
+              ON f.series_id = d.series_id AND f.p = d.p
+        ),
+        ac AS (
+            SELECT series_id, L, p,
+                   cast(sum(dl) OVER (PARTITION BY series_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS bigint) AS arcs
+            FROM jj
+        ),
+        cc AS (
+            SELECT series_id, p, arcs,
+                   least(1.0, cast(arcs AS double) /
+                       (((2.0 * cast(p AS double)) * cast(L - p AS double))
+                        / cast(L AS double))) AS cac,
+                   (p >= 4 AND p <= L - 4) AS zone
+            FROM ac
+        ),
+        frk AS (
+            SELECT *, row_number() OVER (PARTITION BY series_id
+                ORDER BY zone DESC, cac ASC, p ASC) AS r
+            FROM cc
+        )
+        SELECT series_id, cast(p AS int) AS p, arcs, cac,
+               (zone AND r = 1) AS is_boundary
+        FROM frk
     """
 
     # q170 (r6): 2-regime Viterbi — integer-micro DP with candidate paths

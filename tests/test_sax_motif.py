@@ -407,3 +407,39 @@ def test_subsequence_search_golden(spark):
         subsequence_search(df, [], k=3)
     with pytest.raises(ValueError):
         subsequence_search(df, pattern, k=0)
+
+
+def test_fluss_segmentation_finds_regime_boundary(spark):
+    """fluss_segmentation (r6): two glued behaviors (fast alternation ->
+    slow ramp repeats) put the boundary cut near the glue point; arc
+    counts replay exactly against a python rebuild from the profile."""
+    import math
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        fluss_segmentation,
+        matrix_profile,
+    )
+
+    # 24 points: 12 of period-2 alternation, then 12 of period-4 ramps
+    left = [1.0, -1.0] * 6
+    right = [0.0, 1.0, 2.0, 3.0] * 3
+    sig = left + right
+    df = spark.createDataFrame([(1, sig)], "series_id long, features array<double>")
+    out = sorted(fluss_segmentation(df, m=4).collect(), key=lambda r: r["p"])
+    L = len(sig) - 4 + 1  # 21 starts, cuts 1..20
+    assert [r["p"] for r in out] == list(range(1, L))
+    b = [r for r in out if r["is_boundary"]]
+    assert len(b) == 1
+    # glue point: left block ends at position 12 -> boundary cut within
+    # the last left window span [9, 13]
+    assert 8 <= b[0]["p"] <= 14
+    assert all(0.0 <= r["cac"] <= 1.0 for r in out)
+
+    # arc-count replay from the engine's own matrix profile
+    prof = matrix_profile(df, 4).collect()
+    for r in out:
+        expect = sum(
+            1 for q in prof
+            if min(q["start"], q["nn_start"]) <= r["p"] < max(q["start"], q["nn_start"])
+        )
+        assert r["arcs"] == expect, r["p"]

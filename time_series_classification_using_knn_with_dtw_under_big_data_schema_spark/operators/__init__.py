@@ -115,6 +115,7 @@ from .sax import (  # noqa: F401
 from .motif import (  # noqa: F401
     bop_classify,
     bop_histograms,
+    fluss_segmentation,
     matrix_profile,
     motif_words,
     series_discords,

@@ -366,3 +366,91 @@ def bop_classify(
         pairs, "test_id", [F.asc("d"), F.asc("train_label"), F.asc("train_id")], k
     )
     return majority_vote(topk)
+
+
+def fluss_segmentation(
+    series: DataFrame,
+    m: int,
+    *,
+    exclusion: int | None = None,
+    exclude_zone: int | None = None,
+    id_col: str = "series_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """FLUSS semantic segmentation (r6; Gharghabi et al., ICDM 2017) on
+    top of the matrix profile: where does a series change BEHAVIOR?
+    Each window's nearest-neighbor arc (start -> nn_start) stays inside a
+    regime; few arcs cross a regime boundary. Per position p:
+
+        arcs(p) = #{arcs with min < p < max}      (INTEGER, exact)
+        iac(p)  = 2p(L-p)/L                       (ideal curve, one expr)
+        cac(p)  = min(1, arcs(p) / iac(p))        (corrected arc curve)
+
+    boundary = argmin cac over the interior zone (first match on exact
+    ties; the first/last ``exclude_zone`` positions — default m — are
+    excluded, the standard edge-artifact guard).
+
+    Positions are CUTS: p separates window starts p and p+1 (starts are
+    1-based), so an arc (a, b) crosses cut p iff a <= p < b and the cut
+    domain is 1..L-1 (L = window count). Arc counting is a +1/-1 delta
+    PREFIX SUM (one window cumsum per series), not a positions x arcs
+    join — integer state end to end, so the curve and the boundary are
+    engine-exact; cac's divisions are single IEEE ops. Output:
+    (id_col, p, arcs, cac, is_boundary), one row per cut.
+    """
+    if exclude_zone is None:
+        exclude_zone = m
+    prof = matrix_profile(
+        series, m, exclusion=exclusion, features_col=features_col
+    ).withColumnRenamed("series_id", id_col)
+    lw = series.select(
+        F.col(id_col).alias("_sid"),
+        (F.size(features_col) - m + 1).alias("_L"),
+    ).filter(F.col("_L") >= 2)
+    arcs = prof.select(
+        F.col(id_col).alias("_sid"),
+        F.least("start", "nn_start").alias("p"),
+        F.greatest("start", "nn_start").alias("_hi"),
+    )
+    deltas = arcs.select("_sid", "p", F.lit(1).alias("_dlt")).unionAll(
+        arcs.select("_sid", F.col("_hi").alias("p"), F.lit(-1).alias("_dlt"))
+    )
+    dsum = deltas.groupBy("_sid", "p").agg(F.sum("_dlt").alias("_dl"))
+    frame = lw.select(
+        "_sid", "_L",
+        F.explode(F.sequence(F.lit(1), F.col("_L") - 1)).alias("p"),
+    )
+    jj = frame.join(dsum, ["_sid", "p"], "left").select(
+        "_sid", "_L", "p", F.coalesce(F.col("_dl"), F.lit(0)).alias("_dl")
+    )
+    cum = Window.partitionBy("_sid").orderBy("p").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ac = jj.withColumn("arcs", F.sum("_dl").over(cum).cast("bigint"))
+    p_d = F.col("p").cast("double")
+    iac = ((F.lit(2.0) * p_d) * (F.col("_L") - F.col("p")).cast("double")) / F.col(
+        "_L"
+    ).cast("double")
+    zone = (F.col("p") >= exclude_zone) & (
+        F.col("p") <= F.col("_L") - exclude_zone
+    )
+    cc = ac.select(
+        F.col("_sid"),
+        F.col("p"),
+        F.col("arcs"),
+        F.least(F.lit(1.0), F.col("arcs").cast("double") / iac).alias("cac"),
+        zone.alias("_zone"),
+    )
+    rk = Window.partitionBy("_sid").orderBy(
+        F.desc("_zone"), F.asc("cac"), F.asc("p")
+    )
+    return (
+        cc.withColumn("_r", F.row_number().over(rk))
+        .select(
+            F.col("_sid").alias(id_col),
+            F.col("p").cast("int").alias("p"),
+            "arcs",
+            "cac",
+            (F.col("_zone") & (F.col("_r") == 1)).alias("is_boundary"),
+        )
+    )
