@@ -3285,6 +3285,19 @@ def _q171_fluss_segmentation(spark, sf_dir):
     return fluss_segmentation(series, m=4)
 
 
+def _q172_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau statistic per series (r6; operators/
+    features.py::ljung_box): Q(h=8) = n(n+2) sum acf(k)^2/(n-k) — the
+    white-noise test over q167's exact ACF folds; one more ascending
+    fold + an exact integer-to-double scale. Statistic only (chi-square
+    CDFs are libm-divergent cross-engine); raw doubles hash-green."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import ljung_box
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return ljung_box(series, h=8)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3498,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_conformal_knn": _q169_conformal_knn,
         "q170_viterbi_regimes": _q170_viterbi_regimes,
         "q171_fluss_segmentation": _q171_fluss_segmentation,
+        "q172_ljung_box": _q172_ljung_box,
     }
 
 
@@ -6991,6 +7005,40 @@ def oracle_sql() -> dict[str, str]:
                (s.s / 5.0) / l.lrd AS lof
         FROM slo s JOIN lrd l ON s.test_id = l.lid
         JOIN kd ON s.test_id = kd.oid
+    """
+
+    # q172 (r6): Ljung-Box — q167's acf folds squared into one more
+    # ascending k-fold; n(n+2) scale exact
+    _lb_c = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, n - k + 1),"
+        " t -> (f[t] - m) * (f[t + k] - m))), (a, v) -> a + v)"
+    )
+    out["q172_ljung_box"] = f"""
+        WITH {_SERIES_CTE},
+        base AS (
+            SELECT series_id, features AS f, len(features) AS n,
+                   list_reduce(list_prepend(0.0, features), (a, v) -> a + v)
+                     / cast(len(features) AS double) AS m
+            FROM series
+        ),
+        st AS (
+            SELECT series_id, f, n, m,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(f, v -> (v - m) * (v - m))),
+                       (a, v) -> a + v) AS c0
+            FROM base
+        )
+        SELECT series_id,
+               CASE WHEN n >= 2 AND c0 != 0 AND 8 < n THEN
+                   (cast(n AS double) * cast(n + 2 AS double)) *
+                   list_reduce(list_prepend(0.0,
+                       list_transform(range(1, 9), k ->
+                           ({_lb_c} / c0) * ({_lb_c} / c0)
+                           / cast(n - k AS double))),
+                       (a, v) -> a + v)
+               END AS q_stat,
+               cast(8 AS int) AS h
+        FROM st
     """
 
     # q171 (r6): FLUSS — q134's matrix-profile CTEs (m=4, excl=2) + integer

@@ -653,3 +653,41 @@ def test_viterbi_regimes_contextual_labels(spark):
     for sc_, got in ((5.0, lo), (80.0, hi)):
         assert got[1] == replay(blocks, sc_)
         assert got[2] == replay(spike, sc_)
+
+
+def test_ljung_box_white_noise_vs_structure(spark):
+    """ljung_box (r6): a strongly autocorrelated series scores far above
+    white noise; python replay is bit-exact; guards NULL."""
+    import math
+
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import ljung_box
+
+    rng = np.random.default_rng(12)
+    noise = [float(x) for x in rng.normal(0, 1, 16)]
+    trend = [math.sin(2 * math.pi * t / 8) * 5 for t in range(16)]
+    rows = [(1, noise), (2, trend), (3, [4.0] * 16), (4, [1.0] * 8)]
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    got = {r["series_id"]: r["q_stat"] for r in ljung_box(df, h=8).collect()}
+    assert got[2] > got[1] * 3
+    assert got[3] is None  # zero variance
+    assert got[4] is None  # h >= n
+
+    def replay(x, h=8):
+        n = len(x)
+        m = 0.0
+        for v in x:
+            m += v
+        m /= n
+        c0 = 0.0
+        for v in x:
+            c0 += (v - m) * (v - m)
+        s = 0.0
+        for k in range(1, h + 1):
+            c = 0.0
+            for t in range(n - k):
+                c += (x[t] - m) * (x[t + k] - m)
+            s += (c / c0) * (c / c0) / (n - k)
+        return (n * float(n + 2)) * s
+    assert got[1] == replay(noise) and got[2] == replay(trend)

@@ -814,3 +814,58 @@ def viterbi_regimes(
         F.col("regime"),
         F.element_at(F.col("_f"), (F.col("_pos") + 1).cast("int")).alias("value"),
     )
+
+
+def ljung_box(
+    series: DataFrame,
+    *,
+    h: int = 8,
+    id_col: str = "series_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """Ljung-Box portmanteau statistic per series (r6; Ljung & Box 1978):
+
+        Q(h) = n (n + 2) * sum_{k=1..h} acf(k)^2 / (n - k)
+
+    — the standard "is this residual series white noise?" test statistic,
+    the natural follow-up to q152's residual anomalies (large Q = the
+    residuals still carry structure the model missed). Reuses q167's
+    exact ACF folds; the k-sum is one more ascending fold and the n(n+2)
+    scale is exact integer-to-double. The STATISTIC only — the chi-square
+    p-value needs a CDF whose libm varies across engines, so thresholding
+    against a chosen critical value is the caller's move (Q ~ chi2(h):
+    15.5 at h=8, alpha=.05).
+
+    Output: (id_col, q_stat double, h int) — NULL q_stat when n < 2,
+    zero variance, or h >= n (the acf(k) would be undefined)."""
+    f = F.col(features_col)
+    n = F.size(f)
+    mean = F.aggregate(f, F.lit(0.0), lambda a, v: a + v) / n.cast("double")
+    base = series.select(
+        F.col(id_col), f.alias("_f"), n.alias("_n"), mean.alias("_m")
+    )
+    f2, n2, m2 = F.col("_f"), F.col("_n"), F.col("_m")
+    c0 = F.aggregate(f2, F.lit(0.0), lambda a, v: a + (v - m2) * (v - m2))
+
+    def c_at(lag: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), n2 - lag),
+            F.lit(0.0),
+            lambda a, t: a
+            + (F.element_at(f2, t.cast("int")) - m2)
+            * (F.element_at(f2, (t + lag).cast("int")) - m2),
+        )
+
+    ok = (n2 >= 2) & (c0 != 0) & (F.lit(h) < n2)
+    ssum = F.aggregate(
+        F.sequence(F.lit(1), F.lit(h)),
+        F.lit(0.0),
+        lambda a, k: a
+        + (c_at(k) / c0) * (c_at(k) / c0) / (n2 - k).cast("double"),
+    )
+    q = (n2.cast("double") * (n2 + 2).cast("double")) * ssum
+    return base.select(
+        F.col(id_col),
+        F.when(ok, q).alias("q_stat"),
+        F.lit(h).cast("int").alias("h"),
+    )
