@@ -3298,6 +3298,31 @@ def _q172_ljung_box(spark, sf_dir):
     return ljung_box(series, h=8)
 
 
+def _q173_knn_impute(spark, sf_dir):
+    """KNN imputation (r6; operators/knn.py::knn_impute — the KNNimpute
+    recipe): a deterministic ~14% mask (position t of series s goes NULL
+    when (s + t - 1) % 7 == 2 — referentially stable, no RNG) is filled
+    from the 3 nearest donors under mean-squared-difference over
+    CO-OBSERVED positions; donors NULL at the target position filter out
+    before the rank-ordered mean fold. One row per missing position,
+    n_donors degrades gracefully."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_impute
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    sid = F.col("series_id")
+    masked = series.select(
+        sid,
+        F.transform(
+            F.col("features"),
+            lambda x, i: F.when(
+                F.pmod(sid + i, F.lit(7)) == 2, F.lit(None).cast("double")
+            ).otherwise(x),
+        ).alias("features"),
+    )
+    return knn_impute(masked, k=3)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3512,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_viterbi_regimes": _q170_viterbi_regimes,
         "q171_fluss_segmentation": _q171_fluss_segmentation,
         "q172_ljung_box": _q172_ljung_box,
+        "q173_knn_impute": _q173_knn_impute,
     }
 
 
@@ -7005,6 +7031,62 @@ def oracle_sql() -> dict[str, str]:
                (s.s / 5.0) / l.lrd AS lof
         FROM slo s JOIN lrd l ON s.test_id = l.lid
         JOIN kd ON s.test_id = kd.oid
+    """
+
+    # q173 (r6): KNN imputation — co-observed msd ranking + filtered
+    # rank-ordered mean folds; the mask is the same (s + t - 1) % 7 == 2
+    # expression (Spark's transform index is 0-based, the SQL t 1-based)
+    out["q173_knn_impute"] = f"""
+        WITH {_SERIES_CTE},
+        msk AS (
+            SELECT series_id, list_transform(range(1, len(features) + 1),
+                t -> CASE WHEN (series_id + t - 1) % 7 = 2 THEN NULL
+                          ELSE features[t] END) AS f
+            FROM series
+        ),
+        ipairs AS (
+            SELECT a.series_id AS aid, b.series_id AS bid, b.f AS bf,
+                   list_filter(list_transform(range(1, len(a.f) + 1),
+                       t -> CASE WHEN a.f[t] IS NOT NULL
+                                  AND b.f[t] IS NOT NULL
+                             THEN (a.f[t] - b.f[t]) * (a.f[t] - b.f[t]) END),
+                       x -> x IS NOT NULL) AS obs
+            FROM msk a CROSS JOIN msk b WHERE a.series_id != b.series_id
+        ),
+        pd AS (
+            SELECT aid, bid, bf, len(obs) AS nobs,
+                   list_reduce(list_prepend(0.0, obs), (x, y) -> x + y) AS s
+            FROM ipairs WHERE len(obs) >= 1
+        ),
+        irk AS (
+            SELECT aid, bid, bf,
+                   row_number() OVER (PARTITION BY aid
+                       ORDER BY s / cast(nobs AS double) ASC, bid ASC) AS r
+            FROM pd
+        ),
+        itopk AS (SELECT * FROM irk WHERE r <= 3),
+        miss AS (
+            SELECT series_id AS aid, t FROM (
+                SELECT series_id, f, unnest(range(1, len(f) + 1)) AS t
+                FROM msk
+            ) WHERE f[t] IS NULL
+        ),
+        dv AS (
+            SELECT m.aid, m.t, k.r, k.bf[m.t] AS v
+            FROM miss m JOIN itopk k ON m.aid = k.aid
+            WHERE k.bf[m.t] IS NOT NULL
+        ),
+        ig AS (
+            SELECT aid, t, cast(count(*) AS bigint) AS n_donors,
+                   list_reduce(list_prepend(0.0, list(v ORDER BY r)),
+                               (x, y) -> x + y)
+                     / cast(count(*) AS double) AS imputed
+            FROM dv GROUP BY aid, t
+        )
+        SELECT m.aid AS series_id, cast(m.t AS int) AS t,
+               cast(coalesce(g.n_donors, 0) AS bigint) AS n_donors,
+               g.imputed
+        FROM miss m LEFT JOIN ig g ON m.aid = g.aid AND m.t = g.t
     """
 
     # q172 (r6): Ljung-Box — q167's acf folds squared into one more

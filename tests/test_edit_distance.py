@@ -241,3 +241,43 @@ def test_knn_lof_planted_outlier(spark):
     assert lofs[999] > 2.0
     in_cluster = [v for i, v in lofs.items() if i != 999]
     assert all(0.5 < v < 2.0 for v in in_cluster)
+
+
+def test_knn_impute_cluster_fill_and_degradation(spark):
+    """knn_impute (r6): a masked point in a tight cluster is filled with
+    its donors' rank-ordered mean; donors NULL at the position filter
+    out (n_donors < k); a position nobody observed stays NULL."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_impute
+
+    rows = [
+        # cluster A around [10, 20, 30, 40]; id=1 missing t=2
+        (1, [10.0, None, 30.0, 40.0]),
+        (2, [10.5, 20.5, 30.5, 40.5]),
+        (3, [9.5, 19.5, 29.5, 39.5]),
+        (4, [10.0, 20.0, 30.0, 40.0]),
+        # far-away cluster B (never among A's 3 nearest)
+        (5, [900.0, 900.0, 900.0, 900.0]),
+        # id=6: missing at t=4 where two of its donors are ALSO null
+        (6, [10.2, 20.2, 30.2, None]),
+        # id=7: all series null at t=1 except far-away B
+        (7, [None, 20.1, 30.1, 40.1]),
+    ]
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    out = {(r["series_id"], r["t"]): r for r in knn_impute(df, k=3).collect()}
+
+    r1 = out[(1, 2)]
+    assert r1["n_donors"] == 3
+    # donors of 1 are the A cluster (ranked by msd): mean of their t=2
+    assert abs(r1["imputed"] - (20.0 + 20.1 + 20.2) / 3) < 1.0
+    r6 = out[(6, 4)]
+    assert r6["n_donors"] == 3 and r6["imputed"] is not None
+    r7 = out[(7, 1)]
+    assert r7["n_donors"] == 3  # nearest 3 of id=7 all observe t=1
+
+    # direct no-donor case: everyone null at t=1
+    df2 = spark.createDataFrame(
+        [(1, [None, 2.0]), (2, [None, 2.5]), (3, [None, 3.0])],
+        "series_id long, features array<double>",
+    )
+    out2 = {(r["series_id"], r["t"]): r for r in knn_impute(df2, k=2).collect()}
+    assert out2[(1, 1)]["n_donors"] == 0 and out2[(1, 1)]["imputed"] is None

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Union
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.distance import DISTANCES, make_dtw_udf, make_fastdtw_udf, sq_euclidean
@@ -1251,5 +1251,96 @@ def knn_lof(
             F.col("lrd"),
             ((F.col("_s") / kd_f) / F.col("lrd")).alias("lof"),
         )
+    )
+    return out
+
+
+def knn_impute(
+    df: DataFrame,
+    *,
+    k: int = 3,
+    id_col: str = "series_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """KNN imputation over series with missing (NULL) points (r6): each
+    missing position is filled with the mean of its k nearest DONOR
+    series' values there — the classic co-observation KNN imputer
+    (Troyanskaya et al. 2001, KNNimpute), the data-cleaning primitive a
+    real telemetry corpus needs before any fixed-length operator.
+
+    Distance = mean squared difference over CO-OBSERVED positions only
+    (sum of per-position squared diffs where both sides are non-NULL,
+    divided by the observed count — one exact division; pairs with no
+    overlap drop out). Donors ranked (msd ASC, donor_id ASC), self
+    excluded BY ID (a zero distance from an identical donor is still a
+    legitimate donor). At each missing position, donors that are ALSO
+    NULL there are filtered BEFORE the rank-ordered mean fold, so the
+    fold is deterministic and a donor shortage degrades gracefully
+    (n_donors < k); positions no donor observed stay NULL.
+
+    Output: one row per MISSING position — (id_col, t, n_donors,
+    imputed). Raw doubles, engine-exact (filtered ascending folds, exact
+    divisions). Scale: one broadcast cross join pre-capped by the rank
+    window (the KNN pair volume), one posexplode of missing positions,
+    one bounded k-row fold per position.
+    """
+    a = df.select(F.col(id_col).alias("_aid"), F.col(features_col).alias("_af"))
+    b = df.select(F.col(id_col).alias("_bid"), F.col(features_col).alias("_bf"))
+    diffs = F.zip_with(
+        F.col("_af"),
+        F.col("_bf"),
+        lambda x, y: F.when(x.isNotNull() & y.isNotNull(), (x - y) * (x - y)),
+    )
+    obs = F.filter(diffs, lambda v: v.isNotNull())
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("_aid") != F.col("_bid"))
+        .select(
+            "_aid",
+            "_bid",
+            "_bf",
+            F.size(obs).alias("_nobs"),
+            F.aggregate(obs, F.lit(0.0), lambda acc, v: acc + v).alias("_s"),
+        )
+        .filter(F.col("_nobs") >= 1)
+        .withColumn("_msd", F.col("_s") / F.col("_nobs").cast("double"))
+    )
+    w = Window.partitionBy("_aid").orderBy(F.asc("_msd"), F.asc("_bid"))
+    topk = (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("_aid", "_rk", "_bf")
+    )
+    missing = (
+        a.select("_aid", F.posexplode("_af").alias("_pos", "_val"))
+        .filter(F.col("_val").isNull())
+        .select("_aid", (F.col("_pos") + 1).cast("int").alias("t"))
+    )
+    dv = missing.join(topk, "_aid").select(
+        "_aid",
+        "t",
+        "_rk",
+        F.element_at(F.col("_bf"), F.col("t")).alias("_dv"),
+    ).filter(F.col("_dv").isNotNull())
+    g = dv.groupBy("_aid", "t").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_rk").alias("r"), F.col("_dv").alias("v")))
+        ).alias("_nb")
+    )
+    filled = g.select(
+        F.col("_aid"),
+        F.col("t"),
+        F.size("_nb").cast("bigint").alias("n_donors"),
+        (
+            F.aggregate(F.col("_nb"), F.lit(0.0), lambda acc, x: acc + x["v"])
+            / F.size("_nb").cast("double")
+        ).alias("imputed"),
+    )
+    # keep positions NO donor observed (all-k NULL there): left join back
+    out = missing.join(filled, ["_aid", "t"], "left").select(
+        F.col("_aid").alias(id_col),
+        "t",
+        F.coalesce(F.col("n_donors"), F.lit(0).cast("bigint")).alias("n_donors"),
+        F.col("imputed"),
     )
     return out
