@@ -3323,6 +3323,20 @@ def _q173_knn_impute(spark, sf_dir):
     return knn_impute(masked, k=3)
 
 
+def _q174_sfa_words(spark, sf_dir):
+    """SFA symbolic words (r6; operators/sax.py::sfa_words — Schäfer &
+    Högqvist EDBT 2012, the BOSS-family symbolization): first-4 Fourier
+    coefficients from the q168 literal twiddles, micro-rounded to BIGINT,
+    binned by per-dimension CORPUS quartiles (Spark percentile == DuckDB
+    quantile_cont on integer input — the q36 trick), concatenated in
+    dimension order. SAX bins time; SFA bins frequency."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import sfa_words
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return sfa_words(series, length=SERIES_LEN, n_coeffs=4)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3538,6 +3552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_fluss_segmentation": _q171_fluss_segmentation,
         "q172_ljung_box": _q172_ljung_box,
         "q173_knn_impute": _q173_knn_impute,
+        "q174_sfa_words": _q174_sfa_words,
     }
 
 
@@ -7334,6 +7349,54 @@ def oracle_sql() -> dict[str, str]:
                cast({_pg_pos} AS int) AS dom_freq,
                {float(SERIES_LEN)!r} / cast({_pg_pos} AS double) AS dom_period
         FROM ps
+    """
+
+    # q174 (r6): SFA words — the q168 twiddle folds micro-rounded, MCB
+    # quartile edges via quantile_cont == percentile on integer input
+    # (q36), digit concat in dimension order
+    _sfa_dims = []
+    for _i, (_k, _cs, _sn) in enumerate(_pg[:4]):
+        _sfa_dims.append((2 * _i, _cs))
+        _sfa_dims.append((2 * _i + 1, _sn))
+    _sfa_co = ",\n                   ".join(
+        f"cast(round(({_pg_fold(tab)}) * 1000000.0) AS bigint) AS cm{d}"
+        for d, tab in _sfa_dims
+    )
+    _sfa_long = "\n            UNION ALL ".join(
+        f"SELECT series_id, {d} AS dim, cm{d} AS cm FROM sfaco"
+        for d, _ in _sfa_dims
+    )
+    out["q174_sfa_words"] = f"""
+        WITH {_SERIES_CTE},
+        sfabase AS (
+            SELECT series_id, features AS f FROM series
+            WHERE len(features) = {SERIES_LEN}
+        ),
+        sfaco AS (
+            SELECT series_id,
+                   {_sfa_co}
+            FROM sfabase
+        ),
+        sfalong AS (
+            {_sfa_long}
+        ),
+        sfaedges AS (
+            SELECT dim, quantile_cont(cm, 0.25) AS e1,
+                   quantile_cont(cm, 0.5) AS e2,
+                   quantile_cont(cm, 0.75) AS e3
+            FROM sfalong GROUP BY dim
+        ),
+        sfasym AS (
+            SELECT l.series_id, l.dim,
+                   CASE WHEN cast(l.cm AS double) <= e.e1 THEN 0
+                        WHEN cast(l.cm AS double) <= e.e2 THEN 1
+                        WHEN cast(l.cm AS double) <= e.e3 THEN 2
+                        ELSE 3 END AS s
+            FROM sfalong l JOIN sfaedges e ON l.dim = e.dim
+        )
+        SELECT series_id,
+               string_agg(cast(s AS varchar), '' ORDER BY dim) AS sfa_word
+        FROM sfasym GROUP BY series_id
     """
 
     # q167 (r6): ACF + dominant lag — mean/variance/covariance ascending

@@ -443,3 +443,31 @@ def test_fluss_segmentation_finds_regime_boundary(spark):
             if min(q["start"], q["nn_start"]) <= r["p"] < max(q["start"], q["nn_start"])
         )
         assert r["arcs"] == expect, r["p"]
+
+
+def test_sfa_words_shape_discrimination(spark):
+    """sfa_words (r6): same-shape series (shifted copies / scaled
+    sinusoids of one period) share frequency structure and get closer
+    words than a different-period shape; words are 2*n_coeffs digits in
+    {0..3}; per-dimension symbols spread across bins (quartile MCB)."""
+    import math
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import sfa_words
+
+    def sig(period, amp, phase):
+        return [amp * math.sin(2 * math.pi * (t + phase) / period) for t in range(16)]
+
+    rows = (
+        [(i, sig(4, 3.0 + 0.1 * i, 0)) for i in range(6)]         # period-4 family
+        + [(10 + i, sig(8, 3.0 + 0.1 * i, 0)) for i in range(6)]  # period-8 family
+    )
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    got = {r["series_id"]: r["sfa_word"] for r in sfa_words(df, length=16, n_coeffs=4).collect()}
+    assert all(len(w) == 8 and set(w) <= set("0123") for w in got.values())
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    within4 = [ham(got[i], got[j]) for i in range(6) for j in range(i + 1, 6)]
+    across = [ham(got[i], got[10 + j]) for i in range(6) for j in range(6)]
+    assert sum(within4) / len(within4) < sum(across) / len(across)

@@ -112,6 +112,7 @@ from .sax import (  # noqa: F401
     sax_knn_classify,
     sax_mindist_sq,
     sax_symbolize,
+    sfa_words,
 )
 from .motif import (  # noqa: F401
     bop_classify,

@@ -177,3 +177,84 @@ def sax_knn_classify(
         pairs, "test_id", [F.asc("d"), F.asc("train_label"), F.asc("train_id")], k
     )
     return majority_vote(topk)
+
+
+def sfa_words(
+    series: DataFrame,
+    *,
+    length: int,
+    n_coeffs: int = 4,
+    id_col: str = "series_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """SFA — Symbolic Fourier Approximation words (r6; Schäfer & Högqvist,
+    EDBT 2012 — the BOSS family's symbolization): where SAX bins the TIME
+    domain (PAA means), SFA bins the FREQUENCY domain — the first
+    ``n_coeffs`` Fourier coefficients (real+imag, via the q168 literal
+    twiddle tables), each discretized into 4 symbols by Multiple
+    Coefficient Binning: per-dimension CORPUS quartiles as the bin edges.
+
+    Exactness chain: coefficients fold over literal twiddles ->
+    micro-rounded BIGINT (the integer-percentile trick, q36/q69) ->
+    Spark ``percentile`` == DuckDB ``quantile_cont`` on integer input ->
+    symbol comparisons on exact doubles -> word = digits concatenated in
+    dimension order. Two corpus passes (coefficients, then binning —
+    edges are a 2*n_coeffs-row broadcast); rows whose length differs
+    from ``length`` are filtered (twiddles are length-specific).
+
+    Output: (id_col, sfa_word string) — the content-addressable series
+    key for BOSS-style bag-of-words classification and grouping."""
+    from .features import periodogram_twiddles
+
+    tw = periodogram_twiddles(length, n_coeffs)
+    f = F.col(features_col)
+    base = series.filter(F.size(f) == length)
+
+    def fold_lit(table):
+        arr = F.array(*[F.lit(c) for c in table])
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(length)),
+            F.lit(0.0),
+            lambda a, t: a
+            + F.element_at(f, t.cast("int")) * F.element_at(arr, t.cast("int")),
+        )
+
+    def micro(col):
+        return F.round(col * F.lit(1_000_000.0)).cast("bigint")
+
+    entries = []
+    for idx, (k, cs, sn) in enumerate(tw):
+        entries.append(
+            F.struct(F.lit(2 * idx).alias("dim"), micro(fold_lit(cs)).alias("cm"))
+        )
+        entries.append(
+            F.struct(F.lit(2 * idx + 1).alias("dim"), micro(fold_lit(sn)).alias("cm"))
+        )
+    long = base.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("_e")
+    ).select(F.col(id_col), F.col("_e.dim").alias("dim"), F.col("_e.cm").alias("cm"))
+    edges = long.groupBy("dim").agg(
+        F.expr("percentile(cm, 0.25D)").alias("e1"),
+        F.expr("percentile(cm, 0.5D)").alias("e2"),
+        F.expr("percentile(cm, 0.75D)").alias("e3"),
+    )
+    sym = long.join(F.broadcast(edges), "dim").select(
+        F.col(id_col),
+        F.col("dim"),
+        F.when(F.col("cm").cast("double") <= F.col("e1"), F.lit(0))
+        .when(F.col("cm").cast("double") <= F.col("e2"), F.lit(1))
+        .when(F.col("cm").cast("double") <= F.col("e3"), F.lit(2))
+        .otherwise(F.lit(3))
+        .alias("s"),
+    )
+    return sym.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim").alias("d"), F.col("s").alias("s")))
+                ),
+                lambda x: x["s"].cast("string"),
+            ),
+            "",
+        ).alias("sfa_word")
+    )
