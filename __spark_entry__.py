@@ -3337,6 +3337,20 @@ def _q174_sfa_words(spark, sf_dir):
     return sfa_words(series, length=SERIES_LEN, n_coeffs=4)
 
 
+def _q175_forecast_backtest(spark, sf_dir):
+    """Holdout forecast backtest (r6; operators/forecast.py::
+    forecast_backtest): Holt fit on the first 12 points, h=1..4 scored
+    against the held-out tail — MAE/RMSE/naive-baseline MAE/MASE
+    (Hyndman & Koehler 2006), every metric an ascending fold + exact
+    division (+ one sqrt). Raw doubles hash-green; the evaluation loop
+    that makes q151/q155/q158 a measured choice."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import forecast_backtest
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return forecast_backtest(series, holdout=4)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3553,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_ljung_box": _q172_ljung_box,
         "q173_knn_impute": _q173_knn_impute,
         "q174_sfa_words": _q174_sfa_words,
+        "q175_forecast_backtest": _q175_forecast_backtest,
     }
 
 
@@ -7349,6 +7364,58 @@ def oracle_sql() -> dict[str, str]:
                cast({_pg_pos} AS int) AS dom_freq,
                {float(SERIES_LEN)!r} / cast({_pg_pos} AS double) AS dom_period
         FROM ps
+    """
+
+    # q175 (r6): Holt holdout backtest — q151's recurrence on the train
+    # head + elementwise error folds, exact divisions, one sqrt
+    out["q175_forecast_backtest"] = f"""
+        WITH {_SERIES_CTE},
+        fb AS (
+            SELECT series_id,
+                   features[1 : len(features) - 4] AS head,
+                   features[len(features) - 3 :] AS act
+            FROM series WHERE len(features) >= 6
+        ),
+        fst AS (
+            SELECT series_id, head, act,
+                   list_reduce(
+                       list_prepend([head[2], head[2] - head[1]],
+                           list_transform(head[3:], x -> [x, 0.0])),
+                       (acc, e) -> [
+                           0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                           0.25 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2]))
+                                   - acc[1]) + 0.75 * acc[2]
+                       ]) AS s
+            FROM fb
+        ),
+        ffc AS (
+            SELECT series_id, head, act,
+                   [s[1] + 1.0 * s[2], s[1] + 2.0 * s[2],
+                    s[1] + 3.0 * s[2], s[1] + 4.0 * s[2]] AS fc
+            FROM fst
+        ),
+        fm AS (
+            SELECT series_id,
+                   list_reduce(list_prepend(0.0, list_transform(range(1, 5),
+                       h -> abs(fc[h] - act[h]))), (a, v) -> a + v) / 4.0
+                     AS mae,
+                   sqrt(list_reduce(list_prepend(0.0,
+                       list_transform(range(1, 5),
+                           h -> (fc[h] - act[h]) * (fc[h] - act[h]))),
+                       (a, v) -> a + v) / 4.0) AS rmse,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(act, a -> abs(head[-1] - a))),
+                       (a, v) -> a + v) / 4.0 AS mae_naive,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(range(2, len(head) + 1),
+                           t -> abs(head[t] - head[t - 1]))),
+                       (a, v) -> a + v)
+                     / cast(len(head) - 1 AS double) AS insample
+            FROM ffc
+        )
+        SELECT series_id, mae, rmse, mae_naive,
+               CASE WHEN insample != 0 THEN mae / insample END AS mase
+        FROM fm
     """
 
     # q174 (r6): SFA words — the q168 twiddle folds micro-rounded, MCB

@@ -691,3 +691,37 @@ def test_ljung_box_white_noise_vs_structure(spark):
             s += (c / c0) * (c / c0) / (n - k)
         return (n * float(n + 2)) * s
     assert got[1] == replay(noise) and got[2] == replay(trend)
+
+
+def test_forecast_backtest_linear_beats_naive(spark):
+    """forecast_backtest (r6): on a clean linear trend Holt extrapolates
+    (mase << 1, mae ~ 0) while the naive baseline trails by the slope;
+    a constant head NULLs mase; short series drop; python replay exact."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import forecast_backtest
+
+    lin = [float(2 * t + 1) for t in range(16)]
+    const = [5.0] * 10 + [5.0, 5.0, 5.0, 5.0]
+    rows = [(1, lin), (2, const), (3, [1.0, 2.0, 3.0])]
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    got = {r["series_id"]: r for r in forecast_backtest(df, holdout=4).collect()}
+    assert 3 not in got  # shorter than holdout + 2
+    r1 = got[1]
+    assert r1["mae"] < 1e-9 and r1["rmse"] < 1e-9
+    assert abs(r1["mae_naive"] - (2 + 4 + 6 + 8) / 4) < 1e-9
+    assert r1["mase"] < 0.01
+    r2 = got[2]
+    assert r2["mae"] == 0.0 and r2["mase"] is None  # constant: naive has 0 in-sample MAE
+
+    # replay r1 exactly
+    head, act = lin[:12], lin[12:]
+    l, b = head[1], head[1] - head[0]
+    for x in head[2:]:
+        nl = 0.5 * x + 0.5 * (l + b)
+        b = 0.25 * (nl - l) + 0.75 * b
+        l = nl
+    fc = [l + h * b for h in (1.0, 2.0, 3.0, 4.0)]
+    mae = 0.0
+    for p, a in zip(fc, act):
+        mae += abs(p - a)
+    mae /= 4.0
+    assert got[1]["mae"] == mae

@@ -56,7 +56,7 @@ from .features import (  # noqa: F401
     theil_sen,
     viterbi_regimes,
 )
-from .forecast import ar_forecast, holt_forecast, holt_winters_forecast  # noqa: F401
+from .forecast import ar_forecast, forecast_backtest, holt_forecast, holt_winters_forecast  # noqa: F401
 from .bpe import apply_merge, bpe_encode, train_bpe  # noqa: F401
 from .corpus import (  # noqa: F401
     bm25_build,

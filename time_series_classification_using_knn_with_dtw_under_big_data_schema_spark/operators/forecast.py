@@ -264,3 +264,82 @@ def ar_forecast(
     for h in hs:
         out.append(fcs[h - 1].alias(f"fc_{h}"))
     return series.select(*out)
+
+
+def forecast_backtest(
+    series: DataFrame,
+    *,
+    holdout: int = 4,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    id_col: str = "series_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """Holdout backtest of the Holt forecaster per series (r6): fit on the
+    first n - holdout points, forecast h = 1..holdout, score against the
+    held-out tail — the evaluation loop that turns the forecasting
+    operators (q151/q155/q158) into a measured choice:
+
+        mae       mean |fc_h - actual_h| over the holdout
+        rmse      sqrt(mean squared error)
+        mae_naive same for the last-value-carried-forward baseline
+        mase      mae / (in-sample one-step naive MAE on the train head)
+                  (Hyndman & Koehler 2006 — scale-free, < 1 means
+                  "beats naive"; NULL for constant heads)
+
+    Every metric is an ascending fold + exact division (+ one sqrt), so
+    raw doubles hash cross-engine. Series shorter than holdout + 2 drop
+    (Holt needs 2 train points). Per-row projection, no shuffle."""
+    from pyspark.sql import functions as F
+
+    f = F.col(features_col)
+    n = F.size(f)
+    base = series.filter(n >= holdout + 2).select(
+        F.col(id_col),
+        F.slice(f, 1, n - holdout).alias("_head"),
+        F.slice(f, n - holdout + 1, holdout).alias("_act"),
+    )
+    fits = holt_forecast(
+        base.select(F.col(id_col), F.col("_head").alias(features_col)),
+        alpha=alpha,
+        beta=beta,
+        horizons=tuple(range(1, holdout + 1)),
+        id_col=id_col,
+        features_col=features_col,
+    )
+    j = base.join(fits, id_col)
+    fc = F.array(*[F.col(f"fc_{h}") for h in range(1, holdout + 1)])
+    act = F.col("_act")
+    hd = F.lit(float(holdout))
+    mae = F.aggregate(
+        F.zip_with(fc, act, lambda p, a: F.abs(p - a)), F.lit(0.0), lambda s, v: s + v
+    ) / hd
+    rmse = F.sqrt(
+        F.aggregate(
+            F.zip_with(fc, act, lambda p, a: (p - a) * (p - a)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        / hd
+    )
+    last = F.element_at(F.col("_head"), -1)
+    mae_naive = F.aggregate(
+        F.transform(act, lambda a: F.abs(last - a)), F.lit(0.0), lambda s, v: s + v
+    ) / hd
+    m = F.size("_head")
+    insample = F.aggregate(
+        F.sequence(F.lit(2), m),
+        F.lit(0.0),
+        lambda s, t: s
+        + F.abs(
+            F.element_at("_head", t.cast("int"))
+            - F.element_at("_head", (t - 1).cast("int"))
+        ),
+    ) / (m - 1).cast("double")
+    return j.select(
+        F.col(id_col),
+        mae.alias("mae"),
+        rmse.alias("rmse"),
+        mae_naive.alias("mae_naive"),
+        F.when(insample != 0, mae / insample).alias("mase"),
+    )
