@@ -3351,6 +3351,21 @@ def _q175_forecast_backtest(spark, sf_dir):
     return forecast_backtest(series, holdout=4)
 
 
+def _q176_pacf(spark, sf_dir):
+    """Partial autocorrelation via Durbin-Levinson (r6; operators/
+    features.py::pacf_features): the Box-Jenkins identification pair's
+    second half — one fold over k carrying (phi row, pacf list), inner
+    sums ascending folds over the CARRIED accumulator. Raw doubles; the
+    all-or-nothing NULL guard (n <= max_lag or constant) keeps division
+    NaNs out of the hash. Oracle = the identical recursion as a
+    recursive CTE."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import pacf_features
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return pacf_features(series, max_lag=8)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3568,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_knn_impute": _q173_knn_impute,
         "q174_sfa_words": _q174_sfa_words,
         "q175_forecast_backtest": _q175_forecast_backtest,
+        "q176_pacf": _q176_pacf,
     }
 
 
@@ -7364,6 +7380,61 @@ def oracle_sql() -> dict[str, str]:
                cast({_pg_pos} AS int) AS dom_freq,
                {float(SERIES_LEN)!r} / cast({_pg_pos} AS double) AS dom_period
         FROM ps
+    """
+
+    # q176 (r6): Durbin-Levinson PACF — the q167 acf folds feeding a
+    # recursive CTE that carries (phi row, pacf list); pk's expression is
+    # duplicated per use (identical value DAG, the engine does the same)
+    _dl_s1 = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, k + 1),"
+        " j -> phi[j] * a[k + 1 - j])), (s, v) -> s + v)"
+    )
+    _dl_s2 = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, k + 1),"
+        " j -> phi[j] * a[j])), (s, v) -> s + v)"
+    )
+    _dl_pk = f"((a[k + 1] - {_dl_s1}) / (1.0 - {_dl_s2}))"
+    _pacf_c = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, n - l + 1),"
+        " t -> (f[t] - m) * (f[t + l] - m))), (x, v) -> x + v)"
+    )
+    out["q176_pacf"] = f"""
+        WITH RECURSIVE {_SERIES_CTE},
+        pbase AS (
+            SELECT series_id, features AS f, len(features) AS n,
+                   list_reduce(list_prepend(0.0, features), (a, v) -> a + v)
+                     / cast(len(features) AS double) AS m
+            FROM series
+        ),
+        pstt AS (
+            SELECT series_id, f, n, m,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(f, v -> (v - m) * (v - m))),
+                       (a, v) -> a + v) AS c0
+            FROM pbase
+        ),
+        par AS (
+            SELECT series_id,
+                   CASE WHEN n > 8 AND c0 != 0 THEN
+                       list_transform(range(1, 9), l -> {_pacf_c} / c0)
+                   END AS a
+            FROM pstt
+        ),
+        pdp AS (
+            SELECT series_id, a, 1 AS k,
+                   [a[1]] AS phi, [a[1]] AS pac
+            FROM par WHERE a IS NOT NULL
+            UNION ALL
+            SELECT series_id, a, k + 1,
+                   list_append(list_transform(range(1, k + 1),
+                       j -> phi[j] - {_dl_pk} * phi[k + 1 - j]), {_dl_pk}),
+                   list_append(pac, {_dl_pk})
+            FROM pdp WHERE k < 8
+        )
+        SELECT p.series_id,
+               {", ".join(f"d.pac[{k}] AS pacf{k}" for k in range(1, 9))}
+        FROM par p LEFT JOIN (SELECT series_id, pac FROM pdp WHERE k = 8) d
+          USING (series_id)
     """
 
     # q175 (r6): Holt holdout backtest — q151's recurrence on the train

@@ -725,3 +725,61 @@ def test_forecast_backtest_linear_beats_naive(spark):
         mae += abs(p - a)
     mae /= 4.0
     assert got[1]["mae"] == mae
+
+
+def test_pacf_durbin_levinson_replay_and_cutoff(spark):
+    """pacf_features (r6): bit-exact vs an independent python
+    Durbin-Levinson; pacf1 == acf1; on an AR(1) path the lag-1 partial
+    dominates every later one; guards NULL."""
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import pacf_features
+
+    rng = np.random.default_rng(33)
+    x = [0.0]
+    for _ in range(255):
+        x.append(0.8 * x[-1] + float(rng.normal(0, 1)))
+    ar1 = [float(v) for v in x]
+    rnd = [float(v) for v in rng.uniform(0, 10, 16)]
+    rows = [(1, ar1), (2, rnd), (3, [4.0] * 16), (4, [1.0] * 8)]
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    got = {r["series_id"]: r for r in pacf_features(df, max_lag=8).collect()}
+    assert all(got[3][f"pacf{k}"] is None for k in range(1, 9))  # constant
+    assert all(got[4][f"pacf{k}"] is None for k in range(1, 9))  # n <= max_lag
+
+    def replay(xs, K=8):
+        n = len(xs)
+        m = 0.0
+        for v in xs:
+            m += v
+        m /= n
+        c0 = 0.0
+        for v in xs:
+            c0 += (v - m) * (v - m)
+        a = []
+        for lag in range(1, K + 1):
+            c = 0.0
+            for t in range(n - lag):
+                c += (xs[t] - m) * (xs[t + lag] - m)
+            a.append(c / c0)
+        a = [None] + a  # 1-based
+        phi = [a[1]]
+        pac = [a[1]]
+        for k in range(2, K + 1):
+            s1 = 0.0
+            s2 = 0.0
+            for j in range(1, k):
+                s1 += phi[j - 1] * a[k - j]
+                s2 += phi[j - 1] * a[j]
+            pk = (a[k] - s1) / (1.0 - s2)
+            phi = [phi[j - 1] - pk * phi[k - j - 1] for j in range(1, k)] + [pk]
+            pac.append(pk)
+        return pac
+
+    for sid, xs in ((1, ar1), (2, rnd)):
+        exp = replay(xs)
+        for k in range(1, 9):
+            assert got[sid][f"pacf{k}"] == exp[k - 1], (sid, k)
+    # AR(1): partial autocorrelation cuts off after lag 1 (256-pt path:
+    # later partials are sampling noise ~1/sqrt(n))
+    assert abs(got[1]["pacf1"]) > 3 * max(abs(got[1][f"pacf{k}"]) for k in range(2, 9))

@@ -48,6 +48,7 @@ from .features import (  # noqa: F401
     ljung_box,
     make_rocket_kernels,
     mann_kendall,
+    pacf_features,
     periodogram,
     periodogram_twiddles,
     rocket_features,

@@ -869,3 +869,103 @@ def ljung_box(
         F.when(ok, q).alias("q_stat"),
         F.lit(h).cast("int").alias("h"),
     )
+
+
+def pacf_features(
+    series: DataFrame,
+    *,
+    max_lag: int = 8,
+    id_col: str = "series_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """Partial autocorrelation per series via the Durbin-Levinson
+    recursion (r6) — with q167's ACF, the Box-Jenkins model-identification
+    pair (AR order = the lag where PACF cuts off; MA order = where ACF
+    does):
+
+        phi_{1,1} = acf(1)
+        phi_{k,k} = (acf(k) - sum_j phi_{k-1,j} acf(k-j))
+                    / (1 - sum_j phi_{k-1,j} acf(j))
+        phi_{k,j} = phi_{k-1,j} - phi_{k,k} phi_{k-1,k-j}
+
+    One fold over k carrying (phi row, pacf list); the inner sums are
+    ascending folds over the CARRIED phi (a fold accumulator, not a
+    re-expanded expression), so per-step cost is O(k) and the whole
+    recursion mirrors fold-for-fold in a recursive CTE. Output:
+    (id_col, pacf1..pacf{max_lag}) — all NULL when n <= max_lag or the
+    series is constant (same all-or-nothing guard as q167; keeps
+    0/0-NaN division semantics out of cross-engine hashes)."""
+    f = F.col(features_col)
+    n = F.size(f)
+    mean = F.aggregate(f, F.lit(0.0), lambda a, v: a + v) / n.cast("double")
+    base = series.select(
+        F.col(id_col), f.alias("_f"), n.alias("_n"), mean.alias("_m")
+    )
+    f2, n2, m2 = F.col("_f"), F.col("_n"), F.col("_m")
+    c0 = F.aggregate(f2, F.lit(0.0), lambda a, v: a + (v - m2) * (v - m2))
+
+    def c_at(lag: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), n2 - lag),
+            F.lit(0.0),
+            lambda a, t: a
+            + (F.element_at(f2, t.cast("int")) - m2)
+            * (F.element_at(f2, (t + lag).cast("int")) - m2),
+        )
+
+    ok = (n2 > max_lag) & (c0 != 0)
+    arr = F.when(
+        ok,
+        F.transform(F.sequence(F.lit(1), F.lit(max_lag)), lambda l: c_at(l) / c0),
+    )
+    staged = base.select(F.col(id_col), arr.alias("_a"))
+    a = F.col("_a")
+
+    def step(acc: Column, k: Column) -> Column:
+        phi = acc["phi"]
+        s1 = F.aggregate(
+            F.sequence(F.lit(1), k - 1),
+            F.lit(0.0),
+            lambda s, j: s
+            + F.element_at(phi, j.cast("int"))
+            * F.element_at(a, (k - j).cast("int")),
+        )
+        s2 = F.aggregate(
+            F.sequence(F.lit(1), k - 1),
+            F.lit(0.0),
+            lambda s, j: s
+            + F.element_at(phi, j.cast("int")) * F.element_at(a, j.cast("int")),
+        )
+        pk = (F.element_at(a, k.cast("int")) - s1) / (F.lit(1.0) - s2)
+        new_phi = F.array_append(
+            F.transform(
+                F.sequence(F.lit(1), k - 1),
+                lambda j: F.element_at(phi, j.cast("int"))
+                - pk * F.element_at(phi, (k - j).cast("int")),
+            ),
+            pk,
+        )
+        return F.struct(
+            new_phi.alias("phi"), F.array_append(acc["pac"], pk).alias("pac")
+        )
+
+    init = F.struct(
+        F.array(F.element_at(a, 1)).alias("phi"),
+        F.array(F.element_at(a, 1)).alias("pac"),
+    )
+    # max_lag == 1 would make sequence(2, 1) DESCEND (repo invariant):
+    # the recursion has no steps, pacf1 = acf(1) directly
+    pac = F.when(
+        a.isNotNull(),
+        F.array(F.element_at(a, 1))
+        if max_lag < 2
+        else F.aggregate(F.sequence(F.lit(2), F.lit(max_lag)), init, step)["pac"],
+    )
+    st2 = staged.select(F.col(id_col), pac.alias("_p"))
+    return st2.select(
+        F.col(id_col),
+        *[
+            F.element_at(F.col("_p"), k).alias(f"pacf{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
