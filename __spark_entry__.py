@@ -3366,6 +3366,19 @@ def _q176_pacf(spark, sf_dir):
     return pacf_features(series, max_lag=8)
 
 
+def _q177_haar_features(spark, sf_dir):
+    """Haar wavelet multiresolution features (r6; operators/features.py::
+    haar_features): 4-level pairwise average/half-difference pyramid on
+    the 16-pt series — final approximation + detail energy per scale
+    (fine -> coarse). Single IEEE halvings and ascending energy folds;
+    the lag/frequency/scale feature triad with q167/q168."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import haar_features
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return haar_features(series, levels=4)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3584,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_sfa_words": _q174_sfa_words,
         "q175_forecast_backtest": _q175_forecast_backtest,
         "q176_pacf": _q176_pacf,
+        "q177_haar_features": _q177_haar_features,
     }
 
 
@@ -7380,6 +7394,35 @@ def oracle_sql() -> dict[str, str]:
                cast({_pg_pos} AS int) AS dom_freq,
                {float(SERIES_LEN)!r} / cast({_pg_pos} AS double) AS dom_period
         FROM ps
+    """
+
+    # q177 (r6): Haar pyramid — recursive halving CTE carrying
+    # (avg list, energy list); pure adds/halvings + ascending folds
+    out["q177_haar_features"] = f"""
+        WITH RECURSIVE {_SERIES_CTE},
+        hbase AS (
+            SELECT series_id, features[1 : 16] AS f
+            FROM series WHERE len(features) >= 16
+        ),
+        hdp AS (
+            SELECT series_id, 0 AS lvl, f AS avg,
+                   cast([] AS double[]) AS en
+            FROM hbase
+            UNION ALL
+            SELECT series_id, lvl + 1,
+                   list_transform(range(1, len(avg) // 2 + 1),
+                       i -> (avg[2*i - 1] + avg[2*i]) / 2.0),
+                   list_append(en,
+                       list_reduce(list_prepend(0.0,
+                           list_transform(range(1, len(avg) // 2 + 1),
+                               i -> ((avg[2*i - 1] - avg[2*i]) / 2.0)
+                                    * ((avg[2*i - 1] - avg[2*i]) / 2.0))),
+                           (s, v) -> s + v))
+            FROM hdp WHERE lvl < 4
+        )
+        SELECT series_id, avg[1] AS approx,
+               en[1] AS e1, en[2] AS e2, en[3] AS e3, en[4] AS e4
+        FROM hdp WHERE lvl = 4
     """
 
     # q176 (r6): Durbin-Levinson PACF — the q167 acf folds feeding a

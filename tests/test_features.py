@@ -783,3 +783,37 @@ def test_pacf_durbin_levinson_replay_and_cutoff(spark):
     # AR(1): partial autocorrelation cuts off after lag 1 (256-pt path:
     # later partials are sampling noise ~1/sqrt(n))
     assert abs(got[1]["pacf1"]) > 3 * max(abs(got[1][f"pacf{k}"]) for k in range(2, 9))
+
+
+def test_haar_features_scale_separation_and_replay(spark):
+    """haar_features (r6): a fast alternation puts its energy at the
+    finest scale, a slow two-block step at the coarsest; approx is the
+    global mean for dyadic input; python pyramid replay is bit-exact;
+    short rows filter."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import haar_features
+
+    fast = [float((-1) ** t) * 3.0 for t in range(16)]          # +-3 alternation
+    slow = [0.0] * 8 + [8.0] * 8                                # one coarse step
+    rows = [(1, fast), (2, slow), (3, [1.0] * 7)]
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    got = {r["series_id"]: r for r in haar_features(df, levels=4).collect()}
+    assert 3 not in got
+    assert got[1]["e1"] > 0 and got[1]["e2"] == got[1]["e3"] == got[1]["e4"] == 0.0
+    assert got[2]["e4"] > 0 and got[2]["e1"] == got[2]["e2"] == got[2]["e3"] == 0.0
+    assert got[2]["approx"] == 4.0
+
+    def replay(x):
+        avg = list(x)
+        en = []
+        for _ in range(4):
+            na, e = [], 0.0
+            for i in range(len(avg) // 2):
+                na.append((avg[2 * i] + avg[2 * i + 1]) / 2.0)
+                d = (avg[2 * i] - avg[2 * i + 1]) / 2.0
+                e += d * d
+            avg, _ = na, en.append(e)
+        return avg[0], en
+    for sid, x in ((1, fast), (2, slow)):
+        ap, en = replay(x)
+        assert got[sid]["approx"] == ap
+        assert [got[sid][f"e{l}"] for l in range(1, 5)] == en

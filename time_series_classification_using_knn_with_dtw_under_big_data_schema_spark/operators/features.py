@@ -969,3 +969,83 @@ def pacf_features(
             for k in range(1, max_lag + 1)
         ],
     )
+
+
+def haar_features(
+    series: DataFrame,
+    *,
+    levels: int = 4,
+    id_col: str = "series_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """Haar wavelet multiresolution features per series (r6): the classic
+    O(n) DWT — at each level, pairwise averages carry to the next level
+    and pairwise half-differences become detail coefficients; output the
+    final approximation (the 2^levels-point mean under Haar weighting)
+    and the DETAIL ENERGY per level (sum of squared details, fine ->
+    coarse). Energy by scale separates fast-wiggle series from
+    slow-drift series even when their variance matches — the
+    multiresolution complement to q167 (lag domain) and q168 (frequency
+    domain).
+
+    Haar ops are single IEEE adds/subtracts/halvings and ascending
+    energy folds — raw doubles mirror cross-engine exactly. Series are
+    truncated to their first 2^levels points; shorter rows are FILTERED
+    (the pyramid needs the full dyadic block). One fold over levels
+    carrying (avg array, energy list); per-row projection, no
+    shuffle/UDF. Output: (id_col, approx, e1..e{levels}) — e1 is the
+    finest scale."""
+    block = 1 << levels
+    f = F.col(features_col)
+    base = series.filter(F.size(f) >= block).select(
+        F.col(id_col), F.slice(f, 1, block).alias("_f")
+    )
+
+    def step(acc: Column, lvl: Column) -> Column:
+        cur = acc["avg"]
+        m = F.size(cur) / F.lit(2)
+        pairs = F.sequence(F.lit(1), m.cast("int"))
+        newavg = F.transform(
+            pairs,
+            lambda i: (
+                F.element_at(cur, (2 * i - 1).cast("int"))
+                + F.element_at(cur, (2 * i).cast("int"))
+            )
+            / F.lit(2.0),
+        )
+        energy = F.aggregate(
+            pairs,
+            F.lit(0.0),
+            lambda s, i: s
+            + (
+                (
+                    F.element_at(cur, (2 * i - 1).cast("int"))
+                    - F.element_at(cur, (2 * i).cast("int"))
+                )
+                / F.lit(2.0)
+            )
+            * (
+                (
+                    F.element_at(cur, (2 * i - 1).cast("int"))
+                    - F.element_at(cur, (2 * i).cast("int"))
+                )
+                / F.lit(2.0)
+            ),
+        )
+        return F.struct(
+            newavg.alias("avg"), F.array_append(acc["en"], energy).alias("en")
+        )
+
+    init = F.struct(
+        F.col("_f").alias("avg"), F.array().cast("array<double>").alias("en")
+    )
+    fin = F.aggregate(F.sequence(F.lit(1), F.lit(levels)), init, step)
+    staged = base.select(F.col(id_col), fin.alias("_w"))
+    return staged.select(
+        F.col(id_col),
+        F.element_at(F.col("_w.avg"), 1).alias("approx"),
+        *[
+            F.element_at(F.col("_w.en"), l).alias(f"e{l}")
+            for l in range(1, levels + 1)
+        ],
+    )
