@@ -3379,6 +3379,19 @@ def _q177_haar_features(spark, sf_dir):
     return haar_features(series, levels=4)
 
 
+def _q178_decomposition_strength(spark, sf_dir):
+    """Trend/seasonality strength (r6; operators/features.py::
+    decomposition_strength — the Wang-Smyl-Hyndman tsfeatures measures):
+    F_trend = max(0, 1 - Var(R)/Var(T+R)), F_seasonal analogous, over
+    q148's exact decomposition rows collected t-ascending. The
+    model-selection dial for q151-vs-q155; raw doubles hash-green."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import decomposition_strength
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return decomposition_strength(series, period=4)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3598,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_forecast_backtest": _q175_forecast_backtest,
         "q176_pacf": _q176_pacf,
         "q177_haar_features": _q177_haar_features,
+        "q178_decomposition_strength": _q178_decomposition_strength,
     }
 
 
@@ -8935,6 +8949,71 @@ def oracle_sql() -> dict[str, str]:
                seas[(t-1) % 4 + 1] AS seasonal,
                f[t] - {_tr4('t')} - seas[(t-1) % 4 + 1] AS resid
         FROM ex
+    """
+
+    # q178 (r6): decomposition strengths — q148's chain + t-ordered list
+    # folds for each variance, zero-variance NULL guards
+    def _ds_var(col: str) -> str:
+        mean = (
+            f"(list_reduce(list_prepend(0.0, {col}), (a, v) -> a + v)"
+            f" / cast(len({col}) AS double))"
+        )
+        return (
+            f"(list_reduce(list_prepend(0.0, list_transform({col},"
+            f" v -> (v - {mean}) * (v - {mean}))), (a, v) -> a + v)"
+            f" / cast(len({col}) AS double))"
+        )
+
+    out["q178_decomposition_strength"] = f"""
+        WITH {_SERIES_CTE},
+        b AS (
+            SELECT series_id, features AS f,
+                   range(3, len(features) - 1) AS pos
+            FROM series WHERE len(features) >= 5
+        ),
+        sea AS (
+            SELECT series_id, f, pos,
+                   {_s4(0)} AS s0, {_s4(1)} AS s1,
+                   {_s4(2)} AS s2, {_s4(3)} AS s3
+            FROM b
+        ),
+        cen AS (
+            SELECT *, (((s0 + s1) + s2) + s3) / 4.0 AS sbar FROM sea
+        ),
+        ex AS (
+            SELECT series_id, f,
+                   [s0 - sbar, s1 - sbar, s2 - sbar, s3 - sbar] AS seas,
+                   unnest(pos) AS t
+            FROM cen
+        ),
+        dec AS (
+            SELECT series_id, t,
+                   {_tr4('t')} AS trend,
+                   seas[(t-1) % 4 + 1] AS seasonal,
+                   f[t] - {_tr4('t')} - seas[(t-1) % 4 + 1] AS resid
+            FROM ex
+        ),
+        gl AS (
+            SELECT series_id,
+                   cast(count(*) AS int) AS n_interior,
+                   list(resid ORDER BY t) AS r,
+                   list(trend + resid ORDER BY t) AS tr,
+                   list(seasonal + resid ORDER BY t) AS sr
+            FROM dec GROUP BY series_id
+        ),
+        gv AS (
+            SELECT series_id, n_interior,
+                   {_ds_var('r')} AS vr,
+                   {_ds_var('tr')} AS vtr,
+                   {_ds_var('sr')} AS vsr
+            FROM gl
+        )
+        SELECT series_id, n_interior,
+               CASE WHEN vtr != 0
+                    THEN greatest(0.0, 1.0 - vr / vtr) END AS trend_strength,
+               CASE WHEN vsr != 0
+                    THEN greatest(0.0, 1.0 - vr / vsr) END AS seasonal_strength
+        FROM gv
     """
 
     # q149/q150: DBA on top of the q143 replay — recursion 3 (integer DP,

@@ -817,3 +817,31 @@ def test_haar_features_scale_separation_and_replay(spark):
         ap, en = replay(x)
         assert got[sid]["approx"] == ap
         assert [got[sid][f"e{l}"] for l in range(1, 5)] == en
+
+
+def test_decomposition_strength_discriminates(spark):
+    """decomposition_strength (r6): a clean linear trend maxes
+    trend_strength; a pure period-4 signal maxes seasonal_strength;
+    noise sits low on both; strengths live in [0, 1]."""
+    import math
+
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import decomposition_strength
+
+    rng = np.random.default_rng(6)
+    lin = [float(3 * t) for t in range(16)]
+    seas = [math.sin(2 * math.pi * t / 4) * 5 for t in range(16)]
+    noise = [float(v) for v in rng.normal(0, 1, 16)]
+    df = spark.createDataFrame(
+        [(1, lin), (2, seas), (3, noise)],
+        "series_id long, features array<double>",
+    )
+    got = {r["series_id"]: r for r in decomposition_strength(df, period=4).collect()}
+    for r in got.values():
+        for c in ("trend_strength", "seasonal_strength"):
+            assert r[c] is None or 0.0 <= r[c] <= 1.0
+    assert got[1]["trend_strength"] > 0.99
+    assert got[2]["seasonal_strength"] > 0.99
+    assert got[2]["trend_strength"] < 0.6
+    assert got[3]["trend_strength"] < 0.9 and got[3]["seasonal_strength"] < 0.9

@@ -45,6 +45,7 @@ from .cluster import kmeans_assign, kmeans_centroids, semantic_dedup, ts_kmedoid
 from .features import (  # noqa: F401
     acf_features,
     cusum_changepoint,
+    decomposition_strength,
     haar_features,
     ljung_box,
     make_rocket_kernels,

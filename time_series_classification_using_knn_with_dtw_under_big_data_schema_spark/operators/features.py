@@ -1049,3 +1049,81 @@ def haar_features(
             for l in range(1, levels + 1)
         ],
     )
+
+
+def decomposition_strength(
+    series: DataFrame,
+    *,
+    period: int = 4,
+    id_col: str = "series_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """Trend / seasonality strength per series (r6; Wang, Smyl & Hyndman's
+    tsfeatures measures) on top of q148's classical decomposition:
+
+        F_trend    = max(0, 1 - Var(R) / Var(T + R))
+        F_seasonal = max(0, 1 - Var(R) / Var(S + R))
+
+    in [0, 1] — "how much of the deseasonalized (resp. detrended)
+    variation does the trend (resp. seasonality) explain". The
+    model-selection dial: high F_seasonal says Holt-Winters (q155) over
+    Holt (q151); both near 0 says the series is noise (q172 confirms).
+
+    Determinism: decomposition rows collect into t-ASCENDING arrays per
+    series (array_sort on a (t, ...) struct — t is unique), every mean/
+    variance is an ascending fold + one exact division, strengths are
+    single IEEE subtract/divide under a zero-variance NULL guard. Output:
+    (id_col, n_interior, trend_strength, seasonal_strength)."""
+    dec = seasonal_decompose(
+        series, period=period, id_col=id_col, features_col=features_col
+    )
+    g = dec.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("t").alias("t"),
+                    F.col("trend").alias("tr"),
+                    F.col("seasonal").alias("se"),
+                    F.col("resid").alias("re"),
+                )
+            )
+        ).alias("_rows")
+    )
+    rows = F.col("_rows")
+    r = F.transform(rows, lambda x: x["re"])
+    tr = F.transform(rows, lambda x: x["tr"] + x["re"])
+    sr = F.transform(rows, lambda x: x["se"] + x["re"])
+    staged = g.select(
+        F.col(id_col), r.alias("_r"), tr.alias("_tr"), sr.alias("_sr")
+    )
+
+    def var(arr: Column) -> Column:
+        n = F.size(arr).cast("double")
+        mean = F.aggregate(arr, F.lit(0.0), lambda a, v: a + v) / n
+        return (
+            F.aggregate(arr, F.lit(0.0), lambda a, v: a + (v - mean) * (v - mean))
+            / n
+        )
+
+    vr = var(F.col("_r"))
+    vtr = var(F.col("_tr"))
+    vsr = var(F.col("_sr"))
+    st2 = staged.select(
+        F.col(id_col),
+        F.size("_r").cast("int").alias("n_interior"),
+        vr.alias("_vr"),
+        vtr.alias("_vtr"),
+        vsr.alias("_vsr"),
+    )
+    return st2.select(
+        F.col(id_col),
+        F.col("n_interior"),
+        F.when(
+            F.col("_vtr") != 0,
+            F.greatest(F.lit(0.0), F.lit(1.0) - F.col("_vr") / F.col("_vtr")),
+        ).alias("trend_strength"),
+        F.when(
+            F.col("_vsr") != 0,
+            F.greatest(F.lit(0.0), F.lit(1.0) - F.col("_vr") / F.col("_vsr")),
+        ).alias("seasonal_strength"),
+    )
