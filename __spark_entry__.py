@@ -3392,6 +3392,19 @@ def _q178_decomposition_strength(spark, sf_dir):
     return decomposition_strength(series, period=4)
 
 
+def _q179_permutation_patterns(spark, sf_dir):
+    """Ordinal pattern histogram + Gini diversity (r6; operators/
+    features.py::permutation_patterns — Bandt & Pompe 2002 with the
+    libm-free Gini/Simpson diversity): stable order-m=3 pattern codes,
+    integer counts, one exact division per term. Amplitude-free dynamics
+    signatures for the feature-space classifiers."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import permutation_patterns
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return permutation_patterns(series)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3612,6 +3625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_pacf": _q176_pacf,
         "q177_haar_features": _q177_haar_features,
         "q178_decomposition_strength": _q178_decomposition_strength,
+        "q179_permutation_patterns": _q179_permutation_patterns,
     }
 
 
@@ -7408,6 +7422,46 @@ def oracle_sql() -> dict[str, str]:
                cast({_pg_pos} AS int) AS dom_freq,
                {float(SERIES_LEN)!r} / cast({_pg_pos} AS double) AS dom_period
         FROM ps
+    """
+
+    # q179 (r6): ordinal patterns — stable lt() comparisons, integer
+    # counts, Gini diversity as exact rationals
+    _pp_lt = (
+        "(CASE WHEN features[{i}] < features[{j}]"
+        " OR (features[{i}] = features[{j}] AND {i} < {j})"
+        " THEN 1 ELSE 0 END)"
+    )
+    _pp_code = (
+        _pp_lt.format(i="t", j="t + 1") + " * 4 + "
+        + _pp_lt.format(i="t", j="t + 2") + " * 2 + "
+        + _pp_lt.format(i="t + 1", j="t + 2")
+    )
+    _pp_cnt = (
+        "cast(coalesce(len(list_filter(codes, v -> v = {k})), 0) AS bigint)"
+    )
+    out["q179_permutation_patterns"] = f"""
+        WITH {_SERIES_CTE},
+        pb AS (
+            SELECT series_id,
+                   CASE WHEN len(features) >= 3 THEN
+                       list_transform(range(1, len(features) - 1),
+                           t -> {_pp_code})
+                   END AS codes
+            FROM series
+        )
+        SELECT series_id,
+               cast(coalesce(len(codes), 0) AS int) AS n_windows,
+               {", ".join(_pp_cnt.format(k=k) + f" AS c{k}" for k in range(8))},
+               CASE WHEN codes IS NOT NULL THEN
+                   1.0 - list_reduce(list_prepend(0.0,
+                       list_transform(range(0, 8), k ->
+                           (cast(len(list_filter(codes, v -> v = k)) AS double)
+                            / cast(len(codes) AS double))
+                           * (cast(len(list_filter(codes, v -> v = k)) AS double)
+                              / cast(len(codes) AS double)))),
+                       (a, v) -> a + v)
+               END AS gini
+        FROM pb
     """
 
     # q177 (r6): Haar pyramid — recursive halving CTE carrying

@@ -845,3 +845,28 @@ def test_decomposition_strength_discriminates(spark):
     assert got[2]["seasonal_strength"] > 0.99
     assert got[2]["trend_strength"] < 0.6
     assert got[3]["trend_strength"] < 0.9 and got[3]["seasonal_strength"] < 0.9
+
+
+def test_permutation_patterns_dynamics_signatures(spark):
+    """permutation_patterns (r6): a monotone ramp concentrates on ONE
+    pattern (gini 0), an alternation on two (gini 0.5), noise spreads;
+    impossible codes (2, 5) stay zero; n < 3 NULLs gini."""
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import permutation_patterns
+
+    rng = np.random.default_rng(17)
+    rows = [
+        (1, [float(t) for t in range(16)]),            # ramp
+        (2, [float((-1) ** t) for t in range(16)]),    # alternation
+        (3, [float(v) for v in rng.uniform(0, 1, 64)]),
+        (4, [1.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    got = {r["series_id"]: r for r in permutation_patterns(df).collect()}
+    for r in got.values():
+        assert r["c2"] == 0 and r["c5"] == 0  # transitivity-impossible
+    assert got[1]["gini"] == 0.0 and got[1]["c7"] == 14
+    assert abs(got[2]["gini"] - 0.5) < 1e-12
+    assert got[3]["gini"] > 0.6
+    assert got[4]["gini"] is None and got[4]["n_windows"] == 0

@@ -52,6 +52,7 @@ from .features import (  # noqa: F401
     mann_kendall,
     pacf_features,
     periodogram,
+    permutation_patterns,
     periodogram_twiddles,
     rocket_features,
     seasonal_decompose,

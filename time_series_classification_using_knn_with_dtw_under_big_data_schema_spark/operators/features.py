@@ -1127,3 +1127,61 @@ def decomposition_strength(
             F.greatest(F.lit(0.0), F.lit(1.0) - F.col("_vr") / F.col("_vsr")),
         ).alias("seasonal_strength"),
     )
+
+
+def permutation_patterns(
+    series: DataFrame,
+    *,
+    id_col: str = "series_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """Ordinal pattern analysis per series (r6; Bandt & Pompe 2002, order
+    m = 3): every consecutive triple is reduced to its ORDER PATTERN
+    (which of the 6 orderings the three values take, ties broken by
+    position — a stable, total rule), and the series is summarized by the
+    pattern histogram plus a diversity index. Ordinal patterns are
+    amplitude-free dynamics signatures: monotone ramps concentrate on one
+    pattern, alternations on two, complex dynamics spread out.
+
+    Instead of Shannon permutation ENTROPY (whose ln() is libm-divergent
+    cross-engine), the diversity is the Gini/Simpson form
+    ``1 - sum (c_i / total)^2`` — an exact rational with the same
+    ordering of series by diversity. Pattern code = b12*4 + b13*2 + b23
+    where b_ij = [x_i precedes x_j in the stable order]; codes 2 and 5
+    are logically impossible (transitivity) and stay 0.
+
+    Output: (id_col, n_windows, c0..c7 bigint, gini double — NULL when
+    n < 3). Pure per-row projections; integer counts, one division."""
+    f = F.col(features_col)
+    n = F.size(f)
+
+    def lt(i: Column, j: Column) -> Column:
+        xi, xj = F.element_at(f, i.cast("int")), F.element_at(f, j.cast("int"))
+        return (xi < xj) | ((xi == xj) & (i < j))
+
+    codes = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda t: lt(t, t + 1).cast("int") * 4
+            + lt(t, t + 2).cast("int") * 2
+            + lt(t + 1, t + 2).cast("int"),
+        ),
+    )
+    base = series.select(F.col(id_col), codes.alias("_codes"))
+    c = F.col("_codes")
+    total = F.size(c).cast("double")
+    cnt = lambda k: F.size(F.filter(c, lambda v: v == k)).cast("bigint")  # noqa: E731
+    gini = F.lit(1.0) - F.aggregate(
+        F.sequence(F.lit(0), F.lit(7)),
+        F.lit(0.0),
+        lambda a, k: a
+        + (F.size(F.filter(c, lambda v: v == k)).cast("double") / total)
+        * (F.size(F.filter(c, lambda v: v == k)).cast("double") / total),
+    )
+    return base.select(
+        F.col(id_col),
+        F.coalesce(F.size(c), F.lit(0)).cast("int").alias("n_windows"),
+        *[F.coalesce(cnt(F.lit(k)), F.lit(0).cast("bigint")).alias(f"c{k}") for k in range(8)],
+        F.when(c.isNotNull(), gini).alias("gini"),
+    )
