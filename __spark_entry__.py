@@ -3405,6 +3405,20 @@ def _q179_permutation_patterns(spark, sf_dir):
     return permutation_patterns(series)
 
 
+def _q180_boss_classify(spark, sf_dir):
+    """BOSS 1-NN (r6; operators/sax.py::boss_classify — Schäfer DMKD
+    2015): length-8 windows -> SFA words (literal-twiddle folds,
+    micro-rounded, TRAIN-quartile MCB bins) -> numerosity reduction ->
+    sparse integer word histograms -> the asymmetric BOSS distance
+    (tn2 - 2*dot + shared-b2, three INTEGER aggregates) -> 1-NN. The
+    frequency-domain sibling of q137's Bag-of-Patterns; engine-exact end
+    to end."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import boss_classify
+
+    train, test = _series(spark, sf_dir)
+    return boss_classify(test, train, m=8, n_coeffs=2)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3626,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_haar_features": _q177_haar_features,
         "q178_decomposition_strength": _q178_decomposition_strength,
         "q179_permutation_patterns": _q179_permutation_patterns,
+        "q180_boss_classify": _q180_boss_classify,
     }
 
 
@@ -7646,6 +7661,128 @@ def oracle_sql() -> dict[str, str]:
         SELECT series_id,
                string_agg(cast(s AS varchar), '' ORDER BY dim) AS sfa_word
         FROM sfasym GROUP BY series_id
+    """
+
+    # q180 (r6): BOSS — SFA window words with TRAIN-learned MCB edges,
+    # numerosity reduction, asymmetric integer distance; every float
+    # crossing micro-rounds before a decision
+    _bs_tabs = []
+    for _i, (_k, _cs, _sn) in enumerate(_ptw(8, 2)):
+        _bs_tabs.append((2 * _i, _cs))
+        _bs_tabs.append((2 * _i + 1, _sn))
+
+    def _bs_cm(tab) -> str:
+        lits = "[" + ", ".join(repr(c) for c in tab) + "]"
+        return (
+            "cast(round((list_reduce(list_prepend(0.0, "
+            "list_transform(range(1, 9), "
+            f"t -> f[s + t - 1] * ({lits})[t])), (a, v) -> a + v))"
+            " * 1000000.0) AS bigint)"
+        )
+
+    _bs_dims_sql = "\n            UNION ALL ".join(
+        f"SELECT {d} AS dim, {_bs_cm(tab)} AS cm FROM bwin"
+        for d, tab in _bs_tabs
+    )
+    _bs_piv = ", ".join(
+        f"max(CASE WHEN dim = {d} THEN {q} END) AS {q}_{d}"
+        for d, _ in _bs_tabs
+        for q in ("e1", "e2", "e3")
+    )
+    _bs_word = " || ".join(
+        f"(CASE WHEN cast({_bs_cm(tab)} AS double) <= e1_{d} THEN '0'"
+        f" WHEN cast({_bs_cm(tab)} AS double) <= e2_{d} THEN '1'"
+        f" WHEN cast({_bs_cm(tab)} AS double) <= e3_{d} THEN '2'"
+        f" ELSE '3' END)"
+        for d, tab in _bs_tabs
+    )
+    out["q180_boss_classify"] = f"""
+        WITH {_SERIES_CTE},
+        bwin AS (
+            SELECT features AS f,
+                   unnest(range(1, len(features) - 8 + 2)) AS s
+            FROM train WHERE len(features) >= 8
+        ),
+        bdims AS (
+            {_bs_dims_sql}
+        ),
+        bedges AS (
+            SELECT dim, quantile_cont(cm, 0.25) AS e1,
+                   quantile_cont(cm, 0.5) AS e2,
+                   quantile_cont(cm, 0.75) AS e3
+            FROM bdims GROUP BY dim
+        ),
+        bpv AS (SELECT {_bs_piv} FROM bedges),
+        bwt AS (
+            SELECT t.series_id AS sid, t.features AS f FROM test t
+        ),
+        bwr AS (
+            SELECT r.series_id AS sid, r.label AS lbl, r.features AS f
+            FROM train r
+        ),
+        bwords_t AS (
+            SELECT sid, list_transform(range(1, len(f) - 8 + 2),
+                       s -> {_bs_word}) AS words
+            FROM bwt CROSS JOIN bpv
+        ),
+        bwords_r AS (
+            SELECT sid, lbl, list_transform(range(1, len(f) - 8 + 2),
+                       s -> {_bs_word}) AS words
+            FROM bwr CROSS JOIN bpv
+        ),
+        bnr_t AS (
+            SELECT sid, list_filter(list_transform(range(1, len(words) + 1),
+                       i -> CASE WHEN i = 1 OR words[i] != words[i - 1]
+                                 THEN words[i] END),
+                       x -> x IS NOT NULL) AS words
+            FROM bwords_t
+        ),
+        bnr_r AS (
+            SELECT sid, lbl,
+                   list_filter(list_transform(range(1, len(words) + 1),
+                       i -> CASE WHEN i = 1 OR words[i] != words[i - 1]
+                                 THEN words[i] END),
+                       x -> x IS NOT NULL) AS words
+            FROM bwords_r
+        ),
+        bh_t AS (
+            SELECT sid, word, cast(count(*) AS bigint) AS cnt
+            FROM (SELECT sid, unnest(words) AS word FROM bnr_t)
+            GROUP BY sid, word
+        ),
+        bh_r AS (
+            SELECT sid, lbl, word, cast(count(*) AS bigint) AS cnt
+            FROM (SELECT sid, lbl, unnest(words) AS word FROM bnr_r)
+            GROUP BY sid, lbl, word
+        ),
+        btn2 AS (
+            SELECT sid AS test_id, cast(sum(cnt * cnt) AS bigint) AS n2
+            FROM bh_t GROUP BY sid
+        ),
+        bdots AS (
+            SELECT t.sid AS test_id, r.sid AS train_id,
+                   cast(sum(t.cnt * r.cnt) AS bigint) AS dot,
+                   cast(sum(r.cnt * r.cnt) AS bigint) AS b2
+            FROM bh_t t JOIN bh_r r USING (word)
+            GROUP BY t.sid, r.sid
+        ),
+        brl AS (SELECT DISTINCT sid AS train_id, lbl AS train_label FROM bh_r),
+        bprs AS (
+            SELECT n.test_id, l.train_id, l.train_label,
+                   cast(n.n2 - 2 * coalesce(d.dot, 0)
+                        + coalesce(d.b2, 0) AS bigint) AS dd
+            FROM btn2 n CROSS JOIN brl l
+            LEFT JOIN bdots d
+              ON d.test_id = n.test_id AND d.train_id = l.train_id
+        ),
+        bsel AS (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                ORDER BY dd ASC, train_label ASC, train_id ASC) AS rk
+            FROM bprs
+        )
+        SELECT test_id, train_label AS predicted_label,
+               dd AS boss_distance
+        FROM bsel WHERE rk = 1
     """
 
     # q167 (r6): ACF + dominant lag — mean/variance/covariance ascending

@@ -471,3 +471,43 @@ def test_sfa_words_shape_discrimination(spark):
     within4 = [ham(got[i], got[j]) for i in range(6) for j in range(i + 1, 6)]
     across = [ham(got[i], got[10 + j]) for i in range(6) for j in range(6)]
     assert sum(within4) / len(within4) < sum(across) / len(across)
+
+
+def test_boss_classify_separates_periods(spark):
+    """boss_classify (r6): two period families (4 vs 8) separate at high
+    accuracy; distances are integers; ties/order deterministic across
+    two runs."""
+    import math
+
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import boss_classify
+
+    rng = np.random.default_rng(1)
+
+    def mk(n, cls, start):
+        p = 4 if cls == "a" else 8
+        return [
+            (
+                start + i,
+                [
+                    math.sin(2 * math.pi * t / p) * 3 + float(rng.normal(0, 0.2))
+                    for t in range(16)
+                ],
+                cls,
+            )
+            for i in range(n)
+        ]
+
+    schema = "series_id long, features array<double>, label string"
+    train = spark.createDataFrame(mk(20, "a", 0) + mk(20, "b", 100), schema)
+    test = spark.createDataFrame(mk(6, "a", 1000) + mk(6, "b", 2000), schema)
+    out1 = sorted(boss_classify(test, train).collect())
+    out2 = sorted(boss_classify(test, train).collect())
+    assert out1 == out2  # end-to-end determinism
+    acc = sum(
+        1 for r in out1
+        if r["predicted_label"] == ("a" if r["test_id"] < 2000 else "b")
+    ) / len(out1)
+    assert acc >= 0.75
+    assert all(isinstance(r["boss_distance"], int) for r in out1)

@@ -111,6 +111,7 @@ from .sketch import (  # noqa: F401
 )
 from .sax import (  # noqa: F401
     SAX_BREAKPOINTS,
+    boss_classify,
     codes_to_word,
     sax_codes,
     sax_knn_classify,

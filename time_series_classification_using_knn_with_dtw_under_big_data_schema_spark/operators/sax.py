@@ -258,3 +258,165 @@ def sfa_words(
             "",
         ).alias("sfa_word")
     )
+
+
+def boss_classify(
+    test: DataFrame,
+    train: DataFrame,
+    *,
+    m: int = 8,
+    n_coeffs: int = 2,
+    id_col: str = "series_id",
+    features_col: str = "features",
+    label_col: str = "label",
+) -> DataFrame:
+    """BOSS 1-NN classification (r6; Schäfer, DMKD 2015 — Bag-of-SFA-
+    Symbols): every length-``m`` window becomes an SFA word (first
+    ``n_coeffs`` Fourier coefficients by the literal-twiddle folds,
+    quartile-binned per dimension with edges learned on the TRAIN
+    windows), consecutive duplicates drop (numerosity reduction), series
+    become sparse integer word histograms, and 1-NN runs under the
+    ASYMMETRIC BOSS distance
+
+        d(A, B) = sum over words w PRESENT IN THE TEST bag (a_w - b_w)^2
+
+    = tn2 - 2*dot + b2|shared — three INTEGER aggregates over the sparse
+    word join, so the whole classifier is engine-exact end to end (no
+    floats anywhere past the twiddle folds, which micro-round before the
+    binning decisions). Skipping the DC coefficient (k >= 1) gives offset
+    invariance; histograms are bounded by 4^(2*n_coeffs) words, so the
+    join key space is tiny at any corpus size.
+
+    Output: (test_id, predicted_label, boss_distance bigint), ties by
+    (distance, label, id)."""
+    from pyspark.sql import Window as _W
+
+    from .features import periodogram_twiddles
+    from .motif import _numerosity_reduce
+
+    tw = periodogram_twiddles(m, n_coeffs)
+    tables = []
+    for i, (_k, cs, sn) in enumerate(tw):
+        tables.append((2 * i, cs))
+        tables.append((2 * i + 1, sn))
+
+    def coef_micro(arr, s, table):
+        tcol = F.array(*[F.lit(c) for c in table])
+        return F.round(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(m)),
+                F.lit(0.0),
+                lambda a, t: a
+                + F.element_at(arr, (s + t - 1).cast("int"))
+                * F.element_at(tcol, t.cast("int")),
+            )
+            * F.lit(1_000_000.0)
+        ).cast("bigint")
+
+    def starts(arr):
+        return F.when(
+            F.size(arr) >= m, F.sequence(F.lit(1), F.size(arr) - m + 1)
+        ).otherwise(F.array().cast("array<int>"))
+
+    # MCB edge learning on TRAIN windows only
+    tr = train.select(F.col(id_col).alias("_id"), F.col(features_col).alias("_f"))
+    exploded = tr.select("_f", F.explode(starts(F.col("_f"))).alias("_s"))
+    dims = exploded.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"),
+                        coef_micro(F.col("_f"), F.col("_s"), tab).alias("cm"),
+                    )
+                    for d, tab in tables
+                ]
+            )
+        ).alias("_e")
+    ).select(F.col("_e.dim").alias("dim"), F.col("_e.cm").alias("cm"))
+    edges = dims.groupBy("dim").agg(
+        F.expr("percentile(cm, 0.25D)").alias("e1"),
+        F.expr("percentile(cm, 0.5D)").alias("e2"),
+        F.expr("percentile(cm, 0.75D)").alias("e3"),
+    )
+    epiv = edges.agg(
+        *[
+            F.max(F.when(F.col("dim") == d, F.col(q))).alias(f"_{q}_{d}")
+            for d, _ in tables
+            for q in ("e1", "e2", "e3")
+        ]
+    )
+
+    def word(arr, s):
+        parts = []
+        for d, tab in tables:
+            cmd = coef_micro(arr, s, tab).cast("double")
+            parts.append(
+                F.when(cmd <= F.col(f"_e1_{d}"), F.lit("0"))
+                .when(cmd <= F.col(f"_e2_{d}"), F.lit("1"))
+                .when(cmd <= F.col(f"_e3_{d}"), F.lit("2"))
+                .otherwise(F.lit("3"))
+            )
+        return F.concat(*parts)
+
+    def hists(df, keep_label):
+        sel = [F.col(id_col).alias("_id"), F.col(features_col).alias("_f")]
+        if keep_label:
+            sel.append(F.col(label_col).alias("_lbl"))
+        side = df.select(*sel).crossJoin(F.broadcast(epiv))
+        words = _numerosity_reduce(
+            F.transform(starts(F.col("_f")), lambda s: word(F.col("_f"), s))
+        )
+        keep = ["_id"] + (["_lbl"] if keep_label else [])
+        return (
+            side.select(*keep, F.explode(words).alias("word"))
+            .groupBy(*keep, "word")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    th = hists(test, False)
+    rh = hists(train, True)
+    tn2 = th.groupBy("_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("_n2")
+    ).select(F.col("_id").alias("test_id"), "_n2")
+    dots = (
+        th.select(F.col("_id").alias("test_id"), "word", F.col("cnt").alias("_a"))
+        .join(
+            rh.select(F.col("_id").alias("train_id"), "word", F.col("cnt").alias("_b")),
+            "word",
+        )
+        .groupBy("test_id", "train_id")
+        .agg(
+            F.sum(F.col("_a") * F.col("_b")).cast("long").alias("_dot"),
+            F.sum(F.col("_b") * F.col("_b")).cast("long").alias("_b2"),
+        )
+    )
+    rl = rh.select(
+        F.col("_id").alias("train_id"), F.col("_lbl").alias("train_label")
+    ).distinct()
+    pairs = (
+        tn2.crossJoin(F.broadcast(rl))
+        .join(dots, ["test_id", "train_id"], "left")
+        .select(
+            "test_id",
+            "train_id",
+            "train_label",
+            (
+                F.col("_n2")
+                - 2 * F.coalesce(F.col("_dot"), F.lit(0))
+                + F.coalesce(F.col("_b2"), F.lit(0))
+            ).cast("bigint").alias("_d"),
+        )
+    )
+    w = _W.partitionBy("test_id").orderBy(
+        F.asc("_d"), F.asc("train_label"), F.asc("train_id")
+    )
+    return (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "test_id",
+            F.col("train_label").alias("predicted_label"),
+            F.col("_d").alias("boss_distance"),
+        )
+    )
