@@ -3419,6 +3419,18 @@ def _q180_boss_classify(spark, sf_dir):
     return boss_classify(test, train, m=8, n_coeffs=2)
 
 
+def _q181_complexity_features(spark, sf_dir):
+    """Complexity / nonlinearity features (r6; operators/features.py::
+    complexity_features): abs-energy, the CID complexity normalizer
+    (Batista et al. 2014), Schreiber-Schmitz c3, time-reversal asymmetry
+    — ascending folds, exact divisions, one sqrt; lag guards NULL."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import complexity_features
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return complexity_features(series, lag=1)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3641,6 +3653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_decomposition_strength": _q178_decomposition_strength,
         "q179_permutation_patterns": _q179_permutation_patterns,
         "q180_boss_classify": _q180_boss_classify,
+        "q181_complexity_features": _q181_complexity_features,
     }
 
 
@@ -7437,6 +7450,39 @@ def oracle_sql() -> dict[str, str]:
                cast({_pg_pos} AS int) AS dom_freq,
                {float(SERIES_LEN)!r} / cast({_pg_pos} AS double) AS dom_period
         FROM ps
+    """
+
+    # q181 (r6): complexity features — ascending folds, lag guards
+    out["q181_complexity_features"] = f"""
+        WITH {_SERIES_CTE}
+        SELECT series_id,
+               list_reduce(list_prepend(0.0,
+                   list_transform(features, v -> v * v)),
+                   (a, v) -> a + v) AS abs_energy,
+               sqrt(CASE WHEN len(features) >= 2 THEN
+                   list_reduce(list_prepend(0.0,
+                       list_transform(range(2, len(features) + 1),
+                           t -> (features[t] - features[t-1])
+                                * (features[t] - features[t-1]))),
+                       (a, v) -> a + v)
+               ELSE 0.0 END) AS cid,
+               CASE WHEN len(features) >= 3 THEN
+                   list_reduce(list_prepend(0.0,
+                       list_transform(range(1, len(features) - 1),
+                           t -> features[t] * features[t+1] * features[t+2])),
+                       (a, v) -> a + v)
+                   / cast(len(features) - 2 AS double)
+               END AS c3,
+               CASE WHEN len(features) >= 2 THEN
+                   list_reduce(list_prepend(0.0,
+                       list_transform(range(1, len(features)),
+                           t -> (features[t+1] - features[t])
+                                * (features[t+1] - features[t])
+                                * (features[t+1] - features[t]))),
+                       (a, v) -> a + v)
+                   / cast(len(features) - 1 AS double)
+               END AS trev
+        FROM series
     """
 
     # q179 (r6): ordinal patterns — stable lt() comparisons, integer

@@ -870,3 +870,46 @@ def test_permutation_patterns_dynamics_signatures(spark):
     assert abs(got[2]["gini"] - 0.5) < 1e-12
     assert got[3]["gini"] > 0.6
     assert got[4]["gini"] is None and got[4]["n_windows"] == 0
+
+
+def test_complexity_features_semantics(spark):
+    """complexity_features (r6): a straight line is time-reversal
+    SYMMETRIC (trev 0) and less complex (lower cid) than an alternation
+    of the same span; python replay bit-exact; short-series guards."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import complexity_features
+
+    line = [float(t) for t in range(16)]
+    rline = list(reversed(line))
+    alt = [float(7.5 + 7.5 * (-1) ** t) for t in range(16)]
+    rows = [(1, line), (2, alt), (3, [2.0]), (4, [1.0, 5.0]), (5, rline)]
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    got = {r["series_id"]: r for r in complexity_features(df, lag=1).collect()}
+    # unit increments: mean cube = 1; time reversal flips the sign
+    assert got[1]["trev"] == 1.0 and got[5]["trev"] == -1.0
+    assert got[2]["cid"] > got[1]["cid"]    # alternation is busier
+    assert got[3]["c3"] is None and got[3]["trev"] is None and got[3]["cid"] == 0.0
+    assert got[4]["c3"] is None and got[4]["trev"] is not None
+
+    def replay(x):
+        ae = 0.0
+        for v in x:
+            ae += v * v
+        s = 0.0
+        for t in range(1, len(x)):
+            s += (x[t] - x[t - 1]) * (x[t] - x[t - 1])
+        import math
+        cid = math.sqrt(s)
+        c3 = 0.0
+        for t in range(len(x) - 2):
+            c3 += x[t] * x[t + 1] * x[t + 2]
+        c3 /= len(x) - 2
+        tr = 0.0
+        for t in range(len(x) - 1):
+            d = x[t + 1] - x[t]
+            tr += (d * d) * d
+        tr /= len(x) - 1
+        return ae, cid, c3, tr
+    for sid, x in ((1, line), (2, alt)):
+        ae, cid, c3, tr = replay(x)
+        r = got[sid]
+        assert (r["abs_energy"], r["cid"], r["c3"], r["trev"]) == (ae, cid, c3, tr)

@@ -44,6 +44,7 @@ from .shapelet import (  # noqa: F401
 from .cluster import kmeans_assign, kmeans_centroids, semantic_dedup, ts_kmedoids  # noqa: F401
 from .features import (  # noqa: F401
     acf_features,
+    complexity_features,
     cusum_changepoint,
     decomposition_strength,
     haar_features,

@@ -1185,3 +1185,87 @@ def permutation_patterns(
         *[F.coalesce(cnt(F.lit(k)), F.lit(0).cast("bigint")).alias(f"c{k}") for k in range(8)],
         F.when(c.isNotNull(), gini).alias("gini"),
     )
+
+
+def complexity_features(
+    series: DataFrame,
+    *,
+    lag: int = 1,
+    id_col: str = "series_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """Nonlinearity / complexity statistics per series (r6) — the tsfresh
+    classics that q45's moment features miss:
+
+        abs_energy  sum x_t^2
+        cid         sqrt(sum (x_{t+1} - x_t)^2)   (Batista et al. 2014 —
+                    the 'complexity-invariant distance' normalizer)
+        c3          mean of x_t * x_{t+lag} * x_{t+2lag}
+                    (Schreiber & Schmitz 1997 nonlinearity measure)
+        trev        mean of (x_{t+lag} - x_t)^3   (time-reversal
+                    asymmetry, unnormalized numerator form)
+
+    All ascending folds + exact divisions + one sqrt — raw doubles mirror
+    cross-engine. c3/trev are NULL when the series is too short for the
+    lag window (the sequence guard). Per-row projection, scan-bound."""
+    f = F.col(features_col)
+    n = F.size(f)
+    abs_energy = F.aggregate(f, F.lit(0.0), lambda a, v: a + v * v)
+    cid = F.sqrt(
+        F.when(
+            n >= 2,
+            F.aggregate(
+                F.sequence(F.lit(2), n),
+                F.lit(0.0),
+                lambda a, t: a
+                + (
+                    F.element_at(f, t.cast("int"))
+                    - F.element_at(f, (t - 1).cast("int"))
+                )
+                * (
+                    F.element_at(f, t.cast("int"))
+                    - F.element_at(f, (t - 1).cast("int"))
+                ),
+            ),
+        ).otherwise(F.lit(0.0))
+    )
+    c3 = F.when(
+        n >= 2 * lag + 1,
+        F.aggregate(
+            F.sequence(F.lit(1), n - 2 * lag),
+            F.lit(0.0),
+            lambda a, t: a
+            + F.element_at(f, t.cast("int"))
+            * F.element_at(f, (t + lag).cast("int"))
+            * F.element_at(f, (t + 2 * lag).cast("int")),
+        )
+        / (n - 2 * lag).cast("double"),
+    )
+    trev = F.when(
+        n >= lag + 1,
+        F.aggregate(
+            F.sequence(F.lit(1), n - lag),
+            F.lit(0.0),
+            lambda a, t: a
+            + (
+                F.element_at(f, (t + lag).cast("int"))
+                - F.element_at(f, t.cast("int"))
+            )
+            * (
+                F.element_at(f, (t + lag).cast("int"))
+                - F.element_at(f, t.cast("int"))
+            )
+            * (
+                F.element_at(f, (t + lag).cast("int"))
+                - F.element_at(f, t.cast("int"))
+            ),
+        )
+        / (n - lag).cast("double"),
+    )
+    return series.select(
+        F.col(id_col),
+        abs_energy.alias("abs_energy"),
+        cid.alias("cid"),
+        c3.alias("c3"),
+        trev.alias("trev"),
+    )
