@@ -3431,6 +3431,51 @@ def _q181_complexity_features(spark, sf_dir):
     return complexity_features(series, lag=1)
 
 
+def _q182_label_leadlag(spark, sf_dir):
+    """Label-group lead-lag network (r6): per-label MEAN series via
+    integer-micro sums (order-free exact on any partitioning — the
+    deterministic alternative to a float groupBy mean), then every label
+    pair aligned with sbd_align (q159's primitive): which behavioral
+    group LEADS which, and by how many steps. Group count is bounded, so
+    the pair stage is a tiny broadcast cross join over L(L-1)/2 rows —
+    the 100 TB shape is one scan + one bounded-key aggregate."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.distance import sbd_align
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    ex = series.select("label", F.posexplode("features").alias("_pos", "_v"))
+    g = ex.groupBy("label", "_pos").agg(
+        F.sum(F.round(F.col("_v") * F.lit(1_000_000.0)).cast("long")).alias("_sm"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    m = g.select(
+        "label",
+        "_pos",
+        (
+            (F.col("_sm").cast("double") / F.col("_c").cast("double"))
+            / F.lit(1_000_000.0)
+        ).alias("_mu"),
+    )
+    arr = m.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos").alias("p"), F.col("_mu").alias("v")))
+            ),
+            lambda x: x["v"],
+        ).alias("_mf")
+    )
+    a = arr.select(F.col("label").alias("label_a"), F.col("_mf").alias("_fa"))
+    b = arr.select(F.col("label").alias("label_b"), F.col("_mf").alias("_fb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("label_a") < F.col("label_b"))
+    r = sbd_align(F.col("_fa"), F.col("_fb"))
+    return pairs.select(
+        "label_a",
+        "label_b",
+        r["lag"].alias("lag"),
+        F.round(r["sbd"], 6).alias("sbd"),
+    )
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3654,6 +3699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_permutation_patterns": _q179_permutation_patterns,
         "q180_boss_classify": _q180_boss_classify,
         "q181_complexity_features": _q181_complexity_features,
+        "q182_label_leadlag": _q182_label_leadlag,
     }
 
 
@@ -7450,6 +7496,62 @@ def oracle_sql() -> dict[str, str]:
                cast({_pg_pos} AS int) AS dom_freq,
                {float(SERIES_LEN)!r} / cast({_pg_pos} AS double) AS dom_period
         FROM ps
+    """
+
+    # q182 (r6): label lead-lag — integer-micro group means (order-free)
+    # + the q159 sbd_align fold mirror over label pairs
+    out["q182_label_leadlag"] = f"""
+        WITH {_SERIES_CTE},
+        lex AS (
+            SELECT label, f, unnest(range(1, len(f) + 1)) AS t
+            FROM (SELECT label, features AS f FROM series)
+        ),
+        lg AS (
+            SELECT label, t,
+                   cast(sum(cast(round(f[t] * 1000000.0) AS bigint))
+                        AS bigint) AS sm,
+                   cast(count(*) AS bigint) AS c
+            FROM lex GROUP BY label, t
+        ),
+        lm AS (
+            SELECT label,
+                   list((cast(sm AS double) / cast(c AS double)) / 1000000.0
+                        ORDER BY t) AS mf
+            FROM lg GROUP BY label
+        ),
+        lp AS (
+            SELECT a.label AS label_a, b.label AS label_b,
+                   a.mf AS fa, b.mf AS fb
+            FROM lm a JOIN lm b ON a.label < b.label
+        ),
+        lsc AS (
+            SELECT label_a, label_b,
+                   CASE WHEN nrm = 0 THEN 1.0
+                        ELSE 1.0 - list_reduce(cc, (x, y) -> greatest(x, y))
+                                   / nrm
+                   END AS d,
+                   CASE WHEN nrm = 0 THEN 0
+                        ELSE cast(list_position(cc,
+                                 list_reduce(cc, (x, y) -> greatest(x, y)))
+                             - len(fa) AS int)
+                   END AS lag
+            FROM (
+                SELECT *,
+                       sqrt(list_reduce(list_prepend(0.0,
+                            list_transform(fa, x -> x * x)), (x, y) -> x + y))
+                     * sqrt(list_reduce(list_prepend(0.0,
+                            list_transform(fb, x -> x * x)), (x, y) -> x + y))
+                       AS nrm,
+                       list_transform(range(1 - len(fa), len(fa)), s ->
+                           list_reduce(list_prepend(0.0,
+                               list_transform(range(1, len(fa) - abs(s) + 1),
+                                   t -> fa[t + greatest(s, 0)]
+                                        * fb[t - least(s, 0)])),
+                               (x, y) -> x + y)) AS cc
+                FROM lp
+            )
+        )
+        SELECT label_a, label_b, lag, round(d, 6) AS sbd FROM lsc
     """
 
     # q181 (r6): complexity features — ascending folds, lag guards
