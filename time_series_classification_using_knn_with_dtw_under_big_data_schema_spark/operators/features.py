@@ -33,7 +33,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["series_features", "make_rocket_kernels", "rocket_features", "seasonal_decompose", "cusum_changepoint", "mann_kendall", "theil_sen"]
+__all__ = [
+    "series_features", "make_rocket_kernels", "rocket_features",
+    "seasonal_decompose", "cusum_changepoint", "mann_kendall", "theil_sen",
+    # r6 continuation
+    "acf_features", "pacf_features", "ljung_box", "periodogram",
+    "periodogram_twiddles", "viterbi_regimes", "haar_features",
+    "decomposition_strength", "permutation_patterns", "complexity_features",
+]
 
 
 def _fold_sum(arr):
