@@ -178,6 +178,21 @@ def main() -> None:
             repeats=2,
         )
 
+    # --- r6-continuation flagships on the same corpus: density-relative
+    # outliers, conformal p-values, the BOSS bag classifier, and FLUSS
+    # segmentation (matrix-profile arc curve)
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        boss_classify,
+        conformal_knn,
+        fluss_segmentation,
+        knn_lof,
+    )
+
+    run("knn_lof_k5", lambda: _mat(knn_lof(series, k=5)), repeats=2)
+    run("conformal_knn", lambda: _mat(conformal_knn(test, train)), repeats=2)
+    run("boss_classify", lambda: _mat(boss_classify(test, train, m=8, n_coeffs=2)), repeats=2)
+    run("fluss_segmentation", lambda: _mat(fluss_segmentation(series, m=8)), repeats=2)
+
     from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
         knn_join_pruned,
         majority_vote,

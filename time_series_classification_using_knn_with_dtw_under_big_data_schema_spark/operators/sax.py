@@ -364,8 +364,15 @@ def boss_classify(
         if keep_label:
             sel.append(F.col(label_col).alias("_lbl"))
         side = df.select(*sel).crossJoin(F.broadcast(epiv))
-        words = _numerosity_reduce(
-            F.transform(starts(F.col("_f")), lambda s: word(F.col("_f"), s))
+        # evaluate-once binding (the _token_ngrams trick, NOTES r5/r6):
+        # numerosity reduction indexes the word array per position, and an
+        # inlined EXPRESSION would recompute all ~n_windows SFA words per
+        # index — measured 48s -> ~4s at sf0.1. Wrapping the array as the
+        # single element of an outer transform binds it to a lambda
+        # VARIABLE: computed once, indexed cheaply.
+        raw = F.transform(starts(F.col("_f")), lambda s: word(F.col("_f"), s))
+        words = F.element_at(
+            F.transform(F.array(raw), lambda ws: _numerosity_reduce(ws)), 1
         )
         keep = ["_id"] + (["_lbl"] if keep_label else [])
         return (
