@@ -1193,9 +1193,13 @@ def knn_lof(
     reach sums of 0 and inf lrds (the textbook duplicate pathology).
 
     Output: (id_col, kdist, lrd, lof) — raw doubles, bit-exact across
-    engines: every float sum folds over the RANK-SORTED neighbor list
-    (never an unordered groupBy float sum) and all other ops are
-    single correctly-rounded IEEE ops (sqrt/max/divide).
+    engines UNDER THE DEFAULT broadcast/shuffle strategies: every float
+    sum folds over the RANK-SORTED neighbor list (never an unordered
+    groupBy float sum) and all other ops are single correctly-rounded
+    IEEE ops (sqrt/max/divide). strategy='kernel'/'chunked' return the
+    same neighbor sets ~2x faster, but their numpy pairwise summation
+    reassociates the distance folds, so kdist/lrd/lof can move in the
+    last ulps — use the default when hash-exact output matters.
 
     Scale: one knn_join (any strategy incl. kernel/chunked) + two
     id-keyed equi-joins on k-row-per-id tables + two bounded-array folds
