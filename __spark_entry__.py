@@ -3476,6 +3476,103 @@ def _q182_label_leadlag(spark, sf_dir):
     )
 
 
+def _q183_early_classification(spark, sf_dir):
+    """Early classification sweep (r6; the ECTS question — how soon can
+    the stream be labeled?): the q12 accuracy chain at prefix lengths
+    4/8/12/16, one row each. Slicing commutes with the prefix fold, so
+    each stage is exactly q12's integer-exact pipeline on shorter
+    arrays; the earliness-vs-accuracy curve is the operational knob for
+    streaming classifiers (q16's scoring twin)."""
+    train, test = _series(spark, sf_dir)
+    truth = test.withColumnRenamed("series_id", "test_id")
+    parts = []
+    for p in (4, 8, 12, 16):
+        tr = train.withColumn("features", F.slice("features", 1, p))
+        te = test.withColumn("features", F.slice("features", 1, p))
+        pred = knn_classify(te, tr, metric="euclidean", k=5)
+        parts.append(
+            accuracy(pred, truth, key="test_id").select(
+                F.lit(p).cast("int").alias("prefix_len"),
+                "n_rows",
+                "n_correct",
+                "accuracy",
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out
+
+
+def _q184_drift_detect(spark, sf_dir):
+    """Distribution drift between the early and late halves of the event
+    stream (r6): exact-median time split, fixed-width value bins, and a
+    chi-square-shaped divergence sum_bins (p_i - q_i)^2 / (p_i + q_i)
+    over INTEGER bin counts — the libm-free stand-in for PSI/KL (ln()
+    diverges across engines; this statistic ranks drift identically).
+    The per-bin fold runs over the BIN-SORTED collected array (bounded:
+    <= 16 bins), so the one float accumulation is ordered. The
+    data-quality gate a training pipeline runs before mixing a new crawl
+    into an old corpus. Output: one row — (n_early, n_late, drift_stat,
+    top_bin)."""
+    events = _t(spark, sf_dir, "events")
+    ev = events.select(_ts_us(events).alias("_ts"), F.col("value").alias("_v"))
+    mid = ev.agg(F.expr("percentile(_ts, 0.5D)").alias("_mid"))
+    binned = ev.crossJoin(F.broadcast(mid)).select(
+        F.when(F.col("_ts").cast("double") <= F.col("_mid"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("_half"),
+        F.least(F.floor(F.col("_v") / F.lit(25.0)), F.lit(15)).cast("int").alias("_bin"),
+    )
+    g = binned.groupBy("_bin").agg(
+        F.sum(F.when(F.col("_half") == 0, 1).otherwise(0)).cast("long").alias("_ce"),
+        F.sum(F.when(F.col("_half") == 1, 1).otherwise(0)).cast("long").alias("_cl"),
+    )
+    tot = g.agg(
+        F.sum("_ce").cast("long").alias("_te"), F.sum("_cl").cast("long").alias("_tl")
+    )
+    per = g.crossJoin(F.broadcast(tot)).select(
+        "_bin",
+        "_ce",
+        "_cl",
+        (
+            (
+                F.col("_ce").cast("double") / F.col("_te").cast("double")
+                - F.col("_cl").cast("double") / F.col("_tl").cast("double")
+            )
+            * (
+                F.col("_ce").cast("double") / F.col("_te").cast("double")
+                - F.col("_cl").cast("double") / F.col("_tl").cast("double")
+            )
+            / (
+                F.col("_ce").cast("double") / F.col("_te").cast("double")
+                + F.col("_cl").cast("double") / F.col("_tl").cast("double")
+            )
+        ).alias("_c"),
+        "_te",
+        "_tl",
+    )
+    agg = per.groupBy("_te", "_tl").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_bin").alias("b"), F.col("_c").alias("c")))
+        ).alias("_arr")
+    )
+    return agg.select(
+        F.col("_te").alias("n_early"),
+        F.col("_tl").alias("n_late"),
+        F.aggregate(F.col("_arr"), F.lit(0.0), lambda a, x: a + x["c"]).alias(
+            "drift_stat"
+        ),
+        F.element_at(
+            F.col("_arr"),
+            F.array_position(
+                F.transform(F.col("_arr"), lambda x: x["c"]),
+                F.array_max(F.transform(F.col("_arr"), lambda x: x["c"])),
+            ).cast("int"),
+        )["b"].alias("top_bin"),
+    )
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3700,6 +3797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_boss_classify": _q180_boss_classify,
         "q181_complexity_features": _q181_complexity_features,
         "q182_label_leadlag": _q182_label_leadlag,
+        "q183_early_classification": _q183_early_classification,
+        "q184_drift_detect": _q184_drift_detect,
     }
 
 
@@ -7496,6 +7595,98 @@ def oracle_sql() -> dict[str, str]:
                cast({_pg_pos} AS int) AS dom_freq,
                {float(SERIES_LEN)!r} / cast({_pg_pos} AS double) AS dom_period
         FROM ps
+    """
+
+    # q184 (r6): drift detection — exact-median split, integer bin counts,
+    # chi-square-shaped divergence with a bin-ordered fold
+    _dd_p = "cast(ce AS double) / cast(te AS double)"
+    _dd_q = "cast(cl AS double) / cast(tl AS double)"
+    out["q184_drift_detect"] = f"""
+        WITH ev AS (SELECT epoch_us(ts) AS t, value AS v FROM events),
+        md AS (SELECT quantile_cont(t, 0.5) AS mid FROM ev),
+        binned AS (
+            SELECT CASE WHEN cast(t AS double) <= mid THEN 0 ELSE 1 END AS half,
+                   cast(least(floor(v / 25.0), 15) AS int) AS bin
+            FROM ev CROSS JOIN md
+        ),
+        g AS (
+            SELECT bin,
+                   cast(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                        AS bigint) AS ce,
+                   cast(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                        AS bigint) AS cl
+            FROM binned GROUP BY bin
+        ),
+        tt AS (
+            SELECT cast(sum(ce) AS bigint) AS te,
+                   cast(sum(cl) AS bigint) AS tl
+            FROM g
+        ),
+        per AS (
+            SELECT bin, te, tl,
+                   ({_dd_p} - {_dd_q}) * ({_dd_p} - {_dd_q})
+                   / ({_dd_p} + {_dd_q}) AS c
+            FROM g CROSS JOIN tt
+        ),
+        arr AS (
+            SELECT te, tl, list(c ORDER BY bin) AS cs,
+                   list(bin ORDER BY bin) AS bs
+            FROM per GROUP BY te, tl
+        )
+        SELECT te AS n_early, tl AS n_late,
+               list_reduce(list_prepend(0.0, cs), (a, v) -> a + v)
+                 AS drift_stat,
+               bs[list_position(cs,
+                   list_reduce(cs, (x, y) -> greatest(x, y)))] AS top_bin
+        FROM arr
+    """
+
+    # q183 (r6): early classification — q12's chain per prefix length,
+    # distance folds over the first p coordinates
+    def _ec_block(p: int) -> str:
+        sq = (
+            f"list_reduce(list_transform(range(1, {p} + 1),"
+            " i -> (t.features[i]-r.features[i])*(t.features[i]-r.features[i])),"
+            " (x,y) -> x+y)"
+        )
+        return f"""epairs{p} AS (
+            SELECT t.series_id AS test_id, r.series_id AS train_id,
+                   r.label AS train_label, {sq} AS d
+            FROM test t CROSS JOIN train r
+        ),
+        eranked{p} AS (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                ORDER BY d ASC, train_label ASC, train_id ASC) AS rank
+            FROM epairs{p} WHERE d != 0
+        ),
+        etopk{p} AS (SELECT * FROM eranked{p} WHERE rank <= 5),
+        evotes{p} AS (
+            SELECT test_id, train_label, count(*) AS votes,
+                   min(rank) AS best_rank
+            FROM etopk{p} GROUP BY test_id, train_label
+        ),
+        esel{p} AS (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                ORDER BY votes DESC, best_rank ASC, train_label ASC) AS vrk
+            FROM evotes{p}
+        ),
+        eacc{p} AS (
+            SELECT cast({p} AS int) AS prefix_len,
+                   count(*) AS n_rows,
+                   cast(sum(cast(p.train_label = t.label AS bigint))
+                        AS bigint) AS n_correct,
+                   avg(cast(p.train_label = t.label AS double)) AS accuracy
+            FROM (SELECT test_id, train_label FROM esel{p} WHERE vrk = 1) p
+            JOIN test t ON p.test_id = t.series_id
+        )"""
+
+    out["q183_early_classification"] = f"""
+        WITH {_SERIES_CTE},
+        {", ".join(_ec_block(p) for p in (4, 8, 12, 16))}
+        SELECT * FROM eacc4
+        UNION ALL SELECT * FROM eacc8
+        UNION ALL SELECT * FROM eacc12
+        UNION ALL SELECT * FROM eacc16
     """
 
     # q182 (r6): label lead-lag — integer-micro group means (order-free)
