@@ -7267,15 +7267,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM pairs WHERE d != 0
             ) WHERE rank <= 5
         ),
-        kd AS (SELECT test_id AS oid, d AS kdist FROM knn WHERE rank = 5),
+        kd AS (
+            SELECT test_id AS oid, max(d) AS kdist
+            FROM knn GROUP BY test_id
+        ),
         reach AS (
             SELECT n.test_id, n.rank, greatest(kd.kdist, n.d) AS v
             FROM knn n JOIN kd ON n.train_id = kd.oid
         ),
         lrd AS (
             SELECT test_id AS lid,
-                   5.0 / list_reduce(list_prepend(0.0, list(v ORDER BY rank)),
-                                     (a, b) -> a + b) AS lrd
+                   cast(count(*) AS double)
+                   / list_reduce(list_prepend(0.0, list(v ORDER BY rank)),
+                                 (a, b) -> a + b) AS lrd
             FROM reach GROUP BY test_id
         ),
         nbl AS (
@@ -7285,11 +7289,12 @@ def oracle_sql() -> dict[str, str]:
         slo AS (
             SELECT test_id,
                    list_reduce(list_prepend(0.0, list(lo ORDER BY rank)),
-                               (a, b) -> a + b) AS s
+                               (a, b) -> a + b) AS s,
+                   cast(count(*) AS double) AS c
             FROM nbl GROUP BY test_id
         )
         SELECT s.test_id AS series_id, kd.kdist AS kdist, l.lrd AS lrd,
-               (s.s / 5.0) / l.lrd AS lof
+               (s.s / s.c) / l.lrd AS lof
         FROM slo s JOIN lrd l ON s.test_id = l.lid
         JOIN kd ON s.test_id = kd.oid
     """
@@ -7544,9 +7549,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         cnt AS (
             SELECT test_id, label, alpha,
-                   cast(sum(CASE WHEN ai >= alpha THEN 1 ELSE 0 END)
-                        AS bigint) AS ge
-            FROM axy CROSS JOIN alphas
+                   cast(count(a.ai) AS bigint) AS ge
+            FROM axy LEFT JOIN alphas a ON a.ai >= axy.alpha
             GROUP BY test_id, label, alpha
         )
         SELECT test_id, label, alpha,

@@ -281,3 +281,29 @@ def test_knn_impute_cluster_fill_and_degradation(spark):
     )
     out2 = {(r["series_id"], r["t"]): r for r in knn_impute(df2, k=2).collect()}
     assert out2[(1, 1)]["n_donors"] == 0 and out2[(1, 1)]["imputed"] is None
+
+
+def test_knn_lof_duplicates_keep_their_rows(spark):
+    """r6 review regression: a corpus with an exact duplicate pair (whose
+    members retain fewer than k nonzero-distance neighbors under P7) must
+    keep EVERY point in the output, and a planted far outlier must still
+    score the maximum (the old rank==k inner joins dropped the duplicates
+    and dragged the outlier below 1)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_lof
+
+    pts = [
+        (1, [0.0, 0.0]), (2, [0.0, 0.0]),       # exact duplicates
+        (3, [1.0, 0.0]), (4, [0.0, 1.0]), (5, [1.0, 1.0]), (6, [0.5, 0.5]),
+        (7, [46.0, 46.0]),                       # far outlier
+    ]
+    df = spark.createDataFrame(pts, "series_id long, features array<double>")
+    # k=6 (= n-1): every neighborhood spans the whole corpus, so LOF ~ 1
+    # for everyone — but NO row may drop (the old rank==k bug)
+    got6 = {r["series_id"]: r for r in knn_lof(df, k=6).collect()}
+    assert len(got6) == 7, f"dropped rows: {sorted(set(range(1,8)) - set(got6))}"
+    # k=4: cluster neighborhoods stay inside the cluster and the planted
+    # outlier scores the maximum, duplicates included in the output
+    got = {r["series_id"]: r for r in knn_lof(df, k=4).collect()}
+    assert len(got) == 7
+    lofs = {i: r["lof"] for i, r in got.items()}
+    assert max(lofs, key=lofs.get) == 7 and lofs[7] > 2.0

@@ -37,6 +37,14 @@ SCALE: the expression forms are interpreted HOFs (the ``sbd`` cost model —
 oracle exactness and small pair volumes); production KNN at corpus scale
 routes metric='lcss'/'edr'/'erp' through the kernels via
 strategy='kernel'/'chunked' exactly like 'dtw' does.
+
+EXCLUDE-ZERO CAVEAT (r6 review): the KNN operators' default
+``exclude_zero=True`` reproduces the reference's self-match rule by
+dropping distance-0 pairs. For the eps-TOLERANT metrics here, distance 0
+means "eps-close at every aligned position", not "identical" — on data
+where whole neighbor series sit within eps, the most informative
+neighbors would be dropped; pass ``exclude_zero=False`` (and exclude self
+by id upstream) when eps-identical neighbors should vote.
 """
 
 from __future__ import annotations
@@ -282,7 +290,27 @@ def _diag_indices(d: int, n: int, m: int):
     return i, d - i
 
 
-def lcss_batch(
+# Per-call cap on the (P, n+1, m+1) DP cube (r6 review: at L=561 a
+# 1024-pair call would otherwise allocate 2.4 GiB, and a broadcast-kernel
+# call scoring one test row against a 10k-row train matrix 24 GiB). Pairs
+# are independent, so splitting the batch is bit-identical (the
+# batch-composition invariance the whole kernel family pins in tests).
+_DP_BYTES_BUDGET = 64 << 20
+
+
+def _dp_in_chunks(A: np.ndarray, B: np.ndarray, core, *args) -> np.ndarray:
+    P, n = A.shape
+    m = B.shape[1]
+    step = max(1, _DP_BYTES_BUDGET // ((n + 1) * (m + 1) * 8))
+    if P <= step:
+        return core(A, B, *args)
+    out = np.empty(P, dtype=np.float64)
+    for i in range(0, P, step):
+        out[i : i + step] = core(A[i : i + step], B[i : i + step], *args)
+    return out
+
+
+def _lcss_batch_core(
     A: np.ndarray, B: np.ndarray, eps: float = LCSS_EPS, delta: Optional[int] = None
 ) -> np.ndarray:
     """Batched LCSS distance: A (P, n) vs B (P, m) row-pairs -> (P,).
@@ -307,7 +335,7 @@ def lcss_batch(
     return 1.0 - dp[:, n, m].astype(np.float64) / float(min(n, m))
 
 
-def edr_batch(A: np.ndarray, B: np.ndarray, eps: float = EDR_EPS) -> np.ndarray:
+def _edr_batch_core(A: np.ndarray, B: np.ndarray, eps: float = EDR_EPS) -> np.ndarray:
     """Batched EDR distance: A (P, n) vs B (P, m) -> (P,). Anti-diagonal
     integer DP; boundary dp[i][0] = i, dp[0][j] = j."""
     A = np.asarray(A, dtype=np.float64)
@@ -329,7 +357,7 @@ def edr_batch(A: np.ndarray, B: np.ndarray, eps: float = EDR_EPS) -> np.ndarray:
     return dp[:, n, m].astype(np.float64) / float(max(n, m))
 
 
-def erp_batch(A: np.ndarray, B: np.ndarray, g: float = ERP_GAP) -> np.ndarray:
+def _erp_batch_core(A: np.ndarray, B: np.ndarray, g: float = ERP_GAP) -> np.ndarray:
     """Batched ERP distance: A (P, n) vs B (P, m) -> (P,). Anti-diagonal
     float DP; per-cell arithmetic (one add per candidate + exact min)
     matches ``erp_dist`` and the recursive-CTE oracle bitwise — cell
@@ -356,7 +384,7 @@ def erp_batch(A: np.ndarray, B: np.ndarray, g: float = ERP_GAP) -> np.ndarray:
     return dp[:, n, m]
 
 
-def twed_batch(
+def _twed_batch_core(
     A: np.ndarray, B: np.ndarray, nu: float = TWED_NU, lam: float = TWED_LAM
 ) -> np.ndarray:
     """Batched TWED: A (P, n) vs B (P, m) -> (P,). Anti-diagonal float DP;
@@ -384,6 +412,38 @@ def twed_batch(
             np.minimum(dp[:, i - 1, j] + del_a[:, i - 1], dp[:, i, j - 1] + del_b[:, j - 1]),
         )
     return dp[:, n, m]
+
+
+
+
+def lcss_batch(
+    A: np.ndarray, B: np.ndarray, eps: float = LCSS_EPS, delta: Optional[int] = None
+) -> np.ndarray:
+    """Memory-capped public form of the LCSS anti-diagonal DP (see
+    ``_dp_in_chunks``): results bit-identical at any split."""
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    return _dp_in_chunks(A, B, _lcss_batch_core, eps, delta)
+
+
+def edr_batch(A: np.ndarray, B: np.ndarray, eps: float = EDR_EPS) -> np.ndarray:
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    return _dp_in_chunks(A, B, _edr_batch_core, eps)
+
+
+def erp_batch(A: np.ndarray, B: np.ndarray, g: float = ERP_GAP) -> np.ndarray:
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    return _dp_in_chunks(A, B, _erp_batch_core, g)
+
+
+def twed_batch(
+    A: np.ndarray, B: np.ndarray, nu: float = TWED_NU, lam: float = TWED_LAM
+) -> np.ndarray:
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    return _dp_in_chunks(A, B, _twed_batch_core, nu, lam)
 
 
 # ---------------------------------------------------------------------------

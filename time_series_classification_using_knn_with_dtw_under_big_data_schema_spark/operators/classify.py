@@ -521,14 +521,14 @@ def conformal_knn(
         .join(tdiff, ["test_id", "label"])
         .select("test_id", "label", (F.col("_ds") / F.col("_dd")).alias("alpha"))
     )
+    # LEFT join on the rank condition (not a cross join + conditional sum):
+    # an EMPTY calibration table then still preserves every test row with
+    # _ge = 0, giving the correct degenerate p = 1/(n_cal+1) = 1 instead of
+    # silently returning zero rows (r6 review fix)
     counted = (
-        axy.crossJoin(F.broadcast(alphas))
+        axy.join(F.broadcast(alphas), F.col("_ai") >= F.col("alpha"), "left")
         .groupBy("test_id", "label", "alpha")
-        .agg(
-            F.sum(
-                F.when(F.col("_ai") >= F.col("alpha"), F.lit(1)).otherwise(F.lit(0))
-            ).cast("long").alias("_ge")
-        )
+        .agg(F.count(F.col("_ai")).cast("long").alias("_ge"))
     )
     return counted.crossJoin(F.broadcast(n_cal)).select(
         "test_id",

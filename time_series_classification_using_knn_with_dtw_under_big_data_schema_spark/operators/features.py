@@ -684,6 +684,24 @@ def periodogram_twiddles(length: int, n_freqs: int | None = None):
     return out
 
 
+def twiddle_fold(arr, table, *, length: int, start=None):
+    """THE literal-table dot-product fold — the exactness primitive shared
+    by periodogram (q168), sfa_words (q174) and boss_classify (q180):
+    ascending fold of ``arr`` (or its 1-based ``start`` window) against a
+    PYTHON-literal coefficient table, so both engines parse identical
+    doubles and the fold order is the engine-wide left-fold convention.
+    Any change to this op order must update the generated oracle SQL in
+    __spark_entry__.py in lockstep (NOTES invariant)."""
+    tcol = F.array(*[F.lit(c) for c in table])
+    pos = (lambda t: start + t - 1) if start is not None else (lambda t: t)
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(length)),
+        F.lit(0.0),
+        lambda a, t: a
+        + F.element_at(arr, pos(t).cast("int")) * F.element_at(tcol, t.cast("int")),
+    )
+
+
 def periodogram(
     series: DataFrame,
     *,
@@ -712,29 +730,25 @@ def periodogram(
     f = F.col(features_col)
     base = series.filter(F.size(f) == length)
 
-    def fold_lit(table):
-        arr = F.array(*[F.lit(c) for c in table])
-        return F.aggregate(
-            F.sequence(F.lit(1), F.lit(length)),
-            F.lit(0.0),
-            lambda a, t: a
-            + F.element_at(f, t.cast("int")) * F.element_at(arr, t.cast("int")),
-        )
-
     p_cols = []
     for k, cs, sn in tw:
-        re, im = fold_lit(cs), fold_lit(sn)
+        re = twiddle_fold(f, cs, length=length)
+        im = twiddle_fold(f, sn, length=length)
         p_cols.append((re * re + im * im).alias(f"p{k}"))
     staged = base.select(F.col(id_col), *p_cols)
     parr = F.array(*[F.col(f"p{k}") for k, _, _ in tw])
-    return staged.select(
+    # staged argmax (r6 review): dom_freq computed once, dom_period derived
+    # from the COLUMN in a second projection — not a verbatim re-scan
+    st2 = staged.select(
         F.col(id_col),
         *[F.col(f"p{k}") for k, _, _ in tw],
         F.array_position(parr, F.array_max(parr)).cast("int").alias("dom_freq"),
-        (
-            F.lit(float(length))
-            / F.array_position(parr, F.array_max(parr)).cast("double")
-        ).alias("dom_period"),
+    )
+    return st2.select(
+        "*",
+        (F.lit(float(length)) / F.col("dom_freq").cast("double")).alias(
+            "dom_period"
+        ),
     )
 
 
@@ -864,11 +878,21 @@ def ljung_box(
         )
 
     ok = (n2 >= 2) & (c0 != 0) & (F.lit(h) < n2)
+    # evaluate-once binding for the O(n) covariance fold (r6 review:
+    # writing (c_at(k)/c0) * (c_at(k)/c0) inline expands to TWO full folds
+    # per lag — Catalyst does not CSE across HOF subtrees); wrapping the
+    # fold value as a 1-element transform binds it to a lambda variable
     ssum = F.aggregate(
         F.sequence(F.lit(1), F.lit(h)),
         F.lit(0.0),
         lambda a, k: a
-        + (c_at(k) / c0) * (c_at(k) / c0) / (n2 - k).cast("double"),
+        + F.element_at(
+            F.transform(
+                F.array(c_at(k)),
+                lambda cv: (cv / c0) * (cv / c0) / (n2 - k).cast("double"),
+            ),
+            1,
+        ),
     )
     q = (n2.cast("double") * (n2 + 2).cast("double")) * ssum
     return base.select(

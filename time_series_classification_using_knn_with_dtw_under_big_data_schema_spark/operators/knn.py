@@ -1179,18 +1179,26 @@ def knn_lof(
     global distance threshold fails (a point is an outlier relative to
     ITS OWN neighborhood's density):
 
-        k-dist(p)      = distance to p's rank-k neighbor
-        reach(p, o)    = max(k-dist(o), d(p, o))
-        lrd(p)         = k / sum_{o in kNN(p)} reach(p, o)
-        LOF(p)         = (sum_{o in kNN(p)} lrd(o) / k) / lrd(p)
+        kdist(p)       = distance to p's FARTHEST retained neighbor
+        reach(p, o)    = max(kdist(o), d(p, o))
+        lrd(p)         = |N(p)| / sum_{o in N(p)} reach(p, o)
+        LOF(p)         = (sum_{o in N(p)} lrd(o) / |N(p)|) / lrd(p)
 
-    This is the "exactly k neighbors" variant (the sklearn behavior):
-    the neighborhood is the deterministic rank-1..k set under the
-    engine's total tie order (distance, id), not the <=k-distance ball —
-    identical results on any engine given the same ranking.
-    ``exclude_zero`` inherits the engine's self-match rule (P7), which
-    also drops exact-duplicate pairs; with it False, duplicate points get
-    reach sums of 0 and inf lrds (the textbook duplicate pathology).
+    N(p) is the deterministic rank-1..k set under the engine's total tie
+    order (distance, id) — the "exactly k neighbors" sklearn variant,
+    not the <=k-distance ball — identical on any engine given the same
+    ranking. |N(p)| is p's ACTUAL neighbor count: under the default
+    ``exclude_zero`` (the engine's P7 self-match rule, which also drops
+    exact-duplicate pairs) a point with duplicates can retain FEWER than
+    k neighbors, and using its real count keeps every such point in the
+    output with a well-defined score (r6 review fix: the earlier
+    rank==k formulation silently dropped those points AND shortened
+    their neighbors' reach sums while still dividing by k — a planted
+    far outlier scored < 1 on a corpus with one duplicate pair). Points
+    with ZERO retained neighbors (only duplicates of themselves in the
+    corpus) still drop — no neighborhood, no density. With
+    exclude_zero=False, duplicate points get reach sums of 0 and inf
+    lrds (the textbook duplicate pathology).
 
     Output: (id_col, kdist, lrd, lof) — raw doubles, bit-exact across
     engines UNDER THE DEFAULT broadcast/shuffle strategies: every float
@@ -1218,8 +1226,11 @@ def knn_lof(
         band=band,
         fastdtw_radius=fastdtw_radius,
     ).select("test_id", "train_id", "rank", "distance")
-    kd = nn.filter(F.col("rank") == k).select(
-        F.col("test_id").alias("_oid"), F.col("distance").alias("kdist")
+    # kdist = the farthest RETAINED neighbor (exact max), n_nb = the
+    # actual neighborhood size — both defined for every point with >= 1
+    # retained neighbor, so duplicates never silently vanish
+    kd = nn.groupBy(F.col("test_id").alias("_oid")).agg(
+        F.max("distance").alias("kdist")
     )
     # reach-dist toward each neighbor o uses o's OWN k-distance
     reach = nn.join(kd, nn.train_id == kd._oid).select(
@@ -1237,11 +1248,12 @@ def knn_lof(
         return g.select(
             F.col(key),
             F.aggregate(F.col("_nb"), F.lit(0.0), lambda a, x: a + x["v"]).alias("_s"),
+            F.size("_nb").cast("double").alias("_cnt"),
         )
 
-    kd_f = F.lit(float(k))
     lrd = _rank_fold("rank", "_rd", reach, "test_id").select(
-        F.col("test_id").alias("_lid"), (kd_f / F.col("_s")).alias("lrd")
+        F.col("test_id").alias("_lid"),
+        (F.col("_cnt") / F.col("_s")).alias("lrd"),
     )
     # each point's neighbors' lrds, rank-ordered
     nbl = nn.join(lrd, nn.train_id == lrd._lid).select("test_id", "rank", F.col("lrd").alias("_lo"))
@@ -1253,7 +1265,7 @@ def knn_lof(
             F.col("test_id").alias(id_col),
             F.col("kdist"),
             F.col("lrd"),
-            ((F.col("_s") / kd_f) / F.col("lrd")).alias("lof"),
+            ((F.col("_s") / F.col("_cnt")) / F.col("lrd")).alias("lof"),
         )
     )
     return out

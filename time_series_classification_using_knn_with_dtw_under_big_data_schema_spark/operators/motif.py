@@ -400,8 +400,15 @@ def fluss_segmentation(
     """
     if exclude_zone is None:
         exclude_zone = m
+    # matrix_profile keys on 'series_id' (r6 review fix: a custom id_col
+    # previously hit an unresolved-column error inside the callee)
+    src = (
+        series.withColumnRenamed(id_col, "series_id")
+        if id_col != "series_id"
+        else series
+    )
     prof = matrix_profile(
-        series, m, exclusion=exclusion, features_col=features_col
+        src, m, exclusion=exclusion, features_col=features_col
     ).withColumnRenamed("series_id", id_col)
     lw = series.select(
         F.col(id_col).alias("_sid"),

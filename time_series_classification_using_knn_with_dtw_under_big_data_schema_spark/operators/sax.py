@@ -204,20 +204,11 @@ def sfa_words(
 
     Output: (id_col, sfa_word string) — the content-addressable series
     key for BOSS-style bag-of-words classification and grouping."""
-    from .features import periodogram_twiddles
+    from .features import periodogram_twiddles, twiddle_fold
 
     tw = periodogram_twiddles(length, n_coeffs)
     f = F.col(features_col)
     base = series.filter(F.size(f) == length)
-
-    def fold_lit(table):
-        arr = F.array(*[F.lit(c) for c in table])
-        return F.aggregate(
-            F.sequence(F.lit(1), F.lit(length)),
-            F.lit(0.0),
-            lambda a, t: a
-            + F.element_at(f, t.cast("int")) * F.element_at(arr, t.cast("int")),
-        )
 
     def micro(col):
         return F.round(col * F.lit(1_000_000.0)).cast("bigint")
@@ -225,10 +216,16 @@ def sfa_words(
     entries = []
     for idx, (k, cs, sn) in enumerate(tw):
         entries.append(
-            F.struct(F.lit(2 * idx).alias("dim"), micro(fold_lit(cs)).alias("cm"))
+            F.struct(
+                F.lit(2 * idx).alias("dim"),
+                micro(twiddle_fold(f, cs, length=length)).alias("cm"),
+            )
         )
         entries.append(
-            F.struct(F.lit(2 * idx + 1).alias("dim"), micro(fold_lit(sn)).alias("cm"))
+            F.struct(
+                F.lit(2 * idx + 1).alias("dim"),
+                micro(twiddle_fold(f, sn, length=length)).alias("cm"),
+            )
         )
     long = base.select(
         F.col(id_col), F.explode(F.array(*entries)).alias("_e")
@@ -291,7 +288,7 @@ def boss_classify(
     (distance, label, id)."""
     from pyspark.sql import Window as _W
 
-    from .features import periodogram_twiddles
+    from .features import periodogram_twiddles, twiddle_fold
     from .motif import _numerosity_reduce
 
     tw = periodogram_twiddles(m, n_coeffs)
@@ -301,16 +298,8 @@ def boss_classify(
         tables.append((2 * i + 1, sn))
 
     def coef_micro(arr, s, table):
-        tcol = F.array(*[F.lit(c) for c in table])
         return F.round(
-            F.aggregate(
-                F.sequence(F.lit(1), F.lit(m)),
-                F.lit(0.0),
-                lambda a, t: a
-                + F.element_at(arr, (s + t - 1).cast("int"))
-                * F.element_at(tcol, t.cast("int")),
-            )
-            * F.lit(1_000_000.0)
+            twiddle_fold(arr, table, length=m, start=s) * F.lit(1_000_000.0)
         ).cast("bigint")
 
     def starts(arr):
