@@ -3573,6 +3573,18 @@ def _q184_drift_detect(spark, sf_dir):
     )
 
 
+def _q185_knn_msm(spark, sf_dir):
+    """MSM-distance KNN (r6; functions/edit_distance.py::msm_dist —
+    Stefan, Athitsos & Das TKDE 2013, Move-Split-Merge): the last classic
+    elastic METRIC, completing the family DTW / LCSS / EDR / ERP / TWED /
+    MSM. strategy='kernel' (sequential borders + anti-diagonal interior);
+    every candidate is one IEEE add of a compare-selected cost, so the
+    kernel hash-matches the recursive-CTE replay with raw doubles."""
+    train, test = _series(spark, sf_dir)
+    nn = knn_join(test, train, metric="msm", k=3, strategy="kernel")
+    return nn.select("test_id", "train_id", "rank", "distance")
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3799,6 +3811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_label_leadlag": _q182_label_leadlag,
         "q183_early_classification": _q183_early_classification,
         "q184_drift_detect": _q184_drift_detect,
+        "q185_knn_msm": _q185_knn_msm,
     }
 
 
@@ -7599,6 +7612,64 @@ def oracle_sql() -> dict[str, str]:
                cast({_pg_pos} AS int) AS dom_freq,
                {float(SERIES_LEN)!r} / cast({_pg_pos} AS double) AS dom_period
         FROM ps
+    """
+
+    # q185 (r6): MSM — DP starts at (1,1) (no zero boundary), so this
+    # recursion inits at i=1 instead of the _edit_knn_sql i=0 template;
+    # the c literal folds in Python (repr round-trip)
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.edit_distance import (
+        MSM_C as _MSM_C,
+    )
+
+    def _msm_c_sql(x: str, y: str, z: str) -> str:
+        c = repr(float(_MSM_C))
+        return (
+            f"(CASE WHEN ({y} <= {x} AND {x} <= {z})"
+            f" OR ({y} >= {x} AND {x} >= {z}) THEN {c}"
+            f" ELSE {c} + least(abs({x} - {y}), abs({x} - {z})) END)"
+        )
+
+    out["q185_knn_msm"] = f"""
+        WITH RECURSIVE {_SERIES_CTE},
+        mpairs AS (
+            SELECT t.series_id AS test_id, r.series_id AS train_id,
+                   r.label AS train_label, t.features AS fa, r.features AS fb
+            FROM test t CROSS JOIN train r
+        ),
+        mdp AS (
+            SELECT test_id, train_id, train_label, fa, fb, 1 AS i,
+                   list_reduce(
+                       list_prepend([abs(fa[1] - fb[1])],
+                           list_transform(range(2, len(fb) + 1),
+                               j -> [{_msm_c_sql("fb[j]", "fb[j-1]", "fa[1]")}])),
+                       (acc, e) -> list_append(acc, acc[-1] + e[1])) AS row
+            FROM mpairs
+            UNION ALL
+            SELECT test_id, train_id, train_label, fa, fb, i + 1,
+                   list_reduce(
+                       list_prepend(
+                           [row[1] + {_msm_c_sql("fa[i+1]", "fa[i]", "fb[1]")}],
+                           list_transform(range(2, len(fb) + 1),
+                               j -> [abs(fa[i+1] - fb[j]), row[j-1], row[j],
+                                     {_msm_c_sql("fa[i+1]", "fa[i]", "fb[j]")},
+                                     {_msm_c_sql("fb[j]", "fb[j-1]", "fa[i+1]")}])),
+                       (acc, e) -> list_append(acc,
+                           least(e[2] + e[1], e[3] + e[4],
+                                 acc[-1] + e[5]))) AS row
+            FROM mdp WHERE i < len(fa)
+        ),
+        mdd AS (
+            SELECT test_id, train_id, train_label, row[-1] AS dist
+            FROM mdp WHERE i = len(fa)
+        ),
+        mrk AS (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                        ORDER BY dist ASC, train_label ASC, train_id ASC) AS rank
+            FROM mdd WHERE dist != 0
+        )
+        SELECT test_id, train_id, cast(rank AS int) AS rank,
+               dist AS distance
+        FROM mrk WHERE rank <= 3
     """
 
     # q184 (r6): drift detection — exact-median split, integer bin counts,

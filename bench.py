@@ -171,7 +171,7 @@ def main() -> None:
     # oracle-exactness artifacts (interpreted HOFs), never benched.
     from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join as _kj
 
-    for _em in ("lcss", "edr", "erp", "twed"):
+    for _em in ("lcss", "edr", "erp", "twed", "msm"):
         run(
             f"knn_{_em}_kernel",
             lambda m=_em: _mat(_kj(test, train, metric=m, k=5, strategy="kernel")),

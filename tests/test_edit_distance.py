@@ -1,4 +1,4 @@
-"""Edit-distance metric family (r6): LCSS / EDR / ERP / TWED.
+"""Edit-distance metric family (r6): LCSS / EDR / ERP / TWED / MSM.
 
 Contracts pinned here:
 - batch kernels == an independent naive per-pair Python DP (fuzz, ragged
@@ -30,6 +30,8 @@ from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.f
     erp_dist,
     lcss_batch,
     lcss_dist,
+    msm_batch,
+    msm_dist,
     twed_batch,
     twed_dist,
 )
@@ -98,6 +100,30 @@ def _naive_twed(a, b, nu, lam):
     return dp[n][m]
 
 
+def _naive_msm(a, b, c=1.0):
+    n, m = len(a), len(b)
+
+    def C(x, y, z):
+        if (y <= x <= z) or (y >= x >= z):
+            return c
+        return c + min(abs(x - y), abs(x - z))
+
+    dp = [[0.0] * (m + 1) for _ in range(n + 1)]
+    dp[1][1] = abs(a[0] - b[0])
+    for j in range(2, m + 1):
+        dp[1][j] = dp[1][j - 1] + C(b[j - 1], b[j - 2], a[0])
+    for i in range(2, n + 1):
+        dp[i][1] = dp[i - 1][1] + C(a[i - 1], a[i - 2], b[0])
+    for i in range(2, n + 1):
+        for j in range(2, m + 1):
+            dp[i][j] = min(
+                dp[i - 1][j - 1] + abs(a[i - 1] - b[j - 1]),
+                dp[i - 1][j] + C(a[i - 1], a[i - 2], b[j - 1]),
+                dp[i][j - 1] + C(b[j - 1], b[j - 2], a[i - 1]),
+            )
+    return dp[n][m]
+
+
 def _random_pairs(n_pairs=60, seed=11):
     rng = np.random.default_rng(seed)
     return [
@@ -121,6 +147,8 @@ def test_kernels_match_naive_dp_fuzz():
         assert erp_batch(A, B, g=5.0)[0] == _naive_erp(a, b, 5.0)
         assert twed_batch(A, B)[0] == _naive_twed(a, b, TWED_NU, TWED_LAM)
         assert twed_batch(A, B, nu=1.0, lam=0.5)[0] == _naive_twed(a, b, 1.0, 0.5)
+        assert msm_batch(A, B)[0] == _naive_msm(a, b)
+        assert msm_batch(A, B, c=0.1)[0] == _naive_msm(a, b, 0.1)
 
 
 def test_kernels_batch_composition_invariant():
@@ -132,7 +160,8 @@ def test_kernels_batch_composition_invariant():
     A = np.stack([p[0] for p in pairs])
     B = np.stack([p[1] for p in pairs])
     for fn, kw in ((lcss_batch, {"eps": 10.0}), (edr_batch, {"eps": 10.0}),
-                   (erp_batch, {"g": 0.0}), (twed_batch, {})):
+                   (erp_batch, {"g": 0.0}), (twed_batch, {}),
+                   (msm_batch, {})):
         batched = fn(A, B, **kw)
         single = np.array([fn(a[None, :], b[None, :], **kw)[0] for a, b in pairs])
         assert (batched == single).all()
@@ -149,6 +178,7 @@ def test_expressions_match_kernels_bitwise(spark):
         edr_dist(F.col("a"), F.col("b")).alias("edr"),
         erp_dist(F.col("a"), F.col("b")).alias("erp"),
         twed_dist(F.col("a"), F.col("b")).alias("twed"),
+        msm_dist(F.col("a"), F.col("b")).alias("msm"),
     ).collect()
     by_id = {r["id"]: r for r in got}
     for i, (a, b) in enumerate(_random_pairs(40)):
@@ -158,6 +188,7 @@ def test_expressions_match_kernels_bitwise(spark):
         assert r["edr"] == edr_batch(A, B, eps=EDR_EPS)[0]
         assert r["erp"] == erp_batch(A, B, g=ERP_GAP)[0]
         assert r["twed"] == twed_batch(A, B)[0]
+        assert r["msm"] == msm_batch(A, B)[0]
 
 
 def test_empty_side_guard_returns_null(spark):
@@ -170,26 +201,27 @@ def test_empty_side_guard_returns_null(spark):
         edr_dist(F.col("a"), F.col("b")).alias("e"),
         erp_dist(F.col("a"), F.col("b")).alias("r"),
         twed_dist(F.col("a"), F.col("b")).alias("t"),
+        msm_dist(F.col("a"), F.col("b")).alias("ms"),
     ).collect()
     for row in got:
         assert row["l"] is None and row["e"] is None and row["r"] is None
-        assert row["t"] is None
+        assert row["t"] is None and row["ms"] is None
 
 
 def test_erp_twed_triangle_inequality():
-    """ERP and TWED are the edit-family members that are TRUE metrics
-    (Chen & Ng 2004; Marteau 2009)."""
+    """ERP, TWED and MSM are the edit-family members that are TRUE
+    metrics (Chen & Ng 2004; Marteau 2009; Stefan et al. 2013)."""
     rng = np.random.default_rng(5)
     for _ in range(200):
         a, b, c = (rng.uniform(0, 50, 10) for _ in range(3))
-        for fn in (erp_batch, twed_batch):
+        for fn in (erp_batch, twed_batch, msm_batch):
             dab = fn(a[None, :], b[None, :])[0]
             dac = fn(a[None, :], c[None, :])[0]
             dcb = fn(c[None, :], b[None, :])[0]
             assert dab <= dac + dcb + 1e-9
 
 
-@pytest.mark.parametrize("metric", ["lcss", "edr", "erp", "twed"])
+@pytest.mark.parametrize("metric", ["lcss", "edr", "erp", "twed", "msm"])
 def test_knn_strategies_agree(spark, metric):
     """broadcast (Catalyst fold) / kernel (anti-diagonal numpy) / chunked
     (block cells) return the SAME ranked neighbors — integer or

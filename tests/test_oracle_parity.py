@@ -191,11 +191,11 @@ SLOW_SUBSET = [
     "q158_ar_forecast",
     "q160_mann_kendall",
     "q161_theil_sen",
-    # q162-q165 (edit-distance KNN) are sf0.001/0.01-only like the other
+    # q162-q165 + q185 (edit-distance KNN) are sf0.001/0.01-only like the other
     # pair-DP replays: both the q162 declarative fold and the recursive-CTE
     # oracles are O(pairs * n * m) interpreted DPs (measured ~2 min EACH at
     # sf0.1); the production kernel paths are benched separately
-    # (bench.py knn_lcss/edr/erp/twed_kernel) and 3-strategy equality is
+    # (bench.py knn_lcss/edr/erp/twed/msm_kernel) and 3-strategy equality is
     # pinned in test_edit_distance. q166 (LOF), q169 (conformal) and q173
     # (impute) also stay small-sf: their oracles fold the FULL pair matrix
     # in interpreted DuckDB lambdas.

@@ -23,7 +23,10 @@ from .edit_distance import (  # noqa: F401
     make_edr_udf,
     make_erp_udf,
     make_lcss_udf,
+    make_msm_udf,
     make_twed_udf,
+    msm_batch,
+    msm_dist,
     twed_batch,
     twed_dist,
 )

@@ -305,9 +305,15 @@ dtw_udf = make_dtw_udf(None)
 
 def _edit_family() -> dict[str, Callable[[Column, Column], Column]]:
     # late import: edit_distance imports _grouped_pairs_udf from here
-    from .edit_distance import edr_dist, erp_dist, lcss_dist, twed_dist
+    from .edit_distance import edr_dist, erp_dist, lcss_dist, msm_dist, twed_dist
 
-    return {"lcss": lcss_dist, "edr": edr_dist, "erp": erp_dist, "twed": twed_dist}
+    return {
+        "lcss": lcss_dist,
+        "edr": edr_dist,
+        "erp": erp_dist,
+        "twed": twed_dist,
+        "msm": msm_dist,
+    }
 
 
 DISTANCES: dict[str, Callable[[Column, Column], Column]] = {

@@ -73,6 +73,10 @@ __all__ = [
     "make_edr_udf",
     "make_erp_udf",
     "make_twed_udf",
+    "MSM_C",
+    "msm_dist",
+    "msm_batch",
+    "make_msm_udf",
 ]
 
 # Engine defaults for the NAMED metric registrations ('lcss'/'edr'/'erp' in
@@ -477,3 +481,142 @@ def make_twed_udf(
     from .distance import _grouped_pairs_udf
 
     return _grouped_pairs_udf(lambda A, B: twed_batch(A, B, nu=nu, lam=lam))
+
+
+# MSM move cost (Stefan, Athitsos & Das, TKDE 2013): splitting/merging a
+# point costs a flat c when the new value lies BETWEEN its neighbors,
+# c + the distance to the nearer neighbor otherwise. c = 1.0 sits near the
+# paper's midpoint on raw-valued data.
+MSM_C = 1.0
+
+
+def _msm_cost(x: Column, y: Column, z: Column, c: Column) -> Column:
+    between = ((y <= x) & (x <= z)) | ((y >= x) & (x >= z))
+    return F.when(between, c).otherwise(
+        c + F.least(F.abs(x - y), F.abs(x - z))
+    )
+
+
+def msm_dist(a: Column, b: Column, c: float = MSM_C) -> Column:
+    """MSM — Move-Split-Merge distance (Stefan et al. 2013), the remaining
+    classic elastic METRIC (metric property proven in the paper):
+
+        dp[i][j] = min(dp[i-1][j-1] + |a_i - b_j|,            (move)
+                       dp[i-1][j]   + C(a_i, a_{i-1}, b_j),   (split/merge)
+                       dp[i][j-1]   + C(b_j, b_{j-1}, a_i))
+
+    with dp[1][1] = |a_1 - b_1| and sequential first row/column (the DP
+    starts at (1,1) — no zero boundary). Every candidate is one IEEE add
+    of a compare-selected cost — evaluation-order independent, so fold ==
+    anti-diagonal kernel == recursive CTE bitwise (the erp_dist
+    argument). Completes the engine's elastic family: DTW / LCSS / EDR /
+    ERP / TWED / MSM."""
+    n, m = F.size(a), F.size(b)
+    cl = F.lit(float(c))
+
+    def el(arr: Column, i: Column) -> Column:
+        return F.element_at(arr, i.cast("int"))
+
+    # dp[1][*]: dp[1][1] = |a1 - b1|; dp[1][j] = dp[1][j-1] + C(b_j, b_{j-1}, a_1)
+    init = F.aggregate(
+        F.sequence(F.lit(2), m),
+        F.array(F.abs(F.element_at(a, 1) - F.element_at(b, 1))),
+        lambda acc, j: F.array_append(
+            acc,
+            F.element_at(acc, -1)
+            + _msm_cost(el(b, j), el(b, j - 1), F.element_at(a, 1), cl),
+        ),
+    )
+
+    def step(row: Column, i: Column) -> Column:
+        ai, aim1 = el(a, i), el(a, i - 1)
+        first = F.element_at(row, 1) + _msm_cost(ai, aim1, F.element_at(b, 1), cl)
+
+        def cell(acc: Column, j: Column) -> Column:
+            bj, bjm1 = el(b, j), el(b, j - 1)
+            return F.array_append(
+                acc,
+                F.least(
+                    F.element_at(row, (j - 1).cast("int")) + F.abs(ai - bj),
+                    F.element_at(row, j.cast("int")) + _msm_cost(ai, aim1, bj, cl),
+                    F.element_at(acc, -1) + _msm_cost(bj, bjm1, ai, cl),
+                ),
+            )
+
+        # m == 1 guard on the INNER range too (sequence(2, 1) descends):
+        # the row is then just its first cell
+        return F.aggregate(
+            F.when(m >= 2, F.sequence(F.lit(2), m)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            F.array(first),
+            cell,
+        )
+
+    # m == 1: init is just [dp[1][1]] (sequence(2, 1) would descend;
+    # F.when evaluates only the taken branch)
+    fold = F.element_at(
+        F.aggregate(
+            F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            F.when(m >= 2, init).otherwise(
+                F.array(F.abs(F.element_at(a, 1) - F.element_at(b, 1)))
+            ),
+            step,
+        ),
+        -1,
+    )
+    return F.when((n > 0) & (m > 0), fold)
+
+
+def _msm_cost_np(x, y, z, c):
+    between = ((y <= x) & (x <= z)) | ((y >= x) & (x >= z))
+    return np.where(between, c, c + np.minimum(np.abs(x - y), np.abs(x - z)))
+
+
+def _msm_batch_core(A: np.ndarray, B: np.ndarray, c: float = MSM_C) -> np.ndarray:
+    """Batched MSM: sequential first row/column (vectorized over the
+    batch), anti-diagonal DP for the interior — per-cell add trees match
+    ``msm_dist`` exactly."""
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    P, n = A.shape
+    m = B.shape[1]
+    dp = np.empty((P, n + 1, m + 1), dtype=np.float64)  # row/col 0 unused
+    dp[:, 1, 1] = np.abs(A[:, 0] - B[:, 0])
+    for j in range(2, m + 1):
+        dp[:, 1, j] = dp[:, 1, j - 1] + _msm_cost_np(
+            B[:, j - 1], B[:, j - 2], A[:, 0], c
+        )
+    for i in range(2, n + 1):
+        dp[:, i, 1] = dp[:, i - 1, 1] + _msm_cost_np(
+            A[:, i - 1], A[:, i - 2], B[:, 0], c
+        )
+    for d in range(4, n + m + 1):
+        i = np.arange(max(2, d - m), min(n, d - 2) + 1)
+        if not len(i):
+            continue
+        j = d - i
+        dp[:, i, j] = np.minimum(
+            dp[:, i - 1, j - 1] + np.abs(A[:, i - 1] - B[:, j - 1]),
+            np.minimum(
+                dp[:, i - 1, j]
+                + _msm_cost_np(A[:, i - 1], A[:, i - 2], B[:, j - 1], c),
+                dp[:, i, j - 1]
+                + _msm_cost_np(B[:, j - 1], B[:, j - 2], A[:, i - 1], c),
+            ),
+        )
+    return dp[:, n, m]
+
+
+def msm_batch(A: np.ndarray, B: np.ndarray, c: float = MSM_C) -> np.ndarray:
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    return _dp_in_chunks(A, B, _msm_batch_core, c)
+
+
+def make_msm_udf(c: float = MSM_C) -> Callable[[Column, Column], Column]:
+    from .distance import _grouped_pairs_udf
+
+    return _grouped_pairs_udf(lambda A, B: msm_batch(A, B, c=c))

@@ -210,7 +210,7 @@ def _knn_kernel_broadcast(
         kind = "dtw"
     elif metric in (
         "euclidean", "sq_euclidean", "manhattan", "chebyshev", "sbd",
-        "lcss", "edr", "erp", "twed",
+        "lcss", "edr", "erp", "twed", "msm",
     ):
         kind = metric
     else:
@@ -403,17 +403,17 @@ def _score_block_rows(
                 D = ((A - B) ** 2).sum(axis=1)
             elif kind == "manhattan":
                 D = np.abs(A - B).sum(axis=1)
-            elif kind in ("lcss", "edr", "erp", "twed"):
+            elif kind in ("lcss", "edr", "erp", "twed", "msm"):
                 # edit-distance family at module defaults (the named-metric
                 # contract; custom eps/g go through callable metrics on the
                 # declarative path) — anti-diagonal batched DPs, bit-equal
                 # to the Catalyst fold expressions
                 from ..functions.edit_distance import (
-                    edr_batch, erp_batch, lcss_batch, twed_batch,
+                    edr_batch, erp_batch, lcss_batch, msm_batch, twed_batch,
                 )
 
-                fn = {"lcss": lcss_batch, "edr": edr_batch,
-                      "erp": erp_batch, "twed": twed_batch}[kind]
+                fn = {"lcss": lcss_batch, "edr": edr_batch, "erp": erp_batch,
+                      "twed": twed_batch, "msm": msm_batch}[kind]
                 D = fn(A, B)
             else:  # chebyshev
                 D = np.abs(A - B).max(axis=1)
@@ -496,7 +496,7 @@ def _knn_chunked(
         kind = "dtw"
     elif metric in (
         "euclidean", "sq_euclidean", "manhattan", "chebyshev", "sbd",
-        "lcss", "edr", "erp", "twed",
+        "lcss", "edr", "erp", "twed", "msm",
     ):
         kind = metric
     else:
@@ -560,7 +560,7 @@ def _knn_chunked(
         # 561-pt work ~190x and kept toy jobs from collapsing cells
         # (review r6)
         per_pair = L * min(4 * (fastdtw_radius + 1) + 2, L) * int(ch_r or 1)
-    elif metric in ("lcss", "edr", "erp", "twed"):
+    elif metric in ("lcss", "edr", "erp", "twed", "msm"):
         # full-table edit-distance DPs sweep every (i, j) cell
         per_pair = L * L
     else:
