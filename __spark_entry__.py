@@ -3585,6 +3585,20 @@ def _q185_knn_msm(spark, sf_dir):
     return nn.select("test_id", "train_id", "rank", "distance")
 
 
+def _q186_sampen_counts(spark, sf_dir):
+    """Sample-entropy match counts (r6; operators/features.py::
+    sampen_counts — Richman & Moorman 2000, the ln-free form): integer
+    2-template and 3-template match counts under Chebyshev tolerance +
+    the exact rational A/B regularity ratio (SampEn = -ln of it; ln is
+    libm-divergent, the ratio orders series identically). O(len^2)
+    integer folds per row."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import sampen_counts
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return sampen_counts(series, r=10.0)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3812,6 +3826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_early_classification": _q183_early_classification,
         "q184_drift_detect": _q184_drift_detect,
         "q185_knn_msm": _q185_knn_msm,
+        "q186_sampen_counts": _q186_sampen_counts,
     }
 
 
@@ -7612,6 +7627,44 @@ def oracle_sql() -> dict[str, str]:
                cast({_pg_pos} AS int) AS dom_freq,
                {float(SERIES_LEN)!r} / cast({_pg_pos} AS double) AS dom_period
         FROM ps
+    """
+
+    # q186 (r6): SampEn counts — nested integer folds (the mann_kendall
+    # shape), exact rational ratio
+    def _se_cnt(last: str, extra: bool) -> str:
+        third = (
+            " AND abs(f[i+2] - f[j+2]) <= 10.0" if extra else ""
+        )
+        return f"""CASE WHEN {last} >= 2 THEN
+            list_reduce(list_prepend(cast(0 AS bigint),
+                list_transform(range(1, {last}), i ->
+                    list_reduce(list_prepend(cast(0 AS bigint),
+                        list_transform(range(i + 1, {last} + 1), j ->
+                            cast(CASE WHEN abs(f[i] - f[j]) <= 10.0
+                                       AND abs(f[i+1] - f[j+1]) <= 10.0{third}
+                                  THEN 1 ELSE 0 END AS bigint))),
+                        (a, v) -> a + v))),
+                (a, v) -> a + v)
+        ELSE cast(0 AS bigint) END"""
+
+    out["q186_sampen_counts"] = f"""
+        WITH {_SERIES_CTE},
+        sbase AS (
+            SELECT series_id, features AS f, len(features) AS n FROM series
+        ),
+        sc AS (
+            SELECT series_id,
+                   CASE WHEN n >= 3 THEN {_se_cnt("(n - 1)", False)}
+                        ELSE cast(0 AS bigint) END AS b_count,
+                   CASE WHEN n >= 4 THEN {_se_cnt("(n - 2)", True)}
+                        ELSE cast(0 AS bigint) END AS a_count
+            FROM sbase
+        )
+        SELECT series_id, b_count, a_count,
+               CASE WHEN b_count > 0 THEN
+                   cast(a_count AS double) / cast(b_count AS double)
+               END AS match_ratio
+        FROM sc
     """
 
     # q185 (r6): MSM — DP starts at (1,1) (no zero boundary), so this

@@ -913,3 +913,38 @@ def test_complexity_features_semantics(spark):
         ae, cid, c3, tr = replay(x)
         r = got[sid]
         assert (r["abs_energy"], r["cid"], r["c3"], r["trev"]) == (ae, cid, c3, tr)
+
+
+def test_sampen_counts_regularity_ordering(spark):
+    """sampen_counts (r6): a constant series keeps every 2-match when
+    extended to 3 points (ratio 1); noise at the tolerance scale loses
+    most (ratio well below); python replay exact; short-series guards."""
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import sampen_counts
+
+    rng = np.random.default_rng(14)
+    const = [5.0] * 16
+    noise = [float(v) for v in rng.uniform(0, 100, 16)]
+    rows = [(1, const), (2, noise), (3, [1.0, 2.0, 3.0])]
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    got = {r["series_id"]: r for r in sampen_counts(df, r=10.0).collect()}
+    # the maximum possible ratio at n=16: every template matches, so
+    # A/B = C(14,2)/C(15,2) = 91/105 (start ranges differ by one)
+    assert got[1]["match_ratio"] == 91 / 105
+    assert got[2]["match_ratio"] is None or got[2]["match_ratio"] < 91 / 105
+    assert got[3]["a_count"] == 0  # n < 4: no 3-templates
+
+    def replay(x, r=10.0):
+        n = len(x)
+        def cnt(last, m):
+            c = 0
+            for i in range(last - 1):
+                for j in range(i + 1, last):
+                    if all(abs(x[i + t] - x[j + t]) <= r for t in range(m)):
+                        c += 1
+            return c
+        return cnt(n - 1, 2) if n >= 3 else 0, cnt(n - 2, 3) if n >= 4 else 0
+    for sid, x in ((1, const), (2, noise)):
+        b, a = replay(x)
+        assert (got[sid]["b_count"], got[sid]["a_count"]) == (b, a)

@@ -56,6 +56,7 @@ from .features import (  # noqa: F401
     permutation_patterns,
     periodogram_twiddles,
     rocket_features,
+    sampen_counts,
     seasonal_decompose,
     series_features,
     theil_sen,

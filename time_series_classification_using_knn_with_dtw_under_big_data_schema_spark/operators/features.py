@@ -40,6 +40,7 @@ __all__ = [
     "acf_features", "pacf_features", "ljung_box", "periodogram",
     "periodogram_twiddles", "viterbi_regimes", "haar_features",
     "decomposition_strength", "permutation_patterns", "complexity_features",
+    "sampen_counts", "twiddle_fold",
 ]
 
 
@@ -1299,4 +1300,70 @@ def complexity_features(
         cid.alias("cid"),
         c3.alias("c3"),
         trev.alias("trev"),
+    )
+
+
+def sampen_counts(
+    series: DataFrame,
+    *,
+    r: float = 10.0,
+    id_col: str = "series_id",
+    features_col: str = "features",
+) -> DataFrame:
+    """Sample-entropy template-match counts per series (r6; Richman &
+    Moorman 2000, m = 2): B = matching 2-point template pairs, A =
+    matching 3-point template pairs, both under Chebyshev tolerance
+    ``r`` and i < j (no self-matches). SampEn itself is -ln(A/B); the ln
+    is libm-divergent cross-engine, so this operator outputs the INTEGER
+    counts and the exact rational ratio A/B — the same regularity
+    ordering (a regular series keeps its 2-matches when extended to 3
+    points -> ratio near 1; noise loses them -> ratio near 0). Ratio is
+    NULL when B = 0 or n < 4. O(len^2) integer folds per row, never
+    corpus-quadratic; fixed raw-value tolerance (pair with znorm upstream
+    for amplitude-invariant regularity)."""
+    f = F.col(features_col)
+    n = F.size(f)
+    rl = F.lit(float(r))
+
+    def el(i):
+        return F.element_at(f, i.cast("int"))
+
+    def cnt(last_start, extra):
+        # sum over 1 <= i < j <= last_start of [templates at i, j match]
+        return F.aggregate(
+            F.when(last_start >= 2, F.sequence(F.lit(1), last_start - 1)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc
+            + F.aggregate(
+                F.sequence(i + 1, last_start),
+                F.lit(0).cast("bigint"),
+                lambda a2, j: a2
+                + F.when(
+                    (F.abs(el(i) - el(j)) <= rl)
+                    & (F.abs(el(i + 1) - el(j + 1)) <= rl)
+                    & (
+                        (F.abs(el(i + 2) - el(j + 2)) <= rl)
+                        if extra
+                        else F.lit(True)
+                    ),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint"),
+            ),
+        )
+
+    b = F.when(n >= 3, cnt(n - 1, False)).otherwise(F.lit(0).cast("bigint"))
+    a = F.when(n >= 4, cnt(n - 2, True)).otherwise(F.lit(0).cast("bigint"))
+    staged = series.select(F.col(id_col), b.alias("b_count"), a.alias("a_count"))
+    return staged.select(
+        F.col(id_col),
+        "b_count",
+        "a_count",
+        F.when(
+            F.col("b_count") > 0,
+            F.col("a_count").cast("double") / F.col("b_count").cast("double"),
+        ).alias("match_ratio"),
     )
