@@ -3599,6 +3599,26 @@ def _q186_sampen_counts(spark, sf_dir):
     return sampen_counts(series, r=10.0)
 
 
+def _q187_stream_drift_twin(spark, sf_dir):
+    """Streaming drift monitor, batch twin (r6; streaming/drift.py::
+    stream_drift_monitor): per epoch-aligned 1-day window, the q184
+    chi-square-shaped divergence of the window's value histogram against
+    a static reference (the first 15 days) — the single-aggregation
+    streaming plan (per-bin conditional sums + a broadcast 1-row
+    reference join + an ordered bin fold) run in batch mode, where it is
+    SQL-oracle-checkable; live-stream parity with this exact twin is
+    pinned in tests/test_ml_and_streaming.py."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import (
+        stream_drift_monitor,
+        value_histogram,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    cutoff = 1705363200000000  # 2024-01-16T00:00:00Z in epoch micros
+    ref = value_histogram(events.filter(_ts_us(events) < F.lit(cutoff)))
+    return stream_drift_monitor(events, ref, window="1 day", watermark="2 days")
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3827,6 +3847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_drift_detect": _q184_drift_detect,
         "q185_knn_msm": _q185_knn_msm,
         "q186_sampen_counts": _q186_sampen_counts,
+        "q187_stream_drift_twin": _q187_stream_drift_twin,
     }
 
 
@@ -7627,6 +7648,53 @@ def oracle_sql() -> dict[str, str]:
                cast({_pg_pos} AS int) AS dom_freq,
                {float(SERIES_LEN)!r} / cast({_pg_pos} AS double) AS dom_period
         FROM ps
+    """
+
+    # q187 (r6): streaming drift twin — epoch-aligned day windows, per-bin
+    # conditional sums, the q184 divergence as an ordered 16-term fold
+    def _sd_contrib(i: int) -> str:
+        p = f"(cast(c{i} AS double) / cast(n AS double))"
+        q = f"(cast(r{i} AS double) / cast(rn AS double))"
+        return (
+            f"CASE WHEN ({p} + {q}) != 0 THEN"
+            f" ({p} - {q}) * ({p} - {q}) / ({p} + {q}) ELSE 0.0 END"
+        )
+
+    _sd_rpv = ", ".join(
+        f"cast(coalesce(max(CASE WHEN bin = {i} THEN rc END), 0) AS bigint)"
+        f" AS r{i}"
+        for i in range(16)
+    )
+    _sd_cs = ",\n                   ".join(
+        f"cast(sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS bigint) AS c{i}"
+        for i in range(16)
+    )
+    _sd_arr = "[" + ", ".join(_sd_contrib(i) for i in range(16)) + "]"
+    out["q187_stream_drift_twin"] = f"""
+        WITH sdev AS (
+            SELECT epoch_us(ts) AS t,
+                   cast(least(floor(value / 25.0), 15) AS int) AS bin
+            FROM events
+        ),
+        sdref AS (
+            SELECT bin, cast(count(*) AS bigint) AS rc
+            FROM sdev WHERE t < 1705363200000000 GROUP BY bin
+        ),
+        sdrpv AS (
+            SELECT {_sd_rpv}, cast(sum(rc) AS bigint) AS rn FROM sdref
+        ),
+        sdwin AS (
+            SELECT t // 86400000000 AS day,
+                   {_sd_cs},
+                   cast(count(*) AS bigint) AS n
+            FROM sdev GROUP BY day
+        )
+        SELECT make_timestamp(day * 86400000000) AS window_start,
+               make_timestamp((day + 1) * 86400000000) AS window_end,
+               n AS n_events,
+               list_reduce(list_prepend(0.0, {_sd_arr}),
+                           (a, v) -> a + v) AS drift_stat
+        FROM sdwin CROSS JOIN sdrpv
     """
 
     # q186 (r6): SampEn counts — nested integer folds (the mann_kendall

@@ -695,3 +695,55 @@ def test_estimator_k1_kernel_strategy(spark, har_dfs):
             for r in m.transform(test_df).collect()
         }
     assert preds["kernel"] == preds["broadcast"]
+
+
+def test_stream_drift_monitor_matches_batch(spark, tmp_path):
+    """stream_drift_monitor (r6): live stream (complete mode) ==
+    batch twin EXACTLY; reference-like days sit near 0 drift, the
+    planted regime shift scores high."""
+    import datetime as dt
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import (
+        stream_drift_monitor,
+        value_histogram,
+    )
+
+    rows = []
+    base = dt.datetime(2024, 3, 1)
+    eid = 0
+    for day in range(10):
+        for j in range(40):
+            # days 0-4: values 5..45 (bins 0-1); days 5-9: 300+ (bin 12+)
+            v = 5.0 + j if day < 5 else 300.0 + j
+            rows.append((eid, base + dt.timedelta(days=day, minutes=j), v))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    src = str(tmp_path / "drift_src")
+    df.write.parquet(src)
+
+    cutoff = base + dt.timedelta(days=5)
+    ref = value_histogram(df.filter(F.col("ts") < F.lit(cutoff)))
+    batch = sorted(
+        tuple(r) for r in stream_drift_monitor(df, ref, window="1 day").collect()
+    )
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_drift_monitor(stream, ref, window="1 day")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("drift_live")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        live = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM drift_live").collect()
+        )
+    finally:
+        q.stop()
+    assert live == batch  # bit parity, including drift_stat doubles
+
+    by_day = {r[0].day: r[3] for r in batch}
+    assert all(by_day[d] < 0.05 for d in range(1, 6))   # March 1-5: like ref
+    assert all(by_day[d] > 0.5 for d in range(6, 11))   # March 6-10: shifted

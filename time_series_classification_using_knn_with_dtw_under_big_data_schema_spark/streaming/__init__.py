@@ -11,3 +11,4 @@ from .dedup import stream_dedup_exact, stream_dedup_fingerprint  # noqa: F401
 from .sketch import stream_hll_registers  # noqa: F401
 from .joins import attribution_join  # noqa: F401
 from .sinks import stream_to_parquet  # noqa: F401
+from .drift import stream_drift_monitor, value_histogram  # noqa: F401
