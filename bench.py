@@ -187,8 +187,19 @@ def main() -> None:
         fluss_segmentation,
         knn_lof,
     )
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.caching import (
+        cache_scope,
+    )
 
-    run("knn_lof_k5", lambda: _mat(knn_lof(series, k=5)), repeats=2)
+    # cache_scope per observation (the importance_resample convention):
+    # knn_lof registers the ranked-neighbor cache internally (r7, VERDICT
+    # r6 #2) — without the scope, repeat 2 would serve from repeat 1's
+    # cache and report the warm re-query instead of the operator.
+    def _lof_fresh():
+        with cache_scope():
+            _mat(knn_lof(series, k=5))
+
+    run("knn_lof_k5", _lof_fresh, repeats=2)
     run("conformal_knn", lambda: _mat(conformal_knn(test, train)), repeats=2)
     run("boss_classify", lambda: _mat(boss_classify(test, train, m=8, n_coeffs=2)), repeats=2)
     run("fluss_segmentation", lambda: _mat(fluss_segmentation(series, m=8)), repeats=2)

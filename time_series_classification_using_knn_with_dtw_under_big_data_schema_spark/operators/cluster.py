@@ -154,7 +154,11 @@ def kmeans_centroids(
     c = _norm_input(df, id_col, vec_col)
     cent = _seed_centroids(c, k, seed)
     for _ in range(max(iters - 1, 0)):
-        cent = _refit(c, _assign(c, cent))
+        # LAZY localCheckpoint per refit (r7, VERDICT r6 #3 — the DBA
+        # pattern, barycenter.py): without it the logical plan re-derives
+        # every prior iteration and grows linearly with iters. k rows, so
+        # the checkpoint is tiny; never materialized until first consumed.
+        cent = _refit(c, _assign(c, cent)).localCheckpoint(eager=False)
     return cent.select("cluster", F.col("_cv").alias("vector"))
 
 
@@ -178,8 +182,10 @@ def kmeans_assign(
     cent = _seed_centroids(c, k)
     asn = _assign(c, cent)
     for _ in range(iters - 1):
-        cent = _refit(c, asn)
-        asn = _assign(c, cent)
+        # lazy checkpoint bounds the next iteration's plan (DBA pattern);
+        # cent is k rows, asn one row per input id — both cheap to pin
+        cent = _refit(c, asn).localCheckpoint(eager=False)
+        asn = _assign(c, cent).localCheckpoint(eager=False)
     return asn.select(F.col("_id").alias(id_col), "cluster")
 
 

@@ -1213,19 +1213,31 @@ def knn_lof(
     id-keyed equi-joins on k-row-per-id tables + two bounded-array folds
     — nothing quadratic beyond the KNN itself.
     """
-    nn = knn_join(
-        df,
-        df,
-        metric=metric,
-        k=k,
-        strategy=strategy,
-        id_col=id_col,
-        features_col=features_col,
-        label_col=None,
-        exclude_zero=exclude_zero,
-        band=band,
-        fastdtw_radius=fastdtw_radius,
-    ).select("test_id", "train_id", "rank", "distance")
+    from ..caching import register_cache
+
+    # The ranked-neighbor table feeds THREE consumers (kdist max, the
+    # reach-dist join, the neighbors'-lrd join); uncached, each one
+    # re-runs the all-vs-all KNN join — the whole cost of the operator,
+    # three times over (the shapelet_stump cache-once pattern, VERDICT
+    # r6 #2). Cached it is k rows per id — tiny next to the pair volume
+    # it replaces. register_cache: LRU-evictable outside a cache_scope.
+    nn = register_cache(
+        knn_join(
+            df,
+            df,
+            metric=metric,
+            k=k,
+            strategy=strategy,
+            id_col=id_col,
+            features_col=features_col,
+            label_col=None,
+            exclude_zero=exclude_zero,
+            band=band,
+            fastdtw_radius=fastdtw_radius,
+        )
+        .select("test_id", "train_id", "rank", "distance")
+        .cache()
+    )
     # kdist = the farthest RETAINED neighbor (exact max), n_nb = the
     # actual neighborhood size — both defined for every point with >= 1
     # retained neighbor, so duplicates never silently vanish
@@ -1251,9 +1263,16 @@ def knn_lof(
             F.size("_nb").cast("double").alias("_cnt"),
         )
 
-    lrd = _rank_fold("rank", "_rd", reach, "test_id").select(
-        F.col("test_id").alias("_lid"),
-        (F.col("_cnt") / F.col("_s")).alias("lrd"),
+    # lrd also has two consumers (the neighbors'-lrd join and the final
+    # assembly join); 1 row per id, so caching it costs nothing and
+    # saves re-running the reach join + fold.
+    lrd = register_cache(
+        _rank_fold("rank", "_rd", reach, "test_id")
+        .select(
+            F.col("test_id").alias("_lid"),
+            (F.col("_cnt") / F.col("_s")).alias("lrd"),
+        )
+        .cache()
     )
     # each point's neighbors' lrds, rank-ordered
     nbl = nn.join(lrd, nn.train_id == lrd._lid).select("test_id", "rank", F.col("lrd").alias("_lo"))
