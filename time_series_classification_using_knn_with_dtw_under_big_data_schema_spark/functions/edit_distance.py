@@ -77,6 +77,7 @@ __all__ = [
     "msm_dist",
     "msm_batch",
     "make_msm_udf",
+    "multichannel",
 ]
 
 # Engine defaults for the NAMED metric registrations ('lcss'/'edr'/'erp' in
@@ -302,6 +303,28 @@ def _diag_indices(d: int, n: int, m: int):
 _DP_BYTES_BUDGET = 64 << 20
 
 
+def _channel_sum(A: np.ndarray, B: np.ndarray, flat_fn) -> np.ndarray:
+    """Independent-channel sum for multichannel batches (r7, VERDICT r6
+    #6): A, B are (P, L, C) — one channel-vector per timestep, the
+    engine's multichannel layout (`distance._stack_series`) — and the
+    lifted distance is sum_c flat(A[:,:,c], B[:,:,c]). Each channel runs
+    the UNIVARIATE DP independently, so every per-metric property
+    survives: LCSS/EDR stay integer-state per channel, and a sum of
+    metrics is a metric — ERP/TWED/MSM keep the triangle inequality.
+    The fold is a left fold over ASCENDING channel index starting from
+    0.0 — the exact op sequence of the ``multichannel`` Column lifter,
+    so kernel == expression bitwise, channel by channel."""
+    if A.shape[2] != B.shape[2]:
+        raise ValueError(
+            f"channel mismatch: {A.shape[2]} vs {B.shape[2]} channels"
+        )
+    out = np.zeros(A.shape[0], dtype=np.float64)
+    for c in range(A.shape[2]):
+        out = out + flat_fn(np.ascontiguousarray(A[:, :, c]),
+                            np.ascontiguousarray(B[:, :, c]))
+    return out
+
+
 def _dp_in_chunks(A: np.ndarray, B: np.ndarray, core, *args) -> np.ndarray:
     P, n = A.shape
     m = B.shape[1]
@@ -424,21 +447,29 @@ def lcss_batch(
     A: np.ndarray, B: np.ndarray, eps: float = LCSS_EPS, delta: Optional[int] = None
 ) -> np.ndarray:
     """Memory-capped public form of the LCSS anti-diagonal DP (see
-    ``_dp_in_chunks``): results bit-identical at any split."""
+    ``_dp_in_chunks``): results bit-identical at any split. 3-D input
+    (P, L, C) routes through the independent-channel sum
+    (``_channel_sum``)."""
     A = np.asarray(A, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
+    if A.ndim == 3:
+        return _channel_sum(A, B, lambda a, b: _dp_in_chunks(a, b, _lcss_batch_core, eps, delta))
     return _dp_in_chunks(A, B, _lcss_batch_core, eps, delta)
 
 
 def edr_batch(A: np.ndarray, B: np.ndarray, eps: float = EDR_EPS) -> np.ndarray:
     A = np.asarray(A, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
+    if A.ndim == 3:
+        return _channel_sum(A, B, lambda a, b: _dp_in_chunks(a, b, _edr_batch_core, eps))
     return _dp_in_chunks(A, B, _edr_batch_core, eps)
 
 
 def erp_batch(A: np.ndarray, B: np.ndarray, g: float = ERP_GAP) -> np.ndarray:
     A = np.asarray(A, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
+    if A.ndim == 3:
+        return _channel_sum(A, B, lambda a, b: _dp_in_chunks(a, b, _erp_batch_core, g))
     return _dp_in_chunks(A, B, _erp_batch_core, g)
 
 
@@ -447,6 +478,8 @@ def twed_batch(
 ) -> np.ndarray:
     A = np.asarray(A, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
+    if A.ndim == 3:
+        return _channel_sum(A, B, lambda a, b: _dp_in_chunks(a, b, _twed_batch_core, nu, lam))
     return _dp_in_chunks(A, B, _twed_batch_core, nu, lam)
 
 
@@ -613,6 +646,8 @@ def _msm_batch_core(A: np.ndarray, B: np.ndarray, c: float = MSM_C) -> np.ndarra
 def msm_batch(A: np.ndarray, B: np.ndarray, c: float = MSM_C) -> np.ndarray:
     A = np.asarray(A, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
+    if A.ndim == 3:
+        return _channel_sum(A, B, lambda a, b: _dp_in_chunks(a, b, _msm_batch_core, c))
     return _dp_in_chunks(A, B, _msm_batch_core, c)
 
 
@@ -620,3 +655,51 @@ def make_msm_udf(c: float = MSM_C) -> Callable[[Column, Column], Column]:
     from .distance import _grouped_pairs_udf
 
     return _grouped_pairs_udf(lambda A, B: msm_batch(A, B, c=c))
+
+
+# ---------------------------------------------------------------------------
+# multichannel lifter (r7): independent-channel sum over array<array<double>>
+# ---------------------------------------------------------------------------
+
+
+def multichannel(dist_fn: Callable[[Column, Column], Column]) -> Callable[[Column, Column], Column]:
+    """Lift a flat-series (array<double>) edit-metric Column function to
+    multichannel input (array<array<double>> — one channel-vector per
+    timestep, the engine's q156 layout) by INDEPENDENT-CHANNEL SUM:
+
+        dist_mc(a, b) = sum_{c=1..channels} dist(a[:, c], b[:, c])
+
+    Each channel runs the univariate DP on its own slice, so every
+    per-metric property survives the lift (LCSS/EDR keep integer DP
+    state per channel; a sum of metrics is a metric, so ERP/TWED/MSM
+    keep the triangle inequality). The channel count is read per row
+    from the first timestep — no static schema parameter — and the sum
+    is a left fold over ascending channel index from 0.0, the exact op
+    sequence of the kernels' ``_channel_sum``, so expression == kernel
+    bitwise channel by channel.
+
+    Evaluate-once discipline: the per-channel slices are array-valued
+    EXPRESSIONS (``transform(a, t -> t[c])``), and Catalyst performs no
+    CSE across HOF lambda subtrees — referencing them directly inside
+    the O(n*m)-reference DP would re-slice per cell access. They are
+    bound once per channel via the 1-element-transform trick (the
+    boss_classify/importance_resample fix) before the DP sees them.
+    """
+
+    def mc(a: Column, b: Column) -> Column:
+        def per_channel(acc: Column, ch: Column) -> Column:
+            xa = F.transform(a, lambda t: F.element_at(t, ch))
+            xb = F.transform(b, lambda t: F.element_at(t, ch))
+            bound = F.transform(
+                F.array(F.struct(xa.alias("x"), xb.alias("y"))),
+                lambda s: dist_fn(s["x"], s["y"]),
+            )
+            return acc + F.element_at(bound, 1)
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size(F.element_at(a, 1))),
+            F.lit(0.0),
+            per_channel,
+        )
+
+    return mc

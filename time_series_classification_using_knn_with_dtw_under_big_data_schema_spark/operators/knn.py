@@ -139,6 +139,30 @@ def knn_join(
     pairs = t.crossJoin(F.broadcast(r) if strategy == "broadcast" else r)
 
     fn, rank_squared = _resolve_metric(metric, band, fastdtw_radius)
+    # multichannel dispatch (r7, VERDICT r6 #6): nested features
+    # (array<array<double>>) route the named edit metrics through the
+    # independent-channel-sum lifter — per-channel univariate DP, summed
+    # ascending — which preserves each metric's properties (a sum of
+    # metrics is a metric, so ERP/TWED/MSM keep the triangle inequality).
+    # DTW/fastdtw UDFs already handle nested input inside the kernel
+    # (per-channel-summed POINT cost, the q113/q156 family); the
+    # euclidean-family folds stay flat-only.
+    from pyspark.sql.types import ArrayType
+
+    _nested_r = isinstance(train.schema[features_col].dataType.elementType, ArrayType)
+    _nested_t = isinstance(test.schema[features_col].dataType.elementType, ArrayType)
+    if _nested_r != _nested_t:
+        raise ValueError(
+            "test/train nestedness mismatch: one side is multichannel "
+            "(array<array>) and the other flat — flatten or channel-split "
+            "upstream"
+        )
+    if _nested_r and isinstance(metric, str) and metric in (
+        "lcss", "edr", "erp", "twed", "msm",
+    ):
+        from ..functions.edit_distance import multichannel
+
+        fn = multichannel(fn)
     dist = sq_euclidean(F.col("_tf"), F.col("_rf")) if rank_squared else fn(
         F.col("_tf"), F.col("_rf")
     )
@@ -219,9 +243,12 @@ def _knn_kernel_broadcast(
     from pyspark.sql.types import ArrayType
 
     nested = isinstance(train.schema[features_col].dataType.elementType, ArrayType)
-    if nested and kind not in ("dtw", "fastdtw"):
+    if nested and kind not in (
+        "dtw", "fastdtw", "lcss", "edr", "erp", "twed", "msm",
+    ):
         raise ValueError(
-            f"multichannel series support metric='dtw'/'fastdtw' only, got {metric!r}"
+            "multichannel series support metric='dtw'/'fastdtw' and the "
+            f"edit-distance family only, got {metric!r}"
         )
     # ONE stats pass over the (possibly huge) train side: size estimate,
     # length spread, and channels together — the reroute below reuses them
@@ -509,9 +536,12 @@ def _knn_chunked(
             "(array<array>) and the other flat — flatten or channel-split "
             "upstream"
         )
-    if nested and kind not in ("dtw", "fastdtw"):
+    if nested and kind not in (
+        "dtw", "fastdtw", "lcss", "edr", "erp", "twed", "msm",
+    ):
         raise ValueError(
-            f"multichannel series support metric='dtw'/'fastdtw' only, got {metric!r}"
+            "multichannel series support metric='dtw'/'fastdtw' and the "
+            f"edit-distance family only, got {metric!r}"
         )
     spark = test.sparkSession
     ch_expr = (
@@ -561,8 +591,9 @@ def _knn_chunked(
         # (review r6)
         per_pair = L * min(4 * (fastdtw_radius + 1) + 2, L) * int(ch_r or 1)
     elif metric in ("lcss", "edr", "erp", "twed", "msm"):
-        # full-table edit-distance DPs sweep every (i, j) cell
-        per_pair = L * L
+        # full-table edit-distance DPs sweep every (i, j) cell — once per
+        # channel under the independent-channel-sum lift (r7)
+        per_pair = L * L * int(ch_r or 1)
     else:
         per_pair = L * int(ch_r or 1)
     bt, br = _grid_split(
@@ -1173,6 +1204,7 @@ def knn_lof(
     exclude_zero: bool = True,
     band: Optional[int] = None,
     fastdtw_radius: int = 1,
+    max_broadcast_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Local Outlier Factor (Breunig et al., SIGMOD 2000) over an
     all-vs-all KNN self-join — density-relative anomaly scores where a
@@ -1234,6 +1266,7 @@ def knn_lof(
             exclude_zero=exclude_zero,
             band=band,
             fastdtw_radius=fastdtw_radius,
+            max_broadcast_bytes=max_broadcast_bytes,
         )
         .select("test_id", "train_id", "rank", "distance")
         .cache()
