@@ -3642,6 +3642,27 @@ def _q188_knn_twed_multichannel(spark, sf_dir):
     return nn.select("test_id", "train_id", "rank", "distance")
 
 
+def _q189_knn_lcss_multichannel(spark, sf_dir):
+    """MULTICHANNEL LCSS KNN (r7): the integer-state member of the
+    edit family through the same independent-channel-sum lift as q188 —
+    per-channel LCSS distances (each 1 - count/min(n,m), an exact
+    integer count and ONE division) summed over ascending channels.
+    Together q188 (float DP cells) and q189 (integer DP cells) pin both
+    arithmetic regimes of the lift. Broadcast strategy here — the pure
+    Catalyst `multichannel(lcss_dist)` expression (evaluate-once channel
+    bindings), the plan the oracle replays row by row. eps is the
+    engine default (10.0), informative on channel 0 (events.value) and
+    near-saturating on channel 1 (event_type length) — exactly the
+    mixed-scale regime a per-channel eps metric has to survive."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ch2", F.length("event_type").cast("double")
+    )
+    series = events_to_series(events, value=["value", "ch2"], length=SERIES_LEN)
+    train, test = split_train_test(series)
+    nn = knn_join(test, train, metric="lcss", k=3, strategy="broadcast")
+    return nn.select("test_id", "train_id", "rank", "distance")
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3872,6 +3893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_sampen_counts": _q186_sampen_counts,
         "q187_stream_drift_twin": _q187_stream_drift_twin,
         "q188_knn_twed_multichannel": _q188_knn_twed_multichannel,
+        "q189_knn_lcss_multichannel": _q189_knn_lcss_multichannel,
     }
 
 
@@ -7398,6 +7420,92 @@ def oracle_sql() -> dict[str, str]:
         dd AS (
             SELECT test_id, train_id, train_label,
                    row1[-1] + row2[-1] AS dist
+            FROM dp WHERE i = len(fa1)
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                        ORDER BY dist ASC, train_label ASC, train_id ASC) AS rank
+            FROM dd WHERE dist != 0
+        )
+        SELECT test_id, train_id, cast(rank AS int) AS rank, dist AS distance
+        FROM ranked WHERE rank <= 3
+    """
+
+    # q189 (r7): multichannel LCSS — the INTEGER-state twin of q188's
+    # float lift: per channel, q162's integer-count recursion on the
+    # slice; dist = (1 - cnt1/min) + (1 - cnt2/min), the same ascending
+    # channel fold. Hash-exact: integer counts + one division per channel
+    # + one add.
+    def _lcss_init(fb: str) -> str:
+        return f"list_transform(range(0, len({fb}) + 1), j -> 0)"
+
+    def _lcss_step(fa: str, fb: str, row: str) -> str:
+        return f"""list_reduce(
+               list_prepend([0],
+                   list_transform(range(1, len({fb}) + 1),
+                       j -> [CASE WHEN abs({fa}[i+1] - {fb}[j]) <= {LCSS_EPS}
+                                  THEN 1 ELSE 0 END, {row}[j], {row}[j+1]])),
+               (acc, e) -> list_append(acc,
+                   CASE WHEN e[1] = 1 THEN e[2] + 1
+                        ELSE greatest(e[3], acc[-1]) END))"""
+
+    def _lcss_final(fa: str, fb: str, row: str) -> str:
+        return (
+            f"(1.0 - cast({row}[-1] AS double)"
+            f" / cast(least(len({fa}), len({fb})) AS double))"
+        )
+
+    out["q189_knn_lcss_multichannel"] = f"""
+        WITH RECURSIVE ptsm AS (
+            SELECT user_id,
+                   list([value, cast(length(event_type) AS double)]
+                        ORDER BY ts, event_id) AS vals
+            FROM events GROUP BY user_id
+        ),
+        sizedm AS (
+            SELECT user_id, vals[1:{SERIES_LEN}] AS features
+            FROM ptsm WHERE len(vals) >= {SERIES_LEN}
+        ),
+        labels AS (
+            SELECT user_id, event_type AS label FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC, event_type ASC) AS rk
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rk = 1
+        ),
+        series AS (
+            SELECT s.user_id AS series_id, s.features, l.label
+            FROM sizedm s JOIN labels l USING (user_id)
+        ),
+        train AS (SELECT * FROM series WHERE series_id % 4 != 0),
+        test  AS (SELECT * FROM series WHERE series_id % 4 = 0),
+        pairs AS (
+            SELECT t.series_id AS test_id, r.series_id AS train_id,
+                   r.label AS train_label,
+                   list_transform(t.features, v -> v[1]) AS fa1,
+                   list_transform(r.features, v -> v[1]) AS fb1,
+                   list_transform(t.features, v -> v[2]) AS fa2,
+                   list_transform(r.features, v -> v[2]) AS fb2
+            FROM test t CROSS JOIN train r
+        ),
+        dp AS (
+            SELECT test_id, train_id, train_label, fa1, fb1, fa2, fb2,
+                   0 AS i,
+                   {_lcss_init("fb1")} AS row1,
+                   {_lcss_init("fb2")} AS row2
+            FROM pairs
+            UNION ALL
+            SELECT test_id, train_id, train_label, fa1, fb1, fa2, fb2,
+                   i + 1,
+                   {_lcss_step("fa1", "fb1", "row1")} AS row1,
+                   {_lcss_step("fa2", "fb2", "row2")} AS row2
+            FROM dp WHERE i < len(fa1)
+        ),
+        dd AS (
+            SELECT test_id, train_id, train_label,
+                   {_lcss_final("fa1", "fb1", "row1")}
+                   + {_lcss_final("fa2", "fb2", "row2")} AS dist
             FROM dp WHERE i = len(fa1)
         ),
         ranked AS (

@@ -62,6 +62,12 @@ def _dtw_c_available() -> bool:
     return dtw_c.available()
 
 
+def _edit_c_available() -> bool:
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import edit_c
+
+    return edit_c.available()
+
+
 def _mat(df) -> None:
     """Materializing action: noop sink computes + serializes EVERY output
     column (count would let Catalyst prune deterministic projections)."""
@@ -1112,6 +1118,7 @@ def main() -> None:
         "fastdtw561_pairs_per_sec": fastdtw561_pairs_per_sec,
         "baseline_fastdtw561_pairs_per_sec": 22600,
         "dtw_c_kernel": _dtw_c_available(),
+        "edit_c_kernel": _edit_c_available(),
         "materialization": "noop",
         "mv_dtw_2ch_pairs_per_sec": mv_pairs_per_sec,
         "fb_dtw561_banded_chunked_pairs_per_sec": fb_dtw561_pairs_per_sec,
@@ -1156,6 +1163,7 @@ def main() -> None:
         "baseline_fastdtw561_pairs_per_sec": 22600,
         "mv_dtw_2ch_pairs_per_sec": mv_pairs_per_sec,
         "dtw_c_kernel": _dtw_c_available(),
+        "edit_c_kernel": _edit_c_available(),
         "fallback_ratios": fallback_ratios,
         "full_artifact": "BENCH_FULL.json",
     }

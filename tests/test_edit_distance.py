@@ -425,3 +425,53 @@ def test_multichannel_sum_equals_per_channel_flat(spark):
     ).collect()
     for r in got:
         assert r["mc"] == r["flat"]
+
+
+def test_edit_c_kernel_matches_numpy_bitwise():
+    """r7: the compiled row-by-row C recurrences (functions/edit_c.py)
+    must equal the anti-diagonal numpy cores BITWISE — same per-cell op
+    DAG, different evaluation order, which by the family's construction
+    cannot change any cell. Random shapes incl. length-1 sides, tie-heavy
+    integer data, and custom params."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import edit_c
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.edit_distance import (
+        _dp_in_chunks,
+        _edr_batch_core,
+        _erp_batch_core,
+        _lcss_batch_core,
+        _msm_batch_core,
+        _twed_batch_core,
+    )
+
+    if not edit_c.available():
+        pytest.skip("no C compiler in this environment")
+    rng = np.random.default_rng(17)
+    for trial in range(40):
+        n = int(rng.integers(1, 48))
+        m = int(rng.integers(1, 48))
+        P = int(rng.integers(1, 24))
+        if trial % 3 == 2:  # tie-heavy
+            A = rng.integers(0, 3, size=(P, n)).astype(float)
+            B = rng.integers(0, 3, size=(P, m)).astype(float)
+        else:
+            A = rng.normal(size=(P, n)) * 4
+            B = rng.normal(size=(P, m)) * 4
+        eps = float(rng.uniform(0, 2))
+        delta = None if trial % 2 else int(rng.integers(0, 5))
+        g = float(rng.uniform(-1, 1))
+        nu, lam = float(rng.uniform(0, 0.5)), float(rng.uniform(0, 2))
+        c = float(rng.uniform(0, 1.5))
+        pairs = [
+            (edit_c.lcss_batch_c(A, B, eps, delta),
+             _dp_in_chunks(A, B, _lcss_batch_core, eps, delta)),
+            (edit_c.edr_batch_c(A, B, eps),
+             _dp_in_chunks(A, B, _edr_batch_core, eps)),
+            (edit_c.erp_batch_c(A, B, g),
+             _dp_in_chunks(A, B, _erp_batch_core, g)),
+            (edit_c.twed_batch_c(A, B, nu, lam),
+             _dp_in_chunks(A, B, _twed_batch_core, nu, lam)),
+            (edit_c.msm_batch_c(A, B, c),
+             _dp_in_chunks(A, B, _msm_batch_core, c)),
+        ]
+        for idx, (got, ref) in enumerate(pairs):
+            assert np.array_equal(got, ref), (trial, idx, n, m, P)

@@ -1,0 +1,335 @@
+"""Optional compiled-C edit-distance hot loops (r7; ctypes, compiled on
+first use — the ``dtw_c`` pattern applied to LCSS/EDR/ERP/TWED/MSM).
+
+The numpy kernels in ``edit_distance.py`` vectorize the full-table DPs
+anti-diagonally, but measure only ~8-30 Mcells/s under batch dispatch
+overhead (n+m numpy passes per batch, each over a strided diagonal
+slice). The natural row-by-row C recurrence runs the SAME per-cell
+arithmetic — one add tree + an exact min per cell, the op DAG the
+expression twins and DuckDB oracles replay — at memory speed, with O(m)
+rolling rows instead of the (P, n+1, m+1) cube (so no
+``_DP_BYTES_BUDGET`` splitting either).
+
+Bit-identity argument (the same one the anti-diagonal form relies on):
+every cell value is a function of its three predecessors through exact
+IEEE ops (fabs/add/min on doubles, or pure integers for LCSS/EDR), so
+evaluation ORDER cannot change any cell. No cost is ever -0.0 (fabs and
+sums of non-negatives), so min's operand-order freedom cannot leak a
+sign bit. Compiled with ``-ffp-contract=off`` so the compiler cannot
+fuse the TWED ``x + nu2*z`` shapes into FMAs the numpy side doesn't use.
+
+Fallback contract: ANY failure (no compiler, sandboxed /tmp, load error)
+leaves ``available() == False`` and the numpy kernels run unchanged. Set
+``TSKNN_EDIT_NO_CC=1`` to force the numpy path (tests pin numpy/C
+equality through it). The shared object is cached in the system temp dir
+keyed by a hash of the C source (atomic ``os.replace`` publish — Spark's
+32 local python workers compile once).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+__all__ = [
+    "available",
+    "lcss_batch_c",
+    "edr_batch_c",
+    "erp_batch_c",
+    "twed_batch_c",
+    "msm_batch_c",
+]
+
+_C_SRC = r"""
+#include <stdint.h>
+#include <stdlib.h>
+#include <math.h>
+
+static inline double min3(double a, double b, double c) {
+    double best = a;
+    if (b < best) best = b;
+    if (c < best) best = c;
+    return best;
+}
+
+/* LCSS distance: integer match-count DP, out = 1 - lcs/min(n,m).
+   delta < 0 means no temporal window. */
+void lcss_batch_c(const double* A, const double* B,
+                  int64_t bs, int64_t n, int64_t m,
+                  double eps, int64_t delta, double* out) {
+    int32_t* prev = (int32_t*)calloc((size_t)(m + 1), sizeof(int32_t));
+    int32_t* cur = (int32_t*)calloc((size_t)(m + 1), sizeof(int32_t));
+    if (!prev || !cur) { free(prev); free(cur); return; }
+    for (int64_t p = 0; p < bs; p++) {
+        const double* a = A + p * n;
+        const double* b = B + p * m;
+        for (int64_t j = 0; j <= m; j++) prev[j] = 0;
+        for (int64_t i = 1; i <= n; i++) {
+            cur[0] = 0;
+            double ai = a[i - 1];
+            for (int64_t j = 1; j <= m; j++) {
+                int match = fabs(ai - b[j - 1]) <= eps;
+                if (delta >= 0 && llabs(i - j) > delta) match = 0;
+                if (match) cur[j] = prev[j - 1] + 1;
+                else {
+                    int32_t up = prev[j], left = cur[j - 1];
+                    cur[j] = up > left ? up : left;
+                }
+            }
+            int32_t* t = prev; prev = cur; cur = t;
+        }
+        int64_t mn = n < m ? n : m;
+        out[p] = 1.0 - (double)prev[m] / (double)mn;
+    }
+    free(prev); free(cur);
+}
+
+/* EDR distance: integer edit-count DP, out = edits/max(n,m). */
+void edr_batch_c(const double* A, const double* B,
+                 int64_t bs, int64_t n, int64_t m,
+                 double eps, double* out) {
+    int32_t* prev = (int32_t*)calloc((size_t)(m + 1), sizeof(int32_t));
+    int32_t* cur = (int32_t*)calloc((size_t)(m + 1), sizeof(int32_t));
+    if (!prev || !cur) { free(prev); free(cur); return; }
+    for (int64_t p = 0; p < bs; p++) {
+        const double* a = A + p * n;
+        const double* b = B + p * m;
+        for (int64_t j = 0; j <= m; j++) prev[j] = (int32_t)j;
+        for (int64_t i = 1; i <= n; i++) {
+            cur[0] = (int32_t)i;
+            double ai = a[i - 1];
+            for (int64_t j = 1; j <= m; j++) {
+                int32_t sub = fabs(ai - b[j - 1]) <= eps ? 0 : 1;
+                int32_t best = prev[j - 1] + sub;
+                int32_t v = prev[j] + 1;
+                int32_t h = cur[j - 1] + 1;
+                if (v < best) best = v;
+                if (h < best) best = h;
+                cur[j] = best;
+            }
+            int32_t* t = prev; prev = cur; cur = t;
+        }
+        int64_t mx = n > m ? n : m;
+        out[p] = (double)prev[m] / (double)mx;
+    }
+    free(prev); free(cur);
+}
+
+/* ERP distance: float DP with |x - g| gap charges and cumsum borders. */
+void erp_batch_c(const double* A, const double* B,
+                 int64_t bs, int64_t n, int64_t m,
+                 double g, double* out) {
+    double* prev = (double*)malloc((size_t)(m + 1) * sizeof(double));
+    double* cur = (double*)malloc((size_t)(m + 1) * sizeof(double));
+    double* cola = (double*)malloc((size_t)(n + 1) * sizeof(double));
+    if (!prev || !cur || !cola) { free(prev); free(cur); free(cola); return; }
+    for (int64_t p = 0; p < bs; p++) {
+        const double* a = A + p * n;
+        const double* b = B + p * m;
+        cola[0] = 0.0;
+        for (int64_t i = 1; i <= n; i++) cola[i] = cola[i - 1] + fabs(a[i - 1] - g);
+        prev[0] = 0.0;
+        for (int64_t j = 1; j <= m; j++) prev[j] = prev[j - 1] + fabs(g - b[j - 1]);
+        for (int64_t i = 1; i <= n; i++) {
+            cur[0] = cola[i];
+            double ai = a[i - 1];
+            double da = fabs(ai - g);
+            for (int64_t j = 1; j <= m; j++) {
+                cur[j] = min3(prev[j - 1] + fabs(ai - b[j - 1]),
+                              prev[j] + da,
+                              cur[j - 1] + fabs(g - b[j - 1]));
+            }
+            double* t = prev; prev = cur; cur = t;
+        }
+        out[p] = prev[m];
+    }
+    free(prev); free(cur); free(cola);
+}
+
+/* TWED: index timestamps, a_0 = b_0 = 0 padding, +inf borders.
+   Per-cell add trees mirror edit_distance._twed_batch_core exactly. */
+void twed_batch_c(const double* A, const double* B,
+                  int64_t bs, int64_t n, int64_t m,
+                  double nu, double lam, double* out) {
+    double* prev = (double*)malloc((size_t)(m + 1) * sizeof(double));
+    double* cur = (double*)malloc((size_t)(m + 1) * sizeof(double));
+    if (!prev || !cur) { free(prev); free(cur); return; }
+    double nu2 = 2.0 * nu;
+    double gap = nu + lam;
+    for (int64_t p = 0; p < bs; p++) {
+        const double* a = A + p * n;
+        const double* b = B + p * m;
+        for (int64_t j = 0; j <= m; j++) prev[j] = INFINITY;
+        prev[0] = 0.0;
+        for (int64_t i = 1; i <= n; i++) {
+            cur[0] = INFINITY;
+            double ai = a[i - 1];
+            double ap = i == 1 ? 0.0 : a[i - 2];
+            double del_a = fabs(ai - ap) + gap;
+            for (int64_t j = 1; j <= m; j++) {
+                double bj = b[j - 1];
+                double bp = j == 1 ? 0.0 : b[j - 2];
+                double pen = nu2 * fabs((double)(i - j));
+                double d_match = (fabs(ai - bj) + fabs(ap - bp)) + pen;
+                double del_b = fabs(bj - bp) + gap;
+                cur[j] = min3(prev[j - 1] + d_match,
+                              prev[j] + del_a,
+                              cur[j - 1] + del_b);
+            }
+            double* t = prev; prev = cur; cur = t;
+        }
+        out[p] = prev[m];
+    }
+    free(prev); free(cur);
+}
+
+/* MSM: sequential first row/column, split-merge cost interior. */
+static inline double msm_cost(double x, double y, double z, double c) {
+    if ((y <= x && x <= z) || (y >= x && x >= z)) return c;
+    double d1 = fabs(x - y), d2 = fabs(x - z);
+    return c + (d1 < d2 ? d1 : d2);
+}
+
+void msm_batch_c(const double* A, const double* B,
+                 int64_t bs, int64_t n, int64_t m,
+                 double c, double* out) {
+    double* prev = (double*)malloc((size_t)(m + 1) * sizeof(double));
+    double* cur = (double*)malloc((size_t)(m + 1) * sizeof(double));
+    if (!prev || !cur) { free(prev); free(cur); return; }
+    for (int64_t p = 0; p < bs; p++) {
+        const double* a = A + p * n;
+        const double* b = B + p * m;
+        /* row i=1: dp[1][1] = |a0-b0|; dp[1][j] = dp[1][j-1] + cost(b_j, b_{j-1}, a0) */
+        prev[1] = fabs(a[0] - b[0]);
+        for (int64_t j = 2; j <= m; j++)
+            prev[j] = prev[j - 1] + msm_cost(b[j - 1], b[j - 2], a[0], c);
+        for (int64_t i = 2; i <= n; i++) {
+            cur[1] = prev[1] + msm_cost(a[i - 1], a[i - 2], b[0], c);
+            double ai = a[i - 1], aim = a[i - 2];
+            for (int64_t j = 2; j <= m; j++) {
+                double bj = b[j - 1], bjm = b[j - 2];
+                cur[j] = min3(prev[j - 1] + fabs(ai - bj),
+                              prev[j] + msm_cost(ai, aim, bj, c),
+                              cur[j - 1] + msm_cost(bj, bjm, ai, c));
+            }
+            double* t = prev; prev = cur; cur = t;
+        }
+        out[p] = prev[m];
+    }
+    free(prev); free(cur);
+}
+"""
+
+_lib = None
+_tried = False
+
+
+def _compile() -> "ctypes.CDLL | None":
+    cc = shutil.which("cc") or shutil.which("gcc")
+    if cc is None:
+        return None
+    tag = hashlib.sha256((_C_SRC + sys.version).encode()).hexdigest()[:16]
+    so_path = os.path.join(tempfile.gettempdir(), f"tsknn_edit_{tag}.so")
+    if not os.path.exists(so_path):
+        tmpdir = tempfile.mkdtemp(prefix="tsknn_edit_build_")
+        try:
+            src = os.path.join(tmpdir, "edit.c")
+            with open(src, "w") as f:
+                f.write(_C_SRC)
+            out = os.path.join(tmpdir, "edit.so")
+            subprocess.run(
+                [
+                    cc, "-O3", "-march=native", "-ffp-contract=off",
+                    "-fPIC", "-shared", src, "-o", out, "-lm",
+                ],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            os.replace(out, so_path)  # atomic publish; concurrent racers agree
+        finally:
+            shutil.rmtree(tmpdir, ignore_errors=True)
+    lib = ctypes.CDLL(so_path)
+    i64 = ctypes.c_int64
+    dbl = ctypes.c_double
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.lcss_batch_c.argtypes = [dp, dp, i64, i64, i64, dbl, i64, dp]
+    lib.lcss_batch_c.restype = None
+    lib.edr_batch_c.argtypes = [dp, dp, i64, i64, i64, dbl, dp]
+    lib.edr_batch_c.restype = None
+    lib.erp_batch_c.argtypes = [dp, dp, i64, i64, i64, dbl, dp]
+    lib.erp_batch_c.restype = None
+    lib.twed_batch_c.argtypes = [dp, dp, i64, i64, i64, dbl, dbl, dp]
+    lib.twed_batch_c.restype = None
+    lib.msm_batch_c.argtypes = [dp, dp, i64, i64, i64, dbl, dp]
+    lib.msm_batch_c.restype = None
+    return lib
+
+
+def available() -> bool:
+    """True when the compiled path is usable (compiler found, build+load
+    OK, not disabled via TSKNN_EDIT_NO_CC)."""
+    global _lib, _tried
+    if os.environ.get("TSKNN_EDIT_NO_CC"):
+        return False
+    if not _tried:
+        _tried = True
+        try:
+            _lib = _compile()
+        except Exception:
+            _lib = None
+    return _lib is not None
+
+
+def _dptr(x: np.ndarray):
+    return x.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _prep(A: np.ndarray, B: np.ndarray):
+    A = np.ascontiguousarray(A, dtype=np.float64)
+    B = np.ascontiguousarray(B, dtype=np.float64)
+    bs, n = A.shape
+    m = B.shape[1]
+    return A, B, bs, n, m, np.empty(bs, dtype=np.float64)
+
+
+def lcss_batch_c(A, B, eps, delta=None) -> np.ndarray:
+    A, B, bs, n, m, out = _prep(A, B)
+    _lib.lcss_batch_c(
+        _dptr(A), _dptr(B), bs, n, m, float(eps),
+        -1 if delta is None else int(delta), _dptr(out),
+    )
+    return out
+
+
+def edr_batch_c(A, B, eps) -> np.ndarray:
+    A, B, bs, n, m, out = _prep(A, B)
+    _lib.edr_batch_c(_dptr(A), _dptr(B), bs, n, m, float(eps), _dptr(out))
+    return out
+
+
+def erp_batch_c(A, B, g) -> np.ndarray:
+    A, B, bs, n, m, out = _prep(A, B)
+    _lib.erp_batch_c(_dptr(A), _dptr(B), bs, n, m, float(g), _dptr(out))
+    return out
+
+
+def twed_batch_c(A, B, nu, lam) -> np.ndarray:
+    A, B, bs, n, m, out = _prep(A, B)
+    _lib.twed_batch_c(
+        _dptr(A), _dptr(B), bs, n, m, float(nu), float(lam), _dptr(out)
+    )
+    return out
+
+
+def msm_batch_c(A, B, c) -> np.ndarray:
+    A, B, bs, n, m, out = _prep(A, B)
+    _lib.msm_batch_c(_dptr(A), _dptr(B), bs, n, m, float(c), _dptr(out))
+    return out

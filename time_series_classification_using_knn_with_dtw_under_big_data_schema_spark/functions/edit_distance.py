@@ -32,6 +32,11 @@ Each metric ships in two bit-identical forms:
    batch x diagonal — n+m-1 numpy dispatches per batch instead of n*m.
    Per-cell arithmetic is the same single-add/min DAG as the expression,
    so kernel == expression bitwise (test-pinned), not just approximately.
+   When a C compiler is present the batch wrappers route the flat 2-D
+   case through compiled row-by-row recurrences instead
+   (``edit_c.py`` — same per-cell DAG, measured ~400-1200 Mcells/s vs
+   the anti-diagonal form's 8-30, still bitwise; ``TSKNN_EDIT_NO_CC=1``
+   forces numpy).
 
 SCALE: the expression forms are interpreted HOFs (the ``sbd`` cost model —
 oracle exactness and small pair volumes); production KNN at corpus scale
@@ -337,6 +342,21 @@ def _dp_in_chunks(A: np.ndarray, B: np.ndarray, core, *args) -> np.ndarray:
     return out
 
 
+def _flat_dp(A: np.ndarray, B: np.ndarray, core, c_name: str, *args) -> np.ndarray:
+    """Flat-batch dispatch (r7): the compiled row-by-row C recurrence
+    (functions/edit_c.py) when a compiler is present — same per-cell op
+    DAG, ~20-50x the anti-diagonal numpy throughput, O(m) rolling rows so
+    no DP-cube budget needed — else the numpy core under
+    ``_dp_in_chunks``. Bit-identical by construction (every cell is exact
+    IEEE ops of its predecessors; equality pinned in
+    tests/test_edit_distance.py and tools/fuzz_sweep.py::sweep_edit)."""
+    from . import edit_c
+
+    if edit_c.available():
+        return getattr(edit_c, c_name)(A, B, *args)
+    return _dp_in_chunks(A, B, core, *args)
+
+
 def _lcss_batch_core(
     A: np.ndarray, B: np.ndarray, eps: float = LCSS_EPS, delta: Optional[int] = None
 ) -> np.ndarray:
@@ -453,24 +473,24 @@ def lcss_batch(
     A = np.asarray(A, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
     if A.ndim == 3:
-        return _channel_sum(A, B, lambda a, b: _dp_in_chunks(a, b, _lcss_batch_core, eps, delta))
-    return _dp_in_chunks(A, B, _lcss_batch_core, eps, delta)
+        return _channel_sum(A, B, lambda a, b: _flat_dp(a, b, _lcss_batch_core, "lcss_batch_c", eps, delta))
+    return _flat_dp(A, B, _lcss_batch_core, "lcss_batch_c", eps, delta)
 
 
 def edr_batch(A: np.ndarray, B: np.ndarray, eps: float = EDR_EPS) -> np.ndarray:
     A = np.asarray(A, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
     if A.ndim == 3:
-        return _channel_sum(A, B, lambda a, b: _dp_in_chunks(a, b, _edr_batch_core, eps))
-    return _dp_in_chunks(A, B, _edr_batch_core, eps)
+        return _channel_sum(A, B, lambda a, b: _flat_dp(a, b, _edr_batch_core, "edr_batch_c", eps))
+    return _flat_dp(A, B, _edr_batch_core, "edr_batch_c", eps)
 
 
 def erp_batch(A: np.ndarray, B: np.ndarray, g: float = ERP_GAP) -> np.ndarray:
     A = np.asarray(A, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
     if A.ndim == 3:
-        return _channel_sum(A, B, lambda a, b: _dp_in_chunks(a, b, _erp_batch_core, g))
-    return _dp_in_chunks(A, B, _erp_batch_core, g)
+        return _channel_sum(A, B, lambda a, b: _flat_dp(a, b, _erp_batch_core, "erp_batch_c", g))
+    return _flat_dp(A, B, _erp_batch_core, "erp_batch_c", g)
 
 
 def twed_batch(
@@ -479,8 +499,8 @@ def twed_batch(
     A = np.asarray(A, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
     if A.ndim == 3:
-        return _channel_sum(A, B, lambda a, b: _dp_in_chunks(a, b, _twed_batch_core, nu, lam))
-    return _dp_in_chunks(A, B, _twed_batch_core, nu, lam)
+        return _channel_sum(A, B, lambda a, b: _flat_dp(a, b, _twed_batch_core, "twed_batch_c", nu, lam))
+    return _flat_dp(A, B, _twed_batch_core, "twed_batch_c", nu, lam)
 
 
 # ---------------------------------------------------------------------------
@@ -647,8 +667,8 @@ def msm_batch(A: np.ndarray, B: np.ndarray, c: float = MSM_C) -> np.ndarray:
     A = np.asarray(A, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
     if A.ndim == 3:
-        return _channel_sum(A, B, lambda a, b: _dp_in_chunks(a, b, _msm_batch_core, c))
-    return _dp_in_chunks(A, B, _msm_batch_core, c)
+        return _channel_sum(A, B, lambda a, b: _flat_dp(a, b, _msm_batch_core, "msm_batch_c", c))
+    return _flat_dp(A, B, _msm_batch_core, "msm_batch_c", c)
 
 
 def make_msm_udf(c: float = MSM_C) -> Callable[[Column, Column], Column]:

@@ -15,7 +15,8 @@ against an independent reference implementation:
 - components: operators.dedup.dedup_components (driver union-find AND
   distributed Pregel paths) vs a Python union-find on random graphs.
 
-Usage: python tools/fuzz_sweep.py [dtw|asof|interval|components|jpeg|bpe|bm25|classify|all]
+Usage: python tools/fuzz_sweep.py [dtw|asof|interval|components|jpeg|bpe|
+       bm25|classify|sax|shape|edit|lof|conformal|all]
        [--trials N] [--seed S]
 
 Exit code 0 = no discrepancies. Slow by design (minutes at the default
@@ -818,6 +819,344 @@ def sweep_shape(trials: int, seed: int) -> int:
     return fails
 
 
+def sweep_edit(trials: int, seed: int) -> int:
+    """Edit-distance family (r7, VERDICT r6 #8): random eps/delta/g/nu/
+    lambda/c and random series (normal, random-walk, heavy-tie integer;
+    ragged lengths; every 4th trial multichannel) through the batch
+    kernels vs an INDEPENDENT naive per-pair Python DP — row-by-row
+    loops, no anti-diagonal vectorization, no shared code. Exact
+    equality: every cell on both sides is the same single-add/min IEEE
+    DAG, so any divergence is a real bug, not float noise."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.edit_distance import (
+        edr_batch,
+        erp_batch,
+        lcss_batch,
+        msm_batch,
+        twed_batch,
+    )
+
+    def naive_lcss(a, b, eps, delta):
+        n, m = len(a), len(b)
+        dp = [[0] * (m + 1) for _ in range(n + 1)]
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                match = abs(a[i - 1] - b[j - 1]) <= eps and (
+                    delta is None or abs(i - j) <= delta
+                )
+                dp[i][j] = (
+                    dp[i - 1][j - 1] + 1
+                    if match
+                    else max(dp[i - 1][j], dp[i][j - 1])
+                )
+        return 1.0 - float(dp[n][m]) / float(min(n, m))
+
+    def naive_edr(a, b, eps):
+        n, m = len(a), len(b)
+        dp = [[0] * (m + 1) for _ in range(n + 1)]
+        for i in range(n + 1):
+            dp[i][0] = i
+        for j in range(m + 1):
+            dp[0][j] = j
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                sub = 0 if abs(a[i - 1] - b[j - 1]) <= eps else 1
+                dp[i][j] = min(
+                    dp[i - 1][j - 1] + sub, dp[i - 1][j] + 1, dp[i][j - 1] + 1
+                )
+        return float(dp[n][m]) / float(max(n, m))
+
+    def naive_erp(a, b, g):
+        n, m = len(a), len(b)
+        dp = [[0.0] * (m + 1) for _ in range(n + 1)]
+        for i in range(1, n + 1):
+            dp[i][0] = dp[i - 1][0] + abs(a[i - 1] - g)
+        for j in range(1, m + 1):
+            dp[0][j] = dp[0][j - 1] + abs(g - b[j - 1])
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                dp[i][j] = min(
+                    dp[i - 1][j - 1] + abs(a[i - 1] - b[j - 1]),
+                    dp[i - 1][j] + abs(a[i - 1] - g),
+                    dp[i][j - 1] + abs(g - b[j - 1]),
+                )
+        return dp[n][m]
+
+    def naive_twed(a, b, nu, lam):
+        n, m = len(a), len(b)
+        nu2 = 2.0 * float(nu)
+        gap = float(nu) + float(lam)
+        inf = float("inf")
+        dp = [[inf] * (m + 1) for _ in range(n + 1)]
+        dp[0][0] = 0.0
+        ap = lambda i: 0.0 if i <= 1 else a[i - 2]  # a_{i-1}, 0-padded
+        bp = lambda j: 0.0 if j <= 1 else b[j - 2]
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                d_match = (abs(a[i - 1] - b[j - 1]) + abs(ap(i) - bp(j))) + nu2 * float(
+                    abs(i - j)
+                )
+                dp[i][j] = min(
+                    dp[i - 1][j - 1] + d_match,
+                    dp[i - 1][j] + (abs(a[i - 1] - ap(i)) + gap),
+                    dp[i][j - 1] + (abs(b[j - 1] - bp(j)) + gap),
+                )
+        return dp[n][m]
+
+    def naive_msm(a, b, c):
+        def cost(x, y, z):
+            if (y <= x <= z) or (y >= x >= z):
+                return c
+            return c + min(abs(x - y), abs(x - z))
+
+        n, m = len(a), len(b)
+        dp = [[0.0] * (m + 1) for _ in range(n + 1)]
+        dp[1][1] = abs(a[0] - b[0])
+        for j in range(2, m + 1):
+            dp[1][j] = dp[1][j - 1] + cost(b[j - 1], b[j - 2], a[0])
+        for i in range(2, n + 1):
+            dp[i][1] = dp[i - 1][1] + cost(a[i - 1], a[i - 2], b[0])
+        for i in range(2, n + 1):
+            for j in range(2, m + 1):
+                dp[i][j] = min(
+                    dp[i - 1][j - 1] + abs(a[i - 1] - b[j - 1]),
+                    dp[i - 1][j] + cost(a[i - 1], a[i - 2], b[j - 1]),
+                    dp[i][j - 1] + cost(b[j - 1], b[j - 2], a[i - 1]),
+                )
+        return dp[n][m]
+
+    rng = np.random.default_rng(seed)
+    fails = 0
+    for trial in range(trials):
+        n = int(rng.integers(1, 36))
+        m = int(rng.integers(1, 36))
+        bs = int(rng.integers(1, 10))
+        kind = trial % 3
+        if kind == 0:
+            A = rng.normal(size=(bs, n))
+            B = rng.normal(size=(bs, m))
+        elif kind == 1:
+            A = np.cumsum(rng.normal(size=(bs, n)), axis=1)
+            B = np.cumsum(rng.normal(size=(bs, m)), axis=1)
+        else:  # heavy ties: many exact matches and equal-cost paths
+            A = rng.integers(0, 3, size=(bs, n)).astype(float)
+            B = rng.integers(0, 3, size=(bs, m)).astype(float)
+        eps = float(rng.choice([0.0, 0.5, rng.uniform(0.0, 3.0)]))
+        delta = None if trial % 2 else int(rng.integers(0, 6))
+        g = float(rng.uniform(-2.0, 2.0))
+        nu = float(rng.choice([0.001, 0.05, rng.uniform(0.0, 1.0)]))
+        lam = float(rng.uniform(0.0, 2.0))
+        c = float(rng.uniform(0.0, 2.0))
+        mc = trial % 4 == 3
+        if mc:  # multichannel: independent-channel sum on both sides
+            ch = int(rng.integers(2, 4))
+            A = np.stack([A * (k + 1) * 0.5 + rng.normal(size=A.shape) for k in range(ch)], axis=2)
+            B = np.stack([B * (k + 1) * 0.5 + rng.normal(size=B.shape) for k in range(ch)], axis=2)
+
+        def per_pair(naive, *args):
+            out = []
+            for p in range(bs):
+                if mc:
+                    s = 0.0
+                    for k in range(A.shape[2]):
+                        s = s + naive(list(A[p, :, k]), list(B[p, :, k]), *args)
+                    out.append(s)
+                else:
+                    out.append(naive(list(A[p]), list(B[p]), *args))
+            return np.asarray(out)
+
+        checks = [
+            ("lcss", lcss_batch(A, B, eps, delta), per_pair(naive_lcss, eps, delta)),
+            ("edr", edr_batch(A, B, eps), per_pair(naive_edr, eps)),
+            ("erp", erp_batch(A, B, g), per_pair(naive_erp, g)),
+            ("twed", twed_batch(A, B, nu, lam), per_pair(naive_twed, nu, lam)),
+            ("msm", msm_batch(A, B, c), per_pair(naive_msm, c)),
+        ]
+        for name, got, ref in checks:
+            if not np.array_equal(got, ref):
+                fails += 1
+                print(
+                    f"EDIT MISMATCH {name} trial={trial} n={n} m={m} bs={bs} "
+                    f"mc={mc} eps={eps} delta={delta} g={g} nu={nu} lam={lam} c={c}"
+                )
+    print(f"edit sweep: {trials} trials x 5 metrics, {fails} failures")
+    return fails
+
+
+def sweep_lof(trials: int, seed: int) -> int:
+    """knn_lof vs an independent Python LOF on random DUPLICATES-HEAVY
+    corpora (r7, VERDICT r6 #8 — the regime of the r6 rank-set
+    pathology): small integer grids force exact-duplicate points, tied
+    distances, and shrunken neighborhoods. The reference mirrors the
+    engine's documented contract — exactly-k rank sets under (distance,
+    id), the d != 0 exclusion, rank-ordered float folds — so kdist/lrd/
+    lof must match BITWISE under the default broadcast strategy."""
+    import math
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_lof
+
+    spark = _spark()
+    rng = np.random.default_rng(seed)
+    fails = 0
+    for trial in range(trials):
+        n = int(rng.integers(12, 40))
+        dim = int(rng.integers(2, 5))
+        k = int(rng.integers(1, 7))
+        # integer grid + a few planted exact duplicates + one far outlier
+        X = rng.integers(0, 4, size=(n, dim)).astype(float) * 10.0
+        for _ in range(int(rng.integers(1, 4))):
+            i, j = rng.integers(0, n, size=2)
+            X[j] = X[i]
+        X[n - 1] = 500.0
+
+        def d_of(i, j):
+            acc = 0.0
+            for t in range(dim):
+                diff = X[i][t] - X[j][t]
+                acc = acc + diff * diff
+            return acc  # squared (the engine ranks pre-sqrt)
+
+        nbrs = {}
+        for i in range(n):
+            cand = sorted(
+                (d_of(i, j), j) for j in range(n) if d_of(i, j) != 0.0
+            )[:k]
+            if cand:
+                nbrs[i] = [(math.sqrt(d), j) for d, j in cand]
+        kdist = {i: max(d for d, _ in v) for i, v in nbrs.items()}
+        lrd = {}
+        for i, v in nbrs.items():
+            s = 0.0
+            for d, j in v:  # rank order
+                s = s + max(kdist[j], d)
+            lrd[i] = float(len(v)) / s
+        want = {}
+        for i, v in nbrs.items():
+            s = 0.0
+            for _, j in v:
+                s = s + lrd[j]
+            want[i] = (kdist[i], lrd[i], (s / float(len(v))) / lrd[i])
+
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(n)],
+            "series_id long, features array<double>",
+        )
+        got = {
+            r["series_id"]: (r["kdist"], r["lrd"], r["lof"])
+            for r in knn_lof(df, k=k).collect()
+        }
+        if got != want:
+            fails += 1
+            diff_keys = [
+                i for i in set(got) | set(want) if got.get(i) != want.get(i)
+            ]
+            print(f"LOF MISMATCH trial={trial} n={n} dim={dim} k={k} ids={diff_keys[:5]}")
+    print(f"lof sweep: {trials} trials, {fails} failures")
+    return fails
+
+
+def sweep_conformal(trials: int, seed: int) -> int:
+    """conformal_knn vs an independent Python mirror (exact rationals:
+    joins + MIN + integer rank counts + one division -> bitwise match),
+    plus the validity property the p-values exist for: pooled across
+    trials, p at the TRUE label of exchangeable test points must satisfy
+    P(p <= eps) <= eps (within binomial slack) — uniformity under
+    exchangeability (r7, VERDICT r6 #8)."""
+    import math
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import conformal_knn
+
+    spark = _spark()
+    rng = np.random.default_rng(seed)
+    fails = 0
+    pooled_p: list[float] = []
+    for trial in range(trials):
+        n = int(rng.integers(18, 60))
+        m = int(rng.integers(5, 15))
+        dim = int(rng.integers(2, 4))
+        n_lab = int(rng.integers(2, 4))
+        # exchangeable pool: label-dependent integer clusters + noise ties
+        labs = rng.integers(0, n_lab, size=n + m)
+        Xall = (
+            rng.integers(0, 3, size=(n + m, dim)).astype(float) * 5.0
+            + labs[:, None] * 20.0
+        )
+        X, Xt = Xall[:n], Xall[n:]
+        ylab = [f"c{v}" for v in labs[:n]]
+        ytrue = [f"c{v}" for v in labs[n:]]
+
+        def dist(u, v):
+            acc = 0.0
+            for t in range(dim):
+                diff = u[t] - v[t]
+                acc = acc + diff * diff
+            return math.sqrt(acc)
+
+        proper = [(i, X[i], ylab[i]) for i in range(n) if i % 3 != 1]
+        cal = [(i, X[i], ylab[i]) for i in range(n) if i % 3 == 1]
+
+        def mins(x):
+            out = {}
+            for _, pf, plab in proper:
+                d = dist(x, pf)
+                if d == 0.0:
+                    continue
+                if plab not in out or d < out[plab]:
+                    out[plab] = d
+            return out
+
+        alphas = []
+        for _, cf, clab in cal:
+            mm = mins(cf)
+            if clab not in mm:
+                continue
+            others = [v for l, v in mm.items() if l != clab]
+            if not others:
+                continue
+            alphas.append(mm[clab] / min(others))
+        n_cal = len(alphas)
+        want = {}
+        for ti in range(m):
+            mm = mins(Xt[ti])
+            for lab, ds in mm.items():
+                others = [v for l, v in mm.items() if l != lab]
+                if not others:
+                    continue
+                a = ds / min(others)
+                ge = sum(1 for ai in alphas if ai >= a)
+                want[(1000 + ti, lab)] = (a, (ge + 1.0) / (n_cal + 1.0))
+
+        train_df = spark.createDataFrame(
+            [(i, [float(v) for v in X[i]], ylab[i]) for i in range(n)],
+            "series_id long, features array<double>, label string",
+        )
+        test_df = spark.createDataFrame(
+            [(1000 + t, [float(v) for v in Xt[t]], "?") for t in range(m)],
+            "series_id long, features array<double>, label string",
+        )
+        got = {
+            (r["test_id"], r["label"]): (r["alpha"], r["p_value"])
+            for r in conformal_knn(test_df, train_df).collect()
+        }
+        if got != want:
+            fails += 1
+            diff_keys = [k for k in set(got) | set(want) if got.get(k) != want.get(k)]
+            print(f"CONFORMAL MISMATCH trial={trial} n={n} m={m} keys={diff_keys[:4]}")
+        for ti in range(m):
+            p = got.get((1000 + ti, ytrue[ti]), (None, None))[1]
+            if p is not None:
+                pooled_p.append(p)
+    # validity under exchangeability: P(p_true <= eps) <= eps + slack
+    N = len(pooled_p)
+    for eps in (0.1, 0.25, 0.5):
+        frac = sum(1 for p in pooled_p if p <= eps) / max(N, 1)
+        slack = 4.0 * math.sqrt(eps * (1 - eps) / max(N, 1))
+        if frac > eps + slack:
+            fails += 1
+            print(f"CONFORMAL VALIDITY FAIL eps={eps} frac={frac:.3f} N={N}")
+    print(f"conformal sweep: {trials} trials, {N} pooled p-values, {fails} failures")
+    return fails
+
+
 SWEEPS = {
     "dtw": sweep_dtw,
     "asof": sweep_asof,
@@ -829,8 +1168,11 @@ SWEEPS = {
     "classify": sweep_classify,
     "sax": sweep_sax,
     "shape": sweep_shape,
+    "edit": sweep_edit,
+    "lof": sweep_lof,
+    "conformal": sweep_conformal,
 }
-DEFAULT_TRIALS = {"dtw": 250, "asof": 40, "interval": 20, "components": 12, "jpeg": 30, "bpe": 12, "bm25": 25, "classify": 15, "sax": 12, "shape": 10}
+DEFAULT_TRIALS = {"dtw": 250, "asof": 40, "interval": 20, "components": 12, "jpeg": 30, "bpe": 12, "bm25": 25, "classify": 15, "sax": 12, "shape": 10, "edit": 200, "lof": 40, "conformal": 40}
 
 
 def main() -> None:
