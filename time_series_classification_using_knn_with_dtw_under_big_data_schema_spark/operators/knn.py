@@ -65,6 +65,35 @@ def _resolve_metric(metric: MetricT, band: Optional[int], fastdtw_radius: int):
     raise ValueError(f"unknown metric {metric!r}; have {sorted(DISTANCES)} + 'fastdtw'")
 
 
+def _maybe_multichannel(fn, metric: MetricT, test: DataFrame, train: DataFrame, features_col: str):
+    """Declarative-path multichannel dispatch (r7, VERDICT r6 #6): nested
+    features (array<array<double>>) route the named edit metrics through
+    the independent-channel-sum lifter — per-channel univariate DP,
+    summed ascending — which preserves each metric's properties (a sum
+    of metrics is a metric, so ERP/TWED/MSM keep the triangle
+    inequality). DTW/fastdtw UDFs already handle nested input inside the
+    kernel (per-channel-summed POINT cost, the q113/q156 family); the
+    euclidean-family folds stay flat-only (they'd mis-type on nested
+    arrays at analysis time, which is the right failure)."""
+    from pyspark.sql.types import ArrayType
+
+    nested_r = isinstance(train.schema[features_col].dataType.elementType, ArrayType)
+    nested_t = isinstance(test.schema[features_col].dataType.elementType, ArrayType)
+    if nested_r != nested_t:
+        raise ValueError(
+            "test/train nestedness mismatch: one side is multichannel "
+            "(array<array>) and the other flat — flatten or channel-split "
+            "upstream"
+        )
+    if nested_r and isinstance(metric, str) and metric in (
+        "lcss", "edr", "erp", "twed", "msm",
+    ):
+        from ..functions.edit_distance import multichannel
+
+        return multichannel(fn)
+    return fn
+
+
 def knn_join(
     test: DataFrame,
     train: DataFrame,
@@ -139,30 +168,7 @@ def knn_join(
     pairs = t.crossJoin(F.broadcast(r) if strategy == "broadcast" else r)
 
     fn, rank_squared = _resolve_metric(metric, band, fastdtw_radius)
-    # multichannel dispatch (r7, VERDICT r6 #6): nested features
-    # (array<array<double>>) route the named edit metrics through the
-    # independent-channel-sum lifter — per-channel univariate DP, summed
-    # ascending — which preserves each metric's properties (a sum of
-    # metrics is a metric, so ERP/TWED/MSM keep the triangle inequality).
-    # DTW/fastdtw UDFs already handle nested input inside the kernel
-    # (per-channel-summed POINT cost, the q113/q156 family); the
-    # euclidean-family folds stay flat-only.
-    from pyspark.sql.types import ArrayType
-
-    _nested_r = isinstance(train.schema[features_col].dataType.elementType, ArrayType)
-    _nested_t = isinstance(test.schema[features_col].dataType.elementType, ArrayType)
-    if _nested_r != _nested_t:
-        raise ValueError(
-            "test/train nestedness mismatch: one side is multichannel "
-            "(array<array>) and the other flat — flatten or channel-split "
-            "upstream"
-        )
-    if _nested_r and isinstance(metric, str) and metric in (
-        "lcss", "edr", "erp", "twed", "msm",
-    ):
-        from ..functions.edit_distance import multichannel
-
-        fn = multichannel(fn)
+    fn = _maybe_multichannel(fn, metric, test, train, features_col)
     dist = sq_euclidean(F.col("_tf"), F.col("_rf")) if rank_squared else fn(
         F.col("_tf"), F.col("_rf")
     )
@@ -1165,6 +1171,7 @@ def knn_predict_1nn(
             f"knn_predict_1nn supports strategy 'broadcast' or 'shuffle', got {strategy!r}"
         )
     fn, rank_squared = _resolve_metric(metric, band, fastdtw_radius)
+    fn = _maybe_multichannel(fn, metric, test, train, features_col)
     t = test.select(F.col(id_col).alias("test_id"), F.col(features_col).alias("_tf"))
     r = train.select(
         F.col(id_col).alias("train_id"),
