@@ -475,3 +475,19 @@ def test_edit_c_kernel_matches_numpy_bitwise():
         ]
         for idx, (got, ref) in enumerate(pairs):
             assert np.array_equal(got, ref), (trial, idx, n, m, P)
+
+
+def test_multichannel_empty_side_returns_null(spark):
+    """The lifter guards the channel-count read (an empty series has no
+    first timestep; unguarded, sequence(1, size(NULL)) would DESCEND —
+    the repo invariant) -> NULL, mirroring the flat metrics."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.edit_distance import (
+        multichannel,
+    )
+
+    df = spark.createDataFrame(
+        [([[1.0, 2.0]], []), ([], [[1.0, 2.0]]), ([], [])],
+        "a array<array<double>>, b array<array<double>>",
+    )
+    got = df.select(multichannel(twed_dist)(F.col("a"), F.col("b")).alias("d")).collect()
+    assert all(r["d"] is None for r in got), got

@@ -849,3 +849,38 @@ def test_streaming_kill_resume_drift_monitor(spark, tmp_path):
     # the span-the-kill day: window starting Mar 4 (= day index 3) must
     # hold all 40 events even though only 20 were ingested before the kill
     assert by_day[4][2] == 40, by_day[4]
+
+
+def test_stateless_scoring_edit_metrics_match_batch(spark):
+    """r7: the edit-distance family's nested-fold DPs are pure Catalyst
+    expressions, so score_stream_stateless accepts them inside the
+    candidate-transform lambda — predictions must equal knn_classify for
+    every metric (same ranking and tie orders; symmetric metrics, so the
+    packed (train, stream) argument order changes nothing)."""
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import (
+        score_stream_stateless,
+    )
+
+    rng = np.random.default_rng(5)
+
+    def mk(n, off):
+        return [
+            (off + i, [float(x) for x in rng.uniform(0, 100, 12)], f"c{i % 3}")
+            for i in range(n)
+        ]
+
+    schema = "series_id long, features array<double>, label string"
+    train = spark.createDataFrame(mk(30, 0), schema)
+    test = spark.createDataFrame(mk(10, 100), schema)
+    for m in ("lcss", "edr", "erp", "twed", "msm"):
+        got = {
+            r.test_id: r.predicted_label
+            for r in score_stream_stateless(test, train, metric=m, k=3).collect()
+        }
+        exp = {
+            r.test_id: r.predicted_label
+            for r in knn_classify(test, train, metric=m, k=3).collect()
+        }
+        assert got == exp, m

@@ -716,10 +716,16 @@ def multichannel(dist_fn: Callable[[Column, Column], Column]) -> Callable[[Colum
             )
             return acc + F.element_at(bound, 1)
 
-        return F.aggregate(
-            F.sequence(F.lit(1), F.size(F.element_at(a, 1))),
-            F.lit(0.0),
-            per_channel,
+        # empty-side guard (sequence(1, 0) DESCENDS — the repo invariant):
+        # an empty series has no first timestep to read a channel count
+        # from -> NULL, mirroring the flat metrics' own empty guards
+        return F.when(
+            (F.size(a) > 0) & (F.size(b) > 0),
+            F.aggregate(
+                F.sequence(F.lit(1), F.size(F.element_at(a, 1))),
+                F.lit(0.0),
+                per_channel,
+            ),
         )
 
     return mc

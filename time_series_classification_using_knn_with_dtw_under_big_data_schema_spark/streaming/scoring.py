@@ -136,10 +136,17 @@ def score_stream_stateless(
     k, the same vote expression score_stream's k>1 path uses — predictions
     are identical to knn_classify / score_stream (test-pinned).
 
-    Expression metrics only (euclidean family / cosine): Python UDFs can't
-    run inside higher-order-function lambdas, so DTW scoring stays on
-    score_stream. Train side must fit in a broadcast row, same bound as
-    any broadcast join.
+    Expression metrics only: the euclidean family / cosine AND the
+    edit-distance family ('lcss'/'edr'/'erp'/'twed'/'msm' — their
+    nested-fold DPs are pure Catalyst expressions, so they evaluate fine
+    inside the candidate-transform lambda; all five are symmetric, so
+    the (train, stream) argument order here scores identically to the
+    batch operators — pinned in tests). Python UDFs can't run inside
+    higher-order-function lambdas, so DTW scoring stays on score_stream.
+    Train side must fit in a broadcast row, same bound as any broadcast
+    join. Cost note: inside the lambda the edit DPs run interpreted per
+    candidate (O(L^2) each) — right for alerting-volume streams, not
+    for corpus-scale rescoring (that's batch knn_join strategy='kernel').
     """
     if metric in ("dtw", "fastdtw"):
         raise ValueError(
