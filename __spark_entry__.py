@@ -3663,6 +3663,28 @@ def _q189_knn_lcss_multichannel(spark, sf_dir):
     return nn.select("test_id", "train_id", "rank", "distance")
 
 
+def _q190_stream_stateless_twin(spark, sf_dir):
+    """Stateless streaming scorer, batch twin WITH ORACLE (r7;
+    streaming/scoring.py::score_stream_stateless): the append-mode
+    production scorer — train packed into ONE broadcast row, each
+    incoming series evaluates candidates + top-k + vote as pure codegen
+    expressions inside a transform lambda — run in batch mode where its
+    whole pipeline is SQL-replayable. Metric here is TWED (the r7
+    expression-metric extension: the edit DPs evaluate inside HOF
+    lambdas where Python UDFs cannot). The oracle composes q165's
+    recursive-CTE TWED DP with q10's vote CTE (votes DESC, min-rank ASC
+    — the Counter.most_common insertion-order parity `_vote_expr`
+    reproduces via (votes, size - array_position) struct max), so the
+    STREAMING component's exact semantics are hash-graded, not just
+    test-pinned against knn_classify."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.streaming import (
+        score_stream_stateless,
+    )
+
+    train, test = _series(spark, sf_dir)
+    return score_stream_stateless(test, train, metric="twed", k=3)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3894,6 +3916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_stream_drift_twin": _q187_stream_drift_twin,
         "q188_knn_twed_multichannel": _q188_knn_twed_multichannel,
         "q189_knn_lcss_multichannel": _q189_knn_lcss_multichannel,
+        "q190_stream_stateless_twin": _q190_stream_stateless_twin,
     }
 
 
@@ -7515,6 +7538,49 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT test_id, train_id, cast(rank AS int) AS rank, dist AS distance
         FROM ranked WHERE rank <= 3
+    """
+
+    # q190 (r7): the stateless streaming scorer's batch twin — q165's TWED
+    # recursion + q10's vote CTE. (votes DESC, best_rank ASC) mirrors
+    # _vote_expr's (votes, size - first_position) struct max exactly:
+    # array_position finds the label's FIRST slot in the rank-sorted
+    # candidate array = min(rank).
+    out["q190_stream_stateless_twin"] = f"""
+        WITH RECURSIVE {_SERIES_CTE},
+        pairs AS (
+            SELECT t.series_id AS test_id, r.series_id AS train_id,
+                   r.label AS train_label, t.features AS fa, r.features AS fb
+            FROM test t CROSS JOIN train r
+        ),
+        dp AS (
+            SELECT test_id, train_id, train_label, fa, fb, 0 AS i,
+                   {_twed_init("fb")} AS row
+            FROM pairs
+            UNION ALL
+            SELECT test_id, train_id, train_label, fa, fb, i + 1,
+                   {_twed_step("fa", "fb", "row")} AS row
+            FROM dp WHERE i < len(fa)
+        ),
+        dd AS (
+            SELECT test_id, train_id, train_label, row[-1] AS dist
+            FROM dp WHERE i = len(fa)
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                        ORDER BY dist ASC, train_label ASC, train_id ASC) AS rank
+            FROM dd WHERE dist != 0
+        ),
+        topk AS (SELECT * FROM ranked WHERE rank <= 3),
+        votes AS (
+            SELECT test_id, train_label, count(*) AS votes, min(rank) AS best_rank
+            FROM topk GROUP BY test_id, train_label
+        ),
+        sel AS (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                        ORDER BY votes DESC, best_rank ASC, train_label ASC) AS vrk
+            FROM votes
+        )
+        SELECT test_id, train_label AS predicted_label FROM sel WHERE vrk = 1
     """
 
     # q166 (r6): LOF — k-distances, reach-dists, lrd and the final ratio

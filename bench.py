@@ -305,6 +305,22 @@ def main() -> None:
         repeats=4,
     )
 
+    # --- 561-point TWED (r7): the elastic-metric family on the same
+    # baseline-like series as the DTW comparables — a FULL-TABLE O(L^2) DP
+    # per pair (no band), 561^2 = 314.7K cells/pair through the compiled-C
+    # edit kernels (functions/edit_c.py; numpy anti-diagonal fallback)
+    run(
+        "knn_twed_561pt",
+        lambda: _mat(knn_classify(
+            t561_small, r561, metric="twed", k=5, strategy="kernel"
+        )),
+        repeats=2,
+    )
+    twed561_pairs_per_sec = (
+        round(n_pairs_561f / timings["knn_twed_561pt"])
+        if timings.get("knn_twed_561pt") else None
+    )
+
     # --- multichannel DTW (r4): 2-channel series, dependent DTW ----------
     # the multivariate kernels run the numpy prefix-scan (the compiled-C
     # hot loop is univariate-only) — this entry is their perf envelope
@@ -1116,6 +1132,7 @@ def main() -> None:
         "reduced_test_side": n_t561_small < n_t561,
         "full_pairs_561": n_pairs_561,
         "fastdtw561_pairs_per_sec": fastdtw561_pairs_per_sec,
+        "twed561_pairs_per_sec": twed561_pairs_per_sec,
         "baseline_fastdtw561_pairs_per_sec": 22600,
         "dtw_c_kernel": _dtw_c_available(),
         "edit_c_kernel": _edit_c_available(),
