@@ -3685,6 +3685,42 @@ def _q190_stream_stateless_twin(spark, sf_dir):
     return score_stream_stateless(test, train, metric="twed", k=3)
 
 
+def _q191_lof_twed(spark, sf_dir):
+    """ELASTIC-METRIC LOF (r7): density-relative outliers under TWED
+    instead of q166's euclidean — the shape a telemetry corpus actually
+    needs (a series can be a euclidean outlier through pure phase shift;
+    an elastic metric scores it by alignment cost). Runs the C-kernel
+    strategy and STAYS hash-exact: unlike euclidean (whose kernel
+    reassociates the coordinate fold), every TWED cell is an
+    order-independent add tree + exact min, so kernel == expression ==
+    recursive CTE bitwise, and LOF's downstream float sums are all
+    rank-sorted folds (q166's contract). The oracle composes q165's TWED
+    recursion into q166's LOF chain — two proven oracles, one new
+    capability, zero rounding."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_lof
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return knn_lof(series, k=5, metric="twed", strategy="kernel")
+
+
+def _q192_conformal_twed(spark, sf_dir):
+    """ELASTIC CONFORMAL CLASSIFICATION (r7): split-conformal KNN
+    p-values under TWED instead of q169's euclidean — with q191 this
+    completes the KNN-stack x elastic-metric matrix (classify q165,
+    outliers q191, calibrated p-values q192). The 1-NN-ratio
+    nonconformity score now measures alignment cost, so a
+    phase-shifted test series is conforming when its shape matches its
+    label's exemplars. p-values stay exact rationals: the TWED DP is
+    order-independent per cell, the score is one MIN per label + one
+    division, the rank count is an integer. Oracle: q169's conformal
+    chain with both distance CTEs replaced by q165's recursion."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import conformal_knn
+
+    train, test = _series(spark, sf_dir)
+    return conformal_knn(test, train, metric="twed")
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3917,6 +3953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_knn_twed_multichannel": _q188_knn_twed_multichannel,
         "q189_knn_lcss_multichannel": _q189_knn_lcss_multichannel,
         "q190_stream_stateless_twin": _q190_stream_stateless_twin,
+        "q191_lof_twed": _q191_lof_twed,
+        "q192_conformal_twed": _q192_conformal_twed,
     }
 
 
@@ -7581,6 +7619,146 @@ def oracle_sql() -> dict[str, str]:
             FROM votes
         )
         SELECT test_id, train_label AS predicted_label FROM sel WHERE vrk = 1
+    """
+
+    # q191 (r7): TWED-metric LOF — q165's recursion replaces q166's
+    # euclidean pairs CTE; everything downstream (knn rank, kdist, reach,
+    # rank-sorted lrd folds, the final ratio) is q166's chain verbatim.
+    out["q191_lof_twed"] = f"""
+        WITH RECURSIVE {_SERIES_CTE},
+        allp AS (
+            SELECT t.series_id AS test_id, r.series_id AS train_id,
+                   t.features AS fa, r.features AS fb
+            FROM series t CROSS JOIN series r
+        ),
+        dpw AS (
+            SELECT test_id, train_id, fa, fb, 0 AS i,
+                   {_twed_init("fb")} AS row
+            FROM allp
+            UNION ALL
+            SELECT test_id, train_id, fa, fb, i + 1,
+                   {_twed_step("fa", "fb", "row")} AS row
+            FROM dpw WHERE i < len(fa)
+        ),
+        pairs AS (
+            SELECT test_id, train_id, row[-1] AS d
+            FROM dpw WHERE i = len(fa)
+        ),
+        knn AS (
+            SELECT * FROM (
+                SELECT test_id, train_id, d,
+                       row_number() OVER (PARTITION BY test_id
+                           ORDER BY d ASC, train_id ASC) AS rank
+                FROM pairs WHERE d != 0
+            ) WHERE rank <= 5
+        ),
+        kd AS (
+            SELECT test_id AS oid, max(d) AS kdist
+            FROM knn GROUP BY test_id
+        ),
+        reach AS (
+            SELECT n.test_id, n.rank, greatest(kd.kdist, n.d) AS v
+            FROM knn n JOIN kd ON n.train_id = kd.oid
+        ),
+        lrd AS (
+            SELECT test_id AS lid,
+                   cast(count(*) AS double)
+                   / list_reduce(list_prepend(0.0, list(v ORDER BY rank)),
+                                 (a, b) -> a + b) AS lrd
+            FROM reach GROUP BY test_id
+        ),
+        nbl AS (
+            SELECT n.test_id, n.rank, l.lrd AS lo
+            FROM knn n JOIN lrd l ON n.train_id = l.lid
+        ),
+        slo AS (
+            SELECT test_id,
+                   list_reduce(list_prepend(0.0, list(lo ORDER BY rank)),
+                               (a, b) -> a + b) AS s,
+                   cast(count(*) AS double) AS c
+            FROM nbl GROUP BY test_id
+        )
+        SELECT s.test_id AS series_id, kd.kdist AS kdist, l.lrd AS lrd,
+               (s.s / s.c) / l.lrd AS lof
+        FROM slo s JOIN lrd l ON s.test_id = l.lid
+        JOIN kd ON s.test_id = kd.oid
+    """
+
+    # q192 (r7): TWED conformal — q169's chain with BOTH distance CTEs
+    # (cal x proper, test x proper) replaced by q165's recursion; the
+    # mins/alphas/rank-count/rational-p stages are q169's verbatim.
+    out["q192_conformal_twed"] = f"""
+        WITH RECURSIVE {_SERIES_CTE},
+        proper AS (
+            SELECT series_id AS pid, features AS pf, label AS plab
+            FROM train WHERE series_id % 3 != 1
+        ),
+        cal AS (
+            SELECT series_id AS cid, features AS cf, label AS clab
+            FROM train WHERE series_id % 3 = 1
+        ),
+        cdp AS (
+            SELECT c.cid, c.clab, p.plab, c.cf AS fa, p.pf AS fb, 0 AS i,
+                   {_twed_init("p.pf")} AS row
+            FROM cal c CROSS JOIN proper p
+            UNION ALL
+            SELECT cid, clab, plab, fa, fb, i + 1,
+                   {_twed_step("fa", "fb", "row")} AS row
+            FROM cdp WHERE i < len(fa)
+        ),
+        cpairs AS (
+            SELECT cid, clab, plab, row[-1] AS d FROM cdp WHERE i = len(fa)
+        ),
+        cmin AS (
+            SELECT cid, clab, plab, min(d) AS dmin
+            FROM cpairs WHERE d != 0 GROUP BY cid, clab, plab
+        ),
+        csame AS (SELECT cid, dmin AS ds FROM cmin WHERE plab = clab),
+        cdiff AS (
+            SELECT cid, min(dmin) AS dd FROM cmin
+            WHERE plab != clab GROUP BY cid
+        ),
+        alphas AS (
+            SELECT s.ds / d.dd AS ai FROM csame s JOIN cdiff d USING (cid)
+        ),
+        nc AS (SELECT cast(count(*) AS bigint) AS ncal FROM alphas),
+        tdp AS (
+            SELECT t.series_id AS test_id, p.plab, t.features AS fa,
+                   p.pf AS fb, 0 AS i,
+                   {_twed_init("p.pf")} AS row
+            FROM test t CROSS JOIN proper p
+            UNION ALL
+            SELECT test_id, plab, fa, fb, i + 1,
+                   {_twed_step("fa", "fb", "row")} AS row
+            FROM tdp WHERE i < len(fa)
+        ),
+        tpairs AS (
+            SELECT test_id, plab, row[-1] AS d FROM tdp WHERE i = len(fa)
+        ),
+        tmin AS (
+            SELECT test_id, plab, min(d) AS dmin
+            FROM tpairs WHERE d != 0 GROUP BY test_id, plab
+        ),
+        tdiff AS (
+            SELECT a.test_id, a.plab AS label, min(b.dmin) AS dd
+            FROM tmin a JOIN tmin b
+              ON a.test_id = b.test_id AND a.plab != b.plab
+            GROUP BY a.test_id, a.plab
+        ),
+        axy AS (
+            SELECT m.test_id, m.plab AS label, m.dmin / d.dd AS alpha
+            FROM tmin m JOIN tdiff d
+              ON m.test_id = d.test_id AND m.plab = d.label
+        ),
+        cnt AS (
+            SELECT test_id, label, alpha,
+                   cast(count(a.ai) AS bigint) AS ge
+            FROM axy LEFT JOIN alphas a ON a.ai >= axy.alpha
+            GROUP BY test_id, label, alpha
+        )
+        SELECT test_id, label, alpha,
+               cast(ge + 1 AS double) / cast(ncal + 1 AS double) AS p_value
+        FROM cnt CROSS JOIN nc
     """
 
     # q166 (r6): LOF — k-distances, reach-dists, lrd and the final ratio

@@ -442,6 +442,7 @@ def conformal_knn(
     test: DataFrame,
     train: DataFrame,
     *,
+    metric="euclidean",
     id_col: str = "series_id",
     features_col: str = "features",
     label_col: str = "label",
@@ -473,8 +474,17 @@ def conformal_knn(
     pair volume, pre-aggregated by MIN before anything wide), one
     broadcast of the bounded calibration-score table. Nothing corpus x
     corpus beyond the KNN itself.
+
+    ``metric`` (r7): any named DISTANCES entry or a Column callable —
+    euclidean (default, q169) or an elastic metric ('twed' etc., q192:
+    phase-shifted conformity scoring). Edit-family metrics keep the
+    exact-rational p-value contract (order-independent per-cell DPs, one
+    MIN, one division); the alpha ratio itself is exact for ANY metric
+    whose distance is engine-reproducible.
     """
-    from ..functions.distance import euclidean
+    from ..functions.distance import DISTANCES
+
+    dist_fn = DISTANCES[metric] if isinstance(metric, str) else metric
 
     pid = F.col(id_col)
     proper = train.filter(F.pmod(pid, F.lit(cal_mod)) != cal_rem).select(
@@ -486,7 +496,7 @@ def conformal_knn(
 
     def _mins(side: DataFrame, fcol: str, keys: list[str]) -> DataFrame:
         pairs = side.crossJoin(F.broadcast(proper)).withColumn(
-            "_d", euclidean(F.col(fcol), F.col("_pf"))
+            "_d", dist_fn(F.col(fcol), F.col("_pf"))
         ).filter(F.col("_d") != 0)
         return pairs.groupBy(*keys, "_plab").agg(F.min("_d").alias("_dmin"))
 
