@@ -3721,6 +3721,23 @@ def _q192_conformal_twed(spark, sf_dir):
     return conformal_knn(test, train, metric="twed")
 
 
+def _q193_kmedoids_twed(spark, sf_dir):
+    """ELASTIC k-MEDOIDS (r7): q143's PAM chain under TWED — the
+    clustering cell of the KNN-stack x elastic-metric matrix (classify
+    q165, outliers q191, p-values q192, clusters q193). Medoids are
+    actual corpus series, so the metric needs no mean — exactly why PAM
+    is the clustering that composes with ANY engine metric; every TWED
+    distance is micro-rounded (round(d*1e6) -> long) before any argmin,
+    so assignment and medoid-update decisions are integer-exact on any
+    engine. Oracle: q143's seed/assign/update/reassign chain verbatim on
+    a TWED distance matrix (q165's recursion)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import ts_kmedoids
+
+    _prep(spark)
+    series = events_to_series(_t(spark, sf_dir, "events"), length=SERIES_LEN)
+    return ts_kmedoids(series, k=4, metric="twed")
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3955,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_stream_stateless_twin": _q190_stream_stateless_twin,
         "q191_lof_twed": _q191_lof_twed,
         "q192_conformal_twed": _q192_conformal_twed,
+        "q193_kmedoids_twed": _q193_kmedoids_twed,
     }
 
 
@@ -7759,6 +7777,67 @@ def oracle_sql() -> dict[str, str]:
         SELECT test_id, label, alpha,
                cast(ge + 1 AS double) / cast(ncal + 1 AS double) AS p_value
         FROM cnt CROSS JOIN nc
+    """
+
+    # q193 (r7): TWED k-medoids — q143's PAM chain (seeds by the q72
+    # spread hash, two assigns, the medoid-update argmin) verbatim on a
+    # TWED distance matrix; micro-rounding makes every decision integer.
+    out["q193_kmedoids_twed"] = f"""
+        WITH RECURSIVE {_SERIES_CTE},
+        allp AS (
+            SELECT a.series_id AS ia, a.features AS fa,
+                   b.series_id AS ib, b.features AS fb
+            FROM series a CROSS JOIN series b
+        ),
+        dpw AS (
+            SELECT ia, ib, fa, fb, 0 AS i,
+                   {_twed_init("fb")} AS row
+            FROM allp
+            UNION ALL
+            SELECT ia, ib, fa, fb, i + 1,
+                   {_twed_step("fa", "fb", "row")} AS row
+            FROM dpw WHERE i < len(fa)
+        ),
+        dmat AS (
+            SELECT ia, ib, cast(round(row[-1] * 1000000) AS bigint) AS dm
+            FROM dpw WHERE i = len(fa)
+        ),
+        seeds AS (
+            SELECT series_id AS mid FROM series
+            ORDER BY ((series_id % 1000000007) * 654435747 + 40503)
+                     % 1000000007 ASC, series_id ASC
+            LIMIT 4
+        ),
+        a1 AS (
+            SELECT id, mid FROM (
+                SELECT d.ia AS id, d.ib AS mid, d.dm,
+                       row_number() OVER (PARTITION BY d.ia
+                           ORDER BY d.dm ASC, d.ib ASC) AS rk
+                FROM dmat d JOIN seeds s ON d.ib = s.mid
+            ) WHERE rk = 1
+        ),
+        sums AS (
+            SELECT m1.mid AS cm, m1.id AS cand, sum(d.dm) AS s
+            FROM a1 m1 JOIN a1 m2 ON m1.mid = m2.mid
+            JOIN dmat d ON d.ia = m1.id AND d.ib = m2.id
+            GROUP BY m1.mid, m1.id
+        ),
+        med2 AS (
+            SELECT cand AS mid FROM (
+                SELECT cand, row_number() OVER (PARTITION BY cm
+                           ORDER BY s ASC, cand ASC) AS rk
+                FROM sums
+            ) WHERE rk = 1
+        ),
+        a2 AS (
+            SELECT id, mid, dm FROM (
+                SELECT d.ia AS id, d.ib AS mid, d.dm,
+                       row_number() OVER (PARTITION BY d.ia
+                           ORDER BY d.dm ASC, d.ib ASC) AS rk
+                FROM dmat d JOIN med2 m ON d.ib = m.mid
+            ) WHERE rk = 1
+        )
+        SELECT id AS series_id, mid AS medoid_id, dm AS dist_micro FROM a2
     """
 
     # q166 (r6): LOF — k-distances, reach-dists, lrd and the final ratio
