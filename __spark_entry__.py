@@ -3738,6 +3738,22 @@ def _q193_kmedoids_twed(spark, sf_dir):
     return ts_kmedoids(series, k=4, metric="twed")
 
 
+def _q194_conformal_set(spark, sf_dir):
+    """CONFORMAL PREDICTION SET (r7; operators/classify.py::
+    conformal_set): the eps=0.1 label set {y : p(x,y) > 0.1} over q192's
+    TWED p-values — the calibrated-uncertainty API with the
+    split-conformal finite-sample guarantee P(y_true in C_eps) >= 1-eps
+    under exchangeability (Vovk et al.); an ambiguous series gets a
+    LARGER set instead of a silently wrong point label. Membership is an
+    exact comparison (exact-rational p vs the literal eps), so the
+    oracle is q192's chain + the same filter; empirical coverage is
+    fuzz-swept (tools/fuzz_sweep.py conformal mode)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import conformal_set
+
+    train, test = _series(spark, sf_dir)
+    return conformal_set(test, train, metric="twed", eps=0.1)
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3973,6 +3989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_lof_twed": _q191_lof_twed,
         "q192_conformal_twed": _q192_conformal_twed,
         "q193_kmedoids_twed": _q193_kmedoids_twed,
+        "q194_conformal_set": _q194_conformal_set,
     }
 
 
@@ -7778,6 +7795,12 @@ def oracle_sql() -> dict[str, str]:
                cast(ge + 1 AS double) / cast(ncal + 1 AS double) AS p_value
         FROM cnt CROSS JOIN nc
     """
+
+    # q194 (r7): the eps=0.1 prediction set — q192's chain + the exact
+    # membership filter (rational p vs the literal eps).
+    out["q194_conformal_set"] = (
+        "SELECT * FROM (" + out["q192_conformal_twed"] + ") WHERE p_value > 0.1"
+    )
 
     # q193 (r7): TWED k-medoids — q143's PAM chain (seeds by the q72
     # spread hash, two assigns, the medoid-update argmin) verbatim on a

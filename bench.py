@@ -1022,7 +1022,9 @@ def main() -> None:
         "soak10x_knn_lof_chunked",
         lambda: _soak_lof(max_broadcast_bytes=soak_lof_budget),
     )
-    run("soak10x_conformal_knn", lambda: _mat(conformal_knn(te10s, tr10)), repeats=2)
+    # repeats=1 like the other heavy soaks (fluss/boss/lof): one
+    # observation of a 27s entry is the 10x record, not a headline number
+    run("soak10x_conformal_knn", lambda: _mat(conformal_knn(te10s, tr10)))
     run(
         "soak10x_boss_classify",
         lambda: _mat(boss_classify(te10s, tr10, m=8, n_coeffs=2)),

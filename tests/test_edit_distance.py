@@ -491,3 +491,32 @@ def test_multichannel_empty_side_returns_null(spark):
     )
     got = df.select(multichannel(twed_dist)(F.col("a"), F.col("b")).alias("d")).collect()
     assert all(r["d"] is None for r in got), got
+
+
+def test_knn_lof_multichannel_elastic_planted_outlier(spark):
+    """r7: LOF composes with the multichannel edit-metric dispatch (the
+    knn_join plumbing is shared) — a planted 2-channel outlier must get
+    the top LOF score under multichannel TWED, and the kernel strategy
+    must return the same neighbor-rank sets as the broadcast expression
+    (edit DPs are order-independent per cell, so even the floats agree)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_lof
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(24):
+        base = rng.uniform(0, 10, (10, 2))
+        rows.append((i, [[float(v) for v in t] for t in base]))
+    far = [[500.0 + float(t), 900.0 - float(t)] for t in range(10)]
+    rows.append((99, far))
+    df = spark.createDataFrame(rows, "series_id long, features array<array<double>>")
+    got_b = {r["series_id"]: r for r in knn_lof(df, k=4, metric="twed").collect()}
+    top = max(got_b.values(), key=lambda r: r["lof"])
+    assert top["series_id"] == 99, top
+    assert top["lof"] > 2.0, top
+    got_k = {
+        r["series_id"]: r
+        for r in knn_lof(df, k=4, metric="twed", strategy="kernel").collect()
+    }
+    assert {i: (r["kdist"], r["lrd"], r["lof"]) for i, r in got_b.items()} == {
+        i: (r["kdist"], r["lrd"], r["lof"]) for i, r in got_k.items()
+    }

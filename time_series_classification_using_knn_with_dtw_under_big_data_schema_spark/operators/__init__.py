@@ -28,6 +28,7 @@ from .similarity import (  # noqa: F401
 )
 from .classify import (  # noqa: F401
     conformal_knn,
+    conformal_set,
     doc_quality_features,
     perceptron_epoch_sweep,
     score_stump,

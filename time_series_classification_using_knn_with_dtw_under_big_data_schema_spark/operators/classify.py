@@ -50,6 +50,8 @@ __all__ = [
     "doc_quality_features",
     "train_quality_perceptron",
     "score_with_weights",
+    "conformal_knn",
+    "conformal_set",
 ]
 
 # Fixed featurization spec: centering constants are part of the FEATURE
@@ -549,3 +551,47 @@ def conformal_knn(
             / (F.col("_ncal") + 1).cast("double")
         ).alias("p_value"),
     )
+
+
+def conformal_set(
+    test: DataFrame,
+    train: DataFrame,
+    *,
+    eps: float = 0.1,
+    metric="euclidean",
+    id_col: str = "series_id",
+    features_col: str = "features",
+    label_col: str = "label",
+    cal_mod: int = 3,
+    cal_rem: int = 1,
+) -> DataFrame:
+    """Conformal PREDICTION SET at miscoverage level ``eps`` (r7): the
+    labels whose conformal p-value exceeds eps,
+
+        C_eps(x) = { y : p(x, y) > eps },
+
+    with the split-conformal finite-sample guarantee
+    P(y_true in C_eps(x)) >= 1 - eps under exchangeability (Vovk et al.)
+    — the calibrated-uncertainty API a point prediction can't give: an
+    ambiguous series gets a LARGER set, not a silently wrong label. The
+    empirical coverage property is fuzz-swept (tools/fuzz_sweep.py
+    conformal mode); the p-values are ``conformal_knn``'s exact
+    rationals, so membership p > eps is an exact comparison, never a
+    float-boundary coin flip (eps itself is the caller's literal).
+
+    Output: one row per RETAINED (test_id, label) — (test_id, label,
+    alpha, p_value); a test point with an empty set emits no rows (the
+    honest "calibration says nothing conforms" answer). Scale: a filter
+    over conformal_knn — nothing new moves.
+    """
+    p = conformal_knn(
+        test,
+        train,
+        metric=metric,
+        id_col=id_col,
+        features_col=features_col,
+        label_col=label_col,
+        cal_mod=cal_mod,
+        cal_rem=cal_rem,
+    )
+    return p.filter(F.col("p_value") > F.lit(float(eps)))
