@@ -3754,6 +3754,23 @@ def _q194_conformal_set(spark, sf_dir):
     return conformal_set(test, train, metric="twed", eps=0.1)
 
 
+def _q195_knn_twed_lb_pruned(spark, sf_dir):
+    """LOSSLESS TWED KNN PRUNING (r7; operators/knn.py::
+    knn_join_lb_metric — the edit-family sibling of q86's LB_Keogh
+    filter-and-verify): the triangle-inequality anchor bound
+    d(a,b) >= |d(a,z) - d(b,z)| (TWED is a metric, Marteau 2009;
+    property-fuzzed) with z = [0], so the pair-level prefilter moves one
+    SCALAR per series. Three lossless phases (top-C candidates by LB ->
+    exact verify -> tau-completeness escalation) return BIT-IDENTICAL
+    results to brute force — this oracle IS q165's brute TWED recursion,
+    so the hash match proves the pruning lost nothing."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join_lb_metric
+
+    train, test = _series(spark, sf_dir)
+    nn = knn_join_lb_metric(test, train, metric="twed", k=3)
+    return nn.select("test_id", "train_id", "rank", "distance")
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -3990,6 +4007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_conformal_twed": _q192_conformal_twed,
         "q193_kmedoids_twed": _q193_kmedoids_twed,
         "q194_conformal_set": _q194_conformal_set,
+        "q195_knn_twed_lb_pruned": _q195_knn_twed_lb_pruned,
     }
 
 
@@ -7862,6 +7880,11 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id AS series_id, mid AS medoid_id, dm AS dist_micro FROM a2
     """
+
+    # q195 (r7): lossless anchor-bound pruning — the oracle IS q165's
+    # brute-force TWED recursion; hash equality proves filter-and-verify
+    # returned the brute answer.
+    out["q195_knn_twed_lb_pruned"] = out["q165_knn_twed"]
 
     # q166 (r6): LOF — k-distances, reach-dists, lrd and the final ratio
     # all mirror the engine exactly: rank-sorted list folds for every float

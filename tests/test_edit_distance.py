@@ -520,3 +520,81 @@ def test_knn_lof_multichannel_elastic_planted_outlier(spark):
     assert {i: (r["kdist"], r["lrd"], r["lof"]) for i, r in got_b.items()} == {
         i: (r["kdist"], r["lrd"], r["lof"]) for i, r in got_k.items()
     }
+
+
+def test_knn_lb_metric_equals_brute(spark):
+    """r7: knn_join_lb_metric (triangle-inequality anchor pruning) must
+    return BIT-IDENTICAL rows to brute knn_join for every true metric —
+    including on duplicate-heavy, tie-heavy integer data (the regime
+    where bounds collapse to zero and phase 3 has to escalate widely) and
+    with a tiny candidate budget (correctness must never depend on C)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        knn_join_lb_metric,
+    )
+
+    rng = np.random.default_rng(41)
+    rows_t = [
+        (i, [float(x) for x in rng.integers(0, 4, 10) * 10.0], f"c{i % 2}")
+        for i in range(30)
+    ]
+    rows_q = [
+        (100 + i, [float(x) for x in rng.integers(0, 4, 10) * 10.0], "t")
+        for i in range(8)
+    ]
+    schema = "series_id long, features array<double>, label string"
+    train = spark.createDataFrame(rows_t, schema)
+    test = spark.createDataFrame(rows_q, schema)
+    for metric in ("erp", "twed", "msm"):
+        for C in (1, 4):
+            got = sorted(
+                (r.test_id, r.rank, r.train_id, r.distance, r.train_label)
+                for r in knn_join_lb_metric(
+                    test, train, metric=metric, k=3, candidates_per_test=C
+                ).collect()
+            )
+            want = sorted(
+                (r.test_id, r.rank, r.train_id, r.distance, r.train_label)
+                for r in knn_join(test, train, metric=metric, k=3).collect()
+            )
+            assert got == want, (metric, C)
+
+
+def test_knn_lb_metric_rejects_non_metrics(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        knn_join_lb_metric,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0], "a")], "series_id long, features array<double>, label string"
+    )
+    for bad in ("lcss", "edr", "euclidean", "dtw"):
+        with pytest.raises(ValueError, match="triangle"):
+            knn_join_lb_metric(df, df, metric=bad)
+
+
+def test_anchor_bound_admissible_fuzz():
+    """The anchor bound |d(a,z) - d(b,z)| <= d(a,b) on random RAGGED
+    pairs for all three metrics — the empirical leg of the published
+    metric theorems the pruning relies on (cross-length triples, which
+    the same-length triangle fuzz doesn't cover)."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.edit_distance import (
+        ERP_GAP,
+        erp_batch,
+        msm_batch,
+        twed_batch,
+    )
+
+    rng = np.random.default_rng(43)
+    z = np.zeros((1, 1))
+    for _ in range(300):
+        n, m = int(rng.integers(1, 24)), int(rng.integers(1, 24))
+        a = rng.uniform(-20, 20, (1, n))
+        b = rng.uniform(-20, 20, (1, m))
+        for fn in (erp_batch, twed_batch, msm_batch):
+            if fn is erp_batch:
+                ra = abs(a[0] - ERP_GAP).sum()
+                rb = abs(b[0] - ERP_GAP).sum()
+            else:
+                ra, rb = fn(a, z)[0], fn(b, z)[0]
+            d = fn(a, b)[0]
+            assert abs(ra - rb) <= d + 1e-9, (fn, n, m, ra, rb, d)

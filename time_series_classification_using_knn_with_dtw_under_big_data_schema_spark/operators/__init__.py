@@ -1,4 +1,4 @@
-from .knn import knn_join, knn_join_pruned, knn_join_lb, knn_classify, knn_predict_1nn, knn_lof, knn_impute  # noqa: F401
+from .knn import knn_join, knn_join_pruned, knn_join_lb, knn_join_lb_metric, knn_classify, knn_predict_1nn, knn_lof, knn_impute  # noqa: F401
 from .topk import topk_per_key  # noqa: F401
 from .vote import majority_vote, weighted_vote, knn_regress_predict  # noqa: F401
 from .evaluate import accuracy, k_sweep, knn_cross_validate  # noqa: F401

@@ -1107,6 +1107,146 @@ def knn_join_lb(
     return topk.select(*out)
 
 
+def knn_join_lb_metric(
+    test: DataFrame,
+    train: DataFrame,
+    *,
+    metric: str = "twed",
+    k: int = 5,
+    candidates_per_test: Optional[int] = None,
+    strategy: str = "broadcast",
+    id_col: str = "series_id",
+    features_col: str = "features",
+    label_col: Optional[str] = "label",
+    exclude_zero: bool = True,
+) -> DataFrame:
+    """EXACT pruned KNN for the elastic METRIC family (ERP / TWED / MSM)
+    via the triangle-inequality anchor bound (r7 — the edit-family
+    sibling of ``knn_join_lb``'s LB_Keogh envelope for DTW):
+
+        d(a, b) >= | d(a, z) - d(b, z) |        for any fixed anchor z
+
+    valid BECAUSE these three are true metrics (Chen & Ng 2004 for ERP;
+    Marteau 2009 for TWED; Stefan, Athitsos & Das 2013 for MSM — the
+    triangle inequality is also property-fuzzed in tests). The anchor
+    reference d(x, z) is ONE linear fold per series, computed once per
+    side: ERP against the empty series (d(x, {}) = sum |x_i - g|, the
+    DP's own border column) and TWED/MSM against the one-point series
+    z = [0]. The pair-level filter then moves only (id, scalar) — even
+    cheaper than a PAA sketch — and the same three lossless phases as
+    knn_join_lb run on top:
+
+    1. candidates: scalar cross join -> |ref_a - ref_b| -> top-C per
+       test by (LB, train_id);
+    2. verify: the exact metric expression scores ONLY those C pairs;
+       the k-th scored distance tau upper-bounds the true k-th;
+    3. completeness: every unscored pair with LB <= tau is also scored
+       (LB > tau provably cannot enter the top-k, ties included since
+       the tie order starts with distance). Union + re-rank.
+
+    Result is bit-identical to brute-force ``knn_join`` under the same
+    metric and tie order (equality-tested; q195's oracle IS the brute
+    TWED recursion). Pruning POWER is data-dependent: a single scalar
+    bound is information-weak when anchor distances bunch (the global-
+    envelope caveat, NOTES.md) — correctness never depends on it.
+    LCSS/EDR are deliberately rejected: they violate the triangle
+    inequality, so no anchor bound is admissible for them.
+    """
+    from ..caching import register_cache
+    from ..functions.edit_distance import (
+        ERP_GAP,
+        erp_dist,
+        msm_dist,
+        twed_dist,
+    )
+
+    if metric not in ("erp", "twed", "msm"):
+        raise ValueError(
+            "knn_join_lb_metric requires a TRUE metric: 'erp', 'twed' or "
+            f"'msm' (LCSS/EDR have no triangle inequality), got {metric!r}"
+        )
+    fn = DISTANCES[metric]
+    anchor = F.array(F.lit(0.0))
+    if metric == "erp":
+        # d(x, {}) = sum |x_i - g| — the DP's own border column, exact
+        ref = lambda x: F.aggregate(
+            x, F.lit(0.0), lambda acc, v: acc + F.abs(v - F.lit(float(ERP_GAP)))
+        )
+    elif metric == "twed":
+        ref = lambda x: twed_dist(x, anchor)
+    else:
+        ref = lambda x: msm_dist(x, anchor)
+
+    C = max(candidates_per_test if candidates_per_test is not None else 4 * k, k)
+    t_sk = test.select(
+        F.col(id_col).alias("test_id"), ref(F.col(features_col)).alias("_ta")
+    )
+    r_sk = train.select(
+        F.col(id_col).alias("train_id"), ref(F.col(features_col)).alias("_ra")
+    )
+    lbp = (
+        t_sk.crossJoin(F.broadcast(r_sk) if strategy == "broadcast" else r_sk)
+        .withColumn("_lb", F.abs(F.col("_ta") - F.col("_ra")))
+        .select("test_id", "train_id", "_lb")
+    )
+
+    t_feat = test.select(F.col(id_col).alias("test_id"), F.col(features_col).alias("_tf"))
+    r_feat_cols = [F.col(id_col).alias("train_id"), F.col(features_col).alias("_rf")]
+    if label_col is not None:
+        r_feat_cols.append(F.col(label_col).alias("train_label"))
+    r_feat = train.select(*r_feat_cols)
+
+    def score(pairs_ids: DataFrame) -> DataFrame:
+        scored = (
+            pairs_ids.join(t_feat, "test_id")
+            .join(r_feat, "train_id")
+            .withColumn("_d", fn(F.col("_tf"), F.col("_rf")))
+            .drop("_tf", "_rf")
+        )
+        if exclude_zero:
+            scored = scored.filter(F.col("_d") != 0)
+        return scored
+
+    cands = register_cache(
+        topk_per_key(
+            lbp, "test_id", [F.asc("_lb"), F.asc("train_id")], C, rank_col="_crank"
+        )
+        .select("test_id", "train_id")
+        .cache()
+    )
+    scored1 = register_cache(score(cands).cache())
+    thresh = register_cache(
+        scored1.groupBy("test_id")
+        .agg(F.sort_array(F.collect_list("_d")).alias("_ds"))
+        .select(
+            "test_id",
+            F.when(F.size("_ds") >= k, F.element_at("_ds", k))
+            .otherwise(F.lit(float("inf")))
+            .alias("_tau"),
+        )
+        .cache()
+    )
+    # land the O(C)-row caches before the final job (the knn_join_lb fix:
+    # lazy, the phase-3 DAG re-runs the expensive scoring per consumer)
+    thresh.count()
+    rest = (
+        lbp.join(thresh, "test_id")
+        .filter(F.col("_lb") <= F.col("_tau"))
+        .join(cands, ["test_id", "train_id"], "left_anti")
+        .select("test_id", "train_id")
+    )
+    scored = scored1.unionByName(score(rest))
+    order = [F.asc("_d")]
+    if label_col is not None:
+        order.append(F.asc("train_label"))
+    order.append(F.asc("train_id"))
+    topk = topk_per_key(scored, "test_id", order, k)
+    out = [F.col("test_id"), F.col("train_id"), F.col("_d").alias("distance"), F.col("rank")]
+    if label_col is not None:
+        out.insert(2, F.col("train_label"))
+    return topk.select(*out)
+
+
 def knn_classify(
     test: DataFrame,
     train: DataFrame,
