@@ -320,6 +320,13 @@ def main() -> None:
         round(n_pairs_561f / timings["knn_twed_561pt"])
         if timings.get("knn_twed_561pt") else None
     )
+    # knn_join_lb_metric (lossless anchor-bound pruning) is NOT benched on
+    # this corpus: the scalar triangle bound cannot prune structureless
+    # random-walk series (measured 31s vs 9.8s brute at sf0.1 — the
+    # filter-and-verify overhead with zero pruning; NOTES r7), the same
+    # honest caveat as the unconstrained LB_Keogh envelope. Losslessness
+    # is oracle-proven (q195); the operator earns its keep on corpora
+    # where anchor distances separate.
 
     # --- multichannel DTW (r4): 2-channel series, dependent DTW ----------
     # the multivariate kernels run the numpy prefix-scan (the compiled-C

@@ -1155,7 +1155,9 @@ def knn_join_lb_metric(
     from ..caching import register_cache
     from ..functions.edit_distance import (
         ERP_GAP,
-        erp_dist,
+        make_erp_udf,
+        make_msm_udf,
+        make_twed_udf,
         msm_dist,
         twed_dist,
     )
@@ -1165,7 +1167,11 @@ def knn_join_lb_metric(
             "knn_join_lb_metric requires a TRUE metric: 'erp', 'twed' or "
             f"'msm' (LCSS/EDR have no triangle inequality), got {metric!r}"
         )
-    fn = DISTANCES[metric]
+    # verify phase scores through the Arrow pair kernels (C route when a
+    # compiler exists) — bit-identical to the Catalyst folds (test-pinned),
+    # and the survivors of a weak bound can approach the full pair set, so
+    # the scorer must run at kernel speed, not interpreted-HOF speed
+    fn = {"erp": make_erp_udf, "twed": make_twed_udf, "msm": make_msm_udf}[metric]()
     anchor = F.array(F.lit(0.0))
     if metric == "erp":
         # d(x, {}) = sum |x_i - g| — the DP's own border column, exact
