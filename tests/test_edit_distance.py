@@ -598,3 +598,103 @@ def test_anchor_bound_admissible_fuzz():
                 ra, rb = fn(a, z)[0], fn(b, z)[0]
             d = fn(a, b)[0]
             assert abs(ra - rb) <= d + 1e-9, (fn, n, m, ra, rb, d)
+
+
+def test_knn_lb_metric_all_zero_candidates_degrade_to_brute(spark):
+    """ADVICE r8 (medium): with exclude_zero=True, a test whose top-C
+    candidates ALL score exactly 0 (duplicate-heavy corpora: LB=0
+    duplicates sort first) used to vanish from thresh, and the phase-3
+    inner join then dropped its every pair — the test emitted NO rows
+    where brute force returns its non-zero neighbors. The left-join +
+    coalesce(tau, inf) fix must degrade such tests to brute force."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        knn_join_lb_metric,
+    )
+
+    base = [1.0, 2.0, 3.0, 1.0, 2.0]
+    # train: 6 exact duplicates of the test series (distance 0, LB 0,
+    # smallest ids -> they fill the whole C=4 candidate set) + 3 distinct
+    rows_t = [(i, base, "dup") for i in range(6)] + [
+        (10, [5.0, 1.0, 4.0, 2.0, 9.0], "a"),
+        (11, [0.0, 7.0, 1.0, 8.0, 3.0], "b"),
+        (12, [2.0, 2.0, 2.0, 2.0, 2.0], "c"),
+    ]
+    rows_q = [(100, base, "t")]
+    schema = "series_id long, features array<double>, label string"
+    train = spark.createDataFrame(rows_t, schema)
+    test = spark.createDataFrame(rows_q, schema)
+    for metric in ("erp", "twed", "msm"):
+        got = sorted(
+            (r.test_id, r.rank, r.train_id, round(r.distance, 9), r.train_label)
+            for r in knn_join_lb_metric(
+                test, train, metric=metric, k=2, candidates_per_test=4
+            ).collect()
+        )
+        want = sorted(
+            (r.test_id, r.rank, r.train_id, round(r.distance, 9), r.train_label)
+            for r in knn_join(test, train, metric=metric, k=2).collect()
+        )
+        assert got and got == want, (metric, got, want)
+
+
+def test_edit_c_rejects_empty_series_and_caches_privately():
+    """ADVICE r8: the C recurrences index a[0]/b[0] unconditionally, so
+    the wrappers must reject n==0 / m==0 before the kernel (heap OOB
+    otherwise), _flat_dp must route empties to the numpy cores, and the
+    published .so must live in a per-user 0700 directory, not at a
+    predictable world-writable temp path."""
+    import os
+    import stat
+    import tempfile
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions import edit_c
+
+    if not edit_c.available():
+        pytest.skip("no C compiler in this environment")
+    A = np.zeros((2, 0))
+    B = np.ones((2, 4))
+    with pytest.raises(ValueError, match="n >= 1"):
+        edit_c.twed_batch_c(A, B, 0.001, 1.0)
+    with pytest.raises(ValueError, match="n >= 1"):
+        edit_c.msm_batch_c(B, A, 0.5)
+    d = edit_c._private_cache_dir()
+    st = os.stat(d)
+    assert st.st_uid == os.getuid()
+    assert not (st.st_mode & 0o077), oct(st.st_mode)
+    assert os.path.dirname(d) == tempfile.gettempdir()
+    # the published .so actually lives there
+    sos = [f for f in os.listdir(d) if f.startswith("tsknn_edit_") and f.endswith(".so")]
+    assert sos
+
+
+def test_multichannel_channel_mismatch_raises(spark):
+    """ADVICE r8: the multichannel lifter reads the channel count from the
+    test side's first timestep; a train row with a different channel count
+    must raise loudly (matching the kernel path's _channel_sum ValueError)
+    instead of silently ignoring extra channels."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.functions.edit_distance import (
+        multichannel,
+        twed_dist,
+    )
+
+    df = spark.createDataFrame(
+        [([[1.0, 2.0], [3.0, 4.0]], [[1.0, 2.0, 9.0], [3.0, 4.0, 9.0]])],
+        "a array<array<double>>, b array<array<double>>",
+    )
+    mc = multichannel(twed_dist)
+    with pytest.raises(Exception, match="channel mismatch"):
+        df.select(mc(F.col("a"), F.col("b")).alias("d")).collect()
+    # matched channels still work (2ch == sum of per-channel flats)
+    ok = spark.createDataFrame(
+        [([[1.0, 2.0], [3.0, 4.0]], [[1.0, 2.0], [3.0, 5.0]])],
+        "a array<array<double>>, b array<array<double>>",
+    )
+    got = ok.select(mc(F.col("a"), F.col("b")).alias("d")).collect()[0].d
+    want = ok.select(
+        (
+            twed_dist(F.array(F.lit(1.0), F.lit(3.0)), F.array(F.lit(1.0), F.lit(3.0)))
+            + twed_dist(F.array(F.lit(2.0), F.lit(4.0)), F.array(F.lit(2.0), F.lit(5.0)))
+        ).alias("d")
+    ).collect()[0].d
+    assert got == want

@@ -439,3 +439,29 @@ def test_multichannel_pruned_runs_and_ranks(spark):
         df, df, metric="fastdtw", k=2, length=L, channels=CH, candidates_per_test=4
     )
     assert small.count() == 30  # 15 tests x k=2
+
+
+def test_knn_join_lb_all_zero_candidates_degrade_to_brute(spark):
+    """ADVICE r8 (medium, latent twin of the lb_metric bug): with
+    exclude_zero=True and a candidate set filled entirely by exact
+    duplicates (LB=0, d=0, all excluded), thresh had no row for the test
+    and the phase-3 inner join dropped every remaining pair. Left join +
+    coalesce(tau, inf) must degrade to brute force instead."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join_lb
+
+    base = [1.0, 2.0, 3.0, 1.0, 2.0, 4.0, 0.0, 2.0]
+    rows_t = [(i, base, "dup") for i in range(6)] + [
+        (10, [5.0, 1.0, 4.0, 2.0, 9.0, 0.0, 3.0, 7.0], "a"),
+        (11, [0.0, 7.0, 1.0, 8.0, 3.0, 6.0, 2.0, 5.0], "b"),
+        (12, [2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0], "c"),
+    ]
+    rows_q = [(100, base, "t")]
+    schema = "series_id long, features array<double>, label string"
+    train = spark.createDataFrame(rows_t, schema)
+    test = spark.createDataFrame(rows_q, schema)
+    for kw in (dict(metric="dtw"), dict(metric="fastdtw"), dict(metric="dtw", band=2)):
+        a = knn_join_lb(test, train, k=2, length=8, candidates_per_test=4, **kw)
+        b = knn_join(test, train, k=2, **kw)
+        ra = sorted((r.test_id, r.rank, r.train_id, round(r.distance, 9)) for r in a.collect())
+        rb = sorted((r.test_id, r.rank, r.train_id, round(r.distance, 9)) for r in b.collect())
+        assert ra and ra == rb, (kw, ra, rb)

@@ -884,3 +884,45 @@ def test_stateless_scoring_edit_metrics_match_batch(spark):
             for r in knn_classify(test, train, metric=m, k=3).collect()
         }
         assert got == exp, m
+
+
+def test_vector_boundary_composes_with_stock_mllib(spark, har_dfs):
+    """VERDICT r7 #6: the M1 MLlib vector boundary must actually exist and
+    interop with real pyspark.ml stages — KnnDtwClassifier output composes
+    with a stock StandardScaler via to_vector, and from_vector round-trips
+    back to the engine's native array<double> bit-exactly. assemble_vector
+    is the expression twin of the reference's VectorAssembler
+    (Team11-Project.py:107-110)."""
+    from pyspark.ml.feature import StandardScaler
+    from pyspark.ml.linalg import DenseVector
+    from pyspark.sql import functions as F
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.ml import (
+        assemble_vector,
+        from_vector,
+        to_vector,
+    )
+
+    train_df, test_df = har_dfs
+    model = KnnDtwClassifier(k=3, metric="euclidean").fit(train_df)
+    preds = model.transform(test_df)
+
+    # KNN output -> vector -> stock MLlib stage
+    vec = preds.withColumn("fvec", to_vector(F.col("features")))
+    assert str(vec.schema["fvec"].dataType).startswith("VectorUDT")
+    scaler = StandardScaler(inputCol="fvec", outputCol="scaled", withMean=True)
+    scaled = scaler.fit(vec).transform(vec)
+    assert scaled.count() == test_df.count()
+    assert "predicted_label" in scaled.columns  # KNN output survived the stage
+
+    # from_vector round-trip is bit-exact back to array<double>
+    rt = vec.select(
+        "features", from_vector(F.col("fvec")).alias("back")
+    ).collect()
+    for r in rt:
+        assert list(r.features) == list(r.back)
+
+    # assemble_vector == VectorAssembler semantics on scalar columns
+    df = spark.createDataFrame([(1.0, 2.0, 3.0)], "x double, y double, z double")
+    got = df.select(assemble_vector(F.col("x"), F.col("y"), F.col("z")).alias("v")).collect()[0].v
+    assert got == DenseVector([1.0, 2.0, 3.0])

@@ -219,11 +219,15 @@ _tried = False
 
 
 def _compile() -> "ctypes.CDLL | None":
+    # per-user 0700 cache dir with ownership check — never a predictable
+    # name directly in the world-writable temp dir (see edit_c docstring)
+    from .edit_c import _private_cache_dir
+
     cc = shutil.which("cc") or shutil.which("gcc")
     if cc is None:
         return None
     tag = hashlib.sha256((_C_SRC + sys.version).encode()).hexdigest()[:16]
-    so_path = os.path.join(tempfile.gettempdir(), f"tsknn_dtw_{tag}.so")
+    so_path = os.path.join(_private_cache_dir(), f"tsknn_dtw_{tag}.so")
     if not os.path.exists(so_path):
         tmpdir = tempfile.mkdtemp(prefix="tsknn_dtw_build_")
         try:

@@ -61,12 +61,12 @@ static inline double min3(double a, double b, double c) {
 
 /* LCSS distance: integer match-count DP, out = 1 - lcs/min(n,m).
    delta < 0 means no temporal window. */
-void lcss_batch_c(const double* A, const double* B,
-                  int64_t bs, int64_t n, int64_t m,
-                  double eps, int64_t delta, double* out) {
+int lcss_batch_c(const double* A, const double* B,
+                 int64_t bs, int64_t n, int64_t m,
+                 double eps, int64_t delta, double* out) {
     int32_t* prev = (int32_t*)calloc((size_t)(m + 1), sizeof(int32_t));
     int32_t* cur = (int32_t*)calloc((size_t)(m + 1), sizeof(int32_t));
-    if (!prev || !cur) { free(prev); free(cur); return; }
+    if (!prev || !cur) { free(prev); free(cur); return 1; }
     for (int64_t p = 0; p < bs; p++) {
         const double* a = A + p * n;
         const double* b = B + p * m;
@@ -89,15 +89,16 @@ void lcss_batch_c(const double* A, const double* B,
         out[p] = 1.0 - (double)prev[m] / (double)mn;
     }
     free(prev); free(cur);
+    return 0;
 }
 
 /* EDR distance: integer edit-count DP, out = edits/max(n,m). */
-void edr_batch_c(const double* A, const double* B,
-                 int64_t bs, int64_t n, int64_t m,
-                 double eps, double* out) {
+int edr_batch_c(const double* A, const double* B,
+                int64_t bs, int64_t n, int64_t m,
+                double eps, double* out) {
     int32_t* prev = (int32_t*)calloc((size_t)(m + 1), sizeof(int32_t));
     int32_t* cur = (int32_t*)calloc((size_t)(m + 1), sizeof(int32_t));
-    if (!prev || !cur) { free(prev); free(cur); return; }
+    if (!prev || !cur) { free(prev); free(cur); return 1; }
     for (int64_t p = 0; p < bs; p++) {
         const double* a = A + p * n;
         const double* b = B + p * m;
@@ -120,16 +121,17 @@ void edr_batch_c(const double* A, const double* B,
         out[p] = (double)prev[m] / (double)mx;
     }
     free(prev); free(cur);
+    return 0;
 }
 
 /* ERP distance: float DP with |x - g| gap charges and cumsum borders. */
-void erp_batch_c(const double* A, const double* B,
-                 int64_t bs, int64_t n, int64_t m,
-                 double g, double* out) {
+int erp_batch_c(const double* A, const double* B,
+                int64_t bs, int64_t n, int64_t m,
+                double g, double* out) {
     double* prev = (double*)malloc((size_t)(m + 1) * sizeof(double));
     double* cur = (double*)malloc((size_t)(m + 1) * sizeof(double));
     double* cola = (double*)malloc((size_t)(n + 1) * sizeof(double));
-    if (!prev || !cur || !cola) { free(prev); free(cur); free(cola); return; }
+    if (!prev || !cur || !cola) { free(prev); free(cur); free(cola); return 1; }
     for (int64_t p = 0; p < bs; p++) {
         const double* a = A + p * n;
         const double* b = B + p * m;
@@ -151,16 +153,17 @@ void erp_batch_c(const double* A, const double* B,
         out[p] = prev[m];
     }
     free(prev); free(cur); free(cola);
+    return 0;
 }
 
 /* TWED: index timestamps, a_0 = b_0 = 0 padding, +inf borders.
    Per-cell add trees mirror edit_distance._twed_batch_core exactly. */
-void twed_batch_c(const double* A, const double* B,
-                  int64_t bs, int64_t n, int64_t m,
-                  double nu, double lam, double* out) {
+int twed_batch_c(const double* A, const double* B,
+                 int64_t bs, int64_t n, int64_t m,
+                 double nu, double lam, double* out) {
     double* prev = (double*)malloc((size_t)(m + 1) * sizeof(double));
     double* cur = (double*)malloc((size_t)(m + 1) * sizeof(double));
-    if (!prev || !cur) { free(prev); free(cur); return; }
+    if (!prev || !cur) { free(prev); free(cur); return 1; }
     double nu2 = 2.0 * nu;
     double gap = nu + lam;
     for (int64_t p = 0; p < bs; p++) {
@@ -188,6 +191,7 @@ void twed_batch_c(const double* A, const double* B,
         out[p] = prev[m];
     }
     free(prev); free(cur);
+    return 0;
 }
 
 /* MSM: sequential first row/column, split-merge cost interior. */
@@ -197,12 +201,12 @@ static inline double msm_cost(double x, double y, double z, double c) {
     return c + (d1 < d2 ? d1 : d2);
 }
 
-void msm_batch_c(const double* A, const double* B,
-                 int64_t bs, int64_t n, int64_t m,
-                 double c, double* out) {
+int msm_batch_c(const double* A, const double* B,
+                int64_t bs, int64_t n, int64_t m,
+                double c, double* out) {
     double* prev = (double*)malloc((size_t)(m + 1) * sizeof(double));
     double* cur = (double*)malloc((size_t)(m + 1) * sizeof(double));
-    if (!prev || !cur) { free(prev); free(cur); return; }
+    if (!prev || !cur) { free(prev); free(cur); return 1; }
     for (int64_t p = 0; p < bs; p++) {
         const double* a = A + p * n;
         const double* b = B + p * m;
@@ -224,6 +228,7 @@ void msm_batch_c(const double* A, const double* B,
         out[p] = prev[m];
     }
     free(prev); free(cur);
+    return 0;
 }
 """
 
@@ -231,12 +236,27 @@ _lib = None
 _tried = False
 
 
+def _private_cache_dir() -> str:
+    """Per-user 0700 cache dir for the published .so (security: a
+    predictable name directly in the world-writable system temp dir lets
+    another local user pre-plant a malicious library that every Spark
+    python worker would dlopen — ADVICE r7). Ownership and mode are
+    verified after creation so a pre-existing attacker-owned directory at
+    the same path is rejected rather than used."""
+    d = os.path.join(tempfile.gettempdir(), f"tsknn-{os.getuid()}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+        raise RuntimeError(f"unsafe cache dir {d}: wrong owner or group/world access")
+    return d
+
+
 def _compile() -> "ctypes.CDLL | None":
     cc = shutil.which("cc") or shutil.which("gcc")
     if cc is None:
         return None
     tag = hashlib.sha256((_C_SRC + sys.version).encode()).hexdigest()[:16]
-    so_path = os.path.join(tempfile.gettempdir(), f"tsknn_edit_{tag}.so")
+    so_path = os.path.join(_private_cache_dir(), f"tsknn_edit_{tag}.so")
     if not os.path.exists(so_path):
         tmpdir = tempfile.mkdtemp(prefix="tsknn_edit_build_")
         try:
@@ -261,15 +281,15 @@ def _compile() -> "ctypes.CDLL | None":
     dbl = ctypes.c_double
     dp = ctypes.POINTER(ctypes.c_double)
     lib.lcss_batch_c.argtypes = [dp, dp, i64, i64, i64, dbl, i64, dp]
-    lib.lcss_batch_c.restype = None
+    lib.lcss_batch_c.restype = ctypes.c_int
     lib.edr_batch_c.argtypes = [dp, dp, i64, i64, i64, dbl, dp]
-    lib.edr_batch_c.restype = None
+    lib.edr_batch_c.restype = ctypes.c_int
     lib.erp_batch_c.argtypes = [dp, dp, i64, i64, i64, dbl, dp]
-    lib.erp_batch_c.restype = None
+    lib.erp_batch_c.restype = ctypes.c_int
     lib.twed_batch_c.argtypes = [dp, dp, i64, i64, i64, dbl, dbl, dp]
-    lib.twed_batch_c.restype = None
+    lib.twed_batch_c.restype = ctypes.c_int
     lib.msm_batch_c.argtypes = [dp, dp, i64, i64, i64, dbl, dp]
-    lib.msm_batch_c.restype = None
+    lib.msm_batch_c.restype = ctypes.c_int
     return lib
 
 
@@ -297,39 +317,49 @@ def _prep(A: np.ndarray, B: np.ndarray):
     B = np.ascontiguousarray(B, dtype=np.float64)
     bs, n = A.shape
     m = B.shape[1]
+    if n < 1 or m < 1:
+        # the C recurrences write prev[1] / read a[0], b[0] unconditionally
+        # — an empty side is a heap overflow there, so it must never reach
+        # the kernels (callers route empty series to the numpy cores)
+        raise ValueError(f"edit C kernels require n >= 1 and m >= 1, got ({n}, {m})")
     return A, B, bs, n, m, np.empty(bs, dtype=np.float64)
+
+
+def _check(status: int) -> None:
+    if status != 0:
+        raise MemoryError("edit C kernel: DP row allocation failed")
 
 
 def lcss_batch_c(A, B, eps, delta=None) -> np.ndarray:
     A, B, bs, n, m, out = _prep(A, B)
-    _lib.lcss_batch_c(
+    _check(_lib.lcss_batch_c(
         _dptr(A), _dptr(B), bs, n, m, float(eps),
         -1 if delta is None else int(delta), _dptr(out),
-    )
+    ))
     return out
 
 
 def edr_batch_c(A, B, eps) -> np.ndarray:
     A, B, bs, n, m, out = _prep(A, B)
-    _lib.edr_batch_c(_dptr(A), _dptr(B), bs, n, m, float(eps), _dptr(out))
+    _check(_lib.edr_batch_c(_dptr(A), _dptr(B), bs, n, m, float(eps), _dptr(out)))
     return out
 
 
 def erp_batch_c(A, B, g) -> np.ndarray:
     A, B, bs, n, m, out = _prep(A, B)
-    _lib.erp_batch_c(_dptr(A), _dptr(B), bs, n, m, float(g), _dptr(out))
+    _check(_lib.erp_batch_c(_dptr(A), _dptr(B), bs, n, m, float(g), _dptr(out)))
     return out
 
 
 def twed_batch_c(A, B, nu, lam) -> np.ndarray:
     A, B, bs, n, m, out = _prep(A, B)
-    _lib.twed_batch_c(
+    _check(_lib.twed_batch_c(
         _dptr(A), _dptr(B), bs, n, m, float(nu), float(lam), _dptr(out)
-    )
+    ))
     return out
 
 
 def msm_batch_c(A, B, c) -> np.ndarray:
     A, B, bs, n, m, out = _prep(A, B)
-    _lib.msm_batch_c(_dptr(A), _dptr(B), bs, n, m, float(c), _dptr(out))
+    _check(_lib.msm_batch_c(_dptr(A), _dptr(B), bs, n, m, float(c), _dptr(out)))
     return out

@@ -352,7 +352,10 @@ def _flat_dp(A: np.ndarray, B: np.ndarray, core, c_name: str, *args) -> np.ndarr
     tests/test_edit_distance.py and tools/fuzz_sweep.py::sweep_edit)."""
     from . import edit_c
 
-    if edit_c.available():
+    # empty series stay on the numpy cores: the C recurrences index a[0]/
+    # b[0] unconditionally (heap OOB on n==0 or m==0 — ADVICE r7), and
+    # edit_c._prep rejects them with ValueError as a second line of defense
+    if edit_c.available() and A.shape[0] and A.shape[1] and B.shape[1]:
         return getattr(edit_c, c_name)(A, B, *args)
     return _dp_in_chunks(A, B, core, *args)
 
@@ -718,13 +721,30 @@ def multichannel(dist_fn: Callable[[Column, Column], Column]) -> Callable[[Colum
 
         # empty-side guard (sequence(1, 0) DESCENDS — the repo invariant):
         # an empty series has no first timestep to read a channel count
-        # from -> NULL, mirroring the flat metrics' own empty guards
+        # from -> NULL, mirroring the flat metrics' own empty guards.
+        # Channel-parity guard (ADVICE r7): the count is read from a's
+        # first timestep — without the check, extra b channels would be
+        # silently ignored and a zero-channel first timestep would send
+        # sequence(1, 0) descending into element_at(t, 0), an error. A
+        # mismatch raises loudly, matching the kernel path's _channel_sum
+        # ValueError.
+        n_ch_a = F.size(F.element_at(a, 1))
+        n_ch_b = F.size(F.element_at(b, 1))
         return F.when(
             (F.size(a) > 0) & (F.size(b) > 0),
-            F.aggregate(
-                F.sequence(F.lit(1), F.size(F.element_at(a, 1))),
-                F.lit(0.0),
-                per_channel,
+            F.when(
+                (n_ch_a == n_ch_b) & (n_ch_a >= 1),
+                F.aggregate(F.sequence(F.lit(1), n_ch_a), F.lit(0.0), per_channel),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("multichannel: channel mismatch or zero channels ("),
+                        n_ch_a.cast("string"),
+                        F.lit(" vs "),
+                        n_ch_b.cast("string"),
+                        F.lit(")"),
+                    )
+                ).cast("double")
             ),
         )
 

@@ -1087,10 +1087,22 @@ def knn_join_lb(
     # materializes all three transitively.
     thresh.count()
 
-    # phase 3: any unscored pair the bound cannot rule out
+    # phase 3: any unscored pair the bound cannot rule out. LEFT join:
+    # thresh only has rows for tests with >=1 scored phase-1 survivor —
+    # with exclude_zero a test whose top-C candidates all score exactly 0
+    # (duplicate-heavy corpora) has NO thresh row, and an inner join would
+    # silently drop its every phase-3 pair (the test would emit no rows
+    # where brute force returns its non-zero neighbors). Missing tau
+    # coalesces to +inf => that test degrades to brute force. The filter
+    # also carries a small relative slack: the envelope bound holds in
+    # exact arithmetic, but the two folds computing LB and tau round —
+    # without slack a true top-k pair sitting exactly at tau could be
+    # wrongly pruned (ultra-rare). Extra survivors only cost verify time,
+    # never correctness.
+    tau_eff = F.coalesce(F.col("_tau"), F.lit(float("inf")))
     rest = (
-        lbp.join(thresh, "test_id")
-        .filter(F.col("_lb") <= F.col("_tau"))
+        lbp.join(thresh, "test_id", "left")
+        .filter(F.col("_lb") <= tau_eff * (1.0 + 1e-9) + 1e-12)
         .join(cands, ["test_id", "train_id"], "left_anti")
         .select("test_id", "train_id")
     )
@@ -1235,9 +1247,15 @@ def knn_join_lb_metric(
     # land the O(C)-row caches before the final job (the knn_join_lb fix:
     # lazy, the phase-3 DAG re-runs the expensive scoring per consumer)
     thresh.count()
+    # LEFT join + coalesce-to-inf and relative slack: same dropout/rounding
+    # hazards (and fixes) as knn_join_lb phase 3 — a test whose scored
+    # survivors were all excluded as zeros must degrade to brute force, not
+    # vanish; float rounding in the anchor folds must not prune a pair
+    # sitting exactly at tau.
+    tau_eff = F.coalesce(F.col("_tau"), F.lit(float("inf")))
     rest = (
-        lbp.join(thresh, "test_id")
-        .filter(F.col("_lb") <= F.col("_tau"))
+        lbp.join(thresh, "test_id", "left")
+        .filter(F.col("_lb") <= tau_eff * (1.0 + 1e-9) + 1e-12)
         .join(cands, ["test_id", "train_id"], "left_anti")
         .select("test_id", "train_id")
     )
