@@ -3771,6 +3771,46 @@ def _q195_knn_twed_lb_pruned(spark, sf_dir):
     return nn.select("test_id", "train_id", "rank", "distance")
 
 
+def _q196_knn_twed_lb_gated(spark, sf_dir):
+    """SAMPLED PRUNE-RATE GATE on the lossless anchor prefilter (r8,
+    VERDICT r7 #5; operators/knn.py::_estimated_prune_rate): with
+    min_prune_rate set, phases 1-2 run first on a deterministic 8-test
+    sample; when the estimated prune rate is below threshold (the
+    structureless regime where the scalar bound is information-weak and
+    the prefilter is pure overhead) the call bypasses to the brute
+    kernel path. EITHER branch is bit-identical to brute force — this
+    oracle is the same q165 brute TWED recursion as q195's, so the hash
+    match proves the gate never changes the answer, only the plan."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join_lb_metric
+
+    train, test = _series(spark, sf_dir)
+    nn = knn_join_lb_metric(test, train, metric="twed", k=3, min_prune_rate=0.05)
+    return nn.select("test_id", "train_id", "rank", "distance")
+
+
+def _q197_vector_boundary_roundtrip(spark, sf_dir):
+    """MLlib VECTOR BOUNDARY (r8, VERDICT r7 #6; ml/vector.py — SURVEY
+    §2.9 M1, the reference's VectorAssembler interop at
+    Team11-Project.py:107-110): array<float> -> VectorUDT (JVM-side
+    ``array_to_vector``) -> back to array<float> (``vector_to_array``)
+    must be the identity, because float->double widening is exact and the
+    float32 return narrows back losslessly. The oracle selects the
+    embeddings unchanged — a hash match proves the boundary loses
+    nothing, so stock pyspark.ml stages can be composed without value
+    drift."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.ml import (
+        from_vector,
+        to_vector,
+    )
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        from_vector(to_vector(F.col("embedding")), "float32").alias("embedding_rt"),
+    )
+
+
 def _q144_importance_resample(spark, sf_dir):
     """DSIR-shaped importance resampling (operators/corpus.py::
     importance_resample; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -4008,6 +4048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_kmedoids_twed": _q193_kmedoids_twed,
         "q194_conformal_set": _q194_conformal_set,
         "q195_knn_twed_lb_pruned": _q195_knn_twed_lb_pruned,
+        "q196_knn_twed_lb_gated": _q196_knn_twed_lb_gated,
+        "q197_vector_boundary_roundtrip": _q197_vector_boundary_roundtrip,
     }
 
 
@@ -7885,6 +7927,17 @@ def oracle_sql() -> dict[str, str]:
     # brute-force TWED recursion; hash equality proves filter-and-verify
     # returned the brute answer.
     out["q195_knn_twed_lb_pruned"] = out["q165_knn_twed"]
+
+    # q196 (r8): the sampled prune-rate gate wraps the same lossless
+    # machinery — whichever branch the probe picks, the answer is the
+    # brute TWED recursion, so the oracle is q165's too.
+    out["q196_knn_twed_lb_gated"] = out["q165_knn_twed"]
+
+    # q197 (r8): the MLlib vector boundary is the identity on
+    # array<float> (exact float->double->float round-trip)
+    out["q197_vector_boundary_roundtrip"] = """
+        SELECT vec_id, embedding AS embedding_rt FROM embeddings
+    """
 
     # q166 (r6): LOF — k-distances, reach-dists, lrd and the final ratio
     # all mirror the engine exactly: rank-sorted list folds for every float

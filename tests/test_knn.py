@@ -465,3 +465,81 @@ def test_knn_join_lb_all_zero_candidates_degrade_to_brute(spark):
         ra = sorted((r.test_id, r.rank, r.train_id, round(r.distance, 9)) for r in a.collect())
         rb = sorted((r.test_id, r.rank, r.train_id, round(r.distance, 9)) for r in b.collect())
         assert ra and ra == rb, (kw, ra, rb)
+
+
+def test_lb_prune_gate_bypasses_on_structureless_input(spark, monkeypatch):
+    """r8 (VERDICT r7 #5): with min_prune_rate set, the sampled probe must
+    route structureless input (envelope/anchor bounds prune ~nothing) to
+    the brute kernel path, keep the prefilter when pruning pays, and be
+    bit-identical to brute force in BOTH gate states."""
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        knn_join_lb,
+        knn_join_lb_metric,
+    )
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn as knn_mod
+
+    calls = []
+    orig = knn_mod._brute_fallback
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(knn_mod, "_brute_fallback", spy)
+
+    rng = np.random.default_rng(5)
+    # structureless: random walks — anchor distances bunch, envelopes wide
+    rows_t = [(i, [float(x) for x in np.cumsum(rng.normal(0, 1, 12))], f"c{i%2}") for i in range(20)]
+    rows_q = [(100 + i, [float(x) for x in np.cumsum(rng.normal(0, 1, 12))], "t") for i in range(6)]
+    schema = "series_id long, features array<double>, label string"
+    train = spark.createDataFrame(rows_t, schema)
+    test = spark.createDataFrame(rows_q, schema)
+
+    got = sorted(
+        (r.test_id, r.rank, r.train_id, round(r.distance, 9))
+        for r in knn_join_lb_metric(
+            test, train, metric="twed", k=3, min_prune_rate=0.95
+        ).collect()
+    )
+    assert calls, "gate should have bypassed on structureless input"
+    want = sorted(
+        (r.test_id, r.rank, r.train_id, round(r.distance, 9))
+        for r in knn_join(test, train, metric="twed", k=3).collect()
+    )
+    assert got == want
+
+    calls.clear()
+    got_dtw = sorted(
+        (r.test_id, r.rank, r.train_id, round(r.distance, 9))
+        for r in knn_join_lb(
+            test, train, metric="dtw", band=2, k=3, length=12, min_prune_rate=0.95
+        ).collect()
+    )
+    assert calls, "dtw gate should have bypassed too"
+    want_dtw = sorted(
+        (r.test_id, r.rank, r.train_id, round(r.distance, 9))
+        for r in knn_join(test, train, metric="dtw", band=2, k=3).collect()
+    )
+    assert got_dtw == want_dtw
+
+    # prunable input: well-separated clusters — the bound pays, gate keeps
+    # the prefilter (no bypass at a modest threshold), result still exact
+    calls.clear()
+    rows_t2 = [(i, [float(100.0 * (i % 4)) + float(v) for v in rng.normal(0, 0.1, 12)], f"c{i%4}") for i in range(24)]
+    rows_q2 = [(200 + i, [float(100.0 * (i % 4)) + float(v) for v in rng.normal(0, 0.1, 12)], "t") for i in range(4)]
+    train2 = spark.createDataFrame(rows_t2, schema)
+    test2 = spark.createDataFrame(rows_q2, schema)
+    got2 = sorted(
+        (r.test_id, r.rank, r.train_id, round(r.distance, 9))
+        for r in knn_join_lb_metric(
+            test2, train2, metric="erp", k=3, min_prune_rate=0.10
+        ).collect()
+    )
+    assert not calls, "separated clusters should keep the prefilter"
+    want2 = sorted(
+        (r.test_id, r.rank, r.train_id, round(r.distance, 9))
+        for r in knn_join(test2, train2, metric="erp", k=3).collect()
+    )
+    assert got2 == want2

@@ -360,6 +360,28 @@ def _flat_dp(A: np.ndarray, B: np.ndarray, core, c_name: str, *args) -> np.ndarr
     return _dp_in_chunks(A, B, core, *args)
 
 
+def _mc_dp(A: np.ndarray, B: np.ndarray, core, c_name: str, *args) -> np.ndarray:
+    """Multichannel-batch dispatch (r8, VERDICT r7 #3): (P, L, C) batches
+    go through the (P, L, C) C entry points (``edit_c.X_mc_batch_c``) —
+    ONE C call per pair batch, channels folded inside the kernel in
+    ascending order from 0.0 — instead of a Python loop dispatching the
+    flat kernel per channel over fresh (P, L) copies. Bit-identical to
+    ``_channel_sum`` over the flat route by construction (same strided DP
+    core, same fold order; equality pinned in tests). Falls back to the
+    Python channel loop (numpy cores under it) when no compiler exists,
+    and to ``_channel_sum``'s explicit ValueError on channel mismatch."""
+    from . import edit_c
+
+    if (
+        edit_c.available()
+        and A.shape[0] and A.shape[1] and B.shape[1]
+        and A.shape[2] >= 1 and A.shape[2] == B.shape[2]
+    ):
+        mc_name = c_name.replace("_batch_c", "_mc_batch_c")
+        return getattr(edit_c, mc_name)(A, B, *args)
+    return _channel_sum(A, B, lambda a, b: _flat_dp(a, b, core, c_name, *args))
+
+
 def _lcss_batch_core(
     A: np.ndarray, B: np.ndarray, eps: float = LCSS_EPS, delta: Optional[int] = None
 ) -> np.ndarray:
@@ -476,7 +498,7 @@ def lcss_batch(
     A = np.asarray(A, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
     if A.ndim == 3:
-        return _channel_sum(A, B, lambda a, b: _flat_dp(a, b, _lcss_batch_core, "lcss_batch_c", eps, delta))
+        return _mc_dp(A, B, _lcss_batch_core, "lcss_batch_c", eps, delta)
     return _flat_dp(A, B, _lcss_batch_core, "lcss_batch_c", eps, delta)
 
 
@@ -484,7 +506,7 @@ def edr_batch(A: np.ndarray, B: np.ndarray, eps: float = EDR_EPS) -> np.ndarray:
     A = np.asarray(A, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
     if A.ndim == 3:
-        return _channel_sum(A, B, lambda a, b: _flat_dp(a, b, _edr_batch_core, "edr_batch_c", eps))
+        return _mc_dp(A, B, _edr_batch_core, "edr_batch_c", eps)
     return _flat_dp(A, B, _edr_batch_core, "edr_batch_c", eps)
 
 
@@ -492,7 +514,7 @@ def erp_batch(A: np.ndarray, B: np.ndarray, g: float = ERP_GAP) -> np.ndarray:
     A = np.asarray(A, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
     if A.ndim == 3:
-        return _channel_sum(A, B, lambda a, b: _flat_dp(a, b, _erp_batch_core, "erp_batch_c", g))
+        return _mc_dp(A, B, _erp_batch_core, "erp_batch_c", g)
     return _flat_dp(A, B, _erp_batch_core, "erp_batch_c", g)
 
 
@@ -502,7 +524,7 @@ def twed_batch(
     A = np.asarray(A, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
     if A.ndim == 3:
-        return _channel_sum(A, B, lambda a, b: _flat_dp(a, b, _twed_batch_core, "twed_batch_c", nu, lam))
+        return _mc_dp(A, B, _twed_batch_core, "twed_batch_c", nu, lam)
     return _flat_dp(A, B, _twed_batch_core, "twed_batch_c", nu, lam)
 
 
@@ -670,7 +692,7 @@ def msm_batch(A: np.ndarray, B: np.ndarray, c: float = MSM_C) -> np.ndarray:
     A = np.asarray(A, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
     if A.ndim == 3:
-        return _channel_sum(A, B, lambda a, b: _flat_dp(a, b, _msm_batch_core, "msm_batch_c", c))
+        return _mc_dp(A, B, _msm_batch_core, "msm_batch_c", c)
     return _flat_dp(A, B, _msm_batch_core, "msm_batch_c", c)
 
 

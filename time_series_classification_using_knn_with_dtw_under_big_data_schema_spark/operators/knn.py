@@ -880,6 +880,128 @@ def knn_join_pruned(
     return topk.select(*out)
 
 
+def _estimated_prune_rate(
+    test: DataFrame,
+    train: DataFrame,
+    *,
+    id_col: str,
+    features_col: str,
+    lb_np,
+    dist_np,
+    C: int,
+    k: int,
+    probe_n: int,
+    exclude_zero: bool,
+    len_hint: Optional[int] = None,
+    max_probe_bytes: int = 32 << 20,
+    max_probe_rows: int = 1024,
+) -> Optional[float]:
+    """Sampled prune-rate probe for the lossless LB prefilters (r8,
+    VERDICT r7 #5): replays phases 1-2 of filter-and-verify DRIVER-SIDE
+    on a deterministic sample — ``probe_n`` test rows x a capped train
+    sample (first ids ascending) — through the numpy twins of the LB
+    sketch (``lb_np``) and the exact metric (``dist_np``). Returns the
+    estimated fraction of pairs the bound would prune (LB > tau under
+    the same slacked filter phase 3 uses), or None when either sample is
+    empty (caller keeps the prefilter).
+
+    Collect shape: ONE Spark job (a union of two TakeOrderedAndProject
+    subplans, Arrow transfer) — a second job's fixed latency would cost
+    more than the whole numpy replay. The train sample is capped at
+    ``max_probe_rows`` rows and, when the caller knows the series length
+    (``len_hint`` = points x channels), additionally at
+    ``max_probe_bytes`` — bounded metadata, never corpus-sized. Without
+    a hint the row cap alone bounds it (1024 rows x L doubles; the
+    elastic metrics' own O(L^2)-cells-per-pair cost makes huge-L inputs
+    infeasible for the operator long before the probe matters).
+
+    Why driver-side: the probe is a ROUTING heuristic, not a correctness
+    device (both branches are exact), and an in-plan probe costs 5+
+    Spark stages of fixed latency (~1.2s measured) — more than the
+    decision is worth (bench: lb_gate)."""
+    import numpy as np
+
+    cap = max_probe_rows
+    if len_hint:
+        cap = int(max(64, min(max_probe_rows, max_probe_bytes // max(1, len_hint * 8))))
+
+    def side(df, tag, n):
+        return (
+            df.select(
+                F.lit(tag).alias("_side"),
+                F.col(id_col).alias("_id"),
+                F.col(features_col).alias("_f"),
+            )
+            .orderBy("_id")
+            .limit(n)
+        )
+
+    pdf = side(test, 0, probe_n).unionByName(side(train, 1, cap)).toPandas()
+    s = [
+        (i, f) for sd, i, f in zip(pdf["_side"], pdf["_id"].tolist(), pdf["_f"].tolist())
+        if sd == 0
+    ]
+    t = [
+        (i, f) for sd, i, f in zip(pdf["_side"], pdf["_id"].tolist(), pdf["_f"].tolist())
+        if sd == 1
+    ]
+    if not s or not t:
+        return None
+    t_feats = [f for _, f in t]
+    pruned = total = 0
+    for _, qf in s:
+        lbs = np.asarray(lb_np(qf, t_feats), dtype=np.float64)
+        order = sorted(range(len(t)), key=lambda i: (lbs[i], t[i][0]))
+        ds = []
+        for i in order[:C]:
+            d = dist_np(qf, t[i][1])
+            if exclude_zero and d == 0:
+                continue
+            ds.append(d)
+        ds.sort()
+        tau = ds[k - 1] if len(ds) >= k else float("inf")
+        tau = tau * (1.0 + 1e-9) + 1e-12
+        pruned += int((lbs > tau).sum())
+        total += len(t)
+    return pruned / total if total else None
+
+
+def _brute_fallback(
+    test: DataFrame,
+    train: DataFrame,
+    *,
+    metric,
+    k: int,
+    id_col: str,
+    features_col: str,
+    label_col: Optional[str],
+    exclude_zero: bool,
+    **metric_kw,
+) -> DataFrame:
+    """Brute-force knn_join through the kernel strategy, reordered to the
+    LB functions' output column order — the bypass target when the probe
+    says the bound won't pay. Bit-identical to the prefiltered plan
+    (equality-tested for every metric); the kernel strategy carries its
+    own byte-guarded chunked fallback, so the bypass keeps the 100 TB
+    shape."""
+    out = knn_join(
+        test,
+        train,
+        metric=metric,
+        k=k,
+        strategy="kernel",
+        id_col=id_col,
+        features_col=features_col,
+        label_col=label_col,
+        exclude_zero=exclude_zero,
+        **metric_kw,
+    )
+    cols = ["test_id", "train_id", "distance", "rank"]
+    if label_col is not None:
+        cols.insert(2, "train_label")
+    return out.select(*cols)
+
+
 def knn_join_lb(
     test: DataFrame,
     train: DataFrame,
@@ -897,6 +1019,8 @@ def knn_join_lb(
     band: Optional[int] = None,
     fastdtw_radius: int = 1,
     channels: Optional[int] = None,
+    min_prune_rate: float = 0.0,
+    prune_probe: int = 8,
 ) -> DataFrame:
     """EXACT pruned DTW/FastDTW KNN via an admissible lower bound
     (filter-and-verify; SURVEY.md §4's "LB prefilter worth adding" row,
@@ -1054,6 +1178,70 @@ def knn_join_lb(
             scored = scored.filter(F.col("_d") != 0)
         return scored
 
+    # sampled prune-rate gate (r8, VERDICT r7 #5): on structureless series
+    # the envelope bound prunes ~nothing, and the prefilter's sketch pass
+    # is a full extra scan for zero benefit. When the driver-side probe's
+    # estimated prune rate is below min_prune_rate, bypass to brute force
+    # (kernel strategy — bit-identical result, own chunked byte-guard).
+    # Default min_prune_rate=0.0 keeps the prefilter unconditionally (the
+    # oracle-proof queries must exercise it deterministically).
+    if min_prune_rate > 0.0 and prune_probe > 0:
+        import numpy as np
+
+        from ..functions.dtw_kernel import dtw_pair, fastdtw_pair
+
+        if band is not None:
+            dist_np = lambda a, b: dtw_pair(np.asarray(a, np.float64), np.asarray(b, np.float64), band=band)
+        elif metric == "dtw":
+            dist_np = lambda a, b: dtw_pair(np.asarray(a, np.float64), np.asarray(b, np.float64))
+        else:
+            dist_np = lambda a, b: fastdtw_pair(np.asarray(a, np.float64), np.asarray(b, np.float64), radius=fastdtw_radius)
+
+        def lb_np(qf, feats):
+            # numpy twin of the PAA-envelope LB above (1-based blocks over
+            # the middle, envelope widened by r_env, clipped; per-channel
+            # sums for nested rows) — router only, no bit-parity needed
+            q = np.asarray(qf, dtype=np.float64)
+            if q.ndim == 1:
+                q = q[:, None]
+            q0, ql = q[0], q[length - 1]
+            blocks = []
+            for b_i in range(nseg):
+                s_b = 2 + b_i * seg_w
+                lo = max(1, s_b - r_env)
+                hi = min(length, s_b + seg_w - 1 + r_env)
+                sl = q[lo - 1 : hi]
+                blocks.append((sl.max(axis=0), sl.min(axis=0)))
+            out = []
+            for f in feats:
+                csr = np.asarray(f, dtype=np.float64)
+                if csr.ndim == 1:
+                    csr = csr[:, None]
+                lbv = float(np.abs(q0 - csr[0]).sum() + np.abs(ql - csr[length - 1]).sum())
+                if nseg:
+                    paa_b = csr[1 : 1 + seg_w * nseg].reshape(nseg, seg_w, -1).mean(axis=1)
+                    hs = 0.0
+                    for b_i, (ub, lo_b) in enumerate(blocks):
+                        hs += float(
+                            np.maximum(0.0, np.maximum(paa_b[b_i] - ub, lo_b - paa_b[b_i])).sum()
+                        )
+                    lbv += seg_w * hs
+                out.append(lbv)
+            return out
+
+        est = _estimated_prune_rate(
+            test, train, id_col=id_col, features_col=features_col,
+            lb_np=lb_np, dist_np=dist_np, C=C, k=k, probe_n=prune_probe,
+            exclude_zero=exclude_zero, len_hint=length * n_ch,
+        )
+        if est is not None and est < min_prune_rate:
+            return _brute_fallback(
+                test, train, metric=metric, k=k, id_col=id_col,
+                features_col=features_col, label_col=label_col,
+                exclude_zero=exclude_zero, band=band,
+                fastdtw_radius=fastdtw_radius,
+            )
+
     # phase 1+2: score the C most-promising pairs. cands/scored1 are O(C)
     # rows per test and feed two consumers each — cached (scope-managed)
     # so the kernel scores each candidate exactly once.
@@ -1131,6 +1319,8 @@ def knn_join_lb_metric(
     features_col: str = "features",
     label_col: Optional[str] = "label",
     exclude_zero: bool = True,
+    min_prune_rate: float = 0.0,
+    prune_probe: int = 8,
 ) -> DataFrame:
     """EXACT pruned KNN for the elastic METRIC family (ERP / TWED / MSM)
     via the triangle-inequality anchor bound (r7 — the edit-family
@@ -1224,6 +1414,49 @@ def knn_join_lb_metric(
         if exclude_zero:
             scored = scored.filter(F.col("_d") != 0)
         return scored
+
+    # sampled prune-rate gate (r8, VERDICT r7 #5): the scalar anchor bound
+    # is information-weak when anchor distances bunch — probe driver-side
+    # first, bypass to brute force when the bound won't pay (see
+    # knn_join_lb's twin and _estimated_prune_rate's rationale).
+    if min_prune_rate > 0.0 and prune_probe > 0:
+        import numpy as np
+
+        from ..functions.edit_distance import erp_batch, msm_batch, twed_batch
+
+        pair_np = {"erp": erp_batch, "twed": twed_batch, "msm": msm_batch}[metric]
+        _z = np.zeros((1, 1))
+
+        def dist_np(a, b):
+            return float(
+                pair_np(
+                    np.asarray(a, np.float64)[None, :],
+                    np.asarray(b, np.float64)[None, :],
+                )[0]
+            )
+
+        if metric == "erp":
+            ref_np = lambda x: float(
+                np.abs(np.asarray(x, np.float64) - float(ERP_GAP)).sum()
+            )
+        else:
+            ref_np = lambda x: float(pair_np(np.asarray(x, np.float64)[None, :], _z)[0])
+
+        def lb_np(qf, feats):
+            rq = ref_np(qf)
+            return [abs(rq - ref_np(f)) for f in feats]
+
+        est = _estimated_prune_rate(
+            test, train, id_col=id_col, features_col=features_col,
+            lb_np=lb_np, dist_np=dist_np, C=C, k=k, probe_n=prune_probe,
+            exclude_zero=exclude_zero,
+        )
+        if est is not None and est < min_prune_rate:
+            return _brute_fallback(
+                test, train, metric=metric, k=k, id_col=id_col,
+                features_col=features_col, label_col=label_col,
+                exclude_zero=exclude_zero,
+            )
 
     cands = register_cache(
         topk_per_key(
