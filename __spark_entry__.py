@@ -3788,6 +3788,27 @@ def _q196_knn_twed_lb_gated(spark, sf_dir):
     return nn.select("test_id", "train_id", "rank", "distance")
 
 
+def _q198_knn_twed_mc_lb_pruned(spark, sf_dir):
+    """MULTICHANNEL lossless TWED pruning (r8; operators/knn.py::
+    knn_join_lb_metric(channels=2) — closing the symmetry with q156's
+    multichannel LB_Keogh path): the independent-channel-sum lift of TWED
+    is itself a metric (sum of metrics — q188's argument), so the
+    triangle-inequality anchor bound holds for the SUMMED distance with
+    ref(x) = sum_c d_c(x_c, [0]) (the mc lift scored against one all-zero
+    timestep). Three lossless phases on scalar refs, verify through the
+    (P, L, C) C kernels. The oracle IS q188's brute multichannel TWED
+    recursion — the hash match proves the mc pruning lost nothing."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join_lb_metric
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ch2", F.length("event_type").cast("double")
+    )
+    series = events_to_series(events, value=["value", "ch2"], length=SERIES_LEN)
+    train, test = split_train_test(series)
+    nn = knn_join_lb_metric(test, train, metric="twed", k=3, channels=2)
+    return nn.select("test_id", "train_id", "rank", "distance")
+
+
 def _q197_vector_boundary_roundtrip(spark, sf_dir):
     """MLlib VECTOR BOUNDARY (r8, VERDICT r7 #6; ml/vector.py — SURVEY
     §2.9 M1, the reference's VectorAssembler interop at
@@ -4050,6 +4071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_knn_twed_lb_pruned": _q195_knn_twed_lb_pruned,
         "q196_knn_twed_lb_gated": _q196_knn_twed_lb_gated,
         "q197_vector_boundary_roundtrip": _q197_vector_boundary_roundtrip,
+        "q198_knn_twed_mc_lb_pruned": _q198_knn_twed_mc_lb_pruned,
     }
 
 
@@ -7938,6 +7960,11 @@ def oracle_sql() -> dict[str, str]:
     out["q197_vector_boundary_roundtrip"] = """
         SELECT vec_id, embedding AS embedding_rt FROM embeddings
     """
+
+    # q198 (r8): multichannel anchor-bound pruning — whichever pairs the
+    # scalar prefilter drops, the answer is q188's brute multichannel
+    # TWED recursion.
+    out["q198_knn_twed_mc_lb_pruned"] = out["q188_knn_twed_multichannel"]
 
     # q166 (r6): LOF — k-distances, reach-dists, lrd and the final ratio
     # all mirror the engine exactly: rank-sorted list folds for every float

@@ -739,3 +739,46 @@ def test_edit_mc_c_entry_bitwise_equals_channel_loop():
     got = ed.twed_batch(A3, B3)
     want = ed._channel_sum(A3, B3, lambda a, b: ed._twed_batch_core(a, b))
     assert np.array_equal(got, want)
+
+
+def test_knn_lb_metric_multichannel_equals_brute(spark):
+    """r8: knn_join_lb_metric(channels=N) — the anchor bound holds for the
+    independent-channel-sum lift (a sum of metrics is a metric; ref =
+    summed per-channel anchor distances), so the pruned plan must return
+    brute knn_join's rows on nested input for every true metric, with and
+    without the prune gate."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        knn_join_lb_metric,
+    )
+
+    rng = np.random.default_rng(11)
+    mk = lambda: [[float(a), float(b)] for a, b in rng.integers(0, 5, (8, 2)) * 10]
+    rows_t = [(i, mk(), f"c{i % 2}") for i in range(20)]
+    rows_q = [(100 + i, mk(), "t") for i in range(5)]
+    schema = "series_id long, features array<array<double>>, label string"
+    train = spark.createDataFrame(rows_t, schema)
+    test = spark.createDataFrame(rows_q, schema)
+    for metric in ("erp", "twed", "msm"):
+        want = sorted(
+            (r.test_id, r.rank, r.train_id, round(r.distance, 9))
+            for r in knn_join(
+                test, train, metric=metric, k=3, strategy="kernel"
+            ).collect()
+        )
+        for kw in (dict(), dict(min_prune_rate=0.05)):
+            got = sorted(
+                (r.test_id, r.rank, r.train_id, round(r.distance, 9))
+                for r in knn_join_lb_metric(
+                    test, train, metric=metric, k=3, channels=2,
+                    candidates_per_test=4, **kw
+                ).collect()
+            )
+            assert got and got == want, (metric, kw)
+    # flat/nested mismatch still rejected
+    flat = spark.createDataFrame(
+        [(0, [1.0, 2.0], "a")], "series_id long, features array<double>, label string"
+    )
+    with pytest.raises(ValueError, match="mismatch"):
+        knn_join_lb_metric(flat, train, metric="twed", channels=2)
+    with pytest.raises(ValueError, match="channels"):
+        knn_join_lb_metric(test, train, metric="twed")

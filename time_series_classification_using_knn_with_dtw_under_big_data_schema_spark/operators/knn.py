@@ -880,6 +880,18 @@ def knn_join_pruned(
     return topk.select(*out)
 
 
+def _probe_np(x):
+    """Arrow-collected feature cells arrive as numpy arrays (flat) or
+    object arrays of per-timestep arrays (nested) — stack the latter to a
+    dense (L, C) float matrix for the probe's numpy twins."""
+    import numpy as np
+
+    arr = np.asarray(x)
+    if arr.dtype == object:
+        return np.stack([np.asarray(t, dtype=np.float64) for t in x])
+    return np.asarray(arr, dtype=np.float64)
+
+
 def _estimated_prune_rate(
     test: DataFrame,
     train: DataFrame,
@@ -1191,17 +1203,17 @@ def knn_join_lb(
         from ..functions.dtw_kernel import dtw_pair, fastdtw_pair
 
         if band is not None:
-            dist_np = lambda a, b: dtw_pair(np.asarray(a, np.float64), np.asarray(b, np.float64), band=band)
+            dist_np = lambda a, b: dtw_pair(_probe_np(a), _probe_np(b), band=band)
         elif metric == "dtw":
-            dist_np = lambda a, b: dtw_pair(np.asarray(a, np.float64), np.asarray(b, np.float64))
+            dist_np = lambda a, b: dtw_pair(_probe_np(a), _probe_np(b))
         else:
-            dist_np = lambda a, b: fastdtw_pair(np.asarray(a, np.float64), np.asarray(b, np.float64), radius=fastdtw_radius)
+            dist_np = lambda a, b: fastdtw_pair(_probe_np(a), _probe_np(b), radius=fastdtw_radius)
 
         def lb_np(qf, feats):
             # numpy twin of the PAA-envelope LB above (1-based blocks over
             # the middle, envelope widened by r_env, clipped; per-channel
             # sums for nested rows) — router only, no bit-parity needed
-            q = np.asarray(qf, dtype=np.float64)
+            q = _probe_np(qf)
             if q.ndim == 1:
                 q = q[:, None]
             q0, ql = q[0], q[length - 1]
@@ -1214,7 +1226,7 @@ def knn_join_lb(
                 blocks.append((sl.max(axis=0), sl.min(axis=0)))
             out = []
             for f in feats:
-                csr = np.asarray(f, dtype=np.float64)
+                csr = _probe_np(f)
                 if csr.ndim == 1:
                     csr = csr[:, None]
                 lbv = float(np.abs(q0 - csr[0]).sum() + np.abs(ql - csr[length - 1]).sum())
@@ -1321,6 +1333,7 @@ def knn_join_lb_metric(
     exclude_zero: bool = True,
     min_prune_rate: float = 0.0,
     prune_probe: int = 8,
+    channels: Optional[int] = None,
 ) -> DataFrame:
     """EXACT pruned KNN for the elastic METRIC family (ERP / TWED / MSM)
     via the triangle-inequality anchor bound (r7 — the edit-family
@@ -1361,6 +1374,7 @@ def knn_join_lb_metric(
         make_msm_udf,
         make_twed_udf,
         msm_dist,
+        multichannel,
         twed_dist,
     )
 
@@ -1369,21 +1383,49 @@ def knn_join_lb_metric(
             "knn_join_lb_metric requires a TRUE metric: 'erp', 'twed' or "
             f"'msm' (LCSS/EDR have no triangle inequality), got {metric!r}"
         )
+    nested = _check_channel_parity(
+        test, train, features_col, channels, "knn_join_lb_metric"
+    )
     # verify phase scores through the Arrow pair kernels (C route when a
     # compiler exists) — bit-identical to the Catalyst folds (test-pinned),
     # and the survivors of a weak bound can approach the full pair set, so
-    # the scorer must run at kernel speed, not interpreted-HOF speed
+    # the scorer must run at kernel speed, not interpreted-HOF speed.
+    # Multichannel input stacks to (P, L, C) inside the same kernels
+    # (_grouped_pairs_udf -> _mc_dp), so fn needs no lifting here.
     fn = {"erp": make_erp_udf, "twed": make_twed_udf, "msm": make_msm_udf}[metric]()
-    anchor = F.array(F.lit(0.0))
-    if metric == "erp":
-        # d(x, {}) = sum |x_i - g| — the DP's own border column, exact
-        ref = lambda x: F.aggregate(
-            x, F.lit(0.0), lambda acc, v: acc + F.abs(v - F.lit(float(ERP_GAP)))
-        )
-    elif metric == "twed":
-        ref = lambda x: twed_dist(x, anchor)
+    if nested:
+        # r8: multichannel anchor refs. The independent-channel-sum lift
+        # of a metric is a metric (q188's argument), so the anchor bound
+        # holds for the SUMMED distance with ref(x) = sum_c d_c(x_c, z).
+        # TWED/MSM: the mc lift against one all-zero timestep with x's own
+        # channel count; ERP: d(x, {}) = sum over timesteps of per-channel
+        # |v - g| sums (add order differs from channel-major by rounding
+        # only — phase 3's relative slack absorbs that).
+        if metric == "erp":
+            ref = lambda x: F.aggregate(
+                x,
+                F.lit(0.0),
+                lambda acc, t: acc
+                + F.aggregate(
+                    t, F.lit(0.0), lambda a2, v: a2 + F.abs(v - F.lit(float(ERP_GAP)))
+                ),
+            )
+        else:
+            mc = multichannel(twed_dist if metric == "twed" else msm_dist)
+            ref = lambda x: mc(
+                x, F.array(F.transform(F.element_at(x, 1), lambda _v: F.lit(0.0)))
+            )
     else:
-        ref = lambda x: msm_dist(x, anchor)
+        anchor = F.array(F.lit(0.0))
+        if metric == "erp":
+            # d(x, {}) = sum |x_i - g| — the DP's own border column, exact
+            ref = lambda x: F.aggregate(
+                x, F.lit(0.0), lambda acc, v: acc + F.abs(v - F.lit(float(ERP_GAP)))
+            )
+        elif metric == "twed":
+            ref = lambda x: twed_dist(x, anchor)
+        else:
+            ref = lambda x: msm_dist(x, anchor)
 
     C = max(candidates_per_test if candidates_per_test is not None else 4 * k, k)
     t_sk = test.select(
@@ -1425,22 +1467,19 @@ def knn_join_lb_metric(
         from ..functions.edit_distance import erp_batch, msm_batch, twed_batch
 
         pair_np = {"erp": erp_batch, "twed": twed_batch, "msm": msm_batch}[metric]
-        _z = np.zeros((1, 1))
 
         def dist_np(a, b):
-            return float(
-                pair_np(
-                    np.asarray(a, np.float64)[None, :],
-                    np.asarray(b, np.float64)[None, :],
-                )[0]
-            )
+            return float(pair_np(_probe_np(a)[None], _probe_np(b)[None])[0])
 
         if metric == "erp":
-            ref_np = lambda x: float(
-                np.abs(np.asarray(x, np.float64) - float(ERP_GAP)).sum()
-            )
+            ref_np = lambda x: float(np.abs(_probe_np(x) - float(ERP_GAP)).sum())
         else:
-            ref_np = lambda x: float(pair_np(np.asarray(x, np.float64)[None, :], _z)[0])
+
+            def ref_np(x):
+                arr = _probe_np(x)
+                # anchor = one all-zero timestep, matching channel count
+                z = np.zeros((1, 1) if arr.ndim == 1 else (1, 1, arr.shape[1]))
+                return float(pair_np(arr[None], z)[0])
 
         def lb_np(qf, feats):
             rq = ref_np(qf)
