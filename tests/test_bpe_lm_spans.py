@@ -327,3 +327,9 @@ def test_bpe_ids_contract(spark):
     assert row.ids_checksum == h
     with pytest.raises(ValueError, match="emit"):
         bpe_encode(docs, merges, emit="bogus")
+
+# pre-artifact lane (r8, VERDICT r7 #8): integration-heavy module --
+# runs in the per-round slow lane (full suite or `pytest -m slow`); the
+# every-commit fast lane is `pytest -m "not slow"` (sf0.001 parity +
+# unit kernels, ~12 min). Coverage is unchanged in the pre-artifact lane.
+pytestmark = pytest.mark.slow

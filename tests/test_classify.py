@@ -284,3 +284,9 @@ def test_conformal_knn_separable_and_exact_rationals(spark, har_dfs):
         1 for tid, ps in by_test.items() if max(ps)[1] == truth[tid]
     )
     assert hits / len(by_test) >= 0.9
+
+# pre-artifact lane (r8, VERDICT r7 #8): integration-heavy module --
+# runs in the per-round slow lane (full suite or `pytest -m slow`); the
+# every-commit fast lane is `pytest -m "not slow"` (sf0.001 parity +
+# unit kernels, ~12 min). Coverage is unchanged in the pre-artifact lane.
+pytestmark = pytest.mark.slow

@@ -239,6 +239,7 @@ def test_sax_word_validates_alphabet(spark):
         sax_word(F.col("features"), 4, 16, alphabet=99)
 
 
+@pytest.mark.slow
 def test_sax_blocking_recall_on_clustered_series(spark, har_dfs):
     """The composition claim in sax_word's docstring, measured: on
     clustered series (the HAR-like fixture, length 24), SAX-word equality

@@ -342,6 +342,7 @@ def test_knn_lof_duplicates_keep_their_rows(spark):
 
 
 @pytest.mark.parametrize("metric", ["lcss", "edr", "erp", "twed", "msm"])
+@pytest.mark.slow
 def test_knn_strategies_agree_multichannel(spark, metric):
     """r7 (VERDICT r6 #6): MULTICHANNEL input (array<array<double>>, one
     channel-vector per timestep) through every strategy — the broadcast
@@ -522,6 +523,7 @@ def test_knn_lof_multichannel_elastic_planted_outlier(spark):
     }
 
 
+@pytest.mark.slow
 def test_knn_lb_metric_equals_brute(spark):
     """r7: knn_join_lb_metric (triangle-inequality anchor pruning) must
     return BIT-IDENTICAL rows to brute knn_join for every true metric —
@@ -600,6 +602,7 @@ def test_anchor_bound_admissible_fuzz():
             assert abs(ra - rb) <= d + 1e-9, (fn, n, m, ra, rb, d)
 
 
+@pytest.mark.slow
 def test_knn_lb_metric_all_zero_candidates_degrade_to_brute(spark):
     """ADVICE r8 (medium): with exclude_zero=True, a test whose top-C
     candidates ALL score exactly 0 (duplicate-heavy corpora: LB=0
@@ -741,6 +744,7 @@ def test_edit_mc_c_entry_bitwise_equals_channel_loop():
     assert np.array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_knn_lb_metric_multichannel_equals_brute(spark):
     """r8: knn_join_lb_metric(channels=N) — the anchor bound holds for the
     independent-channel-sum lift (a sum of metrics is a metric; ref =

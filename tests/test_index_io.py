@@ -147,3 +147,9 @@ def test_overwrite_removes_stale_tables(spark, docs, tmp_path):
     save_index({"tf": a, "df": a, "stats": a}, path)
     save_index({"centroids": a, "codes": a}, path, mode="overwrite")
     assert sorted(load_index(spark, path)) == ["centroids", "codes"]
+
+# pre-artifact lane (r8, VERDICT r7 #8): integration-heavy module --
+# runs in the per-round slow lane (full suite or `pytest -m slow`); the
+# every-commit fast lane is `pytest -m "not slow"` (sf0.001 parity +
+# unit kernels, ~12 min). Coverage is unchanged in the pre-artifact lane.
+pytestmark = pytest.mark.slow

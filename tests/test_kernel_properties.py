@@ -208,3 +208,9 @@ def test_dtw_batch_seeded_shape_sweep():
         # either exact equality or the documented tiny-divergence envelope
         rel = np.abs(got - ref) / np.maximum(ref, 1e-12)
         assert (rel < 0.05).all(), (trial, n, m, bs, radius)
+
+# pre-artifact lane (r8, VERDICT r7 #8): integration-heavy module --
+# runs in the per-round slow lane (full suite or `pytest -m slow`); the
+# every-commit fast lane is `pytest -m "not slow"` (sf0.001 parity +
+# unit kernels, ~12 min). Coverage is unchanged in the pre-artifact lane.
+pytestmark = pytest.mark.slow

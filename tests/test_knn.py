@@ -45,6 +45,7 @@ def test_knn_matches_python_reference(spark, har_dfs):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_strategies_agree(spark, har_dfs):
     train_df, test_df = har_dfs
     a = knn_join(test_df, train_df, k=3, strategy="broadcast").collect()
@@ -268,6 +269,7 @@ def test_wrappers_forward_fastdtw_radius(spark):
     assert n > 0
 
 
+@pytest.mark.slow
 def test_multichannel_knn_strategies_agree(spark):
     """Multichannel series (array<array<double>>) through knn_join: the
     broadcast, shuffle and kernel strategies must produce identical
@@ -351,6 +353,7 @@ def test_multichannel_train_side_alone_rejected(spark):
         knn_join_lb(flat, mc, metric="dtw", k=2, length=8, band=2, channels=2)
 
 
+@pytest.mark.slow
 def test_multichannel_lb_bit_identical_to_brute_force(spark):
     """r6 (VERDICT r5 #5): multichannel knn_join_lb must return EXACTLY the
     brute-force knn_join result under dependent DTW — per-channel envelope
@@ -441,6 +444,7 @@ def test_multichannel_pruned_runs_and_ranks(spark):
     assert small.count() == 30  # 15 tests x k=2
 
 
+@pytest.mark.slow
 def test_knn_join_lb_all_zero_candidates_degrade_to_brute(spark):
     """ADVICE r8 (medium, latent twin of the lb_metric bug): with
     exclude_zero=True and a candidate set filled entirely by exact
@@ -467,6 +471,7 @@ def test_knn_join_lb_all_zero_candidates_degrade_to_brute(spark):
         assert ra and ra == rb, (kw, ra, rb)
 
 
+@pytest.mark.slow
 def test_lb_prune_gate_bypasses_on_structureless_input(spark, monkeypatch):
     """r8 (VERDICT r7 #5): with min_prune_rate set, the sampled probe must
     route structureless input (envelope/anchor bounds prune ~nothing) to

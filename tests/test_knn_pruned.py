@@ -1,6 +1,7 @@
 """Two-phase PAA-pruned KNN: exactness for euclidean with generous candidate
 budget, recall for DTW, accuracy preservation."""
 
+import pytest
 from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
     knn_join,
     knn_join_pruned,
@@ -74,3 +75,9 @@ def test_pruned_chunked_phase1_matches_broadcast(spark, har_dfs):
     assert sorted(map(tuple, b.collect())) == sorted(map(tuple, a.collect()))
     plan = b._jdf.queryExecution().toString()
     assert "FlatMapGroupsInPandas" in plan
+
+# pre-artifact lane (r8, VERDICT r7 #8): integration-heavy module --
+# runs in the per-round slow lane (full suite or `pytest -m slow`); the
+# every-commit fast lane is `pytest -m "not slow"` (sf0.001 parity +
+# unit kernels, ~12 min). Coverage is unchanged in the pre-artifact lane.
+pytestmark = pytest.mark.slow

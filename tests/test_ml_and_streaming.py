@@ -926,3 +926,9 @@ def test_vector_boundary_composes_with_stock_mllib(spark, har_dfs):
     df = spark.createDataFrame([(1.0, 2.0, 3.0)], "x double, y double, z double")
     got = df.select(assemble_vector(F.col("x"), F.col("y"), F.col("z")).alias("v")).collect()[0].v
     assert got == DenseVector([1.0, 2.0, 3.0])
+
+# pre-artifact lane (r8, VERDICT r7 #8): integration-heavy module --
+# runs in the per-round slow lane (full suite or `pytest -m slow`); the
+# every-commit fast lane is `pytest -m "not slow"` (sf0.001 parity +
+# unit kernels, ~12 min). Coverage is unchanged in the pre-artifact lane.
+pytestmark = pytest.mark.slow

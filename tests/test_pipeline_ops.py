@@ -944,3 +944,9 @@ def test_simhash_kernel_expr_unicode_parity(spark):
     k = {r.doc_id: r.simhash for r in simhash(df, mode="kernel").collect()}
     e = {r.doc_id: r.simhash for r in simhash(df, mode="expr").collect()}
     assert k == e
+
+# pre-artifact lane (r8, VERDICT r7 #8): integration-heavy module --
+# runs in the per-round slow lane (full suite or `pytest -m slow`); the
+# every-commit fast lane is `pytest -m "not slow"` (sf0.001 parity +
+# unit kernels, ~12 min). Coverage is unchanged in the pre-artifact lane.
+pytestmark = pytest.mark.slow

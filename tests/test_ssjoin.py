@@ -142,3 +142,9 @@ def test_float_boundary_threshold_is_lossless(spark):
             map(tuple, dedup_pairwise_jaccard(d, threshold=t).collect())
         )
         assert fast == brute, t
+
+# pre-artifact lane (r8, VERDICT r7 #8): integration-heavy module --
+# runs in the per-round slow lane (full suite or `pytest -m slow`); the
+# every-commit fast lane is `pytest -m "not slow"` (sf0.001 parity +
+# unit kernels, ~12 min). Coverage is unchanged in the pre-artifact lane.
+pytestmark = pytest.mark.slow

@@ -88,3 +88,9 @@ def test_knn_cross_validate_har(spark, har_dfs):
         assert r["n_correct"] <= r["n_test"]
     with pytest.raises(ValueError):
         knn_cross_validate(series, folds=1)
+
+# pre-artifact lane (r8, VERDICT r7 #8): integration-heavy module --
+# runs in the per-round slow lane (full suite or `pytest -m slow`); the
+# every-commit fast lane is `pytest -m "not slow"` (sf0.001 parity +
+# unit kernels, ~12 min). Coverage is unchanged in the pre-artifact lane.
+pytestmark = pytest.mark.slow
