@@ -363,12 +363,17 @@ def main() -> None:
         )),
         repeats=2,
     )
-    # prunable corpus: per-label offsets separate the anchor references,
-    # so cross-cluster pairs die in phase 1 (~3/4 of the pair volume)
-    _off = (F.crc32(F.encode(F.col("label"), "utf-8")) % 4).cast("double") * 2000.0
+    # prunable corpus: per-label AMPLITUDE SCALING separates the anchor
+    # references (TWED's anchor distance is dominated by |delta| terms, so
+    # additive offsets barely move it — measured est 0.001; scaling
+    # multiplies the whole ref). Powers of 5 put adjacent clusters ~5x
+    # apart in ref space, so cross-cluster pairs die in phase 1.
+    _scale = F.pow(
+        F.lit(5.0), (F.crc32(F.encode(F.col("label"), "utf-8")) % 4).cast("double")
+    )
     sep561 = tiled.select(
         "series_id",
-        F.transform("features", lambda x: x + _off).alias("features"),
+        F.transform("features", lambda x: x * _scale).alias("features"),
         "label",
     ).cache()
     sep_t = sep561.filter(FF.col("series_id") % 4 == 0).repartition(cpus).cache()
