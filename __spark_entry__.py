@@ -3788,6 +3788,26 @@ def _q196_knn_twed_lb_gated(spark, sf_dir):
     return nn.select("test_id", "train_id", "rank", "distance")
 
 
+def _q199_knn_dtw_lb_gated(spark, sf_dir):
+    """SAMPLED PRUNE-RATE GATE, DTW side (r8 — q196's twin for
+    knn_join_lb's LB_Keogh-family envelope prefilter): the driver-side
+    probe replays the PAA-envelope bound + banded-DTW scoring on a
+    bounded sample and bypasses to the brute kernel when estimated
+    pruning is under threshold. Either branch is exact, so the oracle is
+    q86's — i.e. q70's brute-force recursive-CTE DTW DP — and the hash
+    match proves the gate changes plans, never answers."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join_lb
+
+    train, test = _series(spark, sf_dir)
+    nn = knn_join_lb(
+        test, train, metric="dtw", k=3, length=SERIES_LEN,
+        candidates_per_test=4, min_prune_rate=0.05,
+    )
+    return nn.select(
+        "test_id", "train_id", "rank", F.round("distance", 6).alias("distance")
+    )
+
+
 def _q198_knn_twed_mc_lb_pruned(spark, sf_dir):
     """MULTICHANNEL lossless TWED pruning (r8; operators/knn.py::
     knn_join_lb_metric(channels=2) — closing the symmetry with q156's
@@ -4072,6 +4092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q196_knn_twed_lb_gated": _q196_knn_twed_lb_gated,
         "q197_vector_boundary_roundtrip": _q197_vector_boundary_roundtrip,
         "q198_knn_twed_mc_lb_pruned": _q198_knn_twed_mc_lb_pruned,
+        "q199_knn_dtw_lb_gated": _q199_knn_dtw_lb_gated,
     }
 
 
@@ -7965,6 +7986,10 @@ def oracle_sql() -> dict[str, str]:
     # scalar prefilter drops, the answer is q188's brute multichannel
     # TWED recursion.
     out["q198_knn_twed_mc_lb_pruned"] = out["q188_knn_twed_multichannel"]
+
+    # q199 (r8): the DTW-side prune-rate gate — whichever branch the
+    # probe picks, the answer is q70's brute DTW DP (q86's contract).
+    out["q199_knn_dtw_lb_gated"] = out["q70_knn_dtw_exact"]
 
     # q166 (r6): LOF — k-distances, reach-dists, lrd and the final ratio
     # all mirror the engine exactly: rank-sorted list folds for every float
