@@ -1061,6 +1061,28 @@ def main() -> None:
         round(n_tr10 * n_te10s / timings["soak10x_knn_dtw_chunked"])
         if timings.get("soak10x_knn_dtw_chunked") else None
     )
+    # wide-denominator twin (r8, VERDICT r7 #7): the ratio above divides
+    # by a sub-second kernel twin, so bench-window latency noise can push
+    # it past the 1.6x envelope (r8 in-bench 1.75 vs isolated idle-box
+    # 1.22; block_bytes sweep in NOTES shows grid sizing is not the
+    # cause). A 4x test side puts the kernel at multi-second scale and
+    # makes the recorded ratio latency-insensitive.
+    te10w = te10.filter(F.col("series_id") % 4 == 0).cache()
+    n_te10w = te10w.count()
+    run(
+        "soak10x_knn_dtw_kernel_wide",
+        lambda: _mat(knn_join(te10w, tr10, metric="dtw", band=3, k=5, strategy="kernel")),
+        repeats=3,
+    )
+    run(
+        "soak10x_knn_dtw_chunked_wide",
+        lambda: _mat(knn_join(
+            te10w, tr10, metric="dtw", band=3, k=5,
+            strategy="kernel", max_broadcast_bytes=soak_knn_budget,
+        )),
+        repeats=3,
+    )
+    te10w.unpersist()
 
     # 10x documents: LSH near-dup pairs -> connected components
     docs10 = _rep10(
@@ -1298,6 +1320,9 @@ def main() -> None:
         ),
         "soak_knn_dtw_chunked": (
             "soak10x_knn_dtw_chunked", "soak10x_knn_dtw_kernel"
+        ),
+        "soak_knn_dtw_chunked_wide": (
+            "soak10x_knn_dtw_chunked_wide", "soak10x_knn_dtw_kernel_wide"
         ),
         # r6-flagship soaks (r7): guard-routed chunked vs broadcast kernel
         "soak_knn_lof_chunked": (
