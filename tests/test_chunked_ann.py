@@ -157,9 +157,13 @@ def test_knn_kernel_oversize_routes_to_chunked(spark, har_dfs):
     assert sorted(map(tuple, guarded.collect())) == sorted(map(tuple, kernel.collect()))
 
 
-def test_knn_kernel_oversize_ragged_still_falls_back_to_shuffle(spark):
-    """Ragged train can't stack into blocks: the oversize guard must keep
-    the declarative shuffle plan (and still match it)."""
+def test_knn_kernel_oversize_ragged_elastic_routes_to_chunked(spark):
+    """r9 (VERDICT r8 #4): oversize RAGGED corpora take the chunked block
+    scorer for the ELASTIC metrics now (cells regroup by length into
+    rectangular kernel calls) — previously they fell back to the
+    4.6x-measured declarative shuffle plan. Results stay identical to the
+    declarative plan. Ragged POINT metrics (no cross-length semantics)
+    keep the declarative shuffle fallback."""
     train = spark.createDataFrame(
         [(1, [1.0, 2.0], 1.0), (2, [1.0, 2.0, 3.0], 2.0), (3, [2.0, 1.0], 1.0)],
         "series_id long, features array<double>, label double",
@@ -172,9 +176,61 @@ def test_knn_kernel_oversize_ragged_still_falls_back_to_shuffle(spark):
         max_broadcast_bytes=1,
     )
     plan = guarded._jdf.queryExecution().toString()
-    assert "FlatMapGroupsInPandas" not in plan
+    assert "FlatMapGroupsInPandas" in plan
     shuffle = knn_join(test, train, metric="dtw", band=2, k=2, strategy="shuffle")
     assert sorted(map(tuple, guarded.collect())) == sorted(map(tuple, shuffle.collect()))
+    # point metric on ragged input: still the declarative plan
+    pt = knn_join(
+        test, train, metric="euclidean", k=2, strategy="kernel",
+        max_broadcast_bytes=1,
+    )
+    assert "FlatMapGroupsInPandas" not in pt._jdf.queryExecution().toString()
+
+
+def _ragged_dfs(spark):
+    rng = np.random.default_rng(41)
+    rows = lambda n, s: [
+        (
+            s + i,
+            [float(x) for x in rng.normal(0, 1, (8, 10, 12, 15)[i % 4])],
+            ["walk", "run", "sit"][i % 3],
+        )
+        for i in range(n)
+    ]
+    schema = "series_id long, features array<double>, label string"
+    return (
+        spark.createDataFrame(rows(30, 0), schema),
+        spark.createDataFrame(rows(8, 1000), schema),
+    )
+
+
+@pytest.mark.parametrize("metric", ["dtw", "fastdtw", "twed", "erp"])
+def test_knn_chunked_ragged_matches_declarative(spark, metric):
+    """r9 ragged parity: chunked AND kernel strategies equal the
+    declarative broadcast plan on a mixed-length corpus, for both DTW
+    variants and the edit-metric family."""
+    train, test = _ragged_dfs(spark)
+    kw = dict(metric=metric, k=3)
+    if metric == "dtw":
+        kw["band"] = 2
+    want = sorted(
+        (r.test_id, r.rank, r.train_id, round(r.distance, 9))
+        for r in knn_join(test, train, strategy="broadcast", **kw).collect()
+    )
+    for strategy in ("chunked", "kernel"):
+        got = sorted(
+            (r.test_id, r.rank, r.train_id, round(r.distance, 9))
+            for r in knn_join(test, train, strategy=strategy, **kw).collect()
+        )
+        assert got == want, (metric, strategy)
+
+
+def test_knn_chunked_ragged_rejects_point_metrics(spark):
+    train, test = _ragged_dfs(spark)
+    with pytest.raises(ValueError, match="fixed-length"):
+        knn_join(test, train, metric="euclidean", k=3, strategy="chunked").collect()
+    with pytest.raises(ValueError, match="fixed-length"):
+        knn_join(test, train, metric="euclidean", k=3, strategy="kernel").collect()
 
 
 def test_knn_chunked_multichannel(spark):

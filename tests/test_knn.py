@@ -515,17 +515,23 @@ def test_lb_prune_gate_bypasses_on_structureless_input(spark, monkeypatch):
     )
     assert got == want
 
+    # UNCONSTRAINED dtw: the global (LB_Yi-style) envelope is the
+    # information-weak one on random walks. (Banded LB_Keogh with band=2
+    # is genuinely tight even here — the r8 tally fix, which stopped
+    # counting the never-prunable phase-1 candidates in the denominator,
+    # surfaced that: the old estimate was deflated by C/N by
+    # construction, so the banded case used to look "structureless".)
     calls.clear()
     got_dtw = sorted(
         (r.test_id, r.rank, r.train_id, round(r.distance, 9))
         for r in knn_join_lb(
-            test, train, metric="dtw", band=2, k=3, length=12, min_prune_rate=0.95
+            test, train, metric="dtw", k=3, length=12, min_prune_rate=0.95
         ).collect()
     )
-    assert calls, "dtw gate should have bypassed too"
+    assert calls, "unconstrained dtw gate should have bypassed too"
     want_dtw = sorted(
         (r.test_id, r.rank, r.train_id, round(r.distance, 9))
-        for r in knn_join(test, train, metric="dtw", band=2, k=3).collect()
+        for r in knn_join(test, train, metric="dtw", k=3).collect()
     )
     assert got_dtw == want_dtw
 
@@ -548,3 +554,94 @@ def test_lb_prune_gate_bypasses_on_structureless_input(spark, monkeypatch):
         for r in knn_join(test2, train2, metric="erp", k=3).collect()
     )
     assert got2 == want2
+
+
+@pytest.mark.slow
+def test_lb_prune_gate_probe_tolerates_short_rows(spark):
+    """ADVICE r8: the probe's numpy LB twin indexes csr[length-1]
+    unguarded, so a sampled row shorter than ``length`` used to raise
+    IndexError on the driver and fail the whole query — while the
+    un-gated plan handles short rows via element_at NULL semantics. The
+    probe must now fall back to keeping the prefilter (never a new
+    failure mode), and the gated result must equal the un-gated one."""
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import knn_join_lb
+
+    rng = np.random.default_rng(11)
+    rows_t = [
+        (i, [float(x) for x in rng.normal(0, 1, 12 if i % 3 else 7)], f"c{i%2}")
+        for i in range(18)
+    ]
+    rows_q = [(100 + i, [float(x) for x in rng.normal(0, 1, 12)], "t") for i in range(4)]
+    schema = "series_id long, features array<double>, label string"
+    train = spark.createDataFrame(rows_t, schema)
+    test = spark.createDataFrame(rows_q, schema)
+
+    # short rows are OUT OF CONTRACT for knn_join_lb (ANSI element_at
+    # raises on index > size, at the builder's eager cache landing) — the
+    # pin is that gated and un-gated fail IDENTICALLY with the loud Spark
+    # error: pre-fix the GATED call died earlier and differently, with a
+    # bare IndexError from the driver-side numpy replay (csr[length-1] on
+    # a 7-element row); post-fix the probe swallows that, keeps the
+    # prefilter, and the plan raises exactly what the un-gated plan raises
+    import pyspark.errors as pse
+
+    with pytest.raises(pse.exceptions.captured.ArrayIndexOutOfBoundsException):
+        knn_join_lb(
+            test, train, metric="dtw", band=2, k=3, length=12, min_prune_rate=0.95
+        )
+    with pytest.raises(pse.exceptions.captured.ArrayIndexOutOfBoundsException):
+        knn_join_lb(test, train, metric="dtw", band=2, k=3, length=12)
+
+
+@pytest.mark.slow
+def test_estimated_prune_rate_excludes_scored_candidates(spark):
+    """ADVICE r8: the C phase-1 candidates are anti-joined out of phase 3
+    and can never be pruned — counting them in the denominator deflated
+    the estimate. With every non-candidate provably prunable the estimate
+    must be exactly 1.0 (pre-fix it was (N-C)/N), and when the sample is
+    all candidates (total == 0) the probe must return None."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.knn import (
+        _estimated_prune_rate,
+    )
+
+    # two tight clusters far apart: queries sit in cluster 0; LB = |sum
+    # difference| separates perfectly, so every non-candidate (cluster 1)
+    # has LB >> tau
+    rows_t = [(i, [0.0, 0.0] if i < 6 else [500.0, 500.0], "c") for i in range(12)]
+    rows_q = [(100, [0.0, 0.0], "t")]
+    schema = "series_id long, features array<double>, label string"
+    train = spark.createDataFrame(rows_t, schema)
+    test = spark.createDataFrame(rows_q, schema)
+
+    lb_np = lambda qf, feats: [abs(sum(qf) - sum(f)) for f in feats]
+    dist_many = lambda qf, feats: [
+        float(sum(abs(a - b) for a, b in zip(qf, f))) for f in feats
+    ]
+
+    est = _estimated_prune_rate(
+        test, train, id_col="series_id", features_col="features",
+        lb_np=lb_np, dist_many=dist_many, C=6, k=3, probe_n=1,
+        exclude_zero=False,
+    )
+    assert est == 1.0
+
+    # C >= sample size: nothing is phase-3 eligible -> None (keep filter)
+    est_none = _estimated_prune_rate(
+        test, train, id_col="series_id", features_col="features",
+        lb_np=lb_np, dist_many=dist_many, C=50, k=3, probe_n=1,
+        exclude_zero=False,
+    )
+    assert est_none is None
+
+    # a raising twin must mean "keep the prefilter", never propagate
+    def boom(qf, feats):
+        raise IndexError("short row")
+
+    est_err = _estimated_prune_rate(
+        test, train, id_col="series_id", features_col="features",
+        lb_np=boom, dist_many=dist_many, C=6, k=3, probe_n=1,
+        exclude_zero=False,
+    )
+    assert est_err is None

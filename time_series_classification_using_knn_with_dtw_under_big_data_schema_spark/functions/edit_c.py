@@ -373,12 +373,25 @@ def _private_cache_dir() -> str:
     another local user pre-plant a malicious library that every Spark
     python worker would dlopen — ADVICE r7). Ownership and mode are
     verified after creation so a pre-existing attacker-owned directory at
-    the same path is rejected rather than used."""
+    the same path is rejected rather than used. The check uses lstat and
+    rejects symlinks outright (ADVICE r8): os.stat FOLLOWS links, so a
+    pre-planted symlink to any victim-owned 0700 directory (~/.ssh) would
+    pass an os.stat check and redirect the .so write there."""
+    import stat as _stat
+
     d = os.path.join(tempfile.gettempdir(), f"tsknn-{os.getuid()}")
     os.makedirs(d, mode=0o700, exist_ok=True)
-    st = os.stat(d)
-    if st.st_uid != os.getuid() or (st.st_mode & 0o077):
-        raise RuntimeError(f"unsafe cache dir {d}: wrong owner or group/world access")
+    st = os.lstat(d)
+    if (
+        os.path.islink(d)
+        or not _stat.S_ISDIR(st.st_mode)
+        or st.st_uid != os.getuid()
+        or (st.st_mode & 0o077)
+    ):
+        raise RuntimeError(
+            f"unsafe cache dir {d}: symlink, non-directory, wrong owner, "
+            "or group/world access"
+        )
     return d
 
 

@@ -272,12 +272,16 @@ def _knn_kernel_broadcast(
     est_bytes = n_rows * int(max_len or 0) * int(max_ch or 1) * 8
     if est_bytes > max_broadcast_bytes:
         # too big to materialize on the driver (or to broadcast at all).
-        # Fixed-length train -> the chunked block scorer (r5): both sides
-        # shuffle ONCE into block cells scored by the same numpy/C kernels
-        # — series cross the wire n_blocks times, not n_pairs times (the
-        # r4-measured 1.9-7.3x shuffle-reroute penalty came from per-PAIR
-        # array movement). Ragged train keeps the declarative shuffle plan.
-        if n_lens == 1:
+        # The chunked block scorer (r5): both sides shuffle ONCE into block
+        # cells scored by the same numpy/C kernels — series cross the wire
+        # n_blocks times, not n_pairs times (the r4-measured 1.9-7.3x
+        # shuffle-reroute penalty came from per-PAIR array movement).
+        # Ragged train rides the same path for the elastic metrics (r9,
+        # VERDICT r8 #4: the 4.6x-measured declarative shuffle plan was
+        # the one remaining scale-soft KNN route) — cells regroup by
+        # length into rectangular kernel calls; only ragged POINT-metric
+        # corpora (no cross-length semantics) keep the declarative plan.
+        if n_lens == 1 or kind in _ELASTIC_KINDS:
             return _knn_chunked(
                 test,
                 train,
@@ -308,14 +312,20 @@ def _knn_kernel_broadcast(
     sel = [id_col, features_col] + ([label_col] if label_col else [])
     rows = train.select(*sel).collect()
     lengths = {len(r[1]) for r in rows}
-    if len(lengths) != 1:
+    if len(lengths) != 1 and kind not in _ELASTIC_KINDS:
         raise ValueError(
-            f"strategy='kernel' needs fixed-length train series, got lengths {sorted(lengths)[:5]}"
+            f"strategy='kernel' needs fixed-length train series for "
+            f"metric {metric!r}, got lengths {sorted(lengths)[:5]}"
         )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    feats = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    labels = np.array([r[2] for r in rows]) if label_col else None
-    bvar = test.sparkSession.sparkContext.broadcast((ids, feats, labels))
+    # ragged train (elastic metrics only): one rectangular matrix per
+    # distinct length — each Arrow batch scores against every group and
+    # the per-group top-ks merge exactly (r9, VERDICT r8 #4)
+    ids = [r[0] for r in rows]
+    fv = [r[1] for r in rows]
+    labels = [r[2] for r in rows] if label_col else None
+    bvar = test.sparkSession.sparkContext.broadcast(
+        _group_by_length(ids, fv, labels)
+    )
 
     label_type = dict(train.dtypes)[label_col] if label_col else None
     schema = "test_id long, train_id long"
@@ -328,15 +338,15 @@ def _knn_kernel_broadcast(
     bnd = band
     rad = fastdtw_radius
 
+    has_label = label_col is not None
+
     def op(batches):
-        b_ids, b_feats, b_labels = bvar.value
+        groups = bvar.value
         for pdf in batches:
-            out = _score_block_rows(
+            out = _score_block_groups(
                 pdf["test_id"].to_numpy(),
                 pdf["_tf"].to_numpy(),
-                b_ids,
-                b_feats,
-                b_labels,
+                groups,
                 kind=kind,
                 k=kk,
                 excl=excl,
@@ -345,7 +355,7 @@ def _knn_kernel_broadcast(
                 with_rank=True,
             )
             cols = ["test_id", "train_id"]
-            if b_labels is not None:
+            if has_label:
                 cols.append("train_label")
             cols += ["distance", "rank"]
             yield pd.DataFrame({c: out[c] for c in cols})
@@ -471,6 +481,99 @@ def _score_block_rows(
     return out
 
 
+# metrics defined for pairs of UNEQUAL length — the kernels take
+# (bs, n) x (bs, m) with n != m, so a ragged train side just becomes one
+# rectangular kernel call per distinct length. The point metrics
+# (euclidean family) have no cross-length semantics and keep the
+# fixed-length requirement.
+_ELASTIC_KINDS = frozenset({"dtw", "fastdtw", "lcss", "edr", "erp", "twed", "msm"})
+
+
+def _score_block_groups(
+    tids, fvals, groups, *, kind, k, excl, band, radius, with_rank,
+):
+    """Ragged-train extension of ``_score_block_rows`` (r9, VERDICT r8 #4):
+    ``groups`` is a list of (b_ids, b_feats, b_labels) per-length train
+    groups; each scores through the same rectangular kernel calls, then the
+    per-group top-k survivors merge to ONE exact top-k per test (each
+    group's top-k is a superset of its contribution to the global top-k).
+    One group short-circuits to the shared scoring core verbatim, so the
+    fixed-length paths keep their bit-identity contract untouched."""
+    if len(groups) == 1:
+        b_ids, b_feats, b_labels = groups[0]
+        return _score_block_rows(
+            tids, fvals, b_ids, b_feats, b_labels,
+            kind=kind, k=k, excl=excl, band=band, radius=radius,
+            with_rank=with_rank,
+        )
+    import numpy as np
+
+    parts = [
+        _score_block_rows(
+            tids, fvals, b_ids, b_feats, b_labels,
+            kind=kind, k=k, excl=excl, band=band, radius=radius,
+            with_rank=False,
+        )
+        for (b_ids, b_feats, b_labels) in groups
+    ]
+    has_label = groups[0][2] is not None
+    t_arr = np.concatenate([np.asarray(p["test_id"], dtype=np.int64) for p in parts]) \
+        if parts else np.empty(0, dtype=np.int64)
+    out = {"test_id": [], "train_id": [], "distance": []}
+    if with_rank:
+        out["rank"] = []
+    if has_label:
+        out["train_label"] = []
+    if not len(t_arr):
+        return out
+    i_arr = np.concatenate([np.asarray(p["train_id"], dtype=np.int64) for p in parts])
+    d_arr = np.concatenate([np.asarray(p["distance"], dtype=np.float64) for p in parts])
+    l_arr = (
+        np.concatenate([np.asarray(list(p["train_label"])) for p in parts])
+        if has_label else None
+    )
+    # same (distance, label, id) lexsort contract as the scoring core,
+    # NaN last, test as the primary key; then first k per test
+    keys = (i_arr, l_arr, d_arr, t_arr) if l_arr is not None else (i_arr, d_arr, t_arr)
+    order = np.lexsort(keys)
+    taken: dict = {}
+    for idx in order:
+        t = int(t_arr[idx])
+        c = taken.get(t, 0)
+        if c >= k:
+            continue
+        taken[t] = c + 1
+        out["test_id"].append(t)
+        out["train_id"].append(i_arr[idx])
+        out["distance"].append(d_arr[idx])
+        if with_rank:
+            out["rank"].append(c + 1)
+        if has_label:
+            out["train_label"].append(l_arr[idx])
+    return out
+
+
+def _group_by_length(ids, fvals, labels):
+    """(ids, ragged features, labels) -> per-length (ids, stacked matrix,
+    labels) groups, ascending length for determinism."""
+    import numpy as np
+
+    from ..functions.distance import _stack_series
+
+    by_len: dict = {}
+    for i, f in enumerate(fvals):
+        by_len.setdefault(len(f), []).append(i)
+    groups = []
+    for L in sorted(by_len):
+        idxs = by_len[L]
+        groups.append((
+            np.asarray([ids[i] for i in idxs], dtype=np.int64),
+            _stack_series([fvals[i] for i in idxs]),
+            np.asarray([labels[i] for i in idxs]) if labels is not None else None,
+        ))
+    return groups
+
+
 def _knn_chunked(
     test: DataFrame,
     train: DataFrame,
@@ -566,10 +669,10 @@ def _knn_chunked(
         ).first()
     if not n_r:
         raise ValueError("empty train side")
-    if n_len_r != 1:
+    if n_len_r != 1 and kind not in _ELASTIC_KINDS:
         raise ValueError(
-            "strategy='chunked' needs fixed-length train series "
-            f"(found {n_len_r} distinct lengths)"
+            f"strategy='chunked' needs fixed-length train series for "
+            f"metric {metric!r} (found {n_len_r} distinct lengths)"
         )
     n_t, len_t, ch_t = test.agg(
         F.count(F.lit(1)), F.max(F.size(features_col)), ch_expr
@@ -641,21 +744,24 @@ def _knn_chunked(
             out = pd.DataFrame(cols)
             return out.astype({"test_id": "int64", "train_id": "int64",
                                "distance": "float64"})
-        b_ids = rp["_id"].to_numpy(dtype=np.int64)
-        b_feats = _stack_series(rp["_f"].to_numpy())
         # np.asarray(list) not .to_numpy(): pandas hands string labels as
         # object dtype, which np.lexsort rejects; the list round-trip gives
-        # the same '<U'/float dtype the kernel's collect-based array has
-        b_labels = np.asarray(list(rp["_lbl"])) if has_label else None
+        # the same '<U'/float dtype the kernel's collect-based array has.
+        # Ragged train cells (elastic metrics, r9 VERDICT r8 #4) group by
+        # length into rectangular kernel calls — fixed-length cells are
+        # ONE group and short-circuit to the shared scoring core verbatim.
+        groups = _group_by_length(
+            rp["_id"].to_numpy(dtype=np.int64),
+            rp["_f"].to_numpy(),
+            np.asarray(list(rp["_lbl"])) if has_label else None,
+        )
         # the SAME scoring core as strategy='kernel' (bit-identity by
         # construction); per-cell top-k only — the global rerank window
         # below re-ranks across cells, so no rank is emitted here
-        cols = _score_block_rows(
+        cols = _score_block_groups(
             tp["_id"].to_numpy(dtype=np.int64),
             tp["_f"].to_numpy(),
-            b_ids,
-            b_feats,
-            b_labels,
+            groups,
             kind=kind,
             k=kk,
             excl=excl,
@@ -899,7 +1005,7 @@ def _estimated_prune_rate(
     id_col: str,
     features_col: str,
     lb_np,
-    dist_np,
+    dist_many,
     C: int,
     k: int,
     probe_n: int,
@@ -911,11 +1017,25 @@ def _estimated_prune_rate(
     """Sampled prune-rate probe for the lossless LB prefilters (r8,
     VERDICT r7 #5): replays phases 1-2 of filter-and-verify DRIVER-SIDE
     on a deterministic sample — ``probe_n`` test rows x a capped train
-    sample (first ids ascending) — through the numpy twins of the LB
-    sketch (``lb_np``) and the exact metric (``dist_np``). Returns the
-    estimated fraction of pairs the bound would prune (LB > tau under
-    the same slacked filter phase 3 uses), or None when either sample is
-    empty (caller keeps the prefilter).
+    sample — through the numpy twins of the LB sketch (``lb_np``) and
+    the exact metric (``dist_many``, batched: (query, [candidates]) ->
+    distances, so callers score the C candidates in ONE compiled-kernel
+    call instead of C Python DP loops — ADVICE r8). Returns the
+    estimated fraction of PHASE-3-ELIGIBLE pairs the bound would prune
+    (LB > tau under the same slacked filter phase 3 uses), or None when
+    either sample is empty OR the replay raises (caller keeps the
+    prefilter — the distributed plan's NULL semantics handle inputs the
+    numpy twins reject, e.g. rows shorter than ``length``; enabling the
+    gate must never introduce a failure mode the un-gated plan lacks —
+    ADVICE r8).
+
+    Sampling (ADVICE r8): both sides order by (crc32(id), id) — a
+    deterministic HASH-SPREAD sample, not lowest-ids — so id-clustered
+    corpora (labels correlated with id ranges) don't bias the estimate.
+    The C already-scored phase-1 candidates are EXCLUDED from the
+    pruned/total tally: they are anti-joined out of phase 3 and can
+    never be pruned, so counting them deflated the estimate near the
+    routing threshold.
 
     Collect shape: ONE Spark job (a union of two TakeOrderedAndProject
     subplans, Arrow transfer) — a second job's fixed latency would cost
@@ -944,7 +1064,7 @@ def _estimated_prune_rate(
                 F.col(id_col).alias("_id"),
                 F.col(features_col).alias("_f"),
             )
-            .orderBy("_id")
+            .orderBy(F.crc32(F.col("_id").cast("string")), F.col("_id"))
             .limit(n)
         )
 
@@ -961,20 +1081,26 @@ def _estimated_prune_rate(
         return None
     t_feats = [f for _, f in t]
     pruned = total = 0
-    for _, qf in s:
-        lbs = np.asarray(lb_np(qf, t_feats), dtype=np.float64)
-        order = sorted(range(len(t)), key=lambda i: (lbs[i], t[i][0]))
-        ds = []
-        for i in order[:C]:
-            d = dist_np(qf, t[i][1])
-            if exclude_zero and d == 0:
-                continue
-            ds.append(d)
-        ds.sort()
-        tau = ds[k - 1] if len(ds) >= k else float("inf")
-        tau = tau * (1.0 + 1e-9) + 1e-12
-        pruned += int((lbs > tau).sum())
-        total += len(t)
+    try:
+        for _, qf in s:
+            lbs = np.asarray(lb_np(qf, t_feats), dtype=np.float64)
+            order = sorted(range(len(t)), key=lambda i: (lbs[i], t[i][0]))
+            cand = order[:C]
+            ds = []
+            for i, d in zip(cand, dist_many(qf, [t[i][1] for i in cand])):
+                d = float(d)
+                if exclude_zero and d == 0:
+                    continue
+                ds.append(d)
+            ds.sort()
+            tau = ds[k - 1] if len(ds) >= k else float("inf")
+            tau = tau * (1.0 + 1e-9) + 1e-12
+            cand_set = set(cand)
+            rest = [i for i in range(len(t)) if i not in cand_set]
+            pruned += int((lbs[rest] > tau).sum())
+            total += len(rest)
+    except Exception:
+        return None
     return pruned / total if total else None
 
 
@@ -1200,14 +1326,34 @@ def knn_join_lb(
     if min_prune_rate > 0.0 and prune_probe > 0:
         import numpy as np
 
-        from ..functions.dtw_kernel import dtw_pair, fastdtw_pair
+        from ..functions.dtw_kernel import dtw_batch, fastdtw_batch
 
-        if band is not None:
-            dist_np = lambda a, b: dtw_pair(_probe_np(a), _probe_np(b), band=band)
-        elif metric == "dtw":
-            dist_np = lambda a, b: dtw_pair(_probe_np(a), _probe_np(b))
-        else:
-            dist_np = lambda a, b: fastdtw_pair(_probe_np(a), _probe_np(b), radius=fastdtw_radius)
+        def dist_many(qf, feats):
+            # probe candidates score through the compiled/prefix-scan
+            # BATCH kernels (ADVICE r8): the per-pair Python DP loop cost
+            # probe_n*C*O(L^2) single-threaded driver seconds at 561-pt
+            # scale — more than the routing decision is worth. Shape
+            # groups keep each call rectangular (ragged corpora).
+            q = _probe_np(qf)
+            arrs = [_probe_np(f) for f in feats]
+            out = [0.0] * len(arrs)
+            groups: dict = {}
+            for i, a in enumerate(arrs):
+                groups.setdefault(a.shape, []).append(i)
+            for shape, idxs in groups.items():
+                B = np.stack([arrs[i] for i in idxs])
+                A = np.ascontiguousarray(
+                    np.broadcast_to(q, (len(idxs),) + q.shape)
+                )
+                if band is not None:
+                    dv = dtw_batch(A, B, band=band)
+                elif metric == "dtw":
+                    dv = dtw_batch(A, B)
+                else:
+                    dv = fastdtw_batch(A, B, radius=fastdtw_radius)
+                for j, i in enumerate(idxs):
+                    out[i] = float(dv[j])
+            return out
 
         def lb_np(qf, feats):
             # numpy twin of the PAA-envelope LB above (1-based blocks over
@@ -1243,7 +1389,7 @@ def knn_join_lb(
 
         est = _estimated_prune_rate(
             test, train, id_col=id_col, features_col=features_col,
-            lb_np=lb_np, dist_np=dist_np, C=C, k=k, probe_n=prune_probe,
+            lb_np=lb_np, dist_many=dist_many, C=C, k=k, probe_n=prune_probe,
             exclude_zero=exclude_zero, len_hint=length * n_ch,
         )
         if est is not None and est < min_prune_rate:
@@ -1468,8 +1614,25 @@ def knn_join_lb_metric(
 
         pair_np = {"erp": erp_batch, "twed": twed_batch, "msm": msm_batch}[metric]
 
-        def dist_np(a, b):
-            return float(pair_np(_probe_np(a)[None], _probe_np(b)[None])[0])
+        def dist_many(qf, feats):
+            # one batch-kernel call per candidate shape group (ADVICE r8
+            # twin of knn_join_lb's dist_many) — the edit kernels take
+            # (bs, n) x (bs, m) with n, m fixed per call
+            q = _probe_np(qf)
+            arrs = [_probe_np(f) for f in feats]
+            out = [0.0] * len(arrs)
+            groups: dict = {}
+            for i, a in enumerate(arrs):
+                groups.setdefault(a.shape, []).append(i)
+            for shape, idxs in groups.items():
+                B = np.stack([arrs[i] for i in idxs])
+                A = np.ascontiguousarray(
+                    np.broadcast_to(q, (len(idxs),) + q.shape)
+                )
+                dv = pair_np(A, B)
+                for j, i in enumerate(idxs):
+                    out[i] = float(dv[j])
+            return out
 
         if metric == "erp":
             ref_np = lambda x: float(np.abs(_probe_np(x) - float(ERP_GAP)).sum())
@@ -1481,13 +1644,41 @@ def knn_join_lb_metric(
                 z = np.zeros((1, 1) if arr.ndim == 1 else (1, 1, arr.shape[1]))
                 return float(pair_np(arr[None], z)[0])
 
+        # anchor refs of the (fixed) train sample: computed ONCE via the
+        # batch kernels, not per probed query per feat (probe_n redundant
+        # O(L) DP sweeps each — ADVICE r8's kernel-speed-probe theme)
+        _ref_memo: dict = {}
+
+        def refs_many(feats):
+            key = id(feats)
+            if key in _ref_memo:
+                return _ref_memo[key]
+            arrs = [_probe_np(f) for f in feats]
+            out = [0.0] * len(arrs)
+            if metric == "erp":
+                out = [float(np.abs(a - float(ERP_GAP)).sum()) for a in arrs]
+            else:
+                groups: dict = {}
+                for i, a in enumerate(arrs):
+                    groups.setdefault(a.shape, []).append(i)
+                for shape, idxs in groups.items():
+                    A = np.stack([arrs[i] for i in idxs])
+                    z = np.zeros(
+                        (len(idxs), 1) if A.ndim == 2 else (len(idxs), 1, A.shape[2])
+                    )
+                    dv = pair_np(A, z)
+                    for j, i in enumerate(idxs):
+                        out[i] = float(dv[j])
+            _ref_memo[key] = out
+            return out
+
         def lb_np(qf, feats):
             rq = ref_np(qf)
-            return [abs(rq - ref_np(f)) for f in feats]
+            return [abs(rq - r) for r in refs_many(feats)]
 
         est = _estimated_prune_rate(
             test, train, id_col=id_col, features_col=features_col,
-            lb_np=lb_np, dist_np=dist_np, C=C, k=k, probe_n=prune_probe,
+            lb_np=lb_np, dist_many=dist_many, C=C, k=k, probe_n=prune_probe,
             exclude_zero=exclude_zero,
         )
         if est is not None and est < min_prune_rate:
