@@ -3808,6 +3808,35 @@ def _q199_knn_dtw_lb_gated(spark, sf_dir):
     )
 
 
+def _q200_knn_dtw_ragged(spark, sf_dir):
+    """RAGGED exact-DTW KNN through the grouped kernel strategy (r9,
+    VERDICT r8 #4; operators/knn.py::_score_block_groups): mixed-length
+    series (16/12/8 points by id) score through per-length rectangular
+    batch-kernel calls whose per-group top-ks merge to one exact global
+    top-k — the regime that previously required a fixed-length train side
+    (and rerouted oversized ragged corpora to the 4.6x-measured
+    declarative shuffle plan). The oracle is q70's recursive-CTE DTW DP —
+    its per-pair len(fa)/len(fb) recursion is already length-agnostic —
+    over the same ragged slices, so the grouped-merge path is hash-proven
+    lossless, not just strategy-consistent."""
+    train, test = _series(spark, sf_dir)
+    rag_len = F.lit(SERIES_LEN) - (F.col("series_id") % 3).cast("int") * 4
+
+    def rag(df):
+        return df.select(
+            "series_id",
+            F.slice("features", F.lit(1), rag_len).alias("features"),
+            "label",
+        )
+
+    nn = knn_join(
+        rag(test), rag(train), metric="dtw", band=None, k=3, strategy="kernel"
+    )
+    return nn.select(
+        "test_id", "train_id", "rank", F.round("distance", 6).alias("distance")
+    )
+
+
 def _q198_knn_twed_mc_lb_pruned(spark, sf_dir):
     """MULTICHANNEL lossless TWED pruning (r8; operators/knn.py::
     knn_join_lb_metric(channels=2) — closing the symmetry with q156's
@@ -4093,6 +4122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q197_vector_boundary_roundtrip": _q197_vector_boundary_roundtrip,
         "q198_knn_twed_mc_lb_pruned": _q198_knn_twed_mc_lb_pruned,
         "q199_knn_dtw_lb_gated": _q199_knn_dtw_lb_gated,
+        "q200_knn_dtw_ragged": _q200_knn_dtw_ragged,
     }
 
 
@@ -7990,6 +8020,59 @@ def oracle_sql() -> dict[str, str]:
     # q199 (r8): the DTW-side prune-rate gate — whichever branch the
     # probe picks, the answer is q70's brute DTW DP (q86's contract).
     out["q199_knn_dtw_lb_gated"] = out["q70_knn_dtw_exact"]
+
+    # q200 (r9): ragged-series DTW KNN through the grouped kernel strategy
+    # — q70's DP recursion verbatim (it is already per-pair-length), run
+    # over per-id truncated slices, so the per-length group merge is
+    # hash-proven against brute force on genuinely mixed-length input.
+    out["q200_knn_dtw_ragged"] = f"""
+        WITH RECURSIVE {_SERIES_CTE},
+        rt AS (
+            SELECT series_id,
+                   features[1:({SERIES_LEN} - cast(series_id % 3 AS int) * 4)] AS features,
+                   label
+            FROM train
+        ),
+        tt AS (
+            SELECT series_id,
+                   features[1:({SERIES_LEN} - cast(series_id % 3 AS int) * 4)] AS features,
+                   label
+            FROM test
+        ),
+        pairs AS (
+            SELECT t.series_id AS test_id, r.series_id AS train_id,
+                   r.label AS train_label, t.features AS fa, r.features AS fb
+            FROM tt t CROSS JOIN rt r
+        ),
+        dp AS (
+            SELECT test_id, train_id, train_label, fa, fb, 1 AS i,
+                   list_transform(range(1, len(fb)+1),
+                       j -> list_reduce(list_prepend(0.0,
+                                list_transform(range(1, j+1), k -> abs(fa[1]-fb[k]))),
+                            (x, y) -> x + y)) AS row
+            FROM pairs
+            UNION ALL
+            SELECT test_id, train_id, train_label, fa, fb, i+1,
+                   list_reduce(
+                       list_prepend([row[1] + abs(fa[i+1]-fb[1])],
+                           list_transform(range(2, len(fb)+1),
+                               j -> [abs(fa[i+1]-fb[j]), row[j], row[j-1]])),
+                       (acc, e) -> list_append(acc, e[1] + least(e[2], e[3], acc[-1]))) AS row
+            FROM dp WHERE i < len(fa)
+        ),
+        dd AS (
+            SELECT test_id, train_id, train_label, row[-1] AS dist
+            FROM dp WHERE i = len(fa)
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY test_id
+                        ORDER BY dist ASC, train_label ASC, train_id ASC) AS rank
+            FROM dd WHERE dist != 0
+        )
+        SELECT test_id, train_id, cast(rank AS int) AS rank,
+               round(dist, 6) AS distance
+        FROM ranked WHERE rank <= 3
+    """
 
     # q166 (r6): LOF — k-distances, reach-dists, lrd and the final ratio
     # all mirror the engine exactly: rank-sorted list folds for every float

@@ -313,24 +313,71 @@ def train_bpe(
             .coalesce(loop_parts)
             .localCheckpoint(eager=False)
         )
-        for step in range(1, num_merges + 1):
-            best = (
+        # BATCHED merge steps (r9, VERDICT r8 #6): one vocab scan used to
+        # buy exactly ONE merge (num_merges jobs; fallback ratio 3.88x vs
+        # the driver loop). One scan now collects the top-(remaining+1)
+        # pair counts and applies every prefix merge that provably commutes
+        # with sequential greedy BPE:
+        #
+        # - candidates batch in (count DESC, a ASC, b ASC) order while
+        #   SYMBOL-DISJOINT from every earlier batched merge's {x, y, xy}
+        #   (disjointness => their counts are untouched by those merges);
+        # - the batch stops at the first SHARING candidate (count c_s), and
+        #   keeps only the strict prefix with count > c_s (candidate 1 is
+        #   exempt — it is the literal argmax). Soundness: a merge x y->xy
+        #   can only CREATE pairs containing xy, and each new pair's count
+        #   is bounded by an original pair adjacent-sharing x or y — every
+        #   such pair ranks at or below c_s (an above-c_s sharing pair
+        #   would itself have been the stop point), so new pairs can never
+        #   reach a batched candidate's strictly-greater count, ties
+        #   included. Old pairs only ever lose occurrences. Hence the
+        #   sequential argmax at batched step m IS candidate m, and the
+        #   recorded counts are the sequential ones (untouched by
+        #   disjointness). Merge-for-merge identity with the driver loop
+        #   stays test-pinned (test_train_strategies_agree + fuzz).
+        #
+        # When the scan truncated (more pairs exist than collected), the
+        # last observed count is a second stop bound: unseen pairs — and
+        # thus any new pair bounded by one — rank at or below it.
+        step = 1
+        while step <= num_merges:
+            want = num_merges - step + 1
+            top = (
                 _pair_counts(vocab)
                 .orderBy(F.desc("_c"), F.asc("a"), F.asc("b"))
-                .limit(1)
+                .limit(want + 1)
                 .collect()
             )
             if step == 1:
                 # the first argmax materialized vocab's checkpoint blocks;
                 # the corpus-pass word count is no longer needed
                 words.unpersist()
-            if not best:
+            if not top:
                 break
-            a, b, c = best[0]["a"], best[0]["b"], int(best[0]["_c"])
-            merges.append((step, a, b, c))
-            vocab = vocab.select(
-                "_w", "_freq", apply_merge(F.col("_syms"), a, b).alias("_syms")
-            ).localCheckpoint(eager=False)
+            truncated = len(top) > want
+            stop_c = -1
+            touched: set[str] = set()
+            batch: list[tuple[str, str, int]] = []
+            for r in top[:want]:
+                a, b, c = r["a"], r["b"], int(r["_c"])
+                if batch and (a in touched or b in touched or (a + b) in touched):
+                    stop_c = c
+                    break
+                batch.append((a, b, c))
+                touched.update((a, b, a + b))
+            else:
+                if truncated:
+                    stop_c = int(top[want]["_c"])
+            while len(batch) > 1 and batch[-1][2] <= stop_c:
+                batch.pop()
+            expr = F.col("_syms")
+            for a, b, c in batch:
+                merges.append((step, a, b, c))
+                step += 1
+                expr = apply_merge(expr, a, b)
+            vocab = vocab.select("_w", "_freq", expr.alias("_syms")).localCheckpoint(
+                eager=False
+            )
     finally:
         if tune:
             spark.conf.set("spark.sql.shuffle.partitions", str(default_parts))
