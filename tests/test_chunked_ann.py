@@ -310,3 +310,41 @@ def test_knn_chunked_nan_features_rank_last_like_kernel(spark):
 # every-commit fast lane is `pytest -m "not slow"` (sf0.001 parity +
 # unit kernels, ~12 min). Coverage is unchanged in the pre-artifact lane.
 pytestmark = pytest.mark.slow
+
+
+def test_knn_chunked_ragged_multichannel(spark):
+    """r9: ragged + multichannel together — per-length cell groups stack
+    (rows, L, C) matrices; dependent DTW handles unequal timestep counts
+    across a pair. Chunked and kernel must equal the declarative plan."""
+    rng = np.random.default_rng(43)
+
+    def rows(n, start):
+        return [
+            (
+                start + i,
+                [
+                    [float(x), float(x) * 0.5]
+                    for x in rng.normal(0, 1, (10, 8, 12)[i % 3])
+                ],
+                float(i % 3),
+            )
+            for i in range(n)
+        ]
+
+    schema = "series_id long, features array<array<double>>, label double"
+    train = spark.createDataFrame(rows(30, 0), schema)
+    test = spark.createDataFrame(rows(8, 1000), schema)
+    want = sorted(
+        (r.test_id, r.rank, r.train_id, round(r.distance, 9))
+        for r in knn_join(
+            test, train, metric="dtw", band=3, k=3, strategy="broadcast"
+        ).collect()
+    )
+    for strategy in ("chunked", "kernel"):
+        got = sorted(
+            (r.test_id, r.rank, r.train_id, round(r.distance, 9))
+            for r in knn_join(
+                test, train, metric="dtw", band=3, k=3, strategy=strategy
+            ).collect()
+        )
+        assert got == want, strategy

@@ -213,6 +213,33 @@ SLOW_SUBSET = [
     "q180_boss_classify",
     "q181_complexity_features",
     "q182_label_leadlag",
+    # r9 (VERDICT r8 #1): the r7/r8 families — LB pruning, sampled gates,
+    # conformal, streaming twins — are exactly the plans whose ROUTING is
+    # scale-dependent (gate probes, LB thresholds, byte-guards), so they
+    # are re-proven at bench scale. Oracle costs measured one-by-one at
+    # sf0.1 before inclusion (each a subprocess with a hard timeout):
+    # q183 1s, q184/q186/q187 <1s, q190 141s, q192 87s, q194 92s,
+    # q195 136s, q196 130s, q197 <1s, q199 91s, q200 50s. Excluded with
+    # the same measured reasoning as q162-q165/q143/q149: q185 (pair-DP
+    # MSM recursion), q188/q189/q198 (MULTICHANNEL pair-DP oracles — q188
+    # measured >40 min at sf0.1; their Spark sides run in ~3s), q191/q193
+    # (full NxN pair-matrix TWED folds, >200s). The q198-family lossless
+    # claim is still re-proven at sf0.1 by the brute-equality test below
+    # (test_mc_lb_pruned_matches_brute_sf01) — the pruning phases are the
+    # scale-sensitive part; the TWED DP itself is scale-invariant kernel
+    # code already oracle-proven at sf0.001/0.01.
+    "q183_early_classification",
+    "q184_drift_detect",
+    "q186_sampen_counts",
+    "q187_stream_drift_twin",
+    "q190_stream_stateless_twin",
+    "q192_conformal_twed",
+    "q194_conformal_set",
+    "q195_knn_twed_lb_pruned",
+    "q196_knn_twed_lb_gated",
+    "q197_vector_boundary_roundtrip",
+    "q199_knn_dtw_lb_gated",
+    "q200_knn_dtw_ragged",
 ]
 
 
@@ -244,3 +271,41 @@ def test_query_matches_oracle_sf01(spark, duck01, name):
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )
     assert _normalize(spark_rows) == _normalize(duck_rows), f"{name}: value mismatch"
+
+
+@pytest.mark.slow
+def test_mc_lb_pruned_matches_brute_sf01(spark):
+    """r9 (VERDICT r8 #1): the q198 family at BENCH scale. Its DuckDB
+    oracle (q188's multichannel TWED pair-DP recursion) measured >40 min
+    at sf0.1, so the sf0.1 proof is brute-force EQUALITY instead: the
+    anchor-bound pruning phases (the scale-sensitive routing) must lose
+    nothing against the kernel-strategy brute join on the same 2-channel
+    input. The TWED DP itself is scale-invariant kernel code, oracle-
+    proven at sf0.001/0.01 (q188/q198 in the driver-gate twin)."""
+    from pyspark.sql import functions as F
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
+        knn_join,
+        knn_join_lb_metric,
+    )
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.sources import (
+        events_to_series,
+        split_train_test,
+    )
+
+    events = entry_mod._t(spark, SF01_DIR, "events").withColumn(
+        "ch2", F.length("event_type").cast("double")
+    )
+    series = events_to_series(
+        events, value=["value", "ch2"], length=entry_mod.SERIES_LEN
+    )
+    train, test = split_train_test(series)
+    pruned = knn_join_lb_metric(test, train, metric="twed", k=3, channels=2)
+    brute = knn_join(test, train, metric="twed", k=3, strategy="kernel")
+    got = sorted(
+        (r.test_id, r.rank, r.train_id, r.distance) for r in pruned.collect()
+    )
+    want = sorted(
+        (r.test_id, r.rank, r.train_id, r.distance) for r in brute.collect()
+    )
+    assert got and got == want
