@@ -333,3 +333,26 @@ def test_bpe_ids_contract(spark):
 # every-commit fast lane is `pytest -m "not slow"` (sf0.001 parity +
 # unit kernels, ~12 min). Coverage is unchanged in the pre-artifact lane.
 pytestmark = pytest.mark.slow
+
+
+def test_bpe_distributed_batched_deep_merge_agreement(spark):
+    """r9 (VERDICT r8 #6): the distributed loop now applies BATCHES of
+    provably-commuting merges per vocabulary scan. A 20-merge run on a
+    chain-heavy corpus (merged tokens keep re-merging, so batches stay
+    short and the stop-bound logic fires often) must stay merge-for-merge
+    identical to the driver loop."""
+    import random
+
+    rng = random.Random(20240816)
+    words = ["abcdef", "abcde", "abcd", "abc", "ab",
+             "fedcba", "fedcb", "fedc", "xyz", "xyzz"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(4, 12)))
+        for _ in range(8)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = train_bpe(docs, num_merges=20, strategy="driver")
+    got = train_bpe(docs, num_merges=20, strategy="distributed")
+    assert want and got == want

@@ -120,9 +120,11 @@ def knn_join(
     ``max_broadcast_bytes`` bounds strategy='kernel''s driver collect: if the
     estimated train matrix (rows x length x 8B) exceeds it, the call falls
     back to strategy='chunked' (r5 — the block nested-loop scorer, same
-    kernels, no driver materialization) for fixed-length train, or to the
-    declarative shuffle plan for ragged train — a train side that big
-    shouldn't be broadcast either.
+    kernels, no driver materialization) — a train side that big shouldn't
+    be broadcast either. Ragged train rides the same chunked path for the
+    ELASTIC metrics (r9: per-length rectangular kernel calls, exact merged
+    top-k); only ragged POINT-metric corpora (no cross-length semantics)
+    keep the declarative shuffle plan.
     """
     if strategy == "kernel":
         if keep_features:
