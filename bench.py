@@ -836,6 +836,17 @@ def main() -> None:
         "fb2_bpe_train_distributed_amplified",
         lambda: train_bpe(bpe_amp, num_merges=12, strategy="distributed"),
     )
+    # r9 capped regime: a byte cap far below the amplified vocabulary
+    # refuses the covered-replay sub-vocabulary collect, so the loop runs
+    # pure disjoint-prefix batching over a truncated pair table — the
+    # honest cost when even the AFFECTED words exceed the driver budget
+    run(
+        "fb2_bpe_train_distributed_capped",
+        lambda: train_bpe(
+            bpe_amp, num_merges=12, strategy="distributed",
+            max_driver_vocab_bytes=65536,
+        ),
+    )
     bpe_amp.unpersist()
     # Components: driver union-find vs distributed Pregel min-label loop on
     # the SAME precomputed pair set (dedup_components local_threshold guard).
@@ -1359,6 +1370,9 @@ def main() -> None:
         "bpe_train_distributed": ("fb_bpe_train_distributed", "bpe_train_driver"),
         "amp_bpe_train_distributed": (
             "fb2_bpe_train_distributed_amplified", "fb2_bpe_train_driver_amplified"
+        ),
+        "amp_bpe_train_capped": (
+            "fb2_bpe_train_distributed_capped", "fb2_bpe_train_driver_amplified"
         ),
         "components_distributed": ("fb_components_distributed", "components_solve_local"),
         # tier 2: fallback vs fast-path twin on the AMPLIFIED / skewed inputs

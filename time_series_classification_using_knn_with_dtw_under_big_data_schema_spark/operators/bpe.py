@@ -114,14 +114,178 @@ def _train_local(
         (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         merges.append((step, a, b, c))
         for w, syms in vocab.items():
-            out: list[str] = []
-            for s in syms:
-                if out and out[-1] == a and s == b:
-                    out[-1] = a + b
-                else:
-                    out.append(s)
-            vocab[w] = out
+            vocab[w] = _greedy_pass(syms, a, b)
     return merges
+
+
+def _greedy_pass(syms: list[str], a: str, b: str) -> list[str]:
+    """One greedy left-to-right merge pass — the driver-side twin of
+    ``apply_merge``'s fold (same overlap algebra: after fusing, the last
+    emitted symbol is ``a+b`` which can never equal ``a`` again)."""
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return out
+
+
+def _disjoint_prefix(
+    cands: list[tuple[str, str, int]], want: int, stop_floor: int
+) -> list[tuple[str, str, int]]:
+    """The one-scan batching rule (r9, VERDICT r8 #6): from candidates in
+    (count DESC, a ASC, b ASC) order with EXACT sequential counts, keep
+    the longest prefix that provably equals sequential greedy BPE.
+
+    - candidates batch while SYMBOL-DISJOINT from every earlier batched
+      merge's {x, y, xy} (disjointness => their counts are untouched);
+    - the batch stops at the first SHARING candidate (count c_s) and
+      keeps only the strict prefix with count > max(c_s, ``stop_floor``)
+      — candidate 1 is exempt (it is the literal argmax). Soundness: a
+      merge x y -> xy can only CREATE pairs containing xy, each new
+      pair's count bounded by an original pair adjacent-sharing x or y —
+      every such pair ranks at or below the stop bound, so new pairs can
+      never reach a batched candidate's strictly-greater count, ties
+      included; old pairs only ever lose occurrences. ``stop_floor``
+      carries the caller's bound on every pair NOT in ``cands``
+      (truncation bound, possibly raised by untracked gains).
+    """
+    batch: list[tuple[str, str, int]] = []
+    touched: set[str] = set()
+    stop_c = stop_floor
+    for a, b, c in cands:
+        if len(batch) >= want:
+            break
+        if batch and (a in touched or b in touched or (a + b) in touched):
+            stop_c = max(stop_c, c)
+            break
+        batch.append((a, b, c))
+        touched.update((a, b, a + b))
+    while len(batch) > 1 and batch[-1][2] <= stop_c:
+        batch.pop()
+    return batch
+
+
+def _covered_replay(
+    pair_table: dict[tuple[str, str], int],
+    trunc_c: int,
+    sub: list[tuple[list[str], int]] | None,
+    want: int,
+) -> list[tuple[str, str, int]]:
+    """Choose the longest provably-exact merge sequence from ONE scan
+    (the r9 covered-replay superstep).
+
+    ``pair_table`` holds exact global weighted counts for every pair
+    strictly above the truncation bound ``trunc_c`` (-1 = full table);
+    ``sub`` is the byte-capped affected sub-vocabulary (``(syms, freq)``
+    rows; None when the guard refused the collect). The driver replays
+    sequential greedy BPE exactly:
+
+    - the live argmax comes from ``pair_table`` under the global
+      (count DESC, a ASC, b ASC) order (lazy-deletion heap);
+    - a pair is COVERED when its table count equals its weighted count
+      inside ``sub``: frequencies are positive integers, so equality
+      proves every occurrence lives in collected words, and the merge's
+      full effect on ALL pair counts is computable from ``sub`` alone
+      (created adjacencies always involve the merged symbol, which can
+      only appear in words that contained the covered pair);
+    - covered argmaxes apply to ``sub`` word-by-word via the same greedy
+      left-to-right pass as the engine expression, and the exact deltas
+      update table, sub counts and the word index in lockstep. A
+      positive delta to a pair MISSING from a truncated table (the
+      merged-symbol string can collide with a pre-existing symbol, so
+      the pair may be a sub-bound pre-existing one) raises a running
+      upper bound ``trunc_c + inc`` that later argmaxes must strictly
+      beat — candidate 1 is exempt (at zero applied deltas the collected
+      order IS the global order, so bound ties resolve to it);
+    - the first UNCOVERED argmax ends the replay: its count is still
+      exact, so it seeds a ``_disjoint_prefix`` tail over the live table.
+
+    Returns ``[(a, b, count), ...]`` — sequential merges with their true
+    sequential counts (replayed counts from the live table; tail counts
+    untouched by disjointness). Merge-for-merge identity with the driver
+    loop is pinned by the strategy-agreement, deep-merge and golden-fuzz
+    suites.
+    """
+    import heapq
+
+    heap = [(-c, a, b) for (a, b), c in pair_table.items()]
+    heapq.heapify(heap)
+    words: list[list] = [[list(syms), int(fw)] for syms, fw in (sub or [])]
+    cnt_sub: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    for i, (syms, fw) in enumerate(words):
+        for j in range(len(syms) - 1):
+            p = (syms[j], syms[j + 1])
+            cnt_sub[p] = cnt_sub.get(p, 0) + fw
+            index.setdefault(p, set()).add(i)
+    batch: list[tuple[str, str, int]] = []
+    untracked_inc: dict[tuple[str, str], int] = {}
+    untracked_ub = trunc_c
+    while len(batch) < want:
+        while heap and pair_table.get((heap[0][1], heap[0][2]), 0) != -heap[0][0]:
+            heapq.heappop(heap)
+        if not heap:
+            break
+        c, a, b = -heap[0][0], heap[0][1], heap[0][2]
+        if c < 1:
+            break
+        if batch and untracked_ub >= 0 and c <= untracked_ub:
+            break  # an uncollected pair could now outrank the live table
+        if cnt_sub.get((a, b), 0) != c:
+            # exact argmax, but occurrences live outside ``sub`` — close
+            # the superstep with the one-scan disjoint-prefix batch
+            live = sorted(
+                ((x, y, k) for (x, y), k in pair_table.items() if k >= 1),
+                key=lambda t: (-t[2], t[0], t[1]),
+            )
+            batch.extend(
+                _disjoint_prefix(live, want - len(batch), max(untracked_ub, -1))
+            )
+            break
+        batch.append((a, b, c))
+        for i in sorted(index.get((a, b), ())):
+            syms, fw = words[i]
+            out = _greedy_pass(syms, a, b)
+            deltas: dict[tuple[str, str], int] = {}
+            for j in range(len(syms) - 1):
+                p = (syms[j], syms[j + 1])
+                deltas[p] = deltas.get(p, 0) - fw
+            for j in range(len(out) - 1):
+                p = (out[j], out[j + 1])
+                deltas[p] = deltas.get(p, 0) + fw
+            for p, d in deltas.items():
+                if d == 0:
+                    continue
+                nv = cnt_sub.get(p, 0) + d
+                if nv:
+                    cnt_sub[p] = nv
+                else:
+                    cnt_sub.pop(p, None)
+                if p in pair_table:
+                    pair_table[p] += d
+                    heapq.heappush(heap, (-pair_table[p], p[0], p[1]))
+                elif d > 0:
+                    if trunc_c < 0:
+                        # full table: an absent pair has global count 0,
+                        # so the delta IS its exact count
+                        pair_table[p] = d
+                        heapq.heappush(heap, (-d, p[0], p[1]))
+                    else:
+                        inc = untracked_inc.get(p, 0) + d
+                        untracked_inc[p] = inc
+                        untracked_ub = max(untracked_ub, trunc_c + inc)
+            old_pairs = set(zip(syms, syms[1:]))
+            new_pairs = set(zip(out, out[1:]))
+            for p in old_pairs - new_pairs:
+                s = index.get(p)
+                if s:
+                    s.discard(i)
+            for p in new_pairs - old_pairs:
+                index.setdefault(p, set()).add(i)
+            words[i][0] = out
+    return batch
 
 
 def _encode_words_kernel(words: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
@@ -227,10 +391,12 @@ def train_bpe(
       and loop in-process: one Spark job total. Guarded by
       ``max_driver_vocab_bytes`` against an estimate from the word-count
       table (the knn.py / similarity.py bounded-kernel pattern); or
-    - ``"distributed"`` — per step: vocab-sized pair-count groupBy + a
-      1-ROW argmax collect (25 jobs for 12 merges; the path for
-      vocabularies that exceed the driver bound — a 100 TB web corpus
-      vocabulary runs here); or
+    - ``"distributed"`` — covered-replay supersteps: per scan, collect
+      the symbol-bounded pair-count table plus the byte-capped affected
+      sub-vocabulary, replay as many sequential merges as those bounded
+      artifacts exactly prove, and apply the proven batch in one
+      distributed pass (the path for vocabularies that exceed the driver
+      bound — a 100 TB web corpus vocabulary runs here); or
     - ``"auto"`` (default) — driver when the estimate fits, else
       distributed. Both paths are merge-for-merge identical (test-pinned).
 
@@ -313,71 +479,107 @@ def train_bpe(
             .coalesce(loop_parts)
             .localCheckpoint(eager=False)
         )
-        # BATCHED merge steps (r9, VERDICT r8 #6): one vocab scan used to
-        # buy exactly ONE merge (num_merges jobs; fallback ratio 3.88x vs
-        # the driver loop). One scan now collects the top-(remaining+1)
-        # pair counts and applies every prefix merge that provably commutes
-        # with sequential greedy BPE:
+        # COVERED-REPLAY supersteps (r9, VERDICT r8 #6): one vocab scan
+        # used to buy exactly ONE merge (num_merges jobs; fallback ratio
+        # 3.88x vs the driver loop). A superstep now collects TWO bounded
+        # artifacts and lets the driver replay sequential greedy BPE
+        # exactly for as many steps as the artifacts can prove:
         #
-        # - candidates batch in (count DESC, a ASC, b ASC) order while
-        #   SYMBOL-DISJOINT from every earlier batched merge's {x, y, xy}
-        #   (disjointness => their counts are untouched by those merges);
-        # - the batch stops at the first SHARING candidate (count c_s), and
-        #   keeps only the strict prefix with count > c_s (candidate 1 is
-        #   exempt — it is the literal argmax). Soundness: a merge x y->xy
-        #   can only CREATE pairs containing xy, and each new pair's count
-        #   is bounded by an original pair adjacent-sharing x or y — every
-        #   such pair ranks at or below c_s (an above-c_s sharing pair
-        #   would itself have been the stop point), so new pairs can never
-        #   reach a batched candidate's strictly-greater count, ties
-        #   included. Old pairs only ever lose occurrences. Hence the
-        #   sequential argmax at batched step m IS candidate m, and the
-        #   recorded counts are the sequential ones (untouched by
-        #   disjointness). Merge-for-merge identity with the driver loop
-        #   stays test-pinned (test_train_strategies_agree + fuzz).
+        # - the PAIR-COUNT TABLE, top-``max_pairs`` in the global argmax
+        #   order. Distinct pairs are SYMBOL-bounded (<= (alphabet +
+        #   merges-so-far)^2, in practice far fewer), not vocab-bounded,
+        #   so the table usually collects whole even when the vocabulary
+        #   itself is driver-prohibited; when it truncates, the
+        #   (max_pairs+1)-th count is the exact bound every unseen pair
+        #   sits at or below (and unseen counts only ever decrease);
+        # - the AFFECTED SUB-VOCABULARY: words containing any top-P pair,
+        #   byte-guarded against ``max_driver_vocab_bytes`` before the
+        #   collect (the knn.py bounded-kernel discipline). The filter is
+        #   only a word SELECTOR — exactness never depends on it: a merge
+        #   replays iff its table count equals its sub count (positive
+        #   frequencies make equality a proof that every occurrence was
+        #   collected), and then ALL count deltas are computable locally.
         #
-        # When the scan truncated (more pairs exist than collected), the
-        # last observed count is a second stop bound: unseen pairs — and
-        # thus any new pair bounded by one — rank at or below it.
+        # _covered_replay documents the replay algebra (created-pair
+        # tracking, truncated-table upper bounds, the disjoint-prefix
+        # tail when coverage breaks). Merge-for-merge identity with the
+        # driver loop stays test-pinned (test_train_strategies_agree +
+        # deep-merge + golden fuzz). Cost: ~3 bounded jobs per superstep,
+        # and a superstep often proves the whole remaining schedule —
+        # when it does, the final distributed apply is skipped entirely.
         step = 1
+        first_scan = True
+        max_pairs = max(num_merges + 1, min(65536, max_driver_vocab_bytes // 256))
+        # one refusal by the byte guard ends the collect attempts: the
+        # affected sub-vocabulary only shrinks a little per superstep, so
+        # re-probing every scan would pay a wasted job each time
+        attempt_sub = True
         while step <= num_merges:
             want = num_merges - step + 1
             top = (
                 _pair_counts(vocab)
                 .orderBy(F.desc("_c"), F.asc("a"), F.asc("b"))
-                .limit(want + 1)
+                .limit(max_pairs + 1)
                 .collect()
             )
-            if step == 1:
+            if first_scan:
                 # the first argmax materialized vocab's checkpoint blocks;
                 # the corpus-pass word count is no longer needed
                 words.unpersist()
+                first_scan = False
             if not top:
                 break
-            truncated = len(top) > want
-            stop_c = -1
-            touched: set[str] = set()
-            batch: list[tuple[str, str, int]] = []
-            for r in top[:want]:
-                a, b, c = r["a"], r["b"], int(r["_c"])
-                if batch and (a in touched or b in touched or (a + b) in touched):
-                    stop_c = c
-                    break
-                batch.append((a, b, c))
-                touched.update((a, b, a + b))
-            else:
-                if truncated:
-                    stop_c = int(top[want]["_c"])
-            while len(batch) > 1 and batch[-1][2] <= stop_c:
-                batch.pop()
+            trunc_c = -1
+            if len(top) > max_pairs:
+                trunc_c = int(top[max_pairs]["_c"])
+                top = top[:max_pairs]
+            pair_table = {(r["a"], r["b"]): int(r["_c"]) for r in top}
+            n_pick = min(len(top), max(64, want * 8))
+            keys = [r["a"] + "\x00" + r["b"] for r in top[:n_pick]]
+            wpairs = F.when(
+                F.size("_syms") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_syms") - 1),
+                    lambda i: F.concat(
+                        F.element_at("_syms", i),
+                        F.lit("\x00"),
+                        F.element_at("_syms", i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            sub = None
+            if attempt_sub:
+                aff = vocab.filter(
+                    F.arrays_overlap(wpairs, F.array(*[F.lit(k) for k in keys]))
+                ).select("_freq", "_syms")
+                fits = est <= max_driver_vocab_bytes
+                if not fits:
+                    # the guard job runs only when the whole-vocab estimate
+                    # doesn't already prove the subset fits
+                    est_sub = aff.agg(
+                        F.sum(
+                            F.length(F.concat_ws("", "_syms"))
+                            + F.size("_syms") * 16
+                            + F.lit(64)
+                        ).alias("_e")
+                    ).first()["_e"]
+                    fits = est_sub is not None and est_sub <= max_driver_vocab_bytes
+                if fits:
+                    sub = [(r["_syms"], r["_freq"]) for r in aff.collect()]
+                else:
+                    attempt_sub = False
+            batch = _covered_replay(pair_table, trunc_c, sub, want)
+            if not batch:
+                break
             expr = F.col("_syms")
             for a, b, c in batch:
                 merges.append((step, a, b, c))
                 step += 1
                 expr = apply_merge(expr, a, b)
-            vocab = vocab.select("_w", "_freq", expr.alias("_syms")).localCheckpoint(
-                eager=False
-            )
+            if step <= num_merges:
+                vocab = vocab.select(
+                    "_w", "_freq", expr.alias("_syms")
+                ).localCheckpoint(eager=False)
     finally:
         if tune:
             spark.conf.set("spark.sql.shuffle.partitions", str(default_parts))

@@ -404,6 +404,18 @@ def sweep_bpe(trials: int, seed: int) -> int:
 
         got = train_bpe(docs, num_merges=n_merges)
         ok = got == gm
+        # r9: the distributed covered-replay superstep under a random byte
+        # cap — tiny caps force the no-sub prefix-batching regime AND a
+        # truncated pair table; mid caps exercise partial coverage; the
+        # default cap exercises full replay
+        cap = rng.choice([64, 512, 2048, 16 << 20])
+        got_d = train_bpe(
+            docs, num_merges=n_merges, strategy="distributed",
+            max_driver_vocab_bytes=cap,
+        )
+        if got_d != gm:
+            ok = False
+            print(f"BPE DIST MISMATCH trial={trial} cap={cap}")
         if ok and gm:
             for mode in ("expr", "kernel"):
                 enc = {r.doc_id: list(r.bpe_tokens)
