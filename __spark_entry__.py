@@ -2612,10 +2612,12 @@ def _q133_sax_knn(spark, sf_dir):
 def _q134_matrix_profile(spark, sf_dir):
     """Matrix profile (operators/motif.py::matrix_profile — Yeh et al.
     2016): each length-8 window's nearest non-trivial neighbor WITHIN its
-    series (z-normalized sq-Euclidean, exclusion zone 4). One windows
-    explode + ONE series_id-shuffled self-join, per-key quadratic in
-    window count (bounded by series LENGTH, never corpus size), min per
-    window via WindowGroupLimit with (d, nn_start) total order. The
+    series (z-normalized sq-Euclidean, exclusion zone 4). Default plan
+    (r9): the map-only Arrow kernel — a row IS a whole series, so the
+    per-series quadratic runs vectorized with ZERO shuffles; bit-equal
+    (test-pinned) to the declarative twin (windows explode + ONE
+    series_id-shuffled self-join + WindowGroupLimit min with (d,
+    nn_start) total order), which this oracle mirrors. The
     subsequence-anomaly primitive the reference's whole-series KNN cannot
     express."""
     from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import matrix_profile

@@ -225,6 +225,15 @@ def main() -> None:
     run("conformal_knn", lambda: _mat(conformal_knn(test, train)), repeats=2)
     run("boss_classify", lambda: _mat(boss_classify(test, train, m=8, n_coeffs=2)), repeats=2)
     run("fluss_segmentation", lambda: _mat(fluss_segmentation(series, m=8)), repeats=2)
+    # r9: the matrix-profile stage under fluss now defaults to the
+    # map-only Arrow kernel (zero shuffles, bit-identical; motif.py
+    # _profile_kernel); the declarative self-join twin stays measured as
+    # the engine floor / oracle-mirrorable plan
+    run(
+        "fluss_declarative_twin",
+        lambda: _mat(fluss_segmentation(series, m=8, strategy="declarative")),
+        repeats=2,
+    )
 
     from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
         knn_join_pruned,
@@ -1252,9 +1261,11 @@ def main() -> None:
     # affordable: features and drift ladder from the FULL sf0.1 input
     # (their 100x tier is literally 100x sf0.1 = 10x sf1.0-equivalent);
     # fluss ladders from a 1/10 sample (its 100x tier = 10x sf0.1, the
-    # same absolute scale r7's soak10x_fluss measured — a literal 100x
-    # fluss would be one ~450s entry inside an already-measured-linear
-    # per-series kernel).
+    # same absolute scale r7's soak10x_fluss measured); since r9 the
+    # matrix-profile stage rides the map-only Arrow kernel, so the
+    # literal-100x absolute cell below is an affordable measured entry
+    # (it was a 722s declarative self-join in the r9 artifact — the
+    # kernel removed the pair-materializing shuffle entirely).
     from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import (
         series_features as _sfeat,
     )
@@ -1288,7 +1299,11 @@ def main() -> None:
     # here — a shared box must not fail the bench.
     fl100abs = _rep10(series, {"series_id"}, perturb_col="features", factor=100).cache()
     n_fl100abs = fl100abs.count()
-    run("ladder_fluss_100x_abs", lambda: _mat(fluss_segmentation(fl100abs, m=8)))
+    run(
+        "ladder_fluss_100x_abs",
+        lambda: _mat(fluss_segmentation(fl100abs, m=8)),
+        repeats=2,
+    )
     fl100abs.unpersist()
 
     # drift: one streaming-twin aggregation over the raw event rows; the
@@ -1374,6 +1389,7 @@ def main() -> None:
         "amp_bpe_train_capped": (
             "fb2_bpe_train_distributed_capped", "fb2_bpe_train_driver_amplified"
         ),
+        "fluss_declarative": ("fluss_declarative_twin", "fluss_segmentation"),
         "components_distributed": ("fb_components_distributed", "components_solve_local"),
         # tier 2: fallback vs fast-path twin on the AMPLIFIED / skewed inputs
         "amp_ann_brute_chunked": (

@@ -262,6 +262,60 @@ def test_matrix_profile_golden(spark):
         assert disc[sid]["motif_d"] == pytest.approx(m_star[0], abs=0)
 
 
+def test_matrix_profile_kernel_declarative_bit_parity(spark):
+    """r9: the map-only Arrow kernel (the new default) must be BIT-equal
+    to the declarative self-join plan on a hostile fixture — ragged
+    lengths (incl. shorter-than-m drop-outs), constant windows (the
+    1e-300 std floor), and non-finite values (the scalar replay path;
+    NaN sorts greatest like Spark's double ordering, and the pandas->
+    Arrow NaN-as-null sentinel is folded back)."""
+    import random
+
+    rng = random.Random(20240816)
+    rows = []
+    for sid in range(120):
+        length = rng.choice([2, 3, 7, 8, 12, 16, 40])
+        base = rng.choice([0.0, 5.0])
+        feats = [
+            base + (rng.random() - 0.5) * rng.choice([0.0, 1.0, 10.0])
+            for _ in range(length)
+        ]
+        if rng.random() < 0.15:
+            feats = [base] * length
+        rows.append((sid, feats))
+    rows.append((900, [1.0, float("nan"), 2.0, 3.0, 1.0, 2.0, 3.0, 4.0, 5.0, 1.0]))
+    rows.append((901, [float("nan")] * 12))
+    rows.append((902, [float("inf"), 1.0, 2.0, 0.5, 3.0, 1.5, 2.5, 0.1]))
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    for m, excl in [(4, None), (8, 1), (3, 5), (2, None)]:
+        k = {
+            (r[0], r[1]): (r[2], r[3])
+            for r in matrix_profile(df, m, exclusion=excl, strategy="kernel").collect()
+        }
+        d = {
+            (r[0], r[1]): (r[2], r[3])
+            for r in matrix_profile(
+                df, m, exclusion=excl, strategy="declarative"
+            ).collect()
+        }
+        assert set(k) == set(d)
+        for key, (nn_k, d_k) in k.items():
+            nn_d, d_d = d[key]
+            assert nn_k == nn_d, (m, excl, key)
+            if isinstance(d_k, float) and math.isnan(d_k):
+                assert math.isnan(d_d), (m, excl, key)
+            else:
+                assert d_k == d_d, (m, excl, key)  # exact bits, no approx
+
+
+def test_matrix_profile_rejects_unknown_strategy(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "series_id long, features array<double>"
+    )
+    with pytest.raises(ValueError, match="strategy"):
+        matrix_profile(df, 2, strategy="bogus")
+
+
 def test_matrix_profile_short_series_drop_out(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]), (2, [1.0, 2.0])],

@@ -77,12 +77,162 @@ def subsequence_windows(
     ).select(*keep, F.col("_w.start").alias("start"), F.col("_w.win").alias("win"))
 
 
+def _profile_kernel(
+    series: DataFrame, m: int, exclusion: int, features_col: str
+) -> DataFrame:
+    """mapInPandas matrix-profile kernel (r9): each input ROW is a whole
+    series, so the profile needs NO shuffle at all — one Arrow batch in,
+    profile rows out. Per-length groups vectorize across series; the
+    pairwise block loop bounds memory at ~32 MB per (rows x windows x
+    window-block) tile, so million-point series stream in column blocks
+    instead of materializing the full n_win^2 matrix.
+
+    Bit-parity contract with the declarative plan (test-pinned): the
+    z-normalization and squared-distance folds accumulate in the SAME
+    left-fold order as functions/arrays.znorm + functions/distance
+    .sq_euclidean (ordered column adds, init 0.0 — numpy elementwise ops
+    are plain IEEE, no FMA/reassociation), the argmin tie-break is
+    (d ASC, nn_start ASC) via first-hit argmin + strictly-less block
+    updates, and windows with no admissible neighbor drop out. Rows whose
+    values are not all finite take a scalar replay with Spark's double
+    ordering (NaN sorts GREATEST); null ELEMENTS inside ``features`` are
+    out of contract for the kernel (Arrow delivers them as NaN, while the
+    declarative plan propagates SQL NULL, which sorts FIRST)."""
+    import numpy as np
+    import pandas as pd
+
+    sid_t = series.schema["series_id"].dataType.simpleString()
+    src = series.select("series_id", F.col(features_col).alias("_f"))
+
+    def op(batches):
+        for pdf in batches:
+            ids = pdf["series_id"].values
+            feats = pdf["_f"].tolist()
+            by_len: dict[int, list[int]] = {}
+            for i, f in enumerate(feats):
+                if f is not None and len(f) >= m:
+                    by_len.setdefault(len(f), []).append(i)
+            out_id, out_s, out_nn, out_d = [], [], [], []
+            for L, idxs in sorted(by_len.items()):
+                n_win = L - m + 1
+                # chunk rows so the (rows x n_win x block) tile stays small
+                rows_per = max(1, int(2_000_000 // max(1, n_win * min(n_win, 512))))
+                for c0 in range(0, len(idxs), rows_per):
+                    chunk = idxs[c0 : c0 + rows_per]
+                    X = np.asarray([feats[i] for i in chunk], dtype=np.float64)
+                    if not np.isfinite(X).all():
+                        for i in chunk:
+                            _profile_scalar(
+                                np.asarray(feats[i], dtype=np.float64),
+                                m, exclusion, ids[i],
+                                out_id, out_s, out_nn, out_d,
+                            )
+                        continue
+                    B = len(chunk)
+                    W = np.lib.stride_tricks.sliding_window_view(X, m, axis=1)
+                    s1 = np.zeros((B, n_win))
+                    s2 = np.zeros((B, n_win))
+                    for j in range(m):
+                        v = W[:, :, j]
+                        s1 = s1 + v
+                        s2 = s2 + v * v
+                    mean = s1 / float(m)
+                    std = np.sqrt(np.maximum(s2 / float(m) - mean * mean, 1e-300))
+                    Wn = (W - mean[:, :, None]) / std[:, :, None]
+                    best_d = np.full((B, n_win), np.inf)
+                    best_nn = np.full((B, n_win), -1, dtype=np.int64)
+                    kb = max(1, int(4_000_000 // max(1, B * n_win)))
+                    ii = np.arange(n_win)[:, None]
+                    for k0 in range(0, n_win, kb):
+                        k1 = min(n_win, k0 + kb)
+                        blk = np.zeros((B, n_win, k1 - k0))
+                        for j in range(m):
+                            t = Wn[:, :, None, j] - Wn[:, None, k0:k1, j]
+                            blk = blk + t * t
+                        band = np.abs(ii - np.arange(k0, k1)[None, :]) < exclusion
+                        np.copyto(
+                            blk, np.inf, where=np.broadcast_to(band, blk.shape)
+                        )
+                        idx = np.argmin(blk, axis=2)
+                        val = np.take_along_axis(blk, idx[:, :, None], axis=2)[
+                            :, :, 0
+                        ]
+                        upd = val < best_d  # strict: earliest block wins ties
+                        best_nn = np.where(upd, idx + k0, best_nn)
+                        best_d = np.where(upd, val, best_d)
+                    keep = best_nn >= 0
+                    for r in range(B):
+                        krow = np.flatnonzero(keep[r])
+                        if krow.size:
+                            out_id.extend([ids[chunk[r]]] * krow.size)
+                            out_s.extend((krow + 1).tolist())
+                            out_nn.extend((best_nn[r, krow] + 1).tolist())
+                            out_d.extend(best_d[r, krow].tolist())
+            if out_id:
+                yield pd.DataFrame(
+                    {
+                        "series_id": pd.Series(out_id),
+                        "start": pd.Series(out_s, dtype="int32"),
+                        "nn_start": pd.Series(out_nn, dtype="int32"),
+                        "profile_d": pd.Series(out_d, dtype="float64"),
+                    }
+                )
+
+    out = src.mapInPandas(
+        op,
+        schema=f"series_id {sid_t}, start int, nn_start int, profile_d double",
+    )
+    # the pandas->Arrow bridge reads float NaN as SQL NULL; the kernel
+    # never emits a real null, so fold the sentinel back to NaN (the
+    # declarative plan's value for NaN-poisoned windows)
+    return out.withColumn(
+        "profile_d", F.coalesce(F.col("profile_d"), F.lit(float("nan")))
+    )
+
+
+def _profile_scalar(x, m, exclusion, sid, out_id, out_s, out_nn, out_d):
+    """Non-finite replay: same folds, Spark double ordering (NaN greatest,
+    -inf least). One series, scalar loops — correctness over speed."""
+    import numpy as np
+
+    L = x.shape[0]
+    n_win = L - m + 1
+    W = np.lib.stride_tricks.sliding_window_view(x, m)
+    s1 = np.zeros(n_win)
+    s2 = np.zeros(n_win)
+    for j in range(m):
+        v = W[:, j]
+        s1 = s1 + v
+        s2 = s2 + v * v
+    mean = s1 / float(m)
+    std = np.sqrt(np.maximum(s2 / float(m) - mean * mean, 1e-300))
+    Wn = (W - mean[:, None]) / std[:, None]
+    for i in range(n_win):
+        best = None
+        for k in range(n_win):
+            if abs(i - k) < exclusion:
+                continue
+            acc = 0.0
+            for j in range(m):
+                t = Wn[i, j] - Wn[k, j]
+                acc = acc + t * t
+            key = (math.isnan(acc), 0.0 if math.isnan(acc) else acc, k)
+            if best is None or key < best:
+                best = key
+        if best is not None:
+            out_id.append(sid)
+            out_s.append(i + 1)
+            out_nn.append(best[2] + 1)
+            out_d.append(float("nan") if best[0] else best[1])
+
+
 def matrix_profile(
     series: DataFrame,
     m: int,
     *,
     exclusion: int | None = None,
     features_col: str = "features",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Per-window nearest-neighbor profile within each series:
     (series_id, start, nn_start, profile_d) where profile_d is the
@@ -90,16 +240,31 @@ def matrix_profile(
     SAME series at least ``exclusion`` starts away (default m // 2 — the
     standard trivial-match exclusion zone).
 
-    Plan: one windows explode, ONE shuffle on series_id for the self-join,
-    per-key quadratic in window count (bounded by series length), then a
-    WindowGroupLimit min per window with (d, nn_start) total-order
-    tie-break. Windows with no admissible neighbor (series shorter than
-    m + exclusion) drop out (inner join).
+    ``strategy``:
+    - ``"kernel"`` (and ``"auto"``) — the map-only Arrow kernel
+      (``_profile_kernel``): each row already holds a whole series, so
+      the per-series quadratic runs vectorized in numpy with ZERO
+      shuffles and bounded tile memory. Bit-identical to the declarative
+      plan (same fold order; test-pinned), ~10x faster and linear in
+      series count.
+    - ``"declarative"`` — one windows explode, ONE shuffle on series_id
+      for the self-join, per-key quadratic in window count (bounded by
+      series length), then a WindowGroupLimit min per window with
+      (d, nn_start) total-order tie-break. The oracle-mirrorable plan
+      (q134's DuckDB twin folds the same expressions), and the engine
+      floor when Arrow/pandas is unavailable.
+
+    Windows with no admissible neighbor (series shorter than
+    m + exclusion) drop out on both paths.
     """
     if exclusion is None:
         exclusion = max(1, m // 2)
     if exclusion < 1:
         raise ValueError(f"exclusion must be >= 1, got {exclusion}")
+    if strategy not in ("auto", "kernel", "declarative"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy != "declarative":
+        return _profile_kernel(series, m, exclusion, features_col)
     w = subsequence_windows(series, m, features_col=features_col, znormalize=True)
     w = w.select("series_id", "start", "win")
     pairs = (
@@ -376,6 +541,7 @@ def fluss_segmentation(
     exclude_zone: int | None = None,
     id_col: str = "series_id",
     features_col: str = "features",
+    strategy: str = "auto",
 ) -> DataFrame:
     """FLUSS semantic segmentation (r6; Gharghabi et al., ICDM 2017) on
     top of the matrix profile: where does a series change BEHAVIOR?
@@ -408,7 +574,7 @@ def fluss_segmentation(
         else series
     )
     prof = matrix_profile(
-        src, m, exclusion=exclusion, features_col=features_col
+        src, m, exclusion=exclusion, features_col=features_col, strategy=strategy
     ).withColumnRenamed("series_id", id_col)
     lw = series.select(
         F.col(id_col).alias("_sid"),
