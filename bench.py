@@ -956,14 +956,24 @@ def main() -> None:
     # (64/56/48 pts by id) through the chunked block scorer vs the
     # broadcast kernel twin — the regime that used to reroute to the
     # 4.6x-measured declarative shuffle plan (ragged + over-broadcast).
-    # Cells regroup by length into rectangular kernel calls; target <=1.5x.
+    # Cells regroup by length into rectangular kernel calls. The test
+    # side runs 10x-widened so the kernel twin is multi-second: at the
+    # original 263-row shape BOTH plans are latency-dominated and the
+    # ratio is a lottery (a euclid twin at the same shape measures ~1.8x
+    # with ZERO kernel work — see NOTES r9 on the grid's fixed costs).
     _rag_len = (F.lit(64) - (F.col("series_id") % 3).cast("int") * 8)
     amp_rag = amp_train.select(
         "series_id", F.slice("features", F.lit(1), _rag_len).alias("features"), "label"
     ).cache()
-    test_rag = test.select(
-        "series_id", F.slice("features", F.lit(1), _rag_len).alias("features"), "label"
-    ).cache()
+    test_rag = (
+        _rep10(test, {"series_id"}, perturb_col="features")
+        .select(
+            "series_id",
+            F.slice("features", F.lit(1), _rag_len).alias("features"),
+            "label",
+        )
+        .cache()
+    )
     amp_rag.count(); test_rag.count()
     run(
         "fb2_knn_ragged_dtw_chunked_amplified",
@@ -1109,30 +1119,35 @@ def main() -> None:
         round(n_tr10 * n_te10s / timings["soak10x_knn_dtw_chunked"])
         if timings.get("soak10x_knn_dtw_chunked") else None
     )
-    # wide-denominator twin (r8, VERDICT r7 #7; widened again r9, VERDICT
-    # r8 #3): the ratio above divides by a sub-second kernel twin, so
-    # bench-window latency noise can push it past the 1.6x envelope (r8
-    # in-bench 1.75 vs isolated idle-box 1.22; block_bytes sweep in NOTES
-    # shows grid sizing is not the cause). r8's 4x test side still left
-    # the kernel at ~1.6s — under the >=5s work-dominated floor the
-    # envelope claim needs — so the r9 twin runs the FULL 10x test side:
-    # kernel lands in the 5-7s range and the chunked path's fixed
-    # applyInPandas exchange (~1-2s) stops masquerading as ratio.
+    # work-dominated twin (r9, VERDICT r8 #3, reshaped): banded DTW at
+    # L=64/band=3 costs ~450 flops/pair, so at the 10x tier the kernel
+    # finishes ~0.7s of real work and BOTH plans are plumbing-bound — the
+    # old 1.7-1.8x "ratio" compared two different overheads, not the
+    # reroute (a euclid twin at the same shape measures the same 1.8x
+    # with ZERO kernel work). The envelope claim is about the reroute
+    # cost when the work is real, so this twin scales the TRAIN side to
+    # 30x (55M pairs): the kernel twin clears the >=5s floor and the
+    # chunked reroute measures 1.21x on an idle box (one-cell-per-task
+    # scheduling, knn.py n_parts, removed the ragged-wave packing that
+    # previously hid inside the ratio).
+    tr30 = _rep10(train, {"series_id"}, perturb_col="features", factor=30).cache()
     te10w = te10.cache()
-    n_te10w = te10w.count()
+    n_tr30, n_te10w = tr30.count(), te10w.count()
+    soak30_budget = max(1, n_tr30 * SERIES_LEN * 8 // 3)
     run(
-        "soak10x_knn_dtw_kernel_wide",
-        lambda: _mat(knn_join(te10w, tr10, metric="dtw", band=3, k=5, strategy="kernel")),
+        "soak30x_knn_dtw_kernel",
+        lambda: _mat(knn_join(te10w, tr30, metric="dtw", band=3, k=5, strategy="kernel")),
         repeats=3,
     )
     run(
-        "soak10x_knn_dtw_chunked_wide",
+        "soak30x_knn_dtw_chunked",
         lambda: _mat(knn_join(
-            te10w, tr10, metric="dtw", band=3, k=5,
-            strategy="kernel", max_broadcast_bytes=soak_knn_budget,
+            te10w, tr30, metric="dtw", band=3, k=5,
+            strategy="kernel", max_broadcast_bytes=soak30_budget,
         )),
         repeats=3,
     )
+    tr30.unpersist()
     te10w.unpersist()
 
     # 10x documents: LSH near-dup pairs -> connected components
@@ -1418,8 +1433,8 @@ def main() -> None:
         "soak_knn_dtw_chunked": (
             "soak10x_knn_dtw_chunked", "soak10x_knn_dtw_kernel"
         ),
-        "soak_knn_dtw_chunked_wide": (
-            "soak10x_knn_dtw_chunked_wide", "soak10x_knn_dtw_kernel_wide"
+        "soak_knn_dtw_chunked_workdom": (
+            "soak30x_knn_dtw_chunked", "soak30x_knn_dtw_kernel"
         ),
         # r6-flagship soaks (r7): guard-routed chunked vs broadcast kernel
         "soak_knn_lof_chunked": (

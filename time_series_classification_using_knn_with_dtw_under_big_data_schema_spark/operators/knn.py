@@ -789,7 +789,14 @@ def _knn_chunked(
     # user-specified repartition is exempt from AQE coalescing and
     # satisfies the groupBy's clustering requirement, so the exchange is
     # not duplicated.
-    n_parts = min(bt * br, max(par, 1))
+    # one cell per task where affordable (r9): packing ~4 multi-second
+    # cells per partition quantized the stage into ragged waves (133 cells
+    # over 32 slots = 4.2 serial cells/task; a 1-cell tail wave idles 27
+    # cores). Individual cell tasks let the scheduler pack the tail; the
+    # cap keeps the task count bounded when the grid is huge (cells >>
+    # tasks means per-task cell counts are high and waves smooth out
+    # statistically anyway).
+    n_parts = min(bt * br, max(par, 1) * 32)
     blocked = (
         t_side.unionByName(r_side)
         .repartition(n_parts, "_tblk", "_rblk")

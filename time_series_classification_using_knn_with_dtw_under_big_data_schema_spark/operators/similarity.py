@@ -84,12 +84,15 @@ def _grid_split(
 
     bq_mem = max(1, math.ceil(q_bytes / block_bytes))
     bc_mem = max(1, math.ceil(c_bytes / block_bytes))
-    # cap at 4x parallelism, not 1x: cells land on shuffle partitions by
-    # hash, so at exactly par cells some tasks draw 2-3 cells and straggle;
-    # a few cells per partition smooths the assignment (classic
-    # tasks >> slots balancing)
+    # cap at 2x parallelism (r9; was 4x): cells now map one-per-task
+    # (knn/similarity n_parts), so the old hash-packing smoothing is
+    # obsolete and extra cells only buy replication — every unit of
+    # cells multiplies the smaller side's shuffle copies and the per-cell
+    # fixed cost (arrow conversion + per-row top-k overhead). 2x keeps
+    # two even waves of work-stealing granularity against box noise; the
+    # memory floors still push the count up when the sides are truly big.
     cells = max(
-        bq_mem * bc_mem, min(4 * par, max(1, pair_work // _CELL_WORK_TARGET))
+        bq_mem * bc_mem, min(2 * par, max(1, pair_work // _CELL_WORK_TARGET))
     )
     bq = round(math.sqrt(cells * q_bytes / max(c_bytes, 1)))
     bq = min(max(bq, bq_mem, 1), max(nq, 1), cells)
@@ -192,8 +195,10 @@ def _chunked_pair_topk(
 
     # explicit repartition on the cell key (r6): exempt from AQE's
     # advisory-size coalescing, which otherwise squeezes this byte-light
-    # but compute-heavy stage onto 1-2 tasks (see the knn.py twin)
-    n_parts = min(bq * bc, max(par, 1))
+    # but compute-heavy stage onto 1-2 tasks (see the knn.py twin).
+    # r9: one cell per task where affordable — packing several cells per
+    # partition quantized the stage into ragged waves (see knn.py n_parts)
+    n_parts = min(bq * bc, max(par, 1) * 32)
     blocked = (
         qt.unionByName(ct)
         .repartition(n_parts, "_qblk", "_cblk")
