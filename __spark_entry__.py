@@ -3839,6 +3839,37 @@ def _q200_knn_dtw_ragged(spark, sf_dir):
     )
 
 
+def _q201_knn_dtw_ragged_chunked(spark, sf_dir):
+    """RAGGED exact-DTW KNN through the CHUNKED BLOCK GRID (r9;
+    operators/knn.py::_knn_chunked): the no-broadcast reroute the byte
+    guard takes when the train side exceeds ``max_broadcast_bytes`` —
+    both sides hash into (test-block x train-block) cells (one cell per
+    task since r9), each cell regroups its ragged slice by length into
+    rectangular kernel calls, per-cell top-ks re-rank globally under the
+    (distance, label, id) total order. Until now the grid was proven by
+    strategy-parity tests only; this query puts it under the DRIVER
+    ORACLE GATE — the oracle is q200's length-agnostic recursive-CTE DTW
+    DP over the same ragged slices, so a hash match proves the
+    grid + per-length grouping + global re-rank pipeline lossless
+    against brute force."""
+    train, test = _series(spark, sf_dir)
+    rag_len = F.lit(SERIES_LEN) - (F.col("series_id") % 3).cast("int") * 4
+
+    def rag(df):
+        return df.select(
+            "series_id",
+            F.slice("features", F.lit(1), rag_len).alias("features"),
+            "label",
+        )
+
+    nn = knn_join(
+        rag(test), rag(train), metric="dtw", band=None, k=3, strategy="chunked"
+    )
+    return nn.select(
+        "test_id", "train_id", "rank", F.round("distance", 6).alias("distance")
+    )
+
+
 def _q198_knn_twed_mc_lb_pruned(spark, sf_dir):
     """MULTICHANNEL lossless TWED pruning (r8; operators/knn.py::
     knn_join_lb_metric(channels=2) — closing the symmetry with q156's
@@ -4125,6 +4156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_knn_twed_mc_lb_pruned": _q198_knn_twed_mc_lb_pruned,
         "q199_knn_dtw_lb_gated": _q199_knn_dtw_lb_gated,
         "q200_knn_dtw_ragged": _q200_knn_dtw_ragged,
+        "q201_knn_dtw_ragged_chunked": _q201_knn_dtw_ragged_chunked,
     }
 
 
@@ -8075,6 +8107,10 @@ def oracle_sql() -> dict[str, str]:
                round(dist, 6) AS distance
         FROM ranked WHERE rank <= 3
     """
+
+    # q201 (r9): the chunked block grid on the same ragged slices — the
+    # grid is exact by construction, so its oracle IS q200's brute DP.
+    out["q201_knn_dtw_ragged_chunked"] = out["q200_knn_dtw_ragged"]
 
     # q166 (r6): LOF — k-distances, reach-dists, lrd and the final ratio
     # all mirror the engine exactly: rank-sorted list folds for every float

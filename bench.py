@@ -1147,6 +1147,20 @@ def main() -> None:
         )),
         repeats=3,
     )
+    # r9 serve-regime reroute: when the QUERY side fits the broadcast
+    # budget, the guard now prefers strategy='reverse' — broadcast the
+    # grouped test rows, stream the train table IN PLACE (zero array
+    # exchange; the grid re-ships each side per opposing block). Same
+    # shapes as the twins above, explicit strategy (the soak budgets are
+    # tuned small enough that their guarded entries keep measuring the
+    # grid).
+    run(
+        "soak30x_knn_dtw_reverse",
+        lambda: _mat(knn_join(
+            te10w, tr30, metric="dtw", band=3, k=5, strategy="reverse",
+        )),
+        repeats=3,
+    )
     tr30.unpersist()
     te10w.unpersist()
 
@@ -1432,6 +1446,9 @@ def main() -> None:
         ),
         "soak_knn_dtw_chunked": (
             "soak10x_knn_dtw_chunked", "soak10x_knn_dtw_kernel"
+        ),
+        "soak_knn_dtw_reverse": (
+            "soak30x_knn_dtw_reverse", "soak30x_knn_dtw_kernel"
         ),
         "soak_knn_dtw_chunked_workdom": (
             "soak30x_knn_dtw_chunked", "soak30x_knn_dtw_kernel"

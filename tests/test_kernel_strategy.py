@@ -113,3 +113,79 @@ def test_kernel_no_label(spark, har_dfs):
     nn = knn_join(test_df, train_df, k=2, strategy="kernel", label_col=None)
     assert set(nn.columns) == {"test_id", "train_id", "distance", "rank"}
     assert nn.count() == test_df.count() * 2
+
+
+# ------------------------------------------------- strategy='reverse' -----
+# r9: broadcast-the-TEST kernel for the serve regime (train over budget,
+# query side fits) — zero array exchange, train streamed in place.
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "fastdtw", "twed"])
+def test_reverse_matches_kernel(spark, har_dfs, metric):
+    train_df, test_df = har_dfs
+    a = sorted(map(tuple, knn_join(
+        test_df, train_df, metric=metric, k=4, strategy="kernel").collect()))
+    b = sorted(map(tuple, knn_join(
+        test_df, train_df, metric=metric, k=4, strategy="reverse").collect()))
+    assert [x[:3] + (x[4],) for x in a] == [x[:3] + (x[4],) for x in b]
+    assert all(math.isclose(x[3], y[3], rel_tol=0, abs_tol=0) for x, y in zip(a, b))
+
+
+def test_reverse_matches_kernel_ragged_and_banded(spark):
+    import random
+
+    rng = random.Random(7)
+    train = spark.createDataFrame(
+        [(i, [rng.random() for _ in range(16 - (i % 3) * 4)], ("a", "b")[i % 2])
+         for i in range(60)],
+        "series_id long, features array<double>, label string",
+    )
+    test = spark.createDataFrame(
+        [(100 + i, [rng.random() for _ in range(16 - (i % 3) * 4)], "q")
+         for i in range(9)],
+        "series_id long, features array<double>, label string",
+    )
+    for kw in [dict(metric="dtw", band=2), dict(metric="erp")]:
+        a = sorted(map(tuple, knn_join(
+            test, train, k=3, strategy="kernel", **kw).collect()))
+        b = sorted(map(tuple, knn_join(
+            test, train, k=3, strategy="reverse", **kw).collect()))
+        assert a == b, kw
+
+
+def test_reverse_no_label_and_guard_routing(spark):
+    import random
+
+    rng = random.Random(11)
+    train = spark.createDataFrame(
+        [(i, [rng.random() for _ in range(16)], "a") for i in range(200)],
+        "series_id long, features array<double>, label string",
+    )
+    test = spark.createDataFrame(
+        [(900 + i, [rng.random() for _ in range(16)], "q") for i in range(5)],
+        "series_id long, features array<double>, label string",
+    )
+    nn = knn_join(test, train, k=2, strategy="reverse", label_col=None)
+    assert set(nn.columns) == {"test_id", "train_id", "distance", "rank"}
+    assert nn.count() == 10
+    # guard routing: train est (200*16*8=25600) over budget, test est
+    # (5*16*8=640) within budget//8 -> the kernel guard must pick the
+    # reverse plan (MapInPandas over train, no grid exchange)
+    guarded = knn_join(
+        test, train, metric="euclidean", k=2, strategy="kernel",
+        max_broadcast_bytes=8000,
+    )
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    kernel = knn_join(test, train, metric="euclidean", k=2, strategy="kernel")
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, kernel.collect())
+    )
+
+
+def test_reverse_rejects_oversized_test(spark, har_dfs):
+    train_df, test_df = har_dfs
+    with pytest.raises(ValueError, match="max_broadcast_bytes"):
+        knn_join(test_df, train_df, k=2, strategy="reverse",
+                 max_broadcast_bytes=64)

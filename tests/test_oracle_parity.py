@@ -240,6 +240,10 @@ SLOW_SUBSET = [
     "q197_vector_boundary_roundtrip",
     "q199_knn_dtw_lb_gated",
     "q200_knn_dtw_ragged",
+    # r9 second pass: the chunked block grid at sf0.1 — cell counts and
+    # the one-cell-per-task repartition are exactly the scale-dependent
+    # plan pieces; the oracle is q200's (same ~50s brute DP, shared cost)
+    "q201_knn_dtw_ragged_chunked",
 ]
 
 

@@ -119,9 +119,11 @@ def knn_join(
 
     ``max_broadcast_bytes`` bounds strategy='kernel''s driver collect: if the
     estimated train matrix (rows x length x 8B) exceeds it, the call falls
-    back to strategy='chunked' (r5 — the block nested-loop scorer, same
-    kernels, no driver materialization) — a train side that big shouldn't
-    be broadcast either. Ragged train rides the same chunked path for the
+    back — to strategy='reverse' (r9: broadcast the QUERY side, stream the
+    train table in place with zero array exchange — the serve regime) when
+    the test estimate fits comfortably (budget // 8), else to
+    strategy='chunked' (r5 — the block nested-loop grid, same kernels, no
+    driver materialization). Ragged train rides both fallbacks for the
     ELASTIC metrics (r9: per-length rectangular kernel calls, exact merged
     top-k); only ragged POINT-metric corpora (no cross-length semantics)
     keep the declarative shuffle plan.
@@ -156,6 +158,22 @@ def knn_join(
             exclude_zero=exclude_zero,
             band=band,
             fastdtw_radius=fastdtw_radius,
+        )
+    if strategy == "reverse":
+        if keep_features:
+            raise ValueError("keep_features is not supported with strategy='reverse'")
+        return _knn_reverse(
+            test,
+            train,
+            metric=metric,
+            k=k,
+            id_col=id_col,
+            features_col=features_col,
+            label_col=label_col,
+            exclude_zero=exclude_zero,
+            band=band,
+            fastdtw_radius=fastdtw_radius,
+            max_broadcast_bytes=max_broadcast_bytes,
         )
     if strategy not in ("broadcast", "shuffle"):
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -274,6 +292,34 @@ def _knn_kernel_broadcast(
     est_bytes = n_rows * int(max_len or 0) * int(max_ch or 1) * 8
     if est_bytes > max_broadcast_bytes:
         # too big to materialize on the driver (or to broadcast at all).
+        # SERVE regime first (r9): when the QUERY side fits comfortably
+        # (budget // 8 — comfortably broadcastable, and small enough that
+        # the per-batch python loop over test rows stays amortized by
+        # each batch's kernel work), the reverse-broadcast kernel streams
+        # the train table in place with ZERO array exchange — strictly
+        # less traffic than the grid's block replication.
+        _t_stat = test.agg(
+            F.count(F.lit(1)),
+            F.max(F.size(features_col)),
+            F.max(F.size(F.element_at(features_col, 1))) if nested else F.lit(1),
+        ).first()
+        est_t = (
+            int(_t_stat[0] or 0) * int(_t_stat[1] or 0) * int(_t_stat[2] or 1) * 8
+        )
+        if est_t <= max_broadcast_bytes // 8:
+            return _knn_reverse(
+                test,
+                train,
+                metric="dtw" if kind == "dtw" else metric,
+                k=k,
+                id_col=id_col,
+                features_col=features_col,
+                label_col=label_col,
+                exclude_zero=exclude_zero,
+                band=band,
+                fastdtw_radius=fastdtw_radius,
+                max_broadcast_bytes=max_broadcast_bytes,
+            )
         # The chunked block scorer (r5): both sides shuffle ONCE into block
         # cells scored by the same numpy/C kernels — series cross the wire
         # n_blocks times, not n_pairs times (the r4-measured 1.9-7.3x
@@ -813,6 +859,144 @@ def _knn_chunked(
     topk = topk_per_key(blocked, "test_id", order, k)
     out = ["test_id", "train_id"]
     if label_col:
+        out.append("train_label")
+    out += ["distance", "rank"]
+    return topk.select(*out)
+
+
+def _knn_reverse(
+    test: DataFrame,
+    train: DataFrame,
+    *,
+    metric: MetricT,
+    k: int,
+    id_col: str,
+    features_col: str,
+    label_col: Optional[str],
+    exclude_zero: bool,
+    band: Optional[int],
+    fastdtw_radius: int,
+    max_broadcast_bytes: int = 512 << 20,
+) -> DataFrame:
+    """strategy='reverse' (r9): broadcast-the-TEST kernel for the SERVE
+    regime — the train side exceeds ``max_broadcast_bytes`` (so the
+    broadcast kernel's driver collect is off the table) but the query
+    workload fits. The grouped test rows broadcast once and ONE
+    mapInPandas pass streams the train table IN PLACE: zero exchange of
+    either side's arrays (the chunked grid re-ships the test side per
+    train block and the train side per test block), train rows are
+    Arrow-decoded exactly once, each batch emits its per-test top-k
+    through the shared scoring core, and the chunked path's global
+    re-rank reduces batch winners to the exact global top-k.
+
+    Scale shape (100 TB): a bounded query workload against an
+    arbitrarily large corpus moves ZERO corpus bytes and shuffles only
+    n_batches * k survivor rows per query — the traffic floor for exact
+    brute force. Both-sides-huge stays on the chunked grid; the guard in
+    strategy='kernel' routes here only when the test estimate fits
+    comfortably (budget // 8), so the per-batch python loop over test
+    rows never runs against an unbounded query side.
+
+    Bit-identity: per-pair arithmetic is `_score_block_rows` verbatim
+    (test rows are always the A operand, as in every other strategy);
+    each batch's top-k is a superset of its contribution to the global
+    top-k, and the re-rank applies the same (distance ASC, label ASC,
+    id ASC) total order — equality with kernel/chunked/shuffle is
+    test-pinned."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType
+
+    if callable(metric):
+        raise ValueError("strategy='reverse' supports named metrics only")
+    if metric == "fastdtw":
+        kind = "dtw" if band is not None else "fastdtw"
+    elif metric == "dtw":
+        kind = "dtw"
+    elif metric in (
+        "euclidean", "sq_euclidean", "manhattan", "chebyshev", "sbd",
+        "lcss", "edr", "erp", "twed", "msm",
+    ):
+        kind = metric
+    else:
+        raise ValueError(f"strategy='reverse' does not support metric {metric!r}")
+    nested = isinstance(train.schema[features_col].dataType.elementType, ArrayType)
+    nested_t = isinstance(test.schema[features_col].dataType.elementType, ArrayType)
+    if nested != nested_t:
+        raise ValueError(
+            "test/train nestedness mismatch: one side is multichannel "
+            "(array<array>) and the other flat — flatten or channel-split "
+            "upstream"
+        )
+    if nested and kind not in (
+        "dtw", "fastdtw", "lcss", "edr", "erp", "twed", "msm",
+    ):
+        raise ValueError(
+            "multichannel series support metric='dtw'/'fastdtw' and the "
+            f"edit-distance family only, got {metric!r}"
+        )
+    spark = test.sparkSession
+    ch_expr = (
+        F.max(F.size(F.element_at(features_col, 1))) if nested else F.lit(1)
+    )
+    n_t, len_t, ch_t = test.agg(
+        F.count(F.lit(1)), F.max(F.size(features_col)), ch_expr
+    ).first()
+    est_t = int(n_t or 0) * int(len_t or 0) * int(ch_t or 1) * 8
+    if est_t > max_broadcast_bytes:
+        raise ValueError(
+            f"test side ~{est_t} bytes exceeds max_broadcast_bytes="
+            f"{max_broadcast_bytes}; use strategy='chunked' (both sides "
+            "oversized)"
+        )
+    t_rows = test.select(id_col, features_col).collect()
+    bvar = spark.sparkContext.broadcast(
+        ([r[0] for r in t_rows], [r[1] for r in t_rows])
+    )
+    has_label = label_col is not None
+    label_type = dict(train.dtypes)[label_col] if has_label else None
+    kk, excl, bnd, rad = k, exclude_zero, band, fastdtw_radius
+    sel = [F.col(id_col).alias("_id"), F.col(features_col).alias("_f")]
+    if has_label:
+        sel.append(F.col(label_col).alias("_lbl"))
+    src = train.select(*sel)
+
+    def op(batches):
+        t_ids, t_fs = bvar.value
+        order_cols = ["test_id", "train_id"]
+        if has_label:
+            order_cols.append("train_label")
+        order_cols.append("distance")
+        for pdf in batches:
+            if not len(pdf) or not t_ids:
+                continue
+            groups = _group_by_length(
+                pdf["_id"].to_numpy(dtype=np.int64),
+                pdf["_f"].to_numpy(),
+                np.asarray(list(pdf["_lbl"])) if has_label else None,
+            )
+            cols = _score_block_groups(
+                t_ids, t_fs, groups, kind=kind, k=kk, excl=excl,
+                band=bnd, radius=rad, with_rank=False,
+            )
+            if cols["test_id"]:
+                yield pd.DataFrame({c: cols[c] for c in order_cols})
+
+    schema = "test_id long, train_id long"
+    if has_label:
+        schema += f", train_label {label_type}"
+    schema += ", distance double"
+    blocked = src.mapInPandas(op, schema=schema)
+    # nulls LAST — the same Arrow NaN-to-null mapping and tie order as the
+    # chunked path's re-rank
+    order = [F.asc_nulls_last("distance")]
+    if has_label:
+        order.append(F.asc("train_label"))
+    order.append(F.asc("train_id"))
+    topk = topk_per_key(blocked, "test_id", order, k)
+    out = ["test_id", "train_id"]
+    if has_label:
         out.append("train_label")
     out += ["distance", "rank"]
     return topk.select(*out)
