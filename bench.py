@@ -952,6 +952,38 @@ def main() -> None:
         )),
         repeats=3,
     )
+    def _rep10(df, id_cols, perturb_col=None, tag_text_col=None, factor=10):
+        """``factor`` perturbed replicas (default 10): ids offset per
+        replica; numeric arrays shifted (distances stay non-degenerate) or
+        text replica-tagged per token (vocab/shingles stay distinct across
+        replicas)."""
+        out = df.crossJoin(spark.range(factor).withColumnRenamed("id", "_rep"))
+        cols = []
+        for c in out.columns:
+            if c == "_rep":
+                continue
+            if c in id_cols:
+                cols.append((F.col(c) + F.col("_rep") * 10_000_000).alias(c))
+            elif c == perturb_col:
+                cols.append(
+                    F.transform(c, lambda x: x + F.col("_rep").cast("double") * 0.017).alias(c)
+                )
+            elif c == tag_text_col:
+                cols.append(
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.split(F.col(c), " "),
+                            lambda w: F.concat(
+                                F.lit("s"), F.col("_rep").cast("string"), F.lit("x"), w
+                            ),
+                        ),
+                    ).alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        return out.select(*cols).repartition(cpus)
+
     # RAGGED amplified corpus (r9, VERDICT r8 #4): mixed-length series
     # (64/56/48 pts by id) through the chunked block scorer vs the
     # broadcast kernel twin — the regime that used to reroute to the
@@ -1031,37 +1063,6 @@ def main() -> None:
 
     soak_routing = {}
 
-    def _rep10(df, id_cols, perturb_col=None, tag_text_col=None, factor=10):
-        """``factor`` perturbed replicas (default 10): ids offset per
-        replica; numeric arrays shifted (distances stay non-degenerate) or
-        text replica-tagged per token (vocab/shingles stay distinct across
-        replicas)."""
-        out = df.crossJoin(spark.range(factor).withColumnRenamed("id", "_rep"))
-        cols = []
-        for c in out.columns:
-            if c == "_rep":
-                continue
-            if c in id_cols:
-                cols.append((F.col(c) + F.col("_rep") * 10_000_000).alias(c))
-            elif c == perturb_col:
-                cols.append(
-                    F.transform(c, lambda x: x + F.col("_rep").cast("double") * 0.017).alias(c)
-                )
-            elif c == tag_text_col:
-                cols.append(
-                    F.concat_ws(
-                        " ",
-                        F.transform(
-                            F.split(F.col(c), " "),
-                            lambda w: F.concat(
-                                F.lit("s"), F.col("_rep").cast("string"), F.lit("x"), w
-                            ),
-                        ),
-                    ).alias(c)
-                )
-            else:
-                cols.append(F.col(c))
-        return out.select(*cols).repartition(cpus)
 
     # 10x embeddings: brute kernel (broadcast fine) vs guard-routed chunked
     emb10 = _rep10(emb, {"vec_id"}, perturb_col="embedding").cache()
