@@ -1079,13 +1079,25 @@ def main() -> None:
     _soak_ann = ann_brute_topk(
         emb10_q, emb10, k=5, strategy="kernel", max_broadcast_bytes=soak_ann_budget
     )
+    _soak_ann_plan = _xplan(_soak_ann)
+    # r9 three-way routing: the guard now prefers the reverse-broadcast
+    # serve plan when the query side fits budget // 8 (it does here —
+    # the %251 query sample is ~1/80th of the corpus), grid otherwise
     soak_routing["ann_brute_10x"] = (
-        "chunked" if "FlatMapGroupsInPandas" in _xplan(_soak_ann) else "broadcast"
+        "chunked" if "FlatMapGroupsInPandas" in _soak_ann_plan
+        else ("reverse" if "Window" in _soak_ann_plan else "broadcast")
+    )
+    run(
+        "soak10x_ann_brute_reverse",
+        lambda: _mat(ann_brute_topk(
+            emb10_q, emb10, k=5, strategy="kernel", max_broadcast_bytes=soak_ann_budget
+        )),
+        repeats=2,
     )
     run(
         "soak10x_ann_brute_chunked",
         lambda: _mat(ann_brute_topk(
-            emb10_q, emb10, k=5, strategy="kernel", max_broadcast_bytes=soak_ann_budget
+            emb10_q, emb10, k=5, strategy="chunked",
         )),
         repeats=2,
     )
@@ -1444,6 +1456,9 @@ def main() -> None:
         # envelope (amp_ann_brute_chunked / amp_knn_chunked_euclid)
         "soak_ann_brute_chunked": (
             "soak10x_ann_brute_chunked", "soak10x_ann_brute_kernel"
+        ),
+        "soak_ann_brute_reverse": (
+            "soak10x_ann_brute_reverse", "soak10x_ann_brute_kernel"
         ),
         "soak_knn_dtw_chunked": (
             "soak10x_knn_dtw_chunked", "soak10x_knn_dtw_kernel"

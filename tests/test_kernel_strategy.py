@@ -189,3 +189,54 @@ def test_reverse_rejects_oversized_test(spark, har_dfs):
     with pytest.raises(ValueError, match="max_broadcast_bytes"):
         knn_join(test_df, train_df, k=2, strategy="reverse",
                  max_broadcast_bytes=64)
+
+
+def test_ann_reverse_matches_kernel_and_guard_routes(spark):
+    """r9: ann_brute_topk strategy='reverse' (broadcast-the-query serve
+    plan) — exact equality with the kernel/declarative answers, and the
+    kernel guard picks it when the corpus is over budget but the query
+    side fits budget // 8."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import ann_brute_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(120)
+    qs = emb.limit(6)
+    a = sorted(map(tuple, ann_brute_topk(qs, emb, k=3, strategy="kernel").collect()))
+    b = sorted(map(tuple, ann_brute_topk(qs, emb, k=3, strategy="reverse").collect()))
+    assert a == b
+    d = sorted(map(tuple, ann_brute_topk(qs, emb, k=3).collect()))
+    assert a == d
+    # corpus est: 120 * dim * 8; query est: 6 * dim * 8. A budget between
+    # 8 * query_est and corpus_est forces the guard onto the reverse plan.
+    dim = len(emb.first()["embedding"])
+    budget = 8 * 6 * dim * 8 + 8
+    assert budget < 120 * dim * 8
+    guarded = ann_brute_topk(qs, emb, k=3, strategy="kernel",
+                             max_broadcast_bytes=budget)
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert sorted(map(tuple, guarded.collect())) == a
+
+
+def test_ann_reverse_rejects_oversized_query(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import ann_brute_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    with pytest.raises(ValueError, match="max_broadcast_bytes"):
+        ann_brute_topk(emb.limit(10), emb, k=3, strategy="reverse",
+                       max_broadcast_bytes=64)
+
+
+def test_ann_quantized_reverse_matches_kernel(spark):
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import ann_quantized_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(120)
+    qs = emb.limit(6)
+    a = sorted(map(tuple, ann_quantized_topk(qs, emb, k=3, strategy="kernel").collect()))
+    b = sorted(map(tuple, ann_quantized_topk(qs, emb, k=3, strategy="reverse").collect()))
+    assert a == b
+    dim = len(emb.first()["embedding"])
+    budget = 8 * 6 * dim * 2 + 8   # int16 wire estimate
+    guarded = ann_quantized_topk(qs, emb, k=3, strategy="kernel",
+                                 max_broadcast_bytes=budget)
+    assert sorted(map(tuple, guarded.collect())) == a

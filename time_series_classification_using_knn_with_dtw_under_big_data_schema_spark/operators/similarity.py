@@ -216,6 +216,69 @@ def _chunked_pair_topk(
     )
 
 
+def _ann_reverse(
+    q: DataFrame,
+    c: DataFrame,
+    *,
+    k: int,
+    exclude_self: bool,
+    scorer,
+    max_broadcast_bytes: int,
+) -> DataFrame:
+    """strategy='reverse' (r9): broadcast-the-QUERY kernel for the ANN
+    serve regime — the corpus exceeds ``max_broadcast_bytes`` (no driver
+    collect, no broadcast variable for it) but the query workload fits.
+    The query matrix broadcasts once and ONE mapInPandas pass streams
+    the corpus table IN PLACE: zero exchange of either side's vectors
+    (the chunked grid re-ships the query side per corpus block), each
+    batch emits its per-query top-k through the SAME scoring core as
+    kernel/chunked, and the chunked path's global re-rank reduces batch
+    winners exactly. The embedding serve case — a bounded query set
+    against a corpus of any size — moves ZERO corpus bytes; the knn.py
+    `_knn_reverse` twin documents the same traffic argument.
+
+    Bit-identity: the scorer is shared verbatim (queries are the A
+    operand everywhere); per-batch top-k is a superset of each batch's
+    contribution; the (distance ASC, neighbor_id ASC, nulls last)
+    re-rank equals the chunked path's. Guarded: the query estimate must
+    fit ``max_broadcast_bytes`` (routing uses budget // 8)."""
+    spark = q.sparkSession
+    nq, dq = q.agg(F.count(F.lit(1)), F.max(F.size("_qv"))).first()
+    est_q = int(nq or 0) * int(dq or 0) * 8
+    if est_q > max_broadcast_bytes:
+        raise ValueError(
+            f"query side ~{est_q} bytes exceeds max_broadcast_bytes="
+            f"{max_broadcast_bytes}; use strategy='chunked' (both sides "
+            "oversized)"
+        )
+    rows = q.collect()
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    Q = (
+        np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        if rows else np.empty((0, 0))
+    )
+    bvar = spark.sparkContext.broadcast((qids, Q))
+    kk, excl, fn = k, exclude_self, scorer
+
+    def op(batches):
+        b_qids, b_Q = bvar.value
+        for pdf in batches:
+            if not len(pdf) or not len(b_qids):
+                continue
+            cids = pdf["_id"].to_numpy(dtype=np.int64)
+            C = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            yield fn(b_qids, b_Q, cids, C, kk, excl)
+
+    blocked = c.select(
+        F.col("neighbor_id").alias("_id"), F.col("_cv").alias("_v")
+    ).mapInPandas(op, schema="query_id long, neighbor_id long, _d double")
+    # nulls LAST — the same Arrow NaN-to-null mapping and tie order as the
+    # chunked path's re-rank
+    return topk_per_key(
+        blocked, "query_id", [F.asc_nulls_last("_d"), F.asc("neighbor_id")], k
+    )
+
+
 def _brute_cos_block_scorer(qids, Q, cids, C, k, exclude_self, *, with_rank=False):
     """THE cosine scoring core — a query block against a corpus matrix,
     with the SQL left-fold's EXACT arithmetic (dim-ascending
@@ -311,7 +374,10 @@ def ann_brute_topk(
 
     The kernel collect is guarded by ``max_broadcast_bytes``: a corpus whose
     estimated matrix (rows x dim x 8B) exceeds it never touches the driver —
-    the call falls back to strategy='chunked' (r5): the block nested-loop
+    the call falls back to strategy='reverse' (r9: broadcast the QUERY
+    matrix, stream the corpus in place with zero vector exchange — the
+    embedding serve regime) when the query estimate fits comfortably
+    (budget // 8), else to strategy='chunked' (r5): the block nested-loop
     scorer (``_chunked_pair_topk``) tiles the cross product into
     ``block_bytes`` corpus blocks, scores each block with the kernel's exact
     numpy arithmetic inside applyInPandas, and reranks the per-block top-k
@@ -328,8 +394,24 @@ def ann_brute_topk(
         if not n_rows:
             raise ValueError("empty corpus side")
         if n_rows * int(dim0 or 0) * 8 > max_broadcast_bytes:
-            strategy = "chunked"
-            c_stats = (int(n_rows), int(dim0 or 0))
+            # serve regime first (r9): a query workload that fits
+            # comfortably (budget // 8) takes the reverse-broadcast
+            # kernel — zero corpus movement; both sides huge -> grid
+            nq0, dq0 = q.agg(F.count(F.lit(1)), F.max(F.size("_qv"))).first()
+            if int(nq0 or 0) * int(dq0 or 0) * 8 <= max_broadcast_bytes // 8:
+                strategy = "reverse"
+            else:
+                strategy = "chunked"
+                c_stats = (int(n_rows), int(dim0 or 0))
+    if strategy == "reverse":
+        top = _ann_reverse(
+            q, c, k=k, exclude_self=exclude_self,
+            scorer=_brute_cos_block_scorer,
+            max_broadcast_bytes=max_broadcast_bytes,
+        )
+        return top.select(
+            "query_id", "neighbor_id", "rank", F.round("_d", 6).alias("cos_dist")
+        )
     if strategy == "chunked":
         top = _chunked_pair_topk(
             q, c, k=k, exclude_self=exclude_self,
@@ -710,8 +792,24 @@ def ann_quantized_topk(
             raise ValueError("empty corpus side")
         # int16 on the wire: 2 bytes per component
         if n_rows * int(dim0 or 0) * 2 > max_broadcast_bytes:
-            strategy = "chunked"
-            c_stats = (int(n_rows), int(dim0 or 0))
+            # serve regime first (r9) — same routing as ann_brute_topk
+            nq0, dq0 = qq.agg(F.count(F.lit(1)), F.max(F.size("_qa"))).first()
+            if int(nq0 or 0) * int(dq0 or 0) * 2 <= max_broadcast_bytes // 8:
+                strategy = "reverse"
+            else:
+                strategy = "chunked"
+                c_stats = (int(n_rows), int(dim0 or 0))
+    if strategy == "reverse":
+        top = _ann_reverse(
+            qq.select("query_id", _as_double(F.col("_qa")).alias("_qv")),
+            qc.select("neighbor_id", _as_double(F.col("_qb")).alias("_cv")),
+            k=k, exclude_self=exclude_self,
+            scorer=_quantized_cos_block_scorer,
+            max_broadcast_bytes=max_broadcast_bytes,
+        )
+        return top.select(
+            "query_id", "neighbor_id", "rank", F.round("_d", 6).alias("q_cos_dist")
+        )
     if strategy == "chunked":
         top = _chunked_pair_topk(
             qq.select("query_id", _as_double(F.col("_qa")).alias("_qv")),
