@@ -440,6 +440,211 @@ def score_with_weights(
     )
 
 
+# metrics the conformal kernel path can score with PROVEN bit-identity to
+# the declarative plan: the point folds re-accumulate in index order (the
+# exact IEEE op sequence of the SQL left fold — numpy's pairwise .sum()
+# would NOT be bit-equal), dtw shares the declarative path's own batch
+# kernel, and the edit family's batch DPs are pinned bitwise against the
+# Catalyst fold expressions (test_expressions_match_kernels_bitwise).
+# chebyshev/cosine/sbd and callable metrics stay declarative (chebyshev's
+# array_max null-skipping gives ragged pairs different semantics than the
+# null-propagating folds; sbd_batch is an FFT — not bit-equal to the HOF
+# definition).
+_CONFORMAL_POINT_KINDS = frozenset({"euclidean", "sq_euclidean", "manhattan"})
+_CONFORMAL_ELASTIC_KINDS = frozenset({"dtw", "lcss", "edr", "erp", "twed", "msm"})
+
+
+def _conformal_min_kernel(proper: DataFrame, kind: str, max_broadcast_bytes: int):
+    """Kernel twin of conformal_knn's ``_mins`` (r9 optimization round):
+    min distance per (side row, proper label) computed by ONE mapInPandas
+    pass over the side against the broadcast proper split, instead of a
+    crossJoin whose per-pair distance is an interpreted higher-order-
+    function fold (Spark never codegens HOFs — measured 55.6 s for the
+    ~3e9-pair 10x conformal soak, the largest entry in the whole bench).
+
+    Returns a ``mins(side, fcol, keys) -> DataFrame`` closure, or None when
+    the kernel path does not apply (proper side over ``max_broadcast_bytes``,
+    empty, or — for the point metrics — ragged). The closure's output is
+    bit-identical to the declarative ``_mins`` by construction:
+
+    - point folds accumulate dim-by-dim ascending (IEEE sequence of the
+      left fold); elastic metrics ride the bitwise-pinned batch kernels;
+    - the ``d != 0`` pair exclusion keeps NaN distances (NaN != 0 is true
+      in both engines) and MIN is NaN-greatest (Spark aggregate NaN
+      semantics): non-NaN min when one exists, NaN when only NaN pairs
+      survive, NO row when no pair survives;
+    - point-metric side rows whose length differs from the proper length
+      emit nothing — exactly the declarative null-fold -> null-filter drop
+      (zip_with pads the short side with nulls, the fold goes null, and
+      ``null != 0`` filters the pair);
+    - the result is cached (register_cache + eager count, the
+      knn_join_lb phase-table pattern) so the kernel runs ONCE and every
+      downstream branch (csame/cdiff, the tmin self-join) scans the
+      bounded (rows x labels) table — a mapInPandas node is not
+      deduplicated across plan branches, and per-branch filter pushdown
+      defeats Exchange reuse (measured: 6 python nodes without the cache,
+      0 behind InMemoryTableScan with it).
+    """
+    import numpy as np
+    import pandas as pd
+
+    stats = proper.agg(
+        F.count(F.lit(1)),
+        F.max(F.size("_pf")),
+        F.countDistinct(F.size("_pf")),
+    ).first()
+    n_rows, max_len, n_lens = int(stats[0] or 0), int(stats[1] or 0), int(stats[2] or 0)
+    if not n_rows:
+        return None
+    if n_rows * max_len * 8 > max_broadcast_bytes:
+        return None
+    if kind in _CONFORMAL_POINT_KINDS and n_lens != 1:
+        return None
+
+    from ..functions.distance import _stack_series
+
+    rows = proper.select("_pf", "_plab").collect()
+    # per proper length: (matrix, [(label, col_idx array)]) — label->column
+    # indices precomputed once so each batch only slices
+    by_len: dict = {}
+    for r in rows:
+        by_len.setdefault(len(r[0]), []).append(r)
+    groups = []
+    for L in sorted(by_len):
+        g = by_len[L]
+        mat = _stack_series([r[0] for r in g])
+        labs = [r[1] for r in g]
+        idx: dict = {}
+        for i, lab in enumerate(labs):
+            idx.setdefault(lab, []).append(i)
+        groups.append(
+            (L, mat, [(lab, np.asarray(ix, dtype=np.int64)) for lab, ix in idx.items()])
+        )
+    bvar = proper.sparkSession.sparkContext.broadcast(groups)
+    label_sql_type = proper.schema["_plab"].dataType.simpleString()
+
+    if kind in ("lcss", "edr", "erp", "twed", "msm"):
+        from ..functions.edit_distance import (
+            edr_batch, erp_batch, lcss_batch, msm_batch, twed_batch,
+        )
+
+        batch_fn = {"lcss": lcss_batch, "edr": edr_batch, "erp": erp_batch,
+                    "twed": twed_batch, "msm": msm_batch}[kind]
+    elif kind == "dtw":
+        from ..functions.dtw_kernel import dtw_batch
+
+        batch_fn = lambda A, B: dtw_batch(A, B, band=None)  # noqa: E731
+    else:
+        batch_fn = None
+
+    def _dist_block(Tc: "np.ndarray", G: "np.ndarray", Gt: "np.ndarray") -> "np.ndarray":
+        """(nc, Lr) x (ng, Lg) -> (nc, ng) distances, exact op order.
+
+        Point metrics accumulate with a j-loop (index order = the SQL left
+        fold's IEEE sequence — reassociating BLAS forms are NOT bit-equal)
+        over a contiguous TRANSPOSED proper matrix, tiled so the
+        accumulator stays cache-resident across the L passes (an untiled
+        j-loop re-streams the whole (nc, ng) accumulator from DRAM L
+        times)."""
+        nc, ng = Tc.shape[0], G.shape[0]
+        if batch_fn is not None:
+            A = np.repeat(Tc, ng, axis=0)
+            B = np.tile(G, (nc, 1))
+            return batch_fn(A, B).reshape(nc, ng)
+        L = Tc.shape[1]
+        out = np.empty((nc, ng))
+        tile = max(256, 131_072 // max(1, nc))  # ~1 MB accumulator
+        for t0 in range(0, ng, tile):
+            t1 = min(ng, t0 + tile)
+            acc = np.zeros((nc, t1 - t0))
+            for j in range(L):
+                d = Tc[:, j][:, None] - Gt[j, t0:t1][None, :]
+                if kind == "manhattan":
+                    np.abs(d, out=d)
+                    acc += d
+                else:
+                    acc += d * d
+            out[:, t0:t1] = np.sqrt(acc) if kind == "euclidean" else acc
+        return out
+
+    def mins(side: DataFrame, fcol: str, keys: list) -> DataFrame:
+        key_types = dict(side.dtypes)
+        schema = ", ".join(
+            [f"{k} {key_types[k]}" for k in keys]
+            + [f"_plab {label_sql_type}", "_dmin double"]
+        )
+
+        def op(batches):
+            grps = bvar.value
+            max_g = max(g[1].shape[0] for g in grps)
+            # contiguous transposes once per task: Gt[j] is then one
+            # sequential read per fold pass instead of an L*8-byte stride
+            gts = [
+                np.ascontiguousarray(G.T) if batch_fn is None else None
+                for (_L, G, _li) in grps
+            ]
+            # batch-kernel pair target mirrors _score_block_rows (~1024-pair
+            # DP calls); the point folds chunk rows so the tiled accumulator
+            # plus row block stay cache-resident
+            rows_per = max(1, 1024 // max_g) if batch_fn is not None else 128
+            for pdf in batches:
+                feats = pdf[fcol].to_numpy()
+                kvals = {k: pdf[k].to_numpy() for k in keys}
+                out: dict = {k: [] for k in keys}
+                out["_plab"] = []
+                out["_dmin"] = []
+                row_by_len: dict = {}
+                for i, f in enumerate(feats):
+                    row_by_len.setdefault(len(f), []).append(i)
+                for Lr, idxs in row_by_len.items():
+                    T = _stack_series([feats[i] for i in idxs])
+                    for c0 in range(0, len(idxs), rows_per):
+                        chunk = idxs[c0 : c0 + rows_per]
+                        Tc = T[c0 : c0 + rows_per]
+                        nc = len(chunk)
+                        # per label accumulators across proper groups:
+                        # (min over non-NaN, any pair survived, any non-NaN)
+                        acc: dict = {}
+                        for gi, (Lg, G, labidx) in enumerate(grps):
+                            if batch_fn is None and Lg != Lr:
+                                continue  # declarative null-fold drop
+                            D = _dist_block(Tc, G, gts[gi])
+                            mask = D != 0  # NaN != 0 is True — kept, like SQL
+                            for lab, cols in labidx:
+                                sub = D[:, cols]
+                                msub = mask[:, cols]
+                                nn = msub & ~np.isnan(sub)
+                                mn = np.where(nn, sub, np.inf).min(axis=1)
+                                prev = acc.get(lab)
+                                if prev is None:
+                                    acc[lab] = [mn, msub.any(axis=1), nn.any(axis=1)]
+                                else:
+                                    prev[0] = np.minimum(prev[0], mn)
+                                    prev[1] |= msub.any(axis=1)
+                                    prev[2] |= nn.any(axis=1)
+                        for lab, (mn, anyv, nnv) in acc.items():
+                            for r in np.nonzero(anyv)[0]:
+                                for k in keys:
+                                    out[k].append(kvals[k][chunk[r]])
+                                out["_plab"].append(lab)
+                                out["_dmin"].append(
+                                    float(mn[r]) if nnv[r] else float("nan")
+                                )
+                yield pd.DataFrame(out)
+
+        from ..caching import register_cache
+
+        projected = side.select(*keys, fcol)
+        out = register_cache(projected.mapInPandas(op, schema=schema).cache())
+        # land the bounded (rows x labels) table before the main job: lazy
+        # caches re-run the kernel per consuming branch (the knn_join_lb
+        # phase-table lesson, knn.py:1905)
+        out.count()
+        return out
+
+    return mins
+
+
 def conformal_knn(
     test: DataFrame,
     train: DataFrame,
@@ -450,6 +655,7 @@ def conformal_knn(
     label_col: str = "label",
     cal_mod: int = 3,
     cal_rem: int = 1,
+    max_broadcast_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Split-conformal KNN classification (r6; Vovk et al., *Algorithmic
     Learning in a Random World* — the inductive/split variant): per test
@@ -496,7 +702,22 @@ def conformal_knn(
         pid.alias("_cid"), F.col(features_col).alias("_cf"), F.col(label_col).alias("_clab")
     )
 
+    # r9 optimization: route the min-per-label scoring through the guarded
+    # kernel twin when the metric has a bit-identical batch kernel and the
+    # proper split fits the broadcast budget; the declarative crossJoin +
+    # interpreted HOF fold stays as the exact fallback (and the only path
+    # for callable metrics, chebyshev/cosine/sbd, multichannel series, or
+    # an over-budget proper split)
+    kernel_mins = None
+    if isinstance(metric, str) and metric in _CONFORMAL_POINT_KINDS | _CONFORMAL_ELASTIC_KINDS:
+        from pyspark.sql.types import ArrayType
+
+        if not isinstance(train.schema[features_col].dataType.elementType, ArrayType):
+            kernel_mins = _conformal_min_kernel(proper, metric, max_broadcast_bytes)
+
     def _mins(side: DataFrame, fcol: str, keys: list[str]) -> DataFrame:
+        if kernel_mins is not None:
+            return kernel_mins(side, fcol, keys)
         pairs = side.crossJoin(F.broadcast(proper)).withColumn(
             "_d", dist_fn(F.col(fcol), F.col("_pf"))
         ).filter(F.col("_d") != 0)
@@ -564,6 +785,7 @@ def conformal_set(
     label_col: str = "label",
     cal_mod: int = 3,
     cal_rem: int = 1,
+    max_broadcast_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Conformal PREDICTION SET at miscoverage level ``eps`` (r7): the
     labels whose conformal p-value exceeds eps,
@@ -593,5 +815,6 @@ def conformal_set(
         label_col=label_col,
         cal_mod=cal_mod,
         cal_rem=cal_rem,
+        max_broadcast_bytes=max_broadcast_bytes,
     )
     return p.filter(F.col("p_value") > F.lit(float(eps)))
