@@ -222,8 +222,20 @@ def main() -> None:
             _mat(knn_lof(series, k=5))
 
     run("knn_lof_k5", _lof_fresh, repeats=2)
-    run("conformal_knn", lambda: _mat(conformal_knn(test, train)), repeats=2)
-    run("boss_classify", lambda: _mat(boss_classify(test, train, m=8, n_coeffs=2)), repeats=2)
+
+    # same per-observation scope for conformal + BOSS (r9: both now
+    # register bounded internal caches — the conformal kernel's
+    # min-per-label tables, BOSS's edge pivot + histograms)
+    def _conformal_fresh():
+        with cache_scope():
+            _mat(conformal_knn(test, train))
+
+    def _boss_fresh():
+        with cache_scope():
+            _mat(boss_classify(test, train, m=8, n_coeffs=2))
+
+    run("conformal_knn", _conformal_fresh, repeats=2)
+    run("boss_classify", _boss_fresh, repeats=2)
     run("fluss_segmentation", lambda: _mat(fluss_segmentation(series, m=8)), repeats=2)
     # r9: the matrix-profile stage under fluss now defaults to the
     # map-only Arrow kernel (zero shuffles, bit-identical; motif.py
@@ -1251,11 +1263,18 @@ def main() -> None:
     )
     # repeats=1 like the other heavy soaks (fluss/boss/lof): one
     # observation of a 27s entry is the 10x record, not a headline number
-    run("soak10x_conformal_knn", lambda: _mat(conformal_knn(te10s, tr10)))
-    run(
-        "soak10x_boss_classify",
-        lambda: _mat(boss_classify(te10s, tr10, m=8, n_coeffs=2)),
-    )
+    # per-observation cache_scope (r9): both operators register bounded
+    # internal caches now — repeats must not serve from a prior run's cache
+    def _conformal_soak():
+        with cache_scope():
+            _mat(conformal_knn(te10s, tr10))
+
+    def _boss_soak():
+        with cache_scope():
+            _mat(boss_classify(te10s, tr10, m=8, n_coeffs=2))
+
+    run("soak10x_conformal_knn", _conformal_soak)
+    run("soak10x_boss_classify", _boss_soak)
     # soak10x_fluss (r7) is superseded by ladder_fluss_100x below — same
     # absolute scale (10x sf0.1 series), now with 1x/10x tiers for slope.
     # r9 (VERDICT r8 #3): TWED soak on a DOUBLED test side (te10 % 8, not

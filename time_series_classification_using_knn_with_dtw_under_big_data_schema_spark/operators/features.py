@@ -692,15 +692,27 @@ def twiddle_fold(arr, table, *, length: int, start=None):
     PYTHON-literal coefficient table, so both engines parse identical
     doubles and the fold order is the engine-wide left-fold convention.
     Any change to this op order must update the generated oracle SQL in
-    __spark_entry__.py in lockstep (NOTES invariant)."""
-    tcol = F.array(*[F.lit(c) for c in table])
-    pos = (lambda t: start + t - 1) if start is not None else (lambda t: t)
-    return F.aggregate(
-        F.sequence(F.lit(1), F.lit(length)),
-        F.lit(0.0),
-        lambda a, t: a
-        + F.element_at(arr, pos(t).cast("int")) * F.element_at(tcol, t.cast("int")),
+    __spark_entry__.py in lockstep (NOTES invariant).
+
+    r9 optimization: the fold is UNROLLED into a plain arithmetic chain —
+    ``length`` is a Python literal, so ``((0.0 + x[p1]*c1) + x[p2]*c2) + …``
+    builds the exact same IEEE op sequence as the ``aggregate`` lambda
+    (same adds, same multiplies, same order, same NULL propagation), but
+    as ordinary Add/Multiply expressions instead of a higher-order
+    function: Spark never codegens HOFs, so the aggregate ran interpreted
+    with a per-step lambda frame and a per-row sequence+table
+    materialization. Column-level uses (the SFA/periodogram coefficient
+    projections, BOSS's MCB edge pass) now whole-stage-codegen; uses
+    inside a ``transform`` lambda (BOSS's per-window words) stay
+    interpreted but drop the per-term lambda/sequence overhead. Values are
+    bit-identical, so the generated DuckDB oracle SQL is unchanged."""
+    pos = (lambda t: (start + (t - 1)).cast("int")) if start is not None else (
+        lambda t: F.lit(t)
     )
+    expr = F.lit(0.0)
+    for t in range(1, length + 1):
+        expr = expr + F.element_at(arr, pos(t)) * F.lit(float(table[t - 1]))
+    return expr
 
 
 def periodogram(

@@ -328,12 +328,22 @@ def boss_classify(
         F.expr("percentile(cm, 0.5D)").alias("e2"),
         F.expr("percentile(cm, 0.75D)").alias("e3"),
     )
-    epiv = edges.agg(
-        *[
-            F.max(F.when(F.col("dim") == d, F.col(q))).alias(f"_{q}_{d}")
-            for d, _ in tables
-            for q in ("e1", "e2", "e3")
-        ]
+    from ..caching import register_cache
+
+    # r9 optimization: the one-row edge pivot is consumed by BOTH hists
+    # sides, and the histograms each feed several downstream branches
+    # (tn2/dots, dots/rl) — without caches every branch re-runs the whole
+    # edges+words subtree (measured: full boss 7.4 s at sf0.1 while the
+    # sum of its parts is ~3 s). The cached tables are bounded: epiv is
+    # ONE row, a histogram is <= ids x 4^(2*n_coeffs) words.
+    epiv = register_cache(
+        edges.agg(
+            *[
+                F.max(F.when(F.col("dim") == d, F.col(q))).alias(f"_{q}_{d}")
+                for d, _ in tables
+                for q in ("e1", "e2", "e3")
+            ]
+        ).cache()
     )
 
     def word(arr, s):
@@ -370,8 +380,13 @@ def boss_classify(
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         )
 
-    th = hists(test, False)
-    rh = hists(train, True)
+    # land the bounded histograms before the distance job (the knn_join_lb
+    # phase-table lesson: lazy caches re-run the subtree per consuming
+    # branch within one job)
+    th = register_cache(hists(test, False).cache())
+    rh = register_cache(hists(train, True).cache())
+    th.count()
+    rh.count()
     tn2 = th.groupBy("_id").agg(
         F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("_n2")
     ).select(F.col("_id").alias("test_id"), "_n2")
