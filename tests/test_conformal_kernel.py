@@ -31,7 +31,7 @@ def _plan(df):
 @pytest.mark.parametrize("metric", ["euclidean", "twed", "dtw", "manhattan"])
 def test_conformal_kernel_matches_declarative(spark, har_dfs, metric):
     train, test = har_dfs
-    kern = conformal_knn(test, train, metric=metric)
+    kern = conformal_knn(test, train, metric=metric, min_kernel_pairs=0)
     decl = conformal_knn(test, train, metric=metric, max_broadcast_bytes=64)
     assert "MapInPandas" in _plan(kern)
     assert "MapInPandas" not in _plan(decl) or metric == "dtw"  # dtw_udf is Arrow either way
@@ -61,7 +61,7 @@ def test_conformal_kernel_duplicates_and_zero_distances(spark):
         [(100, [1.0, 2.0, 3.0, 4.0]), (101, [5.0, 5.0, 5.0, 5.0])],
         "series_id long, features array<double>",
     ).withColumn("label", F.lit("x"))
-    kern = conformal_knn(test, train)
+    kern = conformal_knn(test, train, min_kernel_pairs=0)
     decl = conformal_knn(test, train, max_broadcast_bytes=64)
     assert "MapInPandas" in _plan(kern)
     assert _rows(kern) == _rows(decl)
@@ -87,7 +87,7 @@ def test_conformal_kernel_nonfinite_features(spark):
         [(100, [1.0, 2.0], "x"), (101, [float("nan"), 1.0], "x")],
         "series_id long, features array<double>, label string",
     )
-    kern = conformal_knn(test, train)
+    kern = conformal_knn(test, train, min_kernel_pairs=0)
     decl = conformal_knn(test, train, max_broadcast_bytes=64)
     assert _rows(kern) == _rows(decl)
 
@@ -113,7 +113,7 @@ def test_conformal_kernel_ragged_elastic(spark):
         [(100, [1.5, 2.5, 3.5], "x"), (101, [4.0], "x")],
         "series_id long, features array<double>, label string",
     )
-    kern = conformal_knn(test, train, metric="twed")
+    kern = conformal_knn(test, train, metric="twed", min_kernel_pairs=0)
     decl = conformal_knn(test, train, metric="twed", max_broadcast_bytes=64)
     assert "MapInPandas" in _plan(kern)
     assert _rows(kern) == _rows(decl)
@@ -137,7 +137,7 @@ def test_conformal_kernel_ragged_point_falls_back(spark):
         [(100, [1.5, 2.5, 3.5], "x")],
         "series_id long, features array<double>, label string",
     )
-    out = conformal_knn(test, train)  # default budget, still declarative
+    out = conformal_knn(test, train, min_kernel_pairs=0)  # still declarative
     assert "MapInPandas" not in _plan(out)
 
 
@@ -149,12 +149,12 @@ def test_conformal_kernel_callable_metric_stays_declarative(spark, har_dfs):
     train, test = har_dfs
     out = conformal_knn(test, train, metric=lambda a, b: euclidean(a, b))
     assert "MapInPandas" not in _plan(out)
-    assert _rows(out) == _rows(conformal_knn(test, train))
+    assert _rows(out) == _rows(conformal_knn(test, train, min_kernel_pairs=0))
 
 
 def test_conformal_set_rides_kernel_path(spark, har_dfs):
     train, test = har_dfs
-    kern = conformal_set(test, train, eps=0.2)
+    kern = conformal_set(test, train, eps=0.2, min_kernel_pairs=0)
     decl = conformal_set(test, train, eps=0.2, max_broadcast_bytes=64)
     assert "MapInPandas" in _plan(kern)
     assert _rows(kern) == _rows(decl)
@@ -173,7 +173,20 @@ def test_conformal_kernel_single_eval_via_exchange_reuse(spark, har_dfs):
     )
 
     train, test = har_dfs
-    out = conformal_knn(test, train)
+    out = conformal_knn(test, train, min_kernel_pairs=0)
     counts = executed_node_counts(out)
     assert counts["python_nodes"] == 0
     assert counts["inmem_scans"] >= 4  # cmin x2 consumers, tmin x3
+
+
+def test_conformal_pair_volume_gate(spark, har_dfs):
+    """Routing only — both branches exact: below min_kernel_pairs the
+    kernel's fixed driver jobs cost more than the interpreted fold they
+    replace (measured 1.8 s declarative vs 4.7 s kernel at the sf0.1 1x
+    shape), so tiny corpora keep the declarative plan by default."""
+    train, test = har_dfs
+    default = conformal_knn(test, train)  # HAR fixture: ~3e3 cal pairs
+    assert "MapInPandas" not in _plan(default)
+    forced = conformal_knn(test, train, min_kernel_pairs=0)
+    assert "MapInPandas" in _plan(forced)
+    assert _rows(default) == _rows(forced)

@@ -454,7 +454,13 @@ _CONFORMAL_POINT_KINDS = frozenset({"euclidean", "sq_euclidean", "manhattan"})
 _CONFORMAL_ELASTIC_KINDS = frozenset({"dtw", "lcss", "edr", "erp", "twed", "msm"})
 
 
-def _conformal_min_kernel(proper: DataFrame, kind: str, max_broadcast_bytes: int):
+def _conformal_min_kernel(
+    proper: DataFrame,
+    kind: str,
+    max_broadcast_bytes: int,
+    min_kernel_pairs: int,
+    cal_mod: int,
+):
     """Kernel twin of conformal_knn's ``_mins`` (r9 optimization round):
     min distance per (side row, proper label) computed by ONE mapInPandas
     pass over the side against the broadcast proper split, instead of a
@@ -499,6 +505,15 @@ def _conformal_min_kernel(proper: DataFrame, kind: str, max_broadcast_bytes: int
     if n_rows * max_len * 8 > max_broadcast_bytes:
         return None
     if kind in _CONFORMAL_POINT_KINDS and n_lens != 1:
+        return None
+    # pair-volume gate (routing only — both branches are exact): the kernel
+    # path pays a handful of fixed driver jobs (proper collect, two cache
+    # populations), which at toy pair volumes costs more than the
+    # interpreted fold it replaces (measured ~1 us/pair-fold declarative vs
+    # a ~2-4 s kernel floor -> breakeven ~2M calibration pairs). The
+    # calibration count is ESTIMATED from the proper count and the split
+    # ratio (n_cal ~ n_proper / (cal_mod - 1)) so routing adds no job.
+    if n_rows * n_rows // max(1, cal_mod - 1) < min_kernel_pairs:
         return None
 
     from ..functions.distance import _stack_series
@@ -635,7 +650,16 @@ def _conformal_min_kernel(proper: DataFrame, kind: str, max_broadcast_bytes: int
         from ..caching import register_cache
 
         projected = side.select(*keys, fcol)
-        out = register_cache(projected.mapInPandas(op, schema=schema).cache())
+        # Arrow's from_pandas turns a float NaN into NULL; the kernel never
+        # emits a legitimate NULL _dmin (pairless rows are skipped), so
+        # coalesce restores the NaN the declarative MIN would have produced
+        # (the motif.py profile_d sentinel pattern)
+        mapped = projected.mapInPandas(op, schema=schema).select(
+            *keys,
+            "_plab",
+            F.coalesce("_dmin", F.lit(float("nan"))).alias("_dmin"),
+        )
+        out = register_cache(mapped.cache())
         # land the bounded (rows x labels) table before the main job: lazy
         # caches re-run the kernel per consuming branch (the knn_join_lb
         # phase-table lesson, knn.py:1905)
@@ -656,6 +680,7 @@ def conformal_knn(
     cal_mod: int = 3,
     cal_rem: int = 1,
     max_broadcast_bytes: int = 512 << 20,
+    min_kernel_pairs: int = 1_000_000,
 ) -> DataFrame:
     """Split-conformal KNN classification (r6; Vovk et al., *Algorithmic
     Learning in a Random World* — the inductive/split variant): per test
@@ -713,7 +738,9 @@ def conformal_knn(
         from pyspark.sql.types import ArrayType
 
         if not isinstance(train.schema[features_col].dataType.elementType, ArrayType):
-            kernel_mins = _conformal_min_kernel(proper, metric, max_broadcast_bytes)
+            kernel_mins = _conformal_min_kernel(
+                proper, metric, max_broadcast_bytes, min_kernel_pairs, cal_mod
+            )
 
     def _mins(side: DataFrame, fcol: str, keys: list[str]) -> DataFrame:
         if kernel_mins is not None:
@@ -786,6 +813,7 @@ def conformal_set(
     cal_mod: int = 3,
     cal_rem: int = 1,
     max_broadcast_bytes: int = 512 << 20,
+    min_kernel_pairs: int = 1_000_000,
 ) -> DataFrame:
     """Conformal PREDICTION SET at miscoverage level ``eps`` (r7): the
     labels whose conformal p-value exceeds eps,
@@ -816,5 +844,6 @@ def conformal_set(
         cal_mod=cal_mod,
         cal_rem=cal_rem,
         max_broadcast_bytes=max_broadcast_bytes,
+        min_kernel_pairs=min_kernel_pairs,
     )
     return p.filter(F.col("p_value") > F.lit(float(eps)))
