@@ -417,8 +417,9 @@ def main() -> None:
     sep561.unpersist(); sep_t.unpersist(); sep_r.unpersist()
 
     # --- multichannel DTW (r4): 2-channel series, dependent DTW ----------
-    # the multivariate kernels run the numpy prefix-scan (the compiled-C
-    # hot loop is univariate-only) — this entry is their perf envelope
+    # multichannel pairs ride the compiled-C hot loop since r5 (dtw_c
+    # cost_mv, ch < 8 bit-identical to the numpy fold); this entry is the
+    # dependent-DTW perf envelope
     mv_events = events.withColumn("ch2", F.length("event_type").cast("double"))
     mv_series = events_to_series(
         mv_events, value=["value", "ch2"], length=SERIES_LEN
@@ -428,10 +429,15 @@ def main() -> None:
     n_mv_pairs = mv_train.count() * mv_test.count()
     run(
         "knn_dtw_mv_2ch_k5",
+        # repeats 2->3 (r10, VERDICT r9 #1): this entry shipped a 7x
+        # contention reading (4.68s vs a clean 0.76s on the same tree at 8
+        # cores) in the r9 artifact of record; a third observation buys the
+        # best-of and the median a fairer shot at a quiet window. Same bump
+        # on the other five tracked entries that still ran repeats=2.
         lambda: _mat(knn_classify(
             mv_test, mv_train, metric="dtw", band=3, k=5, strategy="kernel"
         )),
-        repeats=2,
+        repeats=3,
     )
     mv_pairs_per_sec = (
         round(n_mv_pairs / timings["knn_dtw_mv_2ch_k5"])
@@ -506,7 +512,7 @@ def main() -> None:
     for t in _ivfpq_served.values():
         t.unpersist()
     # Okapi BM25 retrieval: tf/df build + broadcast query match + top-k
-    run("bm25_topk", lambda: _mat(entry_mod._q117_bm25(spark, sf_dir)), repeats=2)
+    run("bm25_topk", lambda: _mat(entry_mod._q117_bm25(spark, sf_dir)), repeats=3)
     # build-once/serve-many split (r5, VERDICT r4 #3): bm25_build is the
     # corpus-sized cost paid once; bm25_search is the per-workload serve
     # cost against the cached index — the number a standing retrieval
@@ -644,12 +650,12 @@ def main() -> None:
         lambda: _mat(knn_join(
             test, train, metric="sbd", k=3, strategy="kernel"
         )),
-        repeats=2,
+        repeats=3,
     )
     run(
         "ts_kmedoids_dtw",
         lambda: _mat(entry_mod._q143_ts_kmedoids(spark, sf_dir)),
-        repeats=2,
+        repeats=3,
     )
     run(
         "rocket_features",
@@ -676,7 +682,7 @@ def main() -> None:
         )
         _mat(knn_classify(vec(te), vec(tr), metric="euclidean", k=5, strategy="kernel"))
 
-    run("rocket_knn_kernel", _rocket_knn_kernel, repeats=2)
+    run("rocket_knn_kernel", _rocket_knn_kernel, repeats=3)
 
     # shapelet rule induction (r6): candidate extraction + broadcast
     # min-subsequence-distance features + integer-exact stump argmin
@@ -723,7 +729,7 @@ def main() -> None:
     run(
         "dba_classify",
         lambda: _mat(entry_mod._q153_dba_classify(spark, sf_dir)),
-        repeats=2,
+        repeats=3,
     )
     run(
         "cusum_changepoint",
@@ -1639,23 +1645,51 @@ def main() -> None:
         "dtw_c_kernel": _dtw_c_available(),
         "edit_c_kernel": _edit_c_available(),
         "fallback_ratios": fallback_ratios,
-        # slim lb_gate on the line: median-based ratios + the medians
-        # themselves; spreads and raw samples are in BENCH_FULL.json (the
-        # full block blew the ~2000-char stdout tail the driver parses)
-        "lb_gate": {k: lb_gate[k] for k in
-                    ("bypassed_overhead_vs_brute", "prunable_speedup_vs_brute",
-                     "medians")},
+        # slim lb_gate on the line: median-based ratios + the medians AND
+        # spreads (r10, VERDICT r9 #4 — the r9 driver line shrink-dropped
+        # the medians block, so the 3.046x contended bypass reading shipped
+        # without its noise diagnostic); raw samples stay in
+        # BENCH_FULL.json. The shrink order below protects these blocks
+        # ahead of every other optional block. Inner keys are abbreviated
+        # to fit the char budget: byp/brt = lb_gate_twed_bypassed/_brute_
+        # twin, prg/prb = lb_prunable_twed_gated/_brute (full names carry
+        # the same values in BENCH_FULL.json medians/spreads).
+        "lb_gate": {
+            "bypassed_overhead_vs_brute": lb_gate["bypassed_overhead_vs_brute"],
+            "prunable_speedup_vs_brute": lb_gate["prunable_speedup_vs_brute"],
+            "medians": {
+                "byp": medians.get("lb_gate_twed_bypassed"),
+                "brt": medians.get("lb_gate_twed_brute_twin"),
+                "prg": medians.get("lb_prunable_twed_gated"),
+                "prb": medians.get("lb_prunable_twed_brute"),
+            },
+            "spreads": {
+                "byp": spreads.get("lb_gate_twed_bypassed"),
+                "brt": spreads.get("lb_gate_twed_brute_twin"),
+                "prg": spreads.get("lb_prunable_twed_gated"),
+                "prb": spreads.get("lb_prunable_twed_brute"),
+            },
+        },
         "soak100x_slopes": {
             fam: ladder100x[fam]["slope_decade2"]
             for fam in ("features", "fluss", "drift")
         },
         "full_artifact": "BENCH_FULL.json",
     }
-    line = json.dumps(compact)
+    # compact separators (r10): json.dumps' default ", "/": " padding cost
+    # ~120 chars of pure whitespace on a ~1800-char budget — exactly the
+    # margin that made the r9 driver line drop the lb_gate medians block.
+    # The driver json-parses the line; separators are not part of the
+    # contract.
+    _dumps = lambda obj: json.dumps(obj, separators=(",", ":"))  # noqa: E731
+    line = _dumps(compact)
     # staged shrink toward the driver's ~2000-char stdout tail: first drop
-    # the optional (non-legacy) query entries, then the lb_gate medians and
-    # soak slopes (all still in BENCH_FULL.json) — the 12 legacy queries
-    # and the required keys are never removed
+    # the optional (non-legacy) query entries, then the soak slopes, then
+    # the lb_gate spreads, and ONLY THEN the lb_gate medians (r10 reorder,
+    # VERDICT r9 #4: the medians are the diagnostic that settles a noisy
+    # bypass ratio and must outlive the lower-value blocks; everything
+    # popped here is still in BENCH_FULL.json) — the 12 legacy queries and
+    # the required keys are never removed
     while len(line) > 1800 and any(
         k not in legacy_queries for k in compact["queries"]
     ):
@@ -1663,14 +1697,14 @@ def main() -> None:
             if k not in legacy_queries:
                 compact["queries"].pop(k)
                 break
-        line = json.dumps(compact)
-    for victim in ("medians",):
-        if len(line) > 1800:
-            compact["lb_gate"].pop(victim, None)
-            line = json.dumps(compact)
+        line = _dumps(compact)
     if len(line) > 1800:
         compact.pop("soak100x_slopes", None)
-        line = json.dumps(compact)
+        line = _dumps(compact)
+    for victim in ("spreads", "medians"):
+        if len(line) > 1800:
+            compact["lb_gate"].pop(victim, None)
+            line = _dumps(compact)
     print(line)
     spark.stop()
 

@@ -240,3 +240,48 @@ def test_ann_quantized_reverse_matches_kernel(spark):
     guarded = ann_quantized_topk(qs, emb, k=3, strategy="kernel",
                                  max_broadcast_bytes=budget)
     assert sorted(map(tuple, guarded.collect())) == a
+
+
+def test_batched_emit_many_rows_per_call_bit_parity(spark):
+    """r10 (VERDICT r9 #7): the scoring core's top-k emit is batched
+    across a kernel call's test rows (one lexsort with the row index as
+    primary key). Pin bit-identity against the declarative plan in
+    exactly the regime the batching targets — a NARROW train side
+    (n_train << 1024, so rows_per > 1 packs many test rows per call)
+    with heavy integer ties, exact-zero duplicate pairs, and string
+    labels — across kernel/chunked/reverse and k spanning under/over the
+    per-row neighbor count."""
+    import random
+
+    rng = random.Random(20260818)
+    train_rows = [
+        (100 + i, [float(rng.randint(0, 2)) for _ in range(6)],
+         ["aa", "bb", "cc"][i % 3])
+        for i in range(7)
+    ]
+    test_rows = [
+        (i, [float(rng.randint(0, 2)) for _ in range(6)]) for i in range(50)
+    ]
+    # exact duplicates of train rows -> d == 0 pairs under exclude_zero
+    for j in (0, 3):
+        test_rows[j] = (test_rows[j][0], list(train_rows[j][1]))
+    train = spark.createDataFrame(
+        train_rows, "series_id long, features array<double>, label string"
+    )
+    test = spark.createDataFrame(test_rows, "series_id long, features array<double>")
+    for metric in ("euclidean", "dtw", "twed"):
+        kw = {"band": 2} if metric == "dtw" else {}
+        for k in (1, 4, 10):
+            ref = sorted(
+                map(tuple, knn_join(test, train, metric=metric, k=k, **kw).collect())
+            )
+            for strategy in ("kernel", "chunked", "reverse"):
+                got = sorted(
+                    map(
+                        tuple,
+                        knn_join(
+                            test, train, metric=metric, k=k, strategy=strategy, **kw
+                        ).collect(),
+                    )
+                )
+                assert got == ref, (metric, k, strategy)

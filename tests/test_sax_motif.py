@@ -308,6 +308,48 @@ def test_matrix_profile_kernel_declarative_bit_parity(spark):
                 assert d_k == d_d, (m, excl, key)  # exact bits, no approx
 
 
+def test_matrix_profile_null_elements_route_declarative(spark):
+    """r10 (VERDICT r9 #5): series with embedded SQL NULL elements must
+    produce the DECLARATIVE plan's answer under every strategy — the
+    kernel receives nulls as NaN (sorts GREATEST) where the declarative
+    folds propagate NULL (sorts FIRST), so the default path now routes
+    null-element rows to the declarative branch. Hash-equal check on a
+    hostile mixed fixture (null rows + clean rows + NaN rows)."""
+    import random
+
+    rng = random.Random(20260818)
+    rows = []
+    for sid in range(40):
+        length = rng.choice([6, 8, 12])
+        feats = [(rng.random() - 0.5) * 10.0 for _ in range(length)]
+        if sid % 4 == 0:
+            # embedded NULL elements at random positions
+            for _ in range(rng.choice([1, 2])):
+                feats[rng.randrange(length)] = None
+        if sid % 7 == 0:
+            feats[0] = float("nan")
+        rows.append((sid, feats))
+    rows.append((800, [None] * 8))  # all-null elements
+    rows.append((801, None))  # whole-features NULL row
+    df = spark.createDataFrame(rows, "series_id long, features array<double>")
+    assert df.schema["features"].dataType.containsNull
+    for m, excl in [(4, None), (3, 2)]:
+        decl = matrix_profile(df, m, exclusion=excl, strategy="declarative")
+        for strat in ("auto", "kernel"):
+            got = matrix_profile(df, m, exclusion=excl, strategy=strat)
+            k = {(r[0], r[1]): (r[2], r[3]) for r in got.collect()}
+            d = {(r[0], r[1]): (r[2], r[3]) for r in decl.collect()}
+            assert set(k) == set(d), (m, excl, strat)
+            for key, (nn_k, d_k) in k.items():
+                nn_d, d_d = d[key]
+                assert nn_k == nn_d, (m, excl, strat, key)
+                if d_k is None or (isinstance(d_k, float) and math.isnan(d_k)):
+                    assert d_d is None or math.isnan(d_d)
+                    assert (d_k is None) == (d_d is None), (m, excl, strat, key)
+                else:
+                    assert d_k == d_d, (m, excl, strat, key)
+
+
 def test_matrix_profile_rejects_unknown_strategy(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 2.0, 3.0, 4.0])], "series_id long, features array<double>"

@@ -431,20 +431,26 @@ def _score_block_rows(
     ZERO-copy views (broadcast_to + b_feats directly) — for them the
     chunked path's np.repeat/np.tile copies cost more than they save.
 
-    Returns dict-of-lists: test_id, train_id, distance[, rank]
+    Returns dict of numpy arrays: test_id, train_id, distance[, rank]
     [, train_label]. Tie order parity: (distance, label, id) ascending
     via np.lexsort, NaN last — the contract every strategy shares.
+
+    r10 (VERDICT r9 #7): the top-k emit is batched across the chunk's
+    test rows — ONE masked flatten + ONE lexsort with the row index as
+    the primary key + a vectorized first-k-per-segment selection,
+    replacing the per-test-row mask/lexsort/list-extend loop that was the
+    measured fixed cost behind every chunked-grid envelope miss (the
+    ratio floor at byte-light cells). Bit-identity: lexsort is a stable
+    sequence of argsorts, so within each row segment the (distance,
+    label, id) comparisons are exactly the per-row sort's; NaN still
+    sorts last within its row segment.
     """
     import numpy as np
 
     from ..functions.distance import _stack_series
     from ..functions.dtw_kernel import dtw_batch, fastdtw_batch
 
-    out = {"test_id": [], "train_id": [], "distance": []}
-    if with_rank:
-        out["rank"] = []
-    if b_labels is not None:
-        out["train_label"] = []
+    parts_out: list = []
     n_train = len(b_ids)
     # fastdtw chunks for ufunc amortization; sbd chunks so ONE block FFT
     # serves many test rows (memory-capped: nc * n_train * 2L doubles).
@@ -508,25 +514,60 @@ def _score_block_rows(
                 D = fn(A, B)
             else:  # chebyshev
                 D = np.abs(A - B).max(axis=1)
-            D = D.reshape(nc, n_train)
-            for r, i in enumerate(chunk):
-                d = D[r]
-                mask = d != 0 if excl else np.ones(n_train, dtype=bool)
-                di, ii = d[mask], b_ids[mask]
-                li = b_labels[mask] if b_labels is not None else None
-                order = (
-                    np.lexsort((ii, li, di)) if li is not None
-                    else np.lexsort((ii, di))
-                )[:k]
-                m = len(order)
-                out["test_id"].extend([tids[i]] * m)
-                out["train_id"].extend(ii[order])
-                out["distance"].extend(di[order])
-                if with_rank:
-                    out["rank"].extend(range(1, m + 1))
-                if li is not None:
-                    out["train_label"].extend(li[order])
-    return out
+            Df = D.reshape(-1)
+            rowf = np.repeat(np.arange(nc), n_train)
+            iif = np.tile(b_ids, nc)
+            lif = np.tile(b_labels, nc) if b_labels is not None else None
+            if excl:
+                msk = Df != 0
+                Df, rowf, iif = Df[msk], rowf[msk], iif[msk]
+                if lif is not None:
+                    lif = lif[msk]
+            keys = (iif, lif, Df, rowf) if lif is not None else (iif, Df, rowf)
+            order = np.lexsort(keys)
+            rs = rowf[order]
+            nsel = rs.size
+            if not nsel:
+                continue
+            # first k per row segment: position within segment < k
+            change = np.empty(nsel, dtype=bool)
+            change[0] = True
+            np.not_equal(rs[1:], rs[:-1], out=change[1:])
+            seg_start = np.flatnonzero(change)
+            seg_id = np.cumsum(change) - 1
+            pos = np.arange(nsel) - seg_start[seg_id]
+            sel = pos < k
+            picked = order[sel]
+            tid_chunk = np.asarray([tids[i] for i in chunk], dtype=np.int64)
+            part = {
+                "test_id": tid_chunk[rs[sel]],
+                "train_id": iif[picked],
+                "distance": Df[picked],
+            }
+            if with_rank:
+                part["rank"] = pos[sel] + 1
+            if lif is not None:
+                part["train_label"] = lif[picked]
+            parts_out.append(part)
+    cols = ["test_id", "train_id", "distance"]
+    if with_rank:
+        cols.append("rank")
+    if b_labels is not None:
+        cols.append("train_label")
+    if not parts_out:
+        empty = {
+            "test_id": np.empty(0, dtype=np.int64),
+            "train_id": np.empty(0, dtype=np.int64),
+            "distance": np.empty(0, dtype=np.float64),
+        }
+        if with_rank:
+            empty["rank"] = np.empty(0, dtype=np.int64)
+        if b_labels is not None:
+            empty["train_label"] = np.empty(0, dtype=b_labels.dtype)
+        return empty
+    if len(parts_out) == 1:
+        return parts_out[0]
+    return {c: np.concatenate([p[c] for p in parts_out]) for c in cols}
 
 
 # metrics defined for pairs of UNEQUAL length — the kernels take
@@ -567,12 +608,16 @@ def _score_block_groups(
     has_label = groups[0][2] is not None
     t_arr = np.concatenate([np.asarray(p["test_id"], dtype=np.int64) for p in parts]) \
         if parts else np.empty(0, dtype=np.int64)
-    out = {"test_id": [], "train_id": [], "distance": []}
-    if with_rank:
-        out["rank"] = []
-    if has_label:
-        out["train_label"] = []
     if not len(t_arr):
+        out = {
+            "test_id": np.empty(0, dtype=np.int64),
+            "train_id": np.empty(0, dtype=np.int64),
+            "distance": np.empty(0, dtype=np.float64),
+        }
+        if with_rank:
+            out["rank"] = np.empty(0, dtype=np.int64)
+        if has_label:
+            out["train_label"] = np.empty(0)
         return out
     i_arr = np.concatenate([np.asarray(p["train_id"], dtype=np.int64) for p in parts])
     d_arr = np.concatenate([np.asarray(p["distance"], dtype=np.float64) for p in parts])
@@ -581,23 +626,30 @@ def _score_block_groups(
         if has_label else None
     )
     # same (distance, label, id) lexsort contract as the scoring core,
-    # NaN last, test as the primary key; then first k per test
+    # NaN last, test as the primary key; then first k per test — the
+    # vectorized first-k-per-segment selection (r10, VERDICT r9 #7; same
+    # trick as _score_block_rows' batched emit, replacing the per-element
+    # Python loop over the full sorted pair list)
     keys = (i_arr, l_arr, d_arr, t_arr) if l_arr is not None else (i_arr, d_arr, t_arr)
     order = np.lexsort(keys)
-    taken: dict = {}
-    for idx in order:
-        t = int(t_arr[idx])
-        c = taken.get(t, 0)
-        if c >= k:
-            continue
-        taken[t] = c + 1
-        out["test_id"].append(t)
-        out["train_id"].append(i_arr[idx])
-        out["distance"].append(d_arr[idx])
-        if with_rank:
-            out["rank"].append(c + 1)
-        if has_label:
-            out["train_label"].append(l_arr[idx])
+    rs = t_arr[order]
+    change = np.empty(rs.size, dtype=bool)
+    change[0] = True
+    np.not_equal(rs[1:], rs[:-1], out=change[1:])
+    seg_start = np.flatnonzero(change)
+    seg_id = np.cumsum(change) - 1
+    pos = np.arange(rs.size) - seg_start[seg_id]
+    sel = pos < k
+    picked = order[sel]
+    out = {
+        "test_id": rs[sel],
+        "train_id": i_arr[picked],
+        "distance": d_arr[picked],
+    }
+    if with_rank:
+        out["rank"] = pos[sel] + 1
+    if has_label:
+        out["train_label"] = l_arr[picked]
     return out
 
 
@@ -980,7 +1032,7 @@ def _knn_reverse(
                 t_ids, t_fs, groups, kind=kind, k=kk, excl=excl,
                 band=bnd, radius=rad, with_rank=False,
             )
-            if cols["test_id"]:
+            if len(cols["test_id"]):
                 yield pd.DataFrame({c: cols[c] for c in order_cols})
 
     schema = "test_id long, train_id long"

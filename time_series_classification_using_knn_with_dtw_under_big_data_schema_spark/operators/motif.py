@@ -264,7 +264,33 @@ def matrix_profile(
     if strategy not in ("auto", "kernel", "declarative"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy != "declarative":
-        return _profile_kernel(series, m, exclusion, features_col)
+        # null-ELEMENT routing guard (r10, VERDICT r9 #5): Arrow delivers a
+        # SQL NULL element as NaN inside the kernel, but the declarative
+        # folds PROPAGATE the null — a null-poisoned window's profile_d is
+        # NULL (sorts FIRST under asc) declaratively vs NaN (sorts
+        # GREATEST) in the kernel, so the argmin can diverge. Rows whose
+        # features contain a null element therefore take the declarative
+        # plan; every other row keeps the map-only kernel. The split is
+        # schema-gated: collect_list-built series (every engine source)
+        # declare containsNull=False and skip both the predicate scan and
+        # the union branch entirely.
+        elem_nullable = getattr(
+            series.schema[features_col].dataType, "containsNull", True
+        )
+        if not elem_nullable:
+            return _profile_kernel(series, m, exclusion, features_col)
+        has_null = F.exists(F.col(features_col), lambda x: x.isNull())
+        kern = _profile_kernel(
+            series.filter(~has_null), m, exclusion, features_col
+        )
+        decl = matrix_profile(
+            series.filter(has_null),
+            m,
+            exclusion=exclusion,
+            features_col=features_col,
+            strategy="declarative",
+        )
+        return kern.unionByName(decl)
     w = subsequence_windows(series, m, features_col=features_col, znormalize=True)
     w = w.select("series_id", "start", "win")
     pairs = (
