@@ -1280,6 +1280,17 @@ def main() -> None:
             _mat(boss_classify(te10s, tr10, m=8, n_coeffs=2))
 
     run("soak10x_conformal_knn", _conformal_soak)
+
+    # r10 (VERDICT r9 #6): the OVER-BUDGET conformal regime — a proper
+    # split past max_broadcast_bytes now rides the chunked block grid
+    # (per-cell min-per-label + exact global MIN) instead of the
+    # interpreted crossJoin fold; same soak shape, budget forced under the
+    # proper split's bytes, ratio recorded vs the broadcast-kernel twin
+    def _conformal_soak_overbudget():
+        with cache_scope():
+            _mat(conformal_knn(te10s, tr10, max_broadcast_bytes=soak_knn_budget))
+
+    run("soak10x_conformal_overbudget_grid", _conformal_soak_overbudget)
     run("soak10x_boss_classify", _boss_soak)
     # soak10x_fluss (r7) is superseded by ladder_fluss_100x below — same
     # absolute scale (10x sf0.1 series), now with 1x/10x tiers for slope.
@@ -1497,6 +1508,10 @@ def main() -> None:
         # r6-flagship soaks (r7): guard-routed chunked vs broadcast kernel
         "soak_knn_lof_chunked": (
             "soak10x_knn_lof_chunked", "soak10x_knn_lof_kernel"
+        ),
+        # r10: over-budget conformal grid vs the broadcast-kernel twin
+        "conformal_overbudget_grid": (
+            "soak10x_conformal_overbudget_grid", "soak10x_conformal_knn"
         ),
         "soak_knn_twed_chunked": (
             "soak10x_knn_twed_chunked", "soak10x_knn_twed_kernel"

@@ -32,10 +32,16 @@ def _plan(df):
 def test_conformal_kernel_matches_declarative(spark, har_dfs, metric):
     train, test = har_dfs
     kern = conformal_knn(test, train, metric=metric, min_kernel_pairs=0)
-    decl = conformal_knn(test, train, metric=metric, max_broadcast_bytes=64)
+    decl = conformal_knn(test, train, metric=metric)  # volume gate -> declarative
+    grid = conformal_knn(test, train, metric=metric, max_broadcast_bytes=64)
     assert "MapInPandas" in _plan(kern)
     assert "MapInPandas" not in _plan(decl) or metric == "dtw"  # dtw_udf is Arrow either way
+    # r10 (VERDICT r9 #6): an over-budget proper split rides the chunked
+    # block grid (applyInPandas cells + global MIN), never the interpreted
+    # crossJoin fold
+    assert "FlatMapGroupsInPandas" in _plan(grid)
     assert _rows(kern) == _rows(decl)
+    assert _rows(grid) == _rows(decl)
 
 
 def test_conformal_kernel_duplicates_and_zero_distances(spark):
@@ -62,9 +68,11 @@ def test_conformal_kernel_duplicates_and_zero_distances(spark):
         "series_id long, features array<double>",
     ).withColumn("label", F.lit("x"))
     kern = conformal_knn(test, train, min_kernel_pairs=0)
-    decl = conformal_knn(test, train, max_broadcast_bytes=64)
+    decl = conformal_knn(test, train)  # volume gate -> declarative
+    grid = conformal_knn(test, train, max_broadcast_bytes=64)
     assert "MapInPandas" in _plan(kern)
     assert _rows(kern) == _rows(decl)
+    assert _rows(grid) == _rows(decl)
 
 
 def test_conformal_kernel_nonfinite_features(spark):
@@ -88,8 +96,12 @@ def test_conformal_kernel_nonfinite_features(spark):
         "series_id long, features array<double>, label string",
     )
     kern = conformal_knn(test, train, min_kernel_pairs=0)
-    decl = conformal_knn(test, train, max_broadcast_bytes=64)
+    decl = conformal_knn(test, train)  # volume gate -> declarative
+    grid = conformal_knn(test, train, max_broadcast_bytes=64)
     assert _rows(kern) == _rows(decl)
+    # the grid cells emit NaN (Arrow NULL) for only-NaN cells; the global
+    # MIN + coalesce must restore the declarative NaN placement exactly
+    assert _rows(grid) == _rows(decl)
 
 
 def test_conformal_kernel_ragged_elastic(spark):
@@ -114,9 +126,11 @@ def test_conformal_kernel_ragged_elastic(spark):
         "series_id long, features array<double>, label string",
     )
     kern = conformal_knn(test, train, metric="twed", min_kernel_pairs=0)
-    decl = conformal_knn(test, train, metric="twed", max_broadcast_bytes=64)
+    decl = conformal_knn(test, train, metric="twed")  # volume gate
+    grid = conformal_knn(test, train, metric="twed", max_broadcast_bytes=64)
     assert "MapInPandas" in _plan(kern)
     assert _rows(kern) == _rows(decl)
+    assert _rows(grid) == _rows(decl)
 
 
 def test_conformal_kernel_ragged_point_falls_back(spark):
@@ -155,7 +169,7 @@ def test_conformal_kernel_callable_metric_stays_declarative(spark, har_dfs):
 def test_conformal_set_rides_kernel_path(spark, har_dfs):
     train, test = har_dfs
     kern = conformal_set(test, train, eps=0.2, min_kernel_pairs=0)
-    decl = conformal_set(test, train, eps=0.2, max_broadcast_bytes=64)
+    decl = conformal_set(test, train, eps=0.2)  # volume gate -> declarative
     assert "MapInPandas" in _plan(kern)
     assert _rows(kern) == _rows(decl)
 
@@ -190,3 +204,28 @@ def test_conformal_pair_volume_gate(spark, har_dfs):
     forced = conformal_knn(test, train, min_kernel_pairs=0)
     assert "MapInPandas" in _plan(forced)
     assert _rows(default) == _rows(forced)
+
+
+def test_conformal_overbudget_grid_ragged_point_stays_declarative(spark):
+    """The grid inherits the kernel family's metric surface: a ragged
+    proper split under a POINT metric has no exact twin (declarative
+    null-fold drops), so even an over-budget call keeps the declarative
+    plan there."""
+    rows = [
+        (0, [1.0, 2.0, 3.0], "a"),
+        (1, [1.0, 2.0], "a"),
+        (2, [3.0, 2.0, 1.0], "b"),
+        (3, [2.0, 2.0], "b"),
+        (4, [0.0, 1.0, 2.0], "a"),
+    ]
+    train = spark.createDataFrame(
+        rows, "series_id long, features array<double>, label string"
+    )
+    test = spark.createDataFrame(
+        [(100, [1.5, 2.5, 3.5], "x")],
+        "series_id long, features array<double>, label string",
+    )
+    out = conformal_knn(test, train, max_broadcast_bytes=64)
+    assert "FlatMapGroupsInPandas" not in _plan(out)
+    assert "MapInPandas" not in _plan(out)
+    assert _rows(out) == _rows(conformal_knn(test, train))

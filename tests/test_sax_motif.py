@@ -607,3 +607,127 @@ def test_boss_classify_separates_periods(spark):
     ) / len(out1)
     assert acc >= 0.75
     assert all(isinstance(r["boss_distance"], int) for r in out1)
+
+
+def test_round_half_up_micro_matches_spark(spark):
+    """r10 (VERDICT r9 #8): the BOSS kernels replay Spark's
+    ``round(v)::bigint`` micro-rounding in numpy. Spark's Round(HALF_UP)
+    on DOUBLE is defined through the double's SHORTEST-DECIMAL string
+    (BigDecimal.valueOf), so pin the replay against Spark itself over
+    adversarial values: exact .5 boundaries, 1-ulp neighbors on both
+    sides, huge integral doubles (where floor(x+0.5) alone rounds to the
+    wrong even), values past the int64 saturation range, and random
+    magnitudes across 20 decades."""
+    import math
+    import random
+
+    import numpy as np
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators.sax import (
+        _round_half_up_micro,
+    )
+
+    rng = random.Random(20260818)
+    vals = [0.0, -0.0, 0.5, -0.5, 1.5, 2.5, -2.5, 0.49999999999999994]
+    for n in [0, 1, 2, 3, 7, 10**6, 10**12, 2**51, 2**52 + 1, 2**53 - 1]:
+        for s in (1.0, -1.0):
+            b = s * (n + 0.5)
+            vals += [b, math.nextafter(b, math.inf), math.nextafter(b, -math.inf)]
+    vals += [4e18, -4e18, float(2**62 + 1024), -float(2**62 + 1024)]
+    for _ in range(4000):
+        mag = 10.0 ** rng.uniform(-3, 17)
+        v = rng.choice([-1.0, 1.0]) * (math.floor(mag) + rng.choice(
+            [0.5, 0.5 + rng.uniform(-1e-9, 1e-9), rng.random()]
+        ))
+        vals.append(v)
+    vals = [float(v) for v in vals]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    # ANSI mode (Spark 4 default): a plain bigint cast RAISES on overflow;
+    # the BOSS hostile-input guard keeps such values off the kernel path,
+    # so the replay contract covers in-range values only — try_cast lets
+    # one query sweep everything and the comparison skips the NULLs.
+    got_spark = [
+        r["r"] for r in df.selectExpr("try_cast(round(v) as bigint) as r").collect()
+    ]
+    got_np = _round_half_up_micro(np.asarray(vals)).tolist()
+    bad = [
+        (v, s, n)
+        for v, s, n in zip(vals, got_spark, got_np)
+        if s is not None and s != n
+    ]
+    assert not bad, bad[:10]
+    assert sum(1 for s in got_spark if s is not None) > len(vals) - 10
+
+
+def test_boss_kernel_declarative_bit_parity(spark):
+    """r10 (VERDICT r9 #8): boss_classify's Arrow words/edges kernels must
+    be bit-equal to the declarative HOF plan — random corpora with ragged
+    lengths (incl. shorter-than-m drop-outs), duplicate series, integer-
+    ish values that land coefficient ties, and a label type exercise."""
+    import random
+
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import boss_classify
+
+    rng = random.Random(7)
+    for trial in range(3):
+        train_rows = []
+        for i in range(40):
+            L = rng.choice([6, 8, 9, 12, 16])
+            feats = [
+                rng.choice([0.0, 0.125, 1.0, 2.5, -1.5, rng.random() * 4])
+                for _ in range(L)
+            ]
+            train_rows.append((i, feats, ["p4", "p8", "q"][i % 3]))
+        train_rows.append((90, list(train_rows[0][1]), train_rows[0][2]))  # dup
+        test_rows = [
+            (200 + i, [rng.random() * 4 for _ in range(rng.choice([7, 8, 12]))])
+            for i in range(12)
+        ]
+        train = spark.createDataFrame(
+            train_rows, "series_id long, features array<double>, label string"
+        )
+        test = spark.createDataFrame(test_rows, "series_id long, features array<double>")
+        a = sorted(map(tuple, boss_classify(test, train, m=8, n_coeffs=2).collect()))
+        b = sorted(
+            map(
+                tuple,
+                boss_classify(
+                    test, train, m=8, n_coeffs=2, strategy="declarative"
+                ).collect(),
+            )
+        )
+        assert a == b, trial
+
+
+def test_boss_hostile_input_routes_declarative(spark):
+    """Null elements fold into NaN across Arrow (losing the declarative
+    NULL-comparison semantics), and NaN / huge elements make the
+    declarative micro-rounding cast raise under ANSI — corpora carrying
+    any of those must take the declarative plan wholesale: results equal
+    the forced-declarative call, and the auto plan carries no Python
+    kernel node."""
+    from time_series_classification_using_knn_with_dtw_under_big_data_schema_spark.operators import boss_classify
+
+    test = spark.createDataFrame(
+        [(9, [1.0, 0.5, 2.0, 1.5, 1.0, 0.5, 2.0, 1.5, 0.25])],
+        "series_id long, features array<double>",
+    )
+    for hostile_feats in (
+        [1.0, 2.0, None, 4.0, 1.0, 2.0, 3.0, 4.0, 2.0],  # null element
+        [5e9, 2.0, 1.0, 4.0, 1.0, 2.0, 3.0, 4.0, 2.0],  # near-overflow
+    ):
+        train = spark.createDataFrame(
+            [
+                (1, hostile_feats, "a"),
+                (3, [1.0, 0.5, 2.0, 1.5, 1.0, 0.5, 2.0, 1.5, 3.0, 2.0], "a"),
+                (4, [0.5, 1.5, 0.25, 2.0, 1.0, 3.0, 0.75, 1.25, 2.5], "b"),
+            ],
+            "series_id long, features array<double>, label string",
+        )
+        auto = boss_classify(test, train, m=8, n_coeffs=2)
+        plan = auto._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan
+        decl = boss_classify(test, train, m=8, n_coeffs=2, strategy="declarative")
+        assert sorted(map(tuple, auto.collect())) == sorted(
+            map(tuple, decl.collect())
+        )

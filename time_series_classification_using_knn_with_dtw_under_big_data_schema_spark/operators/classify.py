@@ -454,6 +454,255 @@ _CONFORMAL_POINT_KINDS = frozenset({"euclidean", "sq_euclidean", "manhattan"})
 _CONFORMAL_ELASTIC_KINDS = frozenset({"dtw", "lcss", "edr", "erp", "twed", "msm"})
 
 
+def _conformal_dist_fns(kind: str):
+    """(batch_fn, dist_block) for a conformal-kernel metric. batch_fn is
+    the elastic batch DP (None for the point metrics); dist_block maps
+    (nc, Lr) x (ng, Lg) -> (nc, ng) distances with the exact op order of
+    the declarative folds."""
+    import numpy as np
+
+    if kind in ("lcss", "edr", "erp", "twed", "msm"):
+        from ..functions.edit_distance import (
+            edr_batch, erp_batch, lcss_batch, msm_batch, twed_batch,
+        )
+
+        batch_fn = {"lcss": lcss_batch, "edr": edr_batch, "erp": erp_batch,
+                    "twed": twed_batch, "msm": msm_batch}[kind]
+    elif kind == "dtw":
+        from ..functions.dtw_kernel import dtw_batch
+
+        batch_fn = lambda A, B: dtw_batch(A, B, band=None)  # noqa: E731
+    else:
+        batch_fn = None
+
+    def _dist_block(Tc: "np.ndarray", G: "np.ndarray", Gt: "np.ndarray") -> "np.ndarray":
+        """Point metrics accumulate with a j-loop (index order = the SQL
+        left fold's IEEE sequence — reassociating BLAS forms are NOT
+        bit-equal) over a contiguous TRANSPOSED proper matrix, tiled so
+        the accumulator stays cache-resident across the L passes (an
+        untiled j-loop re-streams the whole (nc, ng) accumulator from
+        DRAM L times)."""
+        nc, ng = Tc.shape[0], G.shape[0]
+        if batch_fn is not None:
+            A = np.repeat(Tc, ng, axis=0)
+            B = np.tile(G, (nc, 1))
+            return batch_fn(A, B).reshape(nc, ng)
+        L = Tc.shape[1]
+        out = np.empty((nc, ng))
+        tile = max(256, 131_072 // max(1, nc))  # ~1 MB accumulator
+        for t0 in range(0, ng, tile):
+            t1 = min(ng, t0 + tile)
+            acc = np.zeros((nc, t1 - t0))
+            for j in range(L):
+                d = Tc[:, j][:, None] - Gt[j, t0:t1][None, :]
+                if kind == "manhattan":
+                    np.abs(d, out=d)
+                    acc += d
+                else:
+                    acc += d * d
+            out[:, t0:t1] = np.sqrt(acc) if kind == "euclidean" else acc
+        return out
+
+    return batch_fn, _dist_block
+
+
+def _conformal_proper_groups(rows):
+    """proper (features, label) rows -> per-length (L, matrix,
+    [(label, col_idx)]) groups — label->column indices precomputed once so
+    each scoring chunk only slices."""
+    import numpy as np
+
+    from ..functions.distance import _stack_series
+
+    by_len: dict = {}
+    for r in rows:
+        by_len.setdefault(len(r[0]), []).append(r)
+    groups = []
+    for L in sorted(by_len):
+        g = by_len[L]
+        mat = _stack_series([r[0] for r in g])
+        labs = [r[1] for r in g]
+        idx: dict = {}
+        for i, lab in enumerate(labs):
+            idx.setdefault(lab, []).append(i)
+        groups.append(
+            (L, mat, [(lab, np.asarray(ix, dtype=np.int64)) for lab, ix in idx.items()])
+        )
+    return groups
+
+
+def _conformal_score_rows(
+    feats, kvals: dict, keys: list, grps, batch_fn, dist_block,
+) -> dict:
+    """Score one block of side rows against the proper groups: min
+    distance per (side row, proper label) under the declarative ``_mins``
+    semantics (d != 0 exclusion keeps NaN; MIN is NaN-greatest; no row
+    when no pair survives; point-metric length mismatches drop). Shared
+    verbatim by the broadcast kernel and the over-budget grid cells, so
+    their bit-identity contract is enforced by construction."""
+    import numpy as np
+
+    from ..functions.distance import _stack_series
+
+    max_g = max(g[1].shape[0] for g in grps)
+    gts = [
+        np.ascontiguousarray(G.T) if batch_fn is None else None
+        for (_L, G, _li) in grps
+    ]
+    # batch-kernel pair target mirrors _score_block_rows (~1024-pair DP
+    # calls); the point folds chunk rows so the tiled accumulator plus row
+    # block stay cache-resident
+    rows_per = max(1, 1024 // max_g) if batch_fn is not None else 128
+    out: dict = {k: [] for k in keys}
+    out["_plab"] = []
+    out["_dmin"] = []
+    row_by_len: dict = {}
+    for i, f in enumerate(feats):
+        row_by_len.setdefault(len(f), []).append(i)
+    for Lr, idxs in row_by_len.items():
+        T = _stack_series([feats[i] for i in idxs])
+        for c0 in range(0, len(idxs), rows_per):
+            chunk = idxs[c0 : c0 + rows_per]
+            Tc = T[c0 : c0 + rows_per]
+            # per label accumulators across proper groups:
+            # (min over non-NaN, any pair survived, any non-NaN)
+            acc: dict = {}
+            for gi, (Lg, G, labidx) in enumerate(grps):
+                if batch_fn is None and Lg != Lr:
+                    continue  # declarative null-fold drop
+                D = dist_block(Tc, G, gts[gi])
+                mask = D != 0  # NaN != 0 is True — kept, like SQL
+                for lab, cols in labidx:
+                    sub = D[:, cols]
+                    msub = mask[:, cols]
+                    nn = msub & ~np.isnan(sub)
+                    mn = np.where(nn, sub, np.inf).min(axis=1)
+                    prev = acc.get(lab)
+                    if prev is None:
+                        acc[lab] = [mn, msub.any(axis=1), nn.any(axis=1)]
+                    else:
+                        prev[0] = np.minimum(prev[0], mn)
+                        prev[1] |= msub.any(axis=1)
+                        prev[2] |= nn.any(axis=1)
+            for lab, (mn, anyv, nnv) in acc.items():
+                for r in np.nonzero(anyv)[0]:
+                    for k in keys:
+                        out[k].append(kvals[k][chunk[r]])
+                    out["_plab"].append(lab)
+                    out["_dmin"].append(
+                        float(mn[r]) if nnv[r] else float("nan")
+                    )
+    return out
+
+
+def _conformal_min_grid(proper: DataFrame, kind: str, proper_stats):
+    """Over-budget twin of ``_conformal_min_kernel`` (r10, VERDICT r9 #6):
+    when the proper split exceeds ``max_broadcast_bytes``, the min-per-
+    (row, label) pass rides the KNN core's chunked BLOCK GRID instead of
+    falling back to the interpreted crossJoin fold — min-per-label is a
+    per-cell aggregate exactly like top-k: each (side-block x
+    proper-block) cell emits its own per-(row, label) min through the
+    SHARED scoring core (_conformal_score_rows), and a global
+    groupBy(keys, label).MIN reduces the cells exactly (MIN is
+    associative; a cell whose surviving pairs are all NaN emits NaN ->
+    Arrow NULL, which the global MIN ignores unless every cell did — then
+    the coalesce restores NaN; a (row, label) with no surviving pair in
+    any cell emits no row). Traffic: each side crosses the wire
+    n_opposing_blocks times instead of once per pair."""
+    import numpy as np
+    import pandas as pd
+
+    n_rows, max_len = proper_stats
+    label_sql_type = proper.schema["_plab"].dataType.simpleString()
+    batch_fn, dist_block = _conformal_dist_fns(kind)
+    spark = proper.sparkSession
+    par = spark.sparkContext.defaultParallelism
+
+    def mins(side: DataFrame, fcol: str, keys: list) -> DataFrame:
+        from .similarity import _grid_split
+
+        key_types = dict(side.dtypes)
+        n_s, len_s = side.agg(
+            F.count(F.lit(1)), F.max(F.size(fcol))
+        ).first()
+        n_s, len_s = int(n_s or 0), int(len_s or 0)
+        L = max(max_len, 1)
+        per_pair = L * L if batch_fn is not None else L
+        bt, br = _grid_split(
+            n_s * len_s * 8,
+            n_rows * max_len * 8,
+            max(n_s, 1),
+            max(n_rows, 1),
+            n_s * n_rows * per_pair,
+            64 << 20,
+            par,
+        )
+        null_keys = [
+            F.lit(None).cast(key_types[k]).alias(k) for k in keys
+        ]
+        s_side = side.select(
+            F.pmod(F.hash(F.col(keys[0])), F.lit(bt)).alias("_tblk"),
+            F.explode(F.sequence(F.lit(0), F.lit(br - 1))).alias("_rblk"),
+            F.lit(True).alias("_ist"),
+            *[F.col(k) for k in keys],
+            F.col(fcol).alias("_gf"),
+            F.lit(None).cast(label_sql_type).alias("_glab"),
+        )
+        p_side = proper.select(
+            F.explode(F.sequence(F.lit(0), F.lit(bt - 1))).alias("_tblk"),
+            F.pmod(F.hash(F.col("_pid")), F.lit(br)).alias("_rblk"),
+            F.lit(False).alias("_ist"),
+            *null_keys,
+            F.col("_pf").alias("_gf"),
+            F.col("_plab").alias("_glab"),
+        )
+        out_schema = ", ".join(
+            [f"{k} {key_types[k]}" for k in keys]
+            + [f"_plab {label_sql_type}", "_dmin double"]
+        )
+
+        def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+            tm = pdf["_ist"].to_numpy()
+            sp, pp = pdf[tm], pdf[~tm]
+            cols = {k: [] for k in keys}
+            cols["_plab"] = []
+            cols["_dmin"] = []
+            if len(sp) and len(pp):
+                grps = _conformal_proper_groups(
+                    list(zip(pp["_gf"].tolist(), pp["_glab"].tolist()))
+                )
+                kvals = {k: sp[k].to_numpy() for k in keys}
+                cols = _conformal_score_rows(
+                    sp["_gf"].to_numpy(), kvals, keys, grps, batch_fn, dist_block
+                )
+            return pd.DataFrame({c: cols[c] for c in
+                                 list(keys) + ["_plab", "_dmin"]})
+
+        n_parts = min(bt * br, max(par, 1) * 32)
+        blocked = (
+            s_side.unionByName(p_side)
+            .repartition(n_parts, "_tblk", "_rblk")
+            .groupBy("_tblk", "_rblk")
+            .applyInPandas(lambda _, pdf: cell(pdf), schema=out_schema)
+        )
+        from ..caching import register_cache
+
+        reduced = (
+            blocked.groupBy(*keys, "_plab")
+            .agg(F.min("_dmin").alias("_dmin"))
+            .select(
+                *keys,
+                "_plab",
+                F.coalesce("_dmin", F.lit(float("nan"))).alias("_dmin"),
+            )
+        )
+        out = register_cache(reduced.cache())
+        out.count()
+        return out
+
+    return mins
+
+
 def _conformal_min_kernel(
     proper: DataFrame,
     kind: str,
@@ -469,9 +718,12 @@ def _conformal_min_kernel(
     ~3e9-pair 10x conformal soak, the largest entry in the whole bench).
 
     Returns a ``mins(side, fcol, keys) -> DataFrame`` closure, or None when
-    the kernel path does not apply (proper side over ``max_broadcast_bytes``,
-    empty, or — for the point metrics — ragged). The closure's output is
-    bit-identical to the declarative ``_mins`` by construction:
+    no kernel path applies (empty proper side, a ragged proper side under
+    a point metric, or a calibration pair volume below
+    ``min_kernel_pairs``). An OVER-BUDGET proper side no longer falls back
+    to the interpreted fold: it returns the chunked block-grid closure
+    (r10, VERDICT r9 #6 — ``_conformal_min_grid``). The closure's output
+    is bit-identical to the declarative ``_mins`` by construction:
 
     - point folds accumulate dim-by-dim ascending (IEEE sequence of the
       left fold); elastic metrics ride the bitwise-pinned batch kernels;
@@ -502,10 +754,13 @@ def _conformal_min_kernel(
     n_rows, max_len, n_lens = int(stats[0] or 0), int(stats[1] or 0), int(stats[2] or 0)
     if not n_rows:
         return None
-    if n_rows * max_len * 8 > max_broadcast_bytes:
-        return None
     if kind in _CONFORMAL_POINT_KINDS and n_lens != 1:
         return None
+    if n_rows * max_len * 8 > max_broadcast_bytes:
+        # over-budget proper split (r10, VERDICT r9 #6): ride the chunked
+        # block grid instead of the interpreted crossJoin fold — the one
+        # previously remaining interpreted-HOF-at-scale conformal path
+        return _conformal_min_grid(proper, kind, (n_rows, max_len))
     # pair-volume gate (routing only — both branches are exact): the kernel
     # path pays a handful of fixed driver jobs (proper collect, two cache
     # populations), which at toy pair volumes costs more than the
@@ -516,71 +771,14 @@ def _conformal_min_kernel(
     if n_rows * n_rows // max(1, cal_mod - 1) < min_kernel_pairs:
         return None
 
-    from ..functions.distance import _stack_series
-
     rows = proper.select("_pf", "_plab").collect()
     # per proper length: (matrix, [(label, col_idx array)]) — label->column
     # indices precomputed once so each batch only slices
-    by_len: dict = {}
-    for r in rows:
-        by_len.setdefault(len(r[0]), []).append(r)
-    groups = []
-    for L in sorted(by_len):
-        g = by_len[L]
-        mat = _stack_series([r[0] for r in g])
-        labs = [r[1] for r in g]
-        idx: dict = {}
-        for i, lab in enumerate(labs):
-            idx.setdefault(lab, []).append(i)
-        groups.append(
-            (L, mat, [(lab, np.asarray(ix, dtype=np.int64)) for lab, ix in idx.items()])
-        )
+    groups = _conformal_proper_groups(rows)
     bvar = proper.sparkSession.sparkContext.broadcast(groups)
     label_sql_type = proper.schema["_plab"].dataType.simpleString()
 
-    if kind in ("lcss", "edr", "erp", "twed", "msm"):
-        from ..functions.edit_distance import (
-            edr_batch, erp_batch, lcss_batch, msm_batch, twed_batch,
-        )
-
-        batch_fn = {"lcss": lcss_batch, "edr": edr_batch, "erp": erp_batch,
-                    "twed": twed_batch, "msm": msm_batch}[kind]
-    elif kind == "dtw":
-        from ..functions.dtw_kernel import dtw_batch
-
-        batch_fn = lambda A, B: dtw_batch(A, B, band=None)  # noqa: E731
-    else:
-        batch_fn = None
-
-    def _dist_block(Tc: "np.ndarray", G: "np.ndarray", Gt: "np.ndarray") -> "np.ndarray":
-        """(nc, Lr) x (ng, Lg) -> (nc, ng) distances, exact op order.
-
-        Point metrics accumulate with a j-loop (index order = the SQL left
-        fold's IEEE sequence — reassociating BLAS forms are NOT bit-equal)
-        over a contiguous TRANSPOSED proper matrix, tiled so the
-        accumulator stays cache-resident across the L passes (an untiled
-        j-loop re-streams the whole (nc, ng) accumulator from DRAM L
-        times)."""
-        nc, ng = Tc.shape[0], G.shape[0]
-        if batch_fn is not None:
-            A = np.repeat(Tc, ng, axis=0)
-            B = np.tile(G, (nc, 1))
-            return batch_fn(A, B).reshape(nc, ng)
-        L = Tc.shape[1]
-        out = np.empty((nc, ng))
-        tile = max(256, 131_072 // max(1, nc))  # ~1 MB accumulator
-        for t0 in range(0, ng, tile):
-            t1 = min(ng, t0 + tile)
-            acc = np.zeros((nc, t1 - t0))
-            for j in range(L):
-                d = Tc[:, j][:, None] - Gt[j, t0:t1][None, :]
-                if kind == "manhattan":
-                    np.abs(d, out=d)
-                    acc += d
-                else:
-                    acc += d * d
-            out[:, t0:t1] = np.sqrt(acc) if kind == "euclidean" else acc
-        return out
+    batch_fn, _dist_block = _conformal_dist_fns(kind)
 
     def mins(side: DataFrame, fcol: str, keys: list) -> DataFrame:
         key_types = dict(side.dtypes)
@@ -591,60 +789,12 @@ def _conformal_min_kernel(
 
         def op(batches):
             grps = bvar.value
-            max_g = max(g[1].shape[0] for g in grps)
-            # contiguous transposes once per task: Gt[j] is then one
-            # sequential read per fold pass instead of an L*8-byte stride
-            gts = [
-                np.ascontiguousarray(G.T) if batch_fn is None else None
-                for (_L, G, _li) in grps
-            ]
-            # batch-kernel pair target mirrors _score_block_rows (~1024-pair
-            # DP calls); the point folds chunk rows so the tiled accumulator
-            # plus row block stay cache-resident
-            rows_per = max(1, 1024 // max_g) if batch_fn is not None else 128
             for pdf in batches:
                 feats = pdf[fcol].to_numpy()
                 kvals = {k: pdf[k].to_numpy() for k in keys}
-                out: dict = {k: [] for k in keys}
-                out["_plab"] = []
-                out["_dmin"] = []
-                row_by_len: dict = {}
-                for i, f in enumerate(feats):
-                    row_by_len.setdefault(len(f), []).append(i)
-                for Lr, idxs in row_by_len.items():
-                    T = _stack_series([feats[i] for i in idxs])
-                    for c0 in range(0, len(idxs), rows_per):
-                        chunk = idxs[c0 : c0 + rows_per]
-                        Tc = T[c0 : c0 + rows_per]
-                        nc = len(chunk)
-                        # per label accumulators across proper groups:
-                        # (min over non-NaN, any pair survived, any non-NaN)
-                        acc: dict = {}
-                        for gi, (Lg, G, labidx) in enumerate(grps):
-                            if batch_fn is None and Lg != Lr:
-                                continue  # declarative null-fold drop
-                            D = _dist_block(Tc, G, gts[gi])
-                            mask = D != 0  # NaN != 0 is True — kept, like SQL
-                            for lab, cols in labidx:
-                                sub = D[:, cols]
-                                msub = mask[:, cols]
-                                nn = msub & ~np.isnan(sub)
-                                mn = np.where(nn, sub, np.inf).min(axis=1)
-                                prev = acc.get(lab)
-                                if prev is None:
-                                    acc[lab] = [mn, msub.any(axis=1), nn.any(axis=1)]
-                                else:
-                                    prev[0] = np.minimum(prev[0], mn)
-                                    prev[1] |= msub.any(axis=1)
-                                    prev[2] |= nn.any(axis=1)
-                        for lab, (mn, anyv, nnv) in acc.items():
-                            for r in np.nonzero(anyv)[0]:
-                                for k in keys:
-                                    out[k].append(kvals[k][chunk[r]])
-                                out["_plab"].append(lab)
-                                out["_dmin"].append(
-                                    float(mn[r]) if nnv[r] else float("nan")
-                                )
+                out = _conformal_score_rows(
+                    feats, kvals, keys, grps, batch_fn, _dist_block
+                )
                 yield pd.DataFrame(out)
 
         from ..caching import register_cache
